@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Det._
+import Params._
+
+/** Aggregation operators (SURVEY §2.4).
+  *
+  * Determinism: money sums go through exact DECIMAL (order-insensitive);
+  * averages are exact-sum ÷ count, then dround; variance/stddev are
+  * recomputed from exact decimal sums of x and x² instead of Spark's
+  * streaming moments, so partial-aggregation merge order can't change a
+  * single output bit (SURVEY §7.3.2-4).
+  *
+  * 100-TB notes: all of these are partial-aggregated map-side
+  * (HashAggregateExec partial → shuffle on the group keys → final); group
+  * cardinality is tiny relative to input, so the shuffle is the compressed
+  * partial rows, not the data. ROLLUP/CUBE/GROUPING SETS expand the input
+  * ×(#grouping sets) — at scale prefer re-aggregating from the finest
+  * grouping; here the expansion is what the operator is demonstrating.
+  */
+object Aggregates {
+
+  /** avg as exact-decimal-sum / count, rounded — never native AVG. */
+  private def avgD(sumDec: Column, n: Column, d: Int): Column =
+    dround(sumDec.cast("double") / n, d)
+
+  private def aggGroupbyHash(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1.0).cast(DecimalType(4, 2))
+    val disc = one - pct(col("l_discount"))
+    val charge = money12(col("l_extendedprice")) * disc * (one + pct(col("l_tax")))
+    T(s, dir, "lineitem")
+      .where(col("l_shipdate") <= to_timestamp(lit(ShipCutoff)))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumMoneyD(col("l_quantity")).as("sum_qty"),
+        sumMoneyD(col("l_extendedprice")).as("sum_base_price"),
+        sum(money12(col("l_extendedprice")) * disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        avgD(sum(money(col("l_quantity"))), count(lit(1)), 4).as("avg_qty"),
+        avgD(sum(money(col("l_extendedprice"))), count(lit(1)), 4).as("avg_price"),
+        avgD(sum(money(col("l_discount"))), count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private def aggDistinctCount(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy("l_returnflag")
+
+  private def aggMultiDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_linestatus")
+
+  private def custGeo(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+
+  /** Via SQL: grouping() through the DataFrame rollup API trips the
+    * ambiguous-self-join check on the joined input's attributes. */
+  private def aggRollup(s: SparkSession, dir: String): DataFrame = {
+    custGeo(s, dir).select("r_name", "n_name").createOrReplaceTempView("graft_rollup_cust")
+    s.sql(
+      """SELECT r_name, n_name, count(1) AS n_cust,
+        | CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS gid
+        |FROM graft_rollup_cust
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  private def aggCube(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sumMoneyD(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).cast("int").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    custGeo(s, dir).createOrReplaceTempView("graft_gs_cust")
+    s.sql(
+      """SELECT c_mktsegment, n_name, count(1) AS n,
+        | CAST(grouping(c_mktsegment) * 2 + grouping(n_name) AS INT) AS gid
+        |FROM graft_gs_cust
+        |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        |ORDER BY gid, c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** min/max/var/stddev from exact decimal sums of x and x² — identical
+    * IEEE expression tree on both engines, bit-deterministic. */
+  private def aggStats(s: SparkSession, dir: String): DataFrame = {
+    val p = money12(col("o_totalprice"))
+    T(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sum(p).cast("double").as("sx"),
+        sum(p * p).cast("double").as("sx2"),
+        count(lit(1)).as("n"))
+      .select(
+        col("o_orderpriority"), col("min_price"), col("max_price"), col("n"),
+        dround((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 4).as("var_samp"),
+        dround(sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4).as("stddev_samp"))
+      .orderBy("o_orderpriority")
+  }
+
+  private def aggHistogram(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / lit(HistBucket)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** HLL sketch — approx result is engine-specific, no oracle (SURVEY
+    * §2.4); exactness-vs-exact-count tolerance asserted in AggregateSuite. */
+  private def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_groupby_hash" -> (aggGroupbyHash _),
+    "agg_distinct_count" -> (aggDistinctCount _),
+    "agg_multi_distinct" -> (aggMultiDistinct _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_cube" -> (aggCube _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "agg_stats" -> (aggStats _),
+    "agg_histogram" -> (aggHistogram _),
+    "agg_approx_distinct" -> (aggApproxDistinct _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_groupby_hash" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |   (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |   (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+         |   (CAST(1.0 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+         | ${sqlRound("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 4)} AS avg_qty,
+         | ${sqlRound("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 4)} AS avg_price,
+         | ${sqlRound("CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 4)} AS avg_disc,
+         | CAST(COUNT(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '$ShipCutoff'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct_count" ->
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_multi_distinct" ->
+      """SELECT l_linestatus,
+        | CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "agg_rollup" ->
+      """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        | CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT c_mktsegment, n_name, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(GROUPING(c_mktsegment) * 2 + GROUPING(n_name) AS INT) AS gid
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        |ORDER BY gid, c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "agg_stats" ->
+      s"""SELECT o_orderpriority, min_price, max_price, n,
+         | ${sqlRound("(sx2 - sx * sx / n) / (n - 1)", 4)} AS var_samp,
+         | ${sqlRound("SQRT((sx2 - sx * sx / n) / (n - 1))", 4)} AS stddev_samp
+         |FROM (
+         | SELECT o_orderpriority,
+         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx2,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         | FROM orders GROUP BY o_orderpriority)
+         |ORDER BY o_orderpriority""".stripMargin,
+    "agg_histogram" ->
+      s"""SELECT CAST(FLOOR(o_totalprice / $HistBucket) AS BIGINT) AS bucket,
+         | CAST(COUNT(*) AS BIGINT) AS n
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+  )
+}

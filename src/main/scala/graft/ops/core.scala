@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table readers for the driver-generated parquet fixtures.
+  *
+  * The reference checkout is empty at v0 (SURVEY.md §0), so the operative
+  * data model is the driver's own testdata contract (TESTDATA.md,
+  * FIXTURES.md): ten parquet tables per scale-factor directory.
+  *
+  * 100-TB note: a scan is `spark.read.parquet(dir)` — at scale the same
+  * call reads a partitioned directory tree; nothing here assumes a single
+  * file. Filters/projections applied by callers reach the scan via
+  * Catalyst pushdown (verified in PlanSuite).
+  */
+object T {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      // Spark 4 rejects TIMESTAMP(NANOS) parquet outright
+      // ([PARQUET_TYPE_ILLEGAL]); read the raw int64 nanos instead and
+      // derive µs/timestamp columns explicitly (exact integer math).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events with a microsecond epoch column `us` (exact integer division
+    * of the raw nanos — same truncation DuckDB's epoch_us(ts) applies,
+    * verified) and a µs-precision timestamp `ts_us` for window/date
+    * functions (SURVEY §7.3.5).
+    */
+  def eventsUs(s: SparkSession, dir: String): DataFrame =
+    apply(s, dir, "events")
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("ts_us", timestamp_micros(col("us")))
+}
+
+/** Determinism helpers (SURVEY §7.3). The DuckDB oracle compare is
+  * byte-exact, so every scored query routes floating-point output through
+  * these. The rules:
+  *
+  *  - Money is 2-dp in the data (verified: x == round(x,2) for all money
+  *    columns) → DECIMAL casts are exact, decimal aggregation is
+  *    order-insensitive, and the final cast-to-double is deterministic.
+  *  - `dround` rounds via floor(x*1e^d + 0.5)/1e^d — pure IEEE double ops
+  *    that both engines evaluate bit-identically, unlike round()/cast
+  *    which disagree on shortest-decimal vs binary midpoints.
+  *  - Never ORDER BY an unrounded double without a unique tiebreak.
+  */
+object Det {
+  /** Exact decimal for 2-dp money columns; wide enough for sums. */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Narrow decimal for money that gets multiplied (keeps the product
+    * within DECIMAL(38,_) in both engines so no precision-loss rounding). */
+  def money12(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** Exact decimal for ratio-like 2-dp columns (discount, tax). */
+  def pct(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** Cross-engine-deterministic round-half-up to d decimals (d >= 1). */
+  def dround(c: Column, d: Int): Column = {
+    val s = math.pow(10, d)
+    floor(c * lit(s) + lit(0.5)) / lit(s)
+  }
+
+  /** The DuckDB spelling of [[dround]] — same IEEE operation sequence. */
+  def sqlRound(e: String, d: Int): String =
+    s"FLOOR(($e) * 1e$d + 0.5) / 1e$d"
+
+  /** sum of money as double: exact decimal sum, then one final cast. */
+  def sumMoneyD(c: Column): Column = sum(money(c)).cast(DoubleType)
+}
+
+/** Shared query parameters — single source for both the Spark builders and
+  * the hand-written DuckDB oracle strings, so cutoffs cannot drift
+  * (SURVEY §7.4 "oracle SQL duplication drift").
+  */
+object Params {
+  val ShipCutoff = "2000-01-01" // agg_groupby_hash l_shipdate <=
+  val StarDateLo = "1996-01-01" // join_multiway_star o_orderdate >=
+  val StarDateHi = "1997-01-01" // join_multiway_star o_orderdate <
+  val StarRegion = "ASIA"
+  val IntervalUs: Long = 3600L * 1000000L // join_range_interval: 1 hour
+  val SessionGapUs: Long = 30L * 60L * 1000000L // stream_session_window
+  val HistBucket = 50000.0 // agg_histogram bucket width on o_totalprice
+  val ShingleK = 5 // llm_dedup_near shingle size
+  val JaccardNum = 4 // Jaccard threshold 4/5 = 0.8 as an exact rational
+  val JaccardDen = 5
+  val CosineThreshold = 0.95 // llm_dedup_embed
+  val TopK = 5 // llm_simsearch_topk
+  val ConeDeg = 5.0 // udf_angular_distance cone radius
+  val ZoneEps = 0.5 // astro_crossmatch_zones match radius (deg)
+}

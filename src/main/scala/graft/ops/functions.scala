@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import Det._
+
+/** Scalar-function surface (SURVEY §2.7) + the generator/UDTF surface
+  * (§2.9 udtf_explode_tokens).
+  *
+  * All built-in `org.apache.spark.sql.functions` — codegen'd, no UDFs on
+  * the scored path. Cross-engine notes live next to each oracle string
+  * (DuckDB's dayofweek is 0-based, regexp_replace is first-match-only, …).
+  */
+object Functions {
+
+  private def fnString(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_brand")).as("lo_brand"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_name"), lit(" "), lit("_")).as("snake_name"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        concat_ws("|", split(col("p_name"), " ")).as("piped"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"))
+      .orderBy("p_partkey")
+
+  private def fnDate(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate"))).as("age_days"))
+      .orderBy("o_orderkey")
+
+  private def fnMath(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        dround(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        dround(log(col("l_extendedprice")), 6).as("ln_price"),
+        dround(exp(col("l_discount")), 6).as("exp_disc"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+        ceil(col("l_quantity") / 7).as("qty_ceil7"),
+        floor(col("l_quantity") / 7).as("qty_floor7"),
+        pmod(col("l_partkey"), lit(97)).as("pk_mod"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def fnConditional(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 50000, lit("small"))
+          .when(col("o_totalprice") < 150000, lit("mid"))
+          .otherwise(lit("big")).as("size_class"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
+        least(col("o_totalprice"), lit(100000.0)).as("capped"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("floored"))
+      .orderBy("o_orderkey")
+
+  private def fnJson(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(
+        col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k_typed"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_str"))
+      .orderBy("event_id")
+
+  /** Array ops over the 64-dim embedding. Scalar outputs only (list
+    * hashing is engine-specific); float→double widening is exact. */
+  private def fnArray(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("e_first"),
+        element_at(col("embedding"), 64).cast("double").as("e_last"),
+        array_max(col("embedding")).cast("double").as("e_max"),
+        array_min(col("embedding")).cast("double").as("e_min"),
+        (element_at(col("embedding"), 1).cast("double") +
+          element_at(col("embedding"), 2).cast("double") +
+          element_at(col("embedding"), 3).cast("double")).as("head3_sum"))
+      .orderBy("vec_id")
+
+  private def fnMap(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+      .select(col("user_id"),
+        coalesce(element_at(col("m"), lit("click")), lit(0L)).as("clicks"),
+        coalesce(element_at(col("m"), lit("purchase")), lit(0L)).as("purchases"))
+      .orderBy("user_id")
+
+  /** Generator surface: posexplode ≡ UNNEST WITH ORDINALITY (SURVEY §2.9:
+    * built-in Generator covers the UDTF extension point). */
+  private def udtfExplodeTokens(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .where(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> (fnString _),
+    "fn_date" -> (fnDate _),
+    "fn_math" -> (fnMath _),
+    "fn_conditional" -> (fnConditional _),
+    "fn_json" -> (fnJson _),
+    "fn_array" -> (fnArray _),
+    "fn_map" -> (fnMap _),
+    "udtf_explode_tokens" -> (udtfExplodeTokens _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        | UPPER(p_name) AS up_name,
+        | LOWER(p_brand) AS lo_brand,
+        | SUBSTRING(p_name, 1, 8) AS name8,
+        | CAST(LENGTH(p_name) AS INT) AS name_len,
+        | REPLACE(p_name, ' ', '_') AS snake_name,
+        | REGEXP_EXTRACT(p_type, '^(\w+)', 1) AS type_head,
+        | ARRAY_TO_STRING(STRING_SPLIT(p_name, ' '), '|') AS piped,
+        | TRIM('  ' || p_brand || '  ') AS trimmed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        | CAST(YEAR(o_orderdate) AS INT) AS y,
+        | CAST(MONTH(o_orderdate) AS INT) AS m,
+        | CAST(QUARTER(o_orderdate) AS INT) AS q,
+        | CAST(DAYOFWEEK(o_orderdate) + 1 AS INT) AS dow,
+        | CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+        | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+        | CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         | ${sqlRound("SQRT(l_extendedprice)", 6)} AS sqrt_price,
+         | ${sqlRound("LN(l_extendedprice)", 6)} AS ln_price,
+         | ${sqlRound("EXP(l_discount)", 6)} AS exp_disc,
+         | POW(l_quantity, 2) AS qty_sq,
+         | ABS(l_discount - 0.05) AS disc_dev,
+         | CAST(CEIL(l_quantity / 7) AS BIGINT) AS qty_ceil7,
+         | CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_floor7,
+         | l_partkey % 97 AS pk_mod
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice < 50000 THEN 'small'
+        |      WHEN o_totalprice < 150000 THEN 'mid'
+        |      ELSE 'big' END AS size_class,
+        | COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+        | LEAST(o_totalprice, 100000.0) AS capped,
+        | GREATEST(o_totalprice, 100000.0) AS floored
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        | CAST(json_extract(props, '$.k') AS INT) AS k_typed,
+        | CAST(json_extract(props, '$.k') AS INT) AS k_str
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id,
+        | CAST(LEN(embedding) AS INT) AS dim,
+        | CAST(embedding[1] AS DOUBLE) AS e_first,
+        | CAST(embedding[64] AS DOUBLE) AS e_last,
+        | CAST(LIST_MAX(embedding) AS DOUBLE) AS e_max,
+        | CAST(LIST_MIN(embedding) AS DOUBLE) AS e_min,
+        | CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+        |   + CAST(embedding[3] AS DOUBLE) AS head3_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_map" ->
+      """SELECT user_id,
+        | CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS clicks,
+        | CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchases
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "udtf_explode_tokens" ->
+      """SELECT doc_id,
+        | CAST(UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS INT) AS pos,
+        | UNNEST(STRING_SPLIT(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 20
+        |ORDER BY doc_id, pos""".stripMargin,
+  )
+}

@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Det._
+import Params._
+
+/** Join operators (SURVEY §2.3).
+  *
+  * 100-TB notes: dimension tables (region, nation, and at scale supplier /
+  * customer-summaries) are broadcast explicitly — no shuffle of the fact
+  * side. Fact-fact joins (orders ⨝ lineitem) shuffle on the join key once;
+  * aggregations after them reuse the same partitioning where possible (the
+  * per-order agg groups on the join key, so Catalyst plans it without an
+  * extra exchange). The as-of and interval joins keep a mandatory equi key
+  * (user_id) so they hash-partition cleanly instead of degenerating into a
+  * cross product (SURVEY §7.4).
+  */
+object Joins {
+
+  private def joinBroadcastInner(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "nation")
+      .join(broadcast(T(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"), "inner")
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+
+  private def joinShuffleInner(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"), "inner")
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_items"), sumMoneyD(col("l_extendedprice")).as("gross"))
+      .orderBy("o_orderkey")
+
+  /** TPC-H Q5-shaped star join: revenue per nation for one region and one
+    * order-date year. Dimensions broadcast; the customer⨝orders⨝lineitem
+    * chain shuffles on its keys. Flagship `SparkEntry.entry`. */
+  def joinMultiwayStar(s: SparkSession, dir: String): DataFrame = {
+    val rev = money12(col("l_extendedprice")) *
+      (lit(1.0).cast(org.apache.spark.sql.types.DecimalType(4, 2)) - pct(col("l_discount")))
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === StarRegion &&
+        col("o_orderdate") >= to_timestamp(lit(StarDateLo)) &&
+        col("o_orderdate") < to_timestamp(lit(StarDateHi)))
+      .groupBy("n_name")
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  private def joinLeftOuter(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  private def joinSemi(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .join(T(s, dir, "lineitem").where(col("l_quantity") > 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  private def joinAnti(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Pure non-equi condition → BroadcastNestedLoopJoin on a tiny table. */
+  private def joinThetaNestedLoop(s: SparkSession, dir: String): DataFrame = {
+    val n1 = T(s, dir, "nation").select(col("n_nationkey").as("nk1"))
+    val n2 = T(s, dir, "nation").select(col("n_nationkey").as("nk2"))
+    n1.join(n2, col("nk1") < col("nk2") && col("nk2") <= col("nk1") + 3)
+      .orderBy("nk1", "nk2")
+  }
+
+  private def joinCross(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "region")
+      .crossJoin(T(s, dir, "nation"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("r_name")
+
+  /** Self interval join on events: same user, e2 strictly after e1 and
+    * within 1 hour. Equi key user_id bounds the blow-up; comparisons on
+    * integer microseconds (cross-engine-safe, SURVEY §7.3.5). */
+  private def joinRangeInterval(s: SparkSession, dir: String): DataFrame = {
+    val e = T.eventsUs(s, dir)
+    val e1 = e.select(col("user_id"), col("event_id").as("eid1"), col("us").as("us1"))
+    val e2 = e.select(col("user_id").as("u2"), col("event_id").as("eid2"), col("us").as("us2"))
+    e1.join(e2, col("user_id") === col("u2") &&
+        col("us2") > col("us1") && col("us2") <= col("us1") + IntervalUs)
+      .select(col("user_id"), col("eid1"), col("eid2"), (col("us2") - col("us1")).as("gap_us"))
+      .orderBy("user_id", "eid1", "eid2")
+  }
+
+  /** As-of join: latest prior 'view' for each 'purchase' of the same user.
+    * Spark has no batch as-of built-in → equi-join on user + range filter,
+    * then keep rank 1 per purchase (SURVEY §2.3 join_asof). */
+  private def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = T.eventsUs(s, dir)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("p_us"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("event_id").as("view_id"), col("us").as("v_us"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("v_us").desc, col("view_id").desc)
+    p.join(v, col("user_id") === col("vu") && col("v_us") < col("p_us"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        (col("p_us") - col("v_us")).as("lag_us"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_broadcast_inner" -> (joinBroadcastInner _),
+    "join_shuffle_inner" -> (joinShuffleInner _),
+    "join_multiway_star" -> (joinMultiwayStar _),
+    "join_left_outer" -> (joinLeftOuter _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "join_theta_nested_loop" -> (joinThetaNestedLoop _),
+    "join_cross" -> (joinCross _),
+    "join_range_interval" -> (joinRangeInterval _),
+    "join_asof" -> (joinAsof _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_broadcast_inner" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "join_shuffle_inner" ->
+      """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "join_multiway_star" ->
+      s"""SELECT n_name,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |   (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+         | CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM customer
+         | JOIN orders ON c_custkey = o_custkey
+         | JOIN lineitem ON o_orderkey = l_orderkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = '$StarRegion'
+         |  AND o_orderdate >= TIMESTAMP '$StarDateLo'
+         |  AND o_orderdate < TIMESTAMP '$StarDateHi'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, c_name, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_theta_nested_loop" ->
+      """SELECT n1.n_nationkey AS nk1, n2.n_nationkey AS nk2
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_nationkey < n2.n_nationkey AND n2.n_nationkey <= n1.n_nationkey + 3
+        |ORDER BY nk1, nk2""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM region CROSS JOIN nation
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_range_interval" ->
+      s"""SELECT e1.user_id AS user_id, e1.event_id AS eid1, e2.event_id AS eid2,
+         | epoch_us(e2.ts) - epoch_us(e1.ts) AS gap_us
+         |FROM events e1 JOIN events e2
+         |  ON e1.user_id = e2.user_id
+         | AND epoch_us(e2.ts) > epoch_us(e1.ts)
+         | AND epoch_us(e2.ts) <= epoch_us(e1.ts) + $IntervalUs
+         |ORDER BY e1.user_id, eid1, eid2""".stripMargin,
+    "join_asof" ->
+      """SELECT user_id, purchase_id, view_id, lag_us FROM (
+        | SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us,
+        |  ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |    ORDER BY epoch_us(v.ts) DESC, v.event_id DESC) AS rn
+        | FROM events p JOIN events v
+        |   ON p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND p.user_id = v.user_id AND epoch_us(v.ts) < epoch_us(p.ts))
+        |WHERE rn = 1 ORDER BY user_id, purchase_id""".stripMargin,
+  )
+}

@@ -1,0 +1,504 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Det._
+import Params._
+
+/** LLM-training-data-pipeline operators (SURVEY §2.10 + the mandated
+  * extensions): deduplication (exact, n-gram-Jaccard, MinHash-LSH,
+  * SimHash, embedding-cosine), similarity search (brute-force +
+  * IVF-probed), text analysis (tokens, stats, quality, language-ID,
+  * TF-IDF, fingerprinting) and multimodal binary-column plumbing.
+  *
+  * 100-TB notes per family:
+  *  - exact dedup: hash-groupBy on normalized text — one shuffle on the
+  *    norm key; at scale group on md5(norm) so the shuffle key is 16
+  *    bytes, not the document.
+  *  - near-dup: candidate generation is the scale decision. The scored
+  *    `llm_dedup_near` blocks on shared shingles (zero false negatives →
+  *    oracle-exact); `llm_dedup_minhash_lsh` is the 100-TB path (banded
+  *    signatures bound candidate pairs independent of corpus size) and
+  *    `llm_dedup_simhash` the cheaper bit-sketch variant. All three end
+  *    in the same exact verification join.
+  *  - simsearch: `llm_simsearch_topk` is brute-force (correctness
+  *    baseline); `llm_simsearch_ivf` probes 2 of k coarse cells — the
+  *    partition-pruning shape that survives 100 TB (candidates shuffle by
+  *    cell, not crossJoin).
+  *  - every float fold is an explicit left-to-right `aggregate` so the
+  *    oracle can reproduce it term-for-term (SURVEY §7.3.4/7).
+  */
+object Llm {
+
+  // ---- shared embedding math (Spark side) --------------------------------
+  private val Dim = 64
+
+  /** Left-to-right dot product in double; bit-reproducible. */
+  def fdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def fnorm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  // ---- shared embedding math (oracle side, generated term-for-term) ------
+  private def sqlDot(a: String, b: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+  private def sqlNorm2(a: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($a[$i] AS DOUBLE)").mkString(" + ")
+
+  // ---- text helpers ------------------------------------------------------
+  private def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Distinct k-token shingles per doc (docs with < k tokens drop out). */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    T(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= ShingleK)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - (ShingleK - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(ShingleK))))).as("shingles"))
+      .withColumn("sz", size(col("shingles")))
+  }
+
+  private val sqlShingles: String =
+    s"""SELECT DISTINCT doc_id, sh FROM (
+       | SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w ||
+       |   ' ' || LEAD(tok, 3) OVER w || ' ' || LEAD(tok, 4) OVER w AS sh,
+       |  LEAD(tok, ${ShingleK - 1}) OVER w AS lst
+       | FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+       |        UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS pos FROM documents)
+       | WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+       |WHERE lst IS NOT NULL""".stripMargin
+
+  // ---- dedup family ------------------------------------------------------
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .groupBy(md5(normText(col("text")).cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+      .orderBy("canonical_id")
+
+  /** Exact n-gram-Jaccard near-dup pairs. Candidates = pairs sharing >= 1
+    * shingle (sound: J >= t > 0 implies a shared shingle), verified with
+    * exact integer Jaccard — so the output is exactly all pairs with
+    * J >= 4/5 and the oracle can reproduce it. */
+  private def dedupNear(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val e1 = sh.select(col("doc_id").as("d1"), col("sz").as("sz1"),
+      explode(col("shingles")).as("sh"))
+    val e2 = sh.select(col("doc_id").as("d2"), col("sz").as("sz2"),
+      explode(col("shingles")).as("sh2"))
+    e1.join(e2, col("sh") === col("sh2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2", "sz1", "sz2")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+      .where(col("inter") * JaccardDen >= col("uni") * JaccardNum)
+      .select(col("d1"), col("d2"), col("inter"), col("uni"),
+        dround(col("inter") / col("uni"), 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** MinHash + banded LSH candidate generation (the 100-TB path), then the
+    * same exact verification. Signature/band hashing is engine-specific
+    * (xxhash64) → no oracle; rows-only check. */
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val sigs = sh.withColumn("sigs",
+      transform(sequence(lit(0), lit(63)),
+        i => array_min(transform(col("shingles"), t => xxhash64(t, i)))))
+    val banded = sigs
+      .withColumn("band", explode(sequence(lit(0), lit(15))))
+      .select(col("doc_id"), col("band"),
+        xxhash64(
+          element_at(col("sigs"), col("band") * 4 + 1),
+          element_at(col("sigs"), col("band") * 4 + 2),
+          element_at(col("sigs"), col("band") * 4 + 3),
+          element_at(col("sigs"), col("band") * 4 + 4)).as("bv"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val a = sh.select(col("doc_id").as("d1"), col("shingles").as("sha"))
+    val b = sh.select(col("doc_id").as("d2"), col("shingles").as("shb"))
+    cand.join(a, "d1").join(b, "d2")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .where(col("inter") * JaccardDen >= col("uni") * JaccardNum)
+      .select(col("d1"), col("d2"), dround(col("inter") / col("uni"), 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash bit-sketch near-dup: 64-bit fingerprint from token hashes,
+    * 4×16-bit chunk blocking (exact for hamming <= 3 by pigeonhole).
+    * xxhash64-based → no oracle; rows-only check. */
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = array_distinct(split(col("text"), " "))
+    // getbit(hash, j) via call_function: the functions-API shift operators
+    // only take Int literals, and j here is a lambda-bound Column.
+    val bits = transform(sequence(lit(0), lit(63)), j =>
+      when(aggregate(col("toks"), lit(0L), (a, t) =>
+        a + when(call_function("getbit", xxhash64(t), j) === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L)).otherwise(lit(0L)))
+    // the 64-bit fingerprint lives as 4×16-bit chunks (packing one long
+    // would overflow at bit 63 under ANSI mode); hamming distance is the
+    // summed bit_count of per-chunk XORs — identical semantics.
+    def chunkExpr(c: Int) =
+      aggregate(sequence(lit(0), lit(15)), lit(0L),
+        (acc, k) => acc * 2 + element_at(col("bits"), lit(c * 16 + 16) - k))
+    val chunked = T(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("bits", bits)
+      .withColumn("chunks", array((0 to 3).map(chunkExpr): _*))
+      .select(col("doc_id"), col("chunks"),
+        posexplode(col("chunks")).as(Seq("c", "chunk")))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        aggregate(
+          zip_with(col("x.chunks"), col("y.chunks"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy("d1", "d2")
+  }
+
+  /** Embedding-cosine near-dup pairs (exact, oracled). */
+  private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), fnorm2(col("embedding")).as("n2"))
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("ea"), col("n2").as("na"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("eb"), col("n2").as("nb"))
+    a.join(b, col("v1") < col("v2"))
+      .withColumn("cos", fdot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .where(col("cos") >= CosineThreshold)
+      .select(col("v1"), col("v2"), dround(col("cos"), 6).as("cos_sim"))
+      .orderBy("v1", "v2")
+  }
+
+  // ---- similarity search -------------------------------------------------
+
+  /** Brute-force cosine top-k for query vectors vec_id < 10. */
+  private def simsearchTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), fnorm2(col("embedding")).as("n2"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor"), col("embedding").as("ce"), col("n2").as("cn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor"))
+    q.join(c, col("neighbor") =!= col("qid"))
+      .withColumn("cos", fdot(col("qe"), col("ce")) / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("neighbor"), dround(col("cos"), 6).as("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF-style probed search: label = coarse cell, probe the 2 nearest
+    * cell centroids, exact-score only those cells. Approximate by design →
+    * no oracle; rows-only check. */
+  private def simsearchIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"), fnorm2(col("embedding")).as("n2"))
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(avg(col("x").cast("double")).as("cx"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+      .select(col("label").as("c_label"),
+        transform(col("pairs"), p => p.getField("cx")).as("cent"))
+      .withColumn("c_n2", fnorm2(col("cent")))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("c_label"))
+    val probed = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn"))
+      .crossJoin(cents)
+      .withColumn("ccos", fdot(col("qe"), col("cent")) / (sqrt(col("qn")) * sqrt(col("c_n2"))))
+      .withColumn("crk", row_number().over(wq))
+      .where(col("crk") <= 2)
+      .select(col("qid"), col("qe"), col("qn"), col("c_label"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor"))
+    probed.join(e.select(col("vec_id").as("neighbor"), col("label"),
+        col("embedding").as("ce"), col("n2").as("cn")),
+        col("label") === col("c_label") && col("neighbor") =!= col("qid"))
+      .withColumn("cos", fdot(col("qe"), col("ce")) / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("neighbor"), dround(col("cos"), 6).as("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
+  // ---- text analysis -----------------------------------------------------
+
+  private def textTokens(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        dround(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  private val StopWords = Seq("the", "a")
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopCnt = size(filter(toks, t => t.isin(StopWords: _*)))
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(toks).as("n_tokens"), stopCnt.as("stop_cnt"))
+      .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
+        dround(col("n_chars").cast("double") / col("n_tokens"), 4).as("avg_token_len"),
+        dround(col("stop_cnt") / col("n_tokens"), 4).as("stop_ratio"),
+        dround(log(lit(1.0) + col("n_tokens")) *
+          (lit(1.0) - col("stop_cnt") / col("n_tokens")), 4).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "tabular" -> Seq("table", "row", "column"),
+    "relational" -> Seq("join", "merge", "hash"),
+    "streaming" -> Seq("stream", "batch", "window"))
+
+  /** N-gram-heuristic language/domain ID: marker-token hit counts per
+    * profile, argmax with deterministic tie order. */
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = LangProfiles.foldLeft(
+      T(s, dir, "documents").select(col("doc_id"), toks.as("toks"))) {
+      case (df, (nm, ws)) => df.withColumn(s"s_$nm",
+        size(filter(col("toks"), t => t.isin(ws: _*))))
+    }
+    scored.select(col("doc_id"), col("s_tabular"), col("s_relational"), col("s_streaming"),
+        when(col("s_tabular") >= col("s_relational") && col("s_tabular") >= col("s_streaming"), "tabular")
+          .when(col("s_relational") >= col("s_streaming"), "relational")
+          .otherwise("streaming").as("pred"))
+      .orderBy("doc_id")
+  }
+
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(normText(col("text")).cast("binary")).as("fp"))
+      .withColumn("fp8", substring(col("fp"), 1, 8))
+      .orderBy("doc_id")
+
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val tk = T(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+    val tf = tk.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val df = tk.select("term", "lang").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score",
+        dround(col("tf") * (log(lit(6.0) / (lit(1.0) + col("df"))) + 1), 6))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("lang"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("lang", "rk")
+  }
+
+  private def embedNorms(s: SparkSession, dir: String): DataFrame = {
+    val maxAbs = aggregate(col("embedding"), lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double"))))
+    T(s, dir, "embeddings")
+      .select(col("vec_id"), fnorm2(col("embedding")).as("n2"), maxAbs.as("ma"))
+      .select(col("vec_id"),
+        dround(sqrt(col("n2")), 6).as("l2_norm"),
+        dround(col("ma"), 6).as("max_abs"))
+      .withColumn("is_unit", col("l2_norm").between(0.99, 1.01))
+      .orderBy("vec_id")
+  }
+
+  private def multimodalJoin(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .join(T(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+      .withColumn("n2", fnorm2(col("embedding")))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n"),
+        dround(sum(col("n2")) / count(lit(1)), 4).as("avg_norm2"))
+      .orderBy("lang", "label")
+
+  // ---- multimodal binary columns -----------------------------------------
+
+  private def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        lit("text").as("modality"),
+        length(col("payload")).as("byte_len"))
+      .withColumn("n_frames", floor(col("byte_len") / lit(256.0)) + 1)
+      .withColumn("fake_pixel_mean",
+        dround((col("byte_len") % 997) / lit(997.0), 6))
+      .orderBy("doc_id")
+
+  case class MmRecord(doc_id: Long, payload: Array[Byte])
+  case class MmDecoded(doc_id: Long, width: Int, height: Int, mean_byte: Double)
+
+  /** Deterministic stand-in for a media decoder: the real thing would call
+    * an image/audio codec per batch inside mapPartitions; the container
+    * ships no codec libs (builder prompt), so the decode is a deterministic
+    * fake over the bytes — the Spark-side plumbing (binary column in,
+    * typed Dataset out, per-partition batching) is real. No oracle. */
+  private def mmDecodeStub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MmRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val b = r.payload
+          val w = 16 + (b.length % 16)
+          val h = 16 + (b.length % 8)
+          val sum = b.foldLeft(0L)((a, x) => a + (x & 0xFF))
+          val mean = math.floor(sum.toDouble / b.length * 1e4 + 0.5) / 1e4
+          MmDecoded(r.doc_id, w, h, mean)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact" -> (dedupExact _),
+    "llm_dedup_near" -> (dedupNear _),
+    "llm_dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "llm_dedup_simhash" -> (dedupSimhash _),
+    "llm_dedup_embed" -> (dedupEmbed _),
+    "llm_simsearch_topk" -> (simsearchTopk _),
+    "llm_simsearch_ivf" -> (simsearchIvf _),
+    "llm_text_tokens" -> (textTokens _),
+    "llm_text_stats" -> (textStats _),
+    "llm_text_quality" -> (textQuality _),
+    "llm_lang_id" -> (langId _),
+    "llm_fingerprint" -> (fingerprint _),
+    "llm_tfidf" -> (tfidf _),
+    "llm_embed_norms" -> (embedNorms _),
+    "llm_multimodal_join" -> (multimodalJoin _),
+    "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_decode_stub" -> (mmDecodeStub _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+        | MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "llm_dedup_near" ->
+      s"""WITH sh AS ($sqlShingles),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         | SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+         | FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2)
+         |SELECT d1, d2, CAST(i AS BIGINT) AS inter,
+         | CAST(sa.sz + sb.sz - i AS BIGINT) AS uni,
+         | ${sqlRound("i / (sa.sz + sb.sz - i)", 6)} AS jaccard
+         |FROM inter
+         | JOIN sizes sa ON sa.doc_id = d1
+         | JOIN sizes sb ON sb.doc_id = d2
+         |WHERE $JaccardDen * i >= $JaccardNum * (sa.sz + sb.sz - i)
+         |ORDER BY d1, d2""".stripMargin,
+    "llm_dedup_embed" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings)
+         |SELECT v1, v2, ${sqlRound("cos", 6)} AS cos_sim FROM (
+         | SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |  (${sqlDot("a.embedding", "b.embedding")}) / (SQRT(a.n2) * SQRT(b.n2)) AS cos
+         | FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |WHERE cos >= $CosineThreshold
+         |ORDER BY v1, v2""".stripMargin,
+    "llm_simsearch_topk" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings),
+         |p AS (
+         | SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+         |  (${sqlDot("q.embedding", "c.embedding")}) / (SQRT(q.n2) * SQRT(c.n2)) AS cos
+         | FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+         |SELECT qid, CAST(rk AS INT) AS rank, neighbor, ${sqlRound("cos", 6)} AS cos_sim
+         |FROM (SELECT qid, neighbor, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rk FROM p)
+         |WHERE rk <= $TopK ORDER BY qid, rank""".stripMargin,
+    "llm_text_tokens" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "llm_text_stats" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         | ${sqlRound("CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)", 4)} AS avg_chars,
+         | CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_text_quality" ->
+      s"""WITH tk AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+         |st AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) AS INT) AS stop_cnt
+         | FROM tk GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id, n_tokens, stop_cnt,
+         | ${sqlRound("CAST(n_chars AS DOUBLE) / n_tokens", 4)} AS avg_token_len,
+         | ${sqlRound("stop_cnt / n_tokens", 4)} AS stop_ratio,
+         | ${sqlRound("LN(1.0 + n_tokens) * (1.0 - stop_cnt / n_tokens)", 4)} AS quality_score
+         |FROM documents d JOIN st ON d.doc_id = st.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "llm_lang_id" ->
+      """WITH tk AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN tok IN ('table','row','column') THEN 1 ELSE 0 END) AS INT) AS s_tabular,
+        |  CAST(SUM(CASE WHEN tok IN ('join','merge','hash') THEN 1 ELSE 0 END) AS INT) AS s_relational,
+        |  CAST(SUM(CASE WHEN tok IN ('stream','batch','window') THEN 1 ELSE 0 END) AS INT) AS s_streaming
+        | FROM tk GROUP BY doc_id)
+        |SELECT doc_id, s_tabular, s_relational, s_streaming,
+        | CASE WHEN s_tabular >= s_relational AND s_tabular >= s_streaming THEN 'tabular'
+        |      WHEN s_relational >= s_streaming THEN 'relational'
+        |      ELSE 'streaming' END AS pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "llm_fingerprint" ->
+      """SELECT doc_id,
+        | MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+        | SUBSTRING(MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')), 1, 8) AS fp8
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_tfidf" ->
+      s"""WITH tk AS (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+         |tf_t AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+         |df_t AS (SELECT term, CAST(COUNT(DISTINCT lang) AS BIGINT) AS df FROM tk GROUP BY term),
+         |sc AS (SELECT lang, tf_t.term AS term, tf, df,
+         |  ${sqlRound("tf * (LN(6.0 / (1.0 + df)) + 1)", 6)} AS score
+         | FROM tf_t JOIN df_t ON tf_t.term = df_t.term)
+         |SELECT lang, CAST(rk AS INT) AS rk, term, tf, df, score
+         |FROM (SELECT lang, term, tf, df, score,
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rk FROM sc)
+         |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
+    "llm_embed_norms" ->
+      s"""SELECT vec_id,
+         | ${sqlRound(s"SQRT(${sqlNorm2("embedding")})", 6)} AS l2_norm,
+         | ${sqlRound(
+          (1 to 64).map(i => s"ABS(CAST(embedding[$i] AS DOUBLE))")
+            .mkString("GREATEST(", ", ", ")"), 6)} AS max_abs,
+         | ${sqlRound(s"SQRT(${sqlNorm2("embedding")})", 6)} BETWEEN 0.99 AND 1.01 AS is_unit
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "llm_multimodal_join" ->
+      s"""SELECT lang, label, CAST(COUNT(*) AS BIGINT) AS n,
+         | ${sqlRound(s"SUM(${sqlNorm2("embedding")}) / COUNT(*)", 4)} AS avg_norm2
+         |FROM documents JOIN embeddings ON doc_id = vec_id
+         |GROUP BY lang, label ORDER BY lang, label""".stripMargin,
+    "mm_binary_meta" ->
+      s"""SELECT doc_id, 'text' AS modality,
+         | CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS byte_len,
+         | CAST(FLOOR(OCTET_LENGTH(ENCODE(text)) / 256.0) AS BIGINT) + 1 AS n_frames,
+         | ${sqlRound("(OCTET_LENGTH(ENCODE(text)) % 997) / 997.0", 6)} AS fake_pixel_mean
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

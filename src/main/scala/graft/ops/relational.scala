@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Det._
+
+/** Scans, sources, projection/filter, sort/limit and set operations
+  * (SURVEY §2.1, §2.2, §2.6).
+  *
+  * 100-TB notes: every query here is a single scan (no shuffle) except the
+  * set ops and catalog counts, whose aggregations are partial-aggregated
+  * map-side by Catalyst. Filters and projections are plain `Column`
+  * predicates, so they push down into the parquet scan (PushedFilters /
+  * ReadSchema — asserted in PlanSuite).
+  */
+object Relational {
+
+  private def scanParquetProjectFilter(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .where(col("l_shipdate") >= to_timestamp(lit("1998-01-01")) &&
+        col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), to_date(col("l_shipdate")).as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def scanCatalogCounts(s: SparkSession, dir: String): DataFrame =
+    T.names.map { n =>
+      T(s, dir, n).agg(count(lit(1)).as("n")).select(lit(n).as("table_name"), col("n"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+
+  /** Non-parquet source path: write region out as CSV, read it back with an
+    * explicit schema. The write happens eagerly at plan-build time into a
+    * fresh temp dir; the returned frame lazily scans the CSV. */
+  private def sourceCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    T(s, dir, "region").orderBy("r_regionkey")
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.schema("r_regionkey INT, r_name STRING")
+      .option("header", "true").csv(tmp)
+      .orderBy("r_regionkey")
+  }
+
+  private def sourceJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    T(s, dir, "nation").orderBy("n_nationkey")
+      .write.mode("overwrite").json(tmp)
+    s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .json(tmp)
+      .orderBy("n_nationkey")
+  }
+
+  private def filterPredicates(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part")
+      .where((col("p_size").between(10, 20) &&
+        col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")) ||
+        (col("p_type").like("PROMO%") && col("p_size") < 8 &&
+          col("p_name").isNotNull))
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+      .orderBy("p_partkey")
+
+  private def projectExpressions(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // per-row pure-double arithmetic: bit-identical in both engines
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        when(col("l_returnflag") === "A", lit("accepted"))
+          .when(col("l_returnflag") === "R", lit("returned"))
+          .otherwise(lit("none")).as("flag_desc"),
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")).as("item_id"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def sortLimitTopk(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  private def setUnionAll(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .unionByName(T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("nationkey")
+
+  private def setIntersect(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  private def setExcept(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet_project_filter" -> (scanParquetProjectFilter _),
+    "scan_catalog_counts" -> (scanCatalogCounts _),
+    "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
+    "source_json_roundtrip" -> (sourceJsonRoundtrip _),
+    "filter_predicates" -> (filterPredicates _),
+    "project_expressions" -> (projectExpressions _),
+    "sort_limit_topk" -> (sortLimitTopk _),
+    "set_union_all" -> (setUnionAll _),
+    "set_intersect" -> (setIntersect _),
+    "set_except" -> (setExcept _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        | CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity > 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_catalog_counts" ->
+      T.names.map(n => s"SELECT '$n' AS table_name, CAST(COUNT(*) AS BIGINT) AS n FROM $n")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name"),
+    "source_csv_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "source_json_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "filter_predicates" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size
+        |FROM part
+        |WHERE (p_size BETWEEN 10 AND 20 AND p_brand IN ('Brand#1','Brand#2','Brand#3'))
+        |   OR (p_type LIKE 'PROMO%' AND p_size < 8 AND p_name IS NOT NULL)
+        |ORDER BY p_partkey""".stripMargin,
+    "project_expressions" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice * (1.0 - l_discount) AS revenue,
+        | CASE WHEN l_returnflag = 'A' THEN 'accepted'
+        |      WHEN l_returnflag = 'R' THEN 'returned'
+        |      ELSE 'none' END AS flag_desc,
+        | CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS item_id
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "sort_limit_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin,
+    "set_union_all" ->
+      """SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION ALL
+        | SELECT s_nationkey AS nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+  )
+}

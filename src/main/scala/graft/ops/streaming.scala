@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Det._
+import Params._
+
+/** Streaming semantics, batch-surrogate form (SURVEY §2.8).
+  *
+  * The Verify harness is batch-only, so each semantic ships here as an
+  * oracled batch query over `events`; the true Structured-Streaming twins
+  * (MemoryStream + withWatermark + append/update modes, late-data drops,
+  * dropDuplicatesWithinWatermark) live in StreamingSuite — watermark
+  * behavior is not expressible in a batch oracle.
+  *
+  * 100-TB note: tumbling/sliding/session aggregations shuffle on
+  * (window, key) — the streaming state-store partitioning — and carry
+  * partial aggregation map-side. Session windows per user key scale with
+  * users, not events.
+  */
+object Streaming {
+
+  private def tumbling(s: SparkSession, dir: String): DataFrame =
+    T.eventsUs(s, dir)
+      .groupBy(window(col("ts_us"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoneyD(col("value")).as("sum_value"))
+      .select(to_date(col("w.start")).as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  private def sliding(s: SparkSession, dir: String): DataFrame =
+    T.eventsUs(s, dir)
+      .groupBy(window(col("ts_us"), "2 days", "1 day").as("w"))
+      .agg(count(lit(1)).as("n"), sumMoneyD(col("value")).as("sum_value"))
+      .select(to_date(col("w.start")).as("win_start"), col("n"), col("sum_value"))
+      .orderBy("win_start")
+
+  /** session_window: [start, end) with end = last_ts + gap, merging events
+    * whose gap is strictly < 30 min (an event at exactly prev+gap starts a
+    * new session). The oracle mirrors that boundary with gap >= in its
+    * gaps-and-islands flag. */
+  private def session(s: SparkSession, dir: String): DataFrame =
+    T.eventsUs(s, dir)
+      .groupBy(session_window(col("ts_us"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sumMoneyD(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
+  /** Exactly-once surrogate: re-deliver every event (union with itself),
+    * dedup on the event key. Duplicate rows are identical, so the
+    * arbitrary survivor is still deterministic. */
+  private def dedup(s: SparkSession, dir: String): DataFrame = {
+    val e = T.eventsUs(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "us")
+    e.unionByName(e)
+      .dropDuplicates("event_id")
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_window" -> (tumbling _),
+    "stream_sliding_window" -> (sliding _),
+    "stream_session_window" -> (session _),
+    "stream_dedup" -> (dedup _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling_window" ->
+      """SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS win_start, event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "stream_sliding_window" ->
+      """SELECT win_start, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        | SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS win_start, value FROM events
+        | UNION ALL
+        | SELECT CAST(DATE_TRUNC('day', ts) AS DATE) - 1 AS win_start, value FROM events)
+        |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    "stream_session_window" ->
+      s"""WITH e AS (
+         | SELECT user_id, value, epoch_us(ts) AS us FROM events),
+         |flagged AS (
+         | SELECT user_id, value, us,
+         |  CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= $SessionGapUs
+         |       OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         |       THEN 1 ELSE 0 END AS new_session
+         | FROM e),
+         |sess AS (
+         | SELECT user_id, value, us,
+         |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         | FROM flagged)
+         |SELECT user_id, MIN(us) AS start_us, MAX(us) + $SessionGapUs AS end_us,
+         | CAST(COUNT(*) AS BIGINT) AS n_events,
+         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

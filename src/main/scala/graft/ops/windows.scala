@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Det._
+
+/** Window-function operators (SURVEY §2.5).
+  *
+  * Every window ORDER BY ends in a unique key (pk tiebreak) so rank and
+  * frame contents are total-ordered; running sums use exact DECIMAL inside
+  * the frame (sequential, order-pinned by the sort) and cast to double at
+  * the end (SURVEY §7.3).
+  *
+  * 100-TB note: WindowExec shuffles once on partitionBy keys and sorts
+  * within partitions — the natural distributed plan. Skewed partition keys
+  * (one user with millions of events) are the scale risk; partition keys
+  * here (customer, user) are high-cardinality and near-uniform.
+  */
+object Windows {
+
+  private def winRankTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  private def winRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        sum(money(col("o_totalprice"))).over(w).cast("double").as("cum_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private def winLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    T.eventsUs(s, dir)
+      .select(col("user_id"), col("event_id"),
+        (col("us") - lag(col("us"), 1).over(w)).as("gap_us"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private def winMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    T.eventsUs(s, dir)
+      .select(col("user_id"), col("event_id"),
+        dround(sum(money12(col("value"))).over(w).cast("double") /
+          count(lit(1)).over(w), 4).as("mavg_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private def winNtilePercent(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        dround(percent_rank().over(w), 6).as("pr"))
+      .orderBy("c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank_topk_per_group" -> (winRankTopkPerGroup _),
+    "win_running_sum" -> (winRunningSum _),
+    "win_lag_lead" -> (winLagLead _),
+    "win_moving_avg" -> (winMovingAvg _),
+    "win_ntile_percent" -> (winNtilePercent _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        | FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT user_id, event_id,
+        | epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us,
+        | LEAD(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "win_moving_avg" ->
+      s"""SELECT user_id, event_id,
+         | ${sqlRound(
+          "CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) / (COUNT(*) OVER w)", 4)} AS mavg_value
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin,
+    "win_ntile_percent" ->
+      s"""SELECT c_custkey, c_acctbal,
+         | CAST(NTILE(4) OVER w AS INT) AS quartile,
+         | ${sqlRound("PERCENT_RANK() OVER w", 6)} AS pr
+         |FROM customer
+         |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+         |ORDER BY c_custkey""".stripMargin,
+  )
+}

@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Local pre-flight replica of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/compare.py <sfDir> <outDir>
+
+Reads <outDir>/oracle_sql.json (written by graft.Verify), executes each
+oracle SQL in DuckDB over views named after the parquet tables in <sfDir>,
+and compares against the engine's parquet output in <outDir>/<name>/.
+
+Comparison is strict: column names (sorted), row counts, and values —
+floats compared bit-exactly (struct.pack), which is stricter than any
+plausible driver hash. Dev tool only; not part of the shipped library.
+"""
+import json
+import math
+import struct
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return struct.pack(">d", v).hex()
+    if isinstance(v, int):
+        return str(v)
+    return repr(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import os
+    produced = sorted(d for d in os.listdir(out_dir)
+                      if os.path.isdir(f"{out_dir}/{d}"))
+    n_pass = n_fail = 0
+    for name in produced:
+        try:
+            mine = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            my_cols = [d[0] for d in mine.description]
+            my_rows = mine.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read own output: {e}")
+            n_fail += 1
+            continue
+        if name not in oracle:
+            status = "ROWS-ONLY"
+            ok = len(my_rows) > 0
+            print(f"{'pass' if ok else 'FAIL'} {name}: {status} rows={len(my_rows)}")
+            n_pass += ok
+            n_fail += (not ok)
+            continue
+        try:
+            ref = con.execute(oracle[name])
+            ref_cols = [d[0] for d in ref.description]
+            ref_rows = ref.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        # driver sorts columns by name before hashing
+        mperm = sorted(range(len(my_cols)), key=lambda i: my_cols[i])
+        rperm = sorted(range(len(ref_cols)), key=lambda i: ref_cols[i])
+        if sorted(my_cols) != sorted(ref_cols):
+            print(f"FAIL {name}: schema {sorted(my_cols)} != {sorted(ref_cols)}")
+            n_fail += 1
+            continue
+        if len(my_rows) != len(ref_rows):
+            print(f"FAIL {name}: rows {len(my_rows)} != {len(ref_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for ri, (mr, rr) in enumerate(zip(my_rows, ref_rows)):
+            mv = [canon(mr[i]) for i in mperm]
+            rv = [canon(rr[i]) for i in rperm]
+            if mv != rv:
+                bad = (ri, list(zip(sorted(my_cols), mv, rv)))
+                break
+        if bad:
+            ri, detail = bad
+            diffs = [(c, a, b) for c, a, b in detail if a != b][:4]
+            print(f"FAIL {name}: row {ri} differs: {diffs}")
+            n_fail += 1
+        else:
+            print(f"pass {name}: {len(my_rows)} rows")
+            n_pass += 1
+    missing = sorted(set(oracle) - set(produced))
+    for name in missing:
+        print(f"FAIL {name}: oracle declared but no output written")
+        n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
