@@ -146,11 +146,11 @@ object Aggregates {
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-         |   (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |   (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+         | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
          |   (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
-         |   (CAST(1.0 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+         |   (CAST(1.0 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
          | ${sqlRound("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 4)} AS avg_qty,
          | ${sqlRound("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 4)} AS avg_price,
          | ${sqlRound("CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 4)} AS avg_disc,
@@ -199,8 +199,8 @@ object Aggregates {
          |FROM (
          | SELECT o_orderpriority,
          |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
-         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx2,
+         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx2,
          |  CAST(COUNT(*) AS BIGINT) AS n
          | FROM orders GROUP BY o_orderpriority)
          |ORDER BY o_orderpriority""".stripMargin,

@@ -70,14 +70,23 @@ object Astro {
       raOf(col("o_orderkey"), 97).as("ra_a"),
       decOf(col("o_orderkey"), 61).as("dec_a"))
       .withColumn("zone", floor(col("dec_a")))
+    // 2-D blocking: 1° declination zones plus 6° RA bands (ε=0.5° at
+    // |dec| ≤ 85° needs |Δra| ≤ 0.5/cos(85°) ≈ 5.74° < 6°, so ±1 band is
+    // sound). The smaller catalog explodes into the 9 adjacent cells; the
+    // oracle mirrors the same BETWEEN predicate, so semantics match
+    // exactly (RA 0/360 wrap pairs are outside the operator's contract).
     val b = T(s, dir, "customer").select(
       col("c_custkey").as("b_id"),
       raOf(col("c_custkey"), 71).as("ra_b"),
       decOf(col("c_custkey"), 41).as("dec_b"))
-      .withColumn("off", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("zone_probe", col("off") + floor(col("dec_b")))
+      .withColumn("doff", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("roff", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("zone_probe", col("doff") + floor(col("dec_b")))
+      .withColumn("ra_zone_probe", col("roff") + floor(col("ra_b") / 6))
     val d = angularDist(col("ra_a"), col("dec_a"), col("ra_b"), col("dec_b"))
-    a.join(b, col("zone") === col("zone_probe"))
+    a.withColumn("ra_zone", floor(col("ra_a") / 6))
+      .join(b, col("zone") === col("zone_probe") &&
+        col("ra_zone") === col("ra_zone_probe"))
       .withColumn("dist", d)
       .where(col("dist") < ZoneEps)
       .select(col("a_id"), col("b_id"), dround(col("dist"), 6).as("dist_deg"))
@@ -111,7 +120,8 @@ object Astro {
          |        ${sqlDec("o_orderkey", 61)} AS dec_a FROM orders) a
          | JOIN (SELECT c_custkey AS b_id, ${sqlRa("c_custkey", 71)} AS ra_b,
          |        ${sqlDec("c_custkey", 41)} AS dec_b FROM customer) b
-         |   ON FLOOR(dec_a) BETWEEN FLOOR(dec_b) - 1 AND FLOOR(dec_b) + 1)
+         |   ON FLOOR(dec_a) BETWEEN FLOOR(dec_b) - 1 AND FLOOR(dec_b) + 1
+         |  AND FLOOR(ra_a / 6) BETWEEN FLOOR(ra_b / 6) - 1 AND FLOOR(ra_b / 6) + 1)
          |WHERE dist < $ZoneEps
          |ORDER BY a_id, b_id""".stripMargin
     },

@@ -71,7 +71,14 @@ object Det {
   def sqlRound(e: String, d: Int): String =
     s"FLOOR(($e) * 1e$d + 0.5) / 1e$d"
 
-  /** sum of money as double: exact decimal sum, then one final cast. */
+  /** sum of money as double: exact decimal sum, then one final cast.
+    *
+    * Oracle-side caveat: DuckDB's DECIMAL→DOUBLE cast double-rounds
+    * (int128→double, then ÷10^scale) once the *unscaled* value exceeds
+    * 2^53, while Spark's BigDecimal→double is correctly rounded. Oracle
+    * SQL for wide sums (scale ≥ 4 products, x² moments) must spell the
+    * cast as CAST(CAST(sum AS VARCHAR) AS DOUBLE) — strtod is correctly
+    * rounded. Scale-2 money sums stay under 2^53 cents at every SF. */
   def sumMoneyD(c: Column): Column = sum(money(c)).cast(DoubleType)
 }
 

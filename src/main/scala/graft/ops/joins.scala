@@ -144,8 +144,8 @@ object Joins {
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "join_multiway_star" ->
       s"""SELECT n_name,
-         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-         |   (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+         | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |   (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
          | CAST(COUNT(*) AS BIGINT) AS n_items
          |FROM customer
          | JOIN orders ON c_custkey = o_custkey

@@ -34,13 +34,34 @@ object Llm {
   // ---- shared embedding math (Spark side) --------------------------------
   private val Dim = 64
 
-  /** Left-to-right dot product in double; bit-reproducible. */
-  def fdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Left-to-right dot product in double; bit-reproducible: the JVM loop
+    * accumulates ((0+t1)+t2)+… which is bit-identical to the generated
+    * oracle SQL chain t1+t2+… (0.0+x == x for every x here). A tight
+    * compiled loop beats both interpreted higher-order lambdas and a
+    * 300-node expanded expression tree on the O(n²) pair paths. */
+  private val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  })
 
-  def fnorm2(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+  def fdot(a: Column, b: Column): Column = dotUdf(a, b)
+
+  def fnorm2(a: Column): Column = dotUdf(a, a)
+
+  /** Double-array variant (IVF centroids are means, i.e. doubles). */
+  private val dotUdfD = udf((a: Seq[Double], b: Seq[Double]) => {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  })
+
+  def fdotD(a: Column, b: Column): Column = dotUdfD(a, b)
+  def fnorm2D(a: Column): Column = dotUdfD(a, a)
 
   // ---- shared embedding math (oracle side, generated term-for-term) ------
   private def sqlDot(a: String, b: String): String =
@@ -108,17 +129,18 @@ object Llm {
     * (xxhash64) → no oracle; rows-only check. */
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
-    val sigs = sh.withColumn("sigs",
-      transform(sequence(lit(0), lit(63)),
-        i => array_min(transform(col("shingles"), t => xxhash64(t, i)))))
+    // hash each shingle string ONCE; the 64 signature slots re-hash the
+    // resulting long (cheap fixed-width hashing) under per-slot seeds,
+    // min-aggregated map-side — the shape that scales to 100 TB.
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shg"))
+      .select(col("doc_id"), xxhash64(col("shg")).as("h"))
+    val sigCols = (0 until 64).map(i => min(xxhash64(col("h"), lit(i))).as(s"s$i"))
+    val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val banded = sigs
-      .withColumn("band", explode(sequence(lit(0), lit(15))))
-      .select(col("doc_id"), col("band"),
-        xxhash64(
-          element_at(col("sigs"), col("band") * 4 + 1),
-          element_at(col("sigs"), col("band") * 4 + 2),
-          element_at(col("sigs"), col("band") * 4 + 3),
-          element_at(col("sigs"), col("band") * 4 + 4)).as("bv"))
+      .withColumn("bvs", array((0 until 16).map(b =>
+        xxhash64(col(s"s${4 * b}"), col(s"s${4 * b + 1}"),
+          col(s"s${4 * b + 2}"), col(s"s${4 * b + 3}"))): _*))
+      .select(col("doc_id"), posexplode(col("bvs")).as(Seq("band", "bv")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -138,22 +160,23 @@ object Llm {
     * 4×16-bit chunk blocking (exact for hamming <= 3 by pigeonhole).
     * xxhash64-based → no oracle; rows-only check. */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = array_distinct(split(col("text"), " "))
-    // getbit(hash, j) via call_function: the functions-API shift operators
-    // only take Int literals, and j here is a lambda-bound Column.
-    val bits = transform(sequence(lit(0), lit(63)), j =>
-      when(aggregate(col("toks"), lit(0L), (a, t) =>
-        a + when(call_function("getbit", xxhash64(t), j) === 1, 1L).otherwise(-1L)) > 0,
-        lit(1L)).otherwise(lit(0L)))
-    // the 64-bit fingerprint lives as 4×16-bit chunks (packing one long
-    // would overflow at bit 63 under ANSI mode); hamming distance is the
-    // summed bit_count of per-chunk XORs — identical semantics.
+    // Relational formulation: hash each distinct token ONCE, then 64
+    // literal-shift bit-sums inside one partial-aggregated groupBy —
+    // ~64× less hashing than a per-bit fold, and codegen-friendly.
+    val hashed = T(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
+    val sums = hashed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    // majority vote per bit; the 64-bit fingerprint lives as 4×16-bit
+    // chunks (one packed long would overflow at bit 63 under ANSI mode).
     def chunkExpr(c: Int) =
-      aggregate(sequence(lit(0), lit(15)), lit(0L),
-        (acc, k) => acc * 2 + element_at(col("bits"), lit(c * 16 + 16) - k))
-    val chunked = T(s, dir, "documents")
-      .select(col("doc_id"), toks.as("toks"))
-      .withColumn("bits", bits)
+      (0 until 16).map(k =>
+        when(col(s"b${c * 16 + k}") * 2 > col("n"), lit(1L << k)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    val chunked = sums
       .withColumn("chunks", array((0 to 3).map(chunkExpr): _*))
       .select(col("doc_id"), col("chunks"),
         posexplode(col("chunks")).as(Seq("c", "chunk")))
@@ -170,15 +193,52 @@ object Llm {
       .orderBy("d1", "d2")
   }
 
-  /** Embedding-cosine near-dup pairs (exact, oracled). */
+  /** Embedding-cosine near-dup pairs (exact, oracled).
+    *
+    * All-pairs via one broadcast of the packed vector set + a compiled
+    * inner loop per row: a θ-join (v1 < v2) would materialize n² joined
+    * rows carrying both 64-float arrays (the measured bottleneck — 26 s
+    * at sf0.1) while this emits only the passing pairs. Same arithmetic
+    * order as the oracle chain, so still bit-exact. 100-TB note: brute
+    * force is the correctness baseline; the scale paths are
+    * llm_simsearch_ivf (cell-pruned) and LSH blocking. */
+  /** Loop-form norm², same ((0+t1)+t2)+… chain as fnorm2/the oracle. */
+  private def norm2Of(a: Array[Float]): Double = {
+    var n2 = 0.0
+    var i = 0
+    while (i < a.length) { n2 += a(i).toDouble * a(i).toDouble; i += 1 }
+    n2
+  }
+
   private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = T(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), fnorm2(col("embedding")).as("n2"))
-    val a = e.select(col("vec_id").as("v1"), col("embedding").as("ea"), col("n2").as("na"))
-    val b = e.select(col("vec_id").as("v2"), col("embedding").as("eb"), col("n2").as("nb"))
-    a.join(b, col("v1") < col("v2"))
-      .withColumn("cos", fdot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb"))))
-      .where(col("cos") >= CosineThreshold)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    // Build-time collect of the small side mirrors what Spark's own
+    // broadcast-hash join does internally (2 000 × 64 floats ≈ 0.5 MB);
+    // primitive arrays avoid the per-access Float boxing that made the
+    // θ-join and UDF forms 3-10× slower. At 100 TB the candidate side
+    // must come from LSH/IVF blocking instead (see dedupMinhashLsh /
+    // simsearchIvf) — never an all-pairs broadcast.
+    val vecs = e.collect().sortBy(_._1).map { case (id, v) =>
+      val a = v.toArray; (id, a, norm2Of(a))
+    }
+    val bc = s.sparkContext.broadcast(vecs)
+    val thr = CosineThreshold
+    e.mapPartitions { it =>
+      it.flatMap { case (v1, ea0) =>
+        val ea = ea0.toArray
+        val sq = math.sqrt(norm2Of(ea))
+        bc.value.iterator.filter(_._1 > v1).flatMap { case (v2, eb, n2b) =>
+          var s0 = 0.0
+          var i = 0
+          val n = math.min(ea.length, eb.length)
+          while (i < n) { s0 += ea(i).toDouble * eb(i).toDouble; i += 1 }
+          val cos = s0 / (sq * math.sqrt(n2b))
+          if (cos >= thr) Some((v1, v2, cos)) else None
+        }
+      }
+    }.toDF("v1", "v2", "cos")
       .select(col("v1"), col("v2"), dround(col("cos"), 6).as("cos_sim"))
       .orderBy("v1", "v2")
   }
@@ -215,12 +275,14 @@ object Llm {
       .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
       .select(col("label").as("c_label"),
         transform(col("pairs"), p => p.getField("cx")).as("cent"))
-      .withColumn("c_n2", fnorm2(col("cent")))
+      .withColumn("c_n2", fnorm2D(col("cent")))
     val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("c_label"))
     val probed = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn"))
       .crossJoin(cents)
-      .withColumn("ccos", fdot(col("qe"), col("cent")) / (sqrt(col("qn")) * sqrt(col("c_n2"))))
+      .withColumn("ccos",
+        fdotD(transform(col("qe"), _.cast("double")), col("cent")) /
+          (sqrt(col("qn")) * sqrt(col("c_n2"))))
       .withColumn("crk", row_number().over(wq))
       .where(col("crk") <= 2)
       .select(col("qid"), col("qe"), col("qn"), col("c_label"))
