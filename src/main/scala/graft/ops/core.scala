@@ -97,7 +97,10 @@ object Params {
   val ShingleK = 5 // llm_dedup_near shingle size
   val JaccardNum = 4 // Jaccard threshold 4/5 = 0.8 as an exact rational
   val JaccardDen = 5
-  val CosineThreshold = 0.95 // llm_dedup_embed
+  // llm_dedup_embed: the fixture embeddings are random (max pairwise
+  // cosine ≈ 0.48/0.51/0.60 at sf0.001/0.01/0.1), so the demonstration
+  // threshold is calibrated to yield a non-degenerate pair set at every SF.
+  val CosineThreshold = 0.4
   val TopK = 5 // llm_simsearch_topk
   val ConeDeg = 5.0 // udf_angular_distance cone radius
   val ZoneEps = 0.5 // astro_crossmatch_zones match radius (deg)

@@ -66,9 +66,12 @@ object Joins {
       .select("o_orderkey", "o_orderstatus")
       .orderBy("o_orderkey")
 
+  /** NOT EXISTS: customers with no urgent orders (every customer has ≥1
+    * order in the fixtures, so the unfiltered form would be empty). */
   private def joinAnti(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "customer")
-      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(T(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
@@ -167,7 +170,8 @@ object Joins {
         |ORDER BY o_orderkey""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "join_theta_nested_loop" ->
       """SELECT n1.n_nationkey AS nk1, n2.n_nationkey AS nk2

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** True Structured-Streaming surface (SURVEY §2.8): the batch surrogates in
+  * graft.ops.Streaming carry the oracle checks; these operators carry the
+  * semantics a batch oracle cannot express — watermarks, late-data drops,
+  * exactly-once dedup under re-delivery, and custom keyed state. Exercised
+  * end-to-end with MemoryStream in StreamingSuite.
+  *
+  * 100-TB note: every operator here keys its state by (window × key) or
+  * user — state-store partitioning is the shuffle partitioning, so state
+  * scales with keys, not events; watermarks bound state retention.
+  */
+object Streams {
+
+  /** Watermarked tumbling-window counts/sums per event_type. Append mode
+    * emits a window only once the watermark passes its end; rows later
+    * than the watermark are dropped. */
+  def tumblingCounts(events: DataFrame, tsCol: String, watermark: String,
+      windowLen: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows (2× overlap) with the same watermark semantics. */
+  def slidingCounts(events: DataFrame, tsCol: String, watermark: String,
+      windowLen: String, slide: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("n"))
+
+  /** Built-in session windows over a watermarked stream. */
+  def sessionCounts(events: DataFrame, tsCol: String, watermark: String,
+      gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Exactly-once surrogate under at-least-once delivery: duplicates of a
+    * key arriving within the watermark are suppressed; state for a key is
+    * dropped once the watermark passes it. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      watermark: String, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n: Long,
+      sum_value: Double)
+
+  /** Custom keyed state (the KeyValueGroupedDataset surface): re-implements
+    * gap-based sessions with flatMapGroupsWithState + event-time timeout —
+    * the extension point for session semantics the built-in
+    * session_window cannot express (e.g. value-dependent gaps, emitting
+    * only on session close). Emits a session when the watermark-driven
+    * timeout fires. */
+  def customSessions(events: Dataset[SessionEvent], gapMs: Long,
+      watermark: String): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start * 1000, (s.last + gapMs) * 1000, s.n, s.sum))
+          } else {
+            // batch-sort for deterministic in-batch order; cross-batch
+            // order is guaranteed by the watermark
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last < gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.start * 1000, (s.last + gapMs) * 1000, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** LLM-pipeline operator semantics: dedup family cross-checks, similarity
+  * ordering invariants, text-analysis bounds (SURVEY §2.10).
+  */
+class LlmOpsSuite extends SparkSuiteBase {
+
+  test("llm_dedup_exact cluster sizes cover all documents") {
+    val df = run("llm_dedup_exact")
+    assert(df.agg(sum("n_dups")).collect().head.getLong(0) ==
+      T(spark, SF, "documents").count())
+  }
+
+  test("llm_dedup_near pairs are ordered, Jaccard >= 0.8, inter <= uni") {
+    run("llm_dedup_near").collect().foreach { r =>
+      assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"))
+      val inter = r.getAs[Long]("inter"); val uni = r.getAs[Long]("uni")
+      assert(inter <= uni)
+      assert(5 * inter >= 4 * uni)
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.8 - 1e-6 && j <= 1.0)
+    }
+  }
+
+  test("minhash-LSH candidates verify to a subset of the exact near-dup pairs") {
+    val exact = run("llm_dedup_near").select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("llm_dedup_minhash_lsh").select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH produced pairs outside the exact J>=0.8 set: ${lsh -- exact}")
+  }
+
+  test("simhash near-dups have hamming <= 3 and ordered pairs") {
+    run("llm_dedup_simhash").collect().foreach { r =>
+      assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"))
+      assert(r.getAs[Long]("hamming") <= 3)
+    }
+  }
+
+  test("simsearch ranks are 1..5 with non-increasing cosine per query") {
+    val rows = run("llm_simsearch_topk").collect()
+      .groupBy(_.getAs[Long]("qid"))
+    assert(rows.keySet == (0L until 10L).toSet)
+    rows.foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length))
+      val sims = byRank.map(_.getAs[Double]("cos_sim"))
+      assert(sims.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+      assert(sims.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+    }
+  }
+
+  test("IVF-probed search recall vs brute force is sane (>= 20% at nprobe=2/10)") {
+    val brute = run("llm_simsearch_topk").select("qid", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = run("llm_simsearch_ivf").select("qid", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall $recall suspiciously low")
+  }
+
+  test("llm_embed_norms: is_unit consistent with l2_norm") {
+    run("llm_embed_norms").collect().foreach { r =>
+      val l2 = r.getAs[Double]("l2_norm")
+      assert(r.getAs[Boolean]("is_unit") == (l2 >= 0.99 && l2 <= 1.01))
+      assert(r.getAs[Double]("max_abs") <= l2 + 1e-9)
+    }
+  }
+
+  test("tfidf emits 3 ranked terms per language") {
+    val rows = run("llm_tfidf").collect().groupBy(_.getAs[String]("lang"))
+    assert(rows.keySet == Set("de", "en", "es", "fr", "zh"))
+    rows.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == Seq(1, 2, 3))
+      val byRk = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("score"))
+      assert(byRk.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
+  test("text quality: ratios in [0,1], token counts positive") {
+    run("llm_text_quality").collect().foreach { r =>
+      assert(r.getAs[Int]("n_tokens") > 0)
+      val ratio = r.getAs[Double]("stop_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("multimodal decode stub is deterministic and covers all docs") {
+    val a = run("mm_decode_stub").collect().toSeq
+    val b = run("mm_decode_stub").collect().toSeq
+    assert(a == b)
+    assert(a.size == T(spark, SF, "documents").count())
+    a.foreach { r =>
+      assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("width") < 32)
+      assert(r.getAs[Double]("mean_byte") > 0)
+    }
+  }
+}

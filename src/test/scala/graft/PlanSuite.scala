@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops._
+
+/** Physical-plan shape assertions (the 100-TB design checks, SURVEY §4):
+  * pushdown reaches the parquet scan, small dims broadcast, top-k plans as
+  * TakeOrderedAndProject, fact-fact joins avoid nested-loop plans.
+  */
+class PlanSuite extends SparkSuiteBase {
+
+  private def plan(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  test("scan_parquet_project_filter pushes filters and prunes columns") {
+    val p = plan("scan_parquet_project_filter")
+    assert(p.contains("PushedFilters:") && p.contains("l_quantity"),
+      s"no pushed filters in:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"))
+    // projection pruning: untouched money columns not read
+    assert(!p.contains("l_tax"), "scan reads columns the query never uses")
+  }
+
+  test("join_broadcast_inner plans a broadcast hash join") {
+    assert(plan("join_broadcast_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("join_multiway_star broadcasts dims and hash-joins facts") {
+    val p = plan("join_multiway_star")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "star join degenerated to NLJ")
+  }
+
+  test("join_shuffle_inner uses a shuffled join, not NLJ") {
+    val p = plan("join_shuffle_inner")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"))
+  }
+
+  test("join_theta_nested_loop is the only deliberate NLJ") {
+    assert(plan("join_theta_nested_loop").contains("NestedLoop"))
+  }
+
+  test("sort_limit_topk plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k did a full sort:\n$p")
+  }
+
+  test("agg_groupby_hash is a two-phase hash aggregate with pushed date filter") {
+    val p = plan("agg_groupby_hash")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"))
+  }
+
+  test("whole-stage codegen is active on the hot relational path") {
+    // force execution so AQE finalizes, then look for the "*(stageId)"
+    // codegen markers in the final plan
+    val df = run("agg_groupby_hash")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("llm_dedup_near joins shuffle on the shingle key (no cartesian)") {
+    val p = plan("llm_dedup_near")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+}

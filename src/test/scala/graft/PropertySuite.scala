@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic laws over generated inputs (SURVEY §5.2) — what property
+  * testing buys on relational ops. ScalaCheck generators are sampled with
+  * fixed seeds (the scalatest/scalacheck bridge artifact is not in the
+  * offline cache, so sampling is driven by hand — same coverage,
+  * reproducible).
+  */
+class PropertySuite extends SparkSuiteBase {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val wordGen = Gen.oneOf("the", "a", "fast", "slow", "spark", "join")
+  private val textGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+
+  test("normalized dedup is idempotent") {
+    for (texts <- samples(Gen.listOfN(30, textGen), 6) if texts.nonEmpty) {
+      import spark.implicits._
+      val df = texts.toDF("text")
+      def norm(c: org.apache.spark.sql.Column) =
+        regexp_replace(lower(trim(c)), "\\s+", " ")
+      val once = df.select(norm(col("text")).as("n")).distinct()
+      val twice = once.select(norm(col("n")).as("n")).distinct()
+      assert(once.count() == twice.count())
+    }
+  }
+
+  test("top-k equals sort-take-k") {
+    for (xs <- samples(Gen.listOfN(50, Gen.chooseNum(-1000000L, 1000000L)), 6)) {
+      import spark.implicits._
+      val df = xs.zipWithIndex.toDF("v", "id")
+      val k = 7
+      val got = df.orderBy(col("v").desc, col("id")).limit(k)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      val want = xs.zipWithIndex.sortBy { case (v, i) => (-v, i) }.take(k)
+      assert(got == want)
+    }
+  }
+
+  test("union-all count additivity; intersect/except set laws") {
+    val g = Gen.listOf(Gen.chooseNum(0, 20))
+    for ((a, b) <- samples(g, 6).zip(samples(g, 6).reverse)) {
+      import spark.implicits._
+      val da = a.toDF("v"); val db = b.toDF("v")
+      assert(da.unionByName(db).count() == a.size + b.size)
+      val inter = da.intersect(db).collect().map(_.getInt(0)).toSet
+      val exc = da.except(db).collect().map(_.getInt(0)).toSet
+      assert(inter == a.toSet.intersect(b.toSet))
+      assert(exc == a.toSet -- b.toSet)
+      assert(inter.intersect(exc).isEmpty)
+    }
+  }
+
+  test("session windows conserve rows") {
+    for (secs <- samples(Gen.listOfN(40, Gen.chooseNum(0L, 86400L)), 4) if secs.nonEmpty) {
+      import spark.implicits._
+      val df = secs.zipWithIndex
+        .map { case (s, i) => (i.toLong % 3, new java.sql.Timestamp(1700000000000L + s * 1000)) }
+        .toDF("user_id", "ts")
+      val n = df.groupBy(session_window(col("ts"), "15 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum("n")).collect().head.getLong(0)
+      assert(n == secs.size.toLong)
+    }
+  }
+
+  test("cosine self-similarity is 1 within fp tolerance") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 10.0f))
+      .suchThat(v => v.exists(_ != 0f))
+    for (v <- samples(vecGen, 8)) {
+      import spark.implicits._
+      val df = Seq((1L, v)).toDF("vec_id", "embedding")
+      val n2 = graft.ops.Llm.fnorm2(col("embedding"))
+      val cos = graft.ops.Llm.fdot(col("embedding"), col("embedding")) / (sqrt(n2) * sqrt(n2))
+      val got = df.select(cos).collect().head.getDouble(0)
+      assert(math.abs(got - 1.0) < 1e-12)
+    }
+  }
+
+  test("dround is deterministic and within half-ulp-of-grid of true rounding") {
+    for (x <- samples(Gen.chooseNum(-1e6, 1e6), 20)) {
+      import spark.implicits._
+      val df = Seq(x).toDF("x")
+      val a = df.select(graft.ops.Det.dround(col("x"), 4)).collect().head.getDouble(0)
+      val b = math.floor(x * 1e4 + 0.5) / 1e4
+      assert(a == b)
+      assert(math.abs(a - x) <= 5.0001e-5)
+    }
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Per-operator semantic assertions against independently computed truth
+  * (Scala re-computation over the same fixtures — not the query path).
+  */
+class SemanticsSuite extends SparkSuiteBase {
+
+  private lazy val lineitem = T(spark, SF, "lineitem").collect()
+  private lazy val orders = T(spark, SF, "orders").collect()
+
+  test("sort_limit_topk == sort-take-k recomputed") {
+    val got = run("sort_limit_topk").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val want = lineitem
+      .map(r => (r.getAs[Double]("l_extendedprice"), r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber")))
+      .sortBy { case (p, o, l) => (-p, o, l) }.take(10).map(t => (t._2, t._3))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("join_left_outer covers every customer with exact order counts") {
+    val df = run("join_left_outer")
+    assert(df.count() == T(spark, SF, "customer").count())
+    val want = orders.groupBy(_.getAs[Long]("o_custkey")).view.mapValues(_.length.toLong).toMap
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("n_orders") == want.getOrElse(r.getAs[Long]("c_custkey"), 0L))
+    }
+  }
+
+  test("join_semi and join_anti partition orders / customers correctly") {
+    val semi = run("join_semi").select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val withBig = lineitem.filter(_.getAs[Double]("l_quantity") > 45)
+      .map(_.getAs[Long]("l_orderkey")).toSet
+    assert(semi == withBig.intersect(orders.map(_.getAs[Long]("o_orderkey")).toSet))
+    val anti = run("join_anti").select("c_custkey").collect().map(_.getLong(0)).toSet
+    val withUrgent = orders.filter(_.getAs[String]("o_orderpriority") == "1-URGENT")
+      .map(_.getAs[Long]("o_custkey")).toSet
+    assert(anti.intersect(withUrgent).isEmpty)
+    assert(anti.nonEmpty)
+  }
+
+  test("join_asof picks the latest prior view per purchase") {
+    val events = T.eventsUs(spark, SF).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("us")))
+    val got = run("join_asof").collect()
+      .map(r => r.getAs[Long]("purchase_id") -> r.getAs[Long]("view_id")).toMap
+    val purchases = events.filter(_._3 == "purchase")
+    val views = events.filter(_._3 == "view")
+    val want = purchases.flatMap { case (pid, u, _, pus) =>
+      val prior = views.filter(v => v._2 == u && v._4 < pus)
+      if (prior.isEmpty) None
+      else Some(pid -> prior.maxBy(v => (v._4, v._1))._1)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("agg_groupby_hash sums match direct recomputation") {
+    // parquet timestamps here are NTZ → Spark 4 surfaces LocalDateTime
+    val cutoff = java.time.LocalDateTime.parse("2000-01-01T00:00:00")
+    val want = lineitem
+      .filter(r => !r.getAs[java.time.LocalDateTime]("l_shipdate").isAfter(cutoff))
+      .groupBy(r => (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus")))
+      .map { case (k, rs) =>
+        k -> (rs.map(r => BigDecimal(r.getAs[Double]("l_quantity")).setScale(2)).sum, rs.size.toLong)
+      }
+    val got = run("agg_groupby_hash").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getAs[Double]("sum_qty"), r.getAs[Long]("count_order")))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (sq, n)) =>
+      assert(got(k)._1 == sq.toDouble, s"sum_qty mismatch at $k")
+      assert(got(k)._2 == n, s"count mismatch at $k")
+    }
+  }
+
+  test("agg_histogram buckets partition all orders") {
+    val df = run("agg_histogram")
+    assert(df.agg(sum("n")).collect().head.getLong(0) == orders.length.toLong)
+  }
+
+  test("agg_approx_distinct within 15% of exact") {
+    val approx = run("agg_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = T(spark, SF, "events").groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1, n * 0.15), s"$k: ${approx(k)} vs $n")
+    }
+  }
+
+  test("agg_rollup grand total row counts all customers") {
+    val grand = run("agg_rollup").where(col("gid") === 3).collect()
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_cust") == T(spark, SF, "customer").count())
+  }
+
+  test("win_rank_topk_per_group emits at most 3 rows per customer, rank-dense") {
+    val rows = run("win_rank_topk_per_group").collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Int]("rn")))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("win_running_sum final value equals per-customer total") {
+    val last = run("win_running_sum").collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+      .map { case (c, rs) =>
+        // window order is (order_date, orderkey) — take the true last row
+        c -> rs.maxBy(r => (r.getAs[java.sql.Date]("order_date").getTime,
+          r.getAs[Long]("o_orderkey"))).getAs[Double]("cum_spend")
+      }
+    val want = orders.groupBy(_.getAs[Long]("o_custkey")).map { case (c, rs) =>
+      c -> rs.map(r => BigDecimal(r.getAs[Double]("o_totalprice")).setScale(2)).sum.toDouble
+    }
+    assert(last == want)
+  }
+
+  test("set ops: union counts add, intersect ⊆ both, except ∩ intersect = ∅") {
+    val union = run("set_union_all").agg(sum("n")).collect().head.getLong(0)
+    assert(union == T(spark, SF, "customer").count() + T(spark, SF, "supplier").count())
+    val inter = run("set_intersect").collect().map(_.getInt(0)).toSet
+    val exc = run("set_except").collect().map(_.getInt(0)).toSet
+    assert(inter.intersect(exc).isEmpty)
+    val custNk = T(spark, SF, "customer").select("c_nationkey").collect().map(_.getInt(0)).toSet
+    assert(inter.subsetOf(custNk) && exc.subsetOf(custNk))
+  }
+
+  test("stream_session_window conserves rows and respects the 30-min gap") {
+    val sessions = run("stream_session_window").collect()
+    val total = sessions.map(_.getAs[Long]("n_events")).sum
+    assert(total == T(spark, SF, "events").count())
+    sessions.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("start_us"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // next session starts only after the previous end (= last+gap)
+          assert(b.getAs[Long]("start_us") >= a.getAs[Long]("end_us"))
+        case _ =>
+      }
+    }
+  }
+}

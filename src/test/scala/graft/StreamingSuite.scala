@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.Streams
+
+/** True Structured-Streaming semantics over MemoryStream — watermark
+  * drops, exactly-once dedup, custom keyed-state sessions (SURVEY §5.3).
+  * These are the behaviors the batch surrogates cannot express.
+  */
+class StreamingSuite extends SparkSuiteBase {
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def withQuery[A](q: StreamingQuery)(body: => A): A =
+    try body finally q.stop()
+
+  test("tumbling window append mode: watermark closes windows, drops late rows") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val out = Streams.tumblingCounts(in.toDF(), "ts", "10 minutes", "1 hour")
+    val q = out.writeStream.format("memory").queryName("tumb").outputMode("append").start()
+    withQuery(q) {
+      in.addData(Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0))
+      q.processAllAvailable()
+      // watermark still inside hour 0 → nothing emitted yet
+      assert(spark.table("tumb").count() == 0)
+      // event at 02:00 pushes watermark past hour-0 end
+      in.addData(Ev(3, ts(120), 1, "click", 3.0))
+      q.processAllAvailable()
+      val closed = spark.table("tumb").collect()
+      assert(closed.length == 1 && closed.head.getAs[Long]("n") == 2)
+      // a late hour-0 event (behind the watermark) must be dropped
+      in.addData(Ev(4, ts(30), 1, "click", 9.0))
+      in.addData(Ev(5, ts(121), 1, "click", 0.5))
+      q.processAllAvailable()
+      assert(spark.table("tumb").collect().length == 1, "late row re-opened a closed window")
+    }
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses re-delivered events") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val out = Streams.dedupWithinWatermark(in.toDF(), "ts", "1 hour", Seq("event_id"))
+    val q = out.writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    withQuery(q) {
+      in.addData(Ev(10, ts(1), 1, "click", 1.0), Ev(10, ts(1), 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(10, ts(2), 1, "click", 1.0), Ev(11, ts(3), 2, "view", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted == Seq(10L, 11L), s"got $ids")
+    }
+  }
+
+  test("session_window streaming merges events within gap across batches") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val out = Streams.sessionCounts(in.toDF(), "ts", "10 minutes", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    withQuery(q) {
+      in.addData(Ev(1, ts(0), 7, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(2, ts(20), 7, "click", 1.0)) // within 30-min gap → same session
+      q.processAllAvailable()
+      in.addData(Ev(3, ts(600), 7, "click", 1.0)) // push watermark far ahead
+      q.processAllAvailable()
+      val sessions = spark.table("sess").collect()
+      assert(sessions.length == 1)
+      assert(sessions.head.getAs[Long]("n_events") == 2,
+        "cross-batch events within gap were not merged into one session")
+    }
+  }
+
+  test("customSessions (flatMapGroupsWithState) emits on timeout with merged counts") {
+    import spark.implicits._
+    val in = MemoryStream[Streams.SessionEvent](spark)
+    val out = Streams.customSessions(in.toDS(), 30 * 60 * 1000L, "10 minutes")
+    val q = out.writeStream.format("memory").queryName("csess").outputMode("append").start()
+    withQuery(q) {
+      in.addData(Streams.SessionEvent(7, ts(0), 1.0), Streams.SessionEvent(7, ts(10), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("csess").count() == 0, "session closed before timeout")
+      in.addData(Streams.SessionEvent(8, ts(600), 5.0)) // advances watermark → timeout fires
+      q.processAllAvailable()
+      val rows = spark.table("csess").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("n") == 2)
+      assert(rows.head.getAs[Double]("sum_value") == 3.0)
+    }
+  }
+}
