@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/parquet-reader warm-up with generic ops (not scored
+    // queries) so the first measured query isn't charged session
+    // initialization costs.
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -47,9 +47,14 @@ object Llm {
     s
   })
 
-  def fdot(a: Column, b: Column): Column = dotUdf(a, b)
+  /** Scored paths use the native codegen expression (graft.plans); the
+    * loop UDF above stays as the reference implementation (equivalence
+    * asserted bit-exactly in LlmOpsSuite). */
+  def fdot(a: Column, b: Column): Column = graft.plans.expressions.dotF(a, b)
 
-  def fnorm2(a: Column): Column = dotUdf(a, a)
+  def fnorm2(a: Column): Column = graft.plans.expressions.norm2F(a)
+
+  def fdotUdfReference(a: Column, b: Column): Column = dotUdf(a, b)
 
   /** Double-array variant (IVF centroids are means, i.e. doubles). */
   private val dotUdfD = udf((a: Seq[Double], b: Seq[Double]) => {

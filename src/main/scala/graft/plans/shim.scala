@@ -1,0 +1,13 @@
+// Lives in Spark's namespace: Column↔Expression conversion is
+// private[sql] in Spark 4 (Column became ColumnNode-backed), and this is
+// the conventional seam libraries use to ship native expressions.
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

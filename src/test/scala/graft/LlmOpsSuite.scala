@@ -8,6 +8,21 @@ import graft.ops._
   */
 class LlmOpsSuite extends SparkSuiteBase {
 
+  test("native DotProductF expression matches the loop-UDF reference bit-exactly and codegens") {
+    val e = T(spark, SF, "embeddings")
+    val df = e.select(
+      graft.ops.Llm.fnorm2(col("embedding")).as("native"),
+      graft.ops.Llm.fdotUdfReference(col("embedding"), col("embedding")).as("ref"))
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    val selfOnly = e.select(graft.ops.Llm.fnorm2(col("embedding")).as("n2"))
+    selfOnly.collect()
+    assert(selfOnly.queryExecution.executedPlan.toString.contains("*("),
+      "DotProductF fell out of whole-stage codegen")
+  }
+
   test("llm_dedup_exact cluster sizes cover all documents") {
     val df = run("llm_dedup_exact")
     assert(df.agg(sum("n_dups")).collect().head.getLong(0) ==
