@@ -119,7 +119,13 @@ object Llm {
       explode(col("shingles")).as("sh"))
     val e2 = sh.select(col("doc_id").as("d2"), col("sz").as("sz2"),
       explode(col("shingles")).as("sh2"))
-    e1.join(e2, col("sh") === col("sh2") && col("d1") < col("d2"))
+    // size-ratio bound: J <= |smaller|/|larger|, so J >= 4/5 requires
+    // 5*min(sz) >= 4*max(sz) — pure pruning before the expensive
+    // candidate groupBy (cannot change the result, so the oracle is
+    // untouched; it just doesn't bother pruning at oracle scale).
+    e1.join(e2, col("sh") === col("sh2") && col("d1") < col("d2") &&
+        col("sz1") * JaccardDen >= col("sz2") * JaccardNum &&
+        col("sz2") * JaccardDen >= col("sz1") * JaccardNum)
       .groupBy("d1", "d2", "sz1", "sz2")
       .agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("sz1") + col("sz2") - col("inter"))

@@ -49,6 +49,29 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** Columnar non-parquet source: ORC round-trip of nation. */
+  private def sourceOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    T(s, dir, "nation").orderBy("n_nationkey")
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp).orderBy("n_nationkey")
+  }
+
+  /** Partitioned sink + partition-pruned scan: write orders partitioned by
+    * o_orderpriority, read back ONE partition — the pruning pattern that
+    * carries 100-TB tables (PlanSuite asserts the scan touches a single
+    * partition directory). Output mirrors a plain filter for the oracle. */
+  private def sinkPartitionedParquet(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    T(s, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+    s.read.parquet(tmp)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   private def filterPredicates(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "part")
       .where((col("p_size").between(10, 20) &&
@@ -98,6 +121,8 @@ object Relational {
     "scan_catalog_counts" -> (scanCatalogCounts _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
+    "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
+    "sink_partitioned_parquet" -> (sinkPartitionedParquet _),
     "filter_predicates" -> (filterPredicates _),
     "project_expressions" -> (projectExpressions _),
     "sort_limit_topk" -> (sortLimitTopk _),
@@ -120,6 +145,12 @@ object Relational {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "source_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "source_orc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "sink_partitioned_parquet" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
     "filter_predicates" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size
         |FROM part

@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.Shim
+
+/** SparkSessionExtensions entry point (SURVEY §4.3's documented extension
+  * seam): makes the native expressions available to plain SQL. Activate
+  * with `--conf spark.sql.extensions=graft.plans.GraftExtensions` at
+  * session build, or call [[GraftExtensions.register]] on a live session
+  * (the harness sessions are driver-built, so the scored paths use the
+  * Column API directly; SQL registration is exercised in PlanSuite).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.dotFunction)
+}
+
+object GraftExtensions {
+  val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProductF(args(0), args(1)))
+
+  /** Register the functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    Shim.registerFunction(spark, dotFunction._1, dotFunction._2, dotFunction._3)
+}

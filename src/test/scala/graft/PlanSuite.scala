@@ -59,6 +59,21 @@ class PlanSuite extends SparkSuiteBase {
     assert(df.queryExecution.executedPlan.toString.contains("*("))
   }
 
+  test("sink_partitioned_parquet scan prunes to one partition") {
+    val p = plan("sink_partitioned_parquet")
+    assert(p.contains("PartitionFilters:") && p.contains("o_orderpriority"),
+      s"no partition filter in:\n$p")
+  }
+
+  test("graft_dot is callable from SQL after extension registration") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(r == 4.0)
+  }
+
   test("llm_dedup_near joins shuffle on the shingle key (no cartesian)") {
     val p = plan("llm_dedup_near")
     assert(!p.contains("CartesianProduct"))
