@@ -122,6 +122,32 @@ object Joins {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** Co-located join via bucketing: both fact tables written bucketed on
+    * the join key (8 buckets) and joined + aggregated with ZERO
+    * hash-exchanges — the 100-TB pattern for repeated fact-fact joins
+    * (pay the shuffle once at write time, never per query). Same result
+    * as join_shuffle_inner, so the oracle is the plain join. PlanSuite
+    * asserts no Exchange hashpartitioning in the plan. */
+  private def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    // fresh external locations per call: a stale managed-table directory
+    // from an earlier session would fail LOCATION_ALREADY_EXISTS
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    T(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").option("path", s"$tmp/orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_orders_bucketed")
+    T(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").option("path", s"$tmp/lineitem")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_lineitem_bucketed")
+    s.table("graft_orders_bucketed")
+      .join(s.table("graft_lineitem_bucketed"),
+        col("o_orderkey") === col("l_orderkey"), "inner")
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_items"), sumMoneyD(col("l_extendedprice")).as("gross"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_broadcast_inner" -> (joinBroadcastInner _),
     "join_shuffle_inner" -> (joinShuffleInner _),
@@ -133,6 +159,7 @@ object Joins {
     "join_cross" -> (joinCross _),
     "join_range_interval" -> (joinRangeInterval _),
     "join_asof" -> (joinAsof _),
+    "join_bucketed_colocated" -> (joinBucketed _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -141,6 +168,11 @@ object Joins {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
     "join_shuffle_inner" ->
+      """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "join_bucketed_colocated" ->
       """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey

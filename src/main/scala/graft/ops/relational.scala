@@ -72,6 +72,15 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Custom DataSource V2 (graft.sources.StarCatalogSource): synthetic
+    * star catalog with range-partitioned planning; attributes are exact
+    * modular arithmetic so DuckDB re-derives them from range(n). */
+  private def sourceCustomDatasource(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.StarCatalogSource")
+      .option("rows", "20000").option("partitions", "8").load()
+      .where(col("mag") < 7.0)
+      .orderBy("star_id")
+
   private def filterPredicates(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "part")
       .where((col("p_size").between(10, 20) &&
@@ -123,6 +132,7 @@ object Relational {
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "sink_partitioned_parquet" -> (sinkPartitionedParquet _),
+    "source_custom_datasource" -> (sourceCustomDatasource _),
     "filter_predicates" -> (filterPredicates _),
     "project_expressions" -> (projectExpressions _),
     "sort_limit_topk" -> (sortLimitTopk _),
@@ -151,6 +161,14 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin,
+    "source_custom_datasource" ->
+      """SELECT i AS star_id,
+        | (i * 9973 % 3600000) / 10000.0 AS ra,
+        | (i * 6967 % 1800000) / 10000.0 - 90.0 AS dec,
+        | (i * 31 % 150) / 10.0 + 5.0 AS mag
+        |FROM range(20000) t(i)
+        |WHERE (i * 31 % 150) / 10.0 + 5.0 < 7.0
+        |ORDER BY star_id""".stripMargin,
     "filter_predicates" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size
         |FROM part

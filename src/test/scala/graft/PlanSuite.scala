@@ -59,6 +59,21 @@ class PlanSuite extends SparkSuiteBase {
     assert(df.queryExecution.executedPlan.toString.contains("*("))
   }
 
+  test("join_bucketed_colocated joins and aggregates with zero hash-exchanges") {
+    val df = run("join_bucketed_colocated")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+  }
+
+  test("custom DSv2 star source plans the requested partitions") {
+    val df = spark.read.format("graft.sources.StarCatalogSource")
+      .option("rows", "1000").option("partitions", "8").load()
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.count() == 1000)
+  }
+
   test("sink_partitioned_parquet scan prunes to one partition") {
     val p = plan("sink_partitioned_parquet")
     assert(p.contains("PartitionFilters:") && p.contains("o_orderpriority"),
