@@ -121,6 +121,32 @@ object Aggregates {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
+  /** Exact interpolated percentiles — Spark's percentile() and DuckDB's
+    * quantile_cont use the same (n-1)·p linear interpolation (verified
+    * bit-exact on the fixtures); dround(4) guards residual formula edges. */
+  private def aggPercentiles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        dround(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        dround(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        dround(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        dround(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+      .orderBy("o_orderpriority")
+
+  /** Two-phase salted aggregation — the 100-TB skew pattern: partial agg
+    * on (key, salt) spreads a hot key over 16 reducers, then the final
+    * regroup on the key alone merges the partials. Decimal partials make
+    * the regrouping exact, so the result equals the direct groupBy and
+    * the oracle is the plain GROUP BY. */
+  private def aggSkewSalted(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(16)).as("salt"))
+      .agg(sum(money(col("l_quantity"))).as("sq"), count(lit(1)).as("n"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("sq")).cast("double").as("sum_qty"), sum(col("n")).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** HLL sketch — approx result is engine-specific, no oracle (SURVEY
     * §2.4); exactness-vs-exact-count tolerance asserted in AggregateSuite. */
   private def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -139,6 +165,8 @@ object Aggregates {
     "agg_stats" -> (aggStats _),
     "agg_histogram" -> (aggHistogram _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_percentiles" -> (aggPercentiles _),
+    "agg_skew_salted_twophase" -> (aggSkewSalted _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -208,5 +236,17 @@ object Aggregates {
       s"""SELECT CAST(FLOOR(o_totalprice / $HistBucket) AS BIGINT) AS bucket,
          | CAST(COUNT(*) AS BIGINT) AS n
          |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_percentiles" ->
+      s"""SELECT o_orderpriority,
+         | ${sqlRound("QUANTILE_CONT(o_totalprice, 0.25)", 4)} AS p25,
+         | ${sqlRound("QUANTILE_CONT(o_totalprice, 0.5)", 4)} AS p50,
+         | ${sqlRound("QUANTILE_CONT(o_totalprice, 0.75)", 4)} AS p75,
+         | ${sqlRound("QUANTILE_CONT(o_totalprice, 0.95)", 4)} AS p95
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_skew_salted_twophase" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
