@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable DataFrame-level operators — the library surface a user calls
+  * on their own frames (the `SparkEntry.queries` entries bind these to
+  * the fixture tables). Each documents its shuffle/scale shape.
+  */
+object Api {
+
+  /** As-of join: for each left row, the single latest right row with
+    * `rightOn < leftOn` within the same `key`. One shuffle on the equi
+    * key; the window dedup reuses that partitioning. The equi key is
+    * mandatory — it is what keeps the join from degenerating into a
+    * cross product at scale (SURVEY §7.4). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftOn: String, rightOn: String, leftPk: String, rightPk: String): DataFrame = {
+    val l = left.as("l")
+    val r = right.as("r")
+    val w = Window.partitionBy(col(s"l.$leftPk"))
+      .orderBy(col(s"r.$rightOn").desc, col(s"r.$rightPk").desc)
+    l.join(r, col(s"l.$key") === col(s"r.$key") && col(s"r.$rightOn") < col(s"l.$leftOn"))
+      .withColumn("graft_asof_rn", row_number().over(w))
+      .where(col("graft_asof_rn") === 1)
+      .drop("graft_asof_rn")
+  }
+
+  /** Deterministic top-k rows per group (ties broken by `tiebreak`). */
+  def topKPerGroup(df: DataFrame, k: Int, partitionBy: Seq[Column],
+      orderBy: Seq[Column]): DataFrame =
+    df.withColumn("graft_rank",
+        row_number().over(Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)))
+      .where(col("graft_rank") <= k)
+
+  /** Gap-based sessionization over an integer-µs event-time column.
+    * Output adds a `session_id` (per-key ordinal). Scales by key — the
+    * window shuffles once on `key`. */
+  def sessionize(df: DataFrame, key: String, usCol: String, gapUs: Long): DataFrame = {
+    val byTime = Window.partitionBy(col(key)).orderBy(col(usCol))
+    val flag = when(col(usCol) - lag(col(usCol), 1).over(byTime) >= gapUs, 1L)
+      .when(lag(col(usCol), 1).over(byTime).isNull, 1L)
+      .otherwise(0L)
+    df.withColumn("graft_new_session", flag)
+      .withColumn("session_id",
+        sum(col("graft_new_session")).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("graft_new_session")
+  }
+
+  /** Exact near-duplicate pairs by k-shingle Jaccard >= num/den.
+    * Candidates come from sharing >= 1 shingle (sound for any threshold
+    * > 0) plus the size-ratio bound; verification is exact integer
+    * Jaccard. At 100 TB swap the candidate stage for MinHash banding
+    * (same verification join). */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, num: Int, den: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as("shingles"))
+      .withColumn("sz", size(col("shingles")))
+    val e1 = sh.select(col("doc_id").as("d1"), col("sz").as("sz1"), explode(col("shingles")).as("sh"))
+    val e2 = sh.select(col("doc_id").as("d2"), col("sz").as("sz2"), explode(col("shingles")).as("sh2"))
+    e1.join(e2, col("sh") === col("sh2") && col("d1") < col("d2") &&
+        col("sz1") * den >= col("sz2") * num && col("sz2") * den >= col("sz1") * num)
+      .groupBy("d1", "d2", "sz1", "sz2")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+      .where(col("inter") * den >= col("uni") * num)
+      .select(col("d1"), col("d2"), col("inter"), col("uni"),
+        (col("inter") / col("uni")).as("jaccard"))
+  }
+
+  /** Brute-force cosine top-k neighbors of `queries` among `candidates`
+    * (both: id + float-vector). Correctness baseline — at scale, feed
+    * `candidates` from an LSH/IVF blocking stage instead. */
+  def cosineTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      Llm.fnorm2(col(vecCol)).as("qn"))
+    val c = candidates.select(col(idCol).as("neighbor"), col(vecCol).as("cv"),
+      Llm.fnorm2(col(vecCol)).as("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor"))
+    q.join(c, col("neighbor") =!= col("qid"))
+      .withColumn("cos", Llm.fdot(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor"), col("cos"))
+  }
+}

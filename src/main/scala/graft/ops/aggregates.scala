@@ -147,6 +147,15 @@ object Aggregates {
       .agg(sum(col("sq")).cast("double").as("sum_qty"), sum(col("n")).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Pivot: linestatus → columns (Catalyst rewrites to CASE-WHEN aggs —
+    * same shape as the oracle's explicit conditional sums). */
+  private def aggPivot(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .orderBy("l_returnflag")
+
   /** HLL sketch — approx result is engine-specific, no oracle (SURVEY
     * §2.4); exactness-vs-exact-count tolerance asserted in AggregateSuite. */
   private def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -167,6 +176,7 @@ object Aggregates {
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_percentiles" -> (aggPercentiles _),
     "agg_skew_salted_twophase" -> (aggSkewSalted _),
+    "agg_pivot" -> (aggPivot _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -247,6 +257,11 @@ object Aggregates {
       """SELECT l_returnflag,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS F,
+        | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS O
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

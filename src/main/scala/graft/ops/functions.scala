@@ -102,6 +102,26 @@ object Functions {
         coalesce(element_at(col("m"), lit("purchase")), lit(0L)).as("purchases"))
       .orderBy("user_id")
 
+  private def fnBitwise(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        col("p_partkey").bitwiseAND(lit(255L)).as("band"),
+        col("p_partkey").bitwiseOR(lit(4096L)).as("bor"),
+        col("p_partkey").bitwiseXOR(lit(0x5AL)).as("bxor"),
+        shiftleft(col("p_partkey"), 3).as("shl"),
+        shiftright(col("p_partkey"), 2).as("shr"),
+        bit_count(col("p_partkey")).as("popcount"))
+      .orderBy("p_partkey")
+
+  /** Unpivot via stack(): wide → long (the inverse of agg_pivot). */
+  private def fnUnpivot(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .select(col("c_custkey"),
+        expr("stack(2, 'acctbal', c_acctbal, 'custkey_as_double', CAST(c_custkey AS DOUBLE))")
+          .as(Seq("metric", "value")))
+      .orderBy("c_custkey", "metric")
+
   /** Generator surface: posexplode ≡ UNNEST WITH ORDINALITY (SURVEY §2.9:
     * built-in Generator covers the UDTF extension point). */
   private def udtfExplodeTokens(s: SparkSession, dir: String): DataFrame =
@@ -118,6 +138,8 @@ object Functions {
     "fn_json" -> (fnJson _),
     "fn_array" -> (fnArray _),
     "fn_map" -> (fnMap _),
+    "fn_bitwise" -> (fnBitwise _),
+    "fn_unpivot" -> (fnUnpivot _),
     "udtf_explode_tokens" -> (udtfExplodeTokens _),
   )
 
@@ -183,6 +205,21 @@ object Functions {
         | CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS clicks,
         | CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchases
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT p_partkey,
+        | p_partkey & 255 AS band,
+        | p_partkey | 4096 AS bor,
+        | xor(p_partkey, 90) AS bxor,
+        | p_partkey << 3 AS shl,
+        | p_partkey >> 2 AS shr,
+        | CAST(bit_count(p_partkey) AS INT) AS popcount
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_unpivot" ->
+      """SELECT c_custkey, metric, value FROM (
+        | SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+        | UNION ALL
+        | SELECT c_custkey, 'custkey_as_double' AS metric, CAST(c_custkey AS DOUBLE) AS value FROM customer)
+        |ORDER BY c_custkey, metric""".stripMargin,
     "udtf_explode_tokens" ->
       """SELECT doc_id,
         | CAST(UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS INT) AS pos,

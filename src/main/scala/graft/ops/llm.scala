@@ -113,27 +113,12 @@ object Llm {
     * shingle (sound: J >= t > 0 implies a shared shingle), verified with
     * exact integer Jaccard — so the output is exactly all pairs with
     * J >= 4/5 and the oracle can reproduce it. */
-  private def dedupNear(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
-    val e1 = sh.select(col("doc_id").as("d1"), col("sz").as("sz1"),
-      explode(col("shingles")).as("sh"))
-    val e2 = sh.select(col("doc_id").as("d2"), col("sz").as("sz2"),
-      explode(col("shingles")).as("sh2"))
-    // size-ratio bound: J <= |smaller|/|larger|, so J >= 4/5 requires
-    // 5*min(sz) >= 4*max(sz) — pure pruning before the expensive
-    // candidate groupBy (cannot change the result, so the oracle is
-    // untouched; it just doesn't bother pruning at oracle scale).
-    e1.join(e2, col("sh") === col("sh2") && col("d1") < col("d2") &&
-        col("sz1") * JaccardDen >= col("sz2") * JaccardNum &&
-        col("sz2") * JaccardDen >= col("sz1") * JaccardNum)
-      .groupBy("d1", "d2", "sz1", "sz2")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
-      .where(col("inter") * JaccardDen >= col("uni") * JaccardNum)
+  private def dedupNear(s: SparkSession, dir: String): DataFrame =
+    Api.nearDupPairs(T(s, dir, "documents"), "doc_id", "text",
+        ShingleK, JaccardNum, JaccardDen)
       .select(col("d1"), col("d2"), col("inter"), col("uni"),
-        dround(col("inter") / col("uni"), 6).as("jaccard"))
+        dround(col("jaccard"), 6).as("jaccard"))
       .orderBy("d1", "d2")
-  }
 
   /** MinHash + banded LSH candidate generation (the 100-TB path), then the
     * same exact verification. Signature/band hashing is engine-specific
@@ -259,16 +244,7 @@ object Llm {
   /** Brute-force cosine top-k for query vectors vec_id < 10. */
   private def simsearchTopk(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), fnorm2(col("embedding")).as("n2"))
-    val q = e.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn"))
-    val c = e.select(col("vec_id").as("neighbor"), col("embedding").as("ce"), col("n2").as("cn"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("neighbor"))
-    q.join(c, col("neighbor") =!= col("qid"))
-      .withColumn("cos", fdot(col("qe"), col("ce")) / (sqrt(col("qn")) * sqrt(col("cn"))))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= TopK)
+    Api.cosineTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", TopK)
       .select(col("qid"), col("rank"), col("neighbor"), dround(col("cos"), 6).as("cos_sim"))
       .orderBy("qid", "rank")
   }

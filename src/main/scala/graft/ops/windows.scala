@@ -68,7 +68,33 @@ object Windows {
       .orderBy("c_custkey")
   }
 
+  /** Time-RANGE frame (not ROWS): per-user sum of values within the
+    * trailing 10 minutes by event time. Range frames over integer µs are
+    * tie-insensitive (equal timestamps share the frame), so no ordering
+    * tiebreak is even needed for determinism. */
+  private def winRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-600000000L, Window.currentRow)
+    T.eventsUs(s, dir)
+      .select(col("user_id"), col("event_id"),
+        sum(money12(col("value"))).over(w).cast("double").as("sum_10min"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private def winFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T.eventsUs(s, dir)
+      .select(col("user_id"), col("event_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_range_frame" -> (winRangeFrame _),
+    "win_first_last" -> (winFirstLast _),
     "win_rank_topk_per_group" -> (winRankTopkPerGroup _),
     "win_running_sum" -> (winRunningSum _),
     "win_lag_lead" -> (winLagLead _),
@@ -77,6 +103,21 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_range_frame" ->
+      """SELECT user_id, event_id,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_10min
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "win_first_last" ->
+      """SELECT user_id, event_id,
+        | FIRST_VALUE(event_type) OVER w AS first_type,
+        | LAST_VALUE(event_type) OVER w AS last_type,
+        | NTH_VALUE(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
     "win_rank_topk_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
