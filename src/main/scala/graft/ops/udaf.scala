@@ -76,12 +76,49 @@ object Udafs {
       .orderBy("label", "dim")
   }
 
+  case class LineQty(l_returnflag: String, l_orderkey: Long,
+      l_linenumber: Int, l_quantity: Double)
+
+  /** Typed Dataset[T] surface: case-class Encoder → typed filter →
+    * groupByKey → flatMapGroups with an in-group sort for determinism.
+    * The imperative per-group logic (sort + take) is exactly what
+    * flatMapGroups is for; the oracle is the equivalent window-rank SQL. */
+  private def typedDatasetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+      .as[LineQty]
+      .filter(_.l_quantity > 40)
+      .groupByKey(_.l_returnflag)
+      .flatMapGroups { (flag, it) =>
+        it.toSeq
+          .sortBy(r => (-r.l_quantity, r.l_orderkey, r.l_linenumber))
+          .take(3)
+          .zipWithIndex
+          .map { case (r, i) =>
+            (flag, i + 1, r.l_orderkey, r.l_linenumber, r.l_quantity)
+          }
+      }
+      .toDF("l_returnflag", "rank", "l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_returnflag", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udaf_geomean" -> (udafGeomean _),
     "udaf_vector_centroid" -> (udafVectorCentroid _),
+    "typed_dataset_ops" -> (typedDatasetOps _),
   )
 
   val oracle: Map[String, String] = Map(
+    "typed_dataset_ops" ->
+      """SELECT l_returnflag, CAST(rnk AS INT) AS rank, l_orderkey, l_linenumber, l_quantity
+        |FROM (
+        | SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rnk
+        | FROM lineitem WHERE l_quantity > 40)
+        |WHERE rnk <= 3 ORDER BY l_returnflag, rank""".stripMargin,
     "udaf_geomean" ->
       s"""SELECT l_returnflag,
          | ${sqlRound("EXP(SUM(LN(l_quantity)) / COUNT(*))", 6)} AS geomean_qty,

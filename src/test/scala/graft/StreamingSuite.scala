@@ -78,6 +78,26 @@ class StreamingSuite extends SparkSuiteBase {
     }
   }
 
+  test("foreachBatch sink receives every micro-batch exactly once") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.add((id, batch.count())); ()
+      }
+      .start()
+    withQuery(q) {
+      in.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(3, ts(3), 1, "click", 1.0))
+      q.processAllAvailable()
+      val batches = seen.toArray(Array.empty[(Long, Long)]).toSeq.sortBy(_._1)
+      assert(batches.map(_._2).sum == 3, s"got $batches")
+      assert(batches.map(_._1) == batches.map(_._1).distinct, "batch re-delivered")
+    }
+  }
+
   test("customSessions (flatMapGroupsWithState) emits on timeout with merged counts") {
     import spark.implicits._
     val in = MemoryStream[Streams.SessionEvent](spark)
