@@ -239,6 +239,57 @@ object Llm {
       .orderBy("v1", "v2")
   }
 
+  /** Transitive dedup clusters: connected components over the near-dup
+    * pair graph by min-label propagation (the Pregel/GraphX pattern as a
+    * driver-side loop over distributed joins — each iteration is one
+    * shuffle; components here are tiny so it converges in O(log d)
+    * rounds). cluster_id = min doc_id reachable. Oracle: recursive-CTE
+    * transitive closure. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Api.nearDupPairs(T(s, dir, "documents"), "doc_id", "text",
+      ShingleK, JaccardNum, JaccardDen).select("d1", "d2")
+    val edges = pairs
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val nodes = edges.select(col("d1").as("id")).distinct()
+    var labels = nodes.withColumn("lab", col("id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = edges.join(labels, col("d2") === col("id"))
+        .groupBy(col("d1").as("id2")).agg(min(col("lab")).as("nlab"))
+      val next = labels.join(prop, col("id") === col("id2"), "left_outer")
+        .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("lab", "olab"), "id")
+        .where(col("lab") =!= col("olab")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** The composite training-data pipeline: language-filter + quality
+    * threshold + exact-dedup canonicalization → the kept corpus. This is
+    * the flow the individual operators exist for. */
+  private def corpusFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    val scored = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      normText(col("text")).as("norm"), size(toks).as("n_tokens"),
+      size(filter(toks, t => t.isin(StopWords: _*))).as("stop_cnt"))
+    val canon = scored.groupBy("norm").agg(min(col("doc_id")).as("canonical_id"))
+    scored.join(canon, Seq("norm"))
+      .where(col("doc_id") === col("canonical_id") &&
+        col("n_tokens") >= 30 &&
+        col("lang").isin("en", "de", "fr") &&
+        log(lit(1.0) + col("n_tokens")) *
+          (lit(1.0) - col("stop_cnt") / col("n_tokens")) >= 3.0)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   // ---- similarity search -------------------------------------------------
 
   /** Brute-force cosine top-k for query vectors vec_id < 10. */
@@ -429,6 +480,8 @@ object Llm {
     "llm_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "llm_dedup_simhash" -> (dedupSimhash _),
     "llm_dedup_embed" -> (dedupEmbed _),
+    "llm_dedup_clusters" -> (dedupClusters _),
+    "llm_corpus_filter" -> (corpusFilter _),
     "llm_simsearch_topk" -> (simsearchTopk _),
     "llm_simsearch_ivf" -> (simsearchIvf _),
     "llm_text_tokens" -> (textTokens _),
@@ -471,6 +524,45 @@ object Llm {
          | FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |WHERE cos >= $CosineThreshold
          |ORDER BY v1, v2""".stripMargin,
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS ($sqlShingles),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         | SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+         | FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2),
+         |pairs AS (
+         | SELECT d1, d2 FROM inter
+         |  JOIN sizes sa ON sa.doc_id = d1
+         |  JOIN sizes sb ON sb.doc_id = d2
+         | WHERE $JaccardDen * i >= $JaccardNum * (sa.sz + sb.sz - i)),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |r(a, b) AS (
+         | SELECT id, id FROM nodes
+         | UNION
+         | SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+         |SELECT a AS doc_id, MIN(b) AS cluster_id FROM r
+         |GROUP BY a ORDER BY doc_id""".stripMargin,
+    "llm_corpus_filter" ->
+      """WITH tk AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) AS INT) AS stop_cnt
+        | FROM tk GROUP BY doc_id),
+        |scored AS (
+        | SELECT d.doc_id AS doc_id, lang,
+        |  REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g') AS norm,
+        |  n_tokens, stop_cnt
+        | FROM documents d JOIN st ON d.doc_id = st.doc_id),
+        |canon AS (SELECT norm, MIN(doc_id) AS canonical_id FROM scored GROUP BY norm)
+        |SELECT s.doc_id AS doc_id, s.lang AS lang, s.n_tokens AS n_tokens
+        |FROM scored s JOIN canon c ON s.norm = c.norm
+        |WHERE s.doc_id = c.canonical_id
+        |  AND n_tokens >= 30
+        |  AND lang IN ('en', 'de', 'fr')
+        |  AND LN(1.0 + n_tokens) * (1.0 - stop_cnt / n_tokens) >= 3.0
+        |ORDER BY doc_id""".stripMargin,
     "llm_simsearch_topk" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings),
          |p AS (
