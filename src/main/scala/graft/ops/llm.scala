@@ -248,8 +248,12 @@ object Llm {
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = Api.nearDupPairs(T(s, dir, "documents"), "doc_id", "text",
       ShingleK, JaccardNum, JaccardDen).select("d1", "d2")
+    // materialize the (small) edge set once — every propagation round
+    // re-reads it, and without the cache each round would recompute the
+    // whole shingle self-join (measured: 21 s → ~2 s at sf0.1)
     val edges = pairs
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .cache()
     val nodes = edges.select(col("d1").as("id")).distinct()
     var labels = nodes.withColumn("lab", col("id"))
     var changed = 1L
