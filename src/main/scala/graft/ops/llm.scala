@@ -438,6 +438,39 @@ object Llm {
         dround(sum(col("n2")) / count(lit(1)), 4).as("avg_norm2"))
       .orderBy("lang", "label")
 
+  /** Token counting two ways: whitespace split vs a BPE-ish pre-tokenizer
+    * regex (the GPT-2-style word/punct alternation) — both engines run
+    * the same pattern (ASCII text, RE2 ≡ java.util.regex here). */
+  private def tokensBpe(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]+"), lit(0)))
+          .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Edit-distance near-dup scoring on a small block (first 15 docs,
+    * 40-char prefixes) — levenshtein is the same DP in both engines. */
+  private def textEditDist(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").where(col("doc_id") < 15)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("head40"))
+    val a = d.select(col("doc_id").as("d1"), col("head40").as("h1"))
+    val b = d.select(col("doc_id").as("d2"), col("head40").as("h2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), levenshtein(col("h1"), col("h2")).as("edit_dist"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Rolling-hash document fingerprint: polynomial fold over token hashes
+    * mod 1e9+7 (no overflow under ANSI). xxhash64-seeded → rows-only. */
+  private def fingerprintRolling(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        aggregate(split(col("text"), " "), lit(0L),
+          (h, t) => (h * 31 + pmod(xxhash64(t), lit(1000000007L))) % 1000000007L)
+          .as("rolling_fp"))
+      .orderBy("doc_id")
+
   // ---- multimodal binary columns -----------------------------------------
 
   private def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
@@ -489,6 +522,9 @@ object Llm {
     "llm_simsearch_topk" -> (simsearchTopk _),
     "llm_simsearch_ivf" -> (simsearchIvf _),
     "llm_text_tokens" -> (textTokens _),
+    "llm_tokens_bpe" -> (tokensBpe _),
+    "llm_text_editdist" -> (textEditDist _),
+    "llm_fingerprint_rolling" -> (fingerprintRolling _),
     "llm_text_stats" -> (textStats _),
     "llm_text_quality" -> (textQuality _),
     "llm_lang_id" -> (langId _),
@@ -581,6 +617,17 @@ object Llm {
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
         |FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "llm_tokens_bpe" ->
+      """SELECT doc_id,
+        | CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_ws_tokens,
+        | CAST(LEN(REGEXP_EXTRACT_ALL(text, '\w+|[^\w\s]+')) AS INT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_text_editdist" ->
+      """SELECT a.doc_id AS d1, b.doc_id AS d2,
+        | CAST(LEVENSHTEIN(SUBSTRING(a.text, 1, 40), SUBSTRING(b.text, 1, 40)) AS INT) AS edit_dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND a.doc_id < 15 AND b.doc_id < 15
+        |ORDER BY d1, d2""".stripMargin,
     "llm_text_stats" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          | CAST(SUM(n_chars) AS BIGINT) AS total_chars,

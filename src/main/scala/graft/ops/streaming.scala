@@ -58,7 +58,31 @@ object Streaming {
       .orderBy("event_id")
   }
 
+  /** Event-funnel analytics: per-user first-touch times per stage, then a
+    * strict-ordering conversion classification — the sessionized-events
+    * use case the streaming surrogates feed. Null-propagating integer-µs
+    * comparisons are identical in both engines. */
+  private def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val firstOf = (t: String) => min(when(col("event_type") === t, col("us")))
+    T.eventsUs(s, dir)
+      .groupBy("user_id")
+      .agg(firstOf("signup").as("first_signup"),
+        firstOf("view").as("first_view"),
+        firstOf("purchase").as("first_purchase"))
+      .select(
+        when(col("first_signup").isNotNull &&
+            col("first_view") > col("first_signup") &&
+            col("first_purchase") > col("first_view"), "converted")
+          .when(col("first_signup").isNotNull &&
+            col("first_view") > col("first_signup"), "viewed")
+          .when(col("first_signup").isNotNull, "signed_up")
+          .otherwise("no_signup").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (eventsFunnel _),
     "stream_tumbling_window" -> (tumbling _),
     "stream_sliding_window" -> (sliding _),
     "stream_session_window" -> (session _),
@@ -66,6 +90,21 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_funnel" ->
+      """SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+        | SELECT CASE
+        |   WHEN first_signup IS NOT NULL AND first_view > first_signup
+        |        AND first_purchase > first_view THEN 'converted'
+        |   WHEN first_signup IS NOT NULL AND first_view > first_signup THEN 'viewed'
+        |   WHEN first_signup IS NOT NULL THEN 'signed_up'
+        |   ELSE 'no_signup' END AS stage
+        | FROM (
+        |  SELECT user_id,
+        |   MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
+        |   MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+        |   MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+        |  FROM events GROUP BY user_id))
+        |GROUP BY stage ORDER BY stage""".stripMargin,
     "stream_tumbling_window" ->
       """SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS win_start, event_type,
         | CAST(COUNT(*) AS BIGINT) AS n,
