@@ -78,6 +78,27 @@ class StreamingSuite extends SparkSuiteBase {
     }
   }
 
+  test("file streaming source: readStream over parquet matches the batch result") {
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    graft.ops.T(spark, SF, "events").select("event_id", "user_id", "event_type")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING")
+      .parquet(src)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("filesrc")
+      .outputMode("complete").start()
+    withQuery(q) {
+      q.processAllAvailable()
+      val got = spark.table("filesrc").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = graft.ops.T(spark, SF, "events").groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    }
+  }
+
   test("foreachBatch sink receives every micro-batch exactly once") {
     import spark.implicits._
     val in = MemoryStream[Ev](spark)
