@@ -26,8 +26,9 @@ import Params._
   *    baseline); `llm_simsearch_ivf` probes 2 of k coarse cells — the
   *    partition-pruning shape that survives 100 TB (candidates shuffle by
   *    cell, not crossJoin).
-  *  - every float fold is an explicit left-to-right `aggregate` so the
-  *    oracle can reproduce it term-for-term (SURVEY §7.3.4/7).
+  *  - every float reduction is an explicit left-to-right chain (codegen
+  *    DotProductF / compiled loops) so the oracle reproduces it
+  *    term-for-term (SURVEY §7.3.4/7).
   */
 object Llm {
 
@@ -91,6 +92,8 @@ object Llm {
       .withColumn("sz", size(col("shingles")))
   }
 
+  // the LEAD(tok, 1..4) chain below is the k=5 spelling — keep in sync
+  require(ShingleK == 5, "sqlShingles hard-codes the k=5 LEAD chain")
   private val sqlShingles: String =
     s"""SELECT DISTINCT doc_id, sh FROM (
        | SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w ||
