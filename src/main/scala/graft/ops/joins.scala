@@ -148,7 +148,36 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  /** FULL OUTER of per-nation customer vs supplier counts — unmatched
+    * sides surface as zeros via coalesce on both key and counts. */
+  private def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer").groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+    val p = T(s, dir, "supplier").groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** Scalar subquery: orders at 1.5x the global average price (prices
+    * are uniform-ish, so 2x would select nothing). */
+  private def joinScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("graft_sq_orders")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM graft_sq_orders
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM graft_sq_orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_full_outer" -> (joinFullOuter _),
+    "scalar_subquery" -> (joinScalarSubquery _),
     "join_broadcast_inner" -> (joinBroadcastInner _),
     "join_shuffle_inner" -> (joinShuffleInner _),
     "join_multiway_star" -> (joinMultiwayStar _),
@@ -163,6 +192,20 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_full_outer" ->
+      """SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        | CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+        | CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+        |FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+        |  ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "join_broadcast_inner" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey

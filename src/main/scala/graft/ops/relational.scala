@@ -109,6 +109,12 @@ object Relational {
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(10)
 
+  private def setUnionDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .unionByName(T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
   private def setUnionAll(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
       .unionByName(T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
@@ -137,6 +143,7 @@ object Relational {
     "project_expressions" -> (projectExpressions _),
     "sort_limit_topk" -> (sortLimitTopk _),
     "set_union_all" -> (setUnionAll _),
+    "set_union_distinct" -> (setUnionDistinct _),
     "set_intersect" -> (setIntersect _),
     "set_except" -> (setExcept _),
   )
@@ -195,6 +202,11 @@ object Relational {
         | UNION ALL
         | SELECT s_nationkey AS nationkey FROM supplier)
         |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "set_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
     "set_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT
