@@ -102,6 +102,17 @@ object Functions {
         coalesce(element_at(col("m"), lit("purchase")), lit(0L)).as("purchases"))
       .orderBy("user_id")
 
+  /** DataFrameNaFunctions surface: synthesize nulls (fixtures have none),
+    * flag them, then na.fill — COALESCE-equivalent for the oracle. */
+  private def fnNullHandling(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_n"),
+        when(col("o_totalprice") < 100000, col("o_totalprice")).as("price_n"))
+      .withColumn("price_was_null", col("price_n").isNull)
+      .na.fill(Map("status_n" -> "OPEN", "price_n" -> 0.0))
+      .orderBy("o_orderkey")
+
   private def fnBitwise(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "part")
       .select(
@@ -139,6 +150,7 @@ object Functions {
     "fn_array" -> (fnArray _),
     "fn_map" -> (fnMap _),
     "fn_bitwise" -> (fnBitwise _),
+    "fn_null_handling" -> (fnNullHandling _),
     "fn_unpivot" -> (fnUnpivot _),
     "udtf_explode_tokens" -> (udtfExplodeTokens _),
   )
@@ -214,6 +226,12 @@ object Functions {
         | p_partkey >> 2 AS shr,
         | CAST(bit_count(p_partkey) AS INT) AS popcount
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_null_handling" ->
+      """SELECT o_orderkey,
+        | COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_n,
+        | COALESCE(CASE WHEN o_totalprice < 100000 THEN o_totalprice END, 0.0) AS price_n,
+        | (CASE WHEN o_totalprice < 100000 THEN o_totalprice END) IS NULL AS price_was_null
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_unpivot" ->
       """SELECT c_custkey, metric, value FROM (
         | SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer

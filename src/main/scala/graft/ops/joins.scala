@@ -175,9 +175,52 @@ object Joins {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** TPC-H Q3-shaped: top-10 highest-revenue BUILDING-segment orders
+    * placed before / shipped after the cutoff. The top-k selection orders
+    * by the EXACT decimal revenue (cross-engine-identical sort), cast to
+    * double only for output. */
+  private def tpchQ3Shaped(s: SparkSession, dir: String): DataFrame = {
+    val rev = money12(col("l_extendedprice")) *
+      (lit(1.0).cast(org.apache.spark.sql.types.DecimalType(4, 2)) - pct(col("l_discount")))
+    T(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .where(col("o_orderdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") > to_timestamp(lit("1997-01-01")))
+      .groupBy("o_orderkey")
+      .agg(sum(rev).as("rev_dec"), to_date(min(col("o_orderdate"))).as("order_date"))
+      .orderBy(col("rev_dec").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("order_date"), col("rev_dec").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+  }
+
+  /** TPC-H Q10-shaped: revenue lost to returned items per customer in one
+    * quarter, top-20 — same exact-decimal top-k discipline. */
+  private def tpchQ10Shaped(s: SparkSession, dir: String): DataFrame = {
+    val rev = money12(col("l_extendedprice")) *
+      (lit(1.0).cast(org.apache.spark.sql.types.DecimalType(4, 2)) - pct(col("l_discount")))
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .where(col("l_returnflag") === "R" &&
+        col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-04-01")))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(rev).as("rev_dec"), count(lit(1)).as("n_items"))
+      .orderBy(col("rev_dec").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("rev_dec").cast("double").as("lost_revenue"), col("n_items"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_full_outer" -> (joinFullOuter _),
     "scalar_subquery" -> (joinScalarSubquery _),
+    "tpch_q3_shaped" -> (tpchQ3Shaped _),
+    "tpch_q10_shaped" -> (tpchQ10Shaped _),
     "join_broadcast_inner" -> (joinBroadcastInner _),
     "join_shuffle_inner" -> (joinShuffleInner _),
     "join_multiway_star" -> (joinMultiwayStar _),
@@ -206,6 +249,42 @@ object Joins {
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "tpch_q3_shaped" ->
+      """SELECT o_orderkey, order_date,
+        | CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM (
+        | SELECT o_orderkey,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec,
+        |  CAST(MIN(o_orderdate) AS DATE) AS order_date
+        | FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        | WHERE c_mktsegment = 'BUILDING'
+        |   AND o_orderdate < TIMESTAMP '1997-01-01'
+        |   AND l_shipdate > TIMESTAMP '1997-01-01'
+        | GROUP BY o_orderkey
+        | ORDER BY rev_dec DESC, o_orderkey LIMIT 10)
+        |ORDER BY revenue DESC, o_orderkey""".stripMargin,
+    "tpch_q10_shaped" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS lost_revenue,
+        | CAST(n_items AS BIGINT) AS n_items
+        |FROM (
+        | SELECT c_custkey, c_name, n_name,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec,
+        |  COUNT(*) AS n_items
+        | FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        | WHERE l_returnflag = 'R'
+        |   AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |   AND o_orderdate < TIMESTAMP '1997-04-01'
+        | GROUP BY c_custkey, c_name, n_name
+        | ORDER BY rev_dec DESC, c_custkey LIMIT 20)
+        |ORDER BY lost_revenue DESC, c_custkey""".stripMargin,
     "join_broadcast_inner" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
