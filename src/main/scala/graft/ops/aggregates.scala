@@ -147,6 +147,16 @@ object Aggregates {
       .agg(sum(col("sq")).cast("double").as("sum_qty"), sum(col("n")).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Boolean/conditional aggregates: count_if, bool_and, bool_or. */
+  private def aggBoolean(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("count_if(o_totalprice > 250000)").as("n_big"),
+        expr("bool_and(o_totalprice > 0)").as("all_positive"),
+        expr("bool_or(o_totalprice > 490000)").as("any_huge"))
+      .orderBy("o_orderpriority")
+
   /** Pivot: linestatus → columns (Catalyst rewrites to CASE-WHEN aggs —
     * same shape as the oracle's explicit conditional sums). */
   private def aggPivot(s: SparkSession, dir: String): DataFrame =
@@ -177,6 +187,7 @@ object Aggregates {
     "agg_percentiles" -> (aggPercentiles _),
     "agg_skew_salted_twophase" -> (aggSkewSalted _),
     "agg_pivot" -> (aggPivot _),
+    "agg_boolean" -> (aggBoolean _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -258,6 +269,12 @@ object Aggregates {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_boolean" ->
+      """SELECT o_orderpriority,
+        | CAST(COUNT_IF(o_totalprice > 250000) AS BIGINT) AS n_big,
+        | BOOL_AND(o_totalprice > 0) AS all_positive,
+        | BOOL_OR(o_totalprice > 490000) AS any_huge
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_pivot" ->
       """SELECT l_returnflag,
         | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS F,

@@ -102,6 +102,19 @@ object Functions {
         coalesce(element_at(col("m"), lit("purchase")), lit(0L)).as("purchases"))
       .orderBy("user_id")
 
+  /** Struct (nested) types: build a named struct, project fields back out
+    * as scalars (struct columns themselves are engine-layout-specific). */
+  private def fnStruct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .select(col("c_custkey"),
+        struct(col("c_name").as("name"), col("c_acctbal").as("bal"),
+          col("c_nationkey").as("nk")).as("info"))
+      .select(col("c_custkey"),
+        col("info.name").as("name"),
+        col("info.bal").as("bal"),
+        (col("info.nk") + 100).as("nk_off"))
+      .orderBy("c_custkey")
+
   /** DataFrameNaFunctions surface: synthesize nulls (fixtures have none),
     * flag them, then na.fill — COALESCE-equivalent for the oracle. */
   private def fnNullHandling(s: SparkSession, dir: String): DataFrame =
@@ -151,6 +164,7 @@ object Functions {
     "fn_map" -> (fnMap _),
     "fn_bitwise" -> (fnBitwise _),
     "fn_null_handling" -> (fnNullHandling _),
+    "fn_struct" -> (fnStruct _),
     "fn_unpivot" -> (fnUnpivot _),
     "udtf_explode_tokens" -> (udtfExplodeTokens _),
   )
@@ -226,6 +240,13 @@ object Functions {
         | p_partkey >> 2 AS shr,
         | CAST(bit_count(p_partkey) AS INT) AS popcount
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_struct" ->
+      """SELECT c_custkey, info.name AS name, info.bal AS bal,
+        | info.nk + 100 AS nk_off
+        |FROM (SELECT c_custkey,
+        |  {'name': c_name, 'bal': c_acctbal, 'nk': c_nationkey} AS info
+        | FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
     "fn_null_handling" ->
       """SELECT o_orderkey,
         | COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_n,

@@ -92,9 +92,24 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** rank / dense_rank / cume_dist side by side over a unique ordering
+    * (ties impossible → identical in both engines; cume_dist is k/n
+    * rationals, dround(6) defended). */
+  private def winRankVariants(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        dround(cume_dist().over(w), 6).as("cd"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_range_frame" -> (winRangeFrame _),
     "win_first_last" -> (winFirstLast _),
+    "win_rank_variants" -> (winRankVariants _),
     "win_rank_topk_per_group" -> (winRankTopkPerGroup _),
     "win_running_sum" -> (winRunningSum _),
     "win_lag_lead" -> (winLagLead _),
@@ -103,6 +118,14 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_rank_variants" ->
+      s"""SELECT c_custkey, c_mktsegment,
+         | CAST(RANK() OVER w AS INT) AS rnk,
+         | CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+         | ${sqlRound("CUME_DIST() OVER w", 6)} AS cd
+         |FROM customer
+         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         |ORDER BY c_custkey""".stripMargin,
     "win_range_frame" ->
       """SELECT user_id, event_id,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
