@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // At bench scale (17 MB) AQE's re-planning round-trips cost ~15% of
+      // wall-clock and buy nothing (SURVEY §4.2); at real scale it stays
+      // on (Verify keeps the default, SCALING.md). Override via env.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/parquet-reader warm-up with generic ops (not scored
