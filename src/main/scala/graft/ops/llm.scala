@@ -187,8 +187,10 @@ object Llm {
           zip_with(col("x.chunks"), col("y.chunks"),
             (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
           lit(0L), (acc, v) => acc + v).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: near-identical fingerprints make the raw
+      // candidate set large, the surviving pair set small
       .where(col("hamming") <= 3)
+      .distinct()
       .orderBy("d1", "d2")
   }
 
