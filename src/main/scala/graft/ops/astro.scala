@@ -72,9 +72,11 @@ object Astro {
       .withColumn("zone", floor(col("dec_a")))
     // 2-D blocking: 1° declination zones plus 6° RA bands (ε=0.5° at
     // |dec| ≤ 85° needs |Δra| ≤ 0.5/cos(85°) ≈ 5.74° < 6°, so ±1 band is
-    // sound). The smaller catalog explodes into the 9 adjacent cells; the
-    // oracle mirrors the same BETWEEN predicate, so semantics match
-    // exactly (RA 0/360 wrap pairs are outside the operator's contract).
+    // sound). The smaller catalog explodes into the 9 adjacent cells. RA
+    // bands wrap modulo 60 so sources within ε of RA 0/360 match across
+    // the seam — the haversine itself needs no change (sin²(Δra/2) is
+    // 360°-periodic, so a 359.9° vs 0.1° pair already scores as 0.2°
+    // apart); the oracle mirrors the same modular band predicate.
     val b = T(s, dir, "customer").select(
       col("c_custkey").as("b_id"),
       raOf(col("c_custkey"), 71).as("ra_b"),
@@ -82,7 +84,7 @@ object Astro {
       .withColumn("doff", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("roff", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("zone_probe", col("doff") + floor(col("dec_b")))
-      .withColumn("ra_zone_probe", col("roff") + floor(col("ra_b") / 6))
+      .withColumn("ra_zone_probe", pmod(col("roff") + floor(col("ra_b") / 6), lit(60)))
     val d = angularDist(col("ra_a"), col("dec_a"), col("ra_b"), col("dec_b"))
     a.withColumn("ra_zone", floor(col("ra_a") / 6))
       .join(b, col("zone") === col("zone_probe") &&
@@ -121,7 +123,7 @@ object Astro {
          | JOIN (SELECT c_custkey AS b_id, ${sqlRa("c_custkey", 71)} AS ra_b,
          |        ${sqlDec("c_custkey", 41)} AS dec_b FROM customer) b
          |   ON FLOOR(dec_a) BETWEEN FLOOR(dec_b) - 1 AND FLOOR(dec_b) + 1
-         |  AND FLOOR(ra_a / 6) BETWEEN FLOOR(ra_b / 6) - 1 AND FLOOR(ra_b / 6) + 1)
+         |  AND ((CAST(FLOOR(ra_a / 6) AS BIGINT) - CAST(FLOOR(ra_b / 6) AS BIGINT)) % 60 + 60) % 60 IN (0, 1, 59))
          |WHERE dist < $ZoneEps
          |ORDER BY a_id, b_id""".stripMargin
     },

@@ -40,6 +40,30 @@ object T {
       .withColumn("ts_us", timestamp_micros(col("us")))
 }
 
+/** One per-JVM temp root for every write-demo query (csv/json/orc/avro
+  * roundtrips, partitioned sink, bucketed tables). Fixed per-purpose
+  * subdirectories mean repeated Bench/Verify/test invocations overwrite
+  * instead of accreting fresh directories, and a shutdown hook removes
+  * the whole root — the round-1 leak (a new createTempDirectory per
+  * call, never deleted) is gone.
+  */
+object GraftTmp {
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_tmp")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p.toFile)))
+    p
+  }
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRec))
+    f.delete(); ()
+  }
+  def dir(name: String): String = {
+    val d = root.resolve(name)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+}
+
 /** Determinism helpers (SURVEY §7.3). The DuckDB oracle compare is
   * byte-exact, so every scored query routes floating-point output through
   * these. The rules:

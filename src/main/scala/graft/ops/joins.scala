@@ -129,19 +129,28 @@ object Joins {
     * as join_shuffle_inner, so the oracle is the plain join. PlanSuite
     * asserts no Exchange hashpartitioning in the plan. */
   private def joinBucketed(s: SparkSession, dir: String): DataFrame = {
-    // fresh external locations per call: a stale managed-table directory
-    // from an earlier session would fail LOCATION_ALREADY_EXISTS
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    // Unique table names per call (no metastore race between sessions,
+    // no LOCATION_ALREADY_EXISTS from stale dirs), and each call drops
+    // the previous call's tables — by then their result has long been
+    // materialized, so nothing accretes in the catalog. Data lives under
+    // the shared temp root (removed at JVM exit).
+    s.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_bucketed_"))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val tmp = GraftTmp.dir(s"bucket_$tag")
+    val ot = s"graft_bucketed_o_$tag"
+    val lt = s"graft_bucketed_l_$tag"
     T(s, dir, "orders").select("o_orderkey", "o_totalprice")
       .write.mode("overwrite").option("path", s"$tmp/orders")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_orders_bucketed")
+      .saveAsTable(ot)
     T(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
       .write.mode("overwrite").option("path", s"$tmp/lineitem")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_lineitem_bucketed")
-    s.table("graft_orders_bucketed")
-      .join(s.table("graft_lineitem_bucketed"),
+      .saveAsTable(lt)
+    s.table(ot)
+      .join(s.table(lt),
         col("o_orderkey") === col("l_orderkey"), "inner")
       .groupBy("o_orderkey")
       .agg(count(lit(1)).as("n_items"), sumMoneyD(col("l_extendedprice")).as("gross"))
@@ -172,6 +181,23 @@ object Joins {
         |WHERE o_totalprice > 1.5 * (
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM graft_sq_orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Correlated scalar subquery: orders priced above 1.2× their own
+    * customer's average order price. Catalyst decorrelates the per-row
+    * subquery (RewriteCorrelatedScalarSubquery) into one aggregate plus
+    * a join on the correlation key — i.e. it scales as a groupBy + join,
+    * not as n subquery executions; DuckDB runs the same SQL directly.
+    * PlanSuite asserts the decorrelated plan contains no per-row
+    * subquery node. */
+  private def joinCorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("graft_csq_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM graft_csq_orders o
+        |WHERE o_totalprice > CAST(1.2 AS DOUBLE) * (
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM graft_csq_orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin)
   }
 
@@ -219,6 +245,7 @@ object Joins {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_full_outer" -> (joinFullOuter _),
     "scalar_subquery" -> (joinScalarSubquery _),
+    "subquery_correlated" -> (joinCorrelatedSubquery _),
     "tpch_q3_shaped" -> (tpchQ3Shaped _),
     "tpch_q10_shaped" -> (tpchQ10Shaped _),
     "join_broadcast_inner" -> (joinBroadcastInner _),
@@ -248,6 +275,12 @@ object Joins {
         |WHERE o_totalprice > 1.5 * (
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "subquery_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > CAST(1.2 AS DOUBLE) * (
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
     "tpch_q3_shaped" ->
       """SELECT o_orderkey, order_date,

@@ -211,70 +211,110 @@ object Llm {
     n2
   }
 
+  /** Distributed exact all-pairs: vectors hash into B blocks, the
+    * B(B+1)/2 unordered block pairs become independent tasks, and a
+    * compiled loop scores each pair once (within a block: id1 < id2;
+    * across blocks: every cross pair). No driver-side collect and no n²
+    * joined-row materialization — shuffle volume is n·B rows (each block
+    * feeds B pair-tasks) and per-task memory is two blocks. Exact
+    * all-pairs work is inherently O(n²) flops; at 100 TB raise B so a
+    * block fits an executor, or better, feed candidates from LSH/IVF
+    * blocking (dedupMinhashLsh / simsearchIvf) instead of scoring all
+    * pairs at all. Same left-to-right arithmetic as the oracle chain
+    * (dot is order-symmetric term-by-term), so still bit-exact. */
   private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val B = 8
     val e = T(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-    // Build-time collect of the small side mirrors what Spark's own
-    // broadcast-hash join does internally (2 000 × 64 floats ≈ 0.5 MB);
-    // primitive arrays avoid the per-access Float boxing that made the
-    // θ-join and UDF forms 3-10× slower. At 100 TB the candidate side
-    // must come from LSH/IVF blocking instead (see dedupMinhashLsh /
-    // simsearchIvf) — never an all-pairs broadcast.
-    val vecs = e.collect().sortBy(_._1).map { case (id, v) =>
-      val a = v.toArray; (id, a, norm2Of(a))
-    }
-    val bc = s.sparkContext.broadcast(vecs)
-    val thr = CosineThreshold
-    e.mapPartitions { it =>
-      it.flatMap { case (v1, ea0) =>
-        val ea = ea0.toArray
-        val sq = math.sqrt(norm2Of(ea))
-        bc.value.iterator.filter(_._1 > v1).flatMap { case (v2, eb, n2b) =>
-          var s0 = 0.0
-          var i = 0
-          val n = math.min(ea.length, eb.length)
-          while (i < n) { s0 += ea(i).toDouble * eb(i).toDouble; i += 1 }
-          val cos = s0 / (sq * math.sqrt(n2b))
-          if (cos >= thr) Some((v1, v2, cos)) else None
+    val blocks: org.apache.spark.sql.Dataset[(Int, Array[(Long, Array[Float], Double)])] =
+      e.groupByKey { case (id, _) => (id % B).toInt }
+        .mapGroups { (b, it) =>
+          (b, it.map { case (id, v) =>
+            val a = v.toArray; (id, a, norm2Of(a))
+          }.toArray)
         }
+    val bdf = blocks.toDF("blk", "vs")
+    val thr = CosineThreshold
+    bdf.as("l").join(bdf.as("r"), col("l.blk") <= col("r.blk"))
+      .select(col("l.vs").as("a"), col("r.vs").as("b"),
+        (col("l.blk") === col("r.blk")).as("same"))
+      .as[(Array[(Long, Array[Float], Double)], Array[(Long, Array[Float], Double)], Boolean)]
+      .flatMap { case (a, b, same) =>
+        for {
+          (id1, v1, n1) <- a.iterator
+          (id2, v2, n2) <- b.iterator
+          if !same || id1 < id2
+          cos = {
+            // (lo, hi) in vec_id order so the divisor multiplies in the
+            // oracle's SQRT(lo.n2) * SQRT(hi.n2) order
+            val (lo, hi, nlo, nhi) =
+              if (id1 < id2) (v1, v2, n1, n2) else (v2, v1, n2, n1)
+            var s0 = 0.0
+            var i = 0
+            val n = math.min(lo.length, hi.length)
+            while (i < n) { s0 += lo(i).toDouble * hi(i).toDouble; i += 1 }
+            s0 / (math.sqrt(nlo) * math.sqrt(nhi))
+          }
+          if cos >= thr
+        } yield (math.min(id1, id2), math.max(id1, id2), cos)
       }
-    }.toDF("v1", "v2", "cos")
+      .toDF("v1", "v2", "cos")
       .select(col("v1"), col("v2"), dround(col("cos"), 6).as("cos_sim"))
       .orderBy("v1", "v2")
   }
 
   /** Transitive dedup clusters: connected components over the near-dup
-    * pair graph by min-label propagation (the Pregel/GraphX pattern as a
-    * driver-side loop over distributed joins — each iteration is one
-    * shuffle; components here are tiny so it converges in O(log d)
-    * rounds). cluster_id = min doc_id reachable. Oracle: recursive-CTE
-    * transitive closure. */
+    * pair graph by min-label propagation WITH pointer-doubling
+    * (Shiloach–Vishkin shortcutting: lab := lab(lab) each round), so the
+    * round count is O(log diameter), not O(diameter). cluster_id = min
+    * doc_id reachable. Oracle: recursive-CTE transitive closure.
+    *
+    * Execution discipline (the round-1 bench lesson — 198 s at local[32]
+    * from unbounded lineage + per-round cache/count jobs):
+    *  - `localCheckpoint(eager)` on the edge set truncates the expensive
+    *    shingle-self-join lineage once, and on each round's labels keeps
+    *    every round's plan constant-size (no doubling lineage). On a real
+    *    cluster swap for `checkpoint` into a reliable dir.
+    *  - convergence = "sum of labels stopped decreasing": labels only
+    *    ever decrease (least/min), so one cheap decimal aggregate per
+    *    round replaces the old join+count change detector.
+    *  - converges or dies: require() fails loudly rather than emitting
+    *    wrong clusters if the 16-round cap (diameter 2^16) is ever hit. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = Api.nearDupPairs(T(s, dir, "documents"), "doc_id", "text",
       ShingleK, JaccardNum, JaccardDen).select("d1", "d2")
-    // materialize the (small) edge set once — every propagation round
-    // re-reads it, and without the cache each round would recompute the
-    // whole shingle self-join (measured: 21 s → ~2 s at sf0.1)
     val edges = pairs
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .cache()
-    val nodes = edges.select(col("d1").as("id")).distinct()
-    var labels = nodes.withColumn("lab", col("id"))
-    var changed = 1L
+      .localCheckpoint()
+    def labSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lab").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .first().getDecimal(0)
+    var labels = edges.select(col("d1").as("id")).distinct()
+      .withColumn("lab", col("id")).localCheckpoint()
+    var prevSum = labSum(labels)
+    var converged = prevSum == null // empty graph: nothing to propagate
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (!converged && rounds < 16) {
+      // 1-hop min over neighbors…
       val prop = edges.join(labels, col("d2") === col("id"))
-        .groupBy(col("d1").as("id2")).agg(min(col("lab")).as("nlab"))
-      val next = labels.join(prop, col("id") === col("id2"), "left_outer")
+        .groupBy(col("d1").as("pid")).agg(min(col("lab")).as("nlab"))
+      val stepped = labels.join(prop, col("id") === col("pid"), "left_outer")
         .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("lab", "olab"), "id")
-        .where(col("lab") =!= col("olab")).count()
-      labels.unpersist()
+      // …then shortcut: lab(v) := lab(lab(v)) (labels are node ids, and
+      // lab(w) <= w always, so the coalesce only ever decreases)
+      val next = stepped.as("a")
+        .join(stepped.select(col("id").as("lid"), col("lab").as("llab")).as("b"),
+          col("a.lab") === col("b.lid"), "left_outer")
+        .select(col("a.id").as("id"), coalesce(col("llab"), col("a.lab")).as("lab"))
+        .localCheckpoint()
+      val nowSum = labSum(next)
+      converged = nowSum.compareTo(prevSum) == 0
+      prevSum = nowSum
       labels = next
       rounds += 1
     }
+    require(converged, s"dedupClusters: not converged after $rounds rounds")
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
       .orderBy("doc_id")
   }
@@ -315,21 +355,29 @@ object Llm {
   private def simsearchIvf(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"), fnorm2(col("embedding")).as("n2"))
+    // Cell centroids via a FIXED-ORDER reduction (sort by vec_id, then a
+    // left-to-right array fold): a native avg() merges partials in
+    // nondeterministic order, and an unrounded float ranking could then
+    // flip which 2 cells are probed across runs/thread counts. At 100 TB
+    // the two-phase avg is the right shape — the fixed-order fold here
+    // buys run-to-run reproducibility for this rows-only-checked query.
     val cents = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy("label", "dim").agg(avg(col("x").cast("double")).as("cx"))
       .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
-      .select(col("label").as("c_label"),
-        transform(col("pairs"), p => p.getField("cx")).as("cent"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      .select(col("label").as("c_label"), size(col("vs")).as("c_n"),
+        aggregate(col("vs"), array_repeat(lit(0.0), Dim),
+          (acc, v) => zip_with(acc, v.getField("embedding"),
+            (a, x) => a + x.cast("double"))).as("csum"))
+      .select(col("c_label"),
+        transform(col("csum"), sx => sx / col("c_n")).as("cent"))
       .withColumn("c_n2", fnorm2D(col("cent")))
     val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("c_label"))
     val probed = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn"))
       .crossJoin(cents)
-      .withColumn("ccos",
+      .withColumn("ccos", dround(
         fdotD(transform(col("qe"), _.cast("double")), col("cent")) /
-          (sqrt(col("qn")) * sqrt(col("c_n2"))))
+          (sqrt(col("qn")) * sqrt(col("c_n2"))), 9))
       .withColumn("crk", row_number().over(wq))
       .where(col("crk") <= 2)
       .select(col("qid"), col("qe"), col("qn"), col("c_label"))
@@ -434,6 +482,20 @@ object Llm {
       .orderBy("vec_id")
   }
 
+  /** The SparkSessionExtensions seam end-to-end: `graft_dot` (the native
+    * codegen DotProductF) invoked from plain SQL text on a live session —
+    * proving a spark.sql user gets the custom expression, not just the
+    * Column API. Same ((0+t1)+t2)+… chain as the oracle's expanded term
+    * list, so the rounded output is byte-exact. */
+  private def sqlExtensionDot(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    T(s, dir, "embeddings").createOrReplaceTempView("graft_ext_emb")
+    s.sql(
+      """SELECT vec_id,
+        | FLOOR(graft_dot(embedding, embedding) * 1e6 + 0.5) / 1e6 AS n2_dot
+        |FROM graft_ext_emb ORDER BY vec_id""".stripMargin)
+  }
+
   private def multimodalJoin(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .join(T(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
@@ -536,6 +598,7 @@ object Llm {
     "llm_fingerprint" -> (fingerprint _),
     "llm_tfidf" -> (tfidf _),
     "llm_embed_norms" -> (embedNorms _),
+    "sql_extension_dot" -> (sqlExtensionDot _),
     "llm_multimodal_join" -> (multimodalJoin _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stub" -> (mmDecodeStub _),
@@ -685,6 +748,9 @@ object Llm {
           (1 to 64).map(i => s"ABS(CAST(embedding[$i] AS DOUBLE))")
             .mkString("GREATEST(", ", ", ")"), 6)} AS max_abs,
          | ${sqlRound(s"SQRT(${sqlNorm2("embedding")})", 6)} BETWEEN 0.99 AND 1.01 AS is_unit
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "sql_extension_dot" ->
+      s"""SELECT vec_id, ${sqlRound(sqlNorm2("embedding"), 6)} AS n2_dot
          |FROM embeddings ORDER BY vec_id""".stripMargin,
     "llm_multimodal_join" ->
       s"""SELECT lang, label, CAST(COUNT(*) AS BIGINT) AS n,

@@ -29,10 +29,10 @@ object Relational {
     }.reduce(_ unionByName _).orderBy("table_name")
 
   /** Non-parquet source path: write region out as CSV, read it back with an
-    * explicit schema. The write happens eagerly at plan-build time into a
-    * fresh temp dir; the returned frame lazily scans the CSV. */
+    * explicit schema. The write happens eagerly at plan-build time into the
+    * shared temp root; the returned frame lazily scans the CSV. */
   private def sourceCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val tmp = GraftTmp.dir("csv")
     T(s, dir, "region").orderBy("r_regionkey")
       .write.mode("overwrite").option("header", "true").csv(tmp)
     s.read.schema("r_regionkey INT, r_name STRING")
@@ -41,7 +41,7 @@ object Relational {
   }
 
   private def sourceJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val tmp = GraftTmp.dir("json")
     T(s, dir, "nation").orderBy("n_nationkey")
       .write.mode("overwrite").json(tmp)
     s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
@@ -51,10 +51,52 @@ object Relational {
 
   /** Columnar non-parquet source: ORC round-trip of nation. */
   private def sourceOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val tmp = GraftTmp.dir("orc")
     T(s, dir, "nation").orderBy("n_nationkey")
       .write.mode("overwrite").orc(tmp)
     s.read.orc(tmp).orderBy("n_nationkey")
+  }
+
+  /** Whole-file binary source: write nation as delimited text, ingest the
+    * files back as opaque bytes via the built-in `binaryFile` source, and
+    * parse rows out of the decoded payload (decode → split lines → split
+    * fields — all codegen'd expressions). This is the raw-bytes ingestion
+    * shape for multimodal corpora: content arrives as a `binary` column
+    * plus file metadata, and structure is recovered in-plan. (Avro is the
+    * one mainstream format not demonstrable offline: the spark-avro
+    * datasource module ships separately from the Spark jars in this
+    * image.) */
+  private def sourceBinaryfileRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = GraftTmp.dir("binfile")
+    T(s, dir, "nation")
+      .select(concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      .write.mode("overwrite").text(tmp)
+    val line = explode(split(rtrim(decode(col("content"), "UTF-8")), "\n")).as("line")
+    val parts = split(col("line"), "\\|")
+    s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(tmp)
+      .select(line)
+      .where(length(col("line")) > 0)
+      .select(parts.getItem(0).cast("int").as("n_nationkey"),
+        parts.getItem(1).as("n_name"),
+        parts.getItem(2).cast("int").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  /** Line-oriented text source: write nation as delimited lines, read with
+    * `spark.read.text` and re-parse — the raw-text ingestion shape (at
+    * 100 TB this is the log/WET-file reader; parsing is a codegen'd
+    * split/cast projection, not a UDF). */
+  private def sourceTextRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = GraftTmp.dir("text")
+    T(s, dir, "nation")
+      .select(concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      .write.mode("overwrite").text(tmp)
+    val parts = split(col("value"), "\\|")
+    s.read.text(tmp)
+      .select(parts.getItem(0).cast("int").as("n_nationkey"),
+        parts.getItem(1).as("n_name"),
+        parts.getItem(2).cast("int").as("n_regionkey"))
+      .orderBy("n_nationkey")
   }
 
   /** Partitioned sink + partition-pruned scan: write orders partitioned by
@@ -62,7 +104,7 @@ object Relational {
     * carries 100-TB tables (PlanSuite asserts the scan touches a single
     * partition directory). Output mirrors a plain filter for the oracle. */
   private def sinkPartitionedParquet(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val tmp = GraftTmp.dir("part")
     T(s, dir, "orders")
       .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
     s.read.parquet(tmp)
@@ -137,6 +179,8 @@ object Relational {
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
+    "source_binaryfile_roundtrip" -> (sourceBinaryfileRoundtrip _),
+    "source_text_roundtrip" -> (sourceTextRoundtrip _),
     "sink_partitioned_parquet" -> (sinkPartitionedParquet _),
     "source_custom_datasource" -> (sourceCustomDatasource _),
     "filter_predicates" -> (filterPredicates _),
@@ -163,6 +207,10 @@ object Relational {
     "source_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "source_orc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "source_binaryfile_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "source_text_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "sink_partitioned_parquet" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice

@@ -46,4 +46,28 @@ class AstroSuite extends SparkSuiteBase {
     val pairs = rows.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
     assert(pairs.distinct.length == pairs.length, "duplicate candidate pairs leaked")
   }
+
+  test("zones blocking is lossless vs unblocked brute force, incl. RA 0/360 wrap") {
+    // ground truth: the same synthesized catalogs cross-joined with NO
+    // blocking — every pair under ε must survive the zone/band pruning
+    // (the haversine is 360°-periodic in Δra, so wrap pairs score
+    // correctly; the mod-60 band probe must keep them)
+    val a = T(spark, SF, "orders").select(
+      col("o_orderkey").as("a_id"),
+      ((col("o_orderkey") * 97 % 3600) / lit(10.0)).as("ra_a"),
+      ((col("o_orderkey") * 61 % 1700) / lit(10.0) - 85.0).as("dec_a"))
+    val b = T(spark, SF, "customer").select(
+      col("c_custkey").as("b_id"),
+      ((col("c_custkey") * 71 % 3600) / lit(10.0)).as("ra_b"),
+      ((col("c_custkey") * 41 % 1700) / lit(10.0) - 85.0).as("dec_b"))
+    val brute = a.crossJoin(b)
+      .withColumn("dist", Astro.angularDist(col("ra_a"), col("dec_a"), col("ra_b"), col("dec_b")))
+      .where(col("dist") < 0.5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = run("astro_crossmatch_zones").select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"missed=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+  }
 }

@@ -67,6 +67,16 @@ class PlanSuite extends SparkSuiteBase {
       s"bucketed join still shuffles:\n$p")
   }
 
+  test("subquery_correlated decorrelates into aggregate + join (no per-row subquery)") {
+    val df = run("subquery_correlated")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("scalar-subquery"),
+      s"correlated subquery not decorrelated:\n$p")
+    assert(p.contains("HashAggregate"), "expected one aggregate over the inner side")
+    assert(p.contains("Join"), "expected a join on the correlation key")
+  }
+
   test("custom DSv2 star source plans the requested partitions") {
     val df = spark.read.format("graft.sources.StarCatalogSource")
       .option("rows", "1000").option("partitions", "8").load()
