@@ -79,16 +79,15 @@ object Llm {
   private def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  /** Distinct k-token shingles per doc (docs with < k tokens drop out). */
+  /** Distinct k-token shingles per doc (docs with < k tokens drop out).
+    * Shingling is the compiled ShinglesK expression — see Api.nearDupPairs. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     T(s, dir, "documents")
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= ShingleK)
       .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), size(col("toks")) - (ShingleK - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(ShingleK))))).as("shingles"))
+        graft.plans.expressions.shinglesK(col("toks"), ShingleK).as("shingles"))
       .withColumn("sz", size(col("shingles")))
   }
 
@@ -159,24 +158,15 @@ object Llm {
     * 4×16-bit chunk blocking (exact for hamming <= 3 by pigeonhole).
     * xxhash64-based → no oracle; rows-only check. */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    // Relational formulation: hash each distinct token ONCE, then 64
-    // literal-shift bit-sums inside one partial-aggregated groupBy —
-    // ~64× less hashing than a per-bit fold, and codegen-friendly.
-    val hashed = T(s, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
-    val sums = hashed.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-    // majority vote per bit; the 64-bit fingerprint lives as 4×16-bit
-    // chunks (one packed long would overflow at bit 63 under ANSI mode).
-    def chunkExpr(c: Int) =
-      (0 until 16).map(k =>
-        when(col(s"b${c * 16 + k}") * 2 > col("n"), lit(1L << k)).otherwise(lit(0L)))
-        .reduce(_ + _)
-    val chunked = sums
-      .withColumn("chunks", array((0 to 3).map(chunkExpr): _*))
+    // Fingerprints come from the compiled SimHashChunks expression: one
+    // codegen pass per document over its distinct tokens — no token
+    // explode, no 64-column aggregation shuffle (that relational
+    // spelling was the 5 s floor of this query at sf0.1; equivalence is
+    // asserted bit-for-bit in LlmOpsSuite).
+    val chunked = T(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.plans.expressions.simhashChunks(
+          array_distinct(split(col("text"), " "))).as("chunks"))
       .select(col("doc_id"), col("chunks"),
         posexplode(col("chunks")).as(Seq("c", "chunk")))
     chunked.as("x").join(chunked.as("y"),
@@ -296,17 +286,17 @@ object Llm {
     var converged = prevSum == null // empty graph: nothing to propagate
     var rounds = 0
     while (!converged && rounds < 16) {
-      // 1-hop min over neighbors…
-      val prop = edges.join(labels, col("d2") === col("id"))
-        .groupBy(col("d1").as("pid")).agg(min(col("lab")).as("nlab"))
-      val stepped = labels.join(prop, col("id") === col("pid"), "left_outer")
-        .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-      // …then shortcut: lab(v) := lab(lab(v)) (labels are node ids, and
-      // lab(w) <= w always, so the coalesce only ever decreases)
-      val next = stepped.as("a")
-        .join(stepped.select(col("id").as("lid"), col("lab").as("llab")).as("b"),
-          col("a.lab") === col("b.lid"), "left_outer")
-        .select(col("a.id").as("id"), coalesce(col("llab"), col("a.lab")).as("lab"))
+      // One join+agg does BOTH the 1-hop neighbor min and the pointer
+      // shortcut: augment the edge set with (v → lab(v)) pointer edges,
+      // resolve every edge target's label, min per source. Every v has a
+      // pointer edge, so the groupBy covers all nodes (no outer join),
+      // and min{lab(u) for u∈N(v), lab(lab(v))} ≤ lab(v) always — two
+      // shuffles per round instead of six.
+      val ptr = labels.select(col("id").as("d1"), col("lab").as("d2"))
+      val next = edges.unionByName(ptr)
+        .join(labels, col("d2") === col("id"))
+        .groupBy(col("d1")).agg(min(col("lab")).as("lab"))
+        .select(col("d1").as("id"), col("lab"))
         .localCheckpoint()
       val nowSum = labSum(next)
       converged = nowSum.compareTo(prevSum) == 0

@@ -54,6 +54,113 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Compiled k-token shingling: the `array_distinct(transform(sequence…,
+  * slice+concat_ws))` spelling evaluates four nested higher-order
+  * functions INTERPRETED per token (measured ~0.6 ms/doc — 3 s per pass
+  * over 5 000 docs at sf0.1, the dominant cost of every shingle-based
+  * dedup query). This expression does the same work — distinct k-grams
+  * joined by single spaces, first-occurrence order — as one compiled
+  * loop via a static helper call, keeping the surrounding projection
+  * inside whole-stage codegen.
+  */
+case class ShinglesK(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  require(k >= 1, "shingle size must be positive")
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(in: Any): Any =
+    ShingleUtil.shingles(in.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleUtil.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesK =
+    copy(child = newChild)
+}
+
+object ShingleUtil {
+  private val Sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Distinct k-grams of `toks` in first-occurrence order. */
+  def shingles(toks: ArrayData, k: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = toks.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i + k <= n) {
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      out.add(UTF8String.concatWs(Sep, parts: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Majority-vote SimHash of the token array (callers pass the DISTINCT
+    * token set). Bit j of the fingerprint is 1 iff more than half the
+    * tokens hash with bit j set — identical to the relational
+    * sum(shiftright(h,j)&1)*2 > n spelling. */
+  def simhashChunks(toks: ArrayData): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val n = toks.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(toks.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < 64) { counts(j) += ((h >>> j) & 1L).toInt; j += 1 }
+      i += 1
+    }
+    val chunks = new Array[Any](4)
+    var c = 0
+    while (c < 4) {
+      var v = 0L
+      var k = 0
+      while (k < 16) {
+        if (counts(c * 16 + k) * 2 > n) v |= (1L << k)
+        k += 1
+      }
+      chunks(c) = v
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(chunks)
+  }
+}
+
+/** Compiled 64-bit SimHash over a token array, returned as 4×16-bit
+  * chunks (array<long>, chunk c = bits [16c, 16c+16) — one packed long
+  * would overflow at bit 63 under ANSI mode). Replaces the relational
+  * spelling (explode tokens → 64 shiftright/bitwiseAND sums → majority
+  * vote), which shuffled every token row and updated 64 aggregate
+  * columns per token; this is one pass per document inside codegen,
+  * no explode and no aggregation shuffle at all. Token hashing goes
+  * through XxHash64Function.hash — bit-identical to the SQL
+  * xxhash64() the old spelling used (asserted in LlmOpsSuite).
+  */
+case class SimHashChunks(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(in: Any): Any =
+    ShingleUtil.simhashChunks(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleUtil.simhashChunks($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashChunks =
+    copy(child = newChild)
+}
+
 object expressions {
   /** Column-level API for [[DotProductF]]. */
   def dotF(a: Column, b: Column): Column =
@@ -61,4 +168,12 @@ object expressions {
 
   /** norm² as a self-dot — one fused pass. */
   def norm2F(a: Column): Column = dotF(a, a)
+
+  /** Column-level API for [[ShinglesK]]. */
+  def shinglesK(toks: Column, k: Int): Column =
+    Shim.column(ShinglesK(Shim.expression(toks), k))
+
+  /** Column-level API for [[SimHashChunks]]. */
+  def simhashChunks(toks: Column): Column =
+    Shim.column(SimHashChunks(Shim.expression(toks)))
 }

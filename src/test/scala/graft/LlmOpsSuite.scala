@@ -23,6 +23,47 @@ class LlmOpsSuite extends SparkSuiteBase {
       "DotProductF fell out of whole-stage codegen")
   }
 
+  test("compiled ShinglesK equals the interpreted HOF spelling and codegens") {
+    val toks = split(col("text"), " ")
+    val df = T(spark, SF, "documents")
+      .where(size(toks) >= 5)
+      .select(
+        graft.plans.expressions.shinglesK(toks, 5).as("fast"),
+        array_distinct(transform(
+          sequence(lit(1), size(toks) - 4),
+          i => concat_ws(" ", slice(toks, i, lit(5))))).as("slow"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    val fastOnly = T(spark, SF, "documents")
+      .select(graft.plans.expressions.shinglesK(toks, 5).as("s"))
+    fastOnly.collect()
+    assert(fastOnly.queryExecution.executedPlan.toString.contains("*("),
+      "ShinglesK fell out of whole-stage codegen")
+  }
+
+  test("compiled SimHashChunks equals the relational xxhash64 bit-sum spelling") {
+    val hashed = T(spark, SF, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
+    val sums = hashed.groupBy("doc_id").agg(count(lit(1)).as("n"), bitSums: _*)
+    def chunkExpr(c: Int) =
+      (0 until 16).map(k =>
+        when(col(s"b${c * 16 + k}") * 2 > col("n"), lit(1L << k)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    val slow = sums.select(col("doc_id"), array((0 to 3).map(chunkExpr): _*).as("chunks"))
+    val fast = T(spark, SF, "documents")
+      .select(col("doc_id"),
+        graft.plans.expressions.simhashChunks(
+          array_distinct(split(col("text"), " "))).as("chunks"))
+    val joined = fast.as("f").join(slow.as("s"), "doc_id")
+      .select(col("f.chunks").as("fc"), col("s.chunks").as("sc")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("llm_dedup_exact cluster sizes cover all documents") {
     val df = run("llm_dedup_exact")
     assert(df.agg(sum("n_dups")).collect().head.getLong(0) ==
