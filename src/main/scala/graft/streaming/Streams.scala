@@ -55,6 +55,24 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: left rows match right rows of the same
+    * `key` with `rightTs` in [leftTs - interval, leftTs). Both sides are
+    * watermarked and the time-range condition is what BOUNDS the join
+    * state — Spark buffers each side only until the watermark passes the
+    * interval, so state scales with in-flight time span × key arrival
+    * rate, never with stream length. Inner-join rows emit as soon as
+    * both sides arrive. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, watermark: String,
+      interval: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r, expr(
+      s"""l.$key = r.$key AND
+         |r.$rightTs >= l.$leftTs - INTERVAL $interval AND
+         |r.$rightTs < l.$leftTs""".stripMargin))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n: Long,

@@ -119,6 +119,29 @@ class StreamingSuite extends SparkSuiteBase {
     }
   }
 
+  test("stream-stream interval join matches within the window and bounds state") {
+    import spark.implicits._
+    val purchases = MemoryStream[Ev](spark)
+    val views = MemoryStream[Ev](spark)
+    val joined = Streams.intervalJoin(
+      purchases.toDF().selectExpr("event_id AS purchase_id", "ts AS p_ts", "user_id"),
+      views.toDF().selectExpr("event_id AS view_id", "ts AS v_ts", "user_id"),
+      key = "user_id", leftTs = "p_ts", rightTs = "v_ts",
+      watermark = "10 minutes", interval = "1 hour")
+      .selectExpr("purchase_id", "view_id")
+    val q = joined.writeStream.format("memory").queryName("sj").outputMode("append").start()
+    withQuery(q) {
+      views.addData(Ev(100, ts(10), 7, "view", 0.0),
+        Ev(101, ts(200), 7, "view", 0.0), // after the purchase → no match
+        Ev(102, ts(25), 8, "view", 0.0))  // other user → no match for user 7
+      purchases.addData(Ev(200, ts(30), 7, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sj").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"))).toSet
+      assert(got == Set((200L, 100L)), s"got $got")
+    }
+  }
+
   test("customSessions (flatMapGroupsWithState) emits on timeout with merged counts") {
     import spark.implicits._
     val in = MemoryStream[Streams.SessionEvent](spark)
