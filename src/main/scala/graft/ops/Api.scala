@@ -34,6 +34,32 @@ object Api {
         row_number().over(Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)))
       .where(col("graft_rank") <= k)
 
+  /** Native per-group top-k through the custom TopKPerGroup LogicalPlan +
+    * SparkStrategy + SparkPlan (graft.plans.topk): one clustering
+    * exchange, then a streaming bounded-heap pass — O(n log k) and
+    * O(groups × k) memory instead of the Window spelling's full
+    * per-partition sort. Same rows as [[topKPerGroup]] (minus the rank
+    * column); equivalence is suite-asserted. */
+  /** `orderBy` is (column, descending). Columns are plain names —
+    * resolved by the analyzer against the child (Spark-4 `Column`s are
+    * ColumnNode-backed and only resolve through Dataset operations, so
+    * a hand-built plan takes UnresolvedAttributes). */
+  def topKPerGroupNative(df: DataFrame, k: Int, groupBy: Seq[String],
+      orderBy: Seq[(String, Boolean)]): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.graftshim.Shim
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    val orders = orderBy.map { case (name, desc) =>
+      SortOrder(UnresolvedAttribute.quoted(name), if (desc) Descending else Ascending)
+    }
+    Shim.ofRows(spark, graft.plans.TopKPerGroup(
+      k, groupBy.map(UnresolvedAttribute.quoted), orders, df.queryExecution.logical))
+  }
+
   /** Gap-based sessionization over an integer-µs event-time column.
     * Output adds a `session_id` (per-key ordinal). Scales by key — the
     * window shuffles once on `key`. */

@@ -201,6 +201,22 @@ object Joins {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery (top-2 nations per region): the
+    * SQL-standard lateral shape Catalyst plans as a LateralJoin with the
+    * per-row limit pushed into the correlated side — at scale this is a
+    * per-group top-k, not a full join + global sort. */
+  private def joinLateral(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "nation").createOrReplaceTempView("graft_lat_nation")
+    T(s, dir, "region").createOrReplaceTempView("graft_lat_region")
+    s.sql(
+      """SELECT r_name, t.n_name, t.n_nationkey
+        |FROM graft_lat_region r, LATERAL (
+        |  SELECT n_name, n_nationkey FROM graft_lat_nation
+        |  WHERE n_regionkey = r.r_regionkey
+        |  ORDER BY n_nationkey LIMIT 2) t
+        |ORDER BY r_name, n_nationkey""".stripMargin)
+  }
+
   /** TPC-H Q3-shaped: top-10 highest-revenue BUILDING-segment orders
     * placed before / shipped after the cutoff. The top-k selection orders
     * by the EXACT decimal revenue (cross-engine-identical sort), cast to
@@ -246,6 +262,7 @@ object Joins {
     "join_full_outer" -> (joinFullOuter _),
     "scalar_subquery" -> (joinScalarSubquery _),
     "subquery_correlated" -> (joinCorrelatedSubquery _),
+    "join_lateral" -> (joinLateral _),
     "tpch_q3_shaped" -> (tpchQ3Shaped _),
     "tpch_q10_shaped" -> (tpchQ10Shaped _),
     "join_broadcast_inner" -> (joinBroadcastInner _),
@@ -282,6 +299,13 @@ object Joins {
         |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "join_lateral" ->
+      """SELECT r_name, t.n_name, t.n_nationkey
+        |FROM region r, LATERAL (
+        |  SELECT n_name, n_nationkey FROM nation
+        |  WHERE n_regionkey = r.r_regionkey
+        |  ORDER BY n_nationkey LIMIT 2) t
+        |ORDER BY r_name, n_nationkey""".stripMargin,
     "tpch_q3_shaped" ->
       """SELECT o_orderkey, order_date,
         | CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue

@@ -57,6 +57,17 @@ object Relational {
     s.read.orc(tmp).orderBy("n_nationkey")
   }
 
+  /** Semi-structured XML source (built into Spark since 4.0): write
+    * nation as row-tagged XML, read back with an explicit schema. */
+  private def sourceXmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = GraftTmp.dir("xml")
+    T(s, dir, "nation")
+      .write.mode("overwrite").option("rowTag", "nation").format("xml").save(tmp)
+    s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("rowTag", "nation").format("xml").load(tmp)
+      .orderBy("n_nationkey")
+  }
+
   /** Whole-file binary source: write nation as delimited text, ingest the
     * files back as opaque bytes via the built-in `binaryFile` source, and
     * parse rows out of the decoded payload (decode → split lines → split
@@ -180,6 +191,7 @@ object Relational {
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "source_binaryfile_roundtrip" -> (sourceBinaryfileRoundtrip _),
+    "source_xml_roundtrip" -> (sourceXmlRoundtrip _),
     "source_text_roundtrip" -> (sourceTextRoundtrip _),
     "sink_partitioned_parquet" -> (sinkPartitionedParquet _),
     "source_custom_datasource" -> (sourceCustomDatasource _),
@@ -209,6 +221,8 @@ object Relational {
     "source_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "source_binaryfile_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "source_xml_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "source_text_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

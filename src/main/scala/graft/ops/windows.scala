@@ -29,6 +29,19 @@ object Windows {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Same top-3-orders-per-customer result as win_rank_topk_per_group,
+    * but through the custom TopKPerGroup LogicalPlan/SparkStrategy/
+    * SparkPlan (graft.plans.topk): clustering exchange + streaming
+    * bounded-heap pass, no per-partition sort and no rank column.
+    * PlanSuite asserts TopKPerGroupExec is in the executed plan and that
+    * the plan carries no Window or Sort below the final presentation
+    * orderBy. */
+  private def winTopkNative(s: SparkSession, dir: String): DataFrame =
+    Api.topKPerGroupNative(
+      T(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+      3, Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   private def winRunningSum(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -59,6 +72,11 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** Global quartiles/percent_rank — inherently an unpartitioned Window
+    * (single-task sort), fine as the semantic demo. At 100 TB global
+    * quantile assignment is done with a range-partitioned sort (the
+    * orderBy/RangePartitioner shape) + per-partition offsets from
+    * partition row counts, never one Window partition. */
   private def winNtilePercent(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
     T(s, dir, "customer")
@@ -111,6 +129,7 @@ object Windows {
     "win_first_last" -> (winFirstLast _),
     "win_rank_variants" -> (winRankVariants _),
     "win_rank_topk_per_group" -> (winRankTopkPerGroup _),
+    "win_topk_native" -> (winTopkNative _),
     "win_running_sum" -> (winRunningSum _),
     "win_lag_lead" -> (winLagLead _),
     "win_moving_avg" -> (winMovingAvg _),
@@ -141,6 +160,13 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
+    "win_topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "win_rank_topk_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,

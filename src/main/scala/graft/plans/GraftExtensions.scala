@@ -13,8 +13,10 @@ import org.apache.spark.sql.graftshim.Shim
   * Column API directly; SQL registration is exercised in PlanSuite).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
+  }
 }
 
 object GraftExtensions {

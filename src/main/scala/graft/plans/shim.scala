@@ -16,4 +16,11 @@ object Shim {
       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** DataFrame from a hand-built logical plan (Dataset.ofRows is
+    * private[sql]) — the seam for shipping custom LogicalPlan nodes. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Whole-operator extension (SURVEY §4.3 escalation path c): a native
+  * per-group top-k as LogicalPlan + SparkStrategy + SparkPlan.
+  *
+  * The stock spelling — `row_number().over(Window.partitionBy(g)
+  * .orderBy(o)) <= k` — sorts every partition in full (O(n log n) per
+  * partition, whole-partition buffering) and then discards all but k
+  * rows per group. This operator keeps one bounded k-heap per group
+  * while streaming its input once: O(n log k) time, O(groups × k)
+  * memory, no sort and no rank column. At 100 TB the difference is a
+  * full shuffle-spill-sort of the fact table vs a single streaming
+  * pass after the one clustering exchange (which AQE still plans,
+  * splits and coalesces as usual — the node only declares
+  * ClusteredDistribution on the group keys).
+  */
+case class TopKPerGroup(k: Int, groupExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder], child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, "top-k needs k >= 1")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder], child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(groupExprs))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val groupE = groupExprs
+    val orderE = orderExprs
+    val out = output
+    child.execute().mapPartitions({ it =>
+      val grp = UnsafeProjection.create(groupE, out)
+      val ord = RowOrdering.create(orderE, out) // codegen'd comparator
+      // per group: a reversed-order heap whose head is the WORST kept
+      // row, so replacement is an O(log k) peek/poll
+      val rev = new java.util.Comparator[UnsafeRow] {
+        def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
+      }
+      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      it.foreach { row =>
+        val ur = row.asInstanceOf[UnsafeRow]
+        val key = grp(ur)
+        var h = heaps.get(key)
+        if (h == null) {
+          h = new java.util.PriorityQueue[UnsafeRow](kk + 1, rev)
+          heaps.put(key.copy(), h)
+        }
+        if (h.size < kk) h.add(ur.copy())
+        else if (ord.compare(ur, h.peek()) < 0) { h.poll(); h.add(ur.copy()) }
+      }
+      val outRows = new java.util.ArrayList[InternalRow]()
+      heaps.forEach { (_, h) =>
+        // drain each heap best-first (in-group order is not part of the
+        // operator contract; callers sort the final frame)
+        val arr = h.toArray(new Array[UnsafeRow](h.size))
+        java.util.Arrays.sort(arr, ord.asInstanceOf[java.util.Comparator[UnsafeRow]])
+        arr.foreach(outRows.add)
+      }
+      import scala.jdk.CollectionConverters._
+      outRows.iterator.asScala
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** Planner rule: TopKPerGroup → TopKPerGroupExec. Registered either via
+  * `spark.experimental.extraStrategies` (live session, what the scored
+  * query does) or `GraftExtensions.injectPlannerStrategy` (--conf
+  * spark.sql.extensions at session build).
+  */
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(k, g, o, child) =>
+      TopKPerGroupExec(k, g, o, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}

@@ -77,6 +77,20 @@ class PlanSuite extends SparkSuiteBase {
     assert(p.contains("Join"), "expected a join on the correlation key")
   }
 
+  test("win_topk_native plans the custom TopKPerGroupExec, no Window, and matches the Window spelling") {
+    val df = run("win_topk_native")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), s"custom strategy did not fire:\n$p")
+    assert(!p.contains("Window"), s"top-k still planned a Window:\n$p")
+    // row-identical to the stock row_number window formulation
+    val want = run("win_rank_topk_per_group")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    val got = df.collect().map(_.toSeq).toSet
+    assert(got == want, s"native top-k diverges from window top-k")
+  }
+
   test("custom DSv2 star source plans the requested partitions") {
     val df = spark.read.format("graft.sources.StarCatalogSource")
       .option("rows", "1000").option("partitions", "8").load()
