@@ -166,6 +166,33 @@ object Aggregates {
       .agg(count(lit(1)))
       .orderBy("l_returnflag")
 
+  /** Data-quality column profiling — the pre-training sanity pass over a
+    * table: per column its null count, distinct count, and min/max (as
+    * strings, so one schema fits every type). One wide aggregate = one
+    * scan; at 100 TB this is exactly the shape you want (no per-column
+    * scans). */
+  private def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    val wide = T(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+    // wide → long: one row per column
+    val rows = cols.map { c =>
+      struct(lit(c).as("column_name"), col(s"${c}_nulls").as("n_nulls"),
+        col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_str"), col(s"${c}_max").as("max_str"))
+    }
+    wide.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.column_name"), col("p.n_nulls"), col("p.n_distinct"),
+        col("p.min_str"), col("p.max_str"))
+      .orderBy("column_name")
+  }
+
   /** HLL sketch — approx result is engine-specific, no oracle (SURVEY
     * §2.4); exactness-vs-exact-count tolerance asserted in AggregateSuite. */
   private def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -188,6 +215,7 @@ object Aggregates {
     "agg_skew_salted_twophase" -> (aggSkewSalted _),
     "agg_pivot" -> (aggPivot _),
     "agg_boolean" -> (aggBoolean _),
+    "profile_columns" -> (profileColumns _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -275,6 +303,19 @@ object Aggregates {
         | BOOL_AND(o_totalprice > 0) AS all_positive,
         | BOOL_OR(o_totalprice > 490000) AS any_huge
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // double→VARCHAR casts agree between engines for plain magnitudes
+    // (< 1e7, where neither engine switches to scientific notation);
+    // o_totalprice tops out ~5e5 at every SF
+    "profile_columns" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS column_name,
+           | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(MIN($c) AS VARCHAR) AS min_str,
+           | CAST(MAX($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name"),
     "agg_pivot" ->
       """SELECT l_returnflag,
         | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS F,

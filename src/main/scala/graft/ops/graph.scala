@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational edge lists (complements the
+  * connected-components operator in llm.scala).
+  *
+  * PageRank here is EXACT integer fixed-point arithmetic: ranks are
+  * scaled longs and every per-edge contribution is the integer division
+  * `(pr * 85) div (100 * outdeg)`. Long sums are order-insensitive, so
+  * the result is bit-identical across partitionings, thread counts and
+  * engines — a float PageRank could never hash-match a DuckDB oracle
+  * (partial-sum order differs); the fixed-point formulation is how you
+  * make an iterative numeric algorithm oracle-checkable.
+  *
+  * 100-TB shape: one edge shuffle per iteration (join on the source
+  * key, re-aggregate on the destination), degree table computed once,
+  * per-iteration localCheckpoint to pin lineage — same execution
+  * discipline as dedupClusters.
+  */
+object Graph {
+
+  /** 3-iteration integer PageRank over the undirected customer↔supplier
+    * bipartite graph induced by orders⨝lineitem (customer nodes = 2k,
+    * supplier nodes = 2k+1). */
+  private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(T(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val edgesD = edges.join(deg, "a")
+    var ranks = deg.select(col("a").as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      val contribs = edgesD.join(ranks, col("a") === col("node"))
+        .select(col("b"), expr("(pr * 85) div (100 * outdeg)").as("c"))
+        .groupBy("b").agg(sum(col("c")).as("sc"))
+      ranks = deg.select(col("a").as("node"))
+        .join(contribs, col("node") === col("b"), "left_outer")
+        .select(col("node"), (lit(150000L) + coalesce(col("sc"), lit(0L))).as("pr"))
+        .localCheckpoint()
+    }
+    ranks.orderBy("node")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _),
+  )
+
+  private def iterSql(prev: String, cN: String, rN: String): String =
+    s"""$cN AS (SELECT e.b, SUM((r.pr * 85) // (100 * d.outdeg)) AS sc
+       | FROM edges e JOIN $prev r ON e.a = r.node JOIN deg d ON e.a = d.a
+       | GROUP BY e.b),
+       |$rN AS (SELECT deg.a AS node, 150000 + COALESCE(sc, 0) AS pr
+       | FROM deg LEFT JOIN $cN ON deg.a = $cN.b)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH pairs AS (
+         | SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |deg AS (SELECT a, COUNT(*) AS outdeg FROM edges GROUP BY a),
+         |r0 AS (SELECT a AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |${iterSql("r0", "c1", "r1")},
+         |${iterSql("r1", "c2", "r2")},
+         |${iterSql("r2", "c3", "r3")}
+         |SELECT node, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node""".stripMargin,
+  )
+}

@@ -533,6 +533,23 @@ object Llm {
           .as("rolling_fp"))
       .orderBy("doc_id")
 
+  /** Deterministic hash-based train/test split — the reproducible
+    * split every training pipeline needs: assignment depends only on
+    * doc_id (stable under reruns, joins, and repartitioning — never
+    * `sample()`, whose per-partition RNG reshuffles when partitioning
+    * changes). Buckets by the first 4 hex chars of md5(doc_id):
+    * lexicographic compare on lowercase hex ≡ numeric compare, and md5
+    * is cross-engine stable, so the oracle reproduces the exact split.
+    * ~10% eval (4096/65536 = '0fff' cutoff). */
+  private def trainTestSplit(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4).as("h4"))
+      .withColumn("split", when(col("h4") < "1000", "eval").otherwise("train"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy("lang", "split")
+
   // ---- multimodal binary columns -----------------------------------------
 
   private def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
@@ -545,6 +562,25 @@ object Llm {
       .withColumn("fake_pixel_mean",
         dround((col("byte_len") % 997) / lit(997.0), 6))
       .orderBy("doc_id")
+
+  /** Frame sampling over an opaque payload — the video/audio
+    * keyframe-extraction shape: slice the payload into fixed 256-byte
+    * frames, keep every 4th, fingerprint each kept frame (md5 here; a
+    * real pipeline would decode). Pure codegen'd expressions (sequence →
+    * explode → substr), so the sampling plan scales as a projection.
+    * Frames are sliced on the text (fixture docs are pure ASCII at every
+    * SF — verified — so char frames ≡ byte frames and DuckDB's
+    * VARCHAR-only md5/substring reproduces the bytes exactly). */
+  private def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          floor((length(col("text")) - 1) / 256).cast("int"))).as("frame_no"))
+      .where(pmod(col("frame_no"), lit(4)) === 0)
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        md5(encode(col("text").substr(col("frame_no") * 256 + 1, lit(256)), "UTF-8"))
+          .as("frame_md5"))
+      .orderBy("doc_id", "frame_no")
 
   case class MmRecord(doc_id: Long, payload: Array[Byte])
   case class MmDecoded(doc_id: Long, width: Int, height: Int, mean_byte: Double)
@@ -595,7 +631,9 @@ object Llm {
     "llm_embed_norms" -> (embedNorms _),
     "sql_extension_dot" -> (sqlExtensionDot _),
     "llm_multimodal_join" -> (multimodalJoin _),
+    "llm_train_test_split" -> (trainTestSplit _),
     "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_frame_sample" -> (mmFrameSample _),
     "mm_decode_stub" -> (mmDecodeStub _),
   )
 
@@ -752,6 +790,19 @@ object Llm {
          | ${sqlRound(s"SUM(${sqlNorm2("embedding")}) / COUNT(*)", 4)} AS avg_norm2
          |FROM documents JOIN embeddings ON doc_id = vec_id
          |GROUP BY lang, label ORDER BY lang, label""".stripMargin,
+    "llm_train_test_split" ->
+      """SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc
+        |FROM (SELECT doc_id, lang,
+        |  CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '1000'
+        |       THEN 'eval' ELSE 'train' END AS split
+        | FROM documents)
+        |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, frame_no, MD5(SUBSTRING(text, CAST(frame_no * 256 + 1 AS BIGINT), 256)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |  UNNEST(RANGE(0, CAST(FLOOR((LENGTH(text) - 1) / 256) AS BIGINT) + 1)) AS frame_no
+        | FROM documents)
+        |WHERE frame_no % 4 = 0 ORDER BY doc_id, frame_no""".stripMargin,
     "mm_binary_meta" ->
       s"""SELECT doc_id, 'text' AS modality,
          | CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS byte_len,
