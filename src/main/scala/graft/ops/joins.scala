@@ -201,6 +201,34 @@ object Joins {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** MERGE / upsert (the CDC-apply shape, since OSS Spark has no MERGE
+    * INTO for plain parquet): one full-outer join on the key — matched
+    * rows take the source version, unmatched target rows persist,
+    * unmatched source rows insert; an `action` column records the
+    * decision. The change set is derived deterministically from orders
+    * itself (keys ≡0 mod 100 get a 10% price bump; keys ≡7 mod 100
+    * re-insert under key+10M). One shuffle on the merge key — at 100 TB
+    * this is the standard partitioned-overwrite merge plan. */
+  private def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val updates = t.where(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        dround(col("o_totalprice") * 1.1, 2).as("o_totalprice"))
+    val inserts = t.where(col("o_orderkey") % 100 === 7)
+      .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+    val src = updates.unionByName(inserts)
+    t.as("t").join(src.as("s"), col("t.o_orderkey") === col("s.o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("s.o_orderkey"), col("t.o_orderkey")).as("o_orderkey"),
+        coalesce(col("s.o_custkey"), col("t.o_custkey")).as("o_custkey"),
+        coalesce(col("s.o_totalprice"), col("t.o_totalprice")).as("o_totalprice"),
+        when(col("s.o_orderkey").isNotNull && col("t.o_orderkey").isNotNull, "updated")
+          .when(col("s.o_orderkey").isNotNull, "inserted")
+          .otherwise("kept").as("action"))
+      .orderBy("o_orderkey")
+  }
+
   /** Correlated LATERAL subquery (top-2 nations per region): the
     * SQL-standard lateral shape Catalyst plans as a LateralJoin with the
     * per-row limit pushed into the correlated side — at scale this is a
@@ -263,6 +291,7 @@ object Joins {
     "scalar_subquery" -> (joinScalarSubquery _),
     "subquery_correlated" -> (joinCorrelatedSubquery _),
     "join_lateral" -> (joinLateral _),
+    "merge_upsert" -> (mergeUpsert _),
     "tpch_q3_shaped" -> (tpchQ3Shaped _),
     "tpch_q10_shaped" -> (tpchQ10Shaped _),
     "join_broadcast_inner" -> (joinBroadcastInner _),
@@ -299,6 +328,22 @@ object Joins {
         |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "merge_upsert" ->
+      s"""WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+         |upd AS (SELECT o_orderkey, o_custkey,
+         |  ${sqlRound("o_totalprice * CAST(1.1 AS DOUBLE)", 2)} AS o_totalprice
+         | FROM t WHERE o_orderkey % 100 = 0),
+         |ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_totalprice
+         | FROM t WHERE o_orderkey % 100 = 7),
+         |s AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+         |SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+         | COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+         | COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+         | CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 'updated'
+         |      WHEN s.o_orderkey IS NOT NULL THEN 'inserted'
+         |      ELSE 'kept' END AS action
+         |FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
+         |ORDER BY o_orderkey""".stripMargin,
     "join_lateral" ->
       """SELECT r_name, t.n_name, t.n_nationkey
         |FROM region r, LATERAL (

@@ -92,4 +92,52 @@ class PropertySuite extends SparkSuiteBase {
       assert(math.abs(a - x) <= 5.0001e-5)
     }
   }
+
+  // tokens beyond the fixtures: unicode, empty-ish, repeated — the codegen
+  // expressions must agree with their relational spellings on ALL input
+  private val unicodeWordGen = Gen.oneOf(
+    "the", "café", "naïve", "日本", "🎄", "x", "Straße", "ёж", "the")
+
+  test("ShinglesK equals the HOF spelling on arbitrary unicode token lists") {
+    for (tokLists <- samples(Gen.listOfN(40,
+        Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, unicodeWordGen))), 4)) {
+      import spark.implicits._
+      val df = tokLists.map(_.mkString(" ")).toDF("text")
+      val toks = split(col("text"), " ")
+      val both = df.where(size(toks) >= 3).select(
+        graft.plans.expressions.shinglesK(toks, 3).as("fast"),
+        array_distinct(transform(
+          sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3))))).as("slow"))
+      both.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1))
+      }
+    }
+  }
+
+  test("SimHashChunks equals the xxhash64 bit-sum spelling on arbitrary unicode tokens") {
+    for (tokLists <- samples(Gen.listOfN(25,
+        Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, unicodeWordGen))), 4)) {
+      import spark.implicits._
+      val df = tokLists.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toDF("id", "text")
+      val hashed = df
+        .select(col("id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .select(col("id"), xxhash64(col("tok")).as("h"))
+      val bitSums = (0 until 64).map(j =>
+        sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
+      val sums = hashed.groupBy("id").agg(count(lit(1)).as("n"), bitSums: _*)
+      def chunkExpr(c: Int) =
+        (0 until 16).map(k =>
+          when(col(s"b${c * 16 + k}") * 2 > col("n"), lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _)
+      val slow = sums.select(col("id"), array((0 to 3).map(chunkExpr): _*).as("chunks"))
+      val fast = df.select(col("id"),
+        graft.plans.expressions.simhashChunks(
+          array_distinct(split(col("text"), " "))).as("chunks"))
+      fast.as("f").join(slow.as("s"), "id")
+        .select(col("f.chunks"), col("s.chunks")).collect()
+        .foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    }
+  }
 }
