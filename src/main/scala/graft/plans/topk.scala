@@ -92,3 +92,47 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     case _ => Nil
   }
 }
+
+/** Optimizer rewrite (the Rule[LogicalPlan] seam): users who write the
+  * stock idiom
+  *
+  *   df.withColumn("rn", row_number().over(W)).where($"rn" <= k).drop("rn")
+  *
+  * get the native bounded-heap operator automatically. Matches exactly
+  * the shape Project(no-rank-refs, Filter(rank <= k, Window(single
+  * row_number))) and swaps in [[TopKPerGroup]]; anything else (rank kept
+  * in the output, other window functions, other predicates) is left for
+  * the stock Window plan. Registered via
+  * `spark.experimental.extraOptimizations` or
+  * `GraftExtensions.injectOptimizerRule`.
+  */
+object WindowTopKRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, CurrentRow, Literal, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+  import org.apache.spark.sql.types.IntegerType
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case Project(projList, Filter(
+        org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+          rankAttr: Attribute, Literal(k: Int, IntegerType)), w: Window))
+      if w.windowExpressions.size == 1 && (w.windowExpressions.head match {
+        case Alias(WindowExpression(RowNumber(),
+            WindowSpecDefinition(_, _, SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _) => true
+        case _ => false
+      }) && rankAttr.semanticEquals(w.windowExpressions.head.toAttribute) &&
+        projList.forall(ne => ne.isInstanceOf[Attribute] &&
+          !ne.toAttribute.semanticEquals(rankAttr) &&
+          w.child.outputSet.contains(ne.toAttribute)) =>
+      // InferWindowGroupLimit (stock optimizer, runs before extra rules)
+      // may already have wrapped the child in a WindowGroupLimit
+      // pre-filter; the bounded heap subsumes it, so strip it rather
+      // than sort-and-limit twice.
+      val child = w.child match {
+        case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+          if wgl.limit >= k => wgl.child
+        case c => c
+      }
+      Project(projList, TopKPerGroup(k, w.partitionSpec, w.orderSpec, child))
+  }
+}

@@ -91,6 +91,37 @@ class PlanSuite extends SparkSuiteBase {
     assert(got == want, s"native top-k diverges from window top-k")
   }
 
+  test("WindowTopKRewrite turns a filtered row_number window into native TopKPerGroup") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, row_number}
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.WindowTopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.WindowTopKRewrite
+    val w = W.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val orders = T(spark, SF, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    // the stock user idiom: rank, filter, drop the rank
+    val idiom = orders.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3).drop("rn")
+    idiom.collect()
+    assert(idiom.queryExecution.optimizedPlan.toString.contains("TopKPerGroup"),
+      s"rewrite did not fire:\n${idiom.queryExecution.optimizedPlan}")
+    // no WindowExec and no leftover WindowGroupLimit pre-filter
+    val phys = idiom.queryExecution.executedPlan.toString
+    assert(!phys.contains("Window [") && !phys.contains("WindowGroupLimit"), phys)
+    // rank kept in the output → no rewrite (plan must stay a Window)
+    val keepsRank = orders.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+    keepsRank.collect()
+    assert(!keepsRank.queryExecution.optimizedPlan.toString.contains("TopKPerGroup"))
+    // same rows either way
+    val got = idiom.collect().map(_.toSeq).toSet
+    val want = keepsRank.drop("rn").collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("custom DSv2 star source plans the requested partitions") {
     val df = spark.read.format("graft.sources.StarCatalogSource")
       .option("rows", "1000").option("partitions", "8").load()
