@@ -34,7 +34,9 @@ object Graph {
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     val deg = edges.groupBy("a").agg(count(lit(1)).as("outdeg")).localCheckpoint()
-    val edgesD = edges.join(deg, "a")
+    // degree-annotated edges are re-read every iteration — materialize
+    // the join once instead of paying it 3×
+    val edgesD = edges.join(deg, "a").localCheckpoint()
     var ranks = deg.select(col("a").as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to 3) {
       val contribs = edgesD.join(ranks, col("a") === col("node"))

@@ -57,6 +57,17 @@ object Relational {
     s.read.orc(tmp).orderBy("n_nationkey")
   }
 
+  /** Hidden file-metadata columns (`_metadata.file_name`, `.file_size`):
+    * per-file provenance without a custom source — the lineage-tracking
+    * shape for multi-file corpora (which input file produced this row).
+    * The oracle reads the same filename via DuckDB's filename option. */
+  private def scanMetadataColumns(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "nation")
+      .select(col("n_nationkey"), col("_metadata.file_name").as("file_name"))
+      .groupBy("file_name")
+      .agg(count(lit(1)).as("n_rows"), min(col("n_nationkey")).as("min_key"))
+      .orderBy("file_name")
+
   /** Semi-structured XML source (built into Spark since 4.0): write
     * nation as row-tagged XML, read back with an explicit schema. */
   private def sourceXmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -192,6 +203,7 @@ object Relational {
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "source_binaryfile_roundtrip" -> (sourceBinaryfileRoundtrip _),
     "source_xml_roundtrip" -> (sourceXmlRoundtrip _),
+    "scan_metadata_columns" -> (scanMetadataColumns _),
     "source_text_roundtrip" -> (sourceTextRoundtrip _),
     "sink_partitioned_parquet" -> (sinkPartitionedParquet _),
     "source_custom_datasource" -> (sourceCustomDatasource _),
@@ -224,6 +236,12 @@ object Relational {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "source_xml_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    // the fixture table is the single file nation.parquet, so the oracle
+    // states the provenance Spark's _metadata column must report
+    "scan_metadata_columns" ->
+      """SELECT 'nation.parquet' AS file_name,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows, MIN(n_nationkey) AS min_key
+        |FROM nation""".stripMargin,
     "source_text_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "sink_partitioned_parquet" ->
