@@ -157,6 +157,25 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  /** Explicitly salted join — the hot-key pattern when AQE's skew split
+    * isn't available (e.g. a skewed broadcast-ineligible dim): the fact
+    * side gets a salt from a non-key column, the dimension side is
+    * replicated across all 16 salts, and the join key becomes
+    * (key, salt) so one hot supplier spreads over 16 reducers. The
+    * post-join aggregation removes the salt again, so the oracle is the
+    * plain join + GROUP BY. */
+  private def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val salted = T(s, dir, "lineitem").select("l_suppkey", "l_extendedprice")
+      .withColumn("salt", pmod(xxhash64(col("l_extendedprice")), lit(16)))
+    val dim = T(s, dir, "supplier").select("s_suppkey", "s_name")
+      .withColumn("salt", explode(sequence(lit(0L), lit(15L))))
+    salted.join(dim,
+        col("l_suppkey") === col("s_suppkey") && salted("salt") === dim("salt"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_items"), sumMoneyD(col("l_extendedprice")).as("gross"))
+      .orderBy("s_suppkey")
+  }
+
   /** FULL OUTER of per-nation customer vs supplier counts — unmatched
     * sides surface as zeros via coalesce on both key and counts. */
   private def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
@@ -292,6 +311,7 @@ object Joins {
     "subquery_correlated" -> (joinCorrelatedSubquery _),
     "join_lateral" -> (joinLateral _),
     "merge_upsert" -> (mergeUpsert _),
+    "join_skew_salted" -> (joinSkewSalted _),
     "tpch_q3_shaped" -> (tpchQ3Shaped _),
     "tpch_q10_shaped" -> (tpchQ10Shaped _),
     "join_broadcast_inner" -> (joinBroadcastInner _),
@@ -328,6 +348,11 @@ object Joins {
         |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
     "merge_upsert" ->
       s"""WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
          |upd AS (SELECT o_orderkey, o_custkey,

@@ -387,6 +387,44 @@ object Llm {
       .orderBy("qid", "rank")
   }
 
+  /** Random-hyperplane LSH bucketed search (the other ANN scale path
+    * besides IVF cells): 16 deterministic pseudo-random hyperplanes
+    * (coordinates derived from xxhash64, so the "random" planes are
+    * reproducible in-plan — no driver-side RNG), each vector's bucket is
+    * its 16-bit sign code, and queries exact-score only their own
+    * bucket. Candidates shuffle by bucket code — the same
+    * partition-pruning shape as IVF/zones. Hash-derived → no oracle;
+    * rows-only check. */
+  private def simsearchLsh(s: SparkSession, dir: String): DataFrame = {
+    // 6 planes → 64 buckets: sized so fixture buckets hold a handful of
+    // vectors (more planes at corpus scale; the plane count is the
+    // recall/candidate-size dial)
+    val planes = s.range(6).select(col("id").cast("int").as("p"),
+      transform(sequence(lit(0), lit(Dim - 1)),
+        d => pmod(xxhash64(concat_ws("_", col("id"), d)), lit(1000L)) / 1000.0 - 0.5)
+        .as("plane"))
+    val e = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), fnorm2(col("embedding")).as("n2"))
+    val coded = e.crossJoin(broadcast(planes))
+      .withColumn("bit",
+        when(fdotD(transform(col("embedding"), _.cast("double")), col("plane")) > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(lit(0L)))
+      .groupBy("vec_id").agg(sum(col("bit")).as("code"))
+    val all = e.join(coded, "vec_id")
+    val q = all.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("n2").as("qn"), col("code").as("qcode"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor"))
+    q.join(all.select(col("vec_id").as("neighbor"), col("embedding").as("ce"),
+        col("n2").as("cn"), col("code")),
+        col("code") === col("qcode") && col("neighbor") =!= col("qid"))
+      .withColumn("cos", fdot(col("qe"), col("ce")) / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("neighbor"), dround(col("cos"), 6).as("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
   // ---- text analysis -----------------------------------------------------
 
   private def textTokens(s: SparkSession, dir: String): DataFrame =
@@ -619,6 +657,7 @@ object Llm {
     "llm_corpus_filter" -> (corpusFilter _),
     "llm_simsearch_topk" -> (simsearchTopk _),
     "llm_simsearch_ivf" -> (simsearchIvf _),
+    "llm_simsearch_lsh" -> (simsearchLsh _),
     "llm_text_tokens" -> (textTokens _),
     "llm_tokens_bpe" -> (tokensBpe _),
     "llm_text_editdist" -> (textEditDist _),
