@@ -154,7 +154,22 @@ object Functions {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
       .orderBy("doc_id", "pos")
 
+  /** Hash + formatting function family: md5/sha256 digests (cross-engine
+    * stable — the fingerprint workhorses), printf-style formatting, and
+    * the pad/reverse/translate string tools. */
+  private def fnHashFormat(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        md5(encode(col("s_name"), "UTF-8")).as("name_md5"),
+        sha2(encode(col("s_name"), "UTF-8"), 256).as("name_sha256"),
+        format_string("%05d|%s", col("s_suppkey"), col("s_name")).as("tag"),
+        lpad(col("s_suppkey").cast("string"), 8, "0").as("padded"),
+        reverse(col("s_name")).as("rev"),
+        translate(col("s_name"), "aeiou", "AEIOU").as("caps_vowels"))
+      .orderBy("s_suppkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_hash_format" -> (fnHashFormat _),
     "fn_string" -> (fnString _),
     "fn_date" -> (fnDate _),
     "fn_math" -> (fnMath _),
@@ -170,6 +185,15 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_hash_format" ->
+      """SELECT s_suppkey,
+        | MD5(s_name) AS name_md5,
+        | SHA256(s_name) AS name_sha256,
+        | PRINTF('%05d|%s', s_suppkey, s_name) AS tag,
+        | LPAD(CAST(s_suppkey AS VARCHAR), 8, '0') AS padded,
+        | REVERSE(s_name) AS rev,
+        | TRANSLATE(s_name, 'aeiou', 'AEIOU') AS caps_vowels
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         | UPPER(p_name) AS up_name,
