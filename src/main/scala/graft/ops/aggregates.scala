@@ -166,6 +166,17 @@ object Aggregates {
       .agg(count(lit(1)))
       .orderBy("l_returnflag")
 
+  /** Array collection aggregate: per-nation sorted supplier-key list.
+    * collect_list order is execution-dependent, so the deterministic
+    * spelling is always sort_array(collect_list(…)) — mirrored by
+    * DuckDB's LIST(x ORDER BY x). */
+  private def aggCollectSorted(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "supplier")
+      .groupBy("s_nationkey")
+      .agg(sort_array(collect_list(col("s_suppkey"))).as("supp_keys"),
+        count(lit(1)).as("n"))
+      .orderBy("s_nationkey")
+
   /** Data-quality column profiling — the pre-training sanity pass over a
     * table: per column its null count, distinct count, and min/max (as
     * strings, so one schema fits every type). One wide aggregate = one
@@ -216,6 +227,7 @@ object Aggregates {
     "agg_pivot" -> (aggPivot _),
     "agg_boolean" -> (aggBoolean _),
     "profile_columns" -> (profileColumns _),
+    "agg_collect_sorted" -> (aggCollectSorted _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -303,6 +315,10 @@ object Aggregates {
         | BOOL_AND(o_totalprice > 0) AS all_positive,
         | BOOL_OR(o_totalprice > 490000) AS any_huge
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_collect_sorted" ->
+      """SELECT s_nationkey, LIST(s_suppkey ORDER BY s_suppkey) AS supp_keys,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     // double→VARCHAR casts agree between engines for plain magnitudes
     // (< 1e7, where neither engine switches to scientific notation);
     // o_totalprice tops out ~5e5 at every SF
