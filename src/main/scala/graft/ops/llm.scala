@@ -163,20 +163,29 @@ object Llm {
     // explode, no 64-column aggregation shuffle (that relational
     // spelling was the 5 s floor of this query at sf0.1; equivalence is
     // asserted bit-for-bit in LlmOpsSuite).
+    // The 4 chunks also pack into ONE long (disjoint 16-bit lanes —
+    // shift+OR, no ANSI-overflow risk), so the per-candidate hamming is
+    // a single codegen'd bit_count(xor) instead of an interpreted HOF
+    // fold over the chunk array: the fixture's big near-dup clusters
+    // collide on all 4 band positions (1.5 M raw candidates at sf0.1)
+    // and the per-candidate cost is what dominates (5.7 s → ~0.3 s).
+    // Fingerprints materialize once (localCheckpoint) — the self-join
+    // would otherwise run the fingerprint pass per side.
+    val packed = (0 to 3)
+      .map(i => shiftleft(element_at(col("chunks"), i + 1), 16 * i))
+      .reduce((a, b) => a.bitwiseOR(b))
     val chunked = T(s, dir, "documents")
       .select(col("doc_id"),
         graft.plans.expressions.simhashChunks(
           array_distinct(split(col("text"), " "))).as("chunks"))
-      .select(col("doc_id"), col("chunks"),
+      .select(col("doc_id"), packed.as("fp"),
         posexplode(col("chunks")).as(Seq("c", "chunk")))
+      .localCheckpoint()
     chunked.as("x").join(chunked.as("y"),
         col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        aggregate(
-          zip_with(col("x.chunks"), col("y.chunks"),
-            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
-          lit(0L), (acc, v) => acc + v).as("hamming"))
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
       // filter BEFORE distinct: near-identical fingerprints make the raw
       // candidate set large, the surviving pair set small
       .where(col("hamming") <= 3)
