@@ -43,7 +43,15 @@ object Streaming {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       src.resolve("events.parquet"))
     val sch = T(s, dir, "events").schema // also sets nanosAsLong
-    val q = s.readStream.schema(sch).parquet(src.toString)
+    // the stateful agg's store count = shuffle partitions at query
+    // start; (window × event_type) state is tiny, so 8 stores instead
+    // of the session's 32 cuts per-batch store/commit overhead (conf
+    // restored after the stream finishes — at real scale size this to
+    // state volume, it is fixed for the checkpoint's lifetime)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(sch).parquet(src.toString)
       .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_us", "1 hour")
       .groupBy(window(col("ts_us"), "1 day").as("w"), col("event_type"))
@@ -54,7 +62,8 @@ object Streaming {
       .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
       .outputMode("append").trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(s"$root/out").orderBy("win_start", "event_type")
   }
 
