@@ -204,6 +204,20 @@ object Aggregates {
       .orderBy("column_name")
   }
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE) building a month spine, then
+    * a left join so months with zero orders still appear — the standard
+    * BI date-spine aggregation, identical SQL on both engines. */
+  private def sqlRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("graft_rc_orders")
+    s.sql(
+      """WITH RECURSIVE m(mon) AS (
+        |  SELECT 1 UNION ALL SELECT mon + 1 FROM m WHERE mon < 12)
+        |SELECT mon, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        |FROM m LEFT JOIN graft_rc_orders
+        |  ON MONTH(o_orderdate) = mon AND YEAR(o_orderdate) = 1997
+        |GROUP BY mon ORDER BY mon""".stripMargin)
+  }
+
   /** HLL sketch — approx result is engine-specific, no oracle (SURVEY
     * §2.4); exactness-vs-exact-count tolerance asserted in AggregateSuite. */
   private def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -228,6 +242,7 @@ object Aggregates {
     "agg_boolean" -> (aggBoolean _),
     "profile_columns" -> (profileColumns _),
     "agg_collect_sorted" -> (aggCollectSorted _),
+    "sql_recursive_cte" -> (sqlRecursiveCte _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -315,6 +330,13 @@ object Aggregates {
         | BOOL_AND(o_totalprice > 0) AS all_positive,
         | BOOL_OR(o_totalprice > 490000) AS any_huge
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE m(mon) AS (
+        |  SELECT 1 UNION ALL SELECT mon + 1 FROM m WHERE mon < 12)
+        |SELECT mon, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        |FROM m LEFT JOIN orders
+        |  ON MONTH(o_orderdate) = mon AND YEAR(o_orderdate) = 1997
+        |GROUP BY mon ORDER BY mon""".stripMargin,
     "agg_collect_sorted" ->
       """SELECT s_nationkey, LIST(s_suppkey ORDER BY s_suppkey) AS supp_keys,
         | CAST(COUNT(*) AS BIGINT) AS n

@@ -168,7 +168,24 @@ object Functions {
         translate(col("s_name"), "aeiou", "AEIOU").as("caps_vowels"))
       .orderBy("s_suppkey")
 
+  /** Spark 4 VARIANT type: serialize row fields to JSON, parse_json →
+    * VARIANT, extract typed values back out with variant_get paths —
+    * the open-schema semi-structured column shape. The oracle just
+    * reproduces the extracted values from the source columns. */
+  private def fnVariant(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        to_json(struct(col("s_suppkey").as("id"),
+          struct(col("s_nationkey").as("n"), col("s_name").as("nm")).as("geo"))).as("js"))
+      .select(col("s_suppkey"),
+        expr("variant_get(parse_json(js), '$.geo.n', 'int')").as("geo_n"),
+        expr("variant_get(parse_json(js), '$.geo.nm', 'string')").as("geo_name"),
+        expr("variant_get(parse_json(js), '$.id', 'bigint')").as("id_back"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_variant" -> (fnVariant _),
     "fn_hash_format" -> (fnHashFormat _),
     "fn_string" -> (fnString _),
     "fn_date" -> (fnDate _),
@@ -185,6 +202,10 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_variant" ->
+      """SELECT s_suppkey, CAST(s_nationkey AS INT) AS geo_n,
+        | s_name AS geo_name, CAST(s_suppkey AS BIGINT) AS id_back
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "fn_hash_format" ->
       """SELECT s_suppkey,
         | MD5(s_name) AS name_md5,
