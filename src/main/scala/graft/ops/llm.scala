@@ -332,8 +332,11 @@ object Llm {
     val scored = docs.select(col("doc_id"), col("lang"), col("n_chars"),
       md5(normText(col("text")).cast("binary")).as("fp"), size(toks).as("n_tokens"),
       size(filter(toks, t => t.isin(StopWords: _*))).as("stop_cnt"))
-    val canon = scored.groupBy("fp").agg(min(col("doc_id")).as("canonical_id"))
-    scored.join(canon, Seq("fp"))
+    // canonical id via a window-min over fp: one shuffle, no self-join —
+    // the groupBy+join spelling evaluated the scored projection (regex
+    // normalize + md5 + stopword scan) once per join side
+    scored.withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .where(col("doc_id") === col("canonical_id") &&
         col("n_tokens") >= 30 &&
         col("lang").isin("en", "de", "fr") &&

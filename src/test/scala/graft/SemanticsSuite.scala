@@ -144,4 +144,35 @@ class SemanticsSuite extends SparkSuiteBase {
       }
     }
   }
+
+  test("merge_upsert action counts match the derived change set") {
+    val rows = run("merge_upsert").collect()
+    val byAction = rows.groupBy(_.getAs[String]("action")).view.mapValues(_.length).toMap
+    val keys = orders.map(_.getAs[Long]("o_orderkey"))
+    assert(byAction.getOrElse("updated", 0) == keys.count(_ % 100 == 0))
+    assert(byAction.getOrElse("inserted", 0) == keys.count(_ % 100 == 7))
+    assert(rows.length == keys.length + byAction.getOrElse("inserted", 0))
+    // updated rows actually carry the bumped price
+    val prices = orders.map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Double]("o_totalprice")).toMap
+    rows.filter(_.getAs[String]("action") == "updated").take(20).foreach { r =>
+      val k = r.getAs[Long]("o_orderkey")
+      val want = math.floor(prices(k) * 1.1 * 100 + 0.5) / 100
+      assert(r.getAs[Double]("o_totalprice") == want)
+    }
+  }
+
+  test("graph_pagerank: ranks bounded, mass conserved within integer-floor loss") {
+    val rows = run("graph_pagerank").collect()
+    val n = rows.length.toLong
+    val total = rows.map(_.getAs[Long]("pr")).sum
+    // every node: base 150000 plus non-negative contributions
+    rows.foreach(r => assert(r.getAs[Long]("pr") >= 150000L))
+    // per iteration each unit of rank re-emits <= 85%, so total mass is
+    // bounded by the damped geometric sum and never exceeds the start
+    assert(total <= n * 1000000L)
+    assert(total >= n * 150000L)
+    // bipartite node ids: customers even, suppliers odd — both present
+    assert(rows.exists(_.getAs[Long]("node") % 2 == 0))
+    assert(rows.exists(_.getAs[Long]("node") % 2 == 1))
+  }
 }
