@@ -226,6 +226,21 @@ object Aggregates {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** Apache DataSketches HLL (Spark 4): per-type sketches PLUS a row
+    * estimating over the UNION of the serialized sketches — the property
+    * that matters at 100 TB: sketches re-aggregate without touching raw
+    * data (per-partition/day sketches roll up to any grouping). Sketch
+    * internals are engine-specific → rows-only. */
+  private def aggHllSketch(s: SparkSession, dir: String): DataFrame = {
+    val sk = T(s, dir, "events").groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    sk.select(col("event_type"), hll_sketch_estimate(col("sk")).as("approx_users"))
+      .unionByName(sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        .select(lit("ALL").as("event_type"), col("approx_users")))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_groupby_hash" -> (aggGroupbyHash _),
     "agg_distinct_count" -> (aggDistinctCount _),
@@ -243,6 +258,7 @@ object Aggregates {
     "profile_columns" -> (profileColumns _),
     "agg_collect_sorted" -> (aggCollectSorted _),
     "sql_recursive_cte" -> (sqlRecursiveCte _),
+    "agg_hll_sketch" -> (aggHllSketch _),
   )
 
   val oracle: Map[String, String] = Map(

@@ -184,7 +184,25 @@ object Functions {
       .orderBy("s_suppkey")
   }
 
+  /** Higher-order array functions (transform/filter/aggregate/exists/
+    * forall) against DuckDB's list lambdas — the declarative per-row
+    * collection processing surface. Fine here (small arrays, cold path);
+    * the hot shingle/SimHash loops use compiled expressions instead
+    * because Spark evaluates HOF lambdas interpreted (SURVEY §4.3). */
+  private def fnHigherOrder(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        sequence(lit(1L), pmod(col("s_suppkey"), lit(5L)) + 1).as("xs"))
+      .select(col("s_suppkey"),
+        transform(col("xs"), x => x * x).as("squares"),
+        filter(col("xs"), x => x % 2 === 0).as("evens"),
+        aggregate(col("xs"), lit(0L), (a, x) => a + x).as("total"),
+        exists(col("xs"), _ > 3).as("has_big"),
+        forall(col("xs"), _ > 0).as("all_pos"))
+      .orderBy("s_suppkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_higher_order" -> (fnHigherOrder _),
     "fn_variant" -> (fnVariant _),
     "fn_hash_format" -> (fnHashFormat _),
     "fn_string" -> (fnString _),
@@ -202,6 +220,15 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_higher_order" ->
+      """SELECT s_suppkey,
+        | list_transform(xs, x -> x * x) AS squares,
+        | list_filter(xs, x -> x % 2 = 0) AS evens,
+        | CAST(list_sum(xs) AS BIGINT) AS total,
+        | length(list_filter(xs, x -> x > 3)) > 0 AS has_big,
+        | length(list_filter(xs, x -> x <= 0)) = 0 AS all_pos
+        |FROM (SELECT s_suppkey, range(1, s_suppkey % 5 + 2) AS xs FROM supplier)
+        |ORDER BY s_suppkey""".stripMargin,
     "fn_variant" ->
       """SELECT s_suppkey, CAST(s_nationkey AS INT) AS geo_n,
         | s_name AS geo_name, CAST(s_suppkey AS BIGINT) AS id_back

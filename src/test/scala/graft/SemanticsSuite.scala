@@ -145,6 +145,17 @@ class SemanticsSuite extends SparkSuiteBase {
     }
   }
 
+  test("agg_hll_sketch: union row within 15% of exact global distinct users") {
+    val rows = run("agg_hll_sketch").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    val exactAll = T(spark, SF, "events").select("user_id").distinct().count()
+    assert(math.abs(rows("ALL") - exactAll) <= math.max(1, exactAll * 0.15),
+      s"union estimate ${rows("ALL")} vs exact $exactAll")
+    // merging per-type sketches must not lose users: the union estimate
+    // is >= any single type's estimate
+    rows.filter(_._1 != "ALL").values.foreach(v => assert(rows("ALL") >= v * 0.85))
+  }
+
   test("merge_upsert action counts match the derived change set") {
     val rows = run("merge_upsert").collect()
     val byAction = rows.groupBy(_.getAs[String]("action")).view.mapValues(_.length).toMap
