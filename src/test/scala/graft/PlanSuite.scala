@@ -149,4 +149,38 @@ class PlanSuite extends SparkSuiteBase {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("llm_corpus_filter plans one window pass, no self-join") {
+    val df = run("llm_corpus_filter")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"canonicalization still self-joins:\n$p")
+    assert(p.contains("Window"), "expected the window-min canonicalization")
+  }
+
+  test("llm_dedup_simhash: compiled fingerprint codegens; no HOF fold in the final plan") {
+    // the fingerprint pass runs inside the query's localCheckpoint, so
+    // assert its codegen on the same projection directly…
+    val fp = T(spark, SF, "documents").select(
+      graft.plans.expressions.simhashChunks(
+        org.apache.spark.sql.functions.array_distinct(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " "))).as("chunks"))
+    fp.collect()
+    assert(fp.queryExecution.executedPlan.toString.contains("*("),
+      "SimHashChunks fell out of whole-stage codegen")
+    // …and that the candidate-verify side never re-grew the interpreted
+    // HOF hamming fold
+    val df = run("llm_dedup_simhash")
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("aggregate(zip_with"))
+  }
+
+  test("merge_upsert plans a single full-outer join on the key") {
+    val df = run("merge_upsert")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), s"merge is not a full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
