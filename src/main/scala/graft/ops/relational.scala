@@ -57,6 +57,23 @@ object Relational {
     s.read.orc(tmp).orderBy("n_nationkey")
   }
 
+  /** JDBC source round-trip via embedded Derby (the relational-database
+    * ingestion path — Derby ships with the Spark distribution): write
+    * nation into a JDBC table, read it back through `spark.read.jdbc`.
+    * At scale the same reader parallelizes with partitionColumn/
+    * lowerBound/upperBound/numPartitions and pushes predicates into the
+    * database; single-partition here (25 rows). */
+  private def sourceJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:${GraftTmp.dir("jdbc")}/nationdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    T(s, dir, "nation").write.mode("overwrite").jdbc(url, "nation_tbl", props)
+    s.read.jdbc(url, "nation_tbl", props)
+      .select(col("n_nationkey").cast("int"), col("n_name"),
+        col("n_regionkey").cast("int"))
+      .orderBy("n_nationkey")
+  }
+
   /** Hidden file-metadata columns (`_metadata.file_name`, `.file_size`):
     * per-file provenance without a custom source — the lineage-tracking
     * shape for multi-file corpora (which input file produced this row).
@@ -204,6 +221,7 @@ object Relational {
     "source_binaryfile_roundtrip" -> (sourceBinaryfileRoundtrip _),
     "source_xml_roundtrip" -> (sourceXmlRoundtrip _),
     "scan_metadata_columns" -> (scanMetadataColumns _),
+    "source_jdbc_roundtrip" -> (sourceJdbcRoundtrip _),
     "source_text_roundtrip" -> (sourceTextRoundtrip _),
     "sink_partitioned_parquet" -> (sinkPartitionedParquet _),
     "source_custom_datasource" -> (sourceCustomDatasource _),
@@ -235,6 +253,8 @@ object Relational {
     "source_binaryfile_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "source_xml_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "source_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     // the fixture table is the single file nation.parquet, so the oracle
     // states the provenance Spark's _metadata column must report
