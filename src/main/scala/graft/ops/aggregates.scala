@@ -226,6 +226,15 @@ object Aggregates {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** DataFrameStatFunctions surface: contingency table via stat.crosstab
+    * (deterministic counts; column order normalized by re-selecting). */
+  private def statCrosstab(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .stat.crosstab("l_returnflag", "l_linestatus")
+      .select(col("l_returnflag_l_linestatus").as("returnflag"),
+        col("F").as("n_f"), col("O").as("n_o"))
+      .orderBy("returnflag")
+
   /** Apache DataSketches HLL (Spark 4): per-type sketches PLUS a row
     * estimating over the UNION of the serialized sketches — the property
     * that matters at 100 TB: sketches re-aggregate without touching raw
@@ -259,6 +268,7 @@ object Aggregates {
     "agg_collect_sorted" -> (aggCollectSorted _),
     "sql_recursive_cte" -> (sqlRecursiveCte _),
     "agg_hll_sketch" -> (aggHllSketch _),
+    "stat_crosstab" -> (statCrosstab _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -346,6 +356,11 @@ object Aggregates {
         | BOOL_AND(o_totalprice > 0) AS all_positive,
         | BOOL_OR(o_totalprice > 490000) AS any_huge
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "stat_crosstab" ->
+      """SELECT l_returnflag AS returnflag,
+        | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY returnflag""".stripMargin,
     "sql_recursive_cte" ->
       """WITH RECURSIVE m(mon) AS (
         |  SELECT 1 UNION ALL SELECT mon + 1 FROM m WHERE mon < 12)
