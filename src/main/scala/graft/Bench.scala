@@ -2,12 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at the harness's
-  * CPU count and prints ONE compact JSON line.
+  * CPU count.
   *
-  * Output discipline (round-1 lesson: the driver tail-keeps stdout and a
-  * 10 KB full-precision line got front-truncated → "parsed": null):
-  * times are rounded to 3 decimals and the line is printed last, so it
-  * always survives tail-capture intact.
+  * Output discipline (round-1/2 lesson: the driver TAIL-keeps stdout, so
+  * whatever is printed at the very END survives; the front of a long line
+  * gets truncated → "parsed": null twice): print TWO lines — first the
+  * long per-query detail line (best-effort; may lose its front), then a
+  * SHORT final summary line `{"metric":"total",...}` that always fits in
+  * the tail intact.
+  *
+  * Diagnosability (round-2 ask): per-query GC-time deltas and the heap
+  * high-water mark ride along in the detail line, so an 8× builder-vs-
+  * driver discrepancy can be attributed (JIT/GC/suite-order) instead of
+  * relitigated.
   *
   * Failure discipline: a throwing query is reported in an "errors" map
   * with a null time — never silently timed as a fast success.
@@ -49,25 +56,47 @@ object Bench {
     spark.read.format("binaryFile").load(s"$warmRoot/text").count()
     val keep: String => Boolean =
       if (args.nonEmpty && args(0).nonEmpty) args(0).split(",").toSet else _ => true
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    def gcMs(): Long = gcBeans.map(_.getCollectionTime).sum
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => keep(n) }
       .map { case (name, fn) =>
+        heapPools.foreach(_.resetPeakUsage())
+        val gc0 = gcMs()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
           case e: Throwable =>
             Some((Option(e.getMessage).getOrElse(e.getClass.getName))
               .replaceAll("[\\s\"\\\\]+", " ").take(160))
         }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gcDelta = gcMs() - gc0
+        val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+        (name, sec, err, gcDelta, peakMb)
       }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
-    val qs = results.map { case (k, v, err) =>
+    val qs = results.map { case (k, v, err, _, _) =>
       "\"" + k + "\":" + (if (err.isDefined) "null" else r3(v))
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => s"\"$k\":\"$m\"" }
+    val gcs = results.map { case (k, _, _, g, p) =>
+      "\"" + k + "\":[" + g + "," + p + "]"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m), _, _) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
-    val total = r3(results.collect { case (_, v, None) => v }.sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.count(_._3.isEmpty)},"n_err":${results.count(_._3.isDefined)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val nOk = results.count(_._3.isEmpty)
+    val nErr = results.count(_._3.isDefined)
+    val total = r3(results.collect { case (_, v, None, _, _) => v }.sum)
+    val gcTotal = results.map(_._4).sum
+    // Long detail line FIRST (may be front-truncated by tail capture; the
+    // gc_heap map is per-key [gc_ms_delta, heap_peak_mb]) …
+    println(s"""{"metric":"bench_detail","unit":"sec","queries":$qs,"gc_heap":$gcs,"errors":$errs,"sf":"$sfDir"}""")
+    // … then the SHORT machine-readable total as the very last line.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_err":$nErr,"gc_ms":$gcTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

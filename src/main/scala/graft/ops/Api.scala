@@ -104,9 +104,109 @@ object Api {
         (col("inter") / col("uni")).as("jaccard"))
   }
 
+  /** EXACT cosine top-k with a recall-complete branch-and-bound cell
+    * pruning stage — the scored scale path (no nested-loop join).
+    *
+    * Geometry: on unit-normalized vectors, cosine order = Euclidean
+    * order (d² = 2 − 2·cos), so ball bounds apply. Per cell (the
+    * `cellCol` coarse partition, e.g. an IVF/k-means label): centroid c,
+    * radius r = max member distance to c, count. For a query q every
+    * member m of a cell satisfies d(q,c) − r ≤ d(q,m) ≤ d(q,c) + r
+    * (triangle inequality; c need not be unit). Threshold T = smallest
+    * upper bound (d+r) whose cumulative cell count reaches k+1 (+1
+    * absorbs the query itself when it is among the candidates) — at
+    * least k non-self candidates sit within T, so the true kth distance
+    * ≤ T, and any cell with d(q,c) − r > T + ε holds only strictly-worse
+    * rows and is pruned WITHOUT loss of recall. Final scoring is the
+    * same exact-cosine expression as [[cosineTopK]], so results are
+    * byte-identical to brute force (equivalence suite-asserted).
+    *
+    * Plan shape (the point): queries ⨝ one-row cell digest on a constant
+    * key (BroadcastHashJoin), explode kept cells, equi-join candidates
+    * on the cell id (BroadcastHashJoin on the tiny query×cell side) —
+    * NO BroadcastNestedLoopJoin anywhere; the only full-data pass
+    * streams candidates through a hash probe. At 100 TB the centroid/
+    * radius digest is index-build work: compute once, reuse per query
+    * batch; rows scored = members of unpruned cells only, which with a
+    * real k-means cell assignment is a small fraction of N per query.
+    * Worst case (all cells overlap every query ball) degrades to the
+    * full scan — still via the same equi-join, never O(Q·N) join rows
+    * materialized through a sort.
+    */
+  def cosineTopKPruned(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, k: Int): DataFrame = {
+    import graft.plans.expressions.dotF
+    val c = candidates.select(col(idCol).as("neighbor"), col(cellCol).as("cell"),
+      col(vecCol).as("cv"), Llm.fnorm2(col(vecCol)).as("cn"))
+    // per-cell centroid of UNIT members, assembled component-wise
+    // (posexplode → avg → re-pack sorted by position). Two linear
+    // passes over candidates; at scale this is the reusable index build.
+    val cent = c.select(col("cell"), col("cn"), posexplode(col("cv")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg(col("v") / sqrt(col("cn"))).as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m").cast("float")).as("cent"))
+    // unit-member distance to centroid without materializing unit
+    // vectors: d² = 1 − 2·(cv·cent)/|cv| + |cent|²
+    val cellStats = c.join(broadcast(cent), "cell")
+      .withColumn("cn2", dotF(col("cent"), col("cent")))
+      .withColumn("d", sqrt(greatest(lit(0.0),
+        lit(1.0) - lit(2.0) * dotF(col("cv"), col("cent")) / sqrt(col("cn")) + col("cn2"))))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"), max(col("d")).as("r"),
+        first(col("cent")).as("cent"), first(col("cn2")).as("cn2"))
+    // The join key must be NON-FOLDABLE on both sides: lit(1)===lit(1)
+    // constant-folds to `true` (and isNotNull on a non-nullable column
+    // simplifies to a literal too), degrading the equi-join to a nested
+    // loop. pmod(xxhash64(col), 1) always evaluates to 0 but no
+    // optimizer rule can fold it, so the planner keeps a
+    // BroadcastHashJoin on the one-row digest.
+    def zeroKey(c: Column): Column = pmod(xxhash64(c), lit(1L)).cast("int")
+    val cellsAgg = cellStats
+      .agg(collect_list(struct(col("cell"), col("cnt"), col("cent"), col("cn2"), col("r"))).as("cells"))
+      .withColumn("one", zeroKey(size(col("cells"))))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        Llm.fnorm2(col(vecCol)).as("qn"))
+      .withColumn("one", zeroKey(col("qid")))
+    // constant-key equi-join against the ONE-ROW digest: planned as a
+    // BroadcastHashJoin, not a nested loop. The per-query HOFs below run
+    // interpreted but over ncells elements only.
+    val qstats = q.join(broadcast(cellsAgg), "one")
+      .withColumn("st", transform(col("cells"), cl =>
+        struct(cl.getField("cell").as("cell"), cl.getField("cnt").as("cnt"),
+          sqrt(greatest(lit(0.0),
+            lit(1.0) - lit(2.0) * dotF(col("qv"), cl.getField("cent")) / sqrt(col("qn"))
+              + cl.getField("cn2"))).as("dc"),
+          cl.getField("r").as("r"))))
+      // T = min (dc_i + r_i) whose cumulative count (over cells with a
+      // smaller-or-equal upper bound) reaches k+1; null (fewer than k+1
+      // candidates in total) → keep everything
+      .withColumn("thr", coalesce(
+        array_min(transform(col("st"), x =>
+          when(aggregate(col("st"), lit(0L), (acc, y) =>
+            acc + when(y.getField("dc") + y.getField("r")
+              <= x.getField("dc") + x.getField("r"), y.getField("cnt"))
+              .otherwise(lit(0L))) >= lit(k + 1L),
+            x.getField("dc") + x.getField("r")))),
+        lit(Double.MaxValue)))
+    val qkeep = qstats
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(filter(col("st"), x =>
+          x.getField("dc") - x.getField("r") <= col("thr") + lit(1e-9))).as("kc"))
+      .select(col("qid"), col("qv"), col("qn"), col("kc").getField("cell").as("cell"))
+    // stream candidates through a hash probe of the tiny (qid, cell) set
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor"))
+    c.join(broadcast(qkeep), "cell")
+      .where(col("neighbor") =!= col("qid"))
+      .withColumn("cos", Llm.fdot(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor"), col("cos"))
+  }
+
   /** Brute-force cosine top-k neighbors of `queries` among `candidates`
-    * (both: id + float-vector). Correctness baseline — at scale, feed
-    * `candidates` from an LSH/IVF blocking stage instead. */
+    * (both: id + float-vector). Test-only equivalence baseline for
+    * [[cosineTopKPruned]] — the all-pairs non-equi join is O(Q·N) rows
+    * through a BroadcastNestedLoopJoin and does not scale. */
   def cosineTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),

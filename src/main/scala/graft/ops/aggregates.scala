@@ -173,7 +173,11 @@ object Aggregates {
   private def aggCollectSorted(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "supplier")
       .groupBy("s_nationkey")
-      .agg(sort_array(collect_list(col("s_suppkey"))).as("supp_keys"),
+      // array_join serializes the sorted list to a comparator-safe string;
+      // the list itself stays distributed (sort_array runs post-shuffle,
+      // per group — no driver involvement at any scale).
+      .agg(array_join(sort_array(collect_list(col("s_suppkey"))), ",")
+          .as("supp_keys"),
         count(lit(1)).as("n"))
       .orderBy("s_nationkey")
 
@@ -369,7 +373,8 @@ object Aggregates {
         |  ON MONTH(o_orderdate) = mon AND YEAR(o_orderdate) = 1997
         |GROUP BY mon ORDER BY mon""".stripMargin,
     "agg_collect_sorted" ->
-      """SELECT s_nationkey, LIST(s_suppkey ORDER BY s_suppkey) AS supp_keys,
+      """SELECT s_nationkey,
+        | array_to_string(LIST(s_suppkey ORDER BY s_suppkey), ',') AS supp_keys,
         | CAST(COUNT(*) AS BIGINT) AS n
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     // double→VARCHAR casts agree between engines for plain magnitudes

@@ -194,8 +194,10 @@ object Functions {
       .select(col("s_suppkey"),
         sequence(lit(1L), pmod(col("s_suppkey"), lit(5L)) + 1).as("xs"))
       .select(col("s_suppkey"),
-        transform(col("xs"), x => x * x).as("squares"),
-        filter(col("xs"), x => x % 2 === 0).as("evens"),
+        // HOFs are the point of this key; array_join serializes the
+        // array results so the cross-engine byte-hash check can run.
+        array_join(transform(col("xs"), x => x * x), ",").as("squares"),
+        array_join(filter(col("xs"), x => x % 2 === 0), ",").as("evens"),
         aggregate(col("xs"), lit(0L), (a, x) => a + x).as("total"),
         exists(col("xs"), _ > 3).as("has_big"),
         forall(col("xs"), _ > 0).as("all_pos"))
@@ -222,8 +224,8 @@ object Functions {
   val oracle: Map[String, String] = Map(
     "fn_higher_order" ->
       """SELECT s_suppkey,
-        | list_transform(xs, x -> x * x) AS squares,
-        | list_filter(xs, x -> x % 2 = 0) AS evens,
+        | array_to_string(list_transform(xs, x -> x * x), ',') AS squares,
+        | COALESCE(array_to_string(list_filter(xs, x -> x % 2 = 0), ','), '') AS evens,
         | CAST(list_sum(xs) AS BIGINT) AS total,
         | length(list_filter(xs, x -> x > 3)) > 0 AS has_big,
         | length(list_filter(xs, x -> x <= 0)) = 0 AS all_pos

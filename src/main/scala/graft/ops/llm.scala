@@ -329,9 +329,14 @@ object Llm {
     // shuffles the corpus by its own payload: measured 48 s vs 2 s at
     // local[32]/sf0.1 without AQE coalescing, and a non-starter at
     // 100 TB). The oracle groups by norm directly — identical semantics.
+    // stop_cnt via the compiled CountInSet expression — the
+    // size(filter(toks, isin)) lambda spelling runs INTERPRETED and
+    // breaks whole-stage codegen for this whole projection (the r2
+    // driver bench charged 17.6 s to this query; suspect #1 was this
+    // ArrayFilter).
     val scored = docs.select(col("doc_id"), col("lang"), col("n_chars"),
       md5(normText(col("text")).cast("binary")).as("fp"), size(toks).as("n_tokens"),
-      size(filter(toks, t => t.isin(StopWords: _*))).as("stop_cnt"))
+      graft.plans.expressions.countInSet(toks, StopWords).as("stop_cnt"))
     // canonical id via a window-min over fp: one shuffle, no self-join —
     // the groupBy+join spelling evaluated the scored projection (regex
     // normalize + md5 + stopword scan) once per join side
@@ -348,10 +353,13 @@ object Llm {
 
   // ---- similarity search -------------------------------------------------
 
-  /** Brute-force cosine top-k for query vectors vec_id < 10. */
+  /** Exact cosine top-k for query vectors vec_id < 10, through the
+    * recall-complete ball-pruned plan (Api.cosineTopKPruned — equi-joins
+    * only, no nested loop; `label` is the coarse cell). Byte-identical
+    * to the brute-force baseline, which LlmOpsSuite asserts. */
   private def simsearchTopk(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
-    Api.cosineTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", TopK)
+    Api.cosineTopKPruned(e.where(col("vec_id") < 10), e, "vec_id", "embedding", "label", TopK)
       .select(col("qid"), col("rank"), col("neighbor"), dround(col("cos"), 6).as("cos_sim"))
       .orderBy("qid", "rank")
   }
@@ -459,7 +467,9 @@ object Llm {
 
   private def textQuality(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
-    val stopCnt = size(filter(toks, t => t.isin(StopWords: _*)))
+    // compiled set-membership count — see corpusFilter for why not
+    // size(filter(..., isin)) (interpreted lambda, codegen break)
+    val stopCnt = graft.plans.expressions.countInSet(toks, StopWords)
     T(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"),
         size(toks).as("n_tokens"), stopCnt.as("stop_cnt"))
@@ -483,7 +493,7 @@ object Llm {
     val scored = LangProfiles.foldLeft(
       T(s, dir, "documents").select(col("doc_id"), toks.as("toks"))) {
       case (df, (nm, ws)) => df.withColumn(s"s_$nm",
-        size(filter(col("toks"), t => t.isin(ws: _*))))
+        graft.plans.expressions.countInSet(col("toks"), ws))
     }
     scored.select(col("doc_id"), col("s_tabular"), col("s_relational"), col("s_streaming"),
         when(col("s_tabular") >= col("s_relational") && col("s_tabular") >= col("s_streaming"), "tabular")

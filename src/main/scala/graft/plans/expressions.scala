@@ -82,8 +82,59 @@ case class ShinglesK(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Compiled membership count: how many elements of an array<string> are
+  * in a small fixed vocabulary. Replaces the `size(filter(toks,
+  * t.isin(words)))` spelling, whose lambda Spark evaluates INTERPRETED
+  * per token (ArrayFilter breaks whole-stage codegen for the entire
+  * projection it sits in — the same lesson as ShinglesK). One hash-set
+  * probe per token inside codegen; the set is built once per executor.
+  * Null elements count 0, matching filter+isin (null predicate → drop).
+  */
+case class CountInSet(child: Expression, words: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_count_in_set"
+
+  @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] =
+    ShingleUtil.toUtf8Set(words.toArray)
+
+  override protected def nullSafeEval(in: Any): Any =
+    ShingleUtil.countInSet(in.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftWordSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleUtil.countInSet($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+}
+
 object ShingleUtil {
   private val Sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def toUtf8Set(words: Array[String]): java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](words.length * 2)
+    words.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  /** Count of elements of `toks` present in `set`; null elements skipped. */
+  def countInSet(toks: ArrayData,
+      set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): Int = {
+    val n = toks.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null && set.contains(t)) c += 1
+      i += 1
+    }
+    c
+  }
 
   /** Distinct k-grams of `toks` in first-occurrence order. */
   def shingles(toks: ArrayData, k: Int): ArrayData = {
@@ -176,4 +227,8 @@ object expressions {
   /** Column-level API for [[SimHashChunks]]. */
   def simhashChunks(toks: Column): Column =
     Shim.column(SimHashChunks(Shim.expression(toks)))
+
+  /** Column-level API for [[CountInSet]]. */
+  def countInSet(toks: Column, words: Seq[String]): Column =
+    Shim.column(CountInSet(Shim.expression(toks), words))
 }

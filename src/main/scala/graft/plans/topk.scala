@@ -20,10 +20,25 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * pass after the one clustering exchange (which AQE still plans,
   * splits and coalesces as usual — the node only declares
   * ClusteredDistribution on the group keys).
+  *
+  * Memory precondition (API contract): the operator holds one k-heap
+  * per group per partition — O(distinct-groups-per-partition × k)
+  * unmanaged JVM memory, NOT accounted to Spark's TaskMemoryManager
+  * and never spilled. After the clustering exchange each group lives
+  * in exactly one partition, so the bound is O(|groups| / shuffle
+  * partitions × k) rows. For group cardinalities where groups × k
+  * rows per partition do not fit in executor heap, use the stock
+  * Window spelling (which spills) instead of this operator.
   */
 case class TopKPerGroup(k: Int, groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder], child: LogicalPlan) extends UnaryNode {
   require(k >= 1, "top-k needs k >= 1")
+  // ClusteredDistribution(Nil) throws at planning in Spark 4.x; a global
+  // (ungrouped) top-k belongs to the stock TakeOrderedAndProject /
+  // Window path, so reject it at the API boundary with a clear message.
+  require(groupExprs.nonEmpty,
+    "TopKPerGroup needs at least one group expression; for a global " +
+      "top-k use orderBy(...).limit(k) (TakeOrderedAndProject)")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
@@ -63,16 +78,16 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
         if (h.size < kk) h.add(ur.copy())
         else if (ord.compare(ur, h.peek()) < 0) { h.poll(); h.add(ur.copy()) }
       }
-      val outRows = new java.util.ArrayList[InternalRow]()
-      heaps.forEach { (_, h) =>
-        // drain each heap best-first (in-group order is not part of the
-        // operator contract; callers sort the final frame)
+      // Emit lazily, one heap at a time (in-group order is not part of
+      // the operator contract; callers sort the final frame). Avoiding a
+      // materialized ArrayList of every kept row halves peak memory —
+      // only the heaps themselves are resident.
+      import scala.jdk.CollectionConverters._
+      heaps.values.iterator.asScala.flatMap { h =>
         val arr = h.toArray(new Array[UnsafeRow](h.size))
         java.util.Arrays.sort(arr, ord.asInstanceOf[java.util.Comparator[UnsafeRow]])
-        arr.foreach(outRows.add)
+        arr.iterator
       }
-      import scala.jdk.CollectionConverters._
-      outRows.iterator.asScala
     }, preservesPartitioning = true)
   }
 
@@ -121,6 +136,12 @@ object WindowTopKRewrite
             WindowSpecDefinition(_, _, SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _) => true
         case _ => false
       }) && rankAttr.semanticEquals(w.windowExpressions.head.toAttribute) &&
+        // global top-k (empty partitionSpec) must fall through to the
+        // stock plan: ClusteredDistribution(Nil) is illegal, and a
+        // per-partition heap with no exchange would silently return k
+        // rows PER PARTITION. Likewise k <= 0 (legal, empty result)
+        // would trip TopKPerGroup's require inside the optimizer.
+        w.partitionSpec.nonEmpty && k >= 1 &&
         projList.forall(ne => ne.isInstanceOf[Attribute] &&
           !ne.toAttribute.semanticEquals(rankAttr) &&
           w.child.outputSet.contains(ne.toAttribute)) =>

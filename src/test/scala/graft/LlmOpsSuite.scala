@@ -42,6 +42,23 @@ class LlmOpsSuite extends SparkSuiteBase {
       "ShinglesK fell out of whole-stage codegen")
   }
 
+  test("compiled CountInSet equals the interpreted filter+isin spelling and codegens") {
+    val words = Seq("the", "a", "join")
+    val toks = split(col("text"), " ")
+    val df = T(spark, SF, "documents")
+      .select(
+        graft.plans.expressions.countInSet(toks, words).as("fast"),
+        size(filter(toks, t => t.isin(words: _*))).as("slow"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    val fastOnly = T(spark, SF, "documents")
+      .select(graft.plans.expressions.countInSet(toks, words).as("c"))
+    fastOnly.collect()
+    assert(fastOnly.queryExecution.executedPlan.toString.contains("*("),
+      "CountInSet fell out of whole-stage codegen")
+  }
+
   test("compiled SimHashChunks equals the relational xxhash64 bit-sum spelling") {
     val hashed = T(spark, SF, "documents")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -62,6 +79,22 @@ class LlmOpsSuite extends SparkSuiteBase {
       .select(col("f.chunks").as("fc"), col("s.chunks").as("sc")).collect()
     assert(joined.nonEmpty)
     joined.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("ball-pruned cosine top-k equals the brute-force baseline exactly") {
+    val e = T(spark, SF, "embeddings")
+    val q = e.where(col("vec_id") < 10)
+    val pruned = Api.cosineTopKPruned(q, e, "vec_id", "embedding", "label", 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("cos")))).toSet
+    val brute = Api.cosineTopK(q, e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("cos")))).toSet
+    assert(pruned.nonEmpty)
+    assert(pruned == brute,
+      s"pruned top-k diverged from brute force: ${pruned.diff(brute)} / ${brute.diff(pruned)}")
   }
 
   test("llm_dedup_exact cluster sizes cover all documents") {

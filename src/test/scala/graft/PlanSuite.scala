@@ -122,6 +122,43 @@ class PlanSuite extends SparkSuiteBase {
     assert(got == want)
   }
 
+  test("WindowTopKRewrite leaves global top-k and non-positive k to the stock plan") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, row_number}
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.WindowTopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.WindowTopKRewrite
+    val orders = T(spark, SF, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    // Global top-k (empty partitionBy): must NOT rewrite — with the rule
+    // session-wide this previously threw ClusteredDistribution(Nil) at
+    // planning, or would silently return k rows per partition.
+    val globalW = W.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val global = orders.withColumn("rn", row_number().over(globalW))
+      .where(col("rn") <= 3).drop("rn")
+    assert(!global.queryExecution.optimizedPlan.toString.contains("TopKPerGroup"))
+    assert(global.count() == 3)
+    // rn <= 0 is a legal query with an empty result: must fall through
+    // (TopKPerGroup's require(k >= 1) would throw inside the optimizer).
+    val grpW = W.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val zeroK = orders.withColumn("rn", row_number().over(grpW))
+      .where(col("rn") <= 0).drop("rn")
+    assert(!zeroK.queryExecution.optimizedPlan.toString.contains("TopKPerGroup"))
+    assert(zeroK.count() == 0)
+  }
+
+  test("llm_simsearch_topk scored plan has no nested-loop join") {
+    val df = run("llm_simsearch_topk")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"scored top-k still plans a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in scored top-k:\n$p")
+  }
+
   test("custom DSv2 star source plans the requested partitions") {
     val df = spark.read.format("graft.sources.StarCatalogSource")
       .option("rows", "1000").option("partitions", "8").load()
