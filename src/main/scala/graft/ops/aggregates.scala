@@ -254,7 +254,32 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** Exact Pearson correlation from INTEGER moments — the deterministic
+    * spelling of corr() at scale: six exact BIGINT sums (one shuffle,
+    * order-insensitive), then one double formula on the driver-free
+    * final projection. Native corr() accumulates doubles in partial-agg
+    * merge order and is not reproducible across partitionings; integer
+    * moments are. Moments here stay far below 2^53 (n_chars ≤ 577,
+    * tokens ≤ 100, 5 000 docs); at 100 TB widen to DECIMAL(38,0) sums —
+    * same shape. The final ops (int→double, -, *, /, sqrt) are all
+    * exact-rounded IEEE, so the oracle is byte-exact. */
+  private def statCorrMoments(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("lang"), col("n_chars").as("x"),
+        size(split(col("text"), " ")).cast("long").as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lang"), col("n"),
+        dround((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("corr_chars_tokens"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_corr_moments" -> (statCorrMoments _),
     "agg_groupby_hash" -> (aggGroupbyHash _),
     "agg_distinct_count" -> (aggDistinctCount _),
     "agg_multi_distinct" -> (aggMultiDistinct _),
@@ -276,6 +301,18 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // moments are exact integers < 2^53 at every SF (n_chars <= 577,
+    // tokens <= 100, 5000 docs), so the int→double casts are exact in
+    // both engines and the IEEE -,*,/,sqrt chain is bit-identical
+    "stat_corr_moments" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         | ${Det.sqlRound(
+            "CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS DOUBLE) / " +
+              "(SQRT(CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS DOUBLE)) * " +
+              "SQRT(CAST(COUNT(*) * SUM(y*y) - SUM(y) * SUM(y) AS DOUBLE)))", 6)} AS corr_chars_tokens
+         |FROM (SELECT lang, n_chars AS x,
+         |   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS y FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "agg_groupby_hash" ->
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -610,6 +610,105 @@ object Llm {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .orderBy("lang", "split")
 
+  /** Stratified deterministic sampling — per-language rates via the same
+    * md5-hex-prefix discipline as [[trainTestSplit]] (en 6.25 %, de 50 %,
+    * other 25 %). Assignment depends only on doc_id, so the sample is
+    * stable under reruns/repartitioning and reproducible by the oracle;
+    * at 100 TB this is a stateless filter pushed to the scan, no shuffle
+    * at all. */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val h4 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+    val thr = when(col("lang") === "en", "1000")
+      .when(col("lang") === "de", "8000")
+      .otherwise("4000")
+    T(s, dir, "documents")
+      .where(h4 < thr)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus bigram counts: adjacent-token pairs via a per-doc LEAD
+    * window (one shuffle on doc_id — at 100 TB tokens of one doc always
+    * co-locate), global count, deterministic top-20. The window spelling
+    * keeps the whole pipeline relational — no interpreted array lambdas
+    * on the hot explode path. */
+  private def ngramCounts(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    T(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Greedy sequential context-window packing — the "fill 4096-token
+    * sequences" shape every trainer needs: per language, docs in doc_id
+    * order, a doc lands in the window where its START offset falls
+    * (integer cumsum, exact in both engines). One shuffle on lang; the
+    * running sum reuses that partitioning. */
+  private def seqPacking(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / lit(4096.0)).cast("long"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
+  /** Int8 symmetric quantization round-trip error — the embedding
+    * compression sanity check: per vector scale = maxabs/127, component
+    * q = clamp(floor(x/scale + 0.5)), report the worst dequantization
+    * error. Spelled relationally (posexplode → two aggregations joined
+    * on vec_id) so it scales as two shuffles on the 8-byte id — and
+    * floor(x+0.5) instead of round() because the two engines disagree
+    * on round()'s midpoint rule but evaluate the IEEE floor chain
+    * bit-identically (SURVEY §7.3). */
+  private def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val comps = T(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("v").cast("double").as("x"))
+    val scales = comps.groupBy("vec_id")
+      .agg((max(abs(col("x"))) / 127.0).as("scale"))
+    comps.join(scales, "vec_id")
+      .withColumn("q", greatest(lit(-127.0),
+        least(lit(127.0), floor(col("x") / col("scale") + 0.5))))
+      .withColumn("err", abs(col("q") * col("scale") - col("x")))
+      .groupBy("vec_id", "scale")
+      .agg(max(col("err")).as("max_err"))
+      .select(col("vec_id"), dround(col("scale"), 6).as("scale_q"),
+        dround(col("max_err"), 6).as("max_qerr"))
+      .orderBy("vec_id")
+  }
+
+  /** Benchmark decontamination — for every eval-split document (same
+    * md5-prefix split as [[trainTestSplit]]), how many train documents
+    * share at least one 5-token shingle, and how many of its shingles
+    * leak. Candidates join on the shingle key (the dedup_near shape);
+    * at 100 TB the eval side is the small one — broadcast it, or band
+    * the shingles MinHash-style first. */
+  private def contaminationCheck(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+      .withColumn("is_eval",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4) < "1000")
+    val ev = sh.where(col("is_eval"))
+      .select(col("doc_id").as("eval_doc"), explode(col("shingles")).as("sh"))
+    val tr = sh.where(!col("is_eval"))
+      .select(col("doc_id").as("train_doc"), explode(col("shingles")).as("sh2"))
+    ev.join(tr, col("sh") === col("sh2"))
+      .groupBy("eval_doc")
+      .agg(countDistinct(col("train_doc")).as("n_train_docs"),
+        countDistinct(col("sh")).as("n_shared_shingles"))
+      .orderBy("eval_doc")
+  }
+
   // ---- multimodal binary columns -----------------------------------------
 
   private def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
@@ -693,6 +792,11 @@ object Llm {
     "sql_extension_dot" -> (sqlExtensionDot _),
     "llm_multimodal_join" -> (multimodalJoin _),
     "llm_train_test_split" -> (trainTestSplit _),
+    "llm_sample_stratified" -> (sampleStratified _),
+    "llm_ngram_counts" -> (ngramCounts _),
+    "llm_seq_packing" -> (seqPacking _),
+    "llm_embed_quantize" -> (embedQuantize _),
+    "llm_contamination_check" -> (contaminationCheck _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_decode_stub" -> (mmDecodeStub _),
@@ -858,6 +962,54 @@ object Llm {
         |       THEN 'eval' ELSE 'train' END AS split
         | FROM documents)
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "llm_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE WHEN lang = 'en' THEN '1000'
+        |       WHEN lang = 'de' THEN '8000' ELSE '4000' END
+        |ORDER BY doc_id""".stripMargin,
+    "llm_ngram_counts" ->
+      """SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        | SELECT tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        | FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+        |        UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS pos FROM documents))
+        |WHERE bigram IS NOT NULL
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "llm_seq_packing" ->
+      """SELECT lang, CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS bin,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM (SELECT doc_id, lang, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM (SELECT doc_id, lang,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens FROM documents))
+        |GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "llm_embed_quantize" ->
+      (s"""WITH comps AS (
+        |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings),
+        |scales AS (
+        |  SELECT vec_id, MAX(ABS(x)) / 127.0 AS scale FROM comps GROUP BY vec_id)
+        |SELECT c.vec_id,
+        | ${Det.sqlRound("s.scale", 6)} AS scale_q,
+        | ${Det.sqlRound(
+          "MAX(ABS(GREATEST(-127.0, LEAST(127.0, FLOOR(c.x / s.scale + 0.5))) * s.scale - c.x))",
+          6)} AS max_qerr
+        |FROM comps c JOIN scales s USING (vec_id)
+        |GROUP BY c.vec_id, s.scale ORDER BY c.vec_id""").stripMargin,
+    "llm_contamination_check" ->
+      s"""WITH sh AS ($sqlShingles),
+        |flag AS (SELECT doc_id,
+        |  SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '1000' AS is_eval
+        | FROM documents)
+        |SELECT e.doc_id AS eval_doc,
+        | CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+        | CAST(COUNT(DISTINCT e.sh) AS BIGINT) AS n_shared_shingles
+        |FROM sh e JOIN flag fe ON e.doc_id = fe.doc_id AND fe.is_eval
+        |JOIN sh t ON e.sh = t.sh
+        |JOIN flag ft ON t.doc_id = ft.doc_id AND NOT ft.is_eval
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, frame_no, MD5(SUBSTRING(text, CAST(frame_no * 256 + 1 AS BIGINT), 256)) AS frame_md5
         |FROM (SELECT doc_id, text,
