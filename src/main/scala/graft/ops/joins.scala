@@ -141,11 +141,19 @@ object Joins {
     val tmp = GraftTmp.dir(s"bucket_$tag")
     val ot = s"graft_bucketed_o_$tag"
     val lt = s"graft_bucketed_l_$tag"
+    // repartition to the bucket hash BEFORE the write: Spark's bucket id
+    // and repartition both use murmur3 hash-partitioning, so each write
+    // task then holds exactly one bucket — 8 files per table instead of
+    // (input partitions × 8) small files. At 100 TB the small-file
+    // explosion is the difference between a usable and an unusable
+    // bucketed table.
     T(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      .repartition(8, col("o_orderkey"))
       .write.mode("overwrite").option("path", s"$tmp/orders")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable(ot)
     T(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+      .repartition(8, col("l_orderkey"))
       .write.mode("overwrite").option("path", s"$tmp/lineitem")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable(lt)
