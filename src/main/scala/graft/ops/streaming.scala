@@ -67,6 +67,68 @@ object Streaming {
     s.read.parquet(s"$root/out").orderBy("win_start", "event_type")
   }
 
+  /** foreachBatch idempotent upsert — the production CDC-sink pattern
+    * Spark ships no built-in sink for: every micro-batch MERGEs "latest
+    * event per user" into a keyed target. The source re-delivers the
+    * fixture twice across two forced micro-batches (maxFilesPerTrigger
+    * = 1), so the second batch performs a real merge against existing
+    * state AND proves the upsert idempotent under replay — the final
+    * table equals the plain batch latest-per-user query, which is the
+    * oracle. The local commit is write-temp-then-swap; on a cluster the
+    * same foreachBatch body issues MERGE INTO a transactional table —
+    * the merge joins the batch's latest rows (bounded by keys-per-batch)
+    * against the keyed target, scaling with keys, not event volume. */
+  private def streamForeachBatchUpsert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val root = GraftTmp.dir(s"upsert_$tag")
+    val src = java.nio.file.Paths.get(s"$root/in")
+    java.nio.file.Files.createDirectories(src)
+    for (f <- Seq("e1.parquet", "e2.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), src.resolve(f))
+    val sch = T(s, dir, "events").schema // also sets nanosAsLong
+    val tgt = s"$root/target"
+    def latest(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("last_us").desc, col("last_event").desc)
+      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    // per-batch volumes are small (keys-per-batch rows); 8 shuffle
+    // partitions instead of the session's 32 cuts per-batch task
+    // overhead — same sizing note as streamFileSink
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+        .select(col("user_id"), col("event_id").as("last_event"),
+          col("event_type").as("last_type"), col("value").as("last_value"),
+          expr("ts div 1000").as("last_us"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val batchLatest = latest(batch)
+          val merged =
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(tgt)))
+              latest(sp.read.parquet(tgt).unionByName(batchLatest))
+            else batchLatest
+          merged.write.mode("overwrite").parquet(s"$root/target_tmp")
+          rm(new java.io.File(tgt))
+          new java.io.File(s"$root/target_tmp").renameTo(new java.io.File(tgt))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(tgt).orderBy("user_id")
+  }
+
   private def tumbling(s: SparkSession, dir: String): DataFrame =
     T.eventsUs(s, dir)
       .groupBy(window(col("ts_us"), "1 day").as("w"), col("event_type"))
@@ -131,6 +193,7 @@ object Streaming {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel" -> (eventsFunnel _),
     "stream_file_sink" -> (streamFileSink _),
+    "stream_foreachbatch_upsert" -> (streamForeachBatchUpsert _),
     "stream_tumbling_window" -> (tumbling _),
     "stream_sliding_window" -> (sliding _),
     "stream_session_window" -> (session _),
@@ -199,5 +262,13 @@ object Streaming {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
         |FROM events ORDER BY event_id""".stripMargin,
+    "stream_foreachbatch_upsert" ->
+      """SELECT user_id, last_event, last_type, last_value, last_us FROM (
+        | SELECT user_id, event_id AS last_event, event_type AS last_type,
+        |  value AS last_value, epoch_us(ts) AS last_us,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 }
