@@ -35,11 +35,17 @@ object Graph {
       .localCheckpoint()
     val deg = edges.groupBy("a").agg(count(lit(1)).as("outdeg")).localCheckpoint()
     // degree-annotated edges are re-read every iteration — materialize
-    // the join once instead of paying it 3×, PRE-PARTITIONED on the
-    // source key (the Pregel discipline): localCheckpoint preserves the
-    // hash partitioning, so each iteration's join exchanges only the
-    // small ranks table to match — the big edge table never reshuffles.
-    val edgesD = edges.join(deg, "a").repartition(col("a")).localCheckpoint()
+    // the join once instead of paying it 3×. Measured per-iteration
+    // plans here: AQE broadcasts the small ranks table, so the edge
+    // table already streams with ZERO per-iteration exchange — no
+    // gain from pre-partition+persist at this scale (measured: the
+    // cache build costs more than it saves, and a checkpoint's
+    // LogicalRDD drops outputPartitioning anyway). At a scale where
+    // ranks outgrows the broadcast threshold, switch this line to
+    // .repartition(col("a")).persist(): InMemoryTableScan preserves
+    // the hash partitioning, so the iteration SortMergeJoin exchanges
+    // only ranks (verified under autoBroadcastJoinThreshold=-1).
+    val edgesD = edges.join(deg, "a").localCheckpoint()
     var ranks = deg.select(col("a").as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to 3) {
       val contribs = edgesD.join(ranks, col("a") === col("node"))
