@@ -124,7 +124,28 @@ object Windows {
       .orderBy("c_custkey")
   }
 
+  /** Gaps-and-islands: longest run of consecutive active days per user
+    * — the classic calendar-streak analytics shape. distinct (user, day)
+    * → row_number per user → island anchor = day − rn (a run of
+    * consecutive days shares one anchor) → max run length. One shuffle
+    * on user_id; the window and both aggregations reuse it (the
+    * (user, anchor) grouping is satisfied by the user_id hash
+    * partitioning — no second exchange). */
+  private def winGapsIslands(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    T.eventsUs(s, dir)
+      .select(col("user_id"), to_date(col("ts_us")).as("day"))
+      .distinct()
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "anchor").agg(count(lit(1)).as("run_len"))
+      .groupBy("user_id")
+      .agg(max(col("run_len")).as("longest_streak"),
+        sum(col("run_len")).as("n_active_days"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_gaps_islands" -> (winGapsIslands _),
     "win_range_frame" -> (winRangeFrame _),
     "win_first_last" -> (winFirstLast _),
     "win_rank_variants" -> (winRankVariants _),
@@ -137,6 +158,16 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_gaps_islands" ->
+      """SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+        | CAST(SUM(run_len) AS BIGINT) AS n_active_days
+        |FROM (
+        | SELECT user_id, anchor, COUNT(*) AS run_len FROM (
+        |  SELECT user_id,
+        |   day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+        |  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events))
+        | GROUP BY user_id, anchor)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "win_rank_variants" ->
       s"""SELECT c_custkey, c_mktsegment,
          | CAST(RANK() OVER w AS INT) AS rnk,
