@@ -103,6 +103,33 @@ object Joins {
       .orderBy("user_id", "eid1", "eid2")
   }
 
+  /** UNKEYED interval join via band blocking — the scale path when no
+    * equi key exists (join_range_interval has user_id; this one joins
+    * across ALL users): for each purchase, count errors in the next
+    * hour. A naive spelling is a nested-loop over every (purchase,
+    * error) pair; banding makes it an equi-join: an error lands in ONE
+    * coarse hour-band, a purchase probes its own band and the next
+    * (pigeonhole: any timestamp in (p, p+H] lies in band(p) or
+    * band(p)+1, so recall is exact and nothing matches twice). Shuffle
+    * is by band — at 100 TB pick the band width so per-band volume fits
+    * a task, trading probe fan-out (interval/band) against band size. */
+  private def joinRangeBanded(s: SparkSession, dir: String): DataFrame = {
+    val e = T.eventsUs(s, dir)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("us").as("p_us"))
+    val err = e.where(col("event_type") === "error")
+      .select(col("us").as("e_us"), expr(s"us div $IntervalUs").as("band"))
+    val probes = p.withColumn("band",
+      explode(array(expr(s"p_us div $IntervalUs"), expr(s"p_us div $IntervalUs + 1"))))
+    val counted = probes.join(err, "band")
+      .where(col("e_us") > col("p_us") && col("e_us") <= col("p_us") + IntervalUs)
+      .groupBy("purchase_id").agg(count(lit(1)).as("n_errors_1h"))
+    p.join(counted, Seq("purchase_id"), "left_outer")
+      .select(col("purchase_id"),
+        coalesce(col("n_errors_1h"), lit(0L)).as("n_errors_1h"))
+      .orderBy("purchase_id")
+  }
+
   /** As-of join: latest prior 'view' for each 'purchase' of the same user.
     * Spark has no batch as-of built-in → equi-join on user + range filter,
     * then keep rank 1 per purchase (SURVEY §2.3 join_asof). */
@@ -331,6 +358,7 @@ object Joins {
     "join_theta_nested_loop" -> (joinThetaNestedLoop _),
     "join_cross" -> (joinCross _),
     "join_range_interval" -> (joinRangeInterval _),
+    "join_range_banded" -> (joinRangeBanded _),
     "join_asof" -> (joinAsof _),
     "join_bucketed_colocated" -> (joinBucketed _),
   )
@@ -479,6 +507,18 @@ object Joins {
          | AND epoch_us(e2.ts) > epoch_us(e1.ts)
          | AND epoch_us(e2.ts) <= epoch_us(e1.ts) + $IntervalUs
          |ORDER BY e1.user_id, eid1, eid2""".stripMargin,
+    "join_range_banded" ->
+      s"""SELECT p.event_id AS purchase_id,
+         | CAST(COALESCE(c.n, 0) AS BIGINT) AS n_errors_1h
+         |FROM events p LEFT JOIN (
+         | SELECT p2.event_id AS pid, COUNT(*) AS n
+         | FROM events p2 JOIN events er ON er.event_type = 'error'
+         |  AND epoch_us(er.ts) > epoch_us(p2.ts)
+         |  AND epoch_us(er.ts) <= epoch_us(p2.ts) + $IntervalUs
+         | WHERE p2.event_type = 'purchase'
+         | GROUP BY pid) c ON p.event_id = c.pid
+         |WHERE p.event_type = 'purchase'
+         |ORDER BY purchase_id""".stripMargin,
     "join_asof" ->
       """SELECT user_id, purchase_id, view_id, lag_us FROM (
         | SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,

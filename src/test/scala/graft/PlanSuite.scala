@@ -159,6 +159,14 @@ class PlanSuite extends SparkSuiteBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in scored top-k:\n$p")
   }
 
+  test("join_range_banded plans equi-joins only (no nested loop despite no natural key)") {
+    val df = run("join_range_banded")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"banded interval join fell back to NLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("custom DSv2 star source plans the requested partitions") {
     val df = spark.read.format("graft.sources.StarCatalogSource")
       .option("rows", "1000").option("partitions", "8").load()

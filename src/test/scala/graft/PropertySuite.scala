@@ -56,6 +56,33 @@ class PropertySuite extends SparkSuiteBase {
     }
   }
 
+  test("ball-pruned exact top-k equals brute force under ADVERSARIAL random cells") {
+    // random vectors with RANDOM (non-clustered) cell assignment — the
+    // worst case for the pruning bound: overlapping balls force wide
+    // thresholds, and any unsoundness in the recall argument would
+    // surface as a missing neighbor here.
+    import spark.implicits._
+    val dims = 8
+    val vecGen = Gen.listOfN(dims, Gen.chooseNum(-100, 100).map(_ / 100.0f))
+      .map(_.toArray).suchThat(v => v.exists(_ != 0f))
+    for ((vs, round) <- samples(Gen.listOfN(60, vecGen), 4).zipWithIndex if vs.nonEmpty) {
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, (i % 7).toLong, v) // 7 arbitrary cells, unrelated to geometry
+      }
+      val df = rows.toDF("vec_id", "label", "embedding")
+      val q = df.where(col("vec_id") < 5)
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getAs[Long]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("cos")))
+      val pruned = graft.ops.Api.cosineTopKPruned(q, df, "vec_id", "embedding", "label", 4)
+        .collect().map(key).toSet
+      val brute = graft.ops.Api.cosineTopK(q, df, "vec_id", "embedding", 4)
+        .collect().map(key).toSet
+      assert(pruned == brute, s"round $round: pruned ${pruned.size} != brute ${brute.size}; " +
+        s"missing=${brute.diff(pruned)} extra=${pruned.diff(brute)}")
+    }
+  }
+
   test("session windows conserve rows") {
     for (secs <- samples(Gen.listOfN(40, Gen.chooseNum(0L, 86400L)), 4) if secs.nonEmpty) {
       import spark.implicits._
