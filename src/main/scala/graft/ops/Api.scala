@@ -29,10 +29,14 @@ object Api {
 
   /** Deterministic top-k rows per group (ties broken by `tiebreak`). */
   def topKPerGroup(df: DataFrame, k: Int, partitionBy: Seq[Column],
-      orderBy: Seq[Column]): DataFrame =
+      orderBy: Seq[Column]): DataFrame = {
+    require(k >= 1, s"topKPerGroup needs k >= 1, got $k")
+    require(partitionBy.nonEmpty && orderBy.nonEmpty,
+      "topKPerGroup needs partition and order columns")
     df.withColumn("graft_rank",
         row_number().over(Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)))
       .where(col("graft_rank") <= k)
+  }
 
   /** Native per-group top-k through the custom TopKPerGroup LogicalPlan +
     * SparkStrategy + SparkPlan (graft.plans.topk): one clustering
@@ -64,6 +68,7 @@ object Api {
     * Output adds a `session_id` (per-key ordinal). Scales by key — the
     * window shuffles once on `key`. */
   def sessionize(df: DataFrame, key: String, usCol: String, gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"session gap must be positive, got $gapUs")
     val byTime = Window.partitionBy(col(key)).orderBy(col(usCol))
     val flag = when(col(usCol) - lag(col(usCol), 1).over(byTime) >= gapUs, 1L)
       .when(lag(col(usCol), 1).over(byTime).isNull, 1L)
@@ -81,6 +86,9 @@ object Api {
     * (same verification join). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, num: Int, den: Int): DataFrame = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    require(num >= 1 && den >= num,
+      s"Jaccard threshold num/den must satisfy 0 < num/den <= 1, got $num/$den")
     val toks = split(col(textCol), " ")
     // compiled shingling (graft.plans.ShinglesK): same distinct k-gram
     // set as the array_distinct(transform(…slice+concat_ws)) spelling,
@@ -135,6 +143,7 @@ object Api {
     */
   def cosineTopKPruned(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, cellCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"cosineTopKPruned needs k >= 1, got $k")
     import graft.plans.expressions.dotF
     val c = candidates.select(col(idCol).as("neighbor"), col(cellCol).as("cell"),
       col(vecCol).as("cv"), Llm.fnorm2(col(vecCol)).as("cn"))
@@ -209,6 +218,7 @@ object Api {
     * through a BroadcastNestedLoopJoin and does not scale. */
   def cosineTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"cosineTopK needs k >= 1, got $k")
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       Llm.fnorm2(col(vecCol)).as("qn"))
     val c = candidates.select(col(idCol).as("neighbor"), col(vecCol).as("cv"),
