@@ -610,6 +610,60 @@ object Llm {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .orderBy("lang", "split")
 
+  /** K-means ASSIGNMENT pass (K=4, seeds = vec_id < 4 — deterministic
+    * init): each vector goes to the argmin-distance centroid, ties to
+    * the smallest seed id. This is the scalable core of Lloyd's
+    * algorithm — centroids broadcast (via the non-foldable-key one-row
+    * digest, same trick as cosineTopKPruned), one linear pass over the
+    * corpus, no shuffle at all until a downstream re-centroid groupBy.
+    * Every distance is the same left-to-right double chain as the
+    * oracle's expanded term list, so argmin and the rounded d² are
+    * byte-exact. */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.expressions.dotF
+    val e = T(s, dir, "embeddings")
+    val seeds = e.where(col("vec_id") < 4)
+      .select(col("vec_id").as("sid"), col("embedding").as("sv"))
+      .agg(collect_list(struct(col("sid"), col("sv"))).as("seeds"))
+      .withColumn("k0", pmod(xxhash64(size(col("seeds"))), lit(1L)).cast("int"))
+    e.select(col("vec_id"), col("embedding"), fnorm2(col("embedding")).as("n2"))
+      .withColumn("k0", pmod(xxhash64(col("vec_id")), lit(1L)).cast("int"))
+      .join(broadcast(seeds), "k0")
+      .withColumn("ds", transform(col("seeds"), sd =>
+        struct(
+          (col("n2") - lit(2.0) * dotF(col("embedding"), sd.getField("sv"))
+            + dotF(sd.getField("sv"), sd.getField("sv"))).as("d2"),
+          sd.getField("sid").as("sid"))))
+      // struct comparison is lexicographic (d2, then sid) — exact-double
+      // argmin with the deterministic tiebreak in one expression
+      .withColumn("best", array_min(col("ds")))
+      .select(col("vec_id"), col("best.sid").as("cluster"),
+        dround(col("best.d2"), 6).as("d2"))
+      .orderBy("vec_id")
+  }
+
+  /** Incremental-ingest dedup — the production shape: new documents
+    * dedup against an EXISTING fingerprint store (left-anti join on the
+    * 16-byte digest) and then against each other (window-min per fp).
+    * The existing/incoming split is the deterministic md5-prefix
+    * discipline. At 100 TB the fingerprint store is a compact table
+    * keyed by digest; the anti-join shuffles 16-byte keys, never
+    * documents, and a bloom filter on the store prunes most probes
+    * before the shuffle. */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(normText(col("text")).cast("binary"))
+    val h4 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+    val docs = T(s, dir, "documents").select(col("doc_id"), fp.as("fp"), h4.as("h4"))
+    val existing = docs.where(col("h4") < "8000").select(col("fp").as("efp")).distinct()
+    val incoming = docs.where(col("h4") >= "8000").select("doc_id", "fp")
+    incoming
+      .join(existing, col("fp") === col("efp"), "left_anti")
+      .withColumn("canon", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .where(col("doc_id") === col("canon"))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
   /** Stratified deterministic sampling — per-language rates via the same
     * md5-hex-prefix discipline as [[trainTestSplit]] (en 6.25 %, de 50 %,
     * other 25 %). Assignment depends only on doc_id, so the sample is
@@ -792,6 +846,8 @@ object Llm {
     "sql_extension_dot" -> (sqlExtensionDot _),
     "llm_multimodal_join" -> (multimodalJoin _),
     "llm_train_test_split" -> (trainTestSplit _),
+    "llm_dedup_incremental" -> (dedupIncremental _),
+    "llm_kmeans_assign" -> (kmeansAssign _),
     "llm_sample_stratified" -> (sampleStratified _),
     "llm_ngram_counts" -> (ngramCounts _),
     "llm_seq_packing" -> (seqPacking _),
@@ -962,6 +1018,29 @@ object Llm {
         |       THEN 'eval' ELSE 'train' END AS split
         | FROM documents)
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "llm_kmeans_assign" ->
+      s"""WITH seeds AS (
+        |  SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < 4),
+        |d AS (SELECT e.vec_id, s.sid,
+        |  (${sqlNorm2("e.embedding")}) - 2 * (${sqlDot("e.embedding", "s.sv")})
+        |   + (${sqlNorm2("s.sv")}) AS d2
+        | FROM embeddings e CROSS JOIN seeds s)
+        |SELECT vec_id, sid AS cluster, ${Det.sqlRound("d2", 6)} AS d2 FROM (
+        | SELECT vec_id, sid, d2,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn FROM d)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "llm_dedup_incremental" ->
+      """WITH tagged AS (
+        | SELECT doc_id,
+        |  MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+        |  SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4
+        | FROM documents),
+        |incoming AS (SELECT doc_id, fp FROM tagged WHERE h4 >= '8000'),
+        |existing AS (SELECT DISTINCT fp FROM tagged WHERE h4 < '8000')
+        |SELECT doc_id, fp FROM (
+        | SELECT i.doc_id, i.fp, MIN(i.doc_id) OVER (PARTITION BY i.fp) AS canon
+        | FROM incoming i ANTI JOIN existing e ON i.fp = e.fp)
+        |WHERE doc_id = canon ORDER BY doc_id""".stripMargin,
     "llm_sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) <
