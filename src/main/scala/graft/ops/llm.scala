@@ -610,6 +610,37 @@ object Llm {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .orderBy("lang", "split")
 
+  /** Unigram language-model scoring — the perplexity-proxy quality
+    * filter every corpus pipeline runs: corpus unigram probabilities →
+    * per-doc average negative log-likelihood. The per-doc log-sum is an
+    * ORDERED fold (aggregate HOF, left-to-right over the token array),
+    * so the float result is bit-reproducible and oracle-matchable where
+    * a groupBy sum of logs (merge-order-dependent) would not be; the
+    * vocabulary map rides the one-row digest broadcast. At 100 TB the
+    * vocab table is the small side (bounded by vocabulary, not corpus)
+    * and the scoring pass is shuffle-free. */
+  private def unigramNll(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val tk = T(s, dir, "documents").select(explode(toks).as("tok"))
+    // global total via an empty-partition window: the vocab frame is
+    // tiny (bounded by distinct tokens), so the single partition is fine
+    val freqs = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("p", col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy()).cast("double"))
+    val fmRow = freqs
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("p")))).as("fm"))
+      .withColumn("k0", pmod(xxhash64(size(map_keys(col("fm")))), lit(1L)).cast("int"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("k0", pmod(xxhash64(col("doc_id")), lit(1L)).cast("int"))
+      .join(broadcast(fmRow), "k0")
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        dround(-aggregate(col("toks"), lit(0.0),
+          (acc, t) => acc + log(element_at(col("fm"), t))) / size(col("toks")), 6)
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** K-means ASSIGNMENT pass (K=4, seeds = vec_id < 4 — deterministic
     * init): each vector goes to the argmin-distance centroid, ties to
     * the smallest seed id. This is the scalable core of Lloyd's
@@ -848,6 +879,7 @@ object Llm {
     "llm_train_test_split" -> (trainTestSplit _),
     "llm_dedup_incremental" -> (dedupIncremental _),
     "llm_kmeans_assign" -> (kmeansAssign _),
+    "llm_unigram_nll" -> (unigramNll _),
     "llm_sample_stratified" -> (sampleStratified _),
     "llm_ngram_counts" -> (ngramCounts _),
     "llm_seq_packing" -> (seqPacking _),
@@ -1018,6 +1050,17 @@ object Llm {
         |       THEN 'eval' ELSE 'train' END AS split
         | FROM documents)
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "llm_unigram_nll" ->
+      """WITH toks AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+        |freqs AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) /
+        |   CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) AS p FROM toks GROUP BY tok),
+        |m AS (SELECT MAP(LIST(tok ORDER BY tok), LIST(p ORDER BY tok)) AS fm FROM freqs)
+        |SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+        | FLOOR((-list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(STRING_SPLIT(text, ' '), t -> ln(map_extract(fm, t)[1]))),
+        |    (a, x) -> a + x) / LEN(STRING_SPLIT(text, ' '))) * 1e6 + 0.5) / 1e6 AS avg_nll
+        |FROM documents CROSS JOIN m ORDER BY doc_id""".stripMargin,
     "llm_kmeans_assign" ->
       s"""WITH seeds AS (
         |  SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < 4),
