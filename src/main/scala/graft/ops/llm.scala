@@ -22,10 +22,11 @@ import Params._
   *    signatures bound candidate pairs independent of corpus size) and
   *    `llm_dedup_simhash` the cheaper bit-sketch variant. All three end
   *    in the same exact verification join.
-  *  - simsearch: `llm_simsearch_topk` is brute-force (correctness
-  *    baseline); `llm_simsearch_ivf` probes 2 of k coarse cells — the
-  *    partition-pruning shape that survives 100 TB (candidates shuffle by
-  *    cell, not crossJoin).
+  *  - simsearch: `llm_simsearch_topk` is EXACT ball-pruned top-k
+  *    (Api.cosineTopKPruned — recall-complete cell pruning, equi-joins
+  *    only, byte-identical to the test-only brute-force baseline);
+  *    `llm_simsearch_ivf`/`lsh` are the approximate shapes when even
+  *    exact-with-pruning is too expensive.
   *  - every float reduction is an explicit left-to-right chain (codegen
   *    DotProductF / compiled loops) so the oracle reproduces it
   *    term-for-term (SURVEY §7.3.4/7).
