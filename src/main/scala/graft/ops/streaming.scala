@@ -190,7 +190,25 @@ object Streaming {
       .orderBy("stage")
   }
 
+  /** Event-transition matrix (first-order Markov counts): per user, each
+    * event's successor in time order, counted per (from, to) pair — the
+    * behavioral-analytics shape behind funnels and next-action models.
+    * One shuffle on user_id for the LEAD window; the global pair count
+    * is a tiny two-phase aggregate (|event types|² groups). */
+  private def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    T.eventsUs(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_transitions" -> (eventsTransitions _),
     "events_funnel" -> (eventsFunnel _),
     "stream_file_sink" -> (streamFileSink _),
     "stream_foreachbatch_upsert" -> (streamForeachBatchUpsert _),
@@ -201,6 +219,14 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_transitions" ->
+      """SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        | SELECT event_type AS from_type,
+        |  LEAD(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS to_type
+        | FROM events)
+        |WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
     "events_funnel" ->
       """SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
         | SELECT CASE
