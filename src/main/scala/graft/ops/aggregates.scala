@@ -254,6 +254,25 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** arg-max/arg-min aggregates (max_by/min_by): per nation, the
+    * highest- and lowest-balance customer. Determinism: c_acctbal is
+    * 2-dp money and ties are possible, so the ordering value is the
+    * exact integer composite cents × 2³² + custkey (unique per row,
+    * identical in both engines — DuckDB's arg_max cannot order by
+    * structs). One two-phase aggregate; at scale this replaces the
+    * window-rank spelling (full sort per group) with a single
+    * max-composite reduction. */
+  private def aggArgMinMax(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), money(col("c_acctbal")).as("bal"),
+        ((money(col("c_acctbal")) * 100).cast("long") * lit(4294967296L)
+          + col("c_custkey")).as("ordkey"))
+      .groupBy("c_nationkey")
+      .agg(max_by(col("c_custkey"), col("ordkey")).as("richest_cust"),
+        min_by(col("c_custkey"), col("ordkey")).as("poorest_cust"),
+        max(col("bal")).cast("double").as("max_bal"))
+      .orderBy("c_nationkey")
+
   /** Exact Pearson correlation from INTEGER moments — the deterministic
     * spelling of corr() at scale: six exact BIGINT sums (one shuffle,
     * order-insensitive), then one double formula on the driver-free
@@ -279,6 +298,7 @@ object Aggregates {
       .orderBy("lang")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_argminmax" -> (aggArgMinMax _),
     "stat_corr_moments" -> (statCorrMoments _),
     "agg_groupby_hash" -> (aggGroupbyHash _),
     "agg_distinct_count" -> (aggDistinctCount _),
@@ -301,6 +321,17 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_argminmax" ->
+      """SELECT c_nationkey,
+        | arg_max(c_custkey, ordkey) AS richest_cust,
+        | arg_min(c_custkey, ordkey) AS poorest_cust,
+        | CAST(MAX(bal) AS DOUBLE) AS max_bal
+        |FROM (SELECT c_nationkey, c_custkey,
+        |   CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+        |   CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * 4294967296
+        |     + c_custkey AS ordkey
+        | FROM customer)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // moments are exact integers < 2^53 at every SF (n_chars <= 577,
     // tokens <= 100, 5000 docs), so the int→double casts are exact in
     // both engines and the IEEE -,*,/,sqrt chain is bit-identical

@@ -159,6 +159,42 @@ class PlanSuite extends SparkSuiteBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in scored top-k:\n$p")
   }
 
+  test("runtime bloom-filter pruning injects MightContain on a selective fact join") {
+    // Spark's runtime row-level filtering: a selective dim side should
+    // inject a bloom-filter probe into the fact scan, cutting shuffled
+    // rows before the join — the 100-TB win for selective fact⨝dim'.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      // the production default (10GB) gates on fact-scan size; zero it so
+      // the 17MB fixture exercises the same injection path
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      // at fixture scale the dim is broadcastable and Spark then skips
+      // the bloom filter (a BHJ needs no row-level pre-filter); disable
+      // broadcast so the shuffle-join path — the 100-TB case — is planned
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set(keys(0), "true")
+    spark.conf.set(keys(1), "1GB")
+    spark.conf.set(keys(2), "0")
+    spark.conf.set(keys(3), "-1")
+    import org.apache.spark.sql.functions.col
+    try {
+      val orders = T(spark, SF, "orders")
+        .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
+      val li = T(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+      // force a shuffle join so the bloom filter has a shuffle to prune
+      val j = li.hint("merge").join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("join_range_banded plans equi-joins only (no nested loop despite no natural key)") {
     val df = run("join_range_banded")
     df.collect()

@@ -83,6 +83,33 @@ class PropertySuite extends SparkSuiteBase {
     }
   }
 
+  test("banded interval join equals the naive non-equi spelling on random events") {
+    import spark.implicits._
+    val H = 100L // band width
+    val tsGen = Gen.chooseNum(0L, 1000L)
+    for (ts <- samples(Gen.listOfN(80, tsGen), 4) if ts.nonEmpty) {
+      val evs = ts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, if (i % 3 == 0) "purchase" else "error")
+      }.toDF("id", "us", "typ")
+      val p = evs.where(col("typ") === "purchase").select(col("id").as("pid"), col("us").as("p_us"))
+      val er = evs.where(col("typ") === "error")
+        .select(col("us").as("e_us"), expr(s"us div $H").as("band"))
+      // banded: probe own band + next, equi-join, exact filter
+      val banded = p.withColumn("band",
+          explode(array(expr(s"p_us div $H"), expr(s"p_us div $H + 1"))))
+        .join(er, "band")
+        .where(col("e_us") > col("p_us") && col("e_us") <= col("p_us") + H)
+        .groupBy("pid").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // naive non-equi reference
+      val naive = p.join(er.drop("band"),
+          col("e_us") > col("p_us") && col("e_us") <= col("p_us") + H)
+        .groupBy("pid").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(banded == naive, s"banded=$banded naive=$naive")
+    }
+  }
+
   test("session windows conserve rows") {
     for (secs <- samples(Gen.listOfN(40, Gen.chooseNum(0L, 86400L)), 4) if secs.nonEmpty) {
       import spark.implicits._
