@@ -190,6 +190,35 @@ object Streaming {
       .orderBy("stage")
   }
 
+  /** Missing-value imputation by linear interpolation — the time-series
+    * gap-fill every sensor/metrics pipeline needs: each 'click' gets a
+    * value interpolated between the surrounding 'view' knots of the same
+    * user (last-known-before and first-known-after via IGNORE NULLS
+    * window frames). One shuffle on user_id; both directional scans
+    * reuse the same sort. The interpolation arithmetic is a fixed IEEE
+    * chain on raw doubles and exact integer µs, so the oracle matches
+    * byte-for-byte. */
+  private def eventsInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val back = w.rowsBetween(Long.MinValue, -1)
+    val fwd = w.rowsBetween(1, Long.MaxValue)
+    val knotV = when(col("event_type") === "view", col("value"))
+    val knotT = when(col("event_type") === "view", col("us"))
+    T.eventsUs(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("us"))
+      .withColumn("pv", last(knotV, ignoreNulls = true).over(back))
+      .withColumn("pt", last(knotT, ignoreNulls = true).over(back))
+      .withColumn("nv", first(knotV, ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(knotT, ignoreNulls = true).over(fwd))
+      .where(col("event_type") === "click" && col("pt").isNotNull && col("nt").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        dround(col("pv") + (col("nv") - col("pv")) *
+          (col("us") - col("pt")).cast("double") /
+          (col("nt") - col("pt")).cast("double"), 4).as("interp"))
+      .orderBy("event_id")
+  }
+
   /** Event-transition matrix (first-order Markov counts): per user, each
     * event's successor in time order, counted per (from, to) pair — the
     * behavioral-analytics shape behind funnels and next-action models.
@@ -209,6 +238,7 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_transitions" -> (eventsTransitions _),
+    "events_interpolate" -> (eventsInterpolate _),
     "events_funnel" -> (eventsFunnel _),
     "stream_file_sink" -> (streamFileSink _),
     "stream_foreachbatch_upsert" -> (streamForeachBatchUpsert _),
@@ -219,6 +249,26 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_interpolate" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM events),
+        |k AS (SELECT *,
+        |  LAST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |  LAST_VALUE(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        |  FIRST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY us, event_id
+        |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |  FIRST_VALUE(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY us, event_id
+        |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+        | FROM e)
+        |SELECT event_id, user_id,
+        | FLOOR((pv + (nv - pv) * CAST(us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS interp
+        |FROM k WHERE event_type = 'click' AND pt IS NOT NULL AND nt IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
     "events_transitions" ->
       """SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
         | SELECT event_type AS from_type,
