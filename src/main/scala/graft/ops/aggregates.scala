@@ -297,7 +297,38 @@ object Aggregates {
           6).as("corr_chars_tokens"))
       .orderBy("lang")
 
+  /** Exact least-squares regression (slope/intercept/R²) from the same
+    * integer moments as [[statCorrMoments]] — the deterministic
+    * regr_slope/regr_intercept/regr_r2 spelling (the native versions
+    * accumulate doubles in merge order). y = chars regressed on
+    * x = tokens per language; all moments exact BIGINT, the final
+    * formula one fixed IEEE chain. */
+  private def statRegression(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("x"),
+        col("n_chars").as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lang"), col("n"),
+        dround((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6).as("slope"),
+        dround((col("sy").cast("double") -
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            col("sx").cast("double")) / col("n").cast("double"), 6).as("intercept"),
+        // the covariance term squares past BIGINT range — square in
+        // double (the exact < 2^53 integer converts losslessly, the one
+        // rounding of the product is identical in both engines)
+        dround((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6).as("r2"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_regression_moments" -> (statRegression _),
     "agg_argminmax" -> (aggArgMinMax _),
     "stat_corr_moments" -> (statCorrMoments _),
     "agg_groupby_hash" -> (aggGroupbyHash _),
@@ -321,6 +352,24 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "stat_regression_moments" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         | ${Det.sqlRound(
+            "CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS DOUBLE) / " +
+              "CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS DOUBLE)", 6)} AS slope,
+         | ${Det.sqlRound(
+            "(CAST(SUM(y) AS DOUBLE) - " +
+              "CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS DOUBLE) / " +
+              "CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS DOUBLE) * " +
+              "CAST(SUM(x) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE)", 6)} AS intercept,
+         | ${Det.sqlRound(
+            "CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS DOUBLE) * " +
+              "CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS DOUBLE) / " +
+              "(CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS DOUBLE) * " +
+              "CAST(COUNT(*) * SUM(y*y) - SUM(y) * SUM(y) AS DOUBLE))", 6)} AS r2
+         |FROM (SELECT lang, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS x,
+         |   n_chars AS y FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "agg_argminmax" ->
       """SELECT c_nationkey,
         | arg_max(c_custkey, ordkey) AS richest_cust,
