@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must bypass sbt's logger: the driver tail-parses the
+// bench's LAST stdout line as JSON, and sbt's "[info] " prefix (r1-r3:
+// three rounds of "parsed": null) breaks it. StdoutOutput = raw
+// pass-through of the forked JVM's stdout.
+run / outputStrategy := Some(StdoutOutput)
+// ... and sbt's own "[success] Total time: ..." trailer would land AFTER
+// our JSON total line; suppress it so the bench's line stays last.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

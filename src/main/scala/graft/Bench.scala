@@ -92,10 +92,25 @@ object Bench {
     val nErr = results.count(_._3.isDefined)
     val total = r3(results.collect { case (_, v, None, _, _) => v }.sum)
     val gcTotal = results.map(_._4).sum
-    // Long detail line FIRST (may be front-truncated by tail capture; the
-    // gc_heap map is per-key [gc_ms_delta, heap_peak_mb]) …
-    println(s"""{"metric":"bench_detail","unit":"sec","queries":$qs,"gc_heap":$gcs,"errors":$errs,"sf":"$sfDir"}""")
-    // … then the SHORT machine-readable total as the very last line.
+    // Line protocol (r3 postmortem: the driver TAIL-keeps ~2000 chars of
+    // raw stdout and JSON-parses the LAST line; r3's gc/heap detail line
+    // evicted every per-query second from the tail). Order:
+    //   1. long full per-query seconds line (may lose its front),
+    //   2. gc/heap diagnostics ONLY for keys that actually collected,
+    //   3. SHORT top-12 heavies seconds line (always fits intact),
+    //   4. SHORT {"metric":"total",...} as the very last line.
+    // build.sbt sets run/outputStrategy := StdoutOutput (no "[info] "
+    // prefix) and showSuccess := false (no trailing "[success]" line),
+    // so line 4 really is the process's — and sbt's — last stdout line.
+    println(s"""{"metric":"bench_detail","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val gcsNonzero = results.collect { case (k, _, _, g, p) if g > 0 =>
+      "\"" + k + "\":[" + g + "," + p + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"gc_heap","unit":"[ms,mb]","queries":$gcsNonzero}""")
+    val heavies = results.filter(_._3.isEmpty).sortBy(-_._2).take(12)
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"heavies_sec","queries":$heavies}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_err":$nErr,"gc_ms":$gcTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
