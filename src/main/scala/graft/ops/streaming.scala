@@ -129,6 +129,62 @@ object Streaming {
     s.read.parquet(tgt).orderBy("user_id")
   }
 
+  /** Custom keyed state (flatMapGroupsWithState) INSIDE the scored
+    * surface: purchase-closes-session semantics the built-in
+    * session_window cannot express (see
+    * graft.streaming.Streams.purchaseSessions). Runs as a TRUE streaming
+    * query — file source → watermark → flatMapGroupsWithState(Append,
+    * EventTimeTimeout) → parquet sink under Trigger.AvailableNow. All
+    * fixture rows land in one data micro-batch (watermark 0 → nothing is
+    * late, no timeouts yet); the trailing no-data batch then carries the
+    * final watermark max(ts) - 1h and fires timeouts STRICTLY below it.
+    * The oracle is the batch gaps-and-islands spelling of exactly that
+    * contract: every non-final session (closed in-batch by gap or
+    * purchase) emits, a user's final session emits only if purchase-closed
+    * or (last_us + gap) // 1000 ms < watermark.
+    *
+    * Money flows as exact integer cents through the typed fold (decimal
+    * cast at ingest, one decimal division + double cast at the end), so
+    * the sum is order-insensitive and byte-exact vs DuckDB's
+    * SUM(DECIMAL). */
+  private def streamCustomState(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val root = GraftTmp.dir(s"cstate_$tag")
+    val src = java.nio.file.Paths.get(s"$root/in")
+    java.nio.file.Files.createDirectories(src)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      src.resolve("events.parquet"))
+    val sch = T(s, dir, "events").schema // also sets nanosAsLong
+    // per-user state is 4 longs; 8 state stores instead of the session's
+    // 32 cuts per-batch store/commit overhead (same sizing note as
+    // streamFileSink; conf restored after)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val in = s.readStream.schema(sch).parquet(src.toString)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          (Det.money(col("value")) * 100).cast("long").as("cents"),
+          timestamp_micros(expr("ts div 1000")).as("ts_us"),
+          expr("ts div 1000").as("us"))
+        .withWatermark("ts_us", "1 hour")
+        .as[graft.streaming.Streams.PEvent]
+      val q = graft.streaming.Streams.purchaseSessions(in, SessionGapUs)
+        .writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(s"$root/out")
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
+        (col("sum_cents").cast("decimal(30,0)") / 100).cast("double").as("sum_value"),
+        col("reason"))
+      .orderBy("user_id", "start_us")
+  }
+
   private def tumbling(s: SparkSession, dir: String): DataFrame =
     T.eventsUs(s, dir)
       .groupBy(window(col("ts_us"), "1 day").as("w"), col("event_type"))
@@ -245,6 +301,7 @@ object Streaming {
     "stream_tumbling_window" -> (tumbling _),
     "stream_sliding_window" -> (sliding _),
     "stream_session_window" -> (session _),
+    "stream_custom_state" -> (streamCustomState _),
     "stream_dedup" -> (dedup _),
   )
 
@@ -338,6 +395,43 @@ object Streaming {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
         |FROM events ORDER BY event_id""".stripMargin,
+    // batch spelling of purchaseSessions' append contract: non-final
+    // sessions (gap- or purchase-closed) emit in the data batch; a user's
+    // FINAL session emits only if purchase-closed, or via EventTimeTimeout
+    // which fires only STRICTLY below the final watermark
+    // (max ts − 1 h, ms precision) — hence `< wm_ms`, pinned empirically.
+    "stream_custom_state" ->
+      s"""WITH m AS (SELECT epoch_us(MAX(ts)) // 1000 - 3600000 AS wm_ms FROM events),
+         |e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM events),
+         |flagged AS (
+         | SELECT user_id, event_id, event_type, value, us,
+         |  CASE WHEN LAG(us) OVER w IS NULL
+         |       OR us - LAG(us) OVER w >= $SessionGapUs
+         |       OR LAG(event_type) OVER w = 'purchase' THEN 1 ELSE 0 END AS new_s
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |sess AS (
+         | SELECT user_id, event_type, value, us,
+         |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         | FROM flagged),
+         |agg AS (
+         | SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS last_us,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  SUM(CAST(value AS DECIMAL(18,2))) AS sumv,
+         |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purch
+         | FROM sess GROUP BY user_id, sid),
+         |fin AS (
+         | SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid FROM agg)
+         |SELECT user_id, start_us,
+         | CASE WHEN purch = 1 THEN last_us ELSE last_us + $SessionGapUs END AS end_us,
+         | n_events,
+         | CAST(sumv AS DOUBLE) AS sum_value,
+         | CASE WHEN purch = 1 THEN 'purchase'
+         |      WHEN sid < max_sid THEN 'gap' ELSE 'timeout' END AS reason
+         |FROM fin, m
+         |WHERE purch = 1 OR sid < max_sid
+         |   OR (last_us + $SessionGapUs) // 1000 < wm_ms
+         |ORDER BY user_id, start_us""".stripMargin,
     "stream_foreachbatch_upsert" ->
       """SELECT user_id, last_event, last_type, last_value, last_us FROM (
         | SELECT user_id, event_id AS last_event, event_type AS last_type,

@@ -142,6 +142,46 @@ class StreamingSuite extends SparkSuiteBase {
     }
   }
 
+  test("purchaseSessions: purchase closes immediately, gap closes in-batch, timeout closes via watermark") {
+    import spark.implicits._
+    def ev(id: Long, minute: Int, user: Long, typ: String, cents: Long) =
+      Streams.PEvent(user, id, typ, cents, ts(minute),
+        ts(minute).getTime * 1000L)
+    val in = MemoryStream[Streams.PEvent](spark)
+    val gapUs = 30L * 60 * 1000000 // 30 min
+    val out = Streams.purchaseSessions(in.toDS().withWatermark("ts_us", "10 minutes"), gapUs)
+    val q = out.writeStream.format("memory").queryName("psess").outputMode("append").start()
+    withQuery(q) {
+      // user 7: click then purchase 10 min later → closes IMMEDIATELY
+      // (no watermark advance needed), end = the purchase's own ts
+      in.addData(ev(1, 0, 7, "click", 100), ev(2, 10, 7, "purchase", 250))
+      q.processAllAvailable()
+      val afterPurchase = spark.table("psess").collect()
+      assert(afterPurchase.length == 1)
+      val p = afterPurchase.head
+      assert(p.getAs[String]("reason") == "purchase")
+      assert(p.getAs[Long]("n_events") == 2 && p.getAs[Long]("sum_cents") == 350)
+      assert(p.getAs[Long]("end_us") == ts(10).getTime * 1000L,
+        "purchase close must end at the purchase ts, not ts + gap")
+      // user 9: two clicks 40 min apart IN ONE BATCH → first session
+      // gap-closes in-batch (emitted without any watermark movement)
+      in.addData(ev(3, 100, 9, "click", 10), ev(4, 140, 9, "click", 20))
+      q.processAllAvailable()
+      val gapRows = spark.table("psess").collect()
+        .filter(_.getAs[Long]("user_id") == 9L)
+      assert(gapRows.length == 1 && gapRows.head.getAs[String]("reason") == "gap")
+      assert(gapRows.head.getAs[Long]("end_us") == ts(100).getTime * 1000L + gapUs)
+      // advance watermark far past user 9's open session → timeout fires
+      in.addData(ev(5, 600, 8, "click", 1))
+      q.processAllAvailable()
+      val t = spark.table("psess").collect()
+        .filter(r => r.getAs[Long]("user_id") == 9L &&
+          r.getAs[String]("reason") == "timeout")
+      assert(t.length == 1 && t.head.getAs[Long]("n_events") == 1)
+      assert(t.head.getAs[Long]("start_us") == ts(140).getTime * 1000L)
+    }
+  }
+
   test("customSessions (flatMapGroupsWithState) emits on timeout with merged counts") {
     import spark.implicits._
     val in = MemoryStream[Streams.SessionEvent](spark)
