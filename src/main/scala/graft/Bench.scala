@@ -16,6 +16,17 @@ import org.apache.spark.sql.SparkSession
   * driver discrepancy can be attributed (JIT/GC/suite-order) instead of
   * relitigated.
   *
+  * Self-attribution (round-4 ask): the round-4 driver artifact read
+  * 581 s where the same code at the same config reproduced at 86.5 s —
+  * host contention during the driver's bench window, but the artifact
+  * could not prove it. Now every query records its process-CPU-time
+  * delta next to wall time, and a host line reports available
+  * processors, system load (start/end) and the cgroup cpu quota.
+  * wall ≫ cpu  → the process was starved of cores (host contention);
+  * cpu ≈ wall × threads-busy → the plan itself is doing the work.
+  * A reader separates starvation from plan cost per query without
+  * rerunning anything.
+  *
   * Failure discipline: a throwing query is reported in an "errors" map
   * with a null time — never silently timed as a fast success.
   *
@@ -63,11 +74,25 @@ object Bench {
     val heapPools = java.lang.management.ManagementFactory
       .getMemoryPoolMXBeans.asScala
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    // Process CPU time across ALL threads (driver + local executor
+    // threads share this JVM under local[N]) — the number that exposes
+    // host starvation: a bare shuffle query at 14 s wall with 0.5 s of
+    // CPU did not compute for 14 s, it waited for cores.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuSec(): Double = osBean.getProcessCpuTime / 1e9 // -1 → negative, reported as-is
+    def loadAvg(): Double = osBean.getSystemLoadAverage
+    val cpuQuota = try {
+      val src = scala.io.Source.fromFile("/sys/fs/cgroup/cpu.max")
+      try src.mkString.trim.replaceAll("\\s+", "/") finally src.close()
+    } catch { case _: Exception => "none" }
+    val loadStart = loadAvg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => keep(n) }
       .map { case (name, fn) =>
         heapPools.foreach(_.resetPeakUsage())
         val gc0 = gcMs()
+        val cpu0 = cpuSec()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
           case e: Throwable =>
@@ -75,43 +100,53 @@ object Bench {
               .replaceAll("[\\s\"\\\\]+", " ").take(160))
         }
         val sec = (System.nanoTime() - t0) / 1e9
+        val cpu = cpuSec() - cpu0
         val gcDelta = gcMs() - gc0
         val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
-        (name, sec, err, gcDelta, peakMb)
+        (name, sec, err, gcDelta, peakMb, cpu)
       }
+    val loadEnd = loadAvg()
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
-    val qs = results.map { case (k, v, err, _, _) =>
+    def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.US, v)
+    val qs = results.map { case (k, v, err, _, _, _) =>
       "\"" + k + "\":" + (if (err.isDefined) "null" else r3(v))
     }.mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, _, g, p) =>
-      "\"" + k + "\":[" + g + "," + p + "]"
-    }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m), _, _) => s"\"$k\":\"$m\"" }
+    val errs = results.collect { case (k, _, Some(m), _, _, _) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
     val nOk = results.count(_._3.isEmpty)
     val nErr = results.count(_._3.isDefined)
-    val total = r3(results.collect { case (_, v, None, _, _) => v }.sum)
+    val total = r3(results.collect { case (_, v, None, _, _, _) => v }.sum)
     val gcTotal = results.map(_._4).sum
+    val cpuTotal = results.map(_._6).sum
     // Line protocol (r3 postmortem: the driver TAIL-keeps ~2000 chars of
     // raw stdout and JSON-parses the LAST line; r3's gc/heap detail line
     // evicted every per-query second from the tail). Order:
-    //   1. long full per-query seconds line (may lose its front),
-    //   2. gc/heap diagnostics ONLY for keys that actually collected,
-    //   3. SHORT top-12 heavies seconds line (always fits intact),
-    //   4. SHORT {"metric":"total",...} as the very last line.
+    //   1. long full per-query wall-seconds line (may lose its front),
+    //   2. long full per-query CPU-seconds line (may lose its front),
+    //   3. gc/heap diagnostics ONLY for keys that actually collected,
+    //   4. SHORT top-12 heavies line with [wall,cpu] pairs — the queries
+    //      that need adjudicating carry their own starvation evidence
+    //      inside the guaranteed-intact tail,
+    //   5. SHORT host line (cores, load start/end, cgroup quota),
+    //   6. SHORT {"metric":"total",...} as the very last line.
     // build.sbt sets run/outputStrategy := StdoutOutput (no "[info] "
     // prefix) and showSuccess := false (no trailing "[success]" line),
-    // so line 4 really is the process's — and sbt's — last stdout line.
+    // so line 6 really is the process's — and sbt's — last stdout line.
     println(s"""{"metric":"bench_detail","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    val gcsNonzero = results.collect { case (k, _, _, g, p) if g > 0 =>
+    val cpuQs = results.map { case (k, _, _, _, _, c) =>
+      "\"" + k + "\":" + r3(c)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"cpu_detail","unit":"sec","queries":$cpuQs}""")
+    val gcsNonzero = results.collect { case (k, _, _, g, p, _) if g > 0 =>
       "\"" + k + "\":[" + g + "," + p + "]"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"gc_heap","unit":"[ms,mb]","queries":$gcsNonzero}""")
     val heavies = results.filter(_._3.isEmpty).sortBy(-_._2).take(12)
-      .map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
+      .map { case (k, v, _, _, _, c) => "\"" + k + "\":[" + r2(v) + "," + r2(c) + "]" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"heavies_sec","queries":$heavies}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_err":$nErr,"gc_ms":$gcTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"heavies_wall_cpu","unit":"sec","queries":$heavies}""")
+    println(s"""{"metric":"host","cpus":${Runtime.getRuntime.availableProcessors()},"load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},"cpu_quota":"$cpuQuota"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_s":${r2(cpuTotal)},"n_ok":$nOk,"n_err":$nErr,"gc_ms":$gcTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
