@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ Aggregates.queries ++
       Windows.queries ++ Functions.queries ++ Streaming.queries ++
-      Udafs.queries ++ Astro.queries ++ Llm.queries ++ Graph.queries
+      Udafs.queries ++ Astro.queries ++ Llm.queries ++ Graph.queries ++
+      Observability.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ Aggregates.oracle ++
       Windows.oracle ++ Functions.oracle ++ Streaming.oracle ++
-      Udafs.oracle ++ Astro.oracle ++ Llm.oracle ++ Graph.oracle
+      Udafs.oracle ++ Astro.oracle ++ Llm.oracle ++ Graph.oracle ++
+      Observability.oracle
 }
