@@ -618,32 +618,62 @@ object Llm {
   /** Unigram language-model scoring — the perplexity-proxy quality
     * filter every corpus pipeline runs: corpus unigram probabilities →
     * per-doc average negative log-likelihood. The per-doc log-sum is an
-    * ORDERED fold (aggregate HOF, left-to-right over the token array),
-    * so the float result is bit-reproducible and oracle-matchable where
-    * a groupBy sum of logs (merge-order-dependent) would not be; the
-    * vocabulary map rides the one-row digest broadcast. At 100 TB the
-    * vocab table is the small side (bounded by vocabulary, not corpus)
-    * and the scoring pass is shuffle-free. */
+    * ORDERED fold (left-to-right over the token sequence), so the float
+    * result is bit-reproducible and oracle-matchable where a groupBy sum
+    * of logs (merge-order-dependent) would not be.
+    *
+    * Two scoring paths, byte-identical output (LlmOpsSuite-asserted),
+    * switched by `spark.graft.unigram.joinVocab`:
+    *
+    *  - broadcast (default): the vocabulary packs into a ONE-ROW
+    *    map_from_entries riding the digest broadcast; scoring is
+    *    shuffle-free. SIZE LIMIT: a single row must stay under Spark's
+    *    row/broadcast ceilings — fine to ~10M vocab entries (~100s of
+    *    MB), wrong for a web-corpus vocabulary (every distinct typo is
+    *    an entry; billions of keys), where the one-row map breaks before
+    *    anything else in the pipeline does.
+    *  - keyed join (`joinVocab=true`, the 100 TB path): posexplode
+    *    tokens → equi-join the vocab table on the token → regroup by
+    *    doc, sort_array by position, fold the collected log-probs in
+    *    the same left-to-right order. Two shuffles (token, doc_id),
+    *    state per doc bounded by its own token count, vocab never
+    *    materializes in one place. */
   private def unigramNll(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val tk = T(s, dir, "documents").select(explode(toks).as("tok"))
-    // global total via an empty-partition window: the vocab frame is
-    // tiny (bounded by distinct tokens), so the single partition is fine
+    // global token total as a broadcast one-row scalar (NOT an
+    // empty-partition window, which would funnel the whole vocab
+    // through one partition on the join path)
+    val totalRow = tk.agg(count(lit(1)).cast("double").as("tot"))
     val freqs = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("p", col("cnt").cast("double") /
-        sum(col("cnt")).over(Window.partitionBy()).cast("double"))
-    val fmRow = freqs
-      .agg(map_from_entries(collect_list(struct(col("tok"), col("p")))).as("fm"))
-      .withColumn("k0", pmod(xxhash64(size(map_keys(col("fm")))), lit(1L)).cast("int"))
-    T(s, dir, "documents")
-      .select(col("doc_id"), toks.as("toks"))
-      .withColumn("k0", pmod(xxhash64(col("doc_id")), lit(1L)).cast("int"))
-      .join(broadcast(fmRow), "k0")
-      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-        dround(-aggregate(col("toks"), lit(0.0),
-          (acc, t) => acc + log(element_at(col("fm"), t))) / size(col("toks")), 6)
-          .as("avg_nll"))
-      .orderBy("doc_id")
+      .crossJoin(broadcast(totalRow))
+      .withColumn("p", col("cnt").cast("double") / col("tot"))
+    if (s.conf.getOption("spark.graft.unigram.joinVocab").contains("true")) {
+      T(s, dir, "documents")
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+        .join(freqs.select(col("tok"), log(col("p")).as("lp")), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+          sort_array(collect_list(struct(col("pos"), col("lp")))).as("lps"))
+        .select(col("doc_id"), col("n_tokens"),
+          dround(-aggregate(col("lps"), lit(0.0),
+            (acc, x) => acc + x.getField("lp")) / col("n_tokens"), 6)
+            .as("avg_nll"))
+        .orderBy("doc_id")
+    } else {
+      val fmRow = freqs
+        .agg(map_from_entries(collect_list(struct(col("tok"), col("p")))).as("fm"))
+        .withColumn("k0", pmod(xxhash64(size(map_keys(col("fm")))), lit(1L)).cast("int"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .withColumn("k0", pmod(xxhash64(col("doc_id")), lit(1L)).cast("int"))
+        .join(broadcast(fmRow), "k0")
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          dround(-aggregate(col("toks"), lit(0.0),
+            (acc, t) => acc + log(element_at(col("fm"), t))) / size(col("toks")), 6)
+            .as("avg_nll"))
+        .orderBy("doc_id")
+    }
   }
 
   /** K-means ASSIGNMENT pass (K=4, seeds = vec_id < 4 — deterministic

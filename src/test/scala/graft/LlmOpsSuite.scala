@@ -179,6 +179,20 @@ class LlmOpsSuite extends SparkSuiteBase {
     }
   }
 
+  test("unigram_nll: keyed-join vocab path is byte-identical to the broadcast map") {
+    val CapKey = "spark.graft.unigram.joinVocab"
+    val broadcastRows = run("llm_unigram_nll").collect().map(_.toSeq).toSeq
+    spark.conf.set(CapKey, "true")
+    try {
+      val joined = run("llm_unigram_nll")
+      val joinRows = joined.collect().map(_.toSeq).toSeq
+      assert(joinRows === broadcastRows,
+        "join-vocab scoring diverged from the broadcast-map scoring")
+      // the join path must not pack the vocabulary into one row
+      assert(!joined.queryExecution.optimizedPlan.toString.contains("map_from_entries"))
+    } finally spark.conf.unset(CapKey)
+  }
+
   test("multimodal decode stub is deterministic and covers all docs") {
     val a = run("mm_decode_stub").collect().toSeq
     val b = run("mm_decode_stub").collect().toSeq
