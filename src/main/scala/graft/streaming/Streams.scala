@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** True Structured-Streaming surface (SURVEY §2.8): the batch surrogates in
   * graft.ops.Streaming carry the oracle checks; these operators carry the
@@ -91,10 +91,48 @@ object Streams {
     * Determinism: in-batch events are folded in (us, event_id) order and
     * money is carried as exact integer cents, so emission content is
     * independent of arrival order within a batch and of partial-agg merge
-    * order. 100-TB note: state is 4 longs per open session key — scales
-    * with concurrent users, never events; the state store partitions on
-    * user_id (the groupByKey shuffle), and the watermark bounds retention.
+    * order. 100-TB note: PERSISTED state is 4 longs per open session key —
+    * it scales with concurrent users, never stream length; the state store
+    * partitions on user_id (the groupByKey shuffle), and the watermark
+    * bounds retention. The in-batch fold, however, buffers one user's
+    * events for the CURRENT micro-batch (the sortBy) — per-batch memory is
+    * O(events-per-user-per-batch), so bounded micro-batches are assumed;
+    * under AvailableNow single-batch replays, maxFilesPerTrigger (or
+    * equivalent admission control) is what keeps that bound.
     */
+  /** The purchase-session state machine shared by the fMGWS and
+    * transformWithState implementations: fold a batch's events in
+    * (us, event_id) order over the optional open-session state, return
+    * (sessions closed in-batch, still-open state). Keeping ONE fold is
+    * what makes the two API spellings row-identical by construction. */
+  private def foldPurchase(user: Long, evs: Seq[PEvent], init: Option[PState],
+      gapUs: Long): (List[PSession], Option[PState]) = {
+    val out = List.newBuilder[PSession]
+    var cur = init
+    evs.foreach { e =>
+      cur = cur match {
+        case Some(s) if e.us - s.last < gapUs =>
+          val s2 = PState(s.start, e.us, s.n + 1, s.cents + e.cents)
+          if (e.event_type == "purchase") {
+            out += PSession(user, s2.start, s2.last, s2.n, s2.cents, "purchase")
+            None
+          } else Some(s2)
+        case Some(s) =>
+          out += PSession(user, s.start, s.last + gapUs, s.n, s.cents, "gap")
+          if (e.event_type == "purchase") {
+            out += PSession(user, e.us, e.us, 1, e.cents, "purchase")
+            None
+          } else Some(PState(e.us, e.us, 1, e.cents))
+        case None =>
+          if (e.event_type == "purchase") {
+            out += PSession(user, e.us, e.us, 1, e.cents, "purchase")
+            None
+          } else Some(PState(e.us, e.us, 1, e.cents))
+      }
+    }
+    (out.result(), cur)
+  }
+
   def purchaseSessions(events: Dataset[PEvent], gapUs: Long): Dataset[PSession] = {
     import events.sparkSession.implicits._
     events
@@ -108,38 +146,71 @@ object Streams {
             Iterator(PSession(user, s.start, s.last + gapUs, s.n, s.cents, "timeout"))
           } else {
             val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
-            val out = List.newBuilder[PSession]
-            var cur = state.getOption
-            evs.foreach { e =>
-              cur = cur match {
-                case Some(s) if e.us - s.last < gapUs =>
-                  val s2 = PState(s.start, e.us, s.n + 1, s.cents + e.cents)
-                  if (e.event_type == "purchase") {
-                    out += PSession(user, s2.start, s2.last, s2.n, s2.cents, "purchase")
-                    None
-                  } else Some(s2)
-                case Some(s) =>
-                  out += PSession(user, s.start, s.last + gapUs, s.n, s.cents, "gap")
-                  if (e.event_type == "purchase") {
-                    out += PSession(user, e.us, e.us, 1, e.cents, "purchase")
-                    None
-                  } else Some(PState(e.us, e.us, 1, e.cents))
-                case None =>
-                  if (e.event_type == "purchase") {
-                    out += PSession(user, e.us, e.us, 1, e.cents, "purchase")
-                    None
-                  } else Some(PState(e.us, e.us, 1, e.cents))
-              }
-            }
+            val (closed, cur) = foldPurchase(user, evs, state.getOption, gapUs)
             cur match {
               case Some(s) =>
                 state.update(s)
                 state.setTimeoutTimestamp((s.last + gapUs) / 1000) // µs → ms
               case None => if (state.exists) state.remove()
             }
-            out.result().iterator
+            closed.iterator
           }
       }
+  }
+
+  /** Spark-4 successor-API twin of [[purchaseSessions]]: identical
+    * semantics on `transformWithState` (StatefulProcessor + named
+    * ValueState + explicit event-time timers) — the API that replaces
+    * flatMapGroupsWithState with composite/TTL state and first-class
+    * timers. Mechanical differences only: state lives in a named
+    * ValueState, the gap timeout is a timer deleted/re-registered as
+    * the session advances, and expiry arrives in handleExpiredTimer.
+    * The in-batch fold is [[foldPurchase]], shared with the fMGWS form;
+    * StreamingSuite drives both through the same batches and asserts
+    * row equality. Requires the RocksDB state store provider (the
+    * backing store transformWithState mandates). */
+  final class PurchaseSessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, PEvent, PSession] {
+    @transient private var state: ValueState[PState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState("session", Encoders.product[PState], TTLConfig.NONE)
+
+    private def timerMs(s: PState): Long = (s.last + gapUs) / 1000 // µs → ms
+
+    override def handleInputRows(user: Long, rows: Iterator[PEvent],
+        tv: TimerValues): Iterator[PSession] = {
+      val evs = rows.toSeq.sortBy(e => (e.us, e.event_id))
+      val prev = if (state.exists()) Some(state.get()) else None
+      prev.foreach(s => getHandle.deleteTimer(timerMs(s)))
+      val (closed, cur) = foldPurchase(user, evs, prev, gapUs)
+      cur match {
+        case Some(s) => state.update(s); getHandle.registerTimer(timerMs(s))
+        case None => state.clear()
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[PSession] = {
+      // a stale timer (session advanced in the same batch) never matches
+      // the live state's own expiry; only the registered timer fires
+      if (state.exists()) {
+        val s = state.get()
+        if (timerMs(s) == info.getExpiryTimeInMs) {
+          state.clear()
+          Iterator(PSession(user, s.start, s.last + gapUs, s.n, s.cents, "timeout"))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  def purchaseSessionsTws(events: Dataset[PEvent], gapUs: Long): Dataset[PSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new PurchaseSessionProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

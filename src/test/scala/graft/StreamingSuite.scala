@@ -182,6 +182,48 @@ class StreamingSuite extends SparkSuiteBase {
     }
   }
 
+  test("transformWithState twin emits the same rows as flatMapGroupsWithState purchaseSessions") {
+    import org.apache.spark.sql.Dataset
+    import spark.implicits._
+    def ev(id: Long, minute: Int, user: Long, typ: String, cents: Long) =
+      Streams.PEvent(user, id, typ, cents, ts(minute), ts(minute).getTime * 1000L)
+    // purchase-close, in-batch gap close, and watermark-timeout close —
+    // all three session-end reasons, replayed identically to both APIs
+    val batches: Seq[Seq[Streams.PEvent]] = Seq(
+      Seq(ev(1, 0, 7, "click", 100), ev(2, 10, 7, "purchase", 250)),
+      Seq(ev(3, 100, 9, "click", 10), ev(4, 140, 9, "click", 20)),
+      Seq(ev(5, 600, 8, "click", 1)))
+    val gapUs = 30L * 60 * 1000000
+    def drive(name: String,
+        f: Dataset[Streams.PEvent] => Dataset[Streams.PSession]): Set[Seq[Any]] = {
+      val in = MemoryStream[Streams.PEvent](spark)
+      val out = f(in.toDS().withWatermark("ts_us", "10 minutes"))
+      val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+      withQuery(q) {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect().map(_.toSeq: Seq[Any]).toSet
+      }
+    }
+    // transformWithState mandates the RocksDB state store; run BOTH
+    // implementations under it so only the API differs
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val viaFmgws = drive("tws_base", ds => Streams.purchaseSessions(ds, gapUs))
+      val viaTws = drive("tws_twin", ds => Streams.purchaseSessionsTws(ds, gapUs))
+      assert(viaFmgws.nonEmpty, "no sessions emitted — degenerate scenario")
+      assert(viaFmgws.exists(_.contains("timeout")), "timeout path not exercised")
+      assert(viaTws === viaFmgws)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("customSessions (flatMapGroupsWithState) emits on timeout with merged counts") {
     import spark.implicits._
     val in = MemoryStream[Streams.SessionEvent](spark)
