@@ -103,6 +103,12 @@ object Bench {
         val cpu = cpuSec() - cpu0
         val gcDelta = gcMs() - gc0
         val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+        // outside the timed region: drop any persisted blocks the query
+        // left behind (iterative ops localCheckpoint; builders are pure,
+        // nothing is reused across keys) so one key's artifacts don't
+        // ride the heap into every later key's peak reading
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         (name, sec, err, gcDelta, peakMb, cpu)
       }
     val loadEnd = loadAvg()

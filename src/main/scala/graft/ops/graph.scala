@@ -47,6 +47,11 @@ object Graph {
     // only ranks (verified under autoBroadcastJoinThreshold=-1).
     val edgesD = edges.join(deg, "a").localCheckpoint()
     var ranks = deg.select(col("a").as("node"), lit(1000000L).as("pr"))
+    // superseded per-iteration checkpoints are freed as soon as the next
+    // one materializes (same heap discipline as dedupClusters); the
+    // initial ranks frame is NOT a checkpoint (it still reads deg's
+    // blocks), so only loop-produced checkpoints are eligible
+    var supersededCp: Option[DataFrame] = None
     for (_ <- 1 to 3) {
       val contribs = edgesD.join(ranks, col("a") === col("node"))
         .select(col("b"), expr("(pr * 85) div (100 * outdeg)").as("c"))
@@ -55,7 +60,12 @@ object Graph {
         .join(contribs, col("node") === col("b"), "left_outer")
         .select(col("node"), (lit(150000L) + coalesce(col("sc"), lit(0L))).as("pr"))
         .localCheckpoint()
+      supersededCp.foreach(org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint)
+      supersededCp = Some(ranks)
     }
+    // the final ranks checkpoint is self-contained — the support tables
+    // are no longer reachable from the returned plan
+    Seq(edges, deg, edgesD).foreach(org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint)
     ranks.orderBy("node")
   }
 

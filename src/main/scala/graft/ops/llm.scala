@@ -311,10 +311,18 @@ object Llm {
       val nowSum = labSum(next)
       converged = nowSum.compareTo(prevSum) == 0
       prevSum = nowSum
+      // next is eagerly checkpointed: the superseded round's blocks are
+      // unreachable from any future plan — free them now instead of
+      // letting O(rounds) label snapshots ride to session end (the
+      // round-4 llm-segment heap-peak driver)
+      org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(labels)
       labels = next
       rounds += 1
     }
     require(converged, s"dedupClusters: not converged after $rounds rounds")
+    // the final labels checkpoint must stay (the returned plan reads it);
+    // edges are consumed — every labels round is materialized past them
+    org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint(edges)
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -23,4 +23,16 @@ object Shim {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Drop the block-manager storage behind a localCheckpoint()ed frame.
+    * ONLY for frames whose data is no longer reachable from any plan
+    * still to be executed — a truncated-lineage RDD cannot recompute.
+    * Iterative operators use this to free superseded per-round
+    * checkpoints instead of letting them pile up until session end. */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
