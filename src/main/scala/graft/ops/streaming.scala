@@ -147,11 +147,39 @@ object Streaming {
     * cast at ingest, one decimal division + double cast at the end), so
     * the sum is order-insensitive and byte-exact vs DuckDB's
     * SUM(DECIMAL). */
-  private def streamCustomState(s: SparkSession, dir: String): DataFrame = {
+  private def streamCustomState(s: SparkSession, dir: String): DataFrame =
+    runPurchaseSessionStream(s, dir, "cstate",
+      graft.streaming.Streams.purchaseSessions(_, SessionGapUs))
+
+  /** The SAME purchase-session pipeline on Spark 4's transformWithState
+    * (StatefulProcessor + named ValueState + explicit event-time timers
+    * — graft.streaming.Streams.purchaseSessionsTws), run under the
+    * RocksDB state store provider the new API mandates. Same oracle as
+    * stream_custom_state: the two APIs share one fold, so the append-mode
+    * emission contract is identical. */
+  private def streamTwsState(s: SparkSession, dir: String): DataFrame = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runPurchaseSessionStream(s, dir, "twsstate",
+      graft.streaming.Streams.purchaseSessionsTws(_, SessionGapUs))
+    finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
+  /** Shared streaming harness for the two custom-state APIs: file source
+    * → watermark → stateful operator → parquet sink under AvailableNow,
+    * then a batch read of the committed output. */
+  private def runPurchaseSessionStream(s: SparkSession, dir: String, tagPrefix: String,
+      op: org.apache.spark.sql.Dataset[graft.streaming.Streams.PEvent] =>
+        org.apache.spark.sql.Dataset[graft.streaming.Streams.PSession]): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._
     val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-    val root = GraftTmp.dir(s"cstate_$tag")
+    val root = GraftTmp.dir(s"${tagPrefix}_$tag")
     val src = java.nio.file.Paths.get(s"$root/in")
     java.nio.file.Files.createDirectories(src)
     java.nio.file.Files.copy(
@@ -171,7 +199,7 @@ object Streaming {
           expr("ts div 1000").as("us"))
         .withWatermark("ts_us", "1 hour")
         .as[graft.streaming.Streams.PEvent]
-      val q = graft.streaming.Streams.purchaseSessions(in, SessionGapUs)
+      val q = op(in)
         .writeStream.format("parquet")
         .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
         .outputMode("append").trigger(Trigger.AvailableNow())
@@ -302,6 +330,7 @@ object Streaming {
     "stream_sliding_window" -> (sliding _),
     "stream_session_window" -> (session _),
     "stream_custom_state" -> (streamCustomState _),
+    "stream_tws_state" -> (streamTwsState _),
     "stream_dedup" -> (dedup _),
   )
 
@@ -400,7 +429,21 @@ object Streaming {
     // FINAL session emits only if purchase-closed, or via EventTimeTimeout
     // which fires only STRICTLY below the final watermark
     // (max ts − 1 h, ms precision) — hence `< wm_ms`, pinned empirically.
-    "stream_custom_state" ->
+    // stream_tws_state (transformWithState) shares the oracle: both APIs
+    // run the same shared fold under the same watermark/timer contract.
+    "stream_custom_state" -> purchaseSessionOracle,
+    "stream_tws_state" -> purchaseSessionOracle,
+    "stream_foreachbatch_upsert" ->
+      """SELECT user_id, last_event, last_type, last_value, last_us FROM (
+        | SELECT user_id, event_id AS last_event, event_type AS last_type,
+        |  value AS last_value, epoch_us(ts) AS last_us,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+  )
+
+  private lazy val purchaseSessionOracle: String =
       s"""WITH m AS (SELECT epoch_us(MAX(ts)) // 1000 - 3600000 AS wm_ms FROM events),
          |e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM events),
          |flagged AS (
@@ -431,14 +474,5 @@ object Streaming {
          |FROM fin, m
          |WHERE purch = 1 OR sid < max_sid
          |   OR (last_us + $SessionGapUs) // 1000 < wm_ms
-         |ORDER BY user_id, start_us""".stripMargin,
-    "stream_foreachbatch_upsert" ->
-      """SELECT user_id, last_event, last_type, last_value, last_us FROM (
-        | SELECT user_id, event_id AS last_event, event_type AS last_type,
-        |  value AS last_value, epoch_us(ts) AS last_us,
-        |  ROW_NUMBER() OVER (PARTITION BY user_id
-        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-        | FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
-  )
+         |ORDER BY user_id, start_us""".stripMargin
 }
