@@ -21,7 +21,7 @@ object SparkEntry {
     Relational.queries ++ Joins.queries ++ Aggregates.queries ++
       Windows.queries ++ Functions.queries ++ Streaming.queries ++
       Udafs.queries ++ Astro.queries ++ Llm.queries ++ Graph.queries ++
-      Observability.queries
+      Observability.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
     Relational.oracle ++ Joins.oracle ++ Aggregates.oracle ++
       Windows.oracle ++ Functions.oracle ++ Streaming.oracle ++
       Udafs.oracle ++ Astro.oracle ++ Llm.oracle ++ Graph.oracle ++
-      Observability.oracle
+      Observability.oracle ++ Pipeline.oracle
 }

@@ -119,6 +119,8 @@ object Params {
   val SessionGapUs: Long = 30L * 60L * 1000000L // stream_session_window
   val HistBucket = 50000.0 // agg_histogram bucket width on o_totalprice
   val ShingleK = 5 // llm_dedup_near shingle size
+  val ChunkLen = 120 // llm_doc_chunk window (chars; fixture docs are ASCII)
+  val ChunkStride = 90 // llm_doc_chunk stride (< ChunkLen ⇒ 30-char overlap)
   val JaccardNum = 4 // Jaccard threshold 4/5 = 0.8 as an exact rational
   val JaccardDen = 5
   // llm_dedup_embed: the fixture embeddings are random (max pairwise

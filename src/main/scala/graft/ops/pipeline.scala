@@ -1,0 +1,256 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Det._
+import Params._
+
+/** Corpus-pipeline and time-series operators layered on the §2.10 LLM
+  * family: Gopher-style repetition scoring, RAG chunking, domain-mix
+  * sampling, cohort retention and grid resampling with LOCF.
+  *
+  * 100-TB notes per op:
+  *  - repetition: the whole computation is PER-ROW (a document's n-gram
+  *    statistics fold over its own token array inside one task) — zero
+  *    shuffles before the output sort. This is the shape that survives
+  *    any corpus size: no (doc, gram) exploded shuffle, no grouping key
+  *    wider than the row itself.
+  *  - chunking: explode(sequence) + substring is a pure projection —
+  *    chunk rows never shuffle; downstream writers see ~len/stride× the
+  *    input rows but the plan stays narrow (one stage, codegen'd).
+  *  - domain mix: deterministic md5-prefix thresholding (the same
+  *    discipline as llm_train_test_split) → one hash-aggregate shuffle
+  *    on the domain key. Never `sample()` — rates must be reproducible
+  *    across retries and engines.
+  *  - retention / resample: keyed by user; every shuffle is on user_id
+  *    (or user_id+bucket) so a 1000-executor run partitions cleanly by
+  *    user. The resample grid is bounded by users × span-hours, linear
+  *    in users at a fixed retention window.
+  */
+object Pipeline {
+
+  // ---- Gopher-style repetition signals ------------------------------------
+
+  /** Left-to-right fold over the doc's SORTED 2-gram array computing
+    * (longest equal run = max gram frequency, number of distinct grams)
+    * in one pass. Runs inside the row — the per-doc state is 4 fields
+    * regardless of document length, and nothing leaves the task until
+    * the final projection. */
+  private def repFold(sortedGrams: Column): Column =
+    aggregate(
+      sortedGrams,
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0).as("mx"), lit(0).as("nd")),
+      (acc, g) => {
+        val same = acc.getField("prev") <=> g
+        val run = when(same, acc.getField("run") + 1).otherwise(lit(1))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("mx"), run).as("mx"),
+          (acc.getField("nd") + when(same, lit(0)).otherwise(lit(1))).as("nd"))
+      })
+
+  /** Per-document repetition scoring (the Gopher/MassiveText repetition
+    * filters, re-expressed on token 2-grams): fraction of 2-gram slots
+    * taken by the single most frequent 2-gram, and the duplicate-gram
+    * fraction (1 − distinct/total). High values flag boilerplate and
+    * degenerate machine text. */
+  private def repetitionNgram(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        expr("array_sort(transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1])))").as("gs"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - 1).as("n_grams"), repFold(col("gs")).as("st"))
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        col("st").getField("mx").as("max_2gram"),
+        col("st").getField("nd").as("distinct_2grams"),
+        dround(col("st").getField("mx").cast("double") /
+          col("n_grams").cast("double"), 6).as("top_2gram_frac"),
+        dround(lit(1.0) - col("st").getField("nd").cast("double") /
+          col("n_grams").cast("double"), 6).as("dup_2gram_frac"))
+      .orderBy("doc_id")
+
+  // ---- RAG chunking --------------------------------------------------------
+
+  /** Fixed-size overlapping character chunks (stride < size ⇒ overlap),
+    * the retrieval-corpus preparation step. Emits a fingerprint per
+    * chunk rather than the chunk text so the output stays narrow.
+    * Fixture docs are pure ASCII at every SF (verified for
+    * mm_frame_sample), so char offsets ≡ byte offsets and DuckDB's
+    * VARCHAR substring reproduces the bytes exactly. */
+  private def docChunk(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, length(text) - 1, $ChunkStride)")).as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST(start div $ChunkStride AS BIGINT)").as("chunk_no"),
+        col("start").cast("long").as("chunk_start"),
+        length(expr(s"substring(text, start + 1, $ChunkLen)")).as("chunk_len"),
+        md5(encode(expr(s"substring(text, start + 1, $ChunkLen)"), "UTF-8"))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_no")
+
+  // ---- domain-mix sampling ---------------------------------------------------
+
+  /** Per-source keep threshold on the first 4 md5 hex chars of the doc id
+    * (uniform in [0, 16^4)): rates 1 / 0.5 / 0.25 / 0.125 by source index
+    * mod 4. 'zzzz' > every hex digest, i.e. keep-all. */
+  private def mixThreshold(idx: Column): Column =
+    when(pmod(idx, lit(4)) === 0, lit("zzzz"))
+      .when(pmod(idx, lit(4)) === 1, lit("8000"))
+      .when(pmod(idx, lit(4)) === 2, lit("4000"))
+      .otherwise(lit("2000"))
+
+  private def mixRate(idx: Column): Column =
+    when(pmod(idx, lit(4)) === 0, lit(1.0))
+      .when(pmod(idx, lit(4)) === 1, lit(0.5))
+      .when(pmod(idx, lit(4)) === 2, lit(0.25))
+      .otherwise(lit(0.125))
+
+  /** Domain-mix downsampling: each source ("domain") keeps a deterministic
+    * hash-slice of its documents at a per-domain target rate — the
+    * re-weighting step that turns raw crawl proportions into a training
+    * mixture. Deterministic (md5-prefix, never `sample()`): retries,
+    * re-partitions and the DuckDB oracle all select the same rows. */
+  private def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val idx = expr("CAST(substring(source, 4, 8) AS INT)")
+    val h4 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+    T(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        (h4 < mixThreshold(idx)).as("keep"), mixRate(idx).as("target_rate"))
+      .groupBy("source", "target_rate")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("keep"), col("doc_id"))).as("min_kept_doc"))
+      .orderBy("source")
+  }
+
+  // ---- cohort retention -------------------------------------------------------
+
+  /** Classic cohort retention: users bucketed by first-active day, counts
+    * of distinct users active at each day offset. Day arithmetic is exact
+    * integer µs division (SURVEY §7.3.5). Shuffles: distinct on
+    * (user, day), re-agg to the per-user cohort (map-side combine on the
+    * same user key), final (cohort, offset) aggregate. */
+  private def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val d = T.eventsUs(s, dir)
+      .select(col("user_id"), expr("us div 86400000000").as("day"))
+      .distinct()
+    val cohort = d.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    d.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  // ---- grid resample with LOCF --------------------------------------------------
+
+  /** Resample each user's event stream onto an hourly grid, carrying the
+    * last observation forward across empty hours (LOCF) — the gap-filling
+    * twin of events_interpolate. The per-hour "last" is a struct-max on
+    * (us, event_id, value): (us, event_id) is a unique total order, so
+    * the carried double is deterministic and never arithmetically
+    * touched — bit-exact against the oracle by construction. Grid size
+    * is users × span-hours (bounded by the retention window), and every
+    * shuffle keys on user_id. */
+  private def eventsResampleLocf(s: SparkSession, dir: String): DataFrame = {
+    val e = T.eventsUs(s, dir)
+      .select(col("user_id"), col("us"), col("event_id"), col("value"),
+        expr("us div 3600000000").as("hour"))
+    val hv = e.groupBy("user_id", "hour")
+      .agg(max(struct(col("us"), col("event_id"), col("value")))
+        .getField("value").as("hv"))
+    // bounds re-aggregate hv (already (user, hour)-partitioned): the
+    // user-level regroup is a partial-agg-friendly second pass over far
+    // fewer rows than the raw events
+    val grid = hv.groupBy("user_id")
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hour"))
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hv, Seq("user_id", "hour"), "left_outer")
+      .select(col("user_id"), col("hour"),
+        last(col("hv"), ignoreNulls = true).over(w).as("locf_value"),
+        col("hv").isNotNull.as("observed"))
+      .orderBy("user_id", "hour")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_repetition_ngram" -> (repetitionNgram _),
+    "llm_doc_chunk" -> (docChunk _),
+    "llm_domain_mix" -> (domainMix _),
+    "events_retention" -> (eventsRetention _),
+    "events_resample_locf" -> (eventsResampleLocf _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_repetition_ngram" ->
+      """WITH g AS (
+        | SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w AS gram,
+        |  LEAD(tok, 1) OVER w AS nxt
+        | FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+        |        UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS pos FROM documents)
+        | WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g
+        |       WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS mx, COUNT(*) AS nd
+        |        FROM gc GROUP BY 1)
+        |SELECT d.doc_id, CAST(LEN(STRING_SPLIT(d.text, ' ')) AS INT) AS n_tokens,
+        | CAST(n_grams AS INT) AS n_grams, CAST(mx AS INT) AS max_2gram,
+        | CAST(nd AS INT) AS distinct_2grams,
+        | FLOOR(CAST(mx AS DOUBLE) / CAST(n_grams AS DOUBLE) * 1e6 + 0.5) / 1e6 AS top_2gram_frac,
+        | FLOOR((1.0 - CAST(nd AS DOUBLE) / CAST(n_grams AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS dup_2gram_frac
+        |FROM documents d JOIN agg ON d.doc_id = agg.doc_id
+        |WHERE LEN(STRING_SPLIT(d.text, ' ')) >= 2
+        |ORDER BY d.doc_id""".stripMargin,
+    "llm_doc_chunk" ->
+      s"""SELECT doc_id, start // $ChunkStride AS chunk_no, start AS chunk_start,
+         | CAST(LEN(SUBSTRING(text, CAST(start + 1 AS INT), $ChunkLen)) AS INT) AS chunk_len,
+         | MD5(SUBSTRING(text, CAST(start + 1 AS INT), $ChunkLen)) AS chunk_md5
+         |FROM (SELECT doc_id, text, UNNEST(RANGE(0, LEN(text), $ChunkStride)) AS start
+         |      FROM documents)
+         |ORDER BY doc_id, chunk_no""".stripMargin,
+    "llm_domain_mix" ->
+      """WITH k AS (
+        | SELECT source, doc_id,
+        |  CAST(SUBSTRING(source, 4, 8) AS INT) % 4 AS m,
+        |  SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4
+        | FROM documents)
+        |SELECT source,
+        | CAST(CASE WHEN m = 0 THEN 1.0 WHEN m = 1 THEN 0.5
+        |      WHEN m = 2 THEN 0.25 ELSE 0.125 END AS DOUBLE) AS target_rate,
+        | CAST(COUNT(*) AS BIGINT) AS n_total,
+        | CAST(SUM(CASE WHEN h4 < (CASE WHEN m = 0 THEN 'zzzz' WHEN m = 1 THEN '8000'
+        |       WHEN m = 2 THEN '4000' ELSE '2000' END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | MIN(CASE WHEN h4 < (CASE WHEN m = 0 THEN 'zzzz' WHEN m = 1 THEN '8000'
+        |       WHEN m = 2 THEN '4000' ELSE '2000' END) THEN doc_id END) AS min_kept_doc
+        |FROM k GROUP BY 1, 2 ORDER BY source""".stripMargin,
+    "events_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |           FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        | CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_resample_locf" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value,
+        |            epoch_us(ts) // 3600000000 AS hour FROM events),
+        |hv AS (SELECT user_id, hour, value AS hv FROM (
+        |        SELECT user_id, hour, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, hour
+        |                            ORDER BY us DESC, event_id DESC) AS rn
+        |        FROM e) WHERE rn = 1),
+        |b AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hv GROUP BY 1),
+        |grid AS (SELECT user_id, UNNEST(RANGE(h0, h1 + 1)) AS hour FROM b)
+        |SELECT g.user_id, g.hour,
+        | LAST_VALUE(hv IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hour
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+        | hv IS NOT NULL AS observed
+        |FROM grid g LEFT JOIN hv ON g.user_id = hv.user_id AND g.hour = hv.hour
+        |ORDER BY g.user_id, g.hour""".stripMargin,
+  )
+}

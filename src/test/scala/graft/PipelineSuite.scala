@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Semantics + plan-shape tests for the corpus-pipeline module
+  * (ops/pipeline.scala). Semantics are cross-checked against independent
+  * Scala brute-force computations over the same fixture texts — not
+  * against the oracle SQL (which the driver/compare.py already covers).
+  */
+class PipelineSuite extends SparkSuiteBase {
+
+  test("llm_repetition_ngram matches a brute-force 2-gram count per doc") {
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = run("llm_repetition_ngram").collect()
+    assert(rows.length == texts.size, "every fixture doc has >= 2 tokens")
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ", -1)
+      val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      assert(r.getInt(1) == toks.length, s"n_tokens for doc ${r.getLong(0)}")
+      assert(r.getInt(2) == grams.length)
+      assert(r.getInt(3) == counts.values.max, s"max_2gram for doc ${r.getLong(0)}")
+      assert(r.getInt(4) == counts.size, s"distinct_2grams for doc ${r.getLong(0)}")
+      val top = math.floor(counts.values.max.toDouble / grams.length * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(5) == top)
+    }
+  }
+
+  test("llm_doc_chunk tiles every doc: stride starts, capped final chunk") {
+    val lens = spark.read.parquet(s"$SF/documents.parquet")
+      .selectExpr("doc_id", "length(text) AS len").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = run("llm_doc_chunk").collect().groupBy(_.getLong(0))
+    assert(byDoc.keySet == lens.keySet)
+    byDoc.foreach { case (id, chunks) =>
+      val len = lens(id)
+      assert(chunks.length == (len - 1) / 90 + 1, s"chunk count for doc $id")
+      chunks.sortBy(_.getLong(1)).zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(1) == i && c.getLong(2) == i * 90L)
+        assert(c.getInt(3) == math.min(120, len - i * 90), s"chunk_len doc $id #$i")
+      }
+    }
+  }
+
+  test("llm_domain_mix: rate-1 domains keep everything; sampling is deterministic") {
+    val rows = run("llm_domain_mix").collect()
+    assert(rows.length == 20, "one row per source")
+    rows.foreach { r =>
+      val (rate, total, kept) = (r.getDouble(1), r.getLong(2), r.getLong(3))
+      if (rate == 1.0) assert(kept == total, s"rate-1.0 source ${r.getString(0)} dropped rows")
+      else assert(kept <= total && kept >= 0)
+    }
+    assert(rows.map(_.getDouble(1)).distinct.sorted.sameElements(
+      Array(0.125, 0.25, 0.5, 1.0)))
+    // deterministic: a second run selects the identical rows
+    assert(run("llm_domain_mix").collect().sameElements(rows))
+  }
+
+  test("events_retention: offset-0 count equals cohort size, offsets non-negative") {
+    val rows = run("events_retention").collect()
+    assert(rows.nonEmpty)
+    val cohortSizes = spark.read.parquet(s"$SF/events.parquet")
+      .selectExpr("user_id", "CAST(ts AS BIGINT) div 1000 div 86400000000 AS day")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.expr("min(day) AS c"))
+      .groupBy("c").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) >= 0))
+    rows.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getLong(2) == cohortSizes(r.getLong(0)),
+        s"cohort ${r.getLong(0)} day-0 count != cohort size")
+    }
+  }
+
+  test("events_resample_locf: full grid per user, no null after first hour, LOCF holds") {
+    val rows = run("events_resample_locf").collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      val hours = rs.map(_.getLong(1)).sorted
+      assert(hours.distinct.length == hours.length &&
+        hours.length == (hours.last - hours.head + 1), s"grid gap for user $u")
+      var lastObserved = Double.NaN
+      rs.sortBy(_.getLong(1)).foreach { r =>
+        if (r.getBoolean(3)) lastObserved = r.getDouble(2)
+        assert(!r.isNullAt(2), s"null locf_value for user $u hour ${r.getLong(1)}")
+        assert(r.getDouble(2) == lastObserved, s"LOCF broke for user $u")
+      }
+    }
+  }
+
+  test("repetition and chunking plans are shuffle-free before the output sort") {
+    Seq("llm_repetition_ngram", "llm_doc_chunk").foreach { k =>
+      val p = run(k).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$k shuffles before the sort:\n$p")
+    }
+  }
+}
