@@ -178,12 +178,86 @@ object Pipeline {
       .orderBy("user_id", "hour")
   }
 
+  // ---- BPE vocabulary induction (one merge step) ----------------------------
+
+  /** The counting core of one BPE training iteration: corpus word
+    * frequencies → adjacent character-pair counts weighted by word
+    * frequency → top-20 merge candidates. Pair generation happens inside
+    * the word row (bounded by word length); the only shuffles are the
+    * word-frequency aggregate and the pair aggregate — both on short
+    * string keys with map-side combine, never on documents. */
+  private def bpeMergeStep(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .where(length(col("word")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(20)
+
+  // ---- boilerplate chunk detection -------------------------------------------
+
+  /** Sub-document boilerplate detection: chunk fingerprints (the
+    * llm_doc_chunk tiling) that recur across >= 2 DISTINCT documents —
+    * headers, footers and templated passages that exact whole-doc dedup
+    * can never see. One aggregate keyed on the 32-hex fingerprint; the
+    * chunk text never shuffles. */
+  private def boilerplateChunks(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, length(text) - 1, $ChunkStride)")).as("start"))
+      .select(col("doc_id"),
+        md5(encode(expr(s"substring(text, start + 1, $ChunkLen)"), "UTF-8"))
+          .as("chunk_md5"))
+      .groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("chunk_md5"))
+
+  // ---- streaming-style anomaly scoring ----------------------------------------
+
+  /** Trailing-window z-score anomaly detection per user, in EXACT integer
+    * arithmetic: values are 2-dp (verified at every SF), so cents are
+    * longs and the z-score collapses to
+    * z = (n·x − Σx) / √(n·Σx² − (Σx)²) — every term inside the sqrt is
+    * an exact integer window sum, leaving exactly two IEEE ops (sqrt,
+    * divide) that both engines evaluate bit-identically. A float
+    * running-stddev (Welford vs naïve merge) could never hash-match.
+    * One user_id shuffle; the trailing ROWS frame is O(window) state. */
+  private def eventsAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(-23, Window.currentRow)
+    val e = T.eventsUs(s, dir)
+      .select(col("user_id"), col("event_id"), col("us"),
+        col("value"), (money(col("value")) * 100).cast("long").as("xc"))
+    e.select(col("user_id"), col("event_id"), col("us"), col("value"),
+      count(lit(1)).over(w).as("n"),
+      sum(col("xc")).over(w).as("sx"),
+      sum(col("xc") * col("xc")).over(w).as("sx2"),
+      col("xc"))
+      .where(col("n") >= 8 && (col("n") * col("sx2") > col("sx") * col("sx")))
+      .select(col("user_id"), col("event_id"), col("us"), col("value"),
+        dround((col("n") * col("xc") - col("sx")).cast("double") /
+          sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double")), 6)
+          .as("zscore"))
+      .withColumn("is_anomaly", abs(col("zscore")) > 3.0)
+      .orderBy("user_id", "us", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_repetition_ngram" -> (repetitionNgram _),
     "llm_doc_chunk" -> (docChunk _),
     "llm_domain_mix" -> (domainMix _),
     "events_retention" -> (eventsRetention _),
     "events_resample_locf" -> (eventsResampleLocf _),
+    "llm_bpe_merge_step" -> (bpeMergeStep _),
+    "llm_boilerplate_chunks" -> (boilerplateChunks _),
+    "events_anomaly_zscore" -> (eventsAnomalyZscore _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -252,5 +326,35 @@ object Pipeline {
         | hv IS NOT NULL AS observed
         |FROM grid g LEFT JOIN hv ON g.user_id = hv.user_id AND g.hour = hv.hour
         |ORDER BY g.user_id, g.hour""".stripMargin,
+    "llm_bpe_merge_step" ->
+      """WITH wf AS (SELECT word, COUNT(*) AS freq FROM
+        |  (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents) GROUP BY 1),
+        |p AS (SELECT freq, SUBSTRING(word, CAST(i AS INT), 2) AS pair
+        |      FROM (SELECT word, freq, UNNEST(RANGE(1, LEN(word))) AS i
+        |            FROM wf WHERE LEN(word) >= 2))
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+        |FROM p GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
+    "llm_boilerplate_chunks" ->
+      s"""WITH ch AS (SELECT doc_id,
+         |  MD5(SUBSTRING(text, CAST(start + 1 AS INT), $ChunkLen)) AS chunk_md5
+         | FROM (SELECT doc_id, text, UNNEST(RANGE(0, LEN(text), $ChunkStride)) AS start
+         |       FROM documents))
+         |SELECT chunk_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         | CAST(COUNT(*) AS BIGINT) AS n_occurrences, MIN(doc_id) AS first_doc
+         |FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, chunk_md5""".stripMargin,
+    "events_anomaly_zscore" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc FROM events),
+        |s AS (SELECT user_id, event_id, us, value, xc,
+        |       COUNT(*) OVER w AS n, SUM(xc) OVER w AS sx, SUM(xc*xc) OVER w AS sx2
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, us, value, zscore, ABS(zscore) > 3.0 AS is_anomaly
+        |FROM (SELECT user_id, event_id, us, value,
+        |       FLOOR(CAST(n*xc - sx AS DOUBLE) / SQRT(CAST(n*sx2 - sx*sx AS DOUBLE))
+        |         * 1e6 + 0.5) / 1e6 AS zscore
+        |      FROM s WHERE n >= 8 AND n*sx2 > sx*sx)
+        |ORDER BY user_id, us, event_id""".stripMargin,
   )
 }

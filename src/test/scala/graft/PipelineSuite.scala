@@ -89,6 +89,62 @@ class PipelineSuite extends SparkSuiteBase {
     }
   }
 
+  test("llm_bpe_merge_step matches a brute-force weighted pair count") {
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val wf = texts.flatMap(_.split(" ", -1)).groupBy(identity).view.mapValues(_.size.toLong)
+    val pairs = scala.collection.mutable.Map.empty[String, Long]
+    wf.foreach { case (w, f) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        pairs(p) = pairs.getOrElse(p, 0L) + f
+      }
+    }
+    val expected = pairs.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val got = run("llm_bpe_merge_step").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("llm_boilerplate_chunks: every flagged fingerprint spans >= 2 distinct docs") {
+    val rows = run("llm_boilerplate_chunks").collect()
+    assert(rows.nonEmpty, "fixture has cross-doc repeated chunks")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2 && r.getLong(2) >= r.getLong(1),
+        s"fingerprint ${r.getString(0)}: n_docs/n_occurrences inconsistent")
+    }
+    // re-derive one flagged fingerprint's doc span from the chunk table
+    val fp = rows.head.getString(0)
+    val span = run("llm_doc_chunk").where(s"chunk_md5 = '$fp'")
+      .select("doc_id").distinct().count()
+    assert(span == rows.head.getLong(1))
+  }
+
+  test("events_anomaly_zscore matches a brute-force integer-moment z-score") {
+    val rows = run("events_anomaly_zscore").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(5) == (math.abs(r.getDouble(4)) > 3.0)))
+    // brute-force one user end-to-end
+    val u = rows.head.getLong(0)
+    val evs = spark.read.parquet(s"$SF/events.parquet")
+      .selectExpr("user_id", "event_id", "CAST(ts AS BIGINT) div 1000 AS us", "value")
+      .where(s"user_id = $u").collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val xc = evs.map(t => math.round(t._3 * 100))
+    val expected = evs.indices.flatMap { i =>
+      val lo = math.max(0, i - 23)
+      val w = xc.slice(lo, i + 1)
+      val (n, sx, sx2) = (w.length.toLong, w.sum, w.map(x => x * x).sum)
+      if (n >= 8 && n * sx2 > sx * sx) {
+        val z = (n * xc(i) - sx).toDouble / math.sqrt((n * sx2 - sx * sx).toDouble)
+        Some((evs(i)._2, math.floor(z * 1e6 + 0.5) / 1e6))
+      } else None
+    }
+    val got = rows.filter(_.getLong(0) == u).map(r => (r.getLong(1), r.getDouble(4))).toSeq
+    assert(got == expected, s"z-scores for user $u diverge")
+  }
+
   test("repetition and chunking plans are shuffle-free before the output sort") {
     Seq("llm_repetition_ngram", "llm_doc_chunk").foreach { k =>
       val p = run(k).queryExecution.executedPlan.toString
