@@ -249,6 +249,85 @@ object Pipeline {
       .orderBy("user_id", "us", "event_id")
   }
 
+  // ---- data-quality expectations ----------------------------------------------
+
+  /** Rule-based data-quality audit (the expectations/contract check a
+    * production pipeline runs before publishing a dataset): referential
+    * integrity via anti-join plus range/shape rules, each a single
+    * aggregate over its table, unioned into one violations report.
+    * Each rule reads only the columns it tests (pushdown-pruned); at
+    * scale the rules fan out as independent stages over the same scans. */
+  private def dqExpectations(s: SparkSession, dir: String): DataFrame = {
+    def rule(name: String, df: DataFrame, bad: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_checked"),
+        sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_checked"), col("n_violations"),
+          dround(col("n_violations").cast("double") /
+            col("n_checked").cast("double"), 6).as("violation_rate"))
+    val orphan = T(s, dir, "lineitem").select(col("l_orderkey"))
+      .join(T(s, dir, "orders").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val orphanRow = T(s, dir, "lineitem").select(count(lit(1)).as("n_checked"))
+      .crossJoin(orphan.agg(count(lit(1)).as("n_violations")))
+      .select(lit("lineitem_orphan_order").as("rule"), col("n_checked"),
+        col("n_violations"),
+        dround(col("n_violations").cast("double") /
+          col("n_checked").cast("double"), 6).as("violation_rate"))
+    rule("orders_price_gt_400k", T(s, dir, "orders"),
+      money(col("o_totalprice")) > 400000)
+      .unionByName(rule("customer_negative_acctbal", T(s, dir, "customer"),
+        money(col("c_acctbal")) < 0))
+      .unionByName(rule("events_value_gt_90", T(s, dir, "events"),
+        money(col("value")) > 90))
+      .unionByName(rule("documents_under_100_chars", T(s, dir, "documents"),
+        col("n_chars") < 100))
+      .unionByName(orphanRow)
+      .orderBy("rule")
+  }
+
+  // ---- SCD type-2 dimension build -----------------------------------------------
+
+  /** Slowly-changing-dimension type-2 history from the order stream: per
+    * customer, each order opens a validity interval closed by the next
+    * one (LEAD over a unique (date, key) order); the open interval is the
+    * current version. One custkey shuffle; the window sort is reused by
+    * the version numbering. Price passes through as exact decimal, cast
+    * to double only at output — never arithmetically touched. */
+  private def warehouseScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    T(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        money(col("o_totalprice")).as("p"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("version"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+        lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"),
+        col("p").cast("double").as("price"))
+      .orderBy("o_custkey", "version")
+  }
+
+  // ---- CCNet-style perplexity bucketing --------------------------------------------
+
+  /** CCNet-style corpus partitioning: per language, docs tercile-bucketed
+    * by their unigram-LM avg NLL (head/middle/tail quality slices).
+    * Composes the scored llm_unigram_nll operator (and, oracle-side, its
+    * SQL verbatim as a CTE) so the two can never drift. The ntile order
+    * is total (rounded nll, doc_id) → deterministic bucket assignment.
+    * Bucket stats carry min/max of the already-rounded nll — no new
+    * float arithmetic. */
+  private def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val nll = Llm.queries("llm_unigram_nll")(s, dir).select("doc_id", "avg_nll")
+    val w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    T(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(nll, "doc_id")
+      .select(col("lang"), col("avg_nll"), ntile(3).over(w).as("bucket"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("avg_nll")).as("min_nll"), max(col("avg_nll")).as("max_nll"))
+      .orderBy("lang", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_repetition_ngram" -> (repetitionNgram _),
     "llm_doc_chunk" -> (docChunk _),
@@ -258,6 +337,9 @@ object Pipeline {
     "llm_bpe_merge_step" -> (bpeMergeStep _),
     "llm_boilerplate_chunks" -> (boilerplateChunks _),
     "events_anomaly_zscore" -> (eventsAnomalyZscore _),
+    "dq_expectations" -> (dqExpectations _),
+    "warehouse_scd2" -> (warehouseScd2 _),
+    "llm_perplexity_buckets" -> (perplexityBuckets _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -356,5 +438,41 @@ object Pipeline {
         |         * 1e6 + 0.5) / 1e6 AS zscore
         |      FROM s WHERE n >= 8 AND n*sx2 > sx*sx)
         |ORDER BY user_id, us, event_id""".stripMargin,
+    "dq_expectations" ->
+      """WITH r AS (
+        | SELECT 'orders_price_gt_400k' AS rule, COUNT(*) AS nc,
+        |  SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) > 400000 THEN 1 ELSE 0 END) AS nv
+        | FROM orders
+        | UNION ALL
+        | SELECT 'customer_negative_acctbal', COUNT(*),
+        |  SUM(CASE WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 0 THEN 1 ELSE 0 END) FROM customer
+        | UNION ALL
+        | SELECT 'events_value_gt_90', COUNT(*),
+        |  SUM(CASE WHEN CAST(value AS DECIMAL(18,2)) > 90 THEN 1 ELSE 0 END) FROM events
+        | UNION ALL
+        | SELECT 'documents_under_100_chars', COUNT(*),
+        |  SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) FROM documents
+        | UNION ALL
+        | SELECT 'lineitem_orphan_order', (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey))
+        |SELECT rule, CAST(nc AS BIGINT) AS n_checked, CAST(nv AS BIGINT) AS n_violations,
+        | FLOOR(CAST(nv AS DOUBLE) / CAST(nc AS DOUBLE) * 1e6 + 0.5) / 1e6 AS violation_rate
+        |FROM r ORDER BY rule""".stripMargin,
+    "warehouse_scd2" ->
+      """SELECT o_custkey, o_orderkey, CAST(ROW_NUMBER() OVER w AS INT) AS version,
+        | o_orderdate AS valid_from, LEAD(o_orderdate, 1) OVER w AS valid_to,
+        | LEAD(o_orderdate, 1) OVER w IS NULL AS is_current,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
+    "llm_perplexity_buckets" ->
+      s"""WITH nllq AS (${Llm.oracle("llm_unigram_nll")}),
+         |j AS (SELECT d.lang, n.avg_nll,
+         |       NTILE(3) OVER (PARTITION BY d.lang ORDER BY n.avg_nll, n.doc_id) AS bucket
+         |      FROM documents d JOIN nllq n ON d.doc_id = n.doc_id)
+         |SELECT lang, CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | MIN(avg_nll) AS min_nll, MAX(avg_nll) AS max_nll
+         |FROM j GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
   )
 }

@@ -145,6 +145,48 @@ class PipelineSuite extends SparkSuiteBase {
     assert(got == expected, s"z-scores for user $u diverge")
   }
 
+  test("dq_expectations: five rules, clean referential integrity, rates in [0,1]") {
+    val rows = run("dq_expectations").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"${r.getString(0)}: violations > checked")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val orphan = rows.find(_.getString(0) == "lineitem_orphan_order").get
+    assert(orphan.getLong(2) == 0, "fixture referential integrity should hold")
+  }
+
+  test("warehouse_scd2: one current version per customer, intervals chain") {
+    val byCust = run("warehouse_scd2").collect().groupBy(_.getLong(0))
+    byCust.foreach { case (c, vs) =>
+      assert(vs.count(_.getBoolean(5)) == 1, s"customer $c: != 1 current version")
+      val sorted = vs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to vs.length), s"customer $c: version gaps")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.get(4) == b.get(3),
+          s"customer $c: valid_to of v${a.getInt(2)} != valid_from of next")
+        case _ =>
+      }
+      assert(sorted.last.isNullAt(4) && sorted.last.getBoolean(5))
+    }
+  }
+
+  test("llm_perplexity_buckets: terciles partition each language, nll ranges ordered") {
+    val rows = run("llm_perplexity_buckets").collect()
+    val langDocs = spark.read.parquet(s"$SF/documents.parquet")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (lang, bs) =>
+      assert(bs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3), s"$lang: missing buckets")
+      assert(bs.map(_.getLong(2)).sum == langDocs(lang), s"$lang: bucket counts != docs")
+      val sorted = bs.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(4) <= b.getDouble(3) + 1e-9,
+          s"$lang: bucket nll ranges out of order")
+        case _ =>
+      }
+    }
+  }
+
   test("repetition and chunking plans are shuffle-free before the output sort") {
     Seq("llm_repetition_ngram", "llm_doc_chunk").foreach { k =>
       val p = run(k).queryExecution.executedPlan.toString
