@@ -328,6 +328,55 @@ object Pipeline {
       .orderBy("lang", "bucket")
   }
 
+  // ---- nearest-direction as-of join -----------------------------------------------
+
+  /** As-of join, NEAREST direction (the pandas/polars merge_asof
+    * `direction='nearest'` semantics Api.asofJoin's backward form can't
+    * express): for each purchase, the same user's view event minimizing
+    * |Δt|, ties to the earlier view then the smaller id — a total order,
+    * so the pick is deterministic. Equi-join on user_id + one window; at
+    * scale the candidate set per probe is the user's own events (bounded
+    * per key), and a time-banded pre-filter (join_range_banded's trick)
+    * drops candidates before the rank when users are long-lived. */
+  private def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = T.eventsUs(s, dir)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("p_us"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("event_id").as("view_id"), col("us").as("v_us"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(abs(col("v_us") - col("p_us")).asc, col("v_us").asc, col("view_id").asc)
+    p.join(v, col("user_id") === col("vu"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        (col("p_us") - col("v_us")).as("signed_lag_us"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  // ---- winsorization bounds ---------------------------------------------------------
+
+  /** Robust-stats winsorization pass: exact interpolated p05/p95 clamp
+    * bounds per event type plus how many rows each tail would clip.
+    * Spark's exact `percentile` ≡ DuckDB `quantile_cont` bit-for-bit
+    * (established by agg_percentiles), and the tail tests compare
+    * against the UNROUNDED bound — rounding happens only at output.
+    * Bounds are group-count-sized → broadcast back over the scan. */
+  private def statWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events").select(col("event_type"), col("value"))
+    val b = e.groupBy("event_type").agg(
+      expr("percentile(value, 0.05)").as("q05"),
+      expr("percentile(value, 0.95)").as("q95"))
+    e.join(broadcast(b), "event_type")
+      .groupBy("event_type", "q05", "q95")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("value") < col("q05"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("value") > col("q95"), 1L).otherwise(0L)).as("n_high"))
+      .select(col("event_type"), dround(col("q05"), 6).as("p05"),
+        dround(col("q95"), 6).as("p95"), col("n_total"), col("n_low"), col("n_high"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_repetition_ngram" -> (repetitionNgram _),
     "llm_doc_chunk" -> (docChunk _),
@@ -340,6 +389,8 @@ object Pipeline {
     "dq_expectations" -> (dqExpectations _),
     "warehouse_scd2" -> (warehouseScd2 _),
     "llm_perplexity_buckets" -> (perplexityBuckets _),
+    "join_asof_nearest" -> (joinAsofNearest _),
+    "stat_winsorize" -> (statWinsorize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -474,5 +525,25 @@ object Pipeline {
          |SELECT lang, CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
          | MIN(avg_nll) AS min_nll, MAX(avg_nll) AS max_nll
          |FROM j GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+    "join_asof_nearest" ->
+      """SELECT user_id, purchase_id, view_id, signed_lag_us FROM (
+        | SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS signed_lag_us,
+        |  ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |    ORDER BY ABS(epoch_us(v.ts) - epoch_us(p.ts)), epoch_us(v.ts), v.event_id) AS rn
+        | FROM events p JOIN events v
+        |   ON p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND p.user_id = v.user_id)
+        |WHERE rn = 1 ORDER BY user_id, purchase_id""".stripMargin,
+    "stat_winsorize" ->
+      """WITH b AS (SELECT event_type, QUANTILE_CONT(value, 0.05) AS q05,
+        |            QUANTILE_CONT(value, 0.95) AS q95 FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        | FLOOR(q05 * 1e6 + 0.5) / 1e6 AS p05, FLOOR(q95 * 1e6 + 0.5) / 1e6 AS p95,
+        | CAST(COUNT(*) AS BIGINT) AS n_total,
+        | CAST(SUM(CASE WHEN value < q05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        | CAST(SUM(CASE WHEN value > q95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type, q05, q95 ORDER BY event_type""".stripMargin,
   )
 }

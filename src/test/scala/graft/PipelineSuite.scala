@@ -187,6 +187,44 @@ class PipelineSuite extends SparkSuiteBase {
     }
   }
 
+  test("join_asof_nearest picks the |dt|-minimal view with earlier-time tiebreak") {
+    val evs = spark.read.parquet(s"$SF/events.parquet")
+      .selectExpr("user_id", "event_id", "CAST(ts AS BIGINT) div 1000 AS us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val views = evs.filter(_._4 == "view").groupBy(_._1)
+    val expected = evs.filter(_._4 == "purchase").flatMap { case (u, pid, pus, _) =>
+      views.getOrElse(u, Array.empty).sortBy { case (_, vid, vus, _) =>
+        (math.abs(vus - pus), vus, vid)
+      }.headOption.map(v => (u, pid, v._2, pus - v._3))
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = run("join_asof_nearest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("stat_winsorize: interpolated bounds match brute force, tails ~5%") {
+    val rows = run("stat_winsorize").collect()
+    assert(rows.length == 5)
+    val byType = spark.read.parquet(s"$SF/events.parquet")
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted)
+    def interp(v: Array[Double], p: Double): Double = {
+      val idx = p * (v.length - 1)
+      val lo = idx.toInt
+      if (lo == v.length - 1) v(lo)
+      else v(lo) + (idx - lo) * (v(lo + 1) - v(lo))
+    }
+    rows.foreach { r =>
+      val v = byType(r.getString(0))
+      assert(r.getDouble(1) == math.floor(interp(v, 0.05) * 1e6 + 0.5) / 1e6)
+      assert(r.getDouble(2) == math.floor(interp(v, 0.95) * 1e6 + 0.5) / 1e6)
+      assert(r.getLong(3) == v.length)
+      // each tail clips at most ~5% (interpolated bound can't exceed it)
+      assert(r.getLong(4) <= (v.length * 0.05).ceil.toLong)
+      assert(r.getLong(5) <= (v.length * 0.05).ceil.toLong)
+    }
+  }
+
   test("repetition and chunking plans are shuffle-free before the output sort") {
     Seq("llm_repetition_ngram", "llm_doc_chunk").foreach { k =>
       val p = run(k).queryExecution.executedPlan.toString
