@@ -203,7 +203,26 @@ object Functions {
         forall(col("xs"), _ > 0).as("all_pos"))
       .orderBy("s_suppkey")
 
+  /** ANSI-safe `try_*` arithmetic (Spark 4 runs ANSI mode by default, so
+    * overflow/÷0 THROW unless guarded): division by zero, long-overflow
+    * add/multiply and malformed-number parsing all collapse to NULL
+    * instead of failing the job — the production guard for dirty data.
+    * The oracle spells each case as its explicit CASE-WHEN guard. */
+  private def fnTryArithmetic(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        expr("try_divide(100L, s_suppkey % 3)").as("div3"),
+        expr("try_add(9223372036854775807L, s_suppkey % 2)").as("add_ovf"),
+        // 3037000500² = 9223372037000250000 > Long.MaxValue (3037000499²
+        // would still fit — ⌊√MaxValue⌋ = 3037000499)
+        expr("try_multiply(3037000500L, CASE WHEN s_suppkey % 4 = 0 " +
+          "THEN 3037000500L ELSE 1L END)").as("mul_ovf"),
+        expr("CAST(try_to_number(CASE WHEN s_suppkey % 5 = 0 THEN 'xx' " +
+          "ELSE CAST(s_suppkey AS STRING) END, '999999') AS BIGINT)").as("parsed"))
+      .orderBy("s_suppkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_try_arithmetic" -> (fnTryArithmetic _),
     "fn_higher_order" -> (fnHigherOrder _),
     "fn_variant" -> (fnVariant _),
     "fn_hash_format" -> (fnHashFormat _),
@@ -222,6 +241,16 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_try_arithmetic" ->
+      """SELECT s_suppkey,
+        | CASE WHEN s_suppkey % 3 = 0 THEN NULL
+        |      ELSE 100 / (s_suppkey % 3) END AS div3,
+        | CASE WHEN s_suppkey % 2 = 1 THEN NULL
+        |      ELSE 9223372036854775807 END AS add_ovf,
+        | CASE WHEN s_suppkey % 4 = 0 THEN NULL
+        |      ELSE 3037000500 END AS mul_ovf,
+        | CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_suppkey END AS parsed
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "fn_higher_order" ->
       """SELECT s_suppkey,
         | array_to_string(list_transform(xs, x -> x * x), ',') AS squares,

@@ -212,7 +212,37 @@ object Relational {
       .except(T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
+  /** Spark 4 SQL pipe syntax (`|>`): the same logical plan as the plain
+    * GROUP BY spelling, driven through the operator-chain surface — the
+    * oracle IS the plain spelling, so this key proves the pipe parser
+    * feeds Catalyst identically. (Single-line string on purpose: a
+    * leading `|>` would collide with stripMargin's pipe.) */
+  private def sqlPipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "lineitem").createOrReplaceTempView("graft_pipe_lineitem")
+    s.sql("FROM graft_pipe_lineitem " +
+      "|> WHERE l_quantity >= 30 " +
+      "|> EXTEND CAST(l_extendedprice AS DECIMAL(18,2)) AS price " +
+      "|> AGGREGATE COUNT(*) AS n_items, CAST(SUM(price) AS DOUBLE) AS revenue " +
+      "   GROUP BY l_returnflag " +
+      "|> ORDER BY l_returnflag")
+  }
+
+  /** Parameterized SQL (`spark.sql(text, args)`): named `:param` markers
+    * bound server-side — the injection-safe production surface for
+    * templated queries. Decimal bounds keep the money comparison exact. */
+  private def sqlParameterized(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("graft_param_orders")
+    s.sql(
+      "SELECT o_orderpriority, COUNT(*) AS n, MIN(o_orderkey) AS min_key " +
+        "FROM graft_param_orders " +
+        "WHERE CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN :lo AND :hi " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+      Map("lo" -> 50000, "hi" -> 150000))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_pipe_syntax" -> (sqlPipeSyntax _),
+    "sql_parameterized" -> (sqlParameterized _),
     "scan_parquet_project_filter" -> (scanParquetProjectFilter _),
     "scan_catalog_counts" -> (scanCatalogCounts _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
@@ -235,6 +265,16 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_pipe_syntax" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem WHERE l_quantity >= 30
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sql_parameterized" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, MIN(o_orderkey) AS min_key
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 50000 AND 150000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "scan_parquet_project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         | CAST(l_shipdate AS DATE) AS ship_date

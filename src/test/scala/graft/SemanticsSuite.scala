@@ -186,4 +186,27 @@ class SemanticsSuite extends SparkSuiteBase {
     assert(rows.exists(_.getAs[Long]("node") % 2 == 0))
     assert(rows.exists(_.getAs[Long]("node") % 2 == 1))
   }
+
+  test("sql_pipe_syntax result equals the plain GROUP BY spelling") {
+    val pipe = run("sql_pipe_syntax").collect()
+    val plain = spark.read.parquet(s"$SF/lineitem.parquet")
+      .where("l_quantity >= 30")
+      .selectExpr("l_returnflag", "CAST(l_extendedprice AS DECIMAL(18,2)) AS price")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.expr("COUNT(*) AS n_items"),
+        org.apache.spark.sql.functions.expr("CAST(SUM(price) AS DOUBLE) AS revenue"))
+      .orderBy("l_returnflag").collect()
+    assert(pipe.toSeq == plain.toSeq)
+  }
+
+  test("fn_try_arithmetic: NULL exactly on the guarded rows (ANSI would throw)") {
+    run("fn_try_arithmetic").collect().foreach { r =>
+      val k = r.getLong(0)
+      assert(r.isNullAt(1) == (k % 3 == 0), s"div3 null-pattern at $k")
+      assert(r.isNullAt(2) == (k % 2 == 1), s"add_ovf null-pattern at $k")
+      assert(r.isNullAt(3) == (k % 4 == 0), s"mul_ovf null-pattern at $k")
+      assert(r.isNullAt(4) == (k % 5 == 0), s"parsed null-pattern at $k")
+      if (k % 5 != 0) assert(r.getLong(4) == k)
+    }
+  }
 }
