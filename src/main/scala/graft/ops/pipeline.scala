@@ -37,7 +37,7 @@ object Pipeline {
     * in one pass. Runs inside the row — the per-doc state is 4 fields
     * regardless of document length, and nothing leaves the task until
     * the final projection. */
-  private def repFold(sortedGrams: Column): Column =
+  private[graft] def repFold(sortedGrams: Column): Column =
     aggregate(
       sortedGrams,
       struct(lit(null).cast("string").as("prev"), lit(0).as("run"),

@@ -225,6 +225,71 @@ class PipelineSuite extends SparkSuiteBase {
     }
   }
 
+  test("repFold law: (max run, distinct) on random sorted gram arrays") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val words = Array("aa", "ab", "ba", "bb", "cc")
+    val arrays = (1 to 40).map { _ =>
+      Seq.fill(1 + rnd.nextInt(30))(words(rnd.nextInt(words.length))).sorted
+    }
+    import spark.implicits._
+    val rows = arrays.zipWithIndex.toDF("gs", "id")
+      .select(col("id"), graft.ops.Pipeline.repFold(col("gs")).as("st"))
+      .select(col("id"), col("st").getField("mx"), col("st").getField("nd"))
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    arrays.zipWithIndex.foreach { case (gs, i) =>
+      val counts = gs.groupBy(identity).view.mapValues(_.size)
+      assert(rows(i) == ((counts.values.max, counts.size)), s"array $i")
+    }
+  }
+
+  test("random-events law: LOCF, retention and nearest-asof match brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val base = 1700000000000000000L // ns epoch
+      val evs = (1 to 120).map { i =>
+        val u = 1L + rnd.nextInt(4)
+        val ts = base + rnd.nextInt(72) * 3600000000000L + rnd.nextInt(1000000) * 1000000L
+        val tpe = Seq("view", "purchase", "error")(rnd.nextInt(3))
+        val v = math.floor(rnd.nextDouble() * 10000 + 0.5) / 100
+        (i.toLong, ts, u, tpe, v, "{}")
+      }
+      val dir = graft.ops.GraftTmp.dir(s"prop_events_$trial")
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+      // LOCF law: every grid row carries the latest value at or before it
+      val got = SparkEntry.queries("events_resample_locf")(spark, dir).collect()
+      val byUserHour = evs.groupBy(_._3).view.mapValues(
+        _.map(e => (e._2 / 1000 / 3600000000L, e._2 / 1000, e._1, e._5)))
+      got.foreach { r =>
+        val (u, h) = (r.getLong(0), r.getLong(1))
+        val cands = byUserHour(u).filter(_._1 <= h)
+        val want = cands.maxBy(c => (c._2, c._3))._4
+        assert(r.getDouble(2) == want, s"trial $trial user $u hour $h")
+      }
+      // retention law: per (cohort, offset) distinct-user counts
+      val days = evs.map(e => (e._3, e._2 / 1000 / 86400000000L)).distinct
+      val cohort = days.groupBy(_._1).view.mapValues(_.map(_._2).min)
+      val wantRet = days.groupBy { case (u, d) => (cohort(u), d - cohort(u)) }
+        .view.mapValues(_.size.toLong).toMap
+      val gotRet = SparkEntry.queries("events_retention")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(gotRet == wantRet, s"trial $trial retention")
+      // nearest-asof law
+      val views = evs.filter(_._4 == "view").groupBy(_._3)
+      val wantAsof = evs.filter(_._4 == "purchase").flatMap { p =>
+        views.getOrElse(p._3, Nil).map(v => (v._1, v._2 / 1000))
+          .sortBy { case (vid, vus) => (math.abs(vus - p._2 / 1000), vus, vid) }
+          .headOption.map(v => (p._3, p._1, v._1, p._2 / 1000 - v._2))
+      }.sortBy(t => (t._1, t._2)).toSeq
+      val gotAsof = SparkEntry.queries("join_asof_nearest")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(gotAsof == wantAsof, s"trial $trial asof_nearest")
+    }
+  }
+
   test("repetition and chunking plans are shuffle-free before the output sort") {
     Seq("llm_repetition_ngram", "llm_doc_chunk").foreach { k =>
       val p = run(k).queryExecution.executedPlan.toString
