@@ -293,4 +293,27 @@ class PlanSuite extends SparkSuiteBase {
     assert(p.contains("FullOuter"), s"merge is not a full-outer join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("sql_pipe_syntax plans like the plain spelling: pushdown, hash agg, no extra shuffle") {
+    // The optimized plans differ only in WHERE the decimal cast sits (the
+    // pipe EXTEND stage projects it; the plain spelling folds it into the
+    // aggregate) — assert structural equivalence of everything that costs:
+    // pushed quantity filter, two-phase hash aggregate, equal exchange count.
+    val pipe = run("sql_pipe_syntax")
+    spark.read.parquet(s"$SF/lineitem.parquet")
+      .createOrReplaceTempView("graft_pipe_plain_l")
+    val plain = spark.sql(
+      "SELECT l_returnflag, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM graft_pipe_plain_l WHERE l_quantity >= 30 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag")
+    val (pp, lp) = (pipe.queryExecution.executedPlan.toString,
+      plain.queryExecution.executedPlan.toString)
+    assert(pp.contains("PushedFilters:") && pp.contains("l_quantity"),
+      s"pipe query lost the scan pushdown:\n$pp")
+    assert(pp.contains("HashAggregate"))
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).length
+    assert(exchanges(pp) == exchanges(lp),
+      s"pipe plan shuffles differently than plain plan:\n$pp\n$lp")
+  }
 }
