@@ -27,6 +27,52 @@ object Api {
       .drop("graft_asof_rn")
   }
 
+  /** As-of join, NEAREST direction (pandas/polars merge_asof
+    * `direction='nearest'`): for each left row, the single right row in
+    * the same `key` minimizing |leftOn − rightOn|, ties to the earlier
+    * right time then the smaller right pk — a total order, so the pick
+    * is deterministic. Same scale shape as [[asofJoin]]: one shuffle on
+    * the equi key, window dedup reuses it; per-probe candidates are the
+    * key's own right rows (band-block first when keys are long-lived). */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+      leftOn: String, rightOn: String, leftPk: String, rightPk: String): DataFrame = {
+    val l = left.as("l")
+    val r = right.as("r")
+    val w = Window.partitionBy(col(s"l.$leftPk"))
+      .orderBy(abs(col(s"r.$rightOn") - col(s"l.$leftOn")).asc,
+        col(s"r.$rightOn").asc, col(s"r.$rightPk").asc)
+    l.join(r, col(s"l.$key") === col(s"r.$key"))
+      .withColumn("graft_asof_rn", row_number().over(w))
+      .where(col("graft_asof_rn") === 1)
+      .drop("graft_asof_rn")
+  }
+
+  /** Resample a keyed event stream onto a fixed-width time grid with
+    * last-observation-carried-forward. `timeCol`/`pkCol` must be a
+    * unique total order per key (the per-bucket "last" is a struct-max
+    * over them, so the carried value is deterministic and never
+    * arithmetically touched). Output: key, bucket, locf_value, observed.
+    * Grid rows = keys × span-buckets; every shuffle is on the key. */
+  def resampleLocf(df: DataFrame, key: String, timeCol: String,
+      pkCol: String, valueCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val e = df.select(col(key), col(timeCol), col(pkCol), col(valueCol),
+      (col(timeCol) - pmod(col(timeCol), lit(bucketWidth))).as("graft_bucket"))
+    val hv = e.groupBy(key, "graft_bucket")
+      .agg(max(struct(col(timeCol), col(pkCol), col(valueCol)))
+        .getField(valueCol).as("graft_hv"))
+    val grid = hv.groupBy(key)
+      .agg(min(col("graft_bucket")).as("b0"), max(col("graft_bucket")).as("b1"))
+      .select(col(key),
+        explode(expr(s"sequence(b0, b1, ${bucketWidth}L)")).as("graft_bucket"))
+    val w = Window.partitionBy(key).orderBy("graft_bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hv, Seq(key, "graft_bucket"), "left_outer")
+      .select(col(key), col("graft_bucket").as("bucket"),
+        last(col("graft_hv"), ignoreNulls = true).over(w).as("locf_value"),
+        col("graft_hv").isNotNull.as("observed"))
+  }
+
   /** Deterministic top-k rows per group (ties broken by `tiebreak`). */
   def topKPerGroup(df: DataFrame, k: Int, partitionBy: Seq[Column],
       orderBy: Seq[Column]): DataFrame = {

@@ -20,6 +20,32 @@ class ApiSuite extends SparkSuiteBase {
     assert(got == Map(1L -> 10L, 2L -> 11L, 3L -> 13L))
   }
 
+  test("asofJoinNearest picks the |dt|-minimal row, ties to the earlier time") {
+    import spark.implicits._
+    val trades = Seq((1L, "A", 100L), (2L, "A", 200L), (3L, "B", 150L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq((10L, "A", 50L), (11L, "A", 150L), (12L, "A", 250L), (13L, "B", 100L))
+      .toDF("quote_id", "sym", "t")
+    // trade 1 (t=100): quotes at 50 and 150 are both |50| away → earlier wins
+    // trade 2 (t=200): quotes at 150 and 250 tie → earlier wins
+    val got = Api.asofJoinNearest(trades, quotes, "sym", "t", "t", "trade_id", "quote_id")
+      .select("trade_id", "quote_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 10L, 2L -> 11L, 3L -> 13L))
+  }
+
+  test("resampleLocf fills gap buckets with the last in-bucket observation") {
+    import spark.implicits._
+    val df = Seq((7L, 0L, 1L, 1.5), (7L, 50L, 2L, 2.5), (7L, 310L, 3L, 3.5))
+      .toDF("user", "t", "pk", "v")
+    val got = Api.resampleLocf(df, "user", "t", "pk", "v", 100L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3))).sortBy(_._1)
+    // bucket 0 holds t=0 and t=50 → last is pk=2 (v=2.5); 100/200 carry it;
+    // 300 observes t=310 (v=3.5)
+    assert(got.toSeq == Seq((0L, 2.5, true), (100L, 2.5, false),
+      (200L, 2.5, false), (300L, 3.5, true)))
+  }
+
   test("sessionize assigns gap-based ordinal sessions per key") {
     import spark.implicits._
     val df = Seq((7L, 0L), (7L, 100L), (7L, 2000L), (7L, 2100L), (8L, 0L))
