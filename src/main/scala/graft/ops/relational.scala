@@ -240,9 +240,26 @@ object Relational {
       Map("lo" -> 50000, "hi" -> 150000))
   }
 
+  /** Spark 4 SQL session variables (DECLARE / SET VAR): a typed,
+    * session-scoped scalar referenced by name inside later queries —
+    * the scripting surface for multi-statement workflows. DECLARE OR
+    * REPLACE keeps the key re-runnable in one session (Bench/Verify run
+    * every key in a shared session). Oracle: the same query with the
+    * variable's value inlined. */
+  private def sqlSessionVariable(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("graft_var_orders")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_price_floor DECIMAL(18,2) DEFAULT 0")
+    s.sql("SET VAR graft_price_floor = 250000")
+    s.sql("SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key " +
+      "FROM graft_var_orders " +
+      "WHERE CAST(o_totalprice AS DECIMAL(18,2)) >= graft_price_floor " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_pipe_syntax" -> (sqlPipeSyntax _),
     "sql_parameterized" -> (sqlParameterized _),
+    "sql_session_variable" -> (sqlSessionVariable _),
     "scan_parquet_project_filter" -> (scanParquetProjectFilter _),
     "scan_catalog_counts" -> (scanCatalogCounts _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
@@ -275,6 +292,11 @@ object Relational {
         |FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 50000 AND 150000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "sql_session_variable" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, MIN(o_orderkey) AS min_key
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >= 250000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "scan_parquet_project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         | CAST(l_shipdate AS DATE) AS ship_date

@@ -263,4 +263,64 @@ object Streams {
           }
       }
   }
+
+  // ---- streaming z-score (the events_anomaly_zscore fold, stateful) -------
+
+  case class ZEvent(user_id: Long, event_id: Long, us: Long, cents: Long,
+      ts_us: java.sql.Timestamp)
+  case class ZObs(us: Long, event_id: Long, cents: Long)
+  case class ZWin(obs: Seq[ZObs])
+  case class ZScoreOut(user_id: Long, event_id: Long, us: Long, zscore: Double)
+
+  /** The exact-integer trailing-window z-score from the scored batch
+    * operator (graft.ops.Pipeline events_anomaly_zscore), run as keyed
+    * streaming state on `transformWithState`: per user the state is the
+    * last ≤ `window − 1` observations (us, event_id, cents) — O(window)
+    * longs per key, carried across micro-batches — and each arriving
+    * event scores against state + itself with the identical integer
+    * moments, so stream and batch emit bit-identical doubles. In-batch
+    * events fold in (us, event_id) order; cross-batch correctness
+    * assumes event-time-ordered batch boundaries (the usual replay /
+    * ingestion-time contract — a watermark-buffered reorder stage is
+    * the production front-end otherwise, as StreamingSuite notes). */
+  final class ZScoreProcessor(window: Int, minN: Int)
+      extends StatefulProcessor[Long, ZEvent, ZScoreOut] {
+    @transient private var state: ValueState[ZWin] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState("zwin", Encoders.product[ZWin], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[ZEvent],
+        tv: TimerValues): Iterator[ZScoreOut] = {
+      var hist: Seq[ZObs] =
+        if (state.exists()) state.get().obs else Seq.empty
+      val out = Seq.newBuilder[ZScoreOut]
+      rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+        val win = (hist :+ ZObs(e.us, e.event_id, e.cents)).takeRight(window)
+        val n = win.length.toLong
+        val sx = win.iterator.map(_.cents).sum
+        val sx2 = win.iterator.map(o => o.cents * o.cents).sum
+        if (n >= minN && n * sx2 > sx * sx) {
+          val z = (n * e.cents - sx).toDouble / math.sqrt((n * sx2 - sx * sx).toDouble)
+          out += ZScoreOut(user, e.event_id, e.us, math.floor(z * 1e6 + 0.5) / 1e6)
+        }
+        hist = win.takeRight(window - 1)
+      }
+      state.update(ZWin(hist))
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ZScoreOut] = Iterator.empty
+  }
+
+  /** 24-row trailing window, min 8 observations — the scored batch
+    * operator's parameters. */
+  def zscoreStream(events: Dataset[ZEvent]): Dataset[ZScoreOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new ZScoreProcessor(24, 8),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -224,6 +224,54 @@ class StreamingSuite extends SparkSuiteBase {
     }
   }
 
+  test("streaming z-score equals the batch integer-moment fold across batch boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // two event-time-ordered batches per user; rows early in batch 2 have
+    // trailing windows reaching back into batch-1 state
+    val all = (1 to 60).map { i =>
+      val u = 1L + (i % 3)
+      Streams.ZEvent(u, i.toLong, i.toLong * 1000000L,
+        100L + rnd.nextInt(10000), ts(i))
+    }
+    val batches = Seq(all.take(30), all.drop(30))
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Streams.ZEvent](spark)
+      val q = Streams.zscoreStream(in.toDS()).writeStream
+        .format("memory").queryName("zstream").outputMode("append").start()
+      val got = withQuery(q) {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        spark.table("zstream").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      }
+      // brute-force batch recomputation (the scored operator's math)
+      val want = all.groupBy(_.user_id).flatMap { case (_, evs) =>
+        val s = evs.sortBy(e => (e.us, e.event_id))
+        s.indices.flatMap { i =>
+          val w = s.slice(math.max(0, i - 23), i + 1)
+          val (n, sx, sx2) = (w.length.toLong, w.map(_.cents).sum,
+            w.map(o => o.cents * o.cents).sum)
+          if (n >= 8 && n * sx2 > sx * sx) {
+            val z = (n * s(i).cents - sx).toDouble / math.sqrt((n * sx2 - sx * sx).toDouble)
+            Some((s(i).user_id, s(i).event_id) -> math.floor(z * 1e6 + 0.5) / 1e6)
+          } else None
+        }
+      }
+      assert(got.nonEmpty && got == want)
+      // windows genuinely crossed the batch boundary (first batch-2 rows scored)
+      assert(got.keys.exists(_._2 > 30) && got.keys.exists(_._2 <= 30))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("customSessions (flatMapGroupsWithState) emits on timeout with merged counts") {
     import spark.implicits._
     val in = MemoryStream[Streams.SessionEvent](spark)
