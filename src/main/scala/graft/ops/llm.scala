@@ -597,12 +597,19 @@ object Llm {
   }
 
   /** Rolling-hash document fingerprint: polynomial fold over token hashes
-    * mod 1e9+7 (no overflow under ANSI). xxhash64-seeded → rows-only. */
+    * mod 1e9+7 (no overflow under ANSI — intermediates stay < 32·p).
+    * Token hash is the first 8 md5 hex chars (cross-engine stable, same
+    * discipline as trainTestSplit), which makes the fold oracle-exact:
+    * the stepwise (h·31 + t) mod p fold ≡ Σ tᵢ·31^(n−i) mod p (ring
+    * homomorphism), which DuckDB evaluates with a recursive power table
+    * and exact HUGEINT sums. Round 5: was xxhash64-seeded rows-only. */
   private def fingerprintRolling(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .select(col("doc_id"),
         aggregate(split(col("text"), " "), lit(0L),
-          (h, t) => (h * 31 + pmod(xxhash64(t), lit(1000000007L))) % 1000000007L)
+          (h, t) => (h * 31 + pmod(
+            conv(substring(md5(encode(t, "UTF-8")), 1, 8), 16, 10).cast("long"),
+            lit(1000000007L))) % 1000000007L)
           .as("rolling_fp"))
       .orderBy("doc_id")
 
@@ -1059,6 +1066,25 @@ object Llm {
         | MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
         | SUBSTRING(MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')), 1, 8) AS fp8
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the stepwise (h·31 + t) mod p fold ≡ Σ tᵢ·31^(n−i) mod p; the power
+    // table is a recursive CTE and the per-doc sum is exact in HUGEINT
+    "llm_fingerprint_rolling" ->
+      """WITH RECURSIVE pw(k, w) AS (
+        | SELECT 0, CAST(1 AS BIGINT)
+        | UNION ALL
+        | SELECT k + 1, (w * 31) % 1000000007 FROM pw
+        | WHERE k < (SELECT MAX(LEN(STRING_SPLIT(text, ' '))) FROM documents)),
+        |toks AS (
+        | SELECT doc_id, tok, pos, LEN(STRING_SPLIT(text, ' ')) AS n
+        | FROM (SELECT doc_id, text, UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+        |        UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS pos FROM documents)),
+        |h AS (
+        | SELECT doc_id, pos, n,
+        |  CAST(('0x' || SUBSTR(MD5(tok), 1, 8)) AS BIGINT) % 1000000007 AS th
+        | FROM toks)
+        |SELECT doc_id, CAST(SUM(th * pw.w) % 1000000007 AS BIGINT) AS rolling_fp
+        |FROM h JOIN pw ON pw.k = n - 1 - pos
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_tfidf" ->
       s"""WITH tk AS (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
          |tf_t AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
