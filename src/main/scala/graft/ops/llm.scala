@@ -883,7 +883,10 @@ object Llm {
     * an image/audio codec per batch inside mapPartitions; the container
     * ships no codec libs (builder prompt), so the decode is a deterministic
     * fake over the bytes — the Spark-side plumbing (binary column in,
-    * typed Dataset out, per-partition batching) is real. No oracle. */
+    * typed Dataset out, per-partition batching) is real. Round 5: the fake
+    * byte math is reproduced by the DuckDB oracle (ASCII fixture ⇒ char
+    * codes ≡ payload bytes), so the mapPartitions output is hash-checked
+    * row-for-row rather than rows-only. */
   private def mmDecodeStub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     T(s, dir, "documents")
@@ -1213,5 +1216,19 @@ object Llm {
          | CAST(FLOOR(OCTET_LENGTH(ENCODE(text)) / 256.0) AS BIGINT) + 1 AS n_frames,
          | ${sqlRound("(OCTET_LENGTH(ENCODE(text)) % 997) / 997.0", 6)} AS fake_pixel_mean
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the "decoder" is deterministic byte math (ASCII fixture ⇒ char
+    // codes ≡ payload bytes), so the oracle reproduces the typed
+    // mapPartitions output row-for-row — proving the Dataset plumbing
+    // delivers every payload intact (round 5 — was rows-only)
+    "mm_decode_stub" ->
+      """WITH ch AS (SELECT doc_id, LEN(text) AS blen,
+        |  ORD(SUBSTRING(text, CAST(i AS INT), 1)) AS o
+        | FROM (SELECT doc_id, text, UNNEST(RANGE(1, LEN(text) + 1)) AS i
+        |       FROM documents)),
+        |s AS (SELECT doc_id, blen, SUM(o) AS so FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, CAST(16 + blen % 16 AS INT) AS width,
+        | CAST(16 + blen % 8 AS INT) AS height,
+        | FLOOR(CAST(so AS DOUBLE) / blen * 1e4 + 0.5) / 1e4 AS mean_byte
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }
