@@ -377,6 +377,44 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  // ---- BM25 retrieval scoring ---------------------------------------------------
+
+  /** BM25 top-10 for a fixed 3-term query — the retrieval scorer a RAG
+    * pipeline runs over its chunked corpus (complements llm_tfidf).
+    * Everything statistical is exact integers (per-term tf via the
+    * compiled CountInSet expression, df, doc/corpus lengths); the score
+    * is ONE fixed-order float expression both engines evaluate
+    * bit-identically (same tree, term scores summed in term order —
+    * never a merge-order-dependent aggregate). Corpus stats ride a
+    * one-row broadcast; top-10 plans as TakeOrderedAndProject. */
+  private def bm25Rank(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("table", "spark", "value") // fixture vocabulary
+    val toks = split(col("text"), " ")
+    val d = T(s, dir, "documents").select(
+      col("doc_id") +: size(toks).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          graft.plans.expressions.countInSet(toks, Seq(t)).as(s"tf${i + 1}")
+        }: _*)
+    val g = d.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+      sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+    d.crossJoin(broadcast(g))
+      .select(col("doc_id"), col("dl"), col("tf1"), col("tf2"), col("tf3"),
+        dround(expr(bm25Expr), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** One source string for the BM25 score — fed verbatim to BOTH Spark's
+    * expr() and the DuckDB oracle, so the float expression trees (and
+    * therefore every IEEE rounding) are identical by construction. */
+  private def bm25TermScore(i: Int): String =
+    s"LN((CAST(n AS DOUBLE) - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * 2.2) / " +
+      s"(tf$i + 1.2 * (0.25 + 0.75 * dl / (CAST(sdl AS DOUBLE) / n)))"
+  private val bm25Expr: String =
+    s"${bm25TermScore(1)} + ${bm25TermScore(2)} + ${bm25TermScore(3)}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_repetition_ngram" -> (repetitionNgram _),
     "llm_doc_chunk" -> (docChunk _),
@@ -391,6 +429,7 @@ object Pipeline {
     "llm_perplexity_buckets" -> (perplexityBuckets _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "stat_winsorize" -> (statWinsorize _),
+    "llm_rank_bm25" -> (bm25Rank _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -545,5 +584,20 @@ object Pipeline {
         | CAST(SUM(CASE WHEN value > q95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         |FROM events e JOIN b USING (event_type)
         |GROUP BY e.event_type, q05, q95 ORDER BY event_type""".stripMargin,
+    "llm_rank_bm25" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  LEN(STRING_SPLIT(text, ' ')) AS dl,
+         |  LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = 'table')) AS tf1,
+         |  LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = 'spark')) AS tf2,
+         |  LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = 'value')) AS tf3
+         | FROM documents),
+         |g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+         |  SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |  SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         |  SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3 FROM d)
+         |SELECT doc_id, CAST(dl AS INT) AS dl, CAST(tf1 AS INT) AS tf1,
+         | CAST(tf2 AS INT) AS tf2, CAST(tf3 AS INT) AS tf3,
+         | FLOOR(($bm25Expr) * 1e6 + 0.5) / 1e6 AS bm25
+         |FROM d, g ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
   )
 }

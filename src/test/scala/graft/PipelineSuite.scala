@@ -225,6 +225,27 @@ class PipelineSuite extends SparkSuiteBase {
     }
   }
 
+  test("llm_rank_bm25 matches a brute-force BM25 over the fixture corpus") {
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val terms = Seq("table", "spark", "value")
+    val n = texts.length.toLong
+    val avgdl = texts.map(_._2.length.toLong).sum.toDouble / n
+    val dfs = terms.map(t => texts.count(_._2.contains(t)).toLong)
+    val want = texts.map { case (id, toks) =>
+      val s = terms.zip(dfs).map { case (t, df) =>
+        val tf = toks.count(_ == t)
+        math.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl))
+      }.reduceLeft(_ + _)
+      (id, math.floor(s * 1e6 + 0.5) / 1e6)
+    }.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    val got = run("llm_rank_bm25").collect()
+      .map(r => (r.getLong(0), r.getDouble(5))).toSeq
+    assert(got == want)
+  }
+
   test("repFold law: (max run, distinct) on random sorted gram arrays") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(42)
