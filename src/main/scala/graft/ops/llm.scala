@@ -126,18 +126,38 @@ object Llm {
   /** MinHash + banded LSH candidate generation (the 100-TB path), then the
     * same exact verification. Signature/band hashing is engine-specific
     * (xxhash64) → no oracle; rows-only check. */
+  // MinHash slot hashes: a mod-space universal family (aₖ·h + bₖ) mod P
+  // over a 32-bit md5-derived base hash. Every product stays < 2^62 (no
+  // wraparound → ANSI-safe in Spark AND reproducible in DuckDB, where
+  // BIGINT overflow throws rather than wraps — the reason the previous
+  // xxhash64 spelling could never be oracled). Constants are generated
+  // once here and embedded as literals in BOTH the Spark plan and the
+  // oracle SQL, so the two hash families cannot drift.
+  private val MinhashP = 4294967311L // smallest prime > 2^32
+  private val MinhashA: Seq[Long] =
+    (0 until 64).map(k => ((2654435761L * (k + 1)) % (1L << 30)) | 1L)
+  private val MinhashB: Seq[Long] =
+    (0 until 64).map(k => (15485863L * (k + 1)) % MinhashP)
+
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
-    // hash each shingle string ONCE; the 64 signature slots re-hash the
-    // resulting long (cheap fixed-width hashing) under per-slot seeds,
-    // min-aggregated map-side — the shape that scales to 100 TB.
+    // hash each shingle string ONCE (md5-prefix → 32-bit int, the
+    // cross-engine-stable discipline); the 64 signature slots re-hash
+    // that value with the universal family above, min-aggregated
+    // map-side — the shape that scales to 100 TB.
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shg"))
-      .select(col("doc_id"), xxhash64(col("shg")).as("h"))
-    val sigCols = (0 until 64).map(i => min(xxhash64(col("h"), lit(i))).as(s"s$i"))
+      .select(col("doc_id"),
+        conv(substring(md5(encode(col("shg"), "UTF-8")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val sigCols = (0 until 64).map(i =>
+      min((lit(MinhashA(i)) * col("h") + lit(MinhashB(i))) % lit(MinhashP)).as(s"s$i"))
     val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // band key = the 4 member slot values verbatim (a string key both
+    // engines render identically) — no second hash needed for an
+    // equi-join, and it keeps the band join oracle-exact
     val banded = sigs
       .withColumn("bvs", array((0 until 16).map(b =>
-        xxhash64(col(s"s${4 * b}"), col(s"s${4 * b + 1}"),
+        concat_ws(",", col(s"s${4 * b}"), col(s"s${4 * b + 1}"),
           col(s"s${4 * b + 2}"), col(s"s${4 * b + 3}"))): _*))
       .select(col("doc_id"), posexplode(col("bvs")).as(Seq("band", "bv")))
     val cand = banded.as("x").join(banded.as("y"),
@@ -970,6 +990,36 @@ object Llm {
          | JOIN sizes sb ON sb.doc_id = d2
          |WHERE $JaccardDen * i >= $JaccardNum * (sa.sz + sb.sz - i)
          |ORDER BY d1, d2""".stripMargin,
+    // mirrors the op end-to-end: md5-prefix base hash → 64 universal-family
+    // slot minima (same literal constants) → 4-slot band keys → candidate
+    // equi-join → exact-Jaccard verify (the dedup_near machinery)
+    "llm_dedup_minhash_lsh" ->
+      s"""WITH sh AS ($sqlShingles),
+         |hs AS (SELECT doc_id,
+         |        CAST(('0x' || SUBSTR(MD5(sh), 1, 8)) AS BIGINT) AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         | ${(0 until 64).map(i =>
+              s"MIN((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS s$i")
+              .mkString(",\n ")}
+         | FROM hs GROUP BY doc_id),
+         |bands AS (
+         | ${(0 until 16).map(b =>
+              s"SELECT doc_id, $b AS band, CONCAT_WS(',', s${4 * b}, s${4 * b + 1}, " +
+                s"s${4 * b + 2}, s${4 * b + 3}) AS bv FROM sig").mkString("\n UNION ALL\n ")}),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM bands x JOIN bands y
+         |          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT c.d1, c.d2, ${sqlRound("i / (sa.sz + sb.sz - i)", 6)} AS jaccard
+         |FROM cand c
+         | JOIN inter t ON t.d1 = c.d1 AND t.d2 = c.d2
+         | JOIN sizes sa ON sa.doc_id = c.d1
+         | JOIN sizes sb ON sb.doc_id = c.d2
+         |WHERE $JaccardDen * i >= $JaccardNum * (sa.sz + sb.sz - i)
+         |ORDER BY c.d1, c.d2""".stripMargin,
     "llm_dedup_embed" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings)
          |SELECT v1, v2, ${sqlRound("cos", 6)} AS cos_sim FROM (
