@@ -177,7 +177,10 @@ object Llm {
 
   /** SimHash bit-sketch near-dup: 64-bit fingerprint from token hashes,
     * 4×16-bit chunk blocking (exact for hamming <= 3 by pigeonhole).
-    * xxhash64-based → no oracle; rows-only check. */
+    * Round 5: the token hash is the md5-prefix 64-bit value
+    * (ShingleUtil.md5Hash64), so the fingerprint — and therefore the
+    * complete hamming<=3 pair set — is oracle-exact; was xxhash64
+    * rows-only. */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     // Fingerprints come from the compiled SimHashChunks expression: one
     // codegen pass per document over its distinct tokens — no token
@@ -990,6 +993,36 @@ object Llm {
          | JOIN sizes sb ON sb.doc_id = d2
          |WHERE $JaccardDen * i >= $JaccardNum * (sa.sz + sb.sz - i)
          |ORDER BY d1, d2""".stripMargin,
+    // mirrors SimHashChunks relationally: md5-prefix 64-bit token hash
+    // (UBIGINT cast), 64 bit-majority sums, 4 chunk values, pigeonhole
+    // chunk-equality candidates, per-chunk bit_count(xor) hamming
+    "llm_dedup_simhash" ->
+      s"""WITH tk AS (SELECT DISTINCT doc_id, tok FROM
+         |      (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)),
+         |hs AS (SELECT doc_id, CAST(('0x' || SUBSTR(MD5(tok), 1, 16)) AS UBIGINT) AS h
+         |       FROM tk),
+         |bs AS (SELECT doc_id, COUNT(*) AS n,
+         | ${(0 until 64).map(j => s"SUM(CAST((h >> $j) & 1 AS BIGINT)) AS b$j")
+              .mkString(",\n ")}
+         | FROM hs GROUP BY doc_id),
+         |fp AS (SELECT doc_id,
+         | ${(0 until 4).map(c => (0 until 16).map(k =>
+              s"CASE WHEN b${c * 16 + k} * 2 > n THEN ${1L << k} ELSE 0 END")
+              .mkString(" + ") + s" AS c$c").mkString(",\n ")}
+         | FROM bs),
+         |ch AS (SELECT doc_id, 0 AS c, c0 AS chunk FROM fp
+         |       UNION ALL SELECT doc_id, 1, c1 FROM fp
+         |       UNION ALL SELECT doc_id, 2, c2 FROM fp
+         |       UNION ALL SELECT doc_id, 3, c3 FROM fp),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM ch x JOIN ch y
+         |         ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+         |SELECT d1, d2, hamming FROM (
+         | SELECT c.d1, c.d2,
+         |  CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+         |       bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS BIGINT)
+         |   AS hamming
+         | FROM cand c JOIN fp a ON a.doc_id = c.d1 JOIN fp b ON b.doc_id = c.d2)
+         |WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
     // mirrors the op end-to-end: md5-prefix base hash → 64 universal-family
     // slot minima (same literal constants) → 4-slot band keys → candidate
     // equi-join → exact-Jaccard verify (the dedup_near machinery)

@@ -157,13 +157,28 @@ object ShingleUtil {
     * token set). Bit j of the fingerprint is 1 iff more than half the
     * tokens hash with bit j set — identical to the relational
     * sum(shiftright(h,j)&1)*2 > n spelling. */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** 64-bit token hash = big-endian first 8 md5 digest bytes — the same
+    * bits DuckDB's `('0x' || SUBSTR(MD5(tok), 1, 16))::UBIGINT` yields,
+    * which is what lets the SimHash fingerprint be oracle-checked
+    * (round 5 — the previous XxHash64Function seed had no cross-engine
+    * spelling). */
+  def md5Hash64(tok: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(tok.getBytes)
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
   def simhashChunks(toks: ArrayData): ArrayData = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     val n = toks.numElements()
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = XxHash64Function.hash(toks.getUTF8String(i), StringType, 42L)
+      val h = md5Hash64(toks.getUTF8String(i))
       var j = 0
       while (j < 64) { counts(j) += ((h >>> j) & 1L).toInt; j += 1 }
       i += 1
@@ -190,9 +205,11 @@ object ShingleUtil {
   * spelling (explode tokens → 64 shiftright/bitwiseAND sums → majority
   * vote), which shuffled every token row and updated 64 aggregate
   * columns per token; this is one pass per document inside codegen,
-  * no explode and no aggregation shuffle at all. Token hashing goes
-  * through XxHash64Function.hash — bit-identical to the SQL
-  * xxhash64() the old spelling used (asserted in LlmOpsSuite).
+  * no explode and no aggregation shuffle at all. Token hashing is the
+  * md5-prefix 64-bit hash ([[ShingleUtil.md5Hash64]]) — bit-identical
+  * to the relational shiftleft/conv spelling (asserted in LlmOpsSuite)
+  * AND to the DuckDB oracle's UBIGINT cast, which is what makes the
+  * fingerprint cross-engine-checkable.
   */
 case class SimHashChunks(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression

@@ -59,10 +59,17 @@ class LlmOpsSuite extends SparkSuiteBase {
       "CountInSet fell out of whole-stage codegen")
   }
 
-  test("compiled SimHashChunks equals the relational xxhash64 bit-sum spelling") {
+  test("compiled SimHashChunks equals the relational md5-prefix bit-sum spelling") {
+    // h = big-endian first 8 md5 bytes, rebuilt relationally from two
+    // 32-bit hex halves (shiftleft is a bitwise op — the sign bit wraps
+    // without ANSI error, reproducing the compiled getLong exactly)
     val hashed = T(spark, SF, "documents")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"),
+        shiftleft(conv(substring(md5(encode(col("tok"), "UTF-8")), 1, 8), 16, 10)
+          .cast("long"), 32)
+          .bitwiseOR(conv(substring(md5(encode(col("tok"), "UTF-8")), 9, 8), 16, 10)
+            .cast("long")).as("h"))
     val bitSums = (0 until 64).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
     val sums = hashed.groupBy("doc_id").agg(count(lit(1)).as("n"), bitSums: _*)

@@ -169,7 +169,7 @@ class PropertySuite extends SparkSuiteBase {
     }
   }
 
-  test("SimHashChunks equals the xxhash64 bit-sum spelling on arbitrary unicode tokens") {
+  test("SimHashChunks equals the md5-prefix bit-sum spelling on arbitrary unicode tokens") {
     for (tokLists <- samples(Gen.listOfN(25,
         Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, unicodeWordGen))), 4)) {
       import spark.implicits._
@@ -177,7 +177,11 @@ class PropertySuite extends SparkSuiteBase {
         .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toDF("id", "text")
       val hashed = df
         .select(col("id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .select(col("id"), xxhash64(col("tok")).as("h"))
+        .select(col("id"),
+          shiftleft(conv(substring(md5(encode(col("tok"), "UTF-8")), 1, 8), 16, 10)
+            .cast("long"), 32)
+            .bitwiseOR(conv(substring(md5(encode(col("tok"), "UTF-8")), 9, 8), 16, 10)
+              .cast("long")).as("h"))
       val bitSums = (0 until 64).map(j =>
         sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
       val sums = hashed.groupBy("id").agg(count(lit(1)).as("n"), bitSums: _*)
