@@ -462,9 +462,15 @@ object Llm {
     // 6 planes → 64 buckets: sized so fixture buckets hold a handful of
     // vectors (more planes at corpus scale; the plane count is the
     // recall/candidate-size dial)
+    // plane coordinates from the md5-prefix hash (round 5 — was
+    // xxhash64): the pseudo-random family is now cross-engine-spellable,
+    // which makes the bucket codes — and so the whole approximate result
+    // — oracle-exact
     val planes = s.range(6).select(col("id").cast("int").as("p"),
       transform(sequence(lit(0), lit(Dim - 1)),
-        d => pmod(xxhash64(concat_ws("_", col("id"), d)), lit(1000L)) / 1000.0 - 0.5)
+        d => pmod(conv(substring(md5(encode(
+          concat_ws("_", col("id"), d), "UTF-8")), 1, 8), 16, 10).cast("long"),
+          lit(1000L)) / 1000.0 - 0.5)
         .as("plane"))
     val e = T(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), fnorm2(col("embedding")).as("n2"))
@@ -1109,6 +1115,32 @@ object Llm {
          |SELECT qid, CAST(rk AS INT) AS rank, neighbor, ${sqlRound("cos", 6)} AS cos_sim
          |FROM (SELECT qid, neighbor, cos,
          |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rk FROM p)
+         |WHERE rk <= $TopK ORDER BY qid, rank""".stripMargin,
+    // mirrors the op: md5-derived plane coordinates → sign-bit bucket
+    // codes (integer bit sum) → exact scoring within the query's bucket
+    "llm_simsearch_lsh" ->
+      s"""WITH pl AS (SELECT p, LIST(coord ORDER BY d) AS plane FROM (
+         |    SELECT pp.p, dd.d,
+         |     CAST(('0x' || SUBSTR(MD5(CAST(pp.p AS VARCHAR) || '_' ||
+         |       CAST(dd.d AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+         |      / CAST(1000 AS DOUBLE) - 0.5 AS coord
+         |    FROM (SELECT UNNEST(RANGE(0, 6)) AS p) pp
+         |     CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS d) dd)
+         |   GROUP BY p),
+         |n AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings),
+         |codes AS (SELECT vec_id,
+         |   SUM(CASE WHEN (${sqlDot("n.embedding", "pl.plane")}) > 0
+         |       THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS code
+         |  FROM n CROSS JOIN pl GROUP BY vec_id),
+         |a AS (SELECT n.vec_id, n.embedding, n.n2, c.code
+         |      FROM n JOIN codes c ON n.vec_id = c.vec_id),
+         |p2 AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+         |        (${sqlDot("q.embedding", "c.embedding")}) / (SQRT(q.n2) * SQRT(c.n2)) AS cos
+         |       FROM a q JOIN a c
+         |        ON q.vec_id < 10 AND c.code = q.code AND c.vec_id != q.vec_id)
+         |SELECT qid, CAST(rk AS INT) AS rank, neighbor, ${sqlRound("cos", 6)} AS cos_sim
+         |FROM (SELECT qid, neighbor, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rk FROM p2)
          |WHERE rk <= $TopK ORDER BY qid, rank""".stripMargin,
     // mirrors the op stage-for-stage: decimal per-(cell,pos) sums →
     // double sum-vector → rounded probe ranking (top-2 cells) → exact

@@ -8,8 +8,7 @@ package graft
 class InventorySuite extends SparkSuiteBase {
 
   test("every declared query has an oracle or is explicitly rows-only") {
-    val rowsOnly = Set("agg_approx_distinct", "agg_hll_sketch",
-      "llm_simsearch_lsh")
+    val rowsOnly = Set("agg_approx_distinct", "agg_hll_sketch")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle or rows-only waiver: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
