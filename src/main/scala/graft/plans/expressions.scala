@@ -90,6 +90,32 @@ case class ShinglesK(child: Expression, k: Int)
   * probe per token inside codegen; the set is built once per executor.
   * Null elements count 0, matching filter+isin (null predicate → drop).
   */
+/** Compiled md5-prefix 64-bit hash of a string: the big-endian first 8
+  * digest bytes, ≡ DuckDB `('0x' || SUBSTR(MD5(s), 1, 16))::UBIGINT` bit
+  * for bit, and ≡ the relational `conv(substring(md5(s), 1, k), 16, 10)`
+  * spellings after an unsigned right shift (k=8 → >>> 32, k=15 → >>> 4).
+  * Replaces the interpreted md5-hex → substring → conv parse chain on
+  * the hot hashing paths (minhash shingles, rolling fingerprints) with
+  * one digest call inside codegen. Cross-engine-stable by construction —
+  * this is THE hash that makes the hash-based operators oracle-exact. */
+case class Md5Prefix64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_prefix64"
+
+  override protected def nullSafeEval(in: Any): Any =
+    ShingleUtil.md5Hash64(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleUtil.md5Hash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix64 =
+    copy(child = newChild)
+}
+
 case class CountInSet(child: Expression, words: Seq[String])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
@@ -291,4 +317,8 @@ object expressions {
   /** Column-level API for [[CountInSet]]. */
   def countInSet(toks: Column, words: Seq[String]): Column =
     Shim.column(CountInSet(Shim.expression(toks), words))
+
+  /** Column-level API for [[Md5Prefix64]]. */
+  def md5Prefix64(s: Column): Column =
+    Shim.column(Md5Prefix64(Shim.expression(s)))
 }
