@@ -124,8 +124,9 @@ object Llm {
       .orderBy("d1", "d2")
 
   /** MinHash + banded LSH candidate generation (the 100-TB path), then the
-    * same exact verification. Signature/band hashing is engine-specific
-    * (xxhash64) → no oracle; rows-only check. */
+    * same exact verification. Since round 5 the shingle base hash is the
+    * md5-prefix (cross-engine-spellable), so signatures, band keys, and
+    * therefore the full candidate set are oracle-exact in DuckDB. */
   // MinHash slot hashes: a mod-space universal family (aₖ·h + bₖ) mod P
   // over a 32-bit md5-derived base hash. Every product stays < 2^62 (no
   // wraparound → ANSI-safe in Spark AND reproducible in DuckDB, where
@@ -222,70 +223,48 @@ object Llm {
 
   /** Embedding-cosine near-dup pairs (exact, oracled).
     *
-    * All-pairs via one broadcast of the packed vector set + a compiled
-    * inner loop per row: a θ-join (v1 < v2) would materialize n² joined
-    * rows carrying both 64-float arrays (the measured bottleneck — 26 s
-    * at sf0.1) while this emits only the passing pairs. Same arithmetic
-    * order as the oracle chain, so still bit-exact. 100-TB note: brute
-    * force is the correctness baseline; the scale paths are
-    * llm_simsearch_ivf (cell-pruned) and LSH blocking. */
-  /** Loop-form norm², same ((0+t1)+t2)+… chain as fnorm2/the oracle. */
-  private def norm2Of(a: Array[Float]): Double = {
-    var n2 = 0.0
-    var i = 0
-    while (i < a.length) { n2 += a(i).toDouble * a(i).toDouble; i += 1 }
-    n2
-  }
-
-  /** Distributed exact all-pairs: vectors hash into B blocks, the
-    * B(B+1)/2 unordered block pairs become independent tasks, and a
-    * compiled loop scores each pair once (within a block: id1 < id2;
-    * across blocks: every cross pair). No driver-side collect and no n²
-    * joined-row materialization — shuffle volume is n·B rows (each block
-    * feeds B pair-tasks) and per-task memory is two blocks. Exact
-    * all-pairs work is inherently O(n²) flops; at 100 TB raise B so a
-    * block fits an executor, or better, feed candidates from LSH/IVF
-    * blocking (dedupMinhashLsh / simsearchIvf) instead of scoring all
-    * pairs at all. Same left-to-right arithmetic as the oracle chain
-    * (dot is order-symmetric term-by-term), so still bit-exact. */
+    * Distributed exact all-pairs as a block-pair EQUI-join: each vector
+    * keeps its own row tagged with block `blk = vec_id % B`, and the
+    * B(B+1)/2 unordered block pairs are generated by replication —
+    * the left side explodes a vector in block b to pair keys
+    * (b, b)…(b, B-1), the right side to (0, b)…(b, b) — so every
+    * unordered cross pair meets on exactly one (bl, br) key. Shuffle
+    * volume is n·(B+1)/2 rows per side (same n·B total as any block
+    * scheme), but per-task memory is now Spark's own spillable join
+    * buffer (ExternalAppendOnlyUnsafeRowArray holds one block's worth
+    * of matches per key and spills past the threshold) instead of a
+    * single Array cell that must hold a whole block — the round-5
+    * verdict's scale-killer. Candidate pairs stream through the join
+    * and are scored+filtered in the same stage; only passing pairs
+    * survive to the sort.
+    *
+    * Exact all-pairs work is inherently O(n²) flops; at 100 TB raise B
+    * so a block fits a join buffer, or better, feed candidates from
+    * LSH/IVF blocking (dedupMinhashLsh / simsearchIvf) instead of
+    * scoring all pairs at all. Bit-exactness vs the oracle's
+    * `a.vec_id < b.vec_id` spelling: the compiled dotF sums index 0→n
+    * regardless of argument order and IEEE multiply is commutative, so
+    * dot(l,r)/(√n2l·√n2r) equals the oracle's lo/hi-ordered chain
+    * bit-for-bit even when l.vec_id > r.vec_id. */
   private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val B = 8
     val e = T(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-    val blocks: org.apache.spark.sql.Dataset[(Int, Array[(Long, Array[Float], Double)])] =
-      e.groupByKey { case (id, _) => (id % B).toInt }
-        .mapGroups { (b, it) =>
-          (b, it.map { case (id, v) =>
-            val a = v.toArray; (id, a, norm2Of(a))
-          }.toArray)
-        }
-    val bdf = blocks.toDF("blk", "vs")
-    val thr = CosineThreshold
-    bdf.as("l").join(bdf.as("r"), col("l.blk") <= col("r.blk"))
-      .select(col("l.vs").as("a"), col("r.vs").as("b"),
-        (col("l.blk") === col("r.blk")).as("same"))
-      .as[(Array[(Long, Array[Float], Double)], Array[(Long, Array[Float], Double)], Boolean)]
-      .flatMap { case (a, b, same) =>
-        for {
-          (id1, v1, n1) <- a.iterator
-          (id2, v2, n2) <- b.iterator
-          if !same || id1 < id2
-          cos = {
-            // (lo, hi) in vec_id order so the divisor multiplies in the
-            // oracle's SQRT(lo.n2) * SQRT(hi.n2) order
-            val (lo, hi, nlo, nhi) =
-              if (id1 < id2) (v1, v2, n1, n2) else (v2, v1, n2, n1)
-            var s0 = 0.0
-            var i = 0
-            val n = math.min(lo.length, hi.length)
-            while (i < n) { s0 += lo(i).toDouble * hi(i).toDouble; i += 1 }
-            s0 / (math.sqrt(nlo) * math.sqrt(nhi))
-          }
-          if cos >= thr
-        } yield (math.min(id1, id2), math.max(id1, id2), cos)
-      }
-      .toDF("v1", "v2", "cos")
+      .select(col("vec_id"), col("embedding"),
+        fnorm2(col("embedding")).as("n2"),
+        pmod(col("vec_id"), lit(B)).cast("int").as("blk"))
+    val left = e.withColumn("pr", explode(sequence(col("blk"), lit(B - 1))))
+    val right = e.withColumn("pl", explode(sequence(lit(0), col("blk"))))
+    left.as("l").join(right.as("r"),
+        col("l.blk") === col("r.pl") && col("l.pr") === col("r.blk") &&
+          // same-block pair task scores each unordered pair once; cross
+          // pairs are already unique to their (bl, br) key
+          (col("l.blk") =!= col("r.blk") || col("l.vec_id") < col("r.vec_id")))
+      .select(
+        least(col("l.vec_id"), col("r.vec_id")).as("v1"),
+        greatest(col("l.vec_id"), col("r.vec_id")).as("v2"),
+        (fdot(col("l.embedding"), col("r.embedding")) /
+          (sqrt(col("l.n2")) * sqrt(col("r.n2")))).as("cos"))
+      .where(col("cos") >= CosineThreshold)
       .select(col("v1"), col("v2"), dround(col("cos"), 6).as("cos_sim"))
       .orderBy("v1", "v2")
   }
@@ -400,8 +379,9 @@ object Llm {
   }
 
   /** IVF-style probed search: label = coarse cell, probe the 2 nearest
-    * cell centroids, exact-score only those cells. Approximate by design →
-    * no oracle; rows-only check. */
+    * cell centroids, exact-score only those cells. Approximate vs
+    * brute-force top-k, but deterministic — the decimal sum-vector probe
+    * (round 5) makes the whole result oracle-exact in DuckDB. */
   private def simsearchIvf(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"), fnorm2(col("embedding")).as("n2"))
@@ -454,13 +434,13 @@ object Llm {
   }
 
   /** Random-hyperplane LSH bucketed search (the other ANN scale path
-    * besides IVF cells): 16 deterministic pseudo-random hyperplanes
-    * (coordinates derived from xxhash64, so the "random" planes are
-    * reproducible in-plan — no driver-side RNG), each vector's bucket is
-    * its 16-bit sign code, and queries exact-score only their own
-    * bucket. Candidates shuffle by bucket code — the same
-    * partition-pruning shape as IVF/zones. Hash-derived → no oracle;
-    * rows-only check. */
+    * besides IVF cells): deterministic pseudo-random hyperplanes
+    * (coordinates derived in-plan from md5 digits — no driver-side RNG),
+    * each vector's bucket is its sign code, and queries exact-score only
+    * their own bucket. Candidates shuffle by bucket code — the same
+    * partition-pruning shape as IVF/zones. Since round 5 the hyperplane
+    * coordinates derive from md5 digits (cross-engine-spellable), so the
+    * bucket codes — and the whole approximate result — are oracle-exact. */
   private def simsearchLsh(s: SparkSession, dir: String): DataFrame = {
     // 6 planes → 64 buckets: sized so fixture buckets hold a handful of
     // vectors (more planes at corpus scale; the plane count is the

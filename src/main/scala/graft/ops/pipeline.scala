@@ -83,6 +83,10 @@ object Pipeline {
     * VARCHAR substring reproduces the bytes exactly. */
   private def docChunk(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
+      // empty docs yield no chunks; without the guard Spark's ANSI
+      // sequence(0, -1, stride) throws while DuckDB's RANGE(0, 0, stride)
+      // quietly emits nothing — a latent crash + engine divergence
+      .where(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(0, length(text) - 1, $ChunkStride)")).as("start"))
       .select(col("doc_id"),
@@ -207,6 +211,8 @@ object Pipeline {
     * chunk text never shuffles. */
   private def boilerplateChunks(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
+      // same empty-doc guard as docChunk (ANSI sequence(0, -1) throws)
+      .where(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(0, length(text) - 1, $ChunkStride)")).as("start"))
       .select(col("doc_id"),
@@ -457,7 +463,7 @@ object Pipeline {
          | CAST(LEN(SUBSTRING(text, CAST(start + 1 AS INT), $ChunkLen)) AS INT) AS chunk_len,
          | MD5(SUBSTRING(text, CAST(start + 1 AS INT), $ChunkLen)) AS chunk_md5
          |FROM (SELECT doc_id, text, UNNEST(RANGE(0, LEN(text), $ChunkStride)) AS start
-         |      FROM documents)
+         |      FROM documents WHERE LEN(text) > 0)
          |ORDER BY doc_id, chunk_no""".stripMargin,
     "llm_domain_mix" ->
       """WITH k AS (
@@ -510,7 +516,7 @@ object Pipeline {
       s"""WITH ch AS (SELECT doc_id,
          |  MD5(SUBSTRING(text, CAST(start + 1 AS INT), $ChunkLen)) AS chunk_md5
          | FROM (SELECT doc_id, text, UNNEST(RANGE(0, LEN(text), $ChunkStride)) AS start
-         |       FROM documents))
+         |       FROM documents WHERE LEN(text) > 0))
          |SELECT chunk_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
          | CAST(COUNT(*) AS BIGINT) AS n_occurrences, MIN(doc_id) AS first_doc
          |FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2

@@ -295,7 +295,20 @@ object Streams {
       var hist: Seq[ZObs] =
         if (state.exists()) state.get().obs else Seq.empty
       val out = Seq.newBuilder[ZScoreOut]
-      rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+      val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+      // The event-time-ordered batch-boundary contract (scaladoc above)
+      // is enforced, not assumed: an event sorting at or below the newest
+      // retained observation would silently produce z-scores that diverge
+      // from the batch operator — kill the query loudly instead. hist is
+      // kept in fold order, so its last element is the retained max.
+      for (newest <- hist.lastOption; first <- sorted.headOption)
+        require(Ordering[(Long, Long)].gt(
+            (first.us, first.event_id), (newest.us, newest.event_id)),
+          s"ZScoreProcessor: out-of-order input for user=$user: event " +
+            s"(us=${first.us}, event_id=${first.event_id}) does not follow " +
+            s"retained state max (us=${newest.us}, event_id=${newest.event_id}); " +
+            "add a watermark-buffered reorder stage upstream")
+      sorted.foreach { e =>
         val win = (hist :+ ZObs(e.us, e.event_id, e.cents)).takeRight(window)
         val n = win.length.toLong
         val sx = win.iterator.map(_.cents).sum

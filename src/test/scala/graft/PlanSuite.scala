@@ -232,6 +232,22 @@ class PlanSuite extends SparkSuiteBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("llm_dedup_embed plans a block-pair equi-join (no NLJ, no whole-block rows)") {
+    val df = run("llm_dedup_embed")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the r5 shape was blk <= blk, a non-equi θ-join → BNLJ over rows each
+    // holding a whole block's vectors; the r6 shape must be a pure
+    // equi-join on the replicated (bl, br) pair keys
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"dedup_embed fell back to NLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no equi-join in:\n$p")
+    // no typed mapGroups/flatMap stage: the scoring is columnar codegen
+    assert(!p.contains("MapGroups"), "whole-block packing is back")
+  }
+
   test("custom DSv2 star source plans the requested partitions") {
     val df = spark.read.format("graft.sources.StarCatalogSource")
       .option("rows", "1000").option("partitions", "8").load()
