@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Det._
@@ -327,6 +328,55 @@ object Aggregates {
             (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6).as("r2"))
       .orderBy("lang")
 
+  /** Mergeable quantile sketch — the re-aggregatable twin of the exact
+    * agg_percentiles, for percentiles over 100 TB where exact
+    * `percentile()` would shuffle every value to one reducer per group.
+    *
+    * DDSketch/HDR-histogram construction in PURE INTEGER arithmetic:
+    * money values become cents (exact 2-dp longs), each lands in a
+    * log-spaced bucket with 32 sub-buckets per octave —
+    * `idx = (cents >> s) + 32·s` with `s = max(bitlen(cents) − 6, 0)` —
+    * so the sketch is the bounded map bucket→count (≤ 32·64 buckets
+    * regardless of input size). Merging sketches = summing bucket
+    * counts: commutative, associative, order-insensitive — per-partition
+    * or per-day sketches roll up to any grouping without touching raw
+    * data, and the query demonstrates it by deriving the ALL row from
+    * the per-group sketches alone. Quantile extraction walks the
+    * cumulative counts to rank ⌈q·n⌉ and reports the bucket's lower
+    * bound, giving relative error ≤ 2⁻⁵ ≈ 3.1 % (tolerance vs the exact
+    * percentiles asserted in AggregateSuite).
+    *
+    * Unlike KLL/t-digest (whose compaction consults an unseeded shared
+    * Random — non-reproducible under parallelism), every step here is
+    * integer arithmetic both engines spell identically (bin()/shifts),
+    * so this sketch is deterministic AND fully DuckDB-oracled. */
+  private def aggQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val sk = T(s, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .withColumn("s", greatest(length(bin(col("cents"))) - 6, lit(0)))
+      .select(col("grp"), (expr("shiftright(cents, s)") + lit(32) * col("s")).as("idx"))
+      .groupBy("grp", "idx").agg(count(lit(1)).as("cnt"))
+    val merged = sk.unionByName(
+      sk.groupBy("idx").agg(sum(col("cnt")).as("cnt"))
+        .select(lit("ALL").as("grp"), col("idx"), col("cnt")))
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("grp").orderBy("idx")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("grp")))
+    def qidx(q: Int) =
+      min(when(col("cum") >= expr(s"($q * n + 99) div 100"), col("idx"))).as(s"i$q")
+    def est(q: Int) =
+      expr(s"cast(shiftleft(i$q - 32 * greatest(i$q div 32 - 1, 0L), " +
+        s"cast(greatest(i$q div 32 - 1, 0L) as int)) as double) / 100.0")
+        .as(s"p${q}_est")
+    cum.groupBy(col("grp"), col("n"))
+      .agg(qidx(50), qidx(90), qidx(99))
+      .select(col("grp"), col("n"), est(50), est(90), est(99))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_regression_moments" -> (statRegression _),
     "agg_argminmax" -> (aggArgMinMax _),
@@ -349,9 +399,36 @@ object Aggregates {
     "sql_recursive_cte" -> (sqlRecursiveCte _),
     "agg_hll_sketch" -> (aggHllSketch _),
     "stat_crosstab" -> (statCrosstab _),
+    "agg_quantile_sketch" -> (aggQuantileSketch _),
   )
 
   val oracle: Map[String, String] = Map(
+    // the DDSketch/HDR log-bucket construction in the same pure-integer
+    // spelling as the Spark plan: bin()/shifts agree bit-for-bit, the
+    // ALL row re-aggregates the per-group sketches by summing counts
+    "agg_quantile_sketch" ->
+      """WITH c AS (SELECT l_returnflag AS grp,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM lineitem),
+        |b AS (SELECT grp, (cents >> s) + 32*s AS idx FROM
+        |  (SELECT grp, cents, GREATEST(LENGTH(BIN(cents)) - 6, 0) AS s FROM c)),
+        |sk AS (SELECT grp, idx, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |m AS (SELECT grp, idx, cnt FROM sk
+        |      UNION ALL SELECT 'ALL', idx, SUM(cnt) FROM sk GROUP BY 2),
+        |cu AS (SELECT grp, idx,
+        |        SUM(cnt) OVER (PARTITION BY grp ORDER BY idx) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY grp) AS n
+        |       FROM m),
+        |p AS (SELECT grp, n,
+        |       MIN(CASE WHEN cum >= (50*n + 99) // 100 THEN idx END) AS i50,
+        |       MIN(CASE WHEN cum >= (90*n + 99) // 100 THEN idx END) AS i90,
+        |       MIN(CASE WHEN cum >= (99*n + 99) // 100 THEN idx END) AS i99
+        |      FROM cu GROUP BY 1, 2)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        | CAST((i50 - 32*GREATEST(i50 // 32 - 1, 0)) << GREATEST(i50 // 32 - 1, 0) AS DOUBLE) / 100.0 AS p50_est,
+        | CAST((i90 - 32*GREATEST(i90 // 32 - 1, 0)) << GREATEST(i90 // 32 - 1, 0) AS DOUBLE) / 100.0 AS p90_est,
+        | CAST((i99 - 32*GREATEST(i99 // 32 - 1, 0)) << GREATEST(i99 // 32 - 1, 0) AS DOUBLE) / 100.0 AS p99_est
+        |FROM p ORDER BY grp""".stripMargin,
     "stat_regression_moments" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
          | ${Det.sqlRound(

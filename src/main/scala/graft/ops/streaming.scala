@@ -320,6 +320,55 @@ object Streaming {
       .orderBy("from_type", "to_type")
   }
 
+  /** True stream-stream interval join end-to-end in the scored surface
+    * (the last major Structured-Streaming shape that was test-only):
+    * purchases and errors read as two watermarked streams from the same
+    * file source, inner-joined per user on "error within the 24 h before
+    * the purchase" via graft.streaming.Streams.intervalJoin, committed to
+    * a parquet sink under Trigger.AvailableNow, then batch-read. The
+    * time-range condition is what BOUNDS both sides' join state (each
+    * side is held only until the watermark passes the interval), so state
+    * scales with in-flight time span × arrival rate, never stream
+    * length. Inner-join rows emit as soon as both sides arrive, so with
+    * the fixture in one micro-batch the committed result equals the
+    * batch interval join — that batch query is the oracle. */
+  private def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val root = GraftTmp.dir(s"ssjoin_$tag")
+    val src = java.nio.file.Paths.get(s"$root/in")
+    java.nio.file.Files.createDirectories(src)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      src.resolve("events.parquet"))
+    val sch = T(s, dir, "events").schema // also sets nanosAsLong
+    // join state is keyed on user_id: 8 state stores instead of the
+    // session's 32 — same sizing note as streamFileSink
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      def side(tpe: String, idAs: String, tsAs: String) =
+        s.readStream.schema(sch).parquet(src.toString)
+          .where(col("event_type") === tpe)
+          .select(col("user_id"), col("event_id").as(idAs),
+            timestamp_micros(expr("ts div 1000")).as(tsAs))
+      val joined = graft.streaming.Streams.intervalJoin(
+          side("purchase", "purchase_id", "p_ts"),
+          side("error", "error_id", "e_ts"),
+          "user_id", "p_ts", "e_ts", "1 hour", "24 HOURS")
+        .select(col("l.user_id").as("user_id"), col("purchase_id"),
+          col("error_id"), unix_micros(col("p_ts")).as("purchase_us"),
+          unix_micros(col("e_ts")).as("error_us"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(s"$root/out")
+      .orderBy("user_id", "purchase_id", "error_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_transitions" -> (eventsTransitions _),
     "events_interpolate" -> (eventsInterpolate _),
@@ -332,9 +381,21 @@ object Streaming {
     "stream_custom_state" -> (streamCustomState _),
     "stream_tws_state" -> (streamTwsState _),
     "stream_dedup" -> (dedup _),
+    "stream_stream_join" -> (streamStreamJoin _),
   )
 
   val oracle: Map[String, String] = Map(
+    // batch spelling of the inner stream-stream interval join: every
+    // (purchase, error-in-the-24h-before) pair per user — inner joins
+    // emit on arrival, so a single-micro-batch run commits exactly this
+    "stream_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id,
+        | epoch_us(p.ts) AS purchase_us, epoch_us(e.ts) AS error_us
+        |FROM events p JOIN events e ON e.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND epoch_us(e.ts) >= epoch_us(p.ts) - 86400000000
+        | AND epoch_us(e.ts) < epoch_us(p.ts)
+        |ORDER BY p.user_id, purchase_id, error_id""".stripMargin,
     "events_interpolate" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM events),
         |k AS (SELECT *,

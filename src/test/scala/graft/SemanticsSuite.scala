@@ -156,6 +156,29 @@ class SemanticsSuite extends SparkSuiteBase {
     rows.filter(_._1 != "ALL").values.foreach(v => assert(rows("ALL") >= v * 0.85))
   }
 
+  test("agg_quantile_sketch: estimates within the 2^-5 relative-error bound of exact percentiles") {
+    val rows = run("agg_quantile_sketch").collect()
+      .map(r => r.getAs[String]("grp") ->
+        (r.getAs[Double]("p50_est"), r.getAs[Double]("p90_est"), r.getAs[Double]("p99_est"))).toMap
+    val li = T(spark, SF, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_returnflag").as("grp"),
+        org.apache.spark.sql.functions.col("l_extendedprice").as("x"))
+    def exact(grpFilter: Option[String], q: Double): Double = {
+      val d = grpFilter.fold(li)(g => li.where(org.apache.spark.sql.functions.col("grp") === g))
+      d.selectExpr(s"percentile(x, $q)").first().getDouble(0)
+    }
+    for ((g, (p50, p90, p99)) <- rows) {
+      val f = if (g == "ALL") None else Some(g)
+      for ((est, q) <- Seq((p50, 0.5), (p90, 0.9), (p99, 0.99))) {
+        val ex = exact(f, q)
+        // bucket lower bound: est <= exact-ish, and within one bucket
+        // width (rel err 1/32) below it
+        assert(est <= ex * 1.001 && est >= ex * (1 - 1.0 / 32) * 0.999,
+          s"$g q=$q est=$est exact=$ex")
+      }
+    }
+  }
+
   test("merge_upsert action counts match the derived change set") {
     val rows = run("merge_upsert").collect()
     val byAction = rows.groupBy(_.getAs[String]("action")).view.mapValues(_.length).toMap
