@@ -90,6 +90,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => keep(n) }
       .map { case (name, fn) =>
+        // Collect the previous keys' garbage BEFORE resetting the peak
+        // meters (outside the timed region): at -Xmx8g the JVM collects
+        // lazily, so without this a key's "peak" reading rides on
+        // whatever uncollected garbage earlier keys left behind — the
+        // round-5 driver artifact recorded 4.6 GB peaks on llm_* keys
+        // that allocate ~1.5 GB themselves, and the claim/artifact
+        // discrepancy could not be adjudicated. One System.gc() per key
+        // costs ~10-40 ms of untimed wall and makes peakMb attributable
+        // to the key that actually allocated it.
+        System.gc()
         heapPools.foreach(_.resetPeakUsage())
         val gc0 = gcMs()
         val cpu0 = cpuSec()
