@@ -30,22 +30,31 @@ object Graph {
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
+      // columnar cache (2 longs/row, compressed) — materialized by the
+      // strategy-picking count below, then read by deg AND edgesD so
+      // the orders⨝lineitem distinct runs once
+      .persist()
+    // Runtime strategy switch (the x100 stress run turned the scaladoc's
+    // "at a scale where ranks outgrows the broadcast threshold, switch
+    // to repartition+persist" note from advice into a failure: the
+    // row-block localCheckpoints of the 118M-row edge tables plus three
+    // per-iteration full-edge exchanges OOM'd an 8 GB heap). One cheap
+    // count on the cached pair set picks the plan, AQE-style:
+    val bigGraph = pairs.count() > 2000000L
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    val deg = edges.groupBy("a").agg(count(lit(1)).as("outdeg")).localCheckpoint()
-    // degree-annotated edges are re-read every iteration — materialize
-    // the join once instead of paying it 3×. Measured per-iteration
-    // plans here: AQE broadcasts the small ranks table, so the edge
-    // table already streams with ZERO per-iteration exchange — no
-    // gain from pre-partition+persist at this scale (measured: the
-    // cache build costs more than it saves, and a checkpoint's
-    // LogicalRDD drops outputPartitioning anyway). At a scale where
-    // ranks outgrows the broadcast threshold, switch this line to
-    // .repartition(col("a")).persist(): InMemoryTableScan preserves
-    // the hash partitioning, so the iteration SortMergeJoin exchanges
-    // only ranks (verified under autoBroadcastJoinThreshold=-1).
-    val edgesD = edges.join(deg, "a").localCheckpoint()
+    val deg0 = edges.groupBy("a").agg(count(lit(1)).as("outdeg"))
+    // small graphs: pin with localCheckpoint (row blocks, cheapest to
+    // build — the driver-bench path, byte-identical to rounds 1-5).
+    // big graphs: columnar-compressed persist, and edgesD keeps an
+    // explicit hash partitioning on the join key so every iteration's
+    // SortMergeJoin exchanges ONLY the ranks table (InMemoryTableScan
+    // preserves outputPartitioning; a checkpoint's LogicalRDD drops it)
+    val deg = if (bigGraph) deg0.persist() else deg0.localCheckpoint()
+    val edgesD0 = edges.join(deg, "a")
+    val edgesD =
+      if (bigGraph) edgesD0.repartition(col("a")).persist()
+      else edgesD0.localCheckpoint()
     var ranks = deg.select(col("a").as("node"), lit(1000000L).as("pr"))
     // superseded per-iteration checkpoints are freed as soon as the next
     // one materializes (same heap discipline as dedupClusters); the
@@ -65,7 +74,9 @@ object Graph {
     }
     // the final ranks checkpoint is self-contained — the support tables
     // are no longer reachable from the returned plan
-    Seq(edges, deg, edgesD).foreach(org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint)
+    pairs.unpersist(blocking = false)
+    if (bigGraph) { deg.unpersist(blocking = false); edgesD.unpersist(blocking = false) }
+    else Seq(deg, edgesD).foreach(org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint)
     ranks.orderBy("node")
   }
 

