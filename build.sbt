@@ -36,4 +36,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the heap: Bench runs System.gc() between keys for peak-heap
+  // attribution, and G1's post-full-GC uncommit would otherwise make
+  // every key's timed region start by re-committing pages from the OS
+  // (~30 s of spurious wall across 157 keys, measured)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -98,8 +98,9 @@ object Bench {
         // that allocate ~1.5 GB themselves, and the claim/artifact
         // discrepancy could not be adjudicated. One System.gc() per key
         // costs ~10-40 ms of untimed wall and makes peakMb attributable
-        // to the key that actually allocated it.
-        System.gc()
+        // to the key that actually allocated it. SPARK_GRAFT_KEYGC=false
+        // disables it for paired measurements of the GC's own cost.
+        if (sys.env.getOrElse("SPARK_GRAFT_KEYGC", "true") != "false") System.gc()
         heapPools.foreach(_.resetPeakUsage())
         val gc0 = gcMs()
         val cpu0 = cpuSec()
