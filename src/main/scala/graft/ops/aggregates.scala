@@ -377,7 +377,55 @@ object Aggregates {
       .orderBy("grp")
   }
 
+  /** Mergeable count-min frequency sketch — the heavy-hitters member of
+    * the sketch family (agg_hll_sketch: distinct counts,
+    * agg_quantile_sketch: percentiles, this: point frequencies).
+    *
+    * State is a fixed d×w = 4×256 counter grid: every token occurrence
+    * increments, per hash row r, the cell `md5_prefix(r ‖ token) mod w`.
+    * Merging sketches = cell-wise count sums (commutative, associative,
+    * order-insensitive) — demonstrated in-query by building PER-LANGUAGE
+    * sketches and deriving the global sketch purely by summing them.
+    * A point query reads min over the d rows' cells: never an
+    * underestimate, over by at most the collision mass (≤ 2n/w expected
+    * per row at width 256; AggregateSuite asserts both sides against
+    * the exact counts).
+    *
+    * 100-TB shape: the sketch build is a map-side partial aggregate
+    * into ≤ 1 024 cells per language — shuffle volume is the cell grid,
+    * not the corpus, and per-day/per-shard sketches roll up by the same
+    * summation without touching raw data. The exact top-10 computed
+    * alongside is the VERIFIER (scale-bound by design, like the exact
+    * twin of every sketch here); production queries hit only the grid.
+    * Buckets derive from the md5-prefix hash, the cross-engine-spellable
+    * family every hashed operator moved to in round 5 — so the whole
+    * sketch, unlike library CMS implementations with private seeds, is
+    * fully DuckDB-oracled. */
+  private def aggCmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val W = 256L
+    val D = 4
+    def bucket = pmod(conv(substring(md5(
+      concat_ws("_", col("r"), col("token"))), 1, 8), 16, 10).cast("long"), lit(W))
+    val toks = T(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+    val sk = toks
+      .withColumn("r", explode(sequence(lit(0), lit(D - 1))))
+      .select(col("lang"), col("r"), bucket.as("b"))
+      .groupBy("lang", "r", "b").agg(count(lit(1)).as("cnt"))
+    // mergeability on display: the global grid is the per-language
+    // grids summed cell-wise — no second pass over the tokens
+    val all = sk.groupBy("r", "b").agg(sum(col("cnt")).as("cnt"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(10)
+    top.withColumn("r", explode(sequence(lit(0), lit(D - 1))))
+      .withColumn("b", bucket)
+      .join(all, Seq("r", "b"))
+      .groupBy("token", "exact_cnt").agg(min(col("cnt")).as("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cms_heavy_hitters" -> (aggCmsHeavyHitters _),
     "stat_regression_moments" -> (statRegression _),
     "agg_argminmax" -> (aggArgMinMax _),
     "stat_corr_moments" -> (statCorrMoments _),
@@ -403,6 +451,25 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same d×w count-min grid: md5-prefix buckets, per-language
+    // sketches summed cell-wise into the global grid, min over rows
+    "agg_cms_heavy_hitters" ->
+      """WITH tk AS (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+        |rb AS (SELECT lang, token, r,
+        |        CAST(('0x' || SUBSTR(MD5(CAST(r AS VARCHAR) || '_' || token), 1, 8)) AS BIGINT) % 256 AS b
+        |       FROM tk CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS r) rr),
+        |sk AS (SELECT lang, r, b, COUNT(*) AS cnt FROM rb GROUP BY 1, 2, 3),
+        |alls AS (SELECT r, b, SUM(cnt) AS cnt FROM sk GROUP BY 1, 2),
+        |top AS (SELECT token, COUNT(*) AS exact_cnt FROM tk GROUP BY 1
+        |        ORDER BY exact_cnt DESC, token LIMIT 10),
+        |q AS (SELECT t.token, t.exact_cnt, a.cnt
+        |      FROM top t CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS r) rr
+        |      JOIN alls a ON a.r = rr.r AND a.b =
+        |       CAST(('0x' || SUBSTR(MD5(CAST(rr.r AS VARCHAR) || '_' || t.token), 1, 8)) AS BIGINT) % 256)
+        |SELECT token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        | CAST(MIN(cnt) AS BIGINT) AS cms_est
+        |FROM q GROUP BY token, exact_cnt
+        |ORDER BY exact_cnt DESC, token""".stripMargin,
     // the DDSketch/HDR log-bucket construction in the same pure-integer
     // spelling as the Spark plan: bin()/shifts agree bit-for-bit, the
     // ALL row re-aggregates the per-group sketches by summing counts

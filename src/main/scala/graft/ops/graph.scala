@@ -61,8 +61,15 @@ object Graph {
     // initial ranks frame is NOT a checkpoint (it still reads deg's
     // blocks), so only loop-produced checkpoints are eligible
     var supersededCp: Option[DataFrame] = None
-    for (_ <- 1 to 3) {
-      val contribs = edgesD.join(ranks, col("a") === col("node"))
+    for (it <- 1 to 3) {
+      // big graphs: hash-join against the SMALL ranks side instead of
+      // sort-merge — an SMJ would re-SORT the 118M-row cached edge side
+      // every iteration, and at ×100 scale those sort buffers (not the
+      // caches) are what pushed the heap over 8 GB when the key ran
+      // mid-suite rather than solo. The ranks build side is nodes/P
+      // rows per task — trivially resident.
+      val ranksJ = if (bigGraph) ranks.hint("shuffle_hash") else ranks
+      val contribs = edgesD.join(ranksJ, col("a") === col("node"))
         .select(col("b"), expr("(pr * 85) div (100 * outdeg)").as("c"))
         .groupBy("b").agg(sum(col("c")).as("sc"))
       ranks = deg.select(col("a").as("node"))
@@ -71,10 +78,13 @@ object Graph {
         .localCheckpoint()
       supersededCp.foreach(org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint)
       supersededCp = Some(ranks)
+      // after iteration 1 the support caches (deg, edgesD) are built;
+      // the raw pair cache is dead weight from here on
+      if (it == 1) pairs.unpersist(blocking = false)
     }
     // the final ranks checkpoint is self-contained — the support tables
-    // are no longer reachable from the returned plan
-    pairs.unpersist(blocking = false)
+    // are no longer reachable from the returned plan (pairs was already
+    // dropped after iteration 1)
     if (bigGraph) { deg.unpersist(blocking = false); edgesD.unpersist(blocking = false) }
     else Seq(deg, edgesD).foreach(org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint)
     ranks.orderBy("node")

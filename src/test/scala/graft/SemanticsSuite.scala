@@ -179,6 +179,28 @@ class SemanticsSuite extends SparkSuiteBase {
     }
   }
 
+  test("agg_cms_heavy_hitters: estimates never undercount and stay within the collision bound") {
+    val rows = run("agg_cms_heavy_hitters").collect()
+    assert(rows.length == 10)
+    val totalTokens = T(spark, SF, "documents")
+      .selectExpr("size(split(text, ' ')) AS n").agg(Map("n" -> "sum"))
+      .first().getLong(0)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_cnt")
+      val est = r.getAs[Long]("cms_est")
+      // CMS fundamental guarantee: min over rows never undercounts
+      assert(est >= exact, s"${r.getAs[String]("token")}: est $est < exact $exact")
+      // and the overcount is at most the row's collision mass — use the
+      // loose deterministic ceiling 2n/w (w = 256); the measured
+      // overshoot at fixture scale is far below it
+      assert(est - exact <= 2 * totalTokens / 256 + 1,
+        s"${r.getAs[String]("token")}: overcount ${est - exact} vs n=$totalTokens")
+    }
+    // the verifier's top-10 must be the exact token frequencies
+    val sorted = rows.map(_.getAs[Long]("exact_cnt")).toSeq
+    assert(sorted == sorted.sortBy(-(_: Long)))
+  }
+
   test("merge_upsert action counts match the derived change set") {
     val rows = run("merge_upsert").collect()
     val byAction = rows.groupBy(_.getAs[String]("action")).view.mapValues(_.length).toMap
