@@ -408,14 +408,19 @@ object Aggregates {
       concat_ws("_", col("r"), col("token"))), 1, 8), 16, 10).cast("long"), lit(W))
     val toks = T(s, dir, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("token"))
-    val sk = toks
+    // hash DISTINCT (lang, token) pairs weighted by their occurrence
+    // counts, not every occurrence: the grid is identical (cell count =
+    // Σ weights) and the md5 work drops from 4×occurrences to
+    // 4×vocabulary (measured 3.9 s → ~1 s at sf0.1)
+    val wtoks = toks.groupBy("lang", "token").agg(count(lit(1)).as("w"))
+    val sk = wtoks
       .withColumn("r", explode(sequence(lit(0), lit(D - 1))))
-      .select(col("lang"), col("r"), bucket.as("b"))
-      .groupBy("lang", "r", "b").agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("r"), bucket.as("b"), col("w"))
+      .groupBy("lang", "r", "b").agg(sum(col("w")).as("cnt"))
     // mergeability on display: the global grid is the per-language
     // grids summed cell-wise — no second pass over the tokens
     val all = sk.groupBy("r", "b").agg(sum(col("cnt")).as("cnt"))
-    val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+    val top = wtoks.groupBy("token").agg(sum(col("w")).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token")).limit(10)
     top.withColumn("r", explode(sequence(lit(0), lit(D - 1))))
       .withColumn("b", bucket)
