@@ -362,22 +362,42 @@ object Pipeline {
 
   // ---- winsorization bounds ---------------------------------------------------------
 
-  /** Robust-stats winsorization pass: exact interpolated p05/p95 clamp
-    * bounds per event type plus how many rows each tail would clip.
-    * Spark's exact `percentile` ≡ DuckDB `quantile_cont` bit-for-bit
-    * (established by agg_percentiles), and the tail tests compare
-    * against the UNROUNDED bound — rounding happens only at output.
-    * Bounds are group-count-sized → broadcast back over the scan. */
+  /** Robust-stats winsorization pass: p05/p95 clamp bounds per event
+    * type plus how many rows each tail would clip.
+    *
+    * Bounds are NEAREST-RANK (type-1) percentiles — the value at row
+    * ⌈q·n⌉ of the per-group sort, selected with pure integer rank
+    * arithmetic. The round-6 ×10 stress compare caught the previous
+    * interpolated spelling (Spark `percentile` vs DuckDB
+    * `quantile_cont`): their interpolation trees differ by one ulp, and
+    * when a tie population sits exactly on the boundary the unrounded
+    * `value < q05` tail test flips every tied row (50 rows at ×10 —
+    * invisible at base scales, where agg_percentiles survives only
+    * because it ROUNDS its output). Rank selection returns an actual
+    * data value, so there is no interpolation float to disagree on at
+    * any scale. Bounds are group-count-sized → broadcast back over the
+    * scan. */
   private def statWinsorize(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "events").select(col("event_type"), col("value"))
-    val b = e.groupBy("event_type").agg(
-      expr("percentile(value, 0.05)").as("q05"),
-      expr("percentile(value, 0.95)").as("q95"))
-    e.join(broadcast(b), "event_type")
-      .groupBy("event_type", "q05", "q95")
-      .agg(count(lit(1)).as("n_total"),
-        sum(when(col("value") < col("q05"), 1L).otherwise(0L)).as("n_low"),
-        sum(when(col("value") > col("q95"), 1L).otherwise(0L)).as("n_high"))
+    // rank-select over the DISTINCT-VALUE histogram, not the raw rows:
+    // the cumulative-count walk touches distinct values per group
+    // (shuffle ∝ value cardinality, and the map-side partial agg does
+    // the heavy lifting), where a row_number over the 5 low-cardinality
+    // groups sorted every raw row in 5 tasks (measured 3× dearer)
+    val vc = e.groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("event_type").orderBy("value")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+    // bounds AND tail counts both read off the cumulative histogram —
+    // n_low is the cum just below q05, n_high is n minus the cum at
+    // q95 — so the raw table is scanned exactly once
+    vc.groupBy(col("event_type"), col("n").as("n_total")).agg(
+        min(when(col("cum") >= expr("(5 * n + 99) div 100"), col("value"))).as("q05"),
+        min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("value"))).as("q95"),
+        min(when(col("cum") >= expr("(5 * n + 99) div 100"), col("cum") - col("c")))
+          .as("n_low"),
+        (col("n") - min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("cum"))))
+          .as("n_high"))
       .select(col("event_type"), dround(col("q05"), 6).as("p05"),
         dround(col("q95"), 6).as("p95"), col("n_total"), col("n_low"), col("n_high"))
       .orderBy("event_type")
@@ -580,16 +600,23 @@ object Pipeline {
         |   ON p.event_type = 'purchase' AND v.event_type = 'view'
         |  AND p.user_id = v.user_id)
         |WHERE rn = 1 ORDER BY user_id, purchase_id""".stripMargin,
+    // nearest-rank bounds in the same integer-rank spelling as the op —
+    // no interpolation float (see the operator scaladoc for the ×10
+    // stress divergence the interpolated form had)
     "stat_winsorize" ->
-      """WITH b AS (SELECT event_type, QUANTILE_CONT(value, 0.05) AS q05,
-        |            QUANTILE_CONT(value, 0.95) AS q95 FROM events GROUP BY 1)
-        |SELECT e.event_type,
-        | FLOOR(q05 * 1e6 + 0.5) / 1e6 AS p05, FLOOR(q95 * 1e6 + 0.5) / 1e6 AS p95,
-        | CAST(COUNT(*) AS BIGINT) AS n_total,
-        | CAST(SUM(CASE WHEN value < q05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
-        | CAST(SUM(CASE WHEN value > q95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
-        |FROM events e JOIN b USING (event_type)
-        |GROUP BY e.event_type, q05, q95 ORDER BY event_type""".stripMargin,
+      """WITH vc AS (SELECT event_type, value, COUNT(*) AS c
+        |            FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, value, c,
+        |       SUM(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+        |       SUM(c) OVER (PARTITION BY event_type) AS n
+        |      FROM vc)
+        |SELECT event_type,
+        | FLOOR(MIN(CASE WHEN cum >= (5 * n + 99) // 100 THEN value END) * 1e6 + 0.5) / 1e6 AS p05,
+        | FLOOR(MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN value END) * 1e6 + 0.5) / 1e6 AS p95,
+        | CAST(MAX(n) AS BIGINT) AS n_total,
+        | CAST(MIN(CASE WHEN cum >= (5 * n + 99) // 100 THEN cum - c END) AS BIGINT) AS n_low,
+        | CAST(MAX(n) - MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN cum END) AS BIGINT) AS n_high
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "llm_rank_bm25" ->
       s"""WITH d AS (SELECT doc_id,
          |  LEN(STRING_SPLIT(text, ' ')) AS dl,

@@ -202,22 +202,22 @@ class PipelineSuite extends SparkSuiteBase {
     assert(got == expected)
   }
 
-  test("stat_winsorize: interpolated bounds match brute force, tails ~5%") {
+  test("stat_winsorize: nearest-rank bounds match brute force, tails ~5%") {
     val rows = run("stat_winsorize").collect()
     assert(rows.length == 5)
     val byType = spark.read.parquet(s"$SF/events.parquet")
       .select("event_type", "value").collect()
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted)
-    def interp(v: Array[Double], p: Double): Double = {
-      val idx = p * (v.length - 1)
-      val lo = idx.toInt
-      if (lo == v.length - 1) v(lo)
-      else v(lo) + (idx - lo) * (v(lo + 1) - v(lo))
-    }
+    // nearest-rank (type-1): the value at 1-based rank ⌈q·n/100⌉ — an
+    // actual data value, matching the operator's integer-rank selection
+    // (the interpolated form was retired after the ×10 stress compare
+    // showed its Spark/DuckDB spellings differ by an ulp on ties)
+    def rankVal(v: Array[Double], q: Int): Double =
+      v(((q * v.length + 99) / 100 - 1).max(0))
     rows.foreach { r =>
       val v = byType(r.getString(0))
-      assert(r.getDouble(1) == math.floor(interp(v, 0.05) * 1e6 + 0.5) / 1e6)
-      assert(r.getDouble(2) == math.floor(interp(v, 0.95) * 1e6 + 0.5) / 1e6)
+      assert(r.getDouble(1) == math.floor(rankVal(v, 5) * 1e6 + 0.5) / 1e6)
+      assert(r.getDouble(2) == math.floor(rankVal(v, 95) * 1e6 + 0.5) / 1e6)
       assert(r.getLong(3) == v.length)
       // each tail clips at most ~5% (interpolated bound can't exceed it)
       assert(r.getLong(4) <= (v.length * 0.05).ceil.toLong)

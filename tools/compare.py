@@ -12,6 +12,7 @@ floats compared bit-exactly (struct.pack), which is stricter than any
 plausible driver hash. Dev tool only; not part of the shipped library.
 """
 import json
+import os
 import math
 import struct
 import sys
@@ -32,15 +33,35 @@ def canon(v):
     return repr(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # base testdata tables are single files; StressGen scale-ups
+        # are directories of part files — glob handles both
+        src = f"read_parquet('{sf_dir}/{t}.parquet" + (
+            "/*.parquet')" if os.path.isdir(f"{sf_dir}/{t}.parquet") else "')")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        if t == "events":
+            # base fixture stores ts as TIMESTAMP(NANOS); Spark cannot
+            # write that type, so StressGen scale-ups carry the raw
+            # nanos BIGINT (the Spark side reads BOTH as nanos-longs via
+            # nanosAsLong). Rebuild the view as timestamp_ns so the
+            # oracle SQL sees one type at every scale.
+            (typ,) = con.execute(
+                "SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+            if typ == "BIGINT":
+                # this DuckDB (v1.0.0) has no make_timestamp_ns; the
+                # fixture's nanos are µs-aligned (verified: zero rows
+                # with ts % 1000 != 0), so micros reconstruct exactly
+                con.execute(
+                    "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                    "(CAST(make_timestamp(ts // 1000) AS TIMESTAMP_NS)"
+                    f" AS ts) FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    import os
     produced = sorted(d for d in os.listdir(out_dir)
                       if os.path.isdir(f"{out_dir}/{d}"))
+    if only:
+        produced = [n for n in produced if n in only]
     n_pass = n_fail = 0
     for name in produced:
         try:
@@ -93,13 +114,16 @@ def main(sf_dir, out_dir):
         else:
             print(f"pass {name}: {len(my_rows)} rows")
             n_pass += 1
-    missing = sorted(set(oracle) - set(produced))
-    for name in missing:
-        print(f"FAIL {name}: oracle declared but no output written")
-        n_fail += 1
+    if not only:
+        missing = sorted(set(oracle) - set(produced))
+        for name in missing:
+            print(f"FAIL {name}: oracle declared but no output written")
+            n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional argv[3]: comma-separated key filter for targeted re-checks
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
