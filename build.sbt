@@ -32,13 +32,29 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// pin the heap: Bench runs System.gc() between keys for peak-heap
+// attribution, and G1's post-full-GC uncommit would otherwise make
+// every key's timed region start by re-committing pages from the OS
+// (~30 s of spurious wall across 157 keys, measured). The pin is CAPPED
+// at 16g: an env-supplied SPARK_DRIVER_MEM near the box size would
+// otherwise commit the whole machine at JVM start — the configuration
+// round 2 measured as "6-12 s random stalls from memory pressure".
+// Above the cap, -Xms falls back to 8g (committed lazily up to -Xmx).
+val graftHeap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+val graftHeapMb: Long = "^([0-9]+)([gGmMkK]?)$".r.findFirstMatchIn(graftHeap) match {
+  case Some(m) =>
+    val n = m.group(1).toLong
+    m.group(2).toLowerCase match {
+      case "g" => n * 1024
+      case "m" => n
+      case "k" => math.max(n / 1024, 1)
+      case _   => n // bare JVM byte-count would be <1 MB; treat as MB-scale
+    }
+  case None => Long.MaxValue // unparseable → don't pin, let -Xmx fail loudly
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // pin the heap: Bench runs System.gc() between keys for peak-heap
-  // attribution, and G1's post-full-GC uncommit would otherwise make
-  // every key's timed region start by re-committing pages from the OS
-  // (~30 s of spurious wall across 157 keys, measured)
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$graftHeap",
+  if (graftHeapMb <= 16384) s"-Xms$graftHeap" else "-Xms8g",
 )

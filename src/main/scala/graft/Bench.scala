@@ -86,6 +86,20 @@ object Bench {
       val src = scala.io.Source.fromFile("/sys/fs/cgroup/cpu.max")
       try src.mkString.trim.replaceAll("\\s+", "/") finally src.close()
     } catch { case _: Exception => "none" }
+    // Recomputation-storm evidence (round-6 ask: the driver's pagerank
+    // artifact read 186 s / 1732 CPU-s with no way to tell whether tasks
+    // were retried): count failed tasks and re-submitted stages, snapshot
+    // per key. The listener bus is async, so a delta can land on the
+    // adjacent key (±1 key granularity) — a storm is thousands of events,
+    // so attribution survives the skew.
+    val failedTasks = new java.util.concurrent.atomic.AtomicLong
+    val stageRetries = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.reason != org.apache.spark.Success) { failedTasks.incrementAndGet(); () }
+      override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        if (e.stageInfo.attemptNumber() > 0) { stageRetries.incrementAndGet(); () }
+    })
     val loadStart = loadAvg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => keep(n) }
@@ -104,6 +118,7 @@ object Bench {
         heapPools.foreach(_.resetPeakUsage())
         val gc0 = gcMs()
         val cpu0 = cpuSec()
+        val ft0 = failedTasks.get(); val sr0 = stageRetries.get()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
           case e: Throwable =>
@@ -120,19 +135,20 @@ object Bench {
         // ride the heap into every later key's peak reading
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        (name, sec, err, gcDelta, peakMb, cpu)
+        (name, sec, err, gcDelta, peakMb, cpu,
+          failedTasks.get() - ft0, stageRetries.get() - sr0)
       }
     val loadEnd = loadAvg()
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.US, v)
-    val qs = results.map { case (k, v, err, _, _, _) =>
+    val qs = results.map { case (k, v, err, _, _, _, _, _) =>
       "\"" + k + "\":" + (if (err.isDefined) "null" else r3(v))
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m), _, _, _) => s"\"$k\":\"$m\"" }
+    val errs = results.collect { case (k, _, Some(m), _, _, _, _, _) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
     val nOk = results.count(_._3.isEmpty)
     val nErr = results.count(_._3.isDefined)
-    val total = r3(results.collect { case (_, v, None, _, _, _) => v }.sum)
+    val total = r3(results.collect { case (_, v, None, _, _, _, _, _) => v }.sum)
     val gcTotal = results.map(_._4).sum
     val cpuTotal = results.map(_._6).sum
     // Line protocol (r3 postmortem: the driver TAIL-keeps ~2000 chars of
@@ -150,16 +166,27 @@ object Bench {
     // prefix) and showSuccess := false (no trailing "[success]" line),
     // so line 6 really is the process's — and sbt's — last stdout line.
     println(s"""{"metric":"bench_detail","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    val cpuQs = results.map { case (k, _, _, _, _, c) =>
+    val cpuQs = results.map { case (k, _, _, _, _, c, _, _) =>
       "\"" + k + "\":" + r3(c)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"cpu_detail","unit":"sec","queries":$cpuQs}""")
-    val gcsNonzero = results.collect { case (k, _, _, g, p, _) if g > 0 =>
+    val gcsNonzero = results.collect { case (k, _, _, g, p, _, _, _) if g > 0 =>
       "\"" + k + "\":[" + g + "," + p + "]"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"gc_heap","unit":"[ms,mb]","queries":$gcsNonzero}""")
+    // recomputation-storm adjudication: keys whose timed region saw task
+    // failures or stage re-submissions (normally "{}" — any entry here
+    // means retries did real extra work inside that key's wall time)
+    val retriesNonzero = results.collect { case (k, _, _, _, _, _, ft, sr) if ft + sr > 0 =>
+      "\"" + k + "\":[" + ft + "," + sr + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"retries","unit":"[failed_tasks,stage_retries]","queries":$retriesNonzero}""")
+    // strategy branches picked by adaptive operators during this run
+    val notes = graft.ops.Diag.notes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    println(s"""{"metric":"notes","queries":$notes}""")
     val heavies = results.filter(_._3.isEmpty).sortBy(-_._2).take(12)
-      .map { case (k, v, _, _, _, c) => "\"" + k + "\":[" + r2(v) + "," + r2(c) + "]" }
+      .map { case (k, v, _, _, _, c, _, _) => "\"" + k + "\":[" + r2(v) + "," + r2(c) + "]" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"heavies_wall_cpu","unit":"sec","queries":$heavies}""")
     println(s"""{"metric":"host","cpus":${Runtime.getRuntime.availableProcessors()},"load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},"cpu_quota":"$cpuQuota"}""")

@@ -106,6 +106,44 @@ object Det {
   def sumMoneyD(c: Column): Column = sum(money(c)).cast(DoubleType)
 }
 
+/** Parquet footer statistics — table sizing without running a job.
+  * A footer read is a few KB of I/O per file; adaptive operators use it
+  * to pick a strategy branch (e.g. graph_pagerank's small/big plan)
+  * instead of materializing a count, which taxed every run at every
+  * scale (round-6 verdict).
+  */
+object Meta {
+  /** Total row count of a parquet file or directory tree, summed from
+    * footer block metadata. No Spark job, no data pages read. */
+  def parquetRowCount(s: SparkSession, path: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val it = p.getFileSystem(conf).listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try total += reader.getRecordCount finally reader.close()
+      }
+    }
+    total
+  }
+}
+
+/** Cross-cutting runtime notes — adaptive operators record which branch
+  * they picked (keyed by query name); Bench prints the map in a `notes`
+  * artifact line so a reader can tell WHICH plan a measurement timed
+  * without rerunning anything.
+  */
+object Diag {
+  val notes = new scala.collection.concurrent.TrieMap[String, String]
+  def note(key: String, value: String): Unit = { notes.put(key, value); () }
+}
+
 /** Shared query parameters — single source for both the Spark builders and
   * the hand-written DuckDB oracle strings, so cutoffs cannot drift
   * (SURVEY §7.4 "oracle SQL duplication drift").
@@ -128,6 +166,15 @@ object Params {
   // threshold is calibrated to yield a non-degenerate pair set at every SF.
   val CosineThreshold = 0.4
   val TopK = 5 // llm_simsearch_topk
+  // graph_pagerank strategy cutoff: |pairs| above this → columnar persist
+  // + hash-partitioned edges + shuffle_hash on the ranks side (the ×100
+  // OOM fixes); at or below → the plain small-graph plan. |pairs| is
+  // upper-bounded by |lineitem| (each lineitem row matches exactly one
+  // order, so the pre-distinct pair set is one row per lineitem row),
+  // and |lineitem| is free from parquet footers — no sizing job.
+  // Env-overridable so stress runs can force either path.
+  val PagerankBigPairs: Long =
+    sys.env.get("SPARK_GRAFT_PAGERANK_BIG").map(_.toLong).getOrElse(2000000L)
   val ConeDeg = 5.0 // udf_angular_distance cone radius
   val ZoneEps = 0.5 // astro_crossmatch_zones match radius (deg)
 }

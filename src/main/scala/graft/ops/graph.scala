@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import Params._
 
 /** Graph analytics over relational edge lists (complements the
   * connected-components operator in llm.scala).
@@ -14,60 +15,65 @@ import org.apache.spark.sql.functions._
   * (partial-sum order differs); the fixed-point formulation is how you
   * make an iterative numeric algorithm oracle-checkable.
   *
-  * 100-TB shape: one edge shuffle per iteration (join on the source
-  * key, re-aggregate on the destination), degree table computed once,
-  * per-iteration localCheckpoint to pin lineage — same execution
-  * discipline as dedupClusters.
+  * 100-TB shape: one ranks shuffle per iteration (join on the source
+  * key, re-aggregate on the destination), degree and edge tables
+  * computed once and persisted (recomputable columnar caches, not
+  * checkpoints — 3 iterations keep the lazy plan small).
   */
 object Graph {
 
   /** 3-iteration integer PageRank over the undirected customer↔supplier
     * bipartite graph induced by orders⨝lineitem (customer nodes = 2k,
-    * supplier nodes = 2k+1). */
+    * supplier nodes = 2k+1).
+    *
+    * Pure lazy builder (no job runs until the caller acts): the strategy
+    * branch is picked from parquet FOOTER metadata — |pairs| is bounded
+    * by |lineitem| because each lineitem row matches exactly one order —
+    * replacing the round-6 `pairs.count()` materialization that taxed
+    * every run at every scale. Big graphs (> Params.PagerankBigPairs)
+    * hash-partition the degree-annotated edge table once and
+    * `shuffle_hash`-join the small ranks side each iteration, so only
+    * ranks moves and the invariant edge side is never re-sorted (the
+    * ×100 OOM fixes, SCALING.md).
+    *
+    * Eviction-safety: every pinned frame is a `persist()` — recomputable
+    * from lineage if storage pressure ever drops a block. The previous
+    * design localCheckpoint()ed per-iteration ranks and freed superseded
+    * blocks mid-build; a localCheckpoint CANNOT be recomputed, so any
+    * eviction-vs-retry race becomes task failure or a recomputation
+    * storm. With only 3 iterations the lazy plan stays small (edge cache
+    * read 3×, deg 4×) and that entire failure class is gone. Callers
+    * that keep the session hot should unpersist after consuming (Bench
+    * and Verify drop all persisted RDDs between keys). */
   private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val lineitemRows = Meta.parquetRowCount(s, s"$dir/lineitem.parquet")
+    val bigGraph = lineitemRows > PagerankBigPairs
+    Diag.note("graph_pagerank",
+      (if (bigGraph) "big" else "small") + s"(lineitem_rows=$lineitemRows)")
+    // columnar pair cache (2 longs/row, compressed): read by both union
+    // branches of `edges`, so the orders⨝lineitem distinct runs once
     val pairs = T(s, dir, "orders").select("o_orderkey", "o_custkey")
       .join(T(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
-      // columnar cache (2 longs/row, compressed) — materialized by the
-      // strategy-picking count below, then read by deg AND edgesD so
-      // the orders⨝lineitem distinct runs once
       .persist()
-    // Runtime strategy switch (the x100 stress run turned the scaladoc's
-    // "at a scale where ranks outgrows the broadcast threshold, switch
-    // to repartition+persist" note from advice into a failure: the
-    // row-block localCheckpoints of the 118M-row edge tables plus three
-    // per-iteration full-edge exchanges OOM'd an 8 GB heap). One cheap
-    // count on the cached pair set picks the plan, AQE-style:
-    val bigGraph = pairs.count() > 2000000L
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-    val deg0 = edges.groupBy("a").agg(count(lit(1)).as("outdeg"))
-    // small graphs: pin with localCheckpoint (row blocks, cheapest to
-    // build — the driver-bench path, byte-identical to rounds 1-5).
-    // big graphs: columnar-compressed persist, and edgesD keeps an
-    // explicit hash partitioning on the join key so every iteration's
-    // SortMergeJoin exchanges ONLY the ranks table (InMemoryTableScan
-    // preserves outputPartitioning; a checkpoint's LogicalRDD drops it)
-    val deg = if (bigGraph) deg0.persist() else deg0.localCheckpoint()
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("outdeg")).persist()
+    // big graphs: edgesD keeps an explicit hash partitioning on the join
+    // key (InMemoryTableScan preserves outputPartitioning), so every
+    // iteration's join exchanges ONLY the ranks table
     val edgesD0 = edges.join(deg, "a")
     val edgesD =
-      if (bigGraph) edgesD0.repartition(col("a")).persist()
-      else edgesD0.localCheckpoint()
+      (if (bigGraph) edgesD0.repartition(col("a")) else edgesD0).persist()
     var ranks = deg.select(col("a").as("node"), lit(1000000L).as("pr"))
-    // superseded per-iteration checkpoints are freed as soon as the next
-    // one materializes (same heap discipline as dedupClusters); the
-    // initial ranks frame is NOT a checkpoint (it still reads deg's
-    // blocks), so only loop-produced checkpoints are eligible
-    var supersededCp: Option[DataFrame] = None
-    for (it <- 1 to 3) {
+    for (_ <- 1 to 3) {
       // big graphs: hash-join against the SMALL ranks side instead of
-      // sort-merge — an SMJ would re-SORT the 118M-row cached edge side
-      // every iteration, and at ×100 scale those sort buffers (not the
-      // caches) are what pushed the heap over 8 GB when the key ran
-      // mid-suite rather than solo. The ranks build side is nodes/P
-      // rows per task — trivially resident.
+      // sort-merge — an SMJ would re-SORT the cached 118M-row edge side
+      // every iteration, and at ×100 those sort buffers (not the caches)
+      // are what pushed the heap over 8 GB mid-suite. The ranks build
+      // side is nodes/P rows per task — trivially resident.
       val ranksJ = if (bigGraph) ranks.hint("shuffle_hash") else ranks
       val contribs = edgesD.join(ranksJ, col("a") === col("node"))
         .select(col("b"), expr("(pr * 85) div (100 * outdeg)").as("c"))
@@ -75,18 +81,7 @@ object Graph {
       ranks = deg.select(col("a").as("node"))
         .join(contribs, col("node") === col("b"), "left_outer")
         .select(col("node"), (lit(150000L) + coalesce(col("sc"), lit(0L))).as("pr"))
-        .localCheckpoint()
-      supersededCp.foreach(org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint)
-      supersededCp = Some(ranks)
-      // after iteration 1 the support caches (deg, edgesD) are built;
-      // the raw pair cache is dead weight from here on
-      if (it == 1) pairs.unpersist(blocking = false)
     }
-    // the final ranks checkpoint is self-contained — the support tables
-    // are no longer reachable from the returned plan (pairs was already
-    // dropped after iteration 1)
-    if (bigGraph) { deg.unpersist(blocking = false); edgesD.unpersist(blocking = false) }
-    else Seq(deg, edgesD).foreach(org.apache.spark.sql.graftshim.Shim.unpersistLocalCheckpoint)
     ranks.orderBy("node")
   }
 

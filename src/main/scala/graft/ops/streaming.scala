@@ -341,30 +341,31 @@ object Streaming {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       src.resolve("events.parquet"))
-    val sch = T(s, dir, "events").schema // also sets nanosAsLong
     // join state is keyed on user_id: 8 state stores instead of the
-    // session's 32 — same sizing note as streamFileSink
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      def side(tpe: String, idAs: String, tsAs: String) =
-        s.readStream.schema(sch).parquet(src.toString)
-          .where(col("event_type") === tpe)
-          .select(col("user_id"), col("event_id").as(idAs),
-            timestamp_micros(expr("ts div 1000")).as(tsAs))
-      val joined = graft.streaming.Streams.intervalJoin(
-          side("purchase", "purchase_id", "p_ts"),
-          side("error", "error_id", "e_ts"),
-          "user_id", "p_ts", "e_ts", "1 hour", "24 HOURS")
-        .select(col("l.user_id").as("user_id"), col("purchase_id"),
-          col("error_id"), unix_micros(col("p_ts")).as("purchase_us"),
-          unix_micros(col("e_ts")).as("error_us"))
-      val q = joined.writeStream.format("parquet")
-        .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // session's 32 — same sizing note as streamFileSink. The override
+    // lives on a FORKED session (shared SparkContext, isolated SQLConf):
+    // the previous set/finally-restore on the shared session conf was a
+    // race if two builders ever run concurrently (round-6 verdict #4).
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val sch = T(ss, dir, "events").schema // also sets nanosAsLong on ss
+    def side(tpe: String, idAs: String, tsAs: String) =
+      ss.readStream.schema(sch).parquet(src.toString)
+        .where(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idAs),
+          timestamp_micros(expr("ts div 1000")).as(tsAs))
+    val joined = graft.streaming.Streams.intervalJoin(
+        side("purchase", "purchase_id", "p_ts"),
+        side("error", "error_id", "e_ts"),
+        "user_id", "p_ts", "e_ts", "1 hour", "24 HOURS")
+      .select(col("l.user_id").as("user_id"), col("purchase_id"),
+        col("error_id"), unix_micros(col("p_ts")).as("purchase_us"),
+        unix_micros(col("e_ts")).as("error_us"))
+    val q = joined.writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     s.read.parquet(s"$root/out")
       .orderBy("user_id", "purchase_id", "error_id")
   }
