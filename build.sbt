@@ -48,13 +48,21 @@ val graftHeapMb: Long = "^([0-9]+)([gGmMkK]?)$".r.findFirstMatchIn(graftHeap) ma
       case "g" => n * 1024
       case "m" => n
       case "k" => math.max(n / 1024, 1)
-      case _   => n // bare JVM byte-count would be <1 MB; treat as MB-scale
+      // bare number = JVM byte-count (java -Xmx accepts raw bytes)
+      case _   => math.max(n >> 20, 1)
     }
-  case None => Long.MaxValue // unparseable → don't pin, let -Xmx fail loudly
+  case None => -1L // unparseable → don't pin -Xms; let -Xmx fail loudly
 }
+// -Xms pin, capped: equal to -Xmx up to 16g; above that fall back to 8g
+// (which is then provably < -Xmx, so the JVM always starts — the
+// previous bare-bytes parse could emit -Xms8g next to a smaller -Xmx
+// and refuse to boot, ADVICE r7).
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx$graftHeap",
-  if (graftHeapMb <= 16384) s"-Xms$graftHeap" else "-Xms8g",
-)
+) ++ (graftHeapMb match {
+  case n if n < 0      => Seq.empty
+  case n if n <= 16384 => Seq(s"-Xms$graftHeap")
+  case _               => Seq("-Xms8g")
+})

@@ -46,6 +46,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/tests: the events µs derivation casts NTZ→LTZ
+      // through the session timezone; unpinned, Bench would time (and a
+      // user would get) host-tz-dependent values while the UTC-pinned
+      // oracle gate still passed (ADVICE r8).
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
@@ -94,13 +99,50 @@ object Bench {
     // so attribution survives the skew.
     val failedTasks = new java.util.concurrent.atomic.AtomicLong
     val stageRetries = new java.util.concurrent.atomic.AtomicLong
+    // Execute-side attribution (round-7 ask #1, owed across three anomaly
+    // rounds): per-key sum-of-task-run-times and max single task. With
+    // wall and cpu already recorded, a reader can place any key's cost:
+    //   task_sum ≈ wall × threads → plan cost, fully parallel;
+    //   wall ≈ task_max ≫ task_sum/threads → one straggler task (skew);
+    //   cpu ≈ wall ≫ task_sum → DRIVER-side single-threaded work
+    //     (codegen/Janino if cg_n jumped, else planning/collect);
+    //   wall ≫ cpu → starved of cores (host contention).
+    // The listener bus is async → per-key deltas carry the same ±1-key
+    // granularity caveat as the retry counters below.
+    val taskMsSum = new java.util.concurrent.atomic.AtomicLong
+    val taskMsMax = new java.util.concurrent.atomic.AtomicLong
+    val taskCount = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.reason != org.apache.spark.Success) { failedTasks.incrementAndGet(); () }
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        // TaskKilled = intentional (speculation / stage cancel), not a
+        // recomputation-storm signal; counting it smeared the retry
+        // artifact once keys started erroring (ADVICE r8).
+        if (e.reason != org.apache.spark.Success &&
+            !e.reason.isInstanceOf[org.apache.spark.TaskKilled])
+          { failedTasks.incrementAndGet(); () }
+        val m = e.taskMetrics
+        if (m != null) {
+          taskMsSum.addAndGet(m.executorRunTime)
+          taskCount.incrementAndGet()
+          taskMsMax.updateAndGet(c => math.max(c, m.executorRunTime))
+          ()
+        }
+      }
       override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
         if (e.stageInfo.attemptNumber() > 0) { stageRetries.incrementAndGet(); () }
     })
+    // Compile-side attribution: whole-stage-codegen Janino compiles run on
+    // the DRIVER thread inside the timed region; their count (exact) and
+    // milliseconds (exact while total compiles < the 1028-slot reservoir —
+    // a full bench run compiles a few hundred classes) come from Spark's
+    // own CodegenMetrics histograms.
+    val cgHist = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+    def cgCount(): Long = cgHist.getCount
+    def cgMsTotal(): Long = cgHist.getSnapshot.getValues.sum
     val loadStart = loadAvg()
+    // name -> (task_s_sum, task_s_max, n_tasks, cg_compiles, cg_ms)
+    val execDetail = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Long, Long, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => keep(n) }
       .map { case (name, fn) =>
@@ -119,6 +161,9 @@ object Bench {
         val gc0 = gcMs()
         val cpu0 = cpuSec()
         val ft0 = failedTasks.get(); val sr0 = stageRetries.get()
+        val tm0 = taskMsSum.get(); val tc0 = taskCount.get()
+        taskMsMax.set(0)
+        val cg0 = cgCount(); val cgMs0 = cgMsTotal()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
           case e: Throwable =>
@@ -129,6 +174,9 @@ object Bench {
         val cpu = cpuSec() - cpu0
         val gcDelta = gcMs() - gc0
         val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+        execDetail(name) = (
+          (taskMsSum.get() - tm0) / 1e3, taskMsMax.get() / 1e3,
+          taskCount.get() - tc0, cgCount() - cg0, cgMsTotal() - cgMs0)
         // outside the timed region: drop any persisted blocks the query
         // left behind (iterative ops localCheckpoint; builders are pure,
         // nothing is reused across keys) so one key's artifacts don't
@@ -170,6 +218,13 @@ object Bench {
       "\"" + k + "\":" + r3(c)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"cpu_detail","unit":"sec","queries":$cpuQs}""")
+    // per-key execute/compile/skew attribution (see listener comment):
+    // [sum task run-time s, max single task s, n tasks, codegen compiles,
+    // codegen ms] — task fields carry ±1-key async-bus granularity
+    val execQs = execDetail.map { case (k, (ts, tmax, n, cgN, cgT)) =>
+      "\"" + k + "\":[" + r2(ts) + "," + r2(tmax) + "," + n + "," + cgN + "," + cgT + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"exec_detail","unit":"[task_s_sum,task_s_max,n_tasks,cg_n,cg_ms]","queries":$execQs}""")
     val gcsNonzero = results.collect { case (k, _, _, g, p, _, _, _) if g > 0 =>
       "\"" + k + "\":[" + g + "," + p + "]"
     }.mkString("{", ",", "}")
@@ -182,8 +237,17 @@ object Bench {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"retries","unit":"[failed_tasks,stage_retries]","queries":$retriesNonzero}""")
     // strategy branches picked by adaptive operators during this run
+    // (values JSON-escaped: a note carrying a quote/backslash would
+    // otherwise corrupt the whole artifact line, ADVICE r7)
+    def jesc(v: String): String =
+      v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      }
     val notes = graft.ops.Diag.notes.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + jesc(k) + "\":\"" + jesc(v) + "\"" }.mkString("{", ",", "}")
     println(s"""{"metric":"notes","queries":$notes}""")
     val heavies = results.filter(_._3.isEmpty).sortBy(-_._2).take(12)
       .map { case (k, v, _, _, _, c, _, _) => "\"" + k + "\":[" + r2(v) + "," + r2(c) + "]" }

@@ -21,23 +21,59 @@ object T {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(s: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      // Spark 4 rejects TIMESTAMP(NANOS) parquet outright
-      // ([PARQUET_TYPE_ILLEGAL]); read the raw int64 nanos instead and
-      // derive µs/timestamp columns explicitly (exact integer math).
+    if (name == "events") {
+      // Fixture-drift armor: if the driver ever regenerates events with
+      // TIMESTAMP(NANOS) again (the pre-2026-08-13 format, which Spark 4
+      // rejects outright with [PARQUET_TYPE_ILLEGAL]), read the raw int64
+      // nanos instead; usCol below derives µs from either physical type.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The current fixture is naive timestamp[us] → TIMESTAMP_NTZ. Its
+      // epoch derivation casts NTZ→LTZ, which uses the session timezone;
+      // pin UTC so `us` matches DuckDB's epoch_us(ts) (which treats naive
+      // timestamps as UTC) in ANY session, not just Verify's UTC one.
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events with a microsecond epoch column `us` (exact integer division
-    * of the raw nanos — same truncation DuckDB's epoch_us(ts) applies,
-    * verified) and a µs-precision timestamp `ts_us` for window/date
-    * functions (SURVEY §7.3.5).
+  /** Epoch-microseconds derivation for the events `ts` column, adaptive
+    * to the fixture's physical type (the driver's 2026-08-13 regen moved
+    * ts from int64-nanos to naive timestamp[us]):
+    *  - LongType         → legacy raw-nanos read: exact `ts div 1000`
+    *    (same truncation DuckDB's epoch_us applies, verified)
+    *  - TimestampNTZType → naive-µs read: cast to LTZ under the UTC
+    *    session pinned in [[apply]], then unix_micros — exactly DuckDB's
+    *    epoch_us(ts) on the same naive column
+    *  - TimestampType    → unix_micros directly
+    * Records which branch ran in [[graft.ops.Diag]] so a future fixture
+    * regen flips a bench note, not 24 keys.
     */
-  def eventsUs(s: SparkSession, dir: String): DataFrame =
-    apply(s, dir, "events")
-      .withColumn("us", expr("ts div 1000"))
+  def usCol(dt: DataType): Column = {
+    val branch = dt match {
+      case LongType => "int64_nanos_div"
+      case TimestampNTZType => "ntz_unix_micros_utc"
+      case TimestampType => "ltz_unix_micros"
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other; " +
+            "expected int64-nanos (legacy), timestamp[us] naive, or timestamp[us] UTC")
+    }
+    Diag.note("events_ts_branch", branch)
+    dt match {
+      case LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast(TimestampType))
+    }
+  }
+
+  /** events with a microsecond epoch column `us` (see [[usCol]]) and a
+    * µs-precision timestamp `ts_us` for window/date functions
+    * (SURVEY §7.3.5).
+    */
+  def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    val df = apply(s, dir, "events")
+    df.withColumn("us", usCol(df.schema("ts").dataType))
       .withColumn("ts_us", timestamp_micros(col("us")))
+  }
 }
 
 /** One per-JVM temp root for every write-demo query (csv/json/orc/avro
@@ -165,6 +201,12 @@ object Params {
   // cosine ≈ 0.48/0.51/0.60 at sf0.001/0.01/0.1), so the demonstration
   // threshold is calibrated to yield a non-degenerate pair set at every SF.
   val CosineThreshold = 0.4
+  // llm_dedup_embed_prod: production dedup threshold over IVF-cell
+  // candidates; the input is augmented with deterministic near-dups
+  // (ids offset by EmbedAugOffset) because isotropic fixture vectors
+  // never pair at 0.9.
+  val CosineProdTau = 0.9
+  val EmbedAugOffset = 10000000L
   val TopK = 5 // llm_simsearch_topk
   // graph_pagerank strategy cutoff: |pairs| above this → columnar persist
   // + hash-partitioned edges + shuffle_hash on the ranks side (the ×100

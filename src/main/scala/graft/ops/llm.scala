@@ -289,6 +289,93 @@ object Llm {
       .orderBy("v1", "v2")
   }
 
+  /** Production-threshold embedding dedup (τ = 0.9) — the sparse-output
+    * scale path the all-pairs [[dedupEmbed]] demo explicitly is not (its
+    * own doc: at τ ≥ 0.9 candidates should come from blocking, not
+    * enumeration). The fixture embeddings are isotropic (max pairwise
+    * cos ≈ 0.5), so τ = 0.9 over the raw table would be degenerate; the
+    * frame under test is the fixture UNION deterministic near-dups: for
+    * every vec_id ≡ 0 (mod 5) with a successor, v′ = 0.9·v + 0.1·v₊₁
+    * (double math, spelled term-for-term in the oracle), cos(v, v′) ≈
+    * 0.99 ≥ τ while all other pairs stay far below.
+    *
+    * Candidates come from IVF cells with a PROVABLY LOSSLESS cell-pair
+    * pruning: every vector is assigned to the nearest of 16 seed
+    * centroids in unit-normalized space; each cell keeps rad = max
+    * ‖u − c‖ over members; cell pair (i ≤ j) is scored only when
+    * ‖cᵢ − cⱼ‖ ≤ radᵢ + radⱼ + r, with r = √(2 − 2τ) the chord length
+    * of the cosine threshold. Triangle inequality: a qualifying pair
+    * (‖x − y‖ ≤ r on unit vectors) forces its centroids within
+    * radᵢ + r + radⱼ, so skipped cell pairs contain no qualifying pair
+    * and the output EQUALS all-pairs (LlmOpsSuite asserts against the
+    * brute-force twin; the DuckDB oracle IS the all-pairs spelling). A
+    * 1e-9 slack absorbs float rounding in the pruning metric only — the
+    * score itself uses the raw vectors and the oracle's left-to-right
+    * accumulation chain, so survivors are bit-exact.
+    *
+    * 100-TB shape: assignment is a broadcast map pass (16 centroids via
+    * the one-row non-foldable-key digest — no driver collect, no
+    * shuffle); radii and cell-pair tables are ≤ 16 and ≤ 136 rows; the
+    * candidate join shuffles on cell id only, so members of non-adjacent
+    * cells never meet in any task. More cells ⇒ finer pruning; a heavy
+    * cell is salted or its seed split, the standard IVF remedies.
+    */
+  private def dedupEmbedProd(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.expressions.{dotD, norm2D}
+    val tau = CosineProdTau
+    val chord = math.sqrt(2.0 - 2.0 * tau)
+    val base = T(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val nxt = base.select((col("vec_id") - 1).as("aid"), col("v").as("w"))
+    val aug = base.where(pmod(col("vec_id"), lit(5)) === 0)
+      .join(nxt, col("vec_id") === col("aid"))
+      .select((col("vec_id") + lit(EmbedAugOffset)).as("vec_id"),
+        zip_with(col("v"), col("w"), (x, y) => lit(0.9) * x + lit(0.1) * y).as("v"))
+    val all = base.unionByName(aug)
+      .withColumn("n2", norm2D(col("v")))
+      .withColumn("u", transform(col("v"), x => x / sqrt(col("n2"))))
+    val seedRows = all.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    val seeds = seedRows
+      .agg(collect_list(struct(col("cid"), col("cu"))).as("seeds"))
+      .withColumn("k0", pmod(xxhash64(size(col("seeds"))), lit(1L)).cast("int"))
+    val assigned = all
+      .withColumn("k0", pmod(xxhash64(col("vec_id")), lit(1L)).cast("int"))
+      .join(broadcast(seeds), "k0")
+      // argmin distance with smallest-cid tiebreak in one compiled
+      // expression (struct ordering), same shape as kmeansAssign
+      .withColumn("best", array_min(transform(col("seeds"), sd =>
+        struct((lit(2.0) - lit(2.0) * dotD(col("u"), sd.getField("cu"))).as("d2"),
+          sd.getField("cid").as("cid")))))
+      .select(col("vec_id"), col("v"), col("n2"),
+        col("best").getField("cid").as("cell"),
+        sqrt(greatest(col("best").getField("d2"), lit(0.0))).as("cd"))
+      .persist()
+    val radii = assigned.groupBy(col("cell")).agg(max(col("cd")).as("rad"))
+    val geo1 = radii.join(seedRows, col("cell") === col("cid"))
+      .select(col("cell").as("c1"), col("rad").as("rad1"), col("cu").as("cu1"))
+    val geo2 = radii.join(seedRows, col("cell") === col("cid"))
+      .select(col("cell").as("c2"), col("rad").as("rad2"), col("cu").as("cu2"))
+    val cellPairs = geo1.crossJoin(broadcast(geo2))
+      .where(col("c1") <= col("c2") &&
+        sqrt(greatest(lit(2.0) - lit(2.0) * dotD(col("cu1"), col("cu2")), lit(0.0))) <=
+          col("rad1") + col("rad2") + lit(chord + 1e-9))
+      .select("c1", "c2")
+    val lhs = assigned.select(col("vec_id").as("id1"), col("v").as("va"),
+      col("n2").as("n2a"), col("cell").as("m1"))
+    val rhs = assigned.select(col("vec_id").as("id2"), col("v").as("vb"),
+      col("n2").as("n2b"), col("cell").as("m2"))
+    lhs.join(broadcast(cellPairs), col("m1") === col("c1"))
+      .join(rhs, col("m2") === col("c2") &&
+        (col("m1") =!= col("m2") || col("id1") < col("id2")))
+      .select(least(col("id1"), col("id2")).as("v1"),
+        greatest(col("id1"), col("id2")).as("v2"),
+        (dotD(col("va"), col("vb")) / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cos"))
+      .where(col("cos") >= lit(tau))
+      .select(col("v1"), col("v2"), dround(col("cos"), 6).as("cos_sim"))
+      .orderBy("v1", "v2")
+  }
+
   /** Transitive dedup clusters: connected components over the near-dup
     * pair graph by min-label propagation WITH pointer-doubling
     * (Shiloach–Vishkin shortcutting: lab := lab(lab) each round), so the
@@ -951,6 +1038,7 @@ object Llm {
     "llm_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "llm_dedup_simhash" -> (dedupSimhash _),
     "llm_dedup_embed" -> (dedupEmbed _),
+    "llm_dedup_embed_prod" -> (dedupEmbedProd _),
     "llm_dedup_clusters" -> (dedupClusters _),
     "llm_corpus_filter" -> (corpusFilter _),
     "llm_simsearch_topk" -> (simsearchTopk _),
@@ -1071,6 +1159,27 @@ object Llm {
          | FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |WHERE cos >= $CosineThreshold
          |ORDER BY v1, v2""".stripMargin,
+    // the oracle is the all-pairs spelling over the SAME augmented
+    // frame; the engine's cell pruning is lossless (see dedupEmbedProd
+    // Scaladoc), so the two agree exactly
+    "llm_dedup_embed_prod" -> {
+      val vList = (1 to Dim).map(i => s"CAST(embedding[$i] AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      val augList = (1 to Dim).map(i => s"0.9 * a.v[$i] + 0.1 * b.v[$i]")
+        .mkString("[", ", ", "]")
+      s"""WITH b0 AS (SELECT vec_id, $vList AS v FROM embeddings),
+         |aug AS (SELECT a.vec_id + $EmbedAugOffset AS vec_id, $augList AS v
+         |        FROM b0 a JOIN b0 b ON b.vec_id = a.vec_id + 1
+         |        WHERE a.vec_id % 5 = 0),
+         |allv AS (SELECT vec_id, v FROM b0 UNION ALL SELECT vec_id, v FROM aug),
+         |n AS (SELECT vec_id, v, ${sqlNorm2("v")} AS n2 FROM allv)
+         |SELECT v1, v2, ${sqlRound("cos", 6)} AS cos_sim FROM (
+         | SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |  (${sqlDot("a.v", "b.v")}) / (SQRT(a.n2) * SQRT(b.n2)) AS cos
+         | FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |WHERE cos >= $CosineProdTau
+         |ORDER BY v1, v2""".stripMargin
+    },
     "llm_dedup_clusters" ->
       s"""WITH RECURSIVE sh AS ($sqlShingles),
          |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),

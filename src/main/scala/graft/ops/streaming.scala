@@ -52,7 +52,7 @@ object Streaming {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = s.readStream.schema(sch).parquet(src.toString)
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_us", timestamp_micros(T.usCol(sch("ts").dataType)))
       .withWatermark("ts_us", "1 hour")
       .groupBy(window(col("ts_us"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sumMoneyD(col("value")).as("sum_value"))
@@ -107,7 +107,7 @@ object Streaming {
         .parquet(src.toString)
         .select(col("user_id"), col("event_id").as("last_event"),
           col("event_type").as("last_type"), col("value").as("last_value"),
-          expr("ts div 1000").as("last_us"))
+          T.usCol(sch("ts").dataType).as("last_us"))
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$root/cp")
         .trigger(Trigger.AvailableNow())
@@ -195,8 +195,8 @@ object Streaming {
       val in = s.readStream.schema(sch).parquet(src.toString)
         .select(col("user_id"), col("event_id"), col("event_type"),
           (Det.money(col("value")) * 100).cast("long").as("cents"),
-          timestamp_micros(expr("ts div 1000")).as("ts_us"),
-          expr("ts div 1000").as("us"))
+          timestamp_micros(T.usCol(sch("ts").dataType)).as("ts_us"),
+          T.usCol(sch("ts").dataType).as("us"))
         .withWatermark("ts_us", "1 hour")
         .as[graft.streaming.Streams.PEvent]
       val q = op(in)
@@ -353,7 +353,7 @@ object Streaming {
       ss.readStream.schema(sch).parquet(src.toString)
         .where(col("event_type") === tpe)
         .select(col("user_id"), col("event_id").as(idAs),
-          timestamp_micros(expr("ts div 1000")).as(tsAs))
+          timestamp_micros(T.usCol(sch("ts").dataType)).as(tsAs))
     val joined = graft.streaming.Streams.intervalJoin(
         side("purchase", "purchase_id", "p_ts"),
         side("error", "error_id", "e_ts"),

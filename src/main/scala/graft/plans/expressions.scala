@@ -54,6 +54,49 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Double-array twin of [[DotProductF]] — same left-to-right accumulation
+  * contract, for frames whose vectors are already double (augmented /
+  * centroid math). Being a native expression (not a ScalaUDF) it is also
+  * safe inside higher-order-function lambdas, where it computes per-seed
+  * distances without leaving whole-stage codegen.
+  */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_d"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = math.min(x.numElements(), y.numElements())
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("dotSum")
+      val i = ctx.freshName("dotI")
+      val n = ctx.freshName("dotN")
+      s"""
+         |double $s = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductD =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Compiled k-token shingling: the `array_distinct(transform(sequence…,
   * slice+concat_ws))` spelling evaluates four nested higher-order
   * functions INTERPRETED per token (measured ~0.6 ms/doc — 3 s per pass
@@ -305,6 +348,12 @@ object expressions {
 
   /** norm² as a self-dot — one fused pass. */
   def norm2F(a: Column): Column = dotF(a, a)
+
+  /** Column-level API for [[DotProductD]]. */
+  def dotD(a: Column, b: Column): Column =
+    Shim.column(DotProductD(Shim.expression(a), Shim.expression(b)))
+
+  def norm2D(a: Column): Column = dotD(a, a)
 
   /** Column-level API for [[ShinglesK]]. */
   def shinglesK(toks: Column, k: Int): Column =

@@ -23,6 +23,33 @@ class LlmOpsSuite extends SparkSuiteBase {
       "DotProductF fell out of whole-stage codegen")
   }
 
+  test("llm_dedup_embed_prod cell pruning is lossless vs brute-force all-pairs") {
+    import graft.plans.expressions.{dotD, norm2D}
+    val got = run("llm_dedup_embed_prod").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "augmented frame produced no τ≥0.9 pairs")
+    assert(got.forall(_._3 >= Params.CosineProdTau))
+    // brute-force twin over the SAME augmented frame: all pairs, no cells
+    val base = T(spark, SF, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val nxt = base.select((col("vec_id") - 1).as("aid"), col("v").as("w"))
+    val aug = base.where(pmod(col("vec_id"), lit(5)) === 0)
+      .join(nxt, col("vec_id") === col("aid"))
+      .select((col("vec_id") + lit(Params.EmbedAugOffset)).as("vec_id"),
+        zip_with(col("v"), col("w"), (x, y) => lit(0.9) * x + lit(0.1) * y).as("v"))
+    val all = base.unionByName(aug).withColumn("n2", norm2D(col("v")))
+    val want = all.as("a").join(all.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        (dotD(col("a.v"), col("b.v")) /
+          (sqrt(col("a.n2")) * sqrt(col("b.n2")))).as("cos"))
+      .where(col("cos") >= Params.CosineProdTau)
+      .select(col("v1"), col("v2"), Det.dround(col("cos"), 6).as("cos_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == want.toSet,
+      s"pruned=${got.length} brute=${want.length}; " +
+        s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+  }
+
   test("compiled ShinglesK equals the interpreted HOF spelling and codegens") {
     val toks = split(col("text"), " ")
     val df = T(spark, SF, "documents")

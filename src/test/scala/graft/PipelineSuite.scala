@@ -61,8 +61,8 @@ class PipelineSuite extends SparkSuiteBase {
   test("events_retention: offset-0 count equals cohort size, offsets non-negative") {
     val rows = run("events_retention").collect()
     assert(rows.nonEmpty)
-    val cohortSizes = spark.read.parquet(s"$SF/events.parquet")
-      .selectExpr("user_id", "CAST(ts AS BIGINT) div 1000 div 86400000000 AS day")
+    val cohortSizes = graft.ops.T.eventsUs(spark, SF)
+      .selectExpr("user_id", "us div 86400000000 AS day")
       .groupBy("user_id").agg(org.apache.spark.sql.functions.expr("min(day) AS c"))
       .groupBy("c").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -126,8 +126,8 @@ class PipelineSuite extends SparkSuiteBase {
     rows.foreach(r => assert(r.getBoolean(5) == (math.abs(r.getDouble(4)) > 3.0)))
     // brute-force one user end-to-end
     val u = rows.head.getLong(0)
-    val evs = spark.read.parquet(s"$SF/events.parquet")
-      .selectExpr("user_id", "event_id", "CAST(ts AS BIGINT) div 1000 AS us", "value")
+    val evs = graft.ops.T.eventsUs(spark, SF)
+      .selectExpr("user_id", "event_id", "us", "value")
       .where(s"user_id = $u").collect()
       .map(r => (r.getLong(2), r.getLong(1), r.getDouble(3)))
       .sortBy(t => (t._1, t._2))
@@ -188,8 +188,8 @@ class PipelineSuite extends SparkSuiteBase {
   }
 
   test("join_asof_nearest picks the |dt|-minimal view with earlier-time tiebreak") {
-    val evs = spark.read.parquet(s"$SF/events.parquet")
-      .selectExpr("user_id", "event_id", "CAST(ts AS BIGINT) div 1000 AS us", "event_type")
+    val evs = graft.ops.T.eventsUs(spark, SF)
+      .selectExpr("user_id", "event_id", "us", "event_type")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val views = evs.filter(_._4 == "view").groupBy(_._1)
     val expected = evs.filter(_._4 == "purchase").flatMap { case (u, pid, pus, _) =>
