@@ -207,13 +207,26 @@ object Params {
   // never pair at 0.9.
   val CosineProdTau = 0.9
   val EmbedAugOffset = 10000000L
+  // banded sign-code LSH dials for llm_dedup_embed_prod: tables ×
+  // planes-per-table. 4×16 ⇒ 65 536 buckets/table (Θ(n) candidates on
+  // isotropic data) at ~0.96 deterministic recall for cos ≈ 0.99 pairs.
+  val EmbedProdTables = 4
+  val EmbedProdPlanes = 16
   val TopK = 5 // llm_simsearch_topk
-  // graph_pagerank strategy cutoff: |pairs| above this → columnar persist
-  // + hash-partitioned edges + shuffle_hash on the ranks side (the ×100
-  // OOM fixes); at or below → the plain small-graph plan. |pairs| is
-  // upper-bounded by |lineitem| (each lineitem row matches exactly one
-  // order, so the pre-distinct pair set is one row per lineitem row),
-  // and |lineitem| is free from parquet footers — no sizing job.
+  // graph_pagerank strategy cutoff, defined on PRE-DISTINCT LINEITEM
+  // ROWS (the footer-readable upper bound on |pairs|: each lineitem row
+  // matches exactly one order, so the pre-distinct pair set has one row
+  // per lineitem row; |lineitem| is free from parquet footers — no
+  // sizing job). Above → columnar persist + hash-partitioned edges +
+  // shuffle_hash on the ranks side (the ×100 OOM fixes); at or below →
+  // the plain small-graph plan. Calibration in these row semantics
+  // (ADVICE r7 — the 2 M constant was originally measured on
+  // post-distinct pairs): sf0.1 = 600 k rows → small (measured fine at
+  // 8 GB), ×10 = 6 M → big, ×100 = 60 M → big — the same branch per
+  // scale as the round-6 post-distinct calibration, because fixture
+  // duplication is < 2× at every SF; a duplication-heavy regen only
+  // flips a borderline graph to the big plan, which is the SAFE
+  // direction (big-on-small costs one repartition; small-on-big OOMs).
   // Env-overridable so stress runs can force either path.
   val PagerankBigPairs: Long =
     sys.env.get("SPARK_GRAFT_PAGERANK_BIG").map(_.toLong).getOrElse(2000000L)

@@ -299,31 +299,36 @@ object Llm {
     * (double math, spelled term-for-term in the oracle), cos(v, v′) ≈
     * 0.99 ≥ τ while all other pairs stay far below.
     *
-    * Candidates come from IVF cells with a PROVABLY LOSSLESS cell-pair
-    * pruning: every vector is assigned to the nearest of 16 seed
-    * centroids in unit-normalized space; each cell keeps rad = max
-    * ‖u − c‖ over members; cell pair (i ≤ j) is scored only when
-    * ‖cᵢ − cⱼ‖ ≤ radᵢ + radⱼ + r, with r = √(2 − 2τ) the chord length
-    * of the cosine threshold. Triangle inequality: a qualifying pair
-    * (‖x − y‖ ≤ r on unit vectors) forces its centroids within
-    * radᵢ + r + radⱼ, so skipped cell pairs contain no qualifying pair
-    * and the output EQUALS all-pairs (LlmOpsSuite asserts against the
-    * brute-force twin; the DuckDB oracle IS the all-pairs spelling). A
-    * 1e-9 slack absorbs float rounding in the pruning metric only — the
-    * score itself uses the raw vectors and the oracle's left-to-right
-    * accumulation chain, so survivors are bit-exact.
+    * Candidates are banded sign-code LSH — the [[simsearchLsh]] family,
+    * tuned for high-τ dedup: EmbedProdTables=4 band tables ×
+    * EmbedProdPlanes=16 md5-derived hyperplanes each (cross-engine-
+    * spellable coordinates, no driver RNG). A pair is a candidate iff
+    * some table gives both vectors the same 16-bit sign code; exact
+    * cosine then verifies every candidate, so there are NO false
+    * positives and all emitted cosines are bit-exact (raw vectors,
+    * left-to-right chain). Recall is the standard LSH dial: a cos 0.99
+    * pair agrees per plane w.p. 1 − θ/π ≈ 0.964, per table 0.964¹⁶ ≈
+    * 0.56, across 4 tables 1 − 0.44⁴ ≈ 0.96 — and because the planes
+    * are md5-constants, WHICH pairs surface is deterministic and the
+    * DuckDB oracle (same planes, same codes, same verify) matches
+    * hash-exactly. A first design used lossless IVF cell-pair pruning
+    * (triangle inequality on centroid distance + radii) — correct, but
+    * on isotropic data every cell radius covers the sphere, nothing
+    * prunes, and ×100 degenerated to all-pairs (measured, killed); the
+    * honest production trade is bounded candidates with an explicit
+    * recall dial, exactly like every real LSH dedup pipeline.
     *
-    * 100-TB shape: assignment is a broadcast map pass (16 centroids via
-    * the one-row non-foldable-key digest — no driver collect, no
-    * shuffle); radii and cell-pair tables are ≤ 16 and ≤ 136 rows; the
-    * candidate join shuffles on cell id only, so members of non-adjacent
-    * cells never meet in any task. More cells ⇒ finer pruning; a heavy
-    * cell is salted or its seed split, the standard IVF remedies.
+    * 100-TB shape: the 64 plane vectors broadcast; coding is one map
+    * pass + a partial-agg groupBy on (vec_id, table); the candidate
+    * self-join shuffles on (table, 16-bit code) — ~n/65 536 vectors per
+    * bucket per table on isotropic data, so candidate volume is Θ(n)
+    * at fixed fill, and the verify stage touches candidates only.
+    * Denser corpora ⇒ raise planes-per-table (finer buckets), more
+    * tables (recall back up) — the dials are Params constants.
     */
   private def dedupEmbedProd(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.expressions.{dotD, norm2D}
     val tau = CosineProdTau
-    val chord = math.sqrt(2.0 - 2.0 * tau)
     val base = T(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val nxt = base.select((col("vec_id") - 1).as("aid"), col("v").as("w"))
@@ -331,45 +336,31 @@ object Llm {
       .join(nxt, col("vec_id") === col("aid"))
       .select((col("vec_id") + lit(EmbedAugOffset)).as("vec_id"),
         zip_with(col("v"), col("w"), (x, y) => lit(0.9) * x + lit(0.1) * y).as("v"))
-    val all = base.unionByName(aug)
-      .withColumn("n2", norm2D(col("v")))
-      .withColumn("u", transform(col("v"), x => x / sqrt(col("n2"))))
-    val seedRows = all.where(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("u").as("cu"))
-    val seeds = seedRows
-      .agg(collect_list(struct(col("cid"), col("cu"))).as("seeds"))
-      .withColumn("k0", pmod(xxhash64(size(col("seeds"))), lit(1L)).cast("int"))
-    val assigned = all
-      .withColumn("k0", pmod(xxhash64(col("vec_id")), lit(1L)).cast("int"))
-      .join(broadcast(seeds), "k0")
-      // argmin distance with smallest-cid tiebreak in one compiled
-      // expression (struct ordering), same shape as kmeansAssign
-      .withColumn("best", array_min(transform(col("seeds"), sd =>
-        struct((lit(2.0) - lit(2.0) * dotD(col("u"), sd.getField("cu"))).as("d2"),
-          sd.getField("cid").as("cid")))))
-      .select(col("vec_id"), col("v"), col("n2"),
-        col("best").getField("cid").as("cell"),
-        sqrt(greatest(col("best").getField("d2"), lit(0.0))).as("cd"))
-      .persist()
-    val radii = assigned.groupBy(col("cell")).agg(max(col("cd")).as("rad"))
-    val geo1 = radii.join(seedRows, col("cell") === col("cid"))
-      .select(col("cell").as("c1"), col("rad").as("rad1"), col("cu").as("cu1"))
-    val geo2 = radii.join(seedRows, col("cell") === col("cid"))
-      .select(col("cell").as("c2"), col("rad").as("rad2"), col("cu").as("cu2"))
-    val cellPairs = geo1.crossJoin(broadcast(geo2))
-      .where(col("c1") <= col("c2") &&
-        sqrt(greatest(lit(2.0) - lit(2.0) * dotD(col("cu1"), col("cu2")), lit(0.0))) <=
-          col("rad1") + col("rad2") + lit(chord + 1e-9))
-      .select("c1", "c2")
-    val lhs = assigned.select(col("vec_id").as("id1"), col("v").as("va"),
-      col("n2").as("n2a"), col("cell").as("m1"))
-    val rhs = assigned.select(col("vec_id").as("id2"), col("v").as("vb"),
-      col("n2").as("n2b"), col("cell").as("m2"))
-    lhs.join(broadcast(cellPairs), col("m1") === col("c1"))
-      .join(rhs, col("m2") === col("c2") &&
-        (col("m1") =!= col("m2") || col("id1") < col("id2")))
-      .select(least(col("id1"), col("id2")).as("v1"),
-        greatest(col("id1"), col("id2")).as("v2"),
+    val all = base.unionByName(aug).withColumn("n2", norm2D(col("v")))
+    val nPlanes = EmbedProdTables * EmbedProdPlanes
+    val planes = s.range(nPlanes).select(
+      expr(s"CAST(id div $EmbedProdPlanes AS INT)").as("t"),
+      expr(s"CAST(id % $EmbedProdPlanes AS INT)").as("k"),
+      transform(sequence(lit(0), lit(Dim - 1)),
+        d => pmod(conv(substring(md5(encode(
+          concat_ws("_", lit("dp"), col("id"), d), "UTF-8")), 1, 8), 16, 10).cast("long"),
+          lit(1000L)) / 1000.0 - 0.5)
+        .as("plane"))
+    val coded = all.crossJoin(broadcast(planes))
+      .withColumn("bit", when(dotD(col("v"), col("plane")) > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), k)")).otherwise(lit(0L)))
+      .groupBy(col("vec_id"), col("t")).agg(sum(col("bit")).as("code"))
+      .join(all, "vec_id")
+    val lhs = coded.select(col("t").as("t1"), col("code").as("code1"),
+      col("vec_id").as("id1"), col("v").as("va"), col("n2").as("n2a"))
+    val rhs = coded.select(col("t").as("t2"), col("code").as("code2"),
+      col("vec_id").as("id2"), col("v").as("vb"), col("n2").as("n2b"))
+    lhs.join(rhs, col("t1") === col("t2") && col("code1") === col("code2") &&
+        col("id1") < col("id2"))
+      // a pair colliding in several tables scores once; every surviving
+      // row for a pair is identical, so the arbitrary keeper is exact
+      .dropDuplicates("id1", "id2")
+      .select(col("id1").as("v1"), col("id2").as("v2"),
         (dotD(col("va"), col("vb")) / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cos"))
       .where(col("cos") >= lit(tau))
       .select(col("v1"), col("v2"), dround(col("cos"), 6).as("cos_sim"))
@@ -1159,9 +1150,11 @@ object Llm {
          | FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |WHERE cos >= $CosineThreshold
          |ORDER BY v1, v2""".stripMargin,
-    // the oracle is the all-pairs spelling over the SAME augmented
-    // frame; the engine's cell pruning is lossless (see dedupEmbedProd
-    // Scaladoc), so the two agree exactly
+    // mirrors the op stage-for-stage over the SAME augmented frame: the
+    // md5-derived hyperplanes, per-table sign codes, banded candidates
+    // and the exact-cosine verify are all spelled identically, so the
+    // deterministic-recall LSH output hash-matches (same discipline as
+    // llm_simsearch_lsh)
     "llm_dedup_embed_prod" -> {
       val vList = (1 to Dim).map(i => s"CAST(embedding[$i] AS DOUBLE)")
         .mkString("[", ", ", "]")
@@ -1172,11 +1165,28 @@ object Llm {
          |        FROM b0 a JOIN b0 b ON b.vec_id = a.vec_id + 1
          |        WHERE a.vec_id % 5 = 0),
          |allv AS (SELECT vec_id, v FROM b0 UNION ALL SELECT vec_id, v FROM aug),
-         |n AS (SELECT vec_id, v, ${sqlNorm2("v")} AS n2 FROM allv)
+         |n AS (SELECT vec_id, v, ${sqlNorm2("v")} AS n2 FROM allv),
+         |pl AS (SELECT p, CAST(p // $EmbedProdPlanes AS INT) AS t,
+         |         CAST(p % $EmbedProdPlanes AS INT) AS k,
+         |         LIST(coord ORDER BY d) AS plane FROM (
+         |    SELECT pp.p, dd.d,
+         |     CAST(('0x' || SUBSTR(MD5('dp_' || CAST(pp.p AS VARCHAR) || '_' ||
+         |       CAST(dd.d AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+         |      / CAST(1000 AS DOUBLE) - 0.5 AS coord
+         |    FROM (SELECT UNNEST(RANGE(0, ${EmbedProdTables * EmbedProdPlanes})) AS p) pp
+         |     CROSS JOIN (SELECT UNNEST(RANGE(0, $Dim)) AS d) dd)
+         |   GROUP BY p),
+         |codes AS (SELECT vec_id, t,
+         |   SUM(CASE WHEN (${sqlDot("n.v", "pl.plane")}) > 0
+         |       THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS code
+         |  FROM n CROSS JOIN pl GROUP BY vec_id, t),
+         |cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+         |         FROM codes x JOIN codes y
+         |          ON x.t = y.t AND x.code = y.code AND x.vec_id < y.vec_id)
          |SELECT v1, v2, ${sqlRound("cos", 6)} AS cos_sim FROM (
-         | SELECT a.vec_id AS v1, b.vec_id AS v2,
-         |  (${sqlDot("a.v", "b.v")}) / (SQRT(a.n2) * SQRT(b.n2)) AS cos
-         | FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         | SELECT c.v1, c.v2,
+         |  (${sqlDot("na.v", "nb.v")}) / (SQRT(na.n2) * SQRT(nb.n2)) AS cos
+         | FROM cand c JOIN n na ON na.vec_id = c.v1 JOIN n nb ON nb.vec_id = c.v2)
          |WHERE cos >= $CosineProdTau
          |ORDER BY v1, v2""".stripMargin
     },

@@ -56,11 +56,13 @@ object StressGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Read the nanos-typed events column as a raw long (the same conf
-    // graft.ops.T sets); the scaled copy then carries a plain BIGINT,
-    // which every reader (T / eventsUs / the stream schemas) treats
-    // identically to the original nanos value.
+    // Fixture-format armor, mirroring graft.ops.T: a legacy nanos-typed
+    // events column reads as a raw long (and the scaled copy carries the
+    // BIGINT); the current naive-µs fixture reads as TIMESTAMP_NTZ and
+    // round-trips as timestamp[us] unchanged. T.usCol handles both on
+    // the read side, and UTC keeps any NTZ↔LTZ crossing deterministic.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     val reps = spark.range(r).select(col("id").as("rep"))
     def tbl(name: String): DataFrame =

@@ -23,13 +23,18 @@ class LlmOpsSuite extends SparkSuiteBase {
       "DotProductF fell out of whole-stage codegen")
   }
 
-  test("llm_dedup_embed_prod cell pruning is lossless vs brute-force all-pairs") {
+  test("llm_dedup_embed_prod: no false positives, bit-exact scores, recall floor, deterministic") {
     import graft.plans.expressions.{dotD, norm2D}
     val got = run("llm_dedup_embed_prod").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.nonEmpty, "augmented frame produced no τ≥0.9 pairs")
     assert(got.forall(_._3 >= Params.CosineProdTau))
-    // brute-force twin over the SAME augmented frame: all pairs, no cells
+    // brute-force all-pairs twin over the SAME augmented frame: the LSH
+    // candidates must emit a SUBSET of the true τ-pairs (verify stage ⇒
+    // zero false positives) with bit-identical rounded cosines, and the
+    // deterministic-plane recall must clear the design floor (~0.96
+    // expected for cos≈0.99 pairs at 4×16 — assert ≥ 0.85 to leave room
+    // for the fixture's particular draw)
     val base = T(spark, SF, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val nxt = base.select((col("vec_id") - 1).as("aid"), col("v").as("w"))
@@ -45,9 +50,13 @@ class LlmOpsSuite extends SparkSuiteBase {
       .where(col("cos") >= Params.CosineProdTau)
       .select(col("v1"), col("v2"), Det.dround(col("cos"), 6).as("cos_sim"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(got.toSet == want.toSet,
-      s"pruned=${got.length} brute=${want.length}; " +
-        s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+    val extra = got.toSet -- want.toSet
+    assert(extra.isEmpty, s"false positives / score drift: ${extra.take(3)}")
+    val recall = got.length.toDouble / want.length
+    assert(recall >= 0.85, s"recall $recall (${got.length}/${want.length})")
+    assert(run("llm_dedup_embed_prod").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sameElements(got),
+      "second run diverged — planes/codes not deterministic")
   }
 
   test("compiled ShinglesK equals the interpreted HOF spelling and codegens") {
