@@ -206,7 +206,11 @@ object Params {
   // (ids offset by EmbedAugOffset) because isotropic fixture vectors
   // never pair at 0.9.
   val CosineProdTau = 0.9
-  val EmbedAugOffset = 10000000L
+  // far above any replica id domain: StressGen offsets ids by
+  // rep × 1e6, so 1e7 collided with replica ≥ 10's real ids at ×100 —
+  // duplicate vec_ids made both engines' outputs degenerate (caught by
+  // the ×100 gate, round 9)
+  val EmbedAugOffset = 1000000000000L
   // banded sign-code LSH dials for llm_dedup_embed_prod: tables ×
   // planes-per-table. 4×16 ⇒ 65 536 buckets/table (Θ(n) candidates on
   // isotropic data) at ~0.96 deterministic recall for cos ≈ 0.99 pairs.
