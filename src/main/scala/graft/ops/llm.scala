@@ -67,8 +67,12 @@ object Llm {
     s
   })
 
-  def fdotD(a: Column, b: Column): Column = dotUdfD(a, b)
-  def fnorm2D(a: Column): Column = dotUdfD(a, a)
+  // native codegen since round 9 (same left-to-right accumulation as the
+  // loop UDF, bit-identical — keeps the IVF/LSH probe projections inside
+  // whole-stage codegen); the UDF stays as the reference implementation
+  def fdotD(a: Column, b: Column): Column = graft.plans.expressions.dotD(a, b)
+  def fnorm2D(a: Column): Column = graft.plans.expressions.norm2D(a)
+  def fdotDUdfReference(a: Column, b: Column): Column = dotUdfD(a, b)
 
   // ---- shared embedding math (oracle side, generated term-for-term) ------
   private def sqlDot(a: String, b: String): String =

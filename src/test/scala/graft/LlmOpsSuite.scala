@@ -23,6 +23,22 @@ class LlmOpsSuite extends SparkSuiteBase {
       "DotProductF fell out of whole-stage codegen")
   }
 
+  test("native DotProductD matches the double loop-UDF reference bit-exactly and codegens") {
+    val e = T(spark, SF, "embeddings")
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    val df = e.select(
+      graft.ops.Llm.fnorm2D(col("v")).as("native"),
+      graft.ops.Llm.fdotDUdfReference(col("v"), col("v")).as("ref"))
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    val selfOnly = e.select(graft.ops.Llm.fnorm2D(col("v")).as("n2"))
+    selfOnly.collect()
+    assert(selfOnly.queryExecution.executedPlan.toString.contains("*("),
+      "DotProductD fell out of whole-stage codegen")
+  }
+
   test("llm_dedup_embed_prod: no false positives, bit-exact scores, recall floor, deterministic") {
     import graft.plans.expressions.{dotD, norm2D}
     val got = run("llm_dedup_embed_prod").collect()
