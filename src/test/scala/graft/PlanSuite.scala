@@ -248,6 +248,21 @@ class PlanSuite extends SparkSuiteBase {
     assert(!p.contains("MapGroups"), "whole-block packing is back")
   }
 
+  test("llm_dedup_embed_prod plans equi-joins only; planes broadcast") {
+    val df = run("llm_dedup_embed_prod")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the 64-row planes side rides a broadcast (its crossJoin plans as a
+    // BroadcastNestedLoopJoin, which is correct for a broadcast×N fan-out);
+    // the CANDIDATE stage must be a real equi-join on (table, code) — a
+    // CartesianProduct anywhere means the bucketing degenerated to all-pairs
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), s"planes not broadcast:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"no equi-join for the banded candidates:\n$p")
+  }
+
   test("custom DSv2 star source plans the requested partitions") {
     val df = spark.read.format("graft.sources.StarCatalogSource")
       .option("rows", "1000").option("partitions", "8").load()
