@@ -217,8 +217,12 @@ object Functions {
         // would still fit — ⌊√MaxValue⌋ = 3037000499)
         expr("try_multiply(3037000500L, CASE WHEN s_suppkey % 4 = 0 " +
           "THEN 3037000500L ELSE 1L END)").as("mul_ovf"),
+        // 18-nine mask: a '999999' mask silently failed 7-digit replica
+        // ids at ×10 (parse → NULL while the oracle models success) —
+        // the mask must cover the full key domain, not the base SF's
         expr("CAST(try_to_number(CASE WHEN s_suppkey % 5 = 0 THEN 'xx' " +
-          "ELSE CAST(s_suppkey AS STRING) END, '999999') AS BIGINT)").as("parsed"))
+          "ELSE CAST(s_suppkey AS STRING) END, '999999999999999999') AS BIGINT)")
+          .as("parsed"))
       .orderBy("s_suppkey")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -87,9 +87,12 @@ object StressGen {
       println(s"wrote $name (file)")
     }
 
-    // tiny dims: copy as-is (5 regions / 25 nations are fixed domains)
+    // tiny dims: copy as-is (5 regions / 25 nations are fixed domains).
+    // Single-FILE layout like the base fixture — scan_metadata_columns
+    // asserts provenance (`_metadata.file_name = 'nation.parquet'`),
+    // which a part-file directory would break (round-9 ×10 gate).
     for (t <- Seq("region", "nation"))
-      writeDir(t, tbl(t).withColumn("rep", lit(0L)))
+      writeFile(t, tbl(t).withColumn("rep", lit(0L)))
 
     writeDir("customer", rep(tbl("customer"))
       .withColumn("c_custkey", off("c_custkey")))
@@ -106,12 +109,17 @@ object StressGen {
       .withColumn("l_suppkey", off("l_suppkey")))
 
     // documents: per-replica token suffix — replica corpora share zero
-    // tokens/shingles, so candidate generation scales linearly in R
+    // tokens/shingles, so candidate generation scales linearly in R.
+    // The suffix must stay ASCII ('~' verified absent from the fixture
+    // corpus): a multi-byte separator (the original '‿') broke the
+    // byte≡char equivalence the mm_decode_stub oracle relies on — the
+    // engine's byte math was right, the char-based oracle drifted
+    // (caught by the round-9 full ×10 gate).
     writeDir("documents", rep(tbl("documents"))
       .withColumn("text",
         when(col("rep") === 0, col("text")).otherwise(
           regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1‿r"), col("rep")))))
+            concat(lit("$1~r"), col("rep")))))
       .withColumn("doc_id", off("doc_id"))
       .withColumn("n_chars", length(col("text"))))
 
