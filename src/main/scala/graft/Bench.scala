@@ -176,7 +176,11 @@ object Bench {
         val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
         execDetail(name) = (
           (taskMsSum.get() - tm0) / 1e3, taskMsMax.get() / 1e3,
-          taskCount.get() - tc0, cgCount() - cg0, cgMsTotal() - cgMs0)
+          taskCount.get() - tc0, cgCount() - cg0,
+          // the decaying reservoir can drop samples between snapshots,
+          // making a raw delta negative once total compiles near the
+          // 1028-slot capacity — clamp; the count delta stays exact
+          math.max(0L, cgMsTotal() - cgMs0))
         // outside the timed region: drop any persisted blocks the query
         // left behind (iterative ops localCheckpoint; builders are pure,
         // nothing is reused across keys) so one key's artifacts don't
