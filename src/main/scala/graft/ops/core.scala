@@ -27,10 +27,14 @@ object T {
       // rejects outright with [PARQUET_TYPE_ILLEGAL]), read the raw int64
       // nanos instead; usCol below derives µs from either physical type.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // The current fixture is naive timestamp[us] → TIMESTAMP_NTZ. Its
-      // epoch derivation casts NTZ→LTZ, which uses the session timezone;
-      // pin UTC so `us` matches DuckDB's epoch_us(ts) (which treats naive
-      // timestamps as UTC) in ANY session, not just Verify's UTC one.
+      // HARD SESSION CONTRACT (SURVEY §7.3.5): every shipped entry point
+      // (Verify/Bench/tests) runs UTC-pinned, and this pin re-asserts it
+      // for ad-hoc sessions. The epoch-µs derivation itself (usCol) is
+      // timezone-INDEPENDENT since round 10 (pure NTZ field arithmetic,
+      // ADVICE r9) — the pin only keeps *downstream* LTZ operations on
+      // ts_us (window(), date_trunc, formatting) on the oracle's UTC
+      // semantics. Scoping via s.newSession() is not an option here:
+      // the returned DataFrame must execute in the caller's session.
       s.conf.set("spark.sql.session.timeZone", "UTC")
     }
     s.read.parquet(s"$dir/$name.parquet")
@@ -41,17 +45,21 @@ object T {
     * ts from int64-nanos to naive timestamp[us]):
     *  - LongType         → legacy raw-nanos read: exact `ts div 1000`
     *    (same truncation DuckDB's epoch_us applies, verified)
-    *  - TimestampNTZType → naive-µs read: cast to LTZ under the UTC
-    *    session pinned in [[apply]], then unix_micros — exactly DuckDB's
-    *    epoch_us(ts) on the same naive column
-    *  - TimestampType    → unix_micros directly
+    *  - TimestampNTZType → naive-µs read: epoch-µs as-UTC from the NTZ
+    *    wall-clock FIELDS (days×86 400e6 + h/m + µs-exact seconds) —
+    *    timezone-INDEPENDENT, so the value is correct even on a session
+    *    that never went through [[apply]]'s UTC pin (ADVICE r9: the old
+    *    NTZ→LTZ cast spelling silently produced host-tz-skewed epochs on
+    *    unpinned sessions). Matches DuckDB's epoch_us(naive ts) exactly.
+    *  - TimestampType    → unix_micros directly (LTZ is an absolute
+    *    instant; no timezone enters the epoch value)
     * Records which branch ran in [[graft.ops.Diag]] so a future fixture
     * regen flips a bench note, not 24 keys.
     */
   def usCol(dt: DataType): Column = {
     val branch = dt match {
       case LongType => "int64_nanos_div"
-      case TimestampNTZType => "ntz_unix_micros_utc"
+      case TimestampNTZType => "ntz_epoch_fields_utc"
       case TimestampType => "ltz_unix_micros"
       case other =>
         throw new IllegalStateException(
@@ -61,7 +69,14 @@ object T {
     Diag.note("events_ts_branch", branch)
     dt match {
       case LongType => expr("ts div 1000")
-      case _ => unix_micros(col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // date_part('SECOND', ntz) is DECIMAL(8,6) incl. micros; ×1e6 is
+        // an exact integer-valued decimal, cast to long loses nothing.
+        unix_date(col("ts").cast(DateType)).cast(LongType) * lit(86400000000L) +
+          hour(col("ts")).cast(LongType) * lit(3600000000L) +
+          minute(col("ts")).cast(LongType) * lit(60000000L) +
+          (expr("date_part('SECOND', ts)") * lit(1000000)).cast(LongType)
+      case _ => unix_micros(col("ts"))
     }
   }
 

@@ -259,6 +259,26 @@ object Llm {
     * dot(l,r)/(√n2l·√n2r) equals the oracle's lo/hi-ordered chain
     * bit-for-bit even when l.vec_id > r.vec_id. */
   private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    // GUARDRAIL (round-9 verdict #4): exact all-pairs enumeration is
+    // Θ(n²) BY ITS OWN OUTPUT at the demo τ — fine at fixture scale,
+    // catastrophic on a 100-TB corpus. Refuse (don't scaladoc-warn) when
+    // the enumerated-pair count exceeds the budget, pointing at the
+    // banded-LSH production variant. Sizing comes from parquet footers
+    // (no job); the bound is overridable for deliberate stress runs via
+    // system property or env. Default 1e11 pairs ≈ n 450 k — well above
+    // every fixture/stress scale (×100 is 2·10¹⁰), well below any real
+    // corpus (n = 10⁹ ⇒ 5·10¹⁷ pairs ⇒ refused).
+    val nVec = Meta.parquetRowCount(s, s"$dir/embeddings.parquet")
+    val enumPairs = nVec * (nVec + 1) / 2
+    val maxPairs = sys.props.get("graft.embed.allpairs.max")
+      .orElse(sys.env.get("SPARK_GRAFT_EMBED_ALLPAIRS_MAX")).map(_.toLong)
+      .getOrElse(100000000000L)
+    Diag.note("llm_dedup_embed_guard", s"n=$nVec pairs=$enumPairs max=$maxPairs")
+    require(enumPairs <= maxPairs,
+      s"llm_dedup_embed would enumerate $enumPairs vector pairs (n=$nVec), " +
+        s"over the all-pairs budget $maxPairs. At production thresholds use " +
+        "llm_dedup_embed_prod (banded sign-code LSH, Θ(n) candidates); to " +
+        "force the exact demo anyway set SPARK_GRAFT_EMBED_ALLPAIRS_MAX.")
     val B = 16
     // Explicit partition counts on BOTH join inputs, keyed exactly like
     // the join: the block-pair join's shuffle INPUT is a few MB even

@@ -256,7 +256,50 @@ object Relational {
       "GROUP BY o_orderstatus ORDER BY o_orderstatus")
   }
 
+  /** Catalog/table lifecycle (round-9 verdict #6): the managed-table DDL
+    * surface a warehouse user touches first — saveAsTable (managed
+    * parquet), ALTER TABLE RENAME TO, ALTER ... SET TBLPROPERTIES, a
+    * persistent VIEW over the table, CTAS of the view's result into a
+    * result table, then DROP of every intermediate. The returned frame
+    * reads the SURVIVING result table, so the scan proves the CTAS
+    * landed and the drops were scoped correctly; ApiSuite additionally
+    * asserts the dropped objects are gone from the catalog. Every step
+    * is idempotent (drop-if-exists first), so the key re-runs cleanly in
+    * the shared Bench/Verify session. 100-TB note: DDL here is
+    * metadata-only except the two writes, whose cost is the data's —
+    * rename/properties/drop never touch data files' contents.
+    */
+  private def catalogTableLifecycle(s: SparkSession, dir: String): DataFrame = {
+    s.sql("DROP VIEW IF EXISTS graft_lc_by_status")
+    // The in-memory catalog is per-JVM but warehouse DIRECTORIES persist
+    // on disk, so a fresh session can meet orphan locations from a prior
+    // run (rename/CTAS then fail with LOCATION_ALREADY_EXISTS). Drop the
+    // catalog entry if known, then remove any orphaned location too.
+    val wh = new org.apache.hadoop.fs.Path(s.sessionState.conf.warehousePath)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    for (t <- Seq("graft_lc_orders_stage", "graft_lc_orders", "graft_lc_result")) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+    }
+    T(s, dir, "orders")
+      .where(money(col("o_totalprice")) >= 100000)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_lc_orders_stage")
+    s.sql("ALTER TABLE graft_lc_orders_stage RENAME TO graft_lc_orders")
+    s.sql("ALTER TABLE graft_lc_orders SET TBLPROPERTIES ('graft.stage'='final')")
+    s.sql("""CREATE OR REPLACE VIEW graft_lc_by_status AS
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM graft_lc_orders GROUP BY o_orderstatus""")
+    s.sql("CREATE TABLE graft_lc_result USING parquet AS " +
+      "SELECT * FROM graft_lc_by_status")
+    s.sql("DROP VIEW graft_lc_by_status")
+    s.sql("DROP TABLE graft_lc_orders")
+    s.table("graft_lc_result").orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_table_lifecycle" -> (catalogTableLifecycle _),
     "sql_pipe_syntax" -> (sqlPipeSyntax _),
     "sql_parameterized" -> (sqlParameterized _),
     "sql_session_variable" -> (sqlSessionVariable _),
@@ -282,6 +325,12 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_table_lifecycle" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >= 100000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sql_pipe_syntax" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -244,6 +244,43 @@ class SemanticsSuite extends SparkSuiteBase {
     assert(pipe.toSeq == plain.toSeq)
   }
 
+  test("catalog_table_lifecycle: result survives, intermediates are dropped") {
+    val got = run("catalog_table_lifecycle").collect()
+    assert(got.nonEmpty)
+    // derived truth: the same aggregate straight off the fixture
+    val expect = T(spark, SF, "orders")
+      .where(expr("CAST(o_totalprice AS DECIMAL(18,2)) >= 100000"))
+      .groupBy("o_orderstatus")
+      .agg(expr("COUNT(*) AS n"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total"))
+      .orderBy("o_orderstatus").collect()
+    assert(got.toSeq == expect.toSeq)
+    // lifecycle contract: the DDL intermediates must be GONE, the result
+    // table must remain (and carry the data, not a dangling view)
+    val cat = spark.catalog
+    assert(!cat.tableExists("graft_lc_orders_stage"))
+    assert(!cat.tableExists("graft_lc_orders"))
+    assert(!cat.tableExists("graft_lc_by_status"))
+    assert(cat.tableExists("graft_lc_result"))
+    // idempotence: a second run in the same session must succeed and agree
+    assert(run("catalog_table_lifecycle").collect().toSeq == expect.toSeq)
+  }
+
+  test("llm_dedup_embed guardrail refuses over-budget all-pairs runs") {
+    // normal run at fixture scale: under budget, notes the estimate
+    assert(run("llm_dedup_embed").columns.contains("cos_sim"))
+    val note = Diag.notes.get("llm_dedup_embed_guard")
+    assert(note.exists(_.contains("pairs=")), s"guard note missing: $note")
+    // force the budget below the fixture's pair count → builder must
+    // refuse at PLAN time (before any job), pointing at the prod variant
+    val key = "graft.embed.allpairs.max"
+    sys.props(key) = "10"
+    try {
+      val ex = intercept[IllegalArgumentException](run("llm_dedup_embed"))
+      assert(ex.getMessage.contains("llm_dedup_embed_prod"))
+    } finally sys.props.remove(key)
+  }
+
   test("fn_try_arithmetic: NULL exactly on the guarded rows (ANSI would throw)") {
     run("fn_try_arithmetic").collect().foreach { r =>
       val k = r.getLong(0)
