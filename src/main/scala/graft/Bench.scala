@@ -143,64 +143,92 @@ object Bench {
     // name -> (task_s_sum, task_s_max, n_tasks, cg_compiles, cg_ms)
     val execDetail = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Double, Long, Long, Long)]
+    // Median discipline (round-9 verdict #5): each key runs REPS times
+    // back-to-back and reports the per-key MEDIAN wall/cpu, so one
+    // host-contention spike during the driver's window skews one rep,
+    // not the round's comparison basis (r4/r6/r7/r8 anomalies were all
+    // single-run artifacts). Rep 1 carries the full attribution meters
+    // (exec_detail/gc/peak/retries — and the codegen compile cost, which
+    // the median of [cold, warm, warm] correctly strips from wall).
+    // SPARK_GRAFT_REPS=1 restores the old single-run behavior.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    def median(v: Seq[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // per-key: (name, wall[min,med,max], err, gcDelta, peakMb,
+    //           cpu[med], failedTasks, stageRetries)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => keep(n) }
       .map { case (name, fn) =>
-        // Collect the previous keys' garbage BEFORE resetting the peak
-        // meters (outside the timed region): at -Xmx8g the JVM collects
-        // lazily, so without this a key's "peak" reading rides on
-        // whatever uncollected garbage earlier keys left behind — the
-        // round-5 driver artifact recorded 4.6 GB peaks on llm_* keys
-        // that allocate ~1.5 GB themselves, and the claim/artifact
-        // discrepancy could not be adjudicated. One System.gc() per key
-        // costs ~10-40 ms of untimed wall and makes peakMb attributable
-        // to the key that actually allocated it. SPARK_GRAFT_KEYGC=false
-        // disables it for paired measurements of the GC's own cost.
-        if (sys.env.getOrElse("SPARK_GRAFT_KEYGC", "true") != "false") System.gc()
-        heapPools.foreach(_.resetPeakUsage())
-        val gc0 = gcMs()
-        val cpu0 = cpuSec()
-        val ft0 = failedTasks.get(); val sr0 = stageRetries.get()
-        val tm0 = taskMsSum.get(); val tc0 = taskCount.get()
-        taskMsMax.set(0)
-        val cg0 = cgCount(); val cgMs0 = cgMsTotal()
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
-          case e: Throwable =>
-            Some((Option(e.getMessage).getOrElse(e.getClass.getName))
-              .replaceAll("[\\s\"\\\\]+", " ").take(160))
+        val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val cpuSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var err: Option[String] = None
+        var gcDelta = 0L; var peakMb = 0L; var ftD = 0L; var srD = 0L
+        var rp = 0
+        while (rp < reps && err.isEmpty) {
+          // Collect the previous work's garbage BEFORE resetting the peak
+          // meters (outside the timed region): at -Xmx8g the JVM collects
+          // lazily, so without this a key's "peak" reading rides on
+          // whatever uncollected garbage earlier keys left behind — the
+          // round-5 driver artifact recorded 4.6 GB peaks on llm_* keys
+          // that allocate ~1.5 GB themselves, and the claim/artifact
+          // discrepancy could not be adjudicated. One System.gc() per rep
+          // costs ~10-40 ms of untimed wall and makes peakMb attributable
+          // to the key that actually allocated it. SPARK_GRAFT_KEYGC=false
+          // disables it for paired measurements of the GC's own cost.
+          if (sys.env.getOrElse("SPARK_GRAFT_KEYGC", "true") != "false") System.gc()
+          if (rp == 0) heapPools.foreach(_.resetPeakUsage())
+          val gc0 = gcMs()
+          val cpu0 = cpuSec()
+          val ft0 = failedTasks.get(); val sr0 = stageRetries.get()
+          val tm0 = taskMsSum.get(); val tc0 = taskCount.get()
+          if (rp == 0) taskMsMax.set(0)
+          val cg0 = cgCount(); val cgMs0 = cgMsTotal()
+          val t0 = System.nanoTime()
+          err = try { fn(spark, sfDir).count(); None } catch {
+            case e: Throwable =>
+              Some((Option(e.getMessage).getOrElse(e.getClass.getName))
+                .replaceAll("[\\s\"\\\\]+", " ").take(160))
+          }
+          walls += (System.nanoTime() - t0) / 1e9
+          cpuSecs += cpuSec() - cpu0
+          if (rp == 0) {
+            gcDelta = gcMs() - gc0
+            peakMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+            ftD = failedTasks.get() - ft0; srD = stageRetries.get() - sr0
+            execDetail(name) = (
+              (taskMsSum.get() - tm0) / 1e3, taskMsMax.get() / 1e3,
+              taskCount.get() - tc0, cgCount() - cg0,
+              // the decaying reservoir can drop samples between snapshots,
+              // making a raw delta negative once total compiles near the
+              // 1028-slot capacity — clamp; the count delta stays exact
+              math.max(0L, cgMsTotal() - cgMs0))
+          }
+          // outside the timed region: drop any persisted blocks the query
+          // left behind (iterative ops localCheckpoint; builders are pure,
+          // nothing is reused across keys) so one key's artifacts don't
+          // ride the heap into every later key's peak reading
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          rp += 1
         }
-        val sec = (System.nanoTime() - t0) / 1e9
-        val cpu = cpuSec() - cpu0
-        val gcDelta = gcMs() - gc0
-        val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
-        execDetail(name) = (
-          (taskMsSum.get() - tm0) / 1e3, taskMsMax.get() / 1e3,
-          taskCount.get() - tc0, cgCount() - cg0,
-          // the decaying reservoir can drop samples between snapshots,
-          // making a raw delta negative once total compiles near the
-          // 1028-slot capacity — clamp; the count delta stays exact
-          math.max(0L, cgMsTotal() - cgMs0))
-        // outside the timed region: drop any persisted blocks the query
-        // left behind (iterative ops localCheckpoint; builders are pure,
-        // nothing is reused across keys) so one key's artifacts don't
-        // ride the heap into every later key's peak reading
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        (name, sec, err, gcDelta, peakMb, cpu,
-          failedTasks.get() - ft0, stageRetries.get() - sr0)
+        (name, (walls.min, median(walls.toSeq), walls.max), err, gcDelta,
+          peakMb, median(cpuSecs.toSeq), ftD, srD)
       }
     val loadEnd = loadAvg()
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.US, v)
-    val qs = results.map { case (k, v, err, _, _, _, _, _) =>
-      "\"" + k + "\":" + (if (err.isDefined) "null" else r3(v))
+    val qs = results.map { case (k, w, err, _, _, _, _, _) =>
+      "\"" + k + "\":" + (if (err.isDefined) "null" else r3(w._2))
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m), _, _, _, _, _) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
     val nOk = results.count(_._3.isEmpty)
     val nErr = results.count(_._3.isDefined)
-    val total = r3(results.collect { case (_, v, None, _, _, _, _, _) => v }.sum)
+    // the round's comparison basis: SUM OF PER-KEY MEDIANS (the declared
+    // basis since BASELINE.md's stability tables), not one run's sum
+    val total = r3(results.collect { case (_, w, None, _, _, _, _, _) => w._2 }.sum)
     val gcTotal = results.map(_._4).sum
     val cpuTotal = results.map(_._6).sum
     // Line protocol (r3 postmortem: the driver TAIL-keeps ~2000 chars of
@@ -253,12 +281,22 @@ object Bench {
     val notes = graft.ops.Diag.notes.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + jesc(k) + "\":\"" + jesc(v) + "\"" }.mkString("{", ",", "}")
     println(s"""{"metric":"notes","queries":$notes}""")
-    val heavies = results.filter(_._3.isEmpty).sortBy(-_._2).take(12)
-      .map { case (k, v, _, _, _, c, _, _) => "\"" + k + "\":[" + r2(v) + "," + r2(c) + "]" }
+    val heavies = results.filter(_._3.isEmpty).sortBy(-_._2._2).take(12)
+      .map { case (k, w, _, _, _, c, _, _) => "\"" + k + "\":[" + r2(w._2) + "," + r2(c) + "]" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"heavies_wall_cpu","unit":"sec","queries":$heavies}""")
+    // compact per-key [min, median, max] spread for every key whose
+    // median exceeds 0.5 s (the keys round-over-round grading actually
+    // adjudicates) — short enough to survive inside the driver's
+    // tail-kept window next to host+total, per the line protocol above
+    val medLine = results.filter(r => r._3.isEmpty && r._2._2 > 0.5)
+      .sortBy(-_._2._2)
+      .map { case (k, (mn, md, mx), _, _, _, _, _, _) =>
+        "\"" + k + "\":[" + r2(mn) + "," + r2(md) + "," + r2(mx) + "]" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"medians","unit":"[min,med,max] sec","reps":$reps,"queries":$medLine}""")
     println(s"""{"metric":"host","cpus":${Runtime.getRuntime.availableProcessors()},"load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},"cpu_quota":"$cpuQuota"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_s":${r2(cpuTotal)},"n_ok":$nOk,"n_err":$nErr,"gc_ms":$gcTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpu_s":${r2(cpuTotal)},"n_ok":$nOk,"n_err":$nErr,"gc_ms":$gcTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,6 +40,50 @@ class AqeSuite extends SparkSuiteBase {
     }
   }
 
+  test("AQE skew split row-matches the manual salted spelling on a hot-key fixture") {
+    // Round-9 verdict ask #3: the two production answers to one hot key —
+    // Spark's adaptive skew-join split vs the explicit salt spelling the
+    // scored join_skew_salted key ships — must agree row-for-row on a
+    // deliberately skewed fixture, and the adaptive path must actually
+    // split (plan-asserted), not silently run one straggler partition.
+    withConf(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // hot key 999 owns ~1/3 of 300k fact rows; 778 cold keys share the
+      // rest; integer cents keep both aggregates bit-comparable
+      val fact = spark.range(300000).select(
+        when(col("id") % 3 === 0, lit(999L)).otherwise(col("id") % 777).as("suppkey"),
+        (col("id") % 99991).as("cents"))
+      val dim = spark.range(1001).select(col("id").as("s_suppkey"),
+        concat(lit("S#"), col("id")).as("s_name"))
+      // adaptive path: plain shuffle join, AQE splits the hot partition.
+      // Aggregate on s_name ALONE: grouping on a superset containing the
+      // join key would reuse the join's hash partitioning (no exchange),
+      // and AQE refuses to split a skewed join whose output partitioning
+      // a downstream operator depends on — grouping by the non-key column
+      // forces a fresh exchange and frees the join for splitting.
+      val plain = fact.join(dim, col("suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"), sum("cents").as("gross"))
+      val adaptive = plain.collect().map(_.toString).sorted.toSeq
+      val p = plain.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"no skew split in:\n${p.take(4000)}")
+      // manual path: join_skew_salted's exact spelling — salt the fact
+      // from a non-key column, replicate the dim over all 16 salts
+      val salted = fact.withColumn("salt", pmod(xxhash64(col("cents")), lit(16)))
+      val dimSalted = dim.withColumn("salt", explode(sequence(lit(0L), lit(15L))))
+      val manual = salted.join(dimSalted,
+          col("suppkey") === col("s_suppkey") && salted("salt") === dimSalted("salt"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"), sum("cents").as("gross"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(adaptive == manual,
+        s"skew-split vs salted diverged: ${adaptive.size} vs ${manual.size} rows")
+    }
+  }
+
   test("AQE coalesces small post-shuffle partitions") {
     withConf("spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.shuffle.partitions" -> "64") {
