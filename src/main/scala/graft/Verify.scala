@@ -30,6 +30,13 @@ object Verify {
       // query left behind — builders are pure, nothing is shared
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // ... and nudge the ContextCleaner: broadcast blocks (one or more
+      // per key — dims, planes, digests) are only reclaimed when the JVM
+      // GCs their driver-side references, and at -Xmx8g a 160-key run
+      // accretes enough un-collected broadcast storage that a late heavy
+      // key can hit UNABLE_TO_ACQUIRE_MEMORY (graph_pagerank at the
+      // round-10 full ×100 gate — passed standalone, OOMed mid-suite)
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -249,6 +249,14 @@ object Params {
   // Env-overridable so stress runs can force either path.
   val PagerankBigPairs: Long =
     sys.env.get("SPARK_GRAFT_PAGERANK_BIG").map(_.toLong).getOrElse(2000000L)
+  // llm_unigram_nll strategy cutoff on the documents FOOTER row count:
+  // above it the keyed-join vocab path runs (the broadcast one-row map's
+  // element_at is an interpreted linear scan over the vocab — per-token
+  // cost grows with corpus size; ×100 measured pathological, round 10).
+  // ×10 (50 k docs) stays broadcast (measured fine in the r9 full ×10
+  // gate); ×100 (500 k docs) joins. Env-overridable for paired runs.
+  val UnigramJoinDocs: Long =
+    sys.env.get("SPARK_GRAFT_UNIGRAM_JOIN_DOCS").map(_.toLong).getOrElse(100000L)
   val ConeDeg = 5.0 // udf_angular_distance cone radius
   val ZoneEps = 0.5 // astro_crossmatch_zones match radius (deg)
 }

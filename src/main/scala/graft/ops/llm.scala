@@ -793,7 +793,18 @@ object Llm {
     *    doc, sort_array by position, fold the collected log-probs in
     *    the same left-to-right order. Two shuffles (token, doc_id),
     *    state per doc bounded by its own token count, vocab never
-    *    materializes in one place. */
+    *    materializes in one place.
+    *
+    * The branch is picked ADAPTIVELY from the documents footer row
+    * count (no sizing job — same discipline as graph_pagerank): above
+    * UnigramJoinDocs the keyed join runs, else the broadcast map. The
+    * round-10 ×100 gate caught why this cannot stay a conf-only
+    * switch: the broadcast path's `element_at` on a map is an
+    * interpreted LINEAR SCAN over the map's key array (CodegenFallback
+    * GetMapValueUtil), so per-token cost grows with the vocabulary —
+    * at ×100 (500 k docs, ~1.5 M-entry vocab) scoring degenerated to
+    * ~O(corpus × vocab) and a single straggler task burned 15+ CPU-min.
+    * The conf still force-overrides either way for paired measurement. */
   private def unigramNll(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val tk = T(s, dir, "documents").select(explode(toks).as("tok"))
@@ -804,7 +815,14 @@ object Llm {
     val freqs = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(totalRow))
       .withColumn("p", col("cnt").cast("double") / col("tot"))
-    if (s.conf.getOption("spark.graft.unigram.joinVocab").contains("true")) {
+    val joinVocab = s.conf.getOption("spark.graft.unigram.joinVocab") match {
+      case Some(v) => v == "true"
+      case None =>
+        Meta.parquetRowCount(s, s"$dir/documents.parquet") > UnigramJoinDocs
+    }
+    Diag.note("llm_unigram_nll_branch",
+      if (joinVocab) "keyed_join_vocab" else "broadcast_map")
+    if (joinVocab) {
       T(s, dir, "documents")
         .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
         .join(freqs.select(col("tok"), log(col("p")).as("lp")), "tok")
