@@ -59,7 +59,9 @@ object Astro {
       .where(col("dist") < ConeDeg)
       .select(col("l_orderkey"), col("l_linenumber"), col("ra"), col("dec"),
         dround(col("dist"), 6).as("dist_deg"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is not unique in the fixtures (×100
+      // gate, round 10) — extend to a total order over the outputs
+      .orderBy("l_orderkey", "l_linenumber", "ra", "dec", "dist_deg")
   }
 
   /** Zones-algorithm catalog cross-match (orders-catalog × customer-catalog,
@@ -111,7 +113,7 @@ object Astro {
          |  $ra AS ra, $dec AS dec, $d AS dist
          | FROM lineitem)
          |WHERE dist < $ConeDeg
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+         |ORDER BY l_orderkey, l_linenumber, ra, dec, dist_deg""".stripMargin
     },
     "astro_crossmatch_zones" -> {
       val d = sqlAngularDist("ra_a", "dec_a", "ra_b", "dec_b")

@@ -53,7 +53,13 @@ object Functions {
         ceil(col("l_quantity") / 7).as("qty_ceil7"),
         floor(col("l_quantity") / 7).as("qty_floor7"),
         pmod(col("l_partkey"), lit(97)).as("pk_mod"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // total order: (l_orderkey, l_linenumber) is NOT unique in the
+      // fixtures (118k dup pairs at sf0.1 — ×100 gate finding, round
+      // 10), so the tiebreak extends over every output column; rows
+      // equal on all of them are interchangeable, which is all a
+      // hash-exact compare needs
+      .orderBy("l_orderkey", "l_linenumber", "sqrt_price", "ln_price",
+        "exp_disc", "qty_sq", "disc_dev", "qty_ceil7", "qty_floor7", "pk_mod")
 
   private def fnConditional(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "orders")
@@ -308,7 +314,9 @@ object Functions {
          | CAST(CEIL(l_quantity / 7) AS BIGINT) AS qty_ceil7,
          | CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_floor7,
          | l_partkey % 97 AS pk_mod
-         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber, sqrt_price,
+         | ln_price, exp_disc, qty_sq, disc_dev, qty_ceil7, qty_floor7,
+         | pk_mod""".stripMargin,
     "fn_conditional" ->
       """SELECT o_orderkey,
         | CASE WHEN o_totalprice < 50000 THEN 'small'

@@ -21,7 +21,10 @@ object Relational {
         col("l_quantity") > 30)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), to_date(col("l_shipdate")).as("ship_date"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is not unique in the fixtures (×100
+      // gate, round 10) — extend to a total order over the outputs
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "ship_date")
 
   private def scanCatalogCounts(s: SparkSession, dir: String): DataFrame =
     T.names.map { n =>
@@ -182,7 +185,8 @@ object Relational {
           .otherwise(lit("none")).as("flag_desc"),
         concat(col("l_orderkey").cast("string"), lit("-"),
           col("l_linenumber").cast("string")).as("item_id"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // same total-order discipline as scan_parquet_project_filter
+      .orderBy("l_orderkey", "l_linenumber", "revenue", "flag_desc")
 
   private def sortLimitTopk(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
@@ -351,7 +355,8 @@ object Relational {
         | CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity > 30
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        | ship_date""".stripMargin,
     "scan_catalog_counts" ->
       T.names.map(n => s"SELECT '$n' AS table_name, CAST(COUNT(*) AS BIGINT) AS n FROM $n")
         .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name"),
@@ -401,7 +406,7 @@ object Relational {
         |      ELSE 'none' END AS flag_desc,
         | CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS item_id
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, revenue, flag_desc""".stripMargin,
     "sort_limit_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem
