@@ -29,7 +29,6 @@ def main(sf_dir, out_dir, key, mem="100GB", threads="16"):
         con.execute(f"SET memory_limit='{mem}'")
         con.execute(f"SET threads={threads}")
         con.execute("SET temp_directory='/tmp/duckdb_spill'")
-        con.execute("SET preserve_insertion_order=false")
         return con
 
     duckdb.connect = tuned_connect
