@@ -65,31 +65,54 @@ object Astro {
   }
 
   /** Zones-algorithm catalog cross-match (orders-catalog × customer-catalog,
-    * 1° declination zones, ±1 zone probe, ε = 0.5°). */
+    * 1° declination zones, ±1 zone probe, ε = 0.5°).
+    *
+    * RA blocking is 1° bands with a PER-ROW adaptive probe radius
+    * k(dec) = ⌈asin(sin ε / cos(min(|dec|+ε, 85°)))⌉ — the rigorous
+    * zones-algorithm RA bound, so a source probes ±1 band near the
+    * equator and up to ±6 only in the last polar zones. The round-9
+    * spelling (fixed 6° bands, ±1) was equally sound but probed a
+    * 3°×18° window for every source: at ×100 that enumerated ~2×10¹⁰
+    * candidate pairs and — because the join's shuffle INPUT is small —
+    * AQE coalesced the pair scoring onto a couple of tasks (observed:
+    * one core busy for 13+ min, the full-inventory ×100 gate's first
+    * catch). Adaptive 1° bands cut candidates ~4×, and the explicit
+    * repartition on the join keys (AQE-coalesce-exempt, partitioning
+    * reused by the join — same fix as llm_dedup_embed, SCALING.md) keeps
+    * the trig spread over every core. The output itself is Θ(n_a·n_b)
+    * at fixed sky area — the astronomy answer is pair-density-bound —
+    * but candidates now track matches within a small constant.
+    * The oracle mirrors the same lateral band explode; both sides only
+    * need SOUND candidate generation (the exact ε-filter decides
+    * membership), so engine/oracle ceil ulp differences cannot change
+    * the result, only a candidate count. */
   private def astroCrossmatchZones(s: SparkSession, dir: String): DataFrame = {
+    val P = s.sessionState.conf.numShufflePartitions * 2
     val a = T(s, dir, "orders").select(
       col("o_orderkey").as("a_id"),
       raOf(col("o_orderkey"), 97).as("ra_a"),
       decOf(col("o_orderkey"), 61).as("dec_a"))
       .withColumn("zone", floor(col("dec_a")))
-    // 2-D blocking: 1° declination zones plus 6° RA bands (ε=0.5° at
-    // |dec| ≤ 85° needs |Δra| ≤ 0.5/cos(85°) ≈ 5.74° < 6°, so ±1 band is
-    // sound). The smaller catalog explodes into the 9 adjacent cells. RA
-    // bands wrap modulo 60 so sources within ε of RA 0/360 match across
-    // the seam — the haversine itself needs no change (sin²(Δra/2) is
-    // 360°-periodic, so a 359.9° vs 0.1° pair already scores as 0.2°
-    // apart); the oracle mirrors the same modular band predicate.
+      .withColumn("ra_zone", floor(col("ra_a")))
+      .repartition(P, col("zone"), col("ra_zone"))
+    // k = rigorous RA band radius at this declination (+1e-9: a ceil
+    // boundary ulp can only ADD a candidate band, never drop one)
+    val kBands = ceil(degrees(asin(
+      sin(radians(lit(ZoneEps))) /
+        cos(radians(least(abs(col("dec_b")) + lit(ZoneEps), lit(85.0)))))) + lit(1e-9))
+      .cast("long")
     val b = T(s, dir, "customer").select(
       col("c_custkey").as("b_id"),
       raOf(col("c_custkey"), 71).as("ra_b"),
       decOf(col("c_custkey"), 41).as("dec_b"))
+      .withColumn("k", kBands)
       .withColumn("doff", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("roff", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("zone_probe", col("doff") + floor(col("dec_b")))
-      .withColumn("ra_zone_probe", pmod(col("roff") + floor(col("ra_b") / 6), lit(60)))
+      .withColumn("roff", explode(sequence(-col("k"), col("k"))))
+      .withColumn("ra_zone_probe", pmod(col("roff") + floor(col("ra_b")), lit(360)))
+      .repartition(P, col("zone_probe"), col("ra_zone_probe"))
     val d = angularDist(col("ra_a"), col("dec_a"), col("ra_b"), col("dec_b"))
-    a.withColumn("ra_zone", floor(col("ra_a") / 6))
-      .join(b, col("zone") === col("zone_probe") &&
+    a.join(b, col("zone") === col("zone_probe") &&
         col("ra_zone") === col("ra_zone_probe"))
       .withColumn("dist", d)
       .where(col("dist") < ZoneEps)
@@ -117,15 +140,29 @@ object Astro {
     },
     "astro_crossmatch_zones" -> {
       val d = sqlAngularDist("ra_a", "dec_a", "ra_b", "dec_b")
-      s"""SELECT a_id, b_id, ${sqlRound("dist", 6)} AS dist_deg
+      s"""WITH acat AS (
+         | SELECT o_orderkey AS a_id, ${sqlRa("o_orderkey", 97)} AS ra_a,
+         |  ${sqlDec("o_orderkey", 61)} AS dec_a FROM orders),
+         |bcat AS (
+         | SELECT c_custkey AS b_id, ${sqlRa("c_custkey", 71)} AS ra_b,
+         |  ${sqlDec("c_custkey", 41)} AS dec_b FROM customer),
+         |bk AS (
+         | SELECT *, CAST(CEIL(DEGREES(ASIN(SIN(RADIANS($ZoneEps)) /
+         |   COS(RADIANS(LEAST(ABS(dec_b) + $ZoneEps, 85.0))))) + 1e-9) AS BIGINT) AS k
+         | FROM bcat),
+         |bprobe AS (
+         | SELECT b_id, ra_b, dec_b,
+         |  CAST(FLOOR(dec_b) AS BIGINT) + doff AS zone_probe,
+         |  ((CAST(FLOOR(ra_b) AS BIGINT) + roff) % 360 + 360) % 360 AS ra_zone_probe
+         | FROM bk,
+         |  UNNEST([CAST(-1 AS BIGINT), 0, 1]) AS t1(doff),
+         |  UNNEST(generate_series(-k, k)) AS t2(roff))
+         |SELECT a_id, b_id, ${sqlRound("dist", 6)} AS dist_deg
          |FROM (
          | SELECT a.a_id, b.b_id, $d AS dist
-         | FROM (SELECT o_orderkey AS a_id, ${sqlRa("o_orderkey", 97)} AS ra_a,
-         |        ${sqlDec("o_orderkey", 61)} AS dec_a FROM orders) a
-         | JOIN (SELECT c_custkey AS b_id, ${sqlRa("c_custkey", 71)} AS ra_b,
-         |        ${sqlDec("c_custkey", 41)} AS dec_b FROM customer) b
-         |   ON FLOOR(dec_a) BETWEEN FLOOR(dec_b) - 1 AND FLOOR(dec_b) + 1
-         |  AND ((CAST(FLOOR(ra_a / 6) AS BIGINT) - CAST(FLOOR(ra_b / 6) AS BIGINT)) % 60 + 60) % 60 IN (0, 1, 59))
+         | FROM acat a JOIN bprobe b
+         |   ON CAST(FLOOR(a.dec_a) AS BIGINT) = b.zone_probe
+         |  AND CAST(FLOOR(a.ra_a) AS BIGINT) = b.ra_zone_probe)
          |WHERE dist < $ZoneEps
          |ORDER BY a_id, b_id""".stripMargin
     },

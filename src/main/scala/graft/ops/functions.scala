@@ -231,7 +231,26 @@ object Functions {
           .as("parsed"))
       .orderBy("s_suppkey")
 
+  /** Regex function family over the documents corpus: match counting
+    * (`regexp_count`), all-match extraction (`regexp_extract_all` →
+    * array), boolean match (`rlike`), and global replace (md5-digested
+    * so the wide rewritten text never ships to the output). Patterns
+    * stay inside the character-class/quantifier/word-boundary subset
+    * where Java regex (Spark) and RE2 (DuckDB oracle) agree exactly.
+    * 100-TB note: pure per-row projection — zero shuffles before the
+    * output sort; all four functions are codegen'd builtins, no UDF. */
+  private def fnRegexp(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[aeiou]{2}")).cast("long").as("n_double_vowel"),
+        regexp_extract_all(col("text"), lit("\\b[st][a-z]+"), lit(0)).as("st_words"),
+        col("text").rlike("spark").as("has_spark"),
+        md5(regexp_replace(col("text"), "[aeiou]", "#")).as("devowel_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_regexp" -> (fnRegexp _),
     "fn_try_arithmetic" -> (fnTryArithmetic _),
     "fn_higher_order" -> (fnHigherOrder _),
     "fn_variant" -> (fnVariant _),
@@ -251,6 +270,13 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_regexp" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[aeiou]{2}')) AS n_double_vowel,
+        | regexp_extract_all(text, '\b[st][a-z]+') AS st_words,
+        | regexp_matches(text, 'spark') AS has_spark,
+        | md5(regexp_replace(text, '[aeiou]', '#', 'g')) AS devowel_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_try_arithmetic" ->
       """SELECT s_suppkey,
         | CASE WHEN s_suppkey % 3 = 0 THEN NULL

@@ -340,7 +340,28 @@ object Joins {
       .orderBy(col("lost_revenue").desc, col("c_custkey"))
   }
 
+  /** Null-safe equi-join (`<=>` / SQL `IS NOT DISTINCT FROM`): NULL keys
+    * match each other instead of silently dropping, the semantics every
+    * CDC/merge pipeline needs the moment a join key is nullable. Nullable
+    * keys are derived deterministically (`nullif(key, 7)` on both sides),
+    * so the null-safe result keeps all 25 nations — the row a plain `=`
+    * join would lose is exactly the NULL<=>NULL match (asserted in
+    * SemanticsSuite). 100-TB note: Catalyst plans EqualNullSafe as a
+    * regular hash-join key (coalesce-style key normalization, here a
+    * nation broadcast) — null-safety costs no nested-loop fallback. */
+  private def joinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer")
+      .select(nullif(col("c_nationkey"), lit(7)).as("ck"), col("c_custkey"))
+    val nat = T(s, dir, "nation")
+      .select(nullif(col("n_nationkey"), lit(7)).as("nk"), col("n_name"))
+    cust.join(broadcast(nat), col("ck") <=> col("nk"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), min(col("c_custkey")).as("min_cust"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_safe" -> (joinNullSafe _),
     "join_full_outer" -> (joinFullOuter _),
     "scalar_subquery" -> (joinScalarSubquery _),
     "subquery_correlated" -> (joinCorrelatedSubquery _),
@@ -448,6 +469,13 @@ object Joins {
         | GROUP BY c_custkey, c_name, n_name
         | ORDER BY rev_dec DESC, c_custkey LIMIT 20)
         |ORDER BY lost_revenue DESC, c_custkey""".stripMargin,
+    "join_null_safe" ->
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        | MIN(c_custkey) AS min_cust
+        |FROM (SELECT nullif(c_nationkey, 7) AS ck, c_custkey FROM customer) c
+        |JOIN (SELECT nullif(n_nationkey, 7) AS nk, n_name FROM nation) n
+        |  ON c.ck IS NOT DISTINCT FROM n.nk
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "join_broadcast_inner" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey

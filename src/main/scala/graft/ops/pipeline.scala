@@ -150,6 +150,35 @@ object Pipeline {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Gap-based batch sessionization: split each user's event stream into
+    * sessions wherever the inter-event gap exceeds 4 hours, emitting one
+    * row per session (start/end/µs-duration/size) — the canonical
+    * clickstream prep step feeding funnel/retention work downstream.
+    * Ordering inside a user is the unique (us, event_id) total order, so
+    * the lag/flag/cumsum chain is deterministic under timestamp ties.
+    * 100-TB note: one exchange on user_id serves BOTH window passes (lag
+    * and the running session counter share the same partitioning+sort →
+    * one Sort, two WindowExecs) AND the per-(user, session) aggregate
+    * (HashPartitioning(user_id) satisfies the grouping's clustered
+    * distribution) — the whole operator is a single shuffle keyed the
+    * way a 1000-executor clickstream job would want it. */
+  private def eventsSessionizeGap(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 14400000000L // 4h
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    T.eventsUs(s, dir)
+      .select(col("user_id"), col("us"), col("event_id"))
+      .withColumn("new_s",
+        when(coalesce(col("us") - lag(col("us"), 1).over(w),
+          lit(Long.MaxValue)) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_seq")
+  }
+
   // ---- grid resample with LOCF --------------------------------------------------
 
   /** Resample each user's event stream onto an hourly grid, carrying the
@@ -446,6 +475,7 @@ object Pipeline {
     "llm_doc_chunk" -> (docChunk _),
     "llm_domain_mix" -> (domainMix _),
     "events_retention" -> (eventsRetention _),
+    "events_sessionize_gap" -> (eventsSessionizeGap _),
     "events_resample_locf" -> (eventsResampleLocf _),
     "llm_bpe_merge_step" -> (bpeMergeStep _),
     "llm_boilerplate_chunks" -> (boilerplateChunks _),
@@ -508,6 +538,21 @@ object Pipeline {
         | CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize_gap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |f AS (SELECT user_id, us, event_id,
+        |       CASE WHEN COALESCE(us - LAG(us, 1) OVER w, 9223372036854775807)
+        |            > 14400000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, us,
+        |       SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_seq
+        |      FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | MIN(us) AS start_us, MAX(us) AS end_us,
+        | MAX(us) - MIN(us) AS duration_us, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "events_resample_locf" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value,
         |            epoch_us(ts) // 3600000000 AS hour FROM events),

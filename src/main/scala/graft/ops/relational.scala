@@ -216,6 +216,29 @@ object Relational {
       .except(T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
+  /** Bag-semantics set operations (`INTERSECT ALL` / `EXCEPT ALL`):
+    * multiplicity-aware, the semantics audits need ("how many line items
+    * appear in BOTH halves of the year, counting duplicates") where the
+    * DISTINCT variants above silently collapse counts. Two overlapping
+    * multisets from lineitem (same projection, disjoint shipdate halves)
+    * are combined both ways, tagged, and kept row-level. 100-TB note:
+    * Catalyst plans both as a single hash aggregate counting per-side
+    * multiplicities then a generate replicating min/difference counts —
+    * one shuffle on the full row value each, map-side partial, no join. */
+  private def setBagOps(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    def half(lo: String, hi: String) = li
+      .where(col("l_shipdate") >= to_timestamp(lit(lo)) &&
+        col("l_shipdate") < to_timestamp(lit(hi)))
+      .select(col("l_suppkey"), col("l_quantity").cast("int").as("qty"))
+    val a = half("1997-01-01", "1997-07-01")
+    val b = half("1997-07-01", "1998-01-01")
+    a.exceptAll(b).withColumn("op", lit("except_all"))
+      .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+      .select("op", "l_suppkey", "qty")
+      .orderBy("op", "l_suppkey", "qty")
+  }
+
   /** Spark 4 SQL pipe syntax (`|>`): the same logical plan as the plain
     * GROUP BY spelling, driven through the operator-chain surface — the
     * oracle IS the plain spelling, so this key proves the pipe parser
@@ -326,6 +349,7 @@ object Relational {
     "set_union_distinct" -> (setUnionDistinct _),
     "set_intersect" -> (setIntersect _),
     "set_except" -> (setExcept _),
+    "set_bag_ops" -> (setBagOps _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -433,5 +457,18 @@ object Relational {
         |EXCEPT
         |SELECT s_nationkey AS nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+    "set_bag_ops" ->
+      """WITH a AS (SELECT l_suppkey, CAST(l_quantity AS INT) AS qty
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-07-01'),
+        |b AS (SELECT l_suppkey, CAST(l_quantity AS INT) AS qty
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+        |   AND l_shipdate < TIMESTAMP '1998-01-01')
+        |SELECT 'except_all' AS op, l_suppkey, qty
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, l_suppkey, qty
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |ORDER BY op, l_suppkey, qty""".stripMargin,
   )
 }

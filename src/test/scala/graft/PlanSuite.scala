@@ -30,6 +30,21 @@ class PlanSuite extends SparkSuiteBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), "star join degenerated to NLJ")
   }
 
+  test("join_null_safe plans EqualNullSafe as a hash join, not NLJ") {
+    val p = plan("join_null_safe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"null-safe equality should still hash-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("events_sessionize_gap does its whole chain on one user_id exchange") {
+    val p = plan("events_sessionize_gap")
+    // one exchange for the windows; the (user_id, session_seq) aggregate
+    // is satisfied by HashPartitioning(user_id) — no second hash exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly one user_id hash exchange, got $hashEx:\n$p")
+  }
+
   test("join_shuffle_inner uses a shuffled join, not NLJ") {
     val p = plan("join_shuffle_inner")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")

@@ -281,6 +281,66 @@ class SemanticsSuite extends SparkSuiteBase {
     } finally sys.props.remove(key)
   }
 
+  test("join_null_safe keeps the NULL<=>NULL group a plain = join drops") {
+    import org.apache.spark.sql.functions._
+    val got = run("join_null_safe").collect()
+    // all 25 nations present, total coverage = every customer exactly once
+    assert(got.length == T(spark, SF, "nation").count())
+    assert(got.map(_.getLong(1)).sum == T(spark, SF, "customer").count())
+    // the plain `=` spelling on the same nulled keys loses exactly the
+    // nulled group (nation 7's customers)
+    val cust = T(spark, SF, "customer")
+      .select(nullif(col("c_nationkey"), lit(7)).as("ck"))
+    val nat = T(spark, SF, "nation")
+      .select(nullif(col("n_nationkey"), lit(7)).as("nk"), col("n_name"))
+    val eqGroups = cust.join(nat, col("ck") === col("nk"))
+      .select("n_name").distinct().count()
+    assert(eqGroups == got.length - 1, "plain = join should drop one group")
+  }
+
+  test("set_bag_ops: exceptAll ⊎ intersectAll partitions the left multiset") {
+    val got = run("set_bag_ops").collect()
+    val byOp = got.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val aCount = lineitem.count { r =>
+      val d = r.getAs[java.time.LocalDateTime]("l_shipdate")
+      !d.isBefore(java.time.LocalDateTime.parse("1997-01-01T00:00:00")) &&
+        d.isBefore(java.time.LocalDateTime.parse("1997-07-01T00:00:00"))
+    }
+    assert(byOp("except_all") + byOp("intersect_all") == aCount,
+      s"bag identity |A\\B| + |A∩B| = |A| violated: $byOp vs $aCount")
+    assert(byOp("intersect_all") > 0, "halves should overlap as multisets")
+  }
+
+  test("events_sessionize_gap: sessions cover all events, splits only at >4h gaps") {
+    val got = run("events_sessionize_gap").collect()
+    val events = T.eventsUs(spark, SF).select("user_id", "us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_.getLong(5)).sum == events.length, "every event in exactly one session")
+    // independent recount: sessions per user = 1 + (# gaps > 4h)
+    val wantSessions = events.groupBy(_._1).map { case (_, es) =>
+      val us = es.map(_._2).sorted
+      1 + us.zip(us.drop(1)).count { case (a, b) => b - a > 14400000000L }
+    }.sum
+    assert(got.length == wantSessions)
+    got.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2) && r.getLong(4) == r.getLong(3) - r.getLong(2))
+    }
+  }
+
+  test("fn_regexp agrees with a driver-side Java-regex recount") {
+    val texts = T(spark, SF, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    run("fn_regexp").collect().take(200).foreach { r =>
+      val text = texts(r.getLong(0))
+      assert(r.getLong(1) == "[aeiou]{2}".r.findAllIn(text).length)
+      assert(r.getBoolean(3) == text.contains("spark"))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.replaceAll("[aeiou]", "#").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(4) == md)
+    }
+  }
+
   test("fn_try_arithmetic: NULL exactly on the guarded rows (ANSI would throw)") {
     run("fn_try_arithmetic").collect().foreach { r =>
       val k = r.getLong(0)
