@@ -327,6 +327,27 @@ class SemanticsSuite extends SparkSuiteBase {
     }
   }
 
+  test("graph_triangle_count matches a driver-side brute-force enumeration") {
+    val got = run("graph_triangle_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // rebuild the co-occurrence graph in plain Scala and enumerate
+    val li = lineitem.filter(_.getAs[Double]("l_quantity") > 45)
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_suppkey")))
+      .distinct
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val sk = g.map(_._2).distinct.sorted
+      for (i <- sk.indices; j <- i + 1 until sk.size) yield (sk(i), sk(j))
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val want = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- edges; c <- nodes if b < c
+      if edges.contains((b, c)) && edges.contains((a, c))
+    } { want(a) += 1; want(b) += 1; want(c) += 1 }
+    assert(got == want.toMap, s"triangle counts diverge: $got vs $want")
+    assert(got.values.sum > 0, "fixture graph should contain triangles")
+  }
+
   test("fn_regexp agrees with a driver-side Java-regex recount") {
     val texts = T(spark, SF, "documents").select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
