@@ -429,7 +429,26 @@ object Aggregates {
       .orderBy(col("exact_cnt").desc, col("token"))
   }
 
+  /** Spark 4 `listagg(...) WITHIN GROUP (ORDER BY ...)` — ordered string
+    * aggregation (the SQL:2016 spelling; DuckDB oracles it as
+    * string_agg with ORDER BY). Determinism comes from the WITHIN GROUP
+    * total order on unique names — an unordered listagg could never
+    * hash-match across engines or partitionings. 100-TB note: the sort
+    * is per-group (bounded by group size), the shuffle is the single
+    * grouping exchange; giant groups are the thing to cap — at corpus
+    * scale you'd bound the list (e.g. top-k per group first) before
+    * aggregating strings. */
+  private def aggListagg(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "supplier").createOrReplaceTempView("graft_listagg_supplier")
+    s.sql("""SELECT s_nationkey,
+            | listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS names,
+            | COUNT(*) AS n
+            |FROM graft_listagg_supplier
+            |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_listagg" -> (aggListagg _),
     "agg_cms_heavy_hitters" -> (aggCmsHeavyHitters _),
     "stat_regression_moments" -> (statRegression _),
     "agg_argminmax" -> (aggArgMinMax _),
@@ -456,6 +475,12 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_listagg" ->
+      """SELECT s_nationkey,
+        | string_agg(s_name, ',' ORDER BY s_name) AS names,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM supplier
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     // the same d×w count-min grid: md5-prefix buckets, per-language
     // sketches summed cell-wise into the global grid, min over rows
     "agg_cms_heavy_hitters" ->

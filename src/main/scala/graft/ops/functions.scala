@@ -249,7 +249,31 @@ object Functions {
         md5(regexp_replace(col("text"), "[aeiou]", "#")).as("devowel_md5"))
       .orderBy("doc_id")
 
+  /** Spark 4 collations: grouping under `UTF8_LCASE` merges case
+    * variants that a binary grouping keeps apart. Case variants are
+    * derived deterministically (even keys upper-case the segment, odd
+    * keys lower-case it); the collated grouping must fold both
+    * spellings into one group — `n_case_variants = 2` (a binary
+    * countDistinct inside the group) proves the fold happened, and the
+    * output key is `lower(...)` of the group's representative so the
+    * row is deterministic even though Spark keeps an arbitrary-case
+    * representative for a collated key. Oracle: GROUP BY lower(seg).
+    * 100-TB note: collation-aware grouping hashes the collation key —
+    * same single-shuffle hash aggregate as any groupBy. */
+  private def fnCollation(s: SparkSession, dir: String): DataFrame = {
+    val seg = when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+      .otherwise(lower(col("c_mktsegment")))
+    T(s, dir, "customer")
+      .select(seg.as("seg"))
+      .groupBy(collate(col("seg"), "UTF8_LCASE").as("seg_ci"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(collate(col("seg"), "UTF8_BINARY")).as("n_case_variants"))
+      .select(lower(col("seg_ci")).as("seg_lc"), col("n_rows"), col("n_case_variants"))
+      .orderBy("seg_lc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_collation" -> (fnCollation _),
     "fn_regexp" -> (fnRegexp _),
     "fn_try_arithmetic" -> (fnTryArithmetic _),
     "fn_higher_order" -> (fnHigherOrder _),
@@ -270,6 +294,12 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_collation" ->
+      """SELECT lower(seg) AS seg_lc, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_case_variants
+        |FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |             ELSE lower(c_mktsegment) END AS seg FROM customer)
+        |GROUP BY lower(seg) ORDER BY seg_lc""".stripMargin,
     "fn_regexp" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[aeiou]{2}')) AS n_double_vowel,

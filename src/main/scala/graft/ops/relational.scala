@@ -216,6 +216,28 @@ object Relational {
       .except(T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
+  /** Spark 4 SQL scalar UDF (`CREATE FUNCTION ... RETURNS ... RETURN
+    * <expr>`): the declarative UDF surface — the body is SQL, so
+    * Catalyst INLINES it into the calling plan (full codegen, pushdown,
+    * no JVM closure or serialization wall, unlike a Scala/Python UDF).
+    * The oracle is the hand-inlined body, proving the inlining is
+    * semantically exact. Decimal spelling follows join_multiway_star
+    * (exact decimal sum, one final cast; oracle uses the VARCHAR-cast
+    * trick for the wide-sum double). 100-TB note: because the body
+    * inlines, this costs exactly what the raw expression costs — SQL
+    * UDFs are the only UDF flavor with zero scale penalty. */
+  private def sqlScalarUdf(s: SparkSession, dir: String): DataFrame = {
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE) " +
+      "RETURNS DECIMAL(17,4) " +
+      "RETURN CAST(p AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(d AS DECIMAL(4,2)))")
+    T(s, dir, "lineitem").createOrReplaceTempView("graft_sqludf_lineitem")
+    s.sql("""SELECT l_returnflag,
+            | CAST(SUM(graft_disc_price(l_extendedprice, l_discount)) AS DOUBLE) AS disc_rev,
+            | COUNT(*) AS n
+            |FROM graft_sqludf_lineitem
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Bag-semantics set operations (`INTERSECT ALL` / `EXCEPT ALL`):
     * multiplicity-aware, the semantics audits need ("how many line items
     * appear in BOTH halves of the year, counting duplicates") where the
@@ -350,6 +372,7 @@ object Relational {
     "set_intersect" -> (setIntersect _),
     "set_except" -> (setExcept _),
     "set_bag_ops" -> (setBagOps _),
+    "sql_scalar_udf" -> (sqlScalarUdf _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -457,6 +480,13 @@ object Relational {
         |EXCEPT
         |SELECT s_nationkey AS nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+    "sql_scalar_udf" ->
+      """SELECT l_returnflag,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |   (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS disc_rev,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "set_bag_ops" ->
       """WITH a AS (SELECT l_suppkey, CAST(l_quantity AS INT) AS qty
         |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'

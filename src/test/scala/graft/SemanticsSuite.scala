@@ -327,6 +327,32 @@ class SemanticsSuite extends SparkSuiteBase {
     }
   }
 
+  test("fn_collation folds both case variants into every group") {
+    val got = run("fn_collation").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(2) == 2,
+        s"collated group ${r.getString(0)} should hold exactly 2 case variants")
+      assert(r.getString(0) == r.getString(0).toLowerCase)
+    }
+  }
+
+  test("sql_scalar_udf inlines: no UDF eval node, result equals the raw expression") {
+    import org.apache.spark.sql.functions._
+    val df = run("sql_scalar_udf")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"SQL UDF should inline into the plan:\n$plan")
+    val direct = T(spark, SF, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum(Det.money12(col("l_extendedprice")) *
+          (lit(1.0).cast(org.apache.spark.sql.types.DecimalType(4, 2)) -
+            Det.pct(col("l_discount")))).cast("double").as("disc_rev"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    assert(df.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("graph_triangle_count matches a driver-side brute-force enumeration") {
     val got = run("graph_triangle_count").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
