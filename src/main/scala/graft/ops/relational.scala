@@ -289,6 +289,23 @@ object Relational {
       Map("lo" -> 50000, "hi" -> 150000))
   }
 
+  /** Spark 4 `EXECUTE IMMEDIATE`: dynamic SQL — a query held in a
+    * session variable, executed with USING-bound parameters (the
+    * scripting surface for templated multi-statement workflows; the
+    * dynamic text goes through the same parser/Catalyst path as static
+    * SQL, so the plan is identical to the inlined spelling — which is
+    * exactly what the oracle asserts). 100-TB note: dynamic SQL costs
+    * parse time only; the executed plan is whatever the text declares. */
+  private def sqlExecuteImmediate(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "part").createOrReplaceTempView("graft_exec_part")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_dyn_sql STRING")
+    s.sql("""SET VAR graft_dyn_sql =
+            | 'SELECT p_brand, COUNT(*) AS n, MIN(p_partkey) AS min_part
+            |  FROM graft_exec_part WHERE p_size >= ? GROUP BY p_brand
+            |  ORDER BY p_brand'""".stripMargin)
+    s.sql("EXECUTE IMMEDIATE graft_dyn_sql USING 25")
+  }
+
   /** Spark 4 SQL session variables (DECLARE / SET VAR): a typed,
     * session-scoped scalar referenced by name inside later queries —
     * the scripting surface for multi-statement workflows. DECLARE OR
@@ -373,6 +390,7 @@ object Relational {
     "set_except" -> (setExcept _),
     "set_bag_ops" -> (setBagOps _),
     "sql_scalar_udf" -> (sqlScalarUdf _),
+    "sql_execute_immediate" -> (sqlExecuteImmediate _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -480,6 +498,11 @@ object Relational {
         |EXCEPT
         |SELECT s_nationkey AS nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+    "sql_execute_immediate" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+        | MIN(p_partkey) AS min_part
+        |FROM part WHERE p_size >= 25
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "sql_scalar_udf" ->
       """SELECT l_returnflag,
         | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *

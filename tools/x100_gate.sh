@@ -13,7 +13,10 @@ while IFS= read -r keys; do
   i=$((i+1))
   echo "=== batch $i: $keys"
   t0=$(date +%s)
-  SPARK_GRAFT_CPUS=32 /root/repo/tools/run_class.sh "$HEAP" \
+  # DUMP_PARTS=1: skip the single-file coalesce (range-partitioned part
+  # files stay globally ordered for the comparers' lexicographic glob) —
+  # validated round 10, astro's 585M-row dump 505s -> 93s
+  SPARK_GRAFT_DUMP_PARTS=1 SPARK_GRAFT_CPUS=32 /root/repo/tools/run_class.sh "$HEAP" \
     graft.Verify "$SF" "$OUT" "$keys" 2>&1 | grep -v "^WARNING\|WARN "
   echo "=== batch $i exit=$? wall=$(( $(date +%s) - t0 ))s"
 done < "$BATCHES"
