@@ -198,4 +198,46 @@ class PropertySuite extends SparkSuiteBase {
         .foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
     }
   }
+
+  test("gap sessionization laws under random event streams") {
+    // random (user, ts) streams incl. duplicate timestamps — the lag/
+    // cumsum/aggregate chain must satisfy the defining invariants of
+    // gap-based sessions for ANY input, not just the fixture's
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 1000L
+    val evGen = Gen.listOfN(80,
+      Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 20000L)))
+    for (evs <- samples(evGen, 6)) {
+      import spark.implicits._
+      val df = evs.zipWithIndex
+        .map { case ((u, ts), i) => (u, ts, i.toLong) }
+        .toDF("user_id", "us", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val sess = df
+        .withColumn("new_s",
+          when(coalesce(col("us") - lag(col("us"), 1).over(w),
+            lit(Long.MaxValue)) > gapUs, 1L).otherwise(0L))
+        .withColumn("sid",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // (1) partition: every event in exactly one session
+      assert(sess.map(_._5).sum == evs.size)
+      // (2) per user: sessions are disjoint, ordered, and split only at > gap
+      sess.groupBy(_._1).foreach { case (u, ss) =>
+        val sorted = ss.sortBy(_._2)
+        sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+          assert(b._3 - a._4 > gapUs,
+            s"user $u: adjacent sessions closer than the gap")
+        }
+        // (3) inside a session no internal gap exceeds gapUs
+        val byUser = evs.filter(_._1 == u).map(_._2).sorted
+        val splits = 1 + byUser.zip(byUser.drop(1)).count { case (x, y) => y - x > gapUs }
+        assert(sorted.size == splits, s"user $u: session count != gap splits + 1")
+      }
+    }
+  }
 }
