@@ -272,7 +272,23 @@ object Functions {
       .orderBy("seg_lc")
   }
 
+  /** ANSI interval arithmetic — the calendar-aware shifts fn_date's
+    * day-granular helpers don't cover: month addition with day-of-month
+    * clamping (Jan 31 + 1 month = Feb 28 in BOTH engines — the parity
+    * the oracle proves), sub-day INTERVAL subtraction on timestamps,
+    * and add_months on dates. Outputs stay timestamp/date typed
+    * (interval VALUES don't round-trip parquet portably). */
+  private def fnInterval(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL '1' MONTH")).as("plus_month"),
+        (col("o_orderdate") - expr("INTERVAL '36' HOUR")).as("minus_36h"),
+        add_months(to_date(col("o_orderdate")), 14).as("plus_14m"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_interval" -> (fnInterval _),
     "fn_collation" -> (fnCollation _),
     "fn_regexp" -> (fnRegexp _),
     "fn_try_arithmetic" -> (fnTryArithmetic _),
@@ -294,6 +310,12 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_interval" ->
+      """SELECT o_orderkey,
+        | o_orderdate + INTERVAL 1 MONTH AS plus_month,
+        | o_orderdate - INTERVAL 36 HOUR AS minus_36h,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 14 MONTH AS DATE) AS plus_14m
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_collation" ->
       """SELECT lower(seg) AS seg_lc, CAST(COUNT(*) AS BIGINT) AS n_rows,
         | CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_case_variants

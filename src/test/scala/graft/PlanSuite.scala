@@ -45,6 +45,12 @@ class PlanSuite extends SparkSuiteBase {
     assert(hashEx == 1, s"expected exactly one user_id hash exchange, got $hashEx:\n$p")
   }
 
+  test("graph_triangle_count plans three equi-joins, never a cartesian") {
+    val p = plan("graph_triangle_count")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge/closure joins must stay hash-based:\n$p")
+  }
+
   test("join_shuffle_inner uses a shuffled join, not NLJ") {
     val p = plan("join_shuffle_inner")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
