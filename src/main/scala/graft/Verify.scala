@@ -31,9 +31,31 @@ object Verify {
         // being a single-task write tail (astro at ×100: 505 s → the
         // compute's ~24 s plus a parallel write).
         val out = fn(spark, sfDir)
+        // DUMP_PARTS correctness rests on the query ending in a global
+        // ORDER BY (range partitioning ⇒ part files globally ordered for
+        // the comparers' lexicographic glob). Guard the contract: walk
+        // past order-preserving tops (Project/alias) and require a
+        // global Sort; otherwise fall back to coalesce(1) with a
+        // warning rather than dump a permuted multi-part output.
+        def topSorted(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+          import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort, SubqueryAlias}
+          p match {
+            case s: Sort          => s.global
+            case pr: Project      => topSorted(pr.child)
+            case a: SubqueryAlias => topSorted(a.child)
+            case _                => false
+          }
+        }
         val dump =
-          if (sys.env.get("SPARK_GRAFT_DUMP_PARTS").contains("1")) out
-          else out.coalesce(1)
+          if (sys.env.get("SPARK_GRAFT_DUMP_PARTS").contains("1")) {
+            if (topSorted(out.queryExecution.optimizedPlan)) out
+            else {
+              System.err.println(
+                s"[verify] $name: DUMP_PARTS requested but plan has no " +
+                  "top-level global Sort — falling back to coalesce(1)")
+              out.coalesce(1)
+            }
+          } else out.coalesce(1)
         dump.write.mode("overwrite").parquet(s"$outDir/$name")
         // wall per key on stderr: the stress gate reads this to spot
         // stragglers (e.g. the r10 unigram-NLL broadcast-map scan)

@@ -232,8 +232,10 @@ object Functions {
       .orderBy("s_suppkey")
 
   /** Regex function family over the documents corpus: match counting
-    * (`regexp_count`), all-match extraction (`regexp_extract_all` →
-    * array), boolean match (`rlike`), and global replace (md5-digested
+    * (`regexp_count`), all-match extraction (`regexp_extract_all`,
+    * array_join'd to CSV so the cross-engine byte-hash check can run —
+    * the driver comparator cannot sort array columns), boolean match
+    * (`rlike`), and global replace (md5-digested
     * so the wide rewritten text never ships to the output). Patterns
     * stay inside the character-class/quantifier/word-boundary subset
     * where Java regex (Spark) and RE2 (DuckDB oracle) agree exactly.
@@ -244,7 +246,8 @@ object Functions {
       .select(
         col("doc_id"),
         regexp_count(col("text"), lit("[aeiou]{2}")).cast("long").as("n_double_vowel"),
-        regexp_extract_all(col("text"), lit("\\b[st][a-z]+"), lit(0)).as("st_words"),
+        array_join(regexp_extract_all(col("text"), lit("\\b[st][a-z]+"), lit(0)), ",")
+          .as("st_words"),
         col("text").rlike("spark").as("has_spark"),
         md5(regexp_replace(col("text"), "[aeiou]", "#")).as("devowel_md5"))
       .orderBy("doc_id")
@@ -325,7 +328,7 @@ object Functions {
     "fn_regexp" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[aeiou]{2}')) AS n_double_vowel,
-        | regexp_extract_all(text, '\b[st][a-z]+') AS st_words,
+        | COALESCE(array_to_string(regexp_extract_all(text, '\b[st][a-z]+'), ','), '') AS st_words,
         | regexp_matches(text, 'spark') AS has_spark,
         | md5(regexp_replace(text, '[aeiou]', '#', 'g')) AS devowel_md5
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -19,6 +19,37 @@ class InventorySuite extends SparkSuiteBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // The driver's checker pandas-sort_values every column before
+  // hashing; ArrayType/MapType/StructType values arrive as numpy
+  // arrays / dicts and crash it (`unhashable type`). This class
+  // shipped red rows in rounds 3 (fn_higher_order, agg_collect_sorted)
+  // and 10 (fn_regexp): serialize to a string (array_join / to_json)
+  // before returning.
+  private def complexColumns(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    df.schema.fields.collect {
+      case f
+          if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
+  }
+
+  test("complex-column lint flags a deliberately array-typed frame") {
+    import org.apache.spark.sql.functions._
+    val bad = spark.range(3).select(col("id"), array(col("id"), col("id") + 1).as("xs"))
+    assert(complexColumns(bad) == Seq("xs: array<bigint>"))
+  }
+
+  test("no query outputs a complex-typed column (driver comparator cannot sort them)") {
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      c <- complexColumns(fn(spark, SF))
+    } yield s"$name.$c"
+    assert(offenders.isEmpty, s"complex-typed output columns: $offenders")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: runs, non-degenerate, deterministic") {
       val a = fn(spark, SF).collect().toSeq

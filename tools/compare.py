@@ -7,9 +7,15 @@ Reads <outDir>/oracle_sql.json (written by graft.Verify), executes each
 oracle SQL in DuckDB over views named after the parquet tables in <sfDir>,
 and compares against the engine's parquet output in <outDir>/<name>/.
 
-Comparison is strict: column names (sorted), row counts, and values —
-floats compared bit-exactly (struct.pack), which is stricter than any
-plausible driver hash. Dev tool only; not part of the shipped library.
+Comparison is driver-faithful: column names are sorted, then rows are
+VALUE-SORTED on both sides before comparing (the driver pandas-
+sort_values every column before hashing), and floats compared
+bit-exactly (struct.pack), which is stricter than any plausible driver
+hash. Outputs containing complex-typed values (lists/structs/maps) are
+REJECTED up front: the driver's comparator crashes on them
+(`TypeError: unhashable type: 'numpy.ndarray'`, see round-10
+fn_regexp), so local green must never be claimed for such an output.
+Dev tool only; not part of the shipped library.
 """
 import json
 import os
@@ -99,10 +105,25 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: rows {len(my_rows)} != {len(ref_rows)}")
             n_fail += 1
             continue
+        # driver-faithfulness pre-flight: the driver's pandas
+        # sort_values crashes on list/struct/map cells — reject them
+        # here so local green predicts driver green
+        complex_cell = next(
+            (my_cols[i] for r in my_rows[:100] for i in range(len(r))
+             if isinstance(r[i], (list, tuple, dict))), None)
+        if complex_cell:
+            print(f"FAIL {name}: complex-typed column '{complex_cell}' — "
+                  "driver comparator crashes on array/struct/map values "
+                  "(unhashable type); serialize to string first")
+            n_fail += 1
+            continue
+        # driver sorts rows by value (pandas sort_values over all
+        # columns) before hashing — replicate so written order is
+        # irrelevant, exactly as on the driver
+        mine_sorted = sorted([canon(r[i]) for i in mperm] for r in my_rows)
+        ref_sorted = sorted([canon(r[i]) for i in rperm] for r in ref_rows)
         bad = None
-        for ri, (mr, rr) in enumerate(zip(my_rows, ref_rows)):
-            mv = [canon(mr[i]) for i in mperm]
-            rv = [canon(rr[i]) for i in rperm]
+        for ri, (mv, rv) in enumerate(zip(mine_sorted, ref_sorted)):
             if mv != rv:
                 bad = (ri, list(zip(sorted(my_cols), mv, rv)))
                 break

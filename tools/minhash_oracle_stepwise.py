@@ -43,7 +43,32 @@ def view(sf_dir, t):
         else f"read_parquet('{src}')"
 
 
+def assert_matches_oracle(out_dir):
+    """Guard against silent drift (same discipline as
+    compare_astro_slices.py, which loads the oracle verbatim): every
+    hand-respelled constant below must appear verbatim in the one-shot
+    oracle SQL the engine dumped. If graft.ops.Llm or Params change,
+    this tool must FAIL LOUDLY instead of validating stale math."""
+    import json
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["llm_dedup_minhash_lsh"]
+    for i, (a, b) in enumerate(hash_consts()):
+        frag = f"MIN(({a} * h + {b}) % 4294967311) AS s{i}"
+        assert frag in sql, f"minhash const drift: '{frag}' not in oracle SQL"
+    assert sql.count("MIN((") == N_HASH, \
+        f"oracle has {sql.count('MIN((')} hash slots, tool assumes {N_HASH}"
+    for bi in range(BANDS):
+        frag = ", ".join(f"s{bi * ROWS + r}" for r in range(ROWS))
+        assert frag in sql, f"band layout drift: '{frag}' not in oracle SQL"
+    assert "5 * i >= 4 *" in sql, "jaccard threshold drift (tool assumes 4/5)"
+    # shingle CTE: k=5 LEAD chain (tok + LEAD 1..4), md5-prefix-8 hashing
+    for frag in ("LEAD(tok, 4) OVER w", "SUBSTR(MD5(sh), 1, 8)",
+                 "SUBSTR(MD5(CONCAT_WS(','"):
+        assert frag in sql, f"shingle/hash spelling drift: '{frag}' missing"
+    assert "LEAD(tok, 5)" not in sql, "shingle width changed (tool assumes k=5)"
+
+
 def main(sf_dir, out_dir):
+    assert_matches_oracle(out_dir)
     con = duckdb.connect()
     con.execute("SET memory_limit='48GB'")
     con.execute("SET threads=16")

@@ -13,8 +13,9 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(__file__))
 import compare
+from x100_skip import SKIP as SKIP_TOOLS
 
-SKIP = {"graph_pagerank", "llm_dedup_embed", "astro_crossmatch_zones"}
+SKIP = set(SKIP_TOOLS)
 
 real_connect = duckdb.connect
 

@@ -1,0 +1,17 @@
+"""Single source of truth for keys EXCLUDED from the automated x100
+DuckDB compare (x100_compare_incr.py / x100_compare.sh). Each has a
+dedicated administration tool that runs the same math in a bounded,
+spill-safe way — running the one-shot oracle at x100 for these keys is
+either Θ(n²) (embed), re-inlines a 73M-row CTE three times and ENOSPCs
+/tmp (minhash — observed 70GB+ temp in round 10), needs iteration
+(pagerank), or needs the slice protocol (astro 585M-row output).
+
+SKILL.md (.claude/skills/verify) documents the same list; keep in sync
+by importing THIS constant, never by respelling the set.
+"""
+SKIP = {
+    "graph_pagerank": "tools/pagerank_oracle_stepwise.py",
+    "llm_dedup_embed": "tools/compare_embed_slices.py",
+    "astro_crossmatch_zones": "tools/compare_astro_slices.py",
+    "llm_dedup_minhash_lsh": "tools/minhash_oracle_stepwise.py",
+}
