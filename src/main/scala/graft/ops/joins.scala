@@ -211,6 +211,34 @@ object Joins {
       .orderBy("s_suppkey")
   }
 
+  /** The third production answer to one hot key (after explicit
+    * salting and broadcast): leave the join UNSALTED and let AQE's
+    * OptimizeSkewedJoin split the oversized shuffle partition at
+    * runtime. A synthetic hot supplier (every l_orderkey % 3 == 0 row
+    * remaps to suppkey 1, ~1/3 of the fact) makes the skew real at any
+    * SF; the merge hints pin the join to sort-merge — the
+    * skew-splittable shape — because the tiny supplier side would
+    * otherwise broadcast and hide the strategy (AQE respects user join
+    * hints at re-plan time). The aggregate is on s_name ALONE: grouping
+    * on a superset of the join key would reuse the join's hash
+    * partitioning and AQE refuses to split a join whose output
+    * partitioning a downstream operator depends on. Skew split is
+    * result-invariant, so the oracle is the plain join + GROUP BY;
+    * AqeSuite plan-asserts `skew=true` on this exact builder under
+    * lowered thresholds. */
+  private def joinSkewAqe(s: SparkSession, dir: String): DataFrame = {
+    val fact = T(s, dir, "lineitem").select(
+      when(col("l_orderkey") % 3 === 0, lit(1L))
+        .otherwise(col("l_suppkey")).as("skew_suppkey"),
+      col("l_extendedprice"))
+    val dim = T(s, dir, "supplier").select("s_suppkey", "s_name")
+    fact.hint("merge")
+      .join(dim.hint("merge"), col("skew_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_items"), sumMoneyD(col("l_extendedprice")).as("gross"))
+      .orderBy("s_name")
+  }
+
   /** FULL OUTER of per-nation customer vs supplier counts — unmatched
     * sides surface as zeros via coalesce on both key and counts. */
   private def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
@@ -368,6 +396,7 @@ object Joins {
     "join_lateral" -> (joinLateral _),
     "merge_upsert" -> (mergeUpsert _),
     "join_skew_salted" -> (joinSkewSalted _),
+    "join_skew_aqe" -> (joinSkewAqe _),
     "tpch_q3_shaped" -> (tpchQ3Shaped _),
     "tpch_q10_shaped" -> (tpchQ10Shaped _),
     "join_broadcast_inner" -> (joinBroadcastInner _),
@@ -410,6 +439,13 @@ object Joins {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+    "join_skew_aqe" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+        |FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END
+        |        AS skew_suppkey, l_extendedprice FROM lineitem) f
+        |JOIN supplier ON skew_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "merge_upsert" ->
       s"""WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
          |upd AS (SELECT o_orderkey, o_custkey,

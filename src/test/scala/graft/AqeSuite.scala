@@ -84,6 +84,33 @@ class AqeSuite extends SparkSuiteBase {
     }
   }
 
+  test("scored join_skew_aqe builder actually skew-splits under lowered thresholds") {
+    // The driver-checked key (oracle = plain join + GROUP BY) must not
+    // just be correct — its plan must exercise the strategy it names.
+    // AQE splits a skewed reduce partition by MAP-OUTPUT ranges, so a
+    // single-row-group parquet (sf0.001 lineitem = 1 map task) is
+    // unsplittable no matter the thresholds — a test-scale artifact;
+    // production inputs have thousands of map tasks. Rewrite the
+    // fixture as 8 part files so the map side is realistic, then lower
+    // thresholds to stand in for production sizes.
+    val dir = java.nio.file.Files.createTempDirectory("graft_skewfix").toString
+    graft.ops.T(spark, SF, "lineitem").repartition(8)
+      .write.parquet(s"$dir/lineitem.parquet")
+    graft.ops.T(spark, SF, "supplier").write.parquet(s"$dir/supplier.parquet")
+    withConf(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2048",
+      "spark.sql.files.maxPartitionBytes" -> "32768") {
+      val df = SparkEntry.queries("join_skew_aqe")(spark, dir)
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"no skew split in:\n${p.take(4000)}")
+      assert(p.contains("SortMergeJoin"), "merge hint did not survive AQE")
+    }
+  }
+
   test("AQE coalesces small post-shuffle partitions") {
     withConf("spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.shuffle.partitions" -> "64") {
