@@ -20,6 +20,17 @@ object T {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-(dir, table) schema cache — the catalog role a metastore plays
+    * in production. A path-based `spark.read.parquet` re-infers schema
+    * on EVERY call (footer fetch + merge: measured ~70 ms per read at
+    * local[32], the single largest share of a cheap query's wall);
+    * tables registered in a real catalog don't pay that. Fixture tables
+    * are immutable for a JVM's lifetime, so a process-wide cache is
+    * sound; a regenerated fixture needs a new JVM (FixtureSuite pins
+    * the contract and names any drift). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), StructType]()
+
   def apply(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // Fixture-drift armor: if the driver ever regenerates events with
@@ -37,7 +48,12 @@ object T {
       // the returned DataFrame must execute in the caller's session.
       s.conf.set("spark.sql.session.timeZone", "UTC")
     }
-    s.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    // computeIfAbsent needs the events confs above already set: the
+    // one-time inference must see nanosAsLong for a legacy fixture
+    val schema = schemaCache.computeIfAbsent(
+      (dir, name), _ => s.read.parquet(path).schema)
+    s.read.schema(schema).parquet(path)
   }
 
   /** Epoch-microseconds derivation for the events `ts` column, adaptive
