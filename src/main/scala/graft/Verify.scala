@@ -20,6 +20,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Size-gated dump default (r10 verdict #7): at stress scale the
+    // coalesce(1) single-task write dominates (astro at ×100: 505 s →
+    // 93 s multi-part), so a run over a stress fixture defaults to
+    // multi-part dumps. The gate is the FIXTURE directory's on-disk
+    // size — deterministic and explainable, unlike Catalyst output
+    // estimates, which explode through joins/iterative plans (measured
+    // 10^64 MiB on graph_pagerank at sf0.01). Contract SFs are ≤
+    // ~150 MB, stress scale-ups ≥ 1 GiB; explicit DUMP_PARTS=1/0
+    // still overrides either way.
+    def dirBytes(p: java.io.File): Long =
+      if (p.isDirectory) Option(p.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+      else p.length
+    val wantParts = sys.env.get("SPARK_GRAFT_DUMP_PARTS") match {
+      case Some("1") => true
+      case Some("0") => false
+      case _ =>
+        val b = dirBytes(new java.io.File(sfDir))
+        val auto = b > (1L << 30)
+        if (auto) System.err.println(
+          s"[verify] fixture dir is ${b >> 20} MiB — defaulting to multi-part dumps")
+        auto
+    }
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -47,11 +69,11 @@ object Verify {
           }
         }
         val dump =
-          if (sys.env.get("SPARK_GRAFT_DUMP_PARTS").contains("1")) {
+          if (wantParts) {
             if (topSorted(out.queryExecution.optimizedPlan)) out
             else {
               System.err.println(
-                s"[verify] $name: DUMP_PARTS requested but plan has no " +
+                s"[verify] $name: multi-part dump wanted but plan has no " +
                   "top-level global Sort — falling back to coalesce(1)")
               out.coalesce(1)
             }
