@@ -470,7 +470,90 @@ object Pipeline {
   private val bm25Expr: String =
     s"${bm25TermScore(1)} + ${bm25TermScore(2)} + ${bm25TermScore(3)}"
 
+  // ---- web-corpus hygiene: PII redaction + URL-canonical dedup ------------
+
+  /** Regex patterns shared VERBATIM by the Spark ops and the DuckDB
+    * oracles — restricted to the Java-regex ∩ RE2 common subset (no
+    * backreferences, no lookaround) so both engines match identically. */
+  private[graft] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Pat  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhonePat = "\\+\\d{1,2} \\d{3} \\d{7}"
+
+  /** Fixed-order PII scrub: email → IPv4 → phone. Order is part of the
+    * operator contract (a later pattern must never see text a former
+    * one should have consumed); both engines apply the same chain. */
+  private[graft] def piiScrub(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"), PhonePat, "<PHONE>")
+
+  /** The fixture corpus is synthetic word-salad with no organic PII, so
+    * the op plants deterministic doc_id-derived PII (one email — two for
+    * doc_id % 3 == 0 — one IPv4, one phone) in BOTH engines and scrubs
+    * it back out. Same augmentation discipline as the replica suffixes
+    * in the stress fixtures: the input is still the fixture table. */
+  private[graft] def piiAugment(text: Column, id: Column): Column = concat(text,
+    lit(" contact user"), id.cast("string"),
+    lit("@mail-"), (id % 7).cast("string"), lit(".example.org"),
+    when(id % 3 === 0, " cc admin@corp.example.com").otherwise(""),
+    lit(" from 10."), (id % 200).cast("string"), lit("."),
+    (id % 250).cast("string"), lit("."), (id % 97).cast("string"),
+    lit(" call +1 555 "), (lit(1000000L) + id % 9000000).cast("string"))
+
+  /** PII detection + redaction — the scrub stage every public web-corpus
+    * pipeline runs (BigCode/FineWeb-style: emails, IPs, phone numbers →
+    * typed placeholders). 100-TB shape: a pure per-row regex projection —
+    * ZERO shuffles before the output sort (which only the harness's
+    * determinism contract requires); counts via regexp_extract_all,
+    * scrub via a fixed-order regexp_replace chain, all inside one
+    * whole-stage-codegen'd project. The md5 fingerprint keeps the output
+    * narrow while still hash-pinning every redacted byte. */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val aug = piiAugment(col("text"), col("doc_id"))
+    val red = piiScrub(aug)
+    T(s, dir, "documents").select(col("doc_id"),
+        size(regexp_extract_all(aug, lit(EmailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(aug, lit(Ipv4Pat), lit(0))).as("n_ips"),
+        size(regexp_extract_all(aug, lit(PhonePat), lit(0))).as("n_phones"),
+        length(red).as("red_len"),
+        md5(red.cast("binary")).as("red_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Canonicalize a URL the way crawl dedup does: lowercase the
+    * scheme+authority (case-insensitive per RFC 3986), drop query and
+    * fragment, keep the path byte-exact (paths ARE case-sensitive). */
+  private[graft] def urlCanonical(url: Column): Column =
+    concat(lower(regexp_extract(url, "^([A-Za-z]+://[^/?#]+)", 1)),
+      regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1))
+
+  private[graft] def urlSynth(id: Column): Column = {
+    val host = concat(lit("https://"), col("source"), lit(".example.com"))
+    concat(
+      when(id % 4 === 0, upper(host)).otherwise(host),
+      lit("/p/page-"), (id % 13).cast("string"),
+      when(id % 2 === 0, concat(lit("?utm_source=feed&ref="), id.cast("string")))
+        .otherwise(lit("")),
+      when(id % 5 === 0, lit("#frag")).otherwise(lit("")))
+  }
+
+  /** URL-level dedup — the FIRST dedup stage in CCNet/RefinedWeb-style
+    * crawl pipelines (before any content hashing): canonicalize, then
+    * keep-first per canonical URL (min doc_id = crawl-order stand-in).
+    * The fixture table carries no URL column, so one is derived
+    * deterministically from (source, lang, doc_id) with case noise,
+    * tracking params and fragments for the canonicalizer to strip —
+    * identically in both engines. 100-TB shape: ONE partial-aggregated
+    * hash shuffle on the ~40-byte canonical key; no join, no window. */
+  private def dedupUrl(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), urlCanonical(urlSynth(col("doc_id"))).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_dups"))
+      .orderBy("canonical_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pii_redact" -> (piiRedact _),
+    "llm_dedup_url" -> (dedupUrl _),
     "llm_repetition_ngram" -> (repetitionNgram _),
     "llm_doc_chunk" -> (docChunk _),
     "llm_domain_mix" -> (domainMix _),
@@ -489,6 +572,48 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    // mirrors piiAugment/piiScrub: same patterns (interpolated verbatim),
+    // same fixed email → IPv4 → phone order
+    "llm_pii_redact" ->
+      s"""WITH aug AS (
+         | SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@mail-' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.example.com' ELSE '' END ||
+         |  ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' ||
+         |  CAST(doc_id % 250 AS VARCHAR) || '.' || CAST(doc_id % 97 AS VARCHAR) ||
+         |  ' call +1 555 ' || CAST(1000000 + doc_id % 9000000 AS VARCHAR) AS t
+         | FROM documents),
+         |red AS (SELECT doc_id, t,
+         |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t,
+         |   '$EmailPat', '<EMAIL>', 'g'), '$Ipv4Pat', '<IP>', 'g'),
+         |   '$PhonePat', '<PHONE>', 'g') AS r
+         | FROM aug)
+         |SELECT doc_id,
+         | CAST(LEN(REGEXP_EXTRACT_ALL(t, '$EmailPat')) AS INT) AS n_emails,
+         | CAST(LEN(REGEXP_EXTRACT_ALL(t, '$Ipv4Pat')) AS INT) AS n_ips,
+         | CAST(LEN(REGEXP_EXTRACT_ALL(t, '$PhonePat')) AS INT) AS n_phones,
+         | CAST(LENGTH(r) AS INT) AS red_len, MD5(r) AS red_fp
+         |FROM red ORDER BY doc_id""".stripMargin,
+    // mirrors urlSynth/urlCanonical: lowercase scheme+authority, strip
+    // query+fragment, path kept byte-exact; keep-first = MIN(doc_id)
+    "llm_dedup_url" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0
+        |   THEN UPPER('https://' || source || '.example.com')
+        |   ELSE 'https://' || source || '.example.com' END ||
+        |  '/p/page-' || CAST(doc_id % 13 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 2 = 0
+        |   THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        |  LOWER(REGEXP_EXTRACT(url, '^([A-Za-z]+://[^/?#]+)', 1)) ||
+        |  REGEXP_EXTRACT(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS canonical_url
+        | FROM u)
+        |SELECT canonical_url, MIN(doc_id) AS canonical_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM c GROUP BY canonical_url ORDER BY canonical_id""".stripMargin,
     "llm_repetition_ngram" ->
       """WITH g AS (
         | SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w AS gram,

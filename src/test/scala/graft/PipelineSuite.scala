@@ -318,4 +318,70 @@ class PipelineSuite extends SparkSuiteBase {
         s"$k shuffles before the sort:\n$p")
     }
   }
+
+  test("piiScrub redacts planted PII and leaves near-misses alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("mail me at a.b+tag@x-y.co thanks", "mail me at <EMAIL> thanks"),
+      ("10.1.2.3 leads and 192.168.0.255", "<IP> leads and <IP>"),
+      ("dial +1 555 1234567 now", "dial <PHONE> now"),
+      ("a@b.io then 8.8.8.8 then +44 020 7946000",
+        "<EMAIL> then <IP> then <PHONE>"),
+      // near-misses: no TLD dot, 3 octets, short phone tail — untouched
+      ("user@host and 1.2.3 and +1 555 123", "user@host and 1.2.3 and +1 555 123"))
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.ops.Pipeline.piiScrub(col("t"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("llm_pii_redact: counts and fingerprint match a brute-force redaction") {
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = run("llm_pii_redact").collect()
+    assert(rows.length == texts.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val extra = if (id % 3 == 0) " cc <EMAIL>" else ""
+      val expected = texts(id) + " contact <EMAIL>" + extra +
+        " from <IP> call <PHONE>"
+      assert(r.getInt(1) == (if (id % 3 == 0) 2 else 1), s"n_emails doc $id")
+      assert(r.getInt(2) == 1 && r.getInt(3) == 1, s"ip/phone counts doc $id")
+      assert(r.getInt(4) == expected.length, s"red_len doc $id")
+      val fp = md.digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(5) == fp, s"red_fp doc $id")
+    }
+  }
+
+  test("urlCanonical: lowercases authority, strips query+fragment, keeps path case") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("HTTPS://EX.COM/A/B?q=1#f", "https://ex.com/A/B"),
+      ("http://h.io/path", "http://h.io/path"),
+      ("https://h.io", "https://h.io"),
+      ("https://h.io/?x#y", "https://h.io/"))
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.ops.Pipeline.urlCanonical(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("llm_dedup_url: groups partition the corpus; canonical keys are clean") {
+    val n = spark.read.parquet(s"$SF/documents.parquet").count()
+    val rows = run("llm_dedup_url").collect()
+    assert(rows.map(_.getLong(2)).sum == n, "groups partition the corpus")
+    assert(rows.length < n, "dedup actually merges URLs")
+    rows.foreach { r =>
+      val u = r.getString(0)
+      assert(!u.contains("?") && !u.contains("#"), s"tracking residue in $u")
+      assert(u.startsWith("https://src"), s"authority not lowercased in $u")
+    }
+  }
+
+  test("pii redaction plan is a pure per-row projection (no pre-sort shuffle)") {
+    val p = run("llm_pii_redact").queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
 }
