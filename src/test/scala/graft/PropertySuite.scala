@@ -240,4 +240,66 @@ class PropertySuite extends SparkSuiteBase {
       }
     }
   }
+
+  test("piiScrub laws under random PII planting: chain-exact, clean, idempotent") {
+    import graft.ops.Pipeline.{EmailPat, Ipv4Pat, PhonePat}
+    val emailGen = for {
+      l <- Gen.oneOf("bob", "a.b", "x+tag", "u_9%z")
+      d <- Gen.oneOf("ex.com", "m-1.example.org", "a.b.co")
+    } yield s"$l@$d"
+    val ipGen = Gen.listOfN(4, Gen.choose(0, 255)).map(_.mkString("."))
+    val phoneGen = for {
+      cc <- Gen.choose(1, 99); a <- Gen.choose(100, 999); n <- Gen.choose(1000000, 9999999)
+    } yield s"+$cc $a $n"
+    val tokenGen = Gen.frequency(5 -> wordGen, 1 -> emailGen, 1 -> ipGen,
+      1 -> phoneGen, 1 -> Gen.oneOf("a@b", "1.2.3", "+1 55 12", "999.999.999.999"))
+    for (texts <- samples(Gen.listOfN(30,
+        Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, tokenGen).map(_.mkString(" ")))), 4)) {
+      import spark.implicits._
+      val got = texts.toDF("t")
+        .select(graft.ops.Pipeline.piiScrub(col("t"))).as[String].collect().toSeq
+      val expected = texts.map(_
+        .replaceAll(EmailPat, "<EMAIL>")
+        .replaceAll(Ipv4Pat, "<IP>")
+        .replaceAll(PhonePat, "<PHONE>"))
+      assert(got == expected, "Spark chain diverges from driver-side replaceAll chain")
+      got.foreach { t =>
+        Seq(EmailPat, Ipv4Pat, PhonePat).foreach(p =>
+          assert(!p.r.findFirstIn(t).isDefined, s"residual PII in: $t"))
+      }
+      val again = got.toDF("t")
+        .select(graft.ops.Pipeline.piiScrub(col("t"))).as[String].collect().toSeq
+      assert(again == got, "scrub is not idempotent")
+    }
+  }
+
+  test("urlCanonical laws on random URLs: authority folded, residue-free, idempotent") {
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS", "Ftp")
+      host <- Gen.oneOf("Ex.COM", "a-b.io", "X9.example.ORG")
+      path <- Gen.oneOf("", "/", "/A/b", "/CaseSensitive/p-7")
+      q <- Gen.oneOf("", "?x=1", "?utm_source=feed&ref=22")
+      f <- Gen.oneOf("", "#frag", "#A/B?c")
+    } yield s"$scheme://$host$path$q$f"
+    for (urls <- samples(Gen.listOfN(40, urlGen), 4)) {
+      import spark.implicits._
+      val got = urls.toDF("u")
+        .select(graft.ops.Pipeline.urlCanonical(col("u"))).as[String].collect().toSeq
+      urls.zip(got).foreach { case (u, c) =>
+        val afterScheme = u.substring(u.indexOf("://") + 3)
+        val hostEnd = afterScheme.indexWhere(ch => ch == '/' || ch == '?' || ch == '#') match {
+          case -1 => afterScheme.length; case i => i
+        }
+        val rest = afterScheme.substring(hostEnd)
+        val path = rest.takeWhile(ch => ch != '?' && ch != '#')
+        val expected = (u.substring(0, u.indexOf("://") + 3) +
+          afterScheme.substring(0, hostEnd)).toLowerCase + path
+        assert(c == expected, s"canonical($u) = $c, expected $expected")
+        assert(!c.contains("?") && !c.contains("#"))
+      }
+      val again = got.toDF("u")
+        .select(graft.ops.Pipeline.urlCanonical(col("u"))).as[String].collect().toSeq
+      assert(again == got, "canonicalization is not idempotent")
+    }
+  }
 }
