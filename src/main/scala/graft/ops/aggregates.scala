@@ -447,7 +447,48 @@ object Aggregates {
             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
   }
 
+  /** Exact distinct count via fixed-width bitmaps (Spark 3.5 bitmap_*
+    * family) — the production exact-distinct strategy at scale:
+    * stage 1 groups on (key, bucket = id >> 15) and ORs the ids into a
+    * 4 KB bitmap per bucket map-side, so the ONE real shuffle carries
+    * fixed-size bitmaps (≤ #buckets-with-members per group), never the
+    * raw distinct values; stage 2 sums popcounts. Contrast
+    * `agg_distinct_count` (Expand + shuffle of every distinct value) —
+    * on a 100-TB fact with 10⁹ distinct ids per group the bitmap plan
+    * moves ~30 MB/group instead of 8 GB/group, and is still EXACT,
+    * unlike the HLL keys. Oracle: plain COUNT(DISTINCT). */
+  private def aggBitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey"))
+      .groupBy(col("l_returnflag"),
+        bitmap_bucket_number(col("l_partkey")).as("bucket"))
+      .agg(bitmap_construct_agg(bitmap_bit_position(col("l_partkey"))).as("bm"))
+      .groupBy("l_returnflag")
+      .agg(sum(bitmap_count(col("bm"))).as("n_parts"))
+      .orderBy("l_returnflag")
+
+  /** Deterministic per-group mode: most frequent l_quantity per return
+    * flag, ties broken by the SMALLEST value (Spark's native `mode()` is
+    * documented non-deterministic on ties, so it can never hash-match a
+    * cross-engine oracle). Spelled as count-then-max_by(struct(cnt,
+    * -qty)): two partial-aggregated hash exchanges, no window — the
+    * second stage's input is one row per (group, value), already tiny.
+    * The oracle uses the equivalent ROW_NUMBER spelling; (cnt DESC,
+    * qty ASC) ≡ max of (cnt, -qty). */
+  private def aggMode(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("l_returnflag")
+      .agg(
+        max_by(col("l_quantity"), struct(col("cnt"), negate(col("l_quantity"))))
+          .as("mode_qty"),
+        max(col("cnt")).as("mode_n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap_distinct" -> (aggBitmapDistinct _),
+    "agg_mode" -> (aggMode _),
     "agg_listagg" -> (aggListagg _),
     "agg_cms_heavy_hitters" -> (aggCmsHeavyHitters _),
     "stat_regression_moments" -> (statRegression _),
@@ -475,6 +516,21 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, l_quantity, cnt,
+        |   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                      ORDER BY cnt DESC, l_quantity ASC) AS rn
+        |  FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, CAST(cnt AS BIGINT) AS mode_n
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "agg_listagg" ->
       """SELECT s_nationkey,
         | string_agg(s_name, ',' ORDER BY s_name) AS names,

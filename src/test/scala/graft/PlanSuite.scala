@@ -346,6 +346,49 @@ class PlanSuite extends SparkSuiteBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("inventory-wide join lint: no cartesian anywhere; nested-loop only in declared keys") {
+    // Global anti-pattern gate generalizing the per-key spot checks
+    // above: at 100 TB an un-broadcast all-pairs join is the one plan
+    // shape that never survives, so every key's physical plan is linted
+    // and any BroadcastNestedLoopJoin must be on this list with its
+    // justification (all are broadcast-build fan-outs over a
+    // constant-size side — digests, hyperplanes, centroids — which stay
+    // O(1) per row at any corpus size; verified BuildRight in the
+    // round-11 plan audit). A CartesianProduct (the NON-broadcast
+    // replicate-both-sides fallback) is allowed only where the
+    // cartesian IS the operator.
+    val nljOk = Map(
+      "join_cross" -> "the cartesian IS the operator",
+      "join_theta_nested_loop" -> "deliberate θ-join demo (PlanSuite asserts it)",
+      "llm_dedup_embed_prod" -> "64-row broadcast hyperplane fan-out",
+      "llm_simsearch_ivf" -> "broadcast coarse-centroid table fan-out",
+      "llm_simsearch_lsh" -> "broadcast hyperplane fan-out",
+      "dq_expectations" -> "broadcast one-row corpus digest",
+      "llm_perplexity_buckets" -> "broadcast one-row corpus digest",
+      "llm_rank_bm25" -> "broadcast one-row avgdl digest",
+      "llm_unigram_nll" -> "broadcast one-row corpus-total digest",
+      "llm_text_editdist" -> "broadcast bounded candidate set (θ: d1 < d2)")
+    val cartOk = Set("join_cross")
+    // Streaming keys excluded: their fn() runs the whole stream and
+    // returns a batch scan of the sink — the join shapes live inside
+    // the stream (asserted in StreamingSuite) and re-running every
+    // stream here would double the suite wall for a scan-only plan.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("stream_"))
+      .flatMap { case (name, fn) =>
+        val p = fn(spark, SF).queryExecution.executedPlan.toString
+        val cart =
+          if (p.contains("CartesianProduct") && !cartOk(name))
+            Seq(s"$name: CartesianProduct") else Nil
+        val nlj =
+          if (p.contains("BroadcastNestedLoopJoin") && !nljOk.contains(name))
+            Seq(s"$name: BroadcastNestedLoopJoin") else Nil
+        cart ++ nlj
+      }
+    assert(offenders.isEmpty,
+      s"un-whitelisted all-pairs join shapes:\n${offenders.mkString("\n")}")
+  }
+
   test("sql_pipe_syntax plans like the plain spelling: pushdown, hash agg, no extra shuffle") {
     // The optimized plans differ only in WHERE the decimal cast sits (the
     // pipe EXTEND stage projects it; the plain spelling folds it into the

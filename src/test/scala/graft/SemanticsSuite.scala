@@ -398,4 +398,26 @@ class SemanticsSuite extends SparkSuiteBase {
       if (k % 5 != 0) assert(r.getLong(4) == k)
     }
   }
+
+  test("agg_bitmap_distinct: bitmap popcount sum == exact countDistinct") {
+    val got = run("agg_bitmap_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = lineitem.groupBy(_.getAs[String]("l_returnflag"))
+      .view.mapValues(_.map(_.getAs[Long]("l_partkey")).distinct.length.toLong)
+      .toMap
+    assert(got == want)
+  }
+
+  test("agg_mode: max_by(struct(cnt, -qty)) == brute-force mode, smallest value on ties") {
+    val got = run("agg_mode").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val want = lineitem.groupBy(_.getAs[String]("l_returnflag")).toSeq
+      .map { case (flag, rows) =>
+        val counts = rows.groupBy(_.getAs[Double]("l_quantity"))
+          .view.mapValues(_.length.toLong)
+        val (q, n) = counts.toSeq.minBy { case (v, c) => (-c, v) }
+        (flag, q, n)
+      }.sortBy(_._1)
+    assert(got == want)
+  }
 }
