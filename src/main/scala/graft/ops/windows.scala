@@ -144,7 +144,37 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** Running COUNT(DISTINCT event_type) per user — a window Spark cannot
+    * express natively (distinct aggregates over window frames raise
+    * DISTINCT_WINDOW_FUNCTION_UNSUPPORTED), so this is the scalable
+    * rewrite: flag each (user, type)'s FIRST occurrence in time order
+    * (row_number over (user, type) = 1), then running-sum the flags over
+    * (user). Both windows ride ONE user_id hash exchange (the explicit
+    * repartition: HashPartitioning(user_id) satisfies the first
+    * window's ClusteredDistribution(user_id, event_type) — same
+    * one-exchange chain as events_sessionize_gap, PlanSuite-asserted),
+    * with two per-partition sorts; per-row state is one long. The naive
+    * alternative, size(collect_set() OVER), materializes the whole
+    * distinct set in EVERY row's frame — O(rows × types) memory and a
+    * scale-killer; this plan never holds a set anywhere. */
+  private def winDistinctRunning(s: SparkSession, dir: String): DataFrame = {
+    val firstW = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val runW = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.eventsUs(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("us"))
+      .repartition(col("user_id"))
+      .withColumn("first_seen",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_id"),
+        sum(col("first_seen")).over(runW).as("n_types_so_far"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_distinct_running" -> (winDistinctRunning _),
     "win_gaps_islands" -> (winGapsIslands _),
     "win_range_frame" -> (winRangeFrame _),
     "win_first_last" -> (winFirstLast _),
@@ -158,6 +188,18 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_distinct_running" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |   CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY epoch_us(ts), event_id) = 1
+        |        THEN 1 ELSE 0 END AS first_seen
+        |  FROM events)
+        |SELECT user_id, event_id,
+        | CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS n_types_so_far
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
     "win_gaps_islands" ->
       """SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS longest_streak,
         | CAST(SUM(run_len) AS BIGINT) AS n_active_days

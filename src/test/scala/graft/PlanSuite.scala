@@ -346,6 +346,16 @@ class PlanSuite extends SparkSuiteBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("win_distinct_running rides one user_id exchange for both windows") {
+    val p = plan("win_distinct_running")
+    // the explicit user_id repartition satisfies the (user, type)
+    // window's clustering too — a second hash exchange means the
+    // one-exchange chain broke
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected one user_id hash exchange, got $hashEx:\n$p")
+    assert(!p.contains("collect_set"), "distinct-so-far must not hold sets per row")
+  }
+
   test("inventory-wide join lint: no cartesian anywhere; nested-loop only in declared keys") {
     // Global anti-pattern gate generalizing the per-key spot checks
     // above: at 100 TB an un-broadcast all-pairs join is the one plan

@@ -399,6 +399,20 @@ class SemanticsSuite extends SparkSuiteBase {
     }
   }
 
+  test("win_distinct_running: first-seen-flag rewrite == brute-force distinct-so-far") {
+    val events = T.eventsUs(spark, SF).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("us")))
+    val want = events.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._2))
+      val seen = scala.collection.mutable.Set[String]()
+      ordered.map { r => seen += r._3; (r._1, r._2, seen.size.toLong) }
+    }.sortBy(r => (r._1, r._2))
+    val got = run("win_distinct_running").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("agg_bitmap_distinct: bitmap popcount sum == exact countDistinct") {
     val got = run("agg_bitmap_distinct").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
