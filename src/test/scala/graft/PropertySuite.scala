@@ -302,4 +302,36 @@ class PropertySuite extends SparkSuiteBase {
       assert(again == got, "canonicalization is not idempotent")
     }
   }
+
+  test("bitmap popcount sum == exact distinct count under random key multisets") {
+    // the agg_bitmap_distinct law: buckets partition the id domain, so
+    // per-bucket popcounts sum to the exact distinct count — including
+    // ids straddling bucket boundaries and heavy duplication
+    val g = Gen.listOfN(200, Gen.chooseNum(1L, 100000L))
+    for (ids <- samples(g, 6)) {
+      import spark.implicits._
+      val df = ids.toDF("id")
+      val got = df
+        .groupBy(expr("bitmap_bucket_number(id)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(id))").as("bm"))
+        .agg(sum(expr("bitmap_count(bm)"))).collect().head.getLong(0)
+      assert(got == ids.distinct.size.toLong)
+    }
+  }
+
+  test("max_by(struct(cnt, -v)) mode == brute-force mode with smallest-value ties") {
+    // heavy duplication on a narrow domain forces frequent count ties —
+    // the deterministic tie-break is exactly what the law pins
+    val g = Gen.listOfN(60, Gen.chooseNum(0L, 9L))
+    for (vs <- samples(g, 6) if vs.nonEmpty) {
+      import spark.implicits._
+      val got = vs.toDF("v")
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .agg(max_by(col("v"), struct(col("cnt"), negate(col("v")))).as("mode"))
+        .collect().head.getLong(0)
+      val want = vs.groupBy(identity).view.mapValues(_.size).toSeq
+        .minBy { case (v, c) => (-c, v) }._1
+      assert(got == want, s"mode of $vs")
+    }
+  }
 }
