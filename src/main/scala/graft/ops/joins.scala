@@ -210,6 +210,47 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  // Partitioned-fact copy for the DPP demo, built once per fixture dir
+  // (same reuse discipline as bucketedTables — the write is idempotent
+  // and its output deterministic, so later calls only re-check the
+  // _SUCCESS marker).
+  private val dppFacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Dynamic partition pruning over a partitioned fact — the scan-skip
+    * mechanism a 100-TB star join lives on. The fact is orders laid out
+    * as partitioned parquet (5 o_orderpriority partitions; at scale the
+    * day/tenant partition column), the dim a tiny priority lookup with
+    * a selective filter (urgency_rank <= 2). No static filter touches
+    * the fact anywhere in the query: Spark broadcasts the filtered dim
+    * and REUSES that broadcast as a dynamicpruningexpression in the
+    * fact scan's PartitionFilters, so only 2 of 5 partitions are read.
+    * PlanSuite asserts the dynamicpruning subquery and the reused
+    * broadcast. */
+  private def joinDppPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val fact = dppFacts.compute(dir, (_, prev) => {
+      if (prev != null && new java.io.File(prev, "_SUCCESS").exists()) prev
+      else {
+        val out = GraftTmp.dir(
+          "dpp_" + Integer.toHexString(dir.hashCode).takeRight(8))
+        T(s, dir, "orders")
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+        out
+      }
+    })
+    import s.implicits._
+    val dim = Seq(
+      ("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+      ("4-NOT SPECIFIED", 4), ("5-LOW", 5)).toDF("priority", "urgency_rank")
+    s.read.parquet(fact)
+      .join(broadcast(dim.where(col("urgency_rank") <= 2)),
+        col("o_orderpriority") === col("priority"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sumMoneyD(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Explicitly salted join — the hot-key pattern when AQE's skew split
     * isn't available (e.g. a skewed broadcast-ineligible dim): the fact
     * side gets a salt from a non-key column, the dimension side is
@@ -415,6 +456,7 @@ object Joins {
     "merge_upsert" -> (mergeUpsert _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_skew_aqe" -> (joinSkewAqe _),
+    "join_dpp_partitioned" -> (joinDppPartitioned _),
     "tpch_q3_shaped" -> (tpchQ3Shaped _),
     "tpch_q10_shaped" -> (tpchQ10Shaped _),
     "join_broadcast_inner" -> (joinBroadcastInner _),
@@ -487,6 +529,15 @@ object Joins {
         |  WHERE n_regionkey = r.r_regionkey
         |  ORDER BY n_nationkey LIMIT 2) t
         |ORDER BY r_name, n_nationkey""".stripMargin,
+    "join_dpp_partitioned" ->
+      """WITH dim(priority, urgency_rank) AS (
+        | VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
+        |        ('4-NOT SPECIFIED', 4), ('5-LOW', 5))
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN dim ON o_orderpriority = priority
+        |WHERE urgency_rank <= 2
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "tpch_q3_shaped" ->
       """SELECT o_orderkey, order_date,
         | CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue

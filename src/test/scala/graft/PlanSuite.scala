@@ -346,6 +346,17 @@ class PlanSuite extends SparkSuiteBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("join_dpp_partitioned injects a dynamic partition filter into the fact scan") {
+    val df = run("join_dpp_partitioned")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the ONLY filter on the fact is the runtime one DPP derives from
+    // the broadcast dim side — no static partition predicate exists
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim side not broadcast:\n$p")
+  }
+
   test("win_distinct_running rides one user_id exchange for both windows") {
     val p = plan("win_distinct_running")
     // the explicit user_id repartition satisfies the (user, type)
