@@ -210,10 +210,12 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
-  // Partitioned-fact copy for the DPP demo, built once per fixture dir
-  // (same reuse discipline as bucketedTables — the write is idempotent
-  // and its output deterministic, so later calls only re-check the
-  // _SUCCESS marker).
+  // Partitioned-fact + dim copies for the DPP demo, built once per
+  // fixture dir (same reuse discipline as bucketedTables — the write is
+  // idempotent and its output deterministic, so later calls only
+  // re-check the _SUCCESS markers). The memo key is an MD5 of the full
+  // fixture path, not String.hashCode — two distinct dirs must never
+  // collide into one shared fact copy.
   private val dppFacts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -225,24 +227,39 @@ object Joins {
     * the fact anywhere in the query: Spark broadcasts the filtered dim
     * and REUSES that broadcast as a dynamicpruningexpression in the
     * fact scan's PartitionFilters, so only 2 of 5 partitions are read.
+    *
+    * The dim MUST be a file scan, not a local `Seq.toDF`: Catalyst's
+    * ConvertToLocalRelation folds a Filter over a LocalRelation into
+    * the relation itself during optimization, so PartitionPruning would
+    * see no selective predicate on the build side and skip the DPP
+    * subquery entirely (round-11 bug — the plan read all 5 partitions).
+    * Writing the 5-row dim to parquet once keeps a real Filter node
+    * over a FileSourceScan, which is exactly the shape the rule wants.
     * PlanSuite asserts the dynamicpruning subquery and the reused
     * broadcast. */
   private def joinDppPartitioned(s: SparkSession, dir: String): DataFrame = {
-    val fact = dppFacts.compute(dir, (_, prev) => {
-      if (prev != null && new java.io.File(prev, "_SUCCESS").exists()) prev
+    val root = dppFacts.compute(dir, (_, prev) => {
+      if (prev != null &&
+          new java.io.File(prev, "fact/_SUCCESS").exists() &&
+          new java.io.File(prev, "dim/_SUCCESS").exists()) prev
       else {
-        val out = GraftTmp.dir(
-          "dpp_" + Integer.toHexString(dir.hashCode).takeRight(8))
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val out = GraftTmp.dir("dpp_" + tag)
         T(s, dir, "orders")
-          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+          .write.mode("overwrite").partitionBy("o_orderpriority")
+          .parquet(out + "/fact")
+        import s.implicits._
+        Seq(
+          ("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+          ("4-NOT SPECIFIED", 4), ("5-LOW", 5))
+          .toDF("priority", "urgency_rank")
+          .coalesce(1).write.mode("overwrite").parquet(out + "/dim")
         out
       }
     })
-    import s.implicits._
-    val dim = Seq(
-      ("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
-      ("4-NOT SPECIFIED", 4), ("5-LOW", 5)).toDF("priority", "urgency_rank")
-    s.read.parquet(fact)
+    val dim = s.read.parquet(root + "/dim")
+    s.read.parquet(root + "/fact")
       .join(broadcast(dim.where(col("urgency_rank") <= 2)),
         col("o_orderpriority") === col("priority"))
       .groupBy("o_orderpriority")
@@ -300,6 +317,34 @@ object Joins {
 
   /** FULL OUTER of per-nation customer vs supplier counts — unmatched
     * sides surface as zeros via coalesce on both key and counts. */
+  /** Runtime bloom-filter join pruning — the third runtime-pruning
+    * strategy after broadcast-DPP (`join_dpp_partitioned`) and AQE skew
+    * split (`join_skew_aqe`), for the case neither covers: a selective
+    * dim side too large (or not partition-aligned) for DPP, joined to a
+    * fact too large to broadcast. Spark's InjectRuntimeFilter builds a
+    * bloom filter over the filtered orders keys and probes it
+    * (`might_contain`) in the lineitem scan, dropping non-matching fact
+    * rows BEFORE the shuffle — at 100 TB that turns a full-fact shuffle
+    * into a shuffle of only the ~selectivity fraction that can join.
+    * The merge hints pin the sort-merge shape (a broadcast join needs
+    * no row-level pre-filter, and at fixture scale the filtered orders
+    * side would otherwise broadcast and hide the strategy). Injection
+    * is gated on production size thresholds (10 GB fact scan), so at
+    * fixture scale the scored plan is the plain sort-merge join;
+    * PlanSuite runs THIS builder under lowered thresholds and asserts
+    * the `might_contain` probe appears. Bloom pruning is
+    * result-invariant, so the oracle is the plain join + GROUP BY. */
+  private[graft] def joinBloomPruned(s: SparkSession, dir: String): DataFrame = {
+    val sel = T(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
+      .select("o_orderkey")
+    val li = T(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    li.hint("merge").join(sel.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_items"), sumMoneyD(col("l_extendedprice")).as("gross"))
+      .orderBy("o_orderkey")
+  }
+
   private def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
     val c = T(s, dir, "customer").groupBy("c_nationkey")
       .agg(count(lit(1)).as("n_cust"))
@@ -457,6 +502,7 @@ object Joins {
     "join_skew_salted" -> (joinSkewSalted _),
     "join_skew_aqe" -> (joinSkewAqe _),
     "join_dpp_partitioned" -> (joinDppPartitioned _),
+    "join_bloom_pruned" -> (joinBloomPruned _),
     "tpch_q3_shaped" -> (tpchQ3Shaped _),
     "tpch_q10_shaped" -> (tpchQ10Shaped _),
     "join_broadcast_inner" -> (joinBroadcastInner _),
@@ -529,6 +575,12 @@ object Joins {
         |  WHERE n_regionkey = r.r_regionkey
         |  ORDER BY n_nationkey LIMIT 2) t
         |ORDER BY r_name, n_nationkey""".stripMargin,
+    "join_bloom_pruned" ->
+      """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > CAST(200000 AS DOUBLE)
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "join_dpp_partitioned" ->
       """WITH dim(priority, urgency_rank) AS (
         | VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),

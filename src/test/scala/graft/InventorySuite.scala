@@ -19,6 +19,23 @@ class InventorySuite extends SparkSuiteBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // Round-11 lesson (twice now): keys landed in HEAD without their
+  // paper trail. This makes the census mechanical — a registered key
+  // with no SURVEY.md row, or a stale totals line, fails the suite.
+  test("every registered key has a SURVEY.md row and the totals line is exact") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val missing =
+      SparkEntry.queries.keySet.filterNot(k => survey.contains(s"`$k`"))
+    assert(missing.isEmpty,
+      s"registered keys with no SURVEY.md row: ${missing.toSeq.sorted}")
+    val totals = "Totals shipped: (\\d+) query keys".r
+      .findFirstMatchIn(survey).map(_.group(1).toInt)
+    assert(totals.contains(SparkEntry.queries.size),
+      s"SURVEY totals line says ${totals.getOrElse("<absent>")} keys, " +
+        s"registry has ${SparkEntry.queries.size}")
+  }
+
   // The driver's checker pandas-sort_values every column before
   // hashing; ArrayType/MapType/StructType values arrive as numpy
   // arrays / dicts and crash it (`unhashable type`). This class

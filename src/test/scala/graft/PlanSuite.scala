@@ -209,10 +209,14 @@ class PlanSuite extends SparkSuiteBase {
     assert(!dynamic.queryExecution.optimizedPlan.toString.contains("graft_count_in_set"))
   }
 
-  test("runtime bloom-filter pruning injects MightContain on a selective fact join") {
+  test("scored join_bloom_pruned builder injects MightContain under lowered thresholds") {
     // Spark's runtime row-level filtering: a selective dim side should
     // inject a bloom-filter probe into the fact scan, cutting shuffled
     // rows before the join — the 100-TB win for selective fact⨝dim'.
+    // Runs the SAME builder the driver scores (the join_skew_aqe
+    // promotion pattern: the scored result is pruning-invariant, the
+    // plan property is asserted here under thresholds the 17 MB
+    // fixture can trip).
     val keys = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
@@ -228,18 +232,13 @@ class PlanSuite extends SparkSuiteBase {
     spark.conf.set(keys(1), "1GB")
     spark.conf.set(keys(2), "0")
     spark.conf.set(keys(3), "-1")
-    import org.apache.spark.sql.functions.col
     try {
-      val orders = T(spark, SF, "orders")
-        .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
-      val li = T(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
-      // force a shuffle join so the bloom filter has a shuffle to prune
-      val j = li.hint("merge").join(orders, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority").count()
+      val j = run("join_bloom_pruned")
       j.collect()
       val plan = j.queryExecution.executedPlan.toString
       assert(plan.contains("might_contain") || plan.contains("bloom"),
         s"no runtime bloom filter injected:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"bloom demo lost its shuffle join:\n$plan")
     } finally prev.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
@@ -355,6 +354,24 @@ class PlanSuite extends SparkSuiteBase {
     assert(p.contains("dynamicpruning"),
       s"no dynamic partition pruning on the fact scan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"dim side not broadcast:\n$p")
+    // …and the pruning actually happened: the fact has 5 priority
+    // partitions, the runtime filter admits 2 (urgency_rank <= 2).
+    // Read the scan's driver metric, not just the plan string.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // materialized AQE stages are leaves — recurse through them
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case q: QueryStageExec     => scans(q.plan)
+    }.flatten
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    }
+    val factScan = scans(exec).find(_.partitionFilters.nonEmpty)
+      .getOrElse(fail(s"no partitioned fact scan in:\n$exec"))
+    val read = factScan.metrics("numPartitions").value
+    assert(read == 2, s"DPP read $read of 5 fact partitions, expected 2")
   }
 
   test("win_distinct_running rides one user_id exchange for both windows") {
