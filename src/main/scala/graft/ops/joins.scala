@@ -345,6 +345,43 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  /** Storage-partitioned join (SPJ) — the fourth shuffle-elimination
+    * strategy on the scored surface, and the one lakehouse tables
+    * (Iceberg/Delta) live on at 100 TB: both sides are DataSource-V2
+    * tables (graft.sources.BucketedLedgerSource) that REPORT their
+    * bucket layout via KeyGroupedPartitioning + HasPartitionKey, so
+    * EnsureRequirements recognizes them as co-partitioned and plans the
+    * fact-fact join with ZERO exchanges — the storage layout is the
+    * exchange, paid once at write time. Differs from
+    * `join_bucketed_colocated` (Hive bucketed tables) in mechanism:
+    * here the CONNECTOR owns the partition metadata, the contract any
+    * custom table format plugs into. The aggregate groups on a superset
+    * of the bucket key, so it rides the reported partitioning too; the
+    * only exchange in the whole plan is the final presentation sort.
+    * PlanSuite asserts exactly that. Oracle: both ledgers are exact
+    * modular arithmetic over range(n), re-derived in DuckDB. */
+  private[graft] def joinStoragePartitioned(s: SparkSession, dir: String): DataFrame = {
+    // The production SPJ conf pair, scoped to an isolated session
+    // (shared SparkContext, fresh SQLConf) so no other key's planning
+    // shifts: v2 bucketing turns reported partitioning on;
+    // requireAllClusterKeysForCoPartition=false lets the join keys be
+    // a SUPERSET of the storage partition keys (bucket ⊂ {bucket,
+    // o_key}) — the exact recipe lakehouse formats document for SPJ.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    def ledger(t: String) = s2.read.format("graft.sources.BucketedLedgerSource")
+      .option("table", t).option("rows", "100000").option("buckets", "32").load()
+    val it = ledger("items").select(
+      col("bucket").as("i_bucket"), col("o_key").as("i_key"), col("qty"))
+    ledger("orders")
+      .join(it, col("bucket") === col("i_bucket") && col("o_key") === col("i_key"))
+      .groupBy("bucket", "o_key", "o_amount")
+      .agg(count(lit(1)).as("n_items"), sumMoneyD(col("qty")).as("total_qty"))
+      .select("o_key", "o_amount", "n_items", "total_qty")
+      .orderBy("o_key")
+  }
+
   private def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
     val c = T(s, dir, "customer").groupBy("c_nationkey")
       .agg(count(lit(1)).as("n_cust"))
@@ -503,6 +540,7 @@ object Joins {
     "join_skew_aqe" -> (joinSkewAqe _),
     "join_dpp_partitioned" -> (joinDppPartitioned _),
     "join_bloom_pruned" -> (joinBloomPruned _),
+    "join_storage_partitioned" -> (joinStoragePartitioned _),
     "tpch_q3_shaped" -> (tpchQ3Shaped _),
     "tpch_q10_shaped" -> (tpchQ10Shaped _),
     "join_broadcast_inner" -> (joinBroadcastInner _),
@@ -575,6 +613,16 @@ object Joins {
         |  WHERE n_regionkey = r.r_regionkey
         |  ORDER BY n_nationkey LIMIT 2) t
         |ORDER BY r_name, n_nationkey""".stripMargin,
+    "join_storage_partitioned" ->
+      """WITH o AS (SELECT i AS o_key, i % 32 AS bucket,
+        |  (i * 7 % 1000) / 10.0 AS o_amount FROM range(100000) t(i)),
+        |it AS (SELECT j AS item_id, j % 100000 AS o_key,
+        |  (j % 100000) % 32 AS bucket, (j * 13 % 500) / 10.0 AS qty
+        | FROM range(400000) t(j))
+        |SELECT o.o_key, o.o_amount, CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM o JOIN it ON o.bucket = it.bucket AND o.o_key = it.o_key
+        |GROUP BY o.o_key, o.o_amount ORDER BY o.o_key""".stripMargin,
     "join_bloom_pruned" ->
       """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross

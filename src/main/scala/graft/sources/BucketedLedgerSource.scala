@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 tables that REPORT their storage partitioning — the
+  * Spark-side contract behind storage-partitioned joins (SPJ), the
+  * mechanism Iceberg/Delta-style lakehouse tables use to join
+  * shuffle-free at 100 TB. Two synthetic ledgers share a bucket layout:
+  *
+  *   orders(o_key, bucket, o_amount)   n rows,  bucket = o_key % B
+  *   items(item_id, o_key, bucket, qty) 4n rows, same bucket function
+  *
+  * Each table's Scan implements SupportsReportPartitioning with
+  * KeyGroupedPartitioning(identity(bucket), B) and every InputPartition
+  * carries its bucket value via HasPartitionKey, so Catalyst's
+  * EnsureRequirements recognizes the two sides as co-partitioned and
+  * plans the join with ZERO exchanges (under
+  * spark.sql.sources.v2.bucketing.enabled). At 100 TB this is the
+  * difference between shuffling both fact tables and shuffling nothing:
+  * the storage layout IS the exchange, paid once at write time.
+  *
+  * All attributes are exact modular arithmetic over the row id, so the
+  * DuckDB oracle re-derives both tables from range(n) — same discipline
+  * as StarCatalogSource.
+  *
+  * Options: table=orders|items, rows=n (orders; items emits 4n),
+  * buckets=B.
+  */
+class BucketedLedgerSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BucketedLedgerSource.schemaFor(options.get("table"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BucketedLedgerTable(
+      Option(properties.get("table")).getOrElse("orders"),
+      Option(properties.get("rows")).map(_.toLong).getOrElse(100000L),
+      Option(properties.get("buckets")).map(_.toInt).getOrElse(32))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object BucketedLedgerSource {
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_key", LongType, nullable = false),
+    StructField("bucket", LongType, nullable = false),
+    StructField("o_amount", DoubleType, nullable = false)))
+  val itemsSchema: StructType = StructType(Seq(
+    StructField("item_id", LongType, nullable = false),
+    StructField("o_key", LongType, nullable = false),
+    StructField("bucket", LongType, nullable = false),
+    StructField("qty", DoubleType, nullable = false)))
+
+  def schemaFor(table: String): StructType =
+    if (table == "items") itemsSchema else ordersSchema
+
+  /** Exact integer arithmetic then /10 — bit-identical in DuckDB. */
+  def orderAmount(i: Long): Double = (i * 7 % 1000) / 10.0
+  def itemQty(j: Long): Double = (j * 13 % 500) / 10.0
+}
+
+class BucketedLedgerTable(table: String, rows: Long, buckets: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_ledger_$table($rows)"
+  override def schema(): StructType = BucketedLedgerSource.schemaFor(table)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch with SupportsReportPartitioning {
+      override def build(): Scan = this
+      override def readSchema(): StructType = BucketedLedgerSource.schemaFor(table)
+      override def toBatch: Batch = this
+
+      // The storage contract: one input split per bucket, each naming
+      // its bucket value — what a lakehouse table derives from its
+      // manifest/partition metadata.
+      override def outputPartitioning(): Partitioning =
+        new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), buckets)
+
+      override def planInputPartitions(): Array[InputPartition] =
+        (0 until buckets)
+          .map(b => LedgerBucket(table, rows, buckets, b): InputPartition)
+          .toArray
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        new LedgerReaderFactory
+    }
+}
+
+/** One bucket's split; partitionKey() is what SPJ matches across sides. */
+case class LedgerBucket(table: String, rows: Long, buckets: Int, bucket: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket.toLong)
+}
+
+class LedgerReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LedgerBucket]
+    if (p.table == "items") new PartitionReader[InternalRow] {
+      // items of bucket b: orders o = b, b+B, ... < n, each with items
+      // j = o, o+n, o+2n, o+3n (so o_key = j % n, 4 items per order)
+      private var o = p.bucket.toLong - p.buckets
+      private var rep = 3L
+      override def next(): Boolean = {
+        rep += 1
+        if (rep == 4) { rep = 0; o += p.buckets }
+        o < p.rows
+      }
+      override def get(): InternalRow = {
+        val j = o + rep * p.rows
+        InternalRow(j, o, o % p.buckets, BucketedLedgerSource.itemQty(j))
+      }
+      override def close(): Unit = ()
+    } else new PartitionReader[InternalRow] {
+      private var i = p.bucket.toLong - p.buckets
+      override def next(): Boolean = { i += p.buckets; i < p.rows }
+      override def get(): InternalRow =
+        InternalRow(i, i % p.buckets, BucketedLedgerSource.orderAmount(i))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -283,6 +283,40 @@ class PlanSuite extends SparkSuiteBase {
       s"no equi-join for the banded candidates:\n$p")
   }
 
+  test("join_storage_partitioned: SPJ joins and aggregates with zero hash exchanges") {
+    // Both DSv2 sides report KeyGroupedPartitioning(bucket) with
+    // per-split HasPartitionKey values, so the fact-fact join AND the
+    // bucket-superset aggregate ride the storage layout — the ONLY
+    // exchange in the whole plan is the final presentation sort.
+    val df = run("join_storage_partitioned")
+    df.collect()
+    // with AQE the plan string appends "== Initial Plan ==" — count
+    // exchanges in the executed final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"), s"no sort-merge join in:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 0, s"SPJ should leave zero hash exchanges, got $hashEx:\n$p")
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(rangeEx == 1, s"expected only the presentation-sort exchange:\n$p")
+    // the bucketed split layout is what the connector promised
+    assert(df.count() == 100000L)
+  }
+
+  test("BucketedLedgerSource: bucket splits cover each table exactly once") {
+    def ledger(t: String) = spark.read
+      .format("graft.sources.BucketedLedgerSource")
+      .option("table", t).option("rows", "1000").option("buckets", "8").load()
+    assert(ledger("orders").rdd.getNumPartitions == 8)
+    assert(ledger("orders").count() == 1000)
+    assert(ledger("items").count() == 4000)
+    // every item's bucket is its order's bucket (the co-location invariant)
+    import org.apache.spark.sql.functions.{col, expr}
+    assert(ledger("items").where(col("bucket") =!= expr("o_key % 8")).count() == 0)
+    // ids partition cleanly: distinct keys per table
+    assert(ledger("orders").select("o_key").distinct().count() == 1000)
+    assert(ledger("items").select("item_id").distinct().count() == 4000)
+  }
+
   test("custom DSv2 star source plans the requested partitions") {
     val df = spark.read.format("graft.sources.StarCatalogSource")
       .option("rows", "1000").option("partitions", "8").load()
