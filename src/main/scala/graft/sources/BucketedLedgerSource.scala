@@ -77,9 +77,18 @@ class BucketedLedgerTable(table: String, rows: Long, buckets: Int)
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch with SupportsReportPartitioning {
+    new ScanBuilder with Scan with Batch with SupportsReportPartitioning
+        with SupportsPushDownRequiredColumns {
+      // Column pruning: a 100-TB connector that materializes columns
+      // the query never reads is wrong — Catalyst pushes the required
+      // schema down and the readers emit exactly those fields
+      // (PlanSuite asserts the pruned BatchScan output).
+      private var required: StructType = BucketedLedgerSource.schemaFor(table)
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
       override def build(): Scan = this
-      override def readSchema(): StructType = BucketedLedgerSource.schemaFor(table)
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
 
       // The storage contract: one input split per bucket, each naming
@@ -94,7 +103,7 @@ class BucketedLedgerTable(table: String, rows: Long, buckets: Int)
           .toArray
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new LedgerReaderFactory
+        new LedgerReaderFactory(required.fieldNames)
     }
 }
 
@@ -104,7 +113,7 @@ case class LedgerBucket(table: String, rows: Long, buckets: Int, bucket: Int)
   override def partitionKey(): InternalRow = InternalRow(bucket.toLong)
 }
 
-class LedgerReaderFactory extends PartitionReaderFactory {
+class LedgerReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LedgerBucket]
     if (p.table == "items") new PartitionReader[InternalRow] {
@@ -119,14 +128,23 @@ class LedgerReaderFactory extends PartitionReaderFactory {
       }
       override def get(): InternalRow = {
         val j = o + rep * p.rows
-        InternalRow(j, o, o % p.buckets, BucketedLedgerSource.itemQty(j))
+        InternalRow(fields.map[Any] {
+          case "item_id" => j
+          case "o_key"   => o
+          case "bucket"  => o % p.buckets
+          case "qty"     => BucketedLedgerSource.itemQty(j)
+        }: _*)
       }
       override def close(): Unit = ()
     } else new PartitionReader[InternalRow] {
       private var i = p.bucket.toLong - p.buckets
       override def next(): Boolean = { i += p.buckets; i < p.rows }
       override def get(): InternalRow =
-        InternalRow(i, i % p.buckets, BucketedLedgerSource.orderAmount(i))
+        InternalRow(fields.map[Any] {
+          case "o_key"    => i
+          case "bucket"   => i % p.buckets
+          case "o_amount" => BucketedLedgerSource.orderAmount(i)
+        }: _*)
       override def close(): Unit = ()
     }
   }

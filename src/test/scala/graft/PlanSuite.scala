@@ -315,6 +315,15 @@ class PlanSuite extends SparkSuiteBase {
     // ids partition cleanly: distinct keys per table
     assert(ledger("orders").select("o_key").distinct().count() == 1000)
     assert(ledger("items").select("item_id").distinct().count() == 4000)
+    // column pruning pushes the required schema into the connector:
+    // a 2-column projection must not read item_id
+    val pruned = ledger("items").select("o_key", "qty")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("[o_key#") && !scanLine.contains("item_id"),
+      s"items scan not pruned to (o_key, qty): $scanLine")
+    assert(pruned.agg(org.apache.spark.sql.functions.sum("qty")).collect()
+      .head.getDouble(0) > 0)
   }
 
   test("custom DSv2 star source plans the requested partitions") {
