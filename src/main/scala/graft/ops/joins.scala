@@ -382,6 +382,36 @@ object Joins {
       .orderBy("o_key")
   }
 
+  /** Runtime group filtering on a DSv2 scan — the connector-side DPP,
+    * completing the pruning matrix: `join_dpp_partitioned` prunes
+    * parquet directory partitions, this prunes CONNECTOR splits. The
+    * broadcast dim (a selective filter over a Range — not a local
+    * relation, so the Filter survives optimization) joins the v2
+    * ledger on its reported bucket attribute; Spark pushes the dim's
+    * key set back into the scan as a runtime In filter
+    * (SupportsRuntimeFiltering), and 24 of 32 bucket splits are never
+    * planned — at 100 TB, manifest-level pruning where scan I/O tracks
+    * dim selectivity, not table size. PlanSuite asserts the scan's
+    * RuntimeFilters and that its numOutputRows is exactly the 8
+    * surviving buckets' rows. Pruning is result-invariant → oracle is
+    * the plain join, both tables re-derived from range(). */
+  private[graft] def joinV2GroupFilter(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.format("graft.sources.BucketedLedgerSource")
+      .option("table", "orders").option("rows", "100000").option("buckets", "32")
+      // layout reporting off: a broadcast-dim join needs no
+      // co-partitioning, and key-grouped layout preservation would
+      // otherwise complicate split pruning (see the source's Scaladoc)
+      .option("report", "false")
+      .load()
+    val dim = s.range(32).select(
+      col("id").as("seg_bucket"), (col("id") % 4).as("segment"))
+      .where(col("segment") === 1)
+    orders.join(broadcast(dim), col("bucket") === col("seg_bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"), sumMoneyD(col("o_amount")).as("amount"))
+      .orderBy("bucket")
+  }
+
   private def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
     val c = T(s, dir, "customer").groupBy("c_nationkey")
       .agg(count(lit(1)).as("n_cust"))
@@ -541,6 +571,7 @@ object Joins {
     "join_dpp_partitioned" -> (joinDppPartitioned _),
     "join_bloom_pruned" -> (joinBloomPruned _),
     "join_storage_partitioned" -> (joinStoragePartitioned _),
+    "join_v2_group_filter" -> (joinV2GroupFilter _),
     "tpch_q3_shaped" -> (tpchQ3Shaped _),
     "tpch_q10_shaped" -> (tpchQ10Shaped _),
     "join_broadcast_inner" -> (joinBroadcastInner _),
@@ -613,6 +644,14 @@ object Joins {
         |  WHERE n_regionkey = r.r_regionkey
         |  ORDER BY n_nationkey LIMIT 2) t
         |ORDER BY r_name, n_nationkey""".stripMargin,
+    "join_v2_group_filter" ->
+      """WITH o AS (SELECT i AS o_key, i % 32 AS bucket,
+        |  (i * 7 % 1000) / 10.0 AS o_amount FROM range(100000) t(i)),
+        |d AS (SELECT id AS seg_bucket FROM range(32) t(id) WHERE id % 4 = 1)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(o_amount AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        |FROM o JOIN d ON bucket = seg_bucket
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "join_storage_partitioned" ->
       """WITH o AS (SELECT i AS o_key, i % 32 AS bucket,
         |  (i * 7 % 1000) / 10.0 AS o_amount FROM range(100000) t(i)),
@@ -764,3 +803,5 @@ object Joins {
         |WHERE rn = 1 ORDER BY user_id, purchase_id""".stripMargin,
   )
 }
+
+

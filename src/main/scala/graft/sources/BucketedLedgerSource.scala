@@ -6,9 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -45,7 +45,8 @@ class BucketedLedgerSource extends TableProvider {
     new BucketedLedgerTable(
       Option(properties.get("table")).getOrElse("orders"),
       Option(properties.get("rows")).map(_.toLong).getOrElse(100000L),
-      Option(properties.get("buckets")).map(_.toInt).getOrElse(32))
+      Option(properties.get("buckets")).map(_.toInt).getOrElse(32),
+      Option(properties.get("report")).forall(_.toBoolean))
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -69,8 +70,8 @@ object BucketedLedgerSource {
   def itemQty(j: Long): Double = (j * 13 % 500) / 10.0
 }
 
-class BucketedLedgerTable(table: String, rows: Long, buckets: Int)
-    extends Table with SupportsRead {
+class BucketedLedgerTable(table: String, rows: Long, buckets: Int,
+    report: Boolean = true) extends Table with SupportsRead {
   override def name(): String = s"graft_ledger_$table($rows)"
   override def schema(): StructType = BucketedLedgerSource.schemaFor(table)
   override def capabilities(): util.Set[TableCapability] =
@@ -78,7 +79,23 @@ class BucketedLedgerTable(table: String, rows: Long, buckets: Int)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsReportPartitioning
-        with SupportsPushDownRequiredColumns {
+        with SupportsPushDownRequiredColumns with SupportsRuntimeFiltering {
+      // Runtime group filtering — the connector-side DPP: when this
+      // scan joins a selective broadcast dim on `bucket`, Spark pushes
+      // the dim's key set back as an In filter at runtime and whole
+      // bucket splits are never planned, let alone read. At 100 TB
+      // this is manifest-level pruning: the scan's I/O tracks the
+      // dim's selectivity, not the table size.
+      private var keepBuckets: Option[Set[Long]] = None
+      override def filterAttributes(): Array[NamedReference] =
+        Array(Expressions.column("bucket"))
+      override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+        filters.foreach {
+          case org.apache.spark.sql.sources.In("bucket", vs) =>
+            keepBuckets = Some(vs.map(_.asInstanceOf[Number].longValue).toSet)
+          case _ => ()
+        }
+
       // Column pruning: a 100-TB connector that materializes columns
       // the query never reads is wrong — Catalyst pushes the required
       // schema down and the readers emit exactly those fields
@@ -93,12 +110,20 @@ class BucketedLedgerTable(table: String, rows: Long, buckets: Int)
 
       // The storage contract: one input split per bucket, each naming
       // its bucket value — what a lakehouse table derives from its
-      // manifest/partition metadata.
+      // manifest/partition metadata. `report=false` opts a read out
+      // (UnknownPartitioning): key-grouped layout reporting and runtime
+      // group filtering interact (Spark must preserve the grouped
+      // layout under split pruning), so the runtime-filter demo key
+      // reads without reporting — a broadcast-dim join needs no
+      // co-partitioning anyway.
       override def outputPartitioning(): Partitioning =
-        new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), buckets)
+        if (report)
+          new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), buckets)
+        else new UnknownPartitioning(buckets)
 
       override def planInputPartitions(): Array[InputPartition] =
         (0 until buckets)
+          .filter(b => keepBuckets.forall(_.contains(b.toLong)))
           .map(b => LedgerBucket(table, rows, buckets, b): InputPartition)
           .toArray
 
@@ -114,6 +139,15 @@ case class LedgerBucket(table: String, rows: Long, buckets: Int, bucket: Int)
 }
 
 class LedgerReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  // Field names resolve to ordinals ONCE per reader; the per-row loop
+  // fills a fresh Array[Any] without the varargs defensive copy.
+  private val codes: Array[Int] = fields.map {
+    case "item_id" => 0; case "o_key" => 1; case "bucket" => 2
+    case "qty" => 3; case "o_amount" => 4
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LedgerBucket]
     if (p.table == "items") new PartitionReader[InternalRow] {
@@ -128,24 +162,39 @@ class LedgerReaderFactory(fields: Array[String]) extends PartitionReaderFactory 
       }
       override def get(): InternalRow = {
         val j = o + rep * p.rows
-        InternalRow(fields.map[Any] {
-          case "item_id" => j
-          case "o_key"   => o
-          case "bucket"  => o % p.buckets
-          case "qty"     => BucketedLedgerSource.itemQty(j)
-        }: _*)
+        val vals = new Array[Any](codes.length)
+        var k = 0
+        while (k < codes.length) {
+          vals(k) = codes(k) match {
+            case 0 => j
+            case 1 => o
+            case 2 => o % p.buckets
+            case _ => BucketedLedgerSource.itemQty(j)
+          }
+          k += 1
+        }
+        new GenericInternalRow(vals)
       }
       override def close(): Unit = ()
     } else new PartitionReader[InternalRow] {
       private var i = p.bucket.toLong - p.buckets
       override def next(): Boolean = { i += p.buckets; i < p.rows }
-      override def get(): InternalRow =
-        InternalRow(fields.map[Any] {
-          case "o_key"    => i
-          case "bucket"   => i % p.buckets
-          case "o_amount" => BucketedLedgerSource.orderAmount(i)
-        }: _*)
+      override def get(): InternalRow = {
+        val vals = new Array[Any](codes.length)
+        var k = 0
+        while (k < codes.length) {
+          vals(k) = codes(k) match {
+            case 1 => i
+            case 2 => i % p.buckets
+            case _ => BucketedLedgerSource.orderAmount(i)
+          }
+          k += 1
+        }
+        new GenericInternalRow(vals)
+      }
       override def close(): Unit = ()
     }
   }
 }
+
+

@@ -302,6 +302,35 @@ class PlanSuite extends SparkSuiteBase {
     assert(df.count() == 100000L)
   }
 
+  test("join_v2_group_filter: runtime group filtering prunes connector splits") {
+    // The connector-side DPP: the broadcast dim's bucket set is pushed
+    // into the v2 scan at runtime (SupportsRuntimeFiltering) and 24 of
+    // 32 bucket splits are never planned. Proof is the scan's OWN
+    // output-rows metric: 8 surviving buckets × 3125 orders = 25000 —
+    // an unpruned scan would emit all 100000 (the static inferred
+    // filter above it sits AFTER the scan).
+    val df = run("join_v2_group_filter")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RuntimeFilters: [dynamicpruning"),
+      s"no runtime group filter on the v2 scan:\n$p")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scans(pl: SparkPlan): Seq[BatchScanExec] = pl.collect {
+      case b: BatchScanExec  => Seq(b)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    }
+    val scan = scans(exec).headOption
+      .getOrElse(fail(s"no v2 scan in:\n$exec"))
+    val rows = scan.metrics("numOutputRows").value
+    assert(rows == 25000, s"v2 scan emitted $rows rows; split pruning didn't happen")
+  }
+
   test("BucketedLedgerSource: bucket splits cover each table exactly once") {
     def ledger(t: String) = spark.read
       .format("graft.sources.BucketedLedgerSource")
