@@ -52,6 +52,23 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** Avro round-trip WITHOUT the spark-avro connector (absent in this
+    * environment): graft.sources.AvroDirSource builds the row-container
+    * format directly on avro-core (which ships with Spark) through the
+    * DSv2 read+write contract — per-task container files on write
+    * (schema embedded, task-unique names so commit needs no renames),
+    * one split per file on read, schema from the first file's embedded
+    * writer schema. Closes the environment-blocked Avro gap with the
+    * connector surface a real deployment would use. */
+  private def sourceAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = GraftTmp.dir("avro")
+    T(s, dir, "nation").orderBy("n_nationkey")
+      .write.format("graft.sources.AvroDirSource").option("path", tmp)
+      .mode("overwrite").save()
+    s.read.format("graft.sources.AvroDirSource").option("path", tmp)
+      .load().orderBy("n_nationkey")
+  }
+
   /** Columnar non-parquet source: ORC round-trip of nation. */
   private def sourceOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = GraftTmp.dir("orc")
@@ -374,6 +391,7 @@ object Relational {
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
+    "source_avro_roundtrip" -> (sourceAvroRoundtrip _),
     "source_binaryfile_roundtrip" -> (sourceBinaryfileRoundtrip _),
     "source_xml_roundtrip" -> (sourceXmlRoundtrip _),
     "scan_metadata_columns" -> (scanMetadataColumns _),
@@ -430,6 +448,8 @@ object Relational {
     "source_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "source_orc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "source_avro_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "source_binaryfile_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

@@ -1,0 +1,219 @@
+package graft.sources
+
+import java.io.File
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro source + sink built directly on avro-core — the spark-avro
+  * connector jar is absent in this environment, but `avro-1.12.1.jar`
+  * ships with Spark itself, so the row-container format is fully
+  * serviceable through the DataSource-V2 contract:
+  *
+  *   - WRITE: each task's DataWriter streams its partition into its own
+  *     `part-<pid>-<tid>.avro` container file (schema embedded, snappy-
+  *     free null codec) — the same one-file-per-task layout every
+  *     distributed file sink uses; commit is rename-free because file
+  *     names are task-unique.
+  *   - READ: one InputPartition per container file; the schema comes
+  *     from the first file's embedded writer schema (Avro files are
+  *     self-describing — no footer sampling needed).
+  *
+  * Types cover the contract fixtures (long/int/double/string/boolean,
+  * nullable via Avro unions). 100-TB note: the split unit is the file
+  * (Avro container blocks would allow finer splits; at scale you size
+  * write tasks so file ≈ split), and scan parallelism is the file
+  * count — exactly how the real spark-avro behaves with splittable
+  * codecs off.
+  */
+class AvroDirSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = AvroDirSource.listFiles(options.get("path"))
+    if (files.isEmpty) new StructType()
+    else {
+      val r = new DataFileReader[GenericRecord](
+        files.head, new GenericDatumReader[GenericRecord]())
+      try AvroDirSource.toSparkSchema(r.getSchema) finally r.close()
+    }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new AvroDirTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object AvroDirSource {
+  def listFiles(path: String): Seq[File] =
+    Option(new File(path).listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(_.getName.endsWith(".avro")).sortBy(_.getName)
+
+  /** Avro record schema → Spark schema (unions with null → nullable). */
+  def toSparkSchema(s: Schema): StructType = StructType(
+    s.getFields.asScala.map { f =>
+      val (t, nullable) = f.schema().getType match {
+        case Schema.Type.UNION =>
+          val nonNull = f.schema().getTypes.asScala
+            .filter(_.getType != Schema.Type.NULL)
+          (nonNull.head.getType, true)
+        case t => (t, false)
+      }
+      val spark = t match {
+        case Schema.Type.LONG    => LongType
+        case Schema.Type.INT     => IntegerType
+        case Schema.Type.DOUBLE  => DoubleType
+        case Schema.Type.BOOLEAN => BooleanType
+        case Schema.Type.STRING  => StringType
+        case other => throw new IllegalArgumentException(s"unsupported avro type $other")
+      }
+      StructField(f.name(), spark, nullable)
+    }.toSeq)
+
+  /** Spark schema → Avro record schema (nullable → union with null). */
+  def toAvroSchema(s: StructType, name: String): Schema = {
+    var fields = SchemaBuilder.record(name).namespace("graft").fields()
+    s.fields.foreach { f =>
+      val base = f.dataType match {
+        case LongType    => Schema.create(Schema.Type.LONG)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case StringType  => Schema.create(Schema.Type.STRING)
+        case other => throw new IllegalArgumentException(s"unsupported spark type $other")
+      }
+      fields =
+        if (f.nullable)
+          fields.name(f.name)
+            .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), base))
+            .withDefault(null)
+        else fields.name(f.name).`type`(base).noDefault()
+    }
+    fields.endRecord()
+  }
+}
+
+class AvroDirTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft_avro($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = tableSchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        AvroDirSource.listFiles(path)
+          .map(f => AvroFileSplit(f.getAbsolutePath): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new AvroReaderFactory(tableSchema)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // SaveMode.Overwrite arrives as truncate-then-append; existing
+      // container files are removed once, on the driver, before tasks
+      // start writing their own.
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              p: PhysicalWriteInfo): DataWriterFactory = {
+            new File(path).mkdirs()
+            if (doTruncate) AvroDirSource.listFiles(path).foreach(_.delete())
+            new AvroWriterFactory(path, info.schema())
+          }
+          // File names are task-unique, so commit needs no renames; a
+          // failed task's abort() deletes its own file.
+          override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+}
+
+case class AvroFileSplit(file: String) extends InputPartition
+case class AvroCommit(file: String) extends WriterCommitMessage
+
+class AvroReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val split = partition.asInstanceOf[AvroFileSplit]
+    new PartitionReader[InternalRow] {
+      private val reader = new DataFileReader[GenericRecord](
+        new File(split.file), new GenericDatumReader[GenericRecord]())
+      override def next(): Boolean = reader.hasNext
+      override def get(): InternalRow = {
+        val rec = reader.next()
+        val vals = new Array[Any](schema.length)
+        var i = 0
+        while (i < schema.length) {
+          val v = rec.get(i)
+          vals(i) = schema.fields(i).dataType match {
+            case _ if v == null => null
+            case StringType     => UTF8String.fromString(v.toString)
+            case _              => v
+          }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+class AvroWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val avroSchema = AvroDirSource.toAvroSchema(schema, "graft_row")
+      private val file = new File(path, f"part-$partitionId%05d-$taskId.avro")
+      private val writer = {
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](avroSchema))
+        w.create(avroSchema, file)
+      }
+      override def write(row: InternalRow): Unit = {
+        val rec = new GenericData.Record(avroSchema)
+        var i = 0
+        while (i < schema.length) {
+          val v =
+            if (row.isNullAt(i)) null
+            else schema.fields(i).dataType match {
+              case LongType    => java.lang.Long.valueOf(row.getLong(i))
+              case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
+              case DoubleType  => java.lang.Double.valueOf(row.getDouble(i))
+              case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+              case StringType  => row.getUTF8String(i).toString
+              case other => throw new IllegalArgumentException(s"unsupported $other")
+            }
+          rec.put(i, v)
+          i += 1
+        }
+        writer.append(rec)
+      }
+      override def commit(): WriterCommitMessage = {
+        writer.close(); AvroCommit(file.getAbsolutePath)
+      }
+      override def abort(): Unit = { writer.close(); file.delete(); () }
+      override def close(): Unit = ()
+    }
+}
