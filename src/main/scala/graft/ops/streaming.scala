@@ -370,7 +370,37 @@ object Streaming {
       .orderBy("user_id", "purchase_id", "error_id")
   }
 
+  /** Custom STREAMING DSv2 source (graft.sources.LedgerStreamSource) —
+    * the Kafka-shaped connector contract, demonstrable without a
+    * broker: offset-tracked micro-batches with admission control
+    * (batchSize = the maxOffsetsPerTrigger analog, so AvailableNow
+    * drains the 10 000-tick backlog in 4 bounded batches — offset-log
+    * entries counted in StreamingSuite), per-batch range splits like
+    * topic partitions, positions checkpointed/replayed via the offset
+    * log. The sink is the exactly-once parquet file sink; the scored
+    * result aggregates the committed output, and the oracle re-derives
+    * the deterministic tick ledger from range(n). */
+  private def streamCustomSource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val root = GraftTmp.dir(s"stream_src_$tag")
+    val q = s.readStream.format("graft.sources.LedgerStreamSource")
+      .option("rows", "10000").option("batchSize", "2500")
+      .option("partitions", "4")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$root/out")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ticks"), sumMoneyD(col("amount")).as("total"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_custom_source" -> (streamCustomSource _),
     "events_transitions" -> (eventsTransitions _),
     "events_interpolate" -> (eventsInterpolate _),
     "events_funnel" -> (eventsFunnel _),
@@ -386,6 +416,12 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_custom_source" ->
+      """WITH t AS (SELECT i AS tick_id, i % 100 AS user_id,
+        |  (i * 7 % 1000) / 10.0 AS amount FROM range(10000) t(i))
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ticks,
+        | CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     // batch spelling of the inner stream-stream interval join: every
     // (purchase, error-in-the-24h-before) pair per user — inner joins
     // emit on arrival, so a single-micro-batch run commits exactly this

@@ -412,4 +412,36 @@ class StreamingSuite extends SparkSuiteBase {
       assert(rows.head.getAs[Double]("sum_value") == 3.0)
     }
   }
+
+  test("custom MicroBatchStream: admission control bounds batches; restart replays nothing") {
+    // graft.sources.LedgerStreamSource — offset-tracked micro-batches
+    // with a maxOffsetsPerTrigger-style row cap. 1000 ticks at 300/batch
+    // must drain under AvailableNow in exactly ceil(1000/300) = 4
+    // batches, visible in the checkpoint's offset log. A SECOND
+    // AvailableNow run over the SAME checkpoint starts from the
+    // committed offset and admits nothing — the exactly-once restart
+    // contract a Kafka deployment relies on.
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_lstream").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.LedgerStreamSource")
+        .option("rows", "1000").option("batchSize", "300").option("partitions", "3")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val offsets = new java.io.File(s"$root/cp/offsets").listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toInt).sorted
+    assert(offsets.length == 4, s"expected 4 offset-log entries, got ${offsets.toSeq}")
+    val out1 = spark.read.parquet(s"$root/out")
+    assert(out1.count() == 1000)
+    assert(out1.select("tick_id").distinct().count() == 1000, "a batch was replayed or lost")
+    drain() // restart over the same checkpoint: backlog already committed
+    assert(spark.read.parquet(s"$root/out").count() == 1000,
+      "restart re-emitted rows past the committed offset")
+  }
 }
