@@ -399,8 +399,40 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** Custom STREAMING SINK (graft.sources.AvroDirSource, STREAMING_WRITE)
+    * — completes the connector matrix (batch read/write + stream
+    * read/write): the tick stream drains through the Avro table's
+    * StreamingWrite, whose task files are named by (epoch, partition)
+    * ONLY, so a replayed epoch overwrites its own files instead of
+    * duplicating them — filename-level exactly-once, the property every
+    * file-based streaming sink needs under retries. The scored result
+    * batch-reads the sink's container files back through the same
+    * connector; oracle re-derives the ledger from range(n). */
+  private def streamCustomSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val root = GraftTmp.dir(s"stream_sink_$tag")
+    val q = s.readStream.format("graft.sources.LedgerStreamSource")
+      .option("rows", "10000").option("batchSize", "2500")
+      .option("partitions", "4")
+      .load()
+      .writeStream.format("graft.sources.AvroDirSource")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.format("graft.sources.AvroDirSource").option("path", s"$root/out")
+      .load()
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ticks"),
+        min(col("tick_id")).as("first_tick"), max(col("tick_id")).as("last_tick"),
+        sumMoneyD(col("amount")).as("total"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_custom_source" -> (streamCustomSource _),
+    "stream_custom_sink" -> (streamCustomSink _),
     "events_transitions" -> (eventsTransitions _),
     "events_interpolate" -> (eventsInterpolate _),
     "events_funnel" -> (eventsFunnel _),
@@ -416,6 +448,14 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_custom_sink" ->
+      """WITH t AS (SELECT i AS tick_id, i % 100 AS user_id,
+        |  (i * 7 % 1000) / 10.0 AS amount FROM range(10000) t(i))
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ticks,
+        | CAST(MIN(tick_id) AS BIGINT) AS first_tick,
+        | CAST(MAX(tick_id) AS BIGINT) AS last_tick,
+        | CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_custom_source" ->
       """WITH t AS (SELECT i AS tick_id, i % 100 AS user_id,
         |  (i * 7 % 1000) / 10.0 AS amount FROM range(10000) t(i))

@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{streaming => wstream}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -112,7 +113,7 @@ class AvroDirTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
@@ -146,6 +147,27 @@ class AvroDirTable(path: String, tableSchema: StructType)
           override def commit(messages: Array[WriterCommitMessage]): Unit = ()
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
+
+        // Streaming (exactly-once) flavor: file names are derived from
+        // (epoch, partition) ONLY — no task id — so a replayed epoch
+        // overwrites its own files instead of duplicating them. That
+        // filename-level idempotence is the whole exactly-once story a
+        // file-based streaming sink needs (the engine's commit log
+        // decides which epochs are final; replays converge on the same
+        // bytes). AvroSourceSuite re-commits an epoch and asserts no
+        // duplicates.
+        override def toStreaming: wstream.StreamingWrite =
+          new wstream.StreamingWrite {
+            override def createStreamingWriterFactory(
+                p: PhysicalWriteInfo): wstream.StreamingDataWriterFactory = {
+              new File(path).mkdirs()
+              new AvroStreamingWriterFactory(path, info.schema())
+            }
+            override def commit(epochId: Long,
+                messages: Array[WriterCommitMessage]): Unit = ()
+            override def abort(epochId: Long,
+                messages: Array[WriterCommitMessage]): Unit = ()
+          }
       }
     }
 }
@@ -180,40 +202,54 @@ class AvroReaderFactory(schema: StructType) extends PartitionReaderFactory {
   }
 }
 
+/** Per-file Avro writer shared by the batch and streaming task paths. */
+class AvroFileWriter(file: File, schema: StructType)
+    extends DataWriter[InternalRow] {
+  private val avroSchema = AvroDirSource.toAvroSchema(schema, "graft_row")
+  private val writer = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    w.create(avroSchema, file)
+  }
+  override def write(row: InternalRow): Unit = {
+    val rec = new GenericData.Record(avroSchema)
+    var i = 0
+    while (i < schema.length) {
+      val v =
+        if (row.isNullAt(i)) null
+        else schema.fields(i).dataType match {
+          case LongType    => java.lang.Long.valueOf(row.getLong(i))
+          case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
+          case DoubleType  => java.lang.Double.valueOf(row.getDouble(i))
+          case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+          case StringType  => row.getUTF8String(i).toString
+          case other => throw new IllegalArgumentException(s"unsupported $other")
+        }
+      rec.put(i, v)
+      i += 1
+    }
+    writer.append(rec)
+  }
+  override def commit(): WriterCommitMessage = {
+    writer.close(); AvroCommit(file.getAbsolutePath)
+  }
+  override def abort(): Unit = { writer.close(); file.delete(); () }
+  override def close(): Unit = ()
+}
+
 class AvroWriterFactory(path: String, schema: StructType)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      private val avroSchema = AvroDirSource.toAvroSchema(schema, "graft_row")
-      private val file = new File(path, f"part-$partitionId%05d-$taskId.avro")
-      private val writer = {
-        val w = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](avroSchema))
-        w.create(avroSchema, file)
-      }
-      override def write(row: InternalRow): Unit = {
-        val rec = new GenericData.Record(avroSchema)
-        var i = 0
-        while (i < schema.length) {
-          val v =
-            if (row.isNullAt(i)) null
-            else schema.fields(i).dataType match {
-              case LongType    => java.lang.Long.valueOf(row.getLong(i))
-              case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
-              case DoubleType  => java.lang.Double.valueOf(row.getDouble(i))
-              case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
-              case StringType  => row.getUTF8String(i).toString
-              case other => throw new IllegalArgumentException(s"unsupported $other")
-            }
-          rec.put(i, v)
-          i += 1
-        }
-        writer.append(rec)
-      }
-      override def commit(): WriterCommitMessage = {
-        writer.close(); AvroCommit(file.getAbsolutePath)
-      }
-      override def abort(): Unit = { writer.close(); file.delete(); () }
-      override def close(): Unit = ()
-    }
+    new AvroFileWriter(
+      new File(path, f"part-$partitionId%05d-$taskId.avro"), schema)
+}
+
+/** Streaming writers name files by (epoch, partition) ONLY — replayed
+  * epochs overwrite their own files, never duplicate them. */
+class AvroStreamingWriterFactory(path: String, schema: StructType)
+    extends wstream.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new AvroFileWriter(
+      new File(path, f"part-e$epochId%05d-$partitionId%05d.avro"), schema)
 }

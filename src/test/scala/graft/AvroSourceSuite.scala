@@ -69,6 +69,38 @@ class AvroSourceSuite extends SparkSuiteBase {
     assert(read(dir).count() == 20)
   }
 
+  test("streaming sink: epoch-named files; a replayed epoch overwrites, never duplicates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir("epoch")
+    val q = spark.readStream.format("graft.sources.LedgerStreamSource")
+      .option("rows", "600").option("batchSize", "200").option("partitions", "2")
+      .load()
+      .writeStream.format("graft.sources.AvroDirSource")
+      .option("path", dir).option("checkpointLocation", freshDir("epochcp"))
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val files = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".avro")).sorted
+    // 3 epochs x 2 partitions, named by (epoch, partition) only
+    assert(files.length == 6 && files.forall(_.matches("part-e\\d+-\\d+\\.avro")),
+      s"unexpected sink layout: ${files.toSeq}")
+    assert(read(dir).count() == 600)
+    // Simulate a task RETRY of epoch 0 / partition 0 (different task id,
+    // same epoch): the writer must land on the SAME file name and
+    // replace it — 1 row now where 100 were — instead of adding a file.
+    val w = new graft.sources.AvroStreamingWriterFactory(
+      dir, graft.sources.LedgerStreamSource.schema)
+      .createWriter(0, 999L, 0L)
+    w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0L, 0L, 0.0)))
+    w.commit()
+    val filesAfter = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".avro")).sorted
+    assert(filesAfter.toSeq == files.toSeq, "replay created a new file")
+    assert(read(dir).count() == 501, "replayed epoch did not overwrite its file")
+  }
+
   test("scored roundtrip key matches the nation fixture row-for-row") {
     val expect = spark.read.parquet(s"$SF/nation.parquet")
       .orderBy("n_nationkey").collect().toSeq
