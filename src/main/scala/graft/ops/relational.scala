@@ -52,6 +52,26 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** DataSource-V2 CATALOG plugin lifecycle (graft.sources.GraftCatalog
+    * under spark.sql.catalog.graftcat) — the registration surface
+    * lakehouse formats plug into, driven entirely through SQL DDL/DML
+    * against the standard v2 plans: CREATE NAMESPACE, CTAS (non-atomic
+    * createTable + append into an AvroDirTable whose schema persists in
+    * a _schema.json manifest sidecar), then a SELECT back through
+    * catalog.loadTable. Swapping this catalog for Iceberg/Delta is a
+    * conf change; every query in the library runs unchanged. */
+  private def catalogV2Plugin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.warehouse", GraftTmp.dir("graftcat_wh"))
+    T(s, dir, "nation").createOrReplaceTempView("graft_catv2_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.nation_avro")
+    s.sql("""CREATE TABLE graftcat.lake.nation_avro AS
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_catv2_src""".stripMargin)
+    s.sql("""SELECT n_nationkey, n_name, n_regionkey
+            |FROM graftcat.lake.nation_avro ORDER BY n_nationkey""".stripMargin)
+  }
+
   /** Avro round-trip WITHOUT the spark-avro connector (absent in this
     * environment): graft.sources.AvroDirSource builds the row-container
     * format directly on avro-core (which ships with Spark) through the
@@ -392,6 +412,7 @@ object Relational {
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "source_avro_roundtrip" -> (sourceAvroRoundtrip _),
+    "catalog_v2_plugin" -> (catalogV2Plugin _),
     "source_binaryfile_roundtrip" -> (sourceBinaryfileRoundtrip _),
     "source_xml_roundtrip" -> (sourceXmlRoundtrip _),
     "scan_metadata_columns" -> (scanMetadataColumns _),
@@ -450,6 +471,8 @@ object Relational {
     "source_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "source_avro_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "catalog_v2_plugin" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "source_binaryfile_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
