@@ -49,6 +49,19 @@ class CatalogV2Suite extends SparkSuiteBase {
       .map(_.getString(0)).contains("db2"))
   }
 
+  test("DataFrameWriterV2 (writeTo) creates and appends through the catalog") {
+    wh
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db4")
+    spark.range(10).select(col("id"), (col("id") * 3).as("trip"))
+      .writeTo("testcat.db4.w").create()
+    spark.range(10, 15).select(col("id"), (col("id") * 3).as("trip"))
+      .writeTo("testcat.db4.w").append()
+    val t = spark.table("testcat.db4.w")
+    assert(t.count() == 15)
+    assert(t.agg(sum("trip")).collect().head.getLong(0) == 315L)
+  }
+
   test("CTAS writes Avro container files with the schema sidecar") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db3")

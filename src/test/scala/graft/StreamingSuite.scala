@@ -444,4 +444,30 @@ class StreamingSuite extends SparkSuiteBase {
     assert(spark.read.parquet(s"$root/out").count() == 1000,
       "restart re-emitted rows past the committed offset")
   }
+
+  test("custom MicroBatchStream: resume after backlog growth processes only the delta") {
+    // Kafka-shaped catch-up: drain a 400-tick backlog, then the topic
+    // "grows" to 1000 (rows option raised, same checkpoint) — the
+    // second run must resume from the committed offset 400 and emit
+    // exactly ticks 400..999, never re-reading the first segment.
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_lgrow").toString
+    def drain(rows: Int): Unit = {
+      val q = spark.readStream.format("graft.sources.LedgerStreamSource")
+        .option("rows", rows.toString).option("batchSize", "300")
+        .option("partitions", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain(400)
+    assert(spark.read.parquet(s"$root/out").count() == 400)
+    drain(1000)
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() == 1000, "resume re-read or skipped part of the backlog")
+    assert(out.select("tick_id").distinct().count() == 1000)
+  }
 }
