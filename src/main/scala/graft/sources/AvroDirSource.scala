@@ -116,7 +116,7 @@ class AvroDirTable(path: String, tableSchema: StructType)
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch with SupportsReportStatistics {
       override def build(): Scan = this
       override def readSchema(): StructType = tableSchema
       override def toBatch: Batch = this
@@ -125,6 +125,20 @@ class AvroDirTable(path: String, tableSchema: StructType)
           .map(f => AvroFileSplit(f.getAbsolutePath): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new AvroReaderFactory(tableSchema)
+
+      // Feed the cost model: without reported statistics a DSv2 scan
+      // sizes as Long.MaxValue and Catalyst will NEVER auto-broadcast
+      // a catalog table, however tiny — every dim⨝fact would shuffle.
+      // File bytes are the honest on-disk size (the same signal the
+      // parquet path reads from footers); CatalogV2Suite asserts a
+      // small catalog table auto-broadcasts with no hint.
+      override def estimateStatistics(): Statistics = new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(
+            math.max(1L, AvroDirSource.listFiles(path).map(_.length()).sum))
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -62,6 +62,22 @@ class CatalogV2Suite extends SparkSuiteBase {
     assert(t.agg(sum("trip")).collect().head.getLong(0) == 315L)
   }
 
+  test("reported statistics auto-broadcast a small catalog table, no hint needed") {
+    wh
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db5")
+    spark.sql("DROP TABLE IF EXISTS testcat.db5.dim")
+    spark.sql("CREATE TABLE testcat.db5.dim AS SELECT id AS k, CONCAT('n', id) AS nm FROM RANGE(25)")
+    val fact = spark.range(100000).select((col("id") % 25).as("fk"), col("id"))
+    val j = fact.join(spark.table("testcat.db5.dim"), col("fk") === col("k"))
+      .groupBy("nm").count()
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"25-row catalog table did not auto-broadcast (stats not fed to the cost model):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join shuffled:\n$p")
+  }
+
   test("CTAS writes Avro container files with the schema sidecar") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db3")
