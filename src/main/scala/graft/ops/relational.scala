@@ -52,6 +52,25 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** Schema evolution on scan — the 100-TB reality that old files never
+    * get rewritten: two parquet "versions" of nation (v1 carries
+    * n_name, v2 carries n_regionkey) live side by side and ONE read
+    * with mergeSchema=true serves the union schema, nulling the columns
+    * a file predates. Spark merges footers per file (an O(files)
+    * planning cost — at scale you pin the merged schema in the catalog
+    * instead, exactly what `T`/GraftCatalog do); the ORDER BY spells
+    * NULLS FIRST explicitly because Spark and DuckDB default null
+    * ordering differently. */
+  private def scanSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = GraftTmp.dir("evo")
+    val n = T(s, dir, "nation")
+    n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(s"$tmp/v1")
+    n.select("n_nationkey", "n_regionkey").write.mode("overwrite").parquet(s"$tmp/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy(col("n_nationkey"), col("n_name").asc_nulls_first)
+  }
+
   /** DataSource-V2 CATALOG plugin lifecycle (graft.sources.GraftCatalog
     * under spark.sql.catalog.graftcat) — the registration surface
     * lakehouse formats plug into, driven entirely through SQL DDL/DML
@@ -413,6 +432,7 @@ object Relational {
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "source_avro_roundtrip" -> (sourceAvroRoundtrip _),
     "catalog_v2_plugin" -> (catalogV2Plugin _),
+    "scan_schema_evolution" -> (scanSchemaEvolution _),
     "source_binaryfile_roundtrip" -> (sourceBinaryfileRoundtrip _),
     "source_xml_roundtrip" -> (sourceXmlRoundtrip _),
     "scan_metadata_columns" -> (scanMetadataColumns _),
@@ -474,6 +494,11 @@ object Relational {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "catalog_v2_plugin" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_schema_evolution" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, CAST(NULL AS VARCHAR) AS n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey, n_name NULLS FIRST""".stripMargin,
     "source_binaryfile_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "source_xml_roundtrip" ->
