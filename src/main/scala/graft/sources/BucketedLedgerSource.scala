@@ -79,7 +79,8 @@ class BucketedLedgerTable(table: String, rows: Long, buckets: Int,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsReportPartitioning
-        with SupportsPushDownRequiredColumns with SupportsRuntimeFiltering {
+        with SupportsPushDownRequiredColumns with SupportsRuntimeFiltering
+        with SupportsPushDownFilters {
       // Runtime group filtering — the connector-side DPP: when this
       // scan joins a selective broadcast dim on `bucket`, Spark pushes
       // the dim's key set back as an In filter at runtime and whole
@@ -104,6 +105,30 @@ class BucketedLedgerTable(table: String, rows: Long, buckets: Int,
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
 
+      // Static filter → split pruning, the PLANNING-time analog of the
+      // runtime path below (what a lakehouse manifest does with a
+      // partition predicate): an EqualTo/In on `bucket` skips whole
+      // splits before any task launches. Every filter stays residual
+      // (returned back to Spark) — pruning only skips buckets that
+      // cannot match, Spark still re-evaluates rows, so soundness never
+      // depends on the connector. Only applied with layout reporting
+      // off: a key-grouped scan must present its full partition-value
+      // set (report=true reads are SPJ demos, never bucket-filtered).
+      private var staticBuckets: Option[Set[Long]] = None
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        if (!report) filters.foreach {
+          case org.apache.spark.sql.sources.EqualTo("bucket", v: Number) =>
+            staticBuckets = Some(Set(v.longValue))
+          case org.apache.spark.sql.sources.In("bucket", vs) =>
+            staticBuckets = Some(vs.map(_.asInstanceOf[Number].longValue).toSet)
+          case _ => ()
+        }
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
+
       override def build(): Scan = this
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
@@ -123,7 +148,8 @@ class BucketedLedgerTable(table: String, rows: Long, buckets: Int,
 
       override def planInputPartitions(): Array[InputPartition] =
         (0 until buckets)
-          .filter(b => keepBuckets.forall(_.contains(b.toLong)))
+          .filter(b => keepBuckets.forall(_.contains(b.toLong)) &&
+            staticBuckets.forall(_.contains(b.toLong)))
           .map(b => LedgerBucket(table, rows, buckets, b): InputPartition)
           .toArray
 

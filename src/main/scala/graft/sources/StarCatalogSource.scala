@@ -61,15 +61,28 @@ class StarCatalogTable(rows: Long, partitions: Int) extends Table with SupportsR
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch with SupportsPushDownLimit {
+      // Limit pushdown: LIMIT n with no required ordering means ANY n
+      // rows satisfy the query, so the source stops generating at n
+      // instead of materializing all splits and discarding — at scale
+      // the difference between touching one split and touching all of
+      // them. Returning true tells Spark the limit is fully applied.
+      private var pushedLimit: Option[Int] = None
+      override def pushLimit(limit: Int): Boolean = {
+        pushedLimit = Some(limit); true
+      }
+
       override def build(): Scan = this
       override def readSchema(): StructType = StarCatalogSource.schema
       override def toBatch: Batch = this
+      override def description(): String =
+        "graft_stars" + pushedLimit.fold("")(l => s" pushedLimit=$l")
 
       override def planInputPartitions(): Array[InputPartition] = {
+        val n = pushedLimit.fold(rows)(l => math.min(rows, l.toLong))
         val per = math.max(1L, (rows + partitions - 1) / partitions)
-        (0L until rows by per)
-          .map(lo => StarRange(lo, math.min(lo + per, rows)): InputPartition)
+        (0L until n by per)
+          .map(lo => StarRange(lo, math.min(lo + per, n)): InputPartition)
           .toArray
       }
 

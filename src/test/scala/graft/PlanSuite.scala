@@ -362,6 +362,34 @@ class PlanSuite extends SparkSuiteBase {
     assert(df.count() == 1000)
   }
 
+  test("star source pushes LIMIT into split planning") {
+    val df = spark.read.format("graft.sources.StarCatalogSource")
+      .option("rows", "100000").option("partitions", "8").load()
+      .limit(7)
+    assert(df.collect().length == 7)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pushedLimit=7"),
+      s"limit did not reach the source:\n$p")
+  }
+
+  test("ledger static bucket filter prunes splits at planning time") {
+    import org.apache.spark.sql.functions.col
+    // report=false read (the non-SPJ path): a static bucket predicate
+    // must skip whole splits before any task launches — 1 of 8 planned
+    val df = spark.read.format("graft.sources.BucketedLedgerSource")
+      .option("table", "orders").option("rows", "1000").option("buckets", "8")
+      .option("report", "false").load()
+      .where(col("bucket") === 3)
+    assert(df.rdd.getNumPartitions == 1, "static bucket filter did not prune splits")
+    assert(df.count() == 125)
+    // SPJ-reporting reads never static-prune (full partition-value set required)
+    val rep = spark.read.format("graft.sources.BucketedLedgerSource")
+      .option("table", "orders").option("rows", "1000").option("buckets", "8")
+      .load().where(col("bucket") === 3)
+    assert(rep.rdd.getNumPartitions == 8)
+    assert(rep.count() == 125)
+  }
+
   test("sink_partitioned_parquet scan prunes to one partition") {
     val p = plan("sink_partitioned_parquet")
     assert(p.contains("PartitionFilters:") && p.contains("o_orderpriority"),
