@@ -120,7 +120,8 @@ object GraftTmp {
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p.toFile)))
     p
   }
-  private def deleteRec(f: java.io.File): Unit = {
+  /** Recursive delete, shared with the connector layer (GraftCatalog). */
+  def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(deleteRec))
     f.delete(); ()
   }

@@ -360,6 +360,12 @@ object Joins {
     * only exchange in the whole plan is the final presentation sort.
     * PlanSuite asserts exactly that. Oracle: both ledgers are exact
     * modular arithmetic over range(n), re-derived in DuckDB. */
+  // One SPJ-configured session per caller session (not per call): a
+  // fresh newSession each invocation would pile up SessionStates over
+  // repeated scoring and silently drop the caller's runtime confs.
+  private val spjSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
   private[graft] def joinStoragePartitioned(s: SparkSession, dir: String): DataFrame = {
     // The production SPJ conf pair, scoped to an isolated session
     // (shared SparkContext, fresh SQLConf) so no other key's planning
@@ -367,9 +373,16 @@ object Joins {
     // requireAllClusterKeysForCoPartition=false lets the join keys be
     // a SUPERSET of the storage partition keys (bucket ⊂ {bucket,
     // o_key}) — the exact recipe lakehouse formats document for SPJ.
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val s2 = spjSessions.computeIfAbsent(s, base => {
+      val n = base.newSession()
+      // carry the harness-level runtime confs the fresh SQLConf would
+      // otherwise reset to SparkConf defaults
+      for (k <- Seq("spark.sql.session.timeZone", "spark.sql.shuffle.partitions"))
+        base.conf.getOption(k).foreach(n.conf.set(k, _))
+      n.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      n.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      n
+    })
     def ledger(t: String) = s2.read.format("graft.sources.BucketedLedgerSource")
       .option("table", t).option("rows", "100000").option("buckets", "32").load()
     val it = ledger("items").select(

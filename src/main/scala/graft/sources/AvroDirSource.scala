@@ -42,7 +42,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class AvroDirSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = AvroDirSource.listFiles(options.get("path"))
+    val path = options.get("path")
+    require(path != null, "AvroDirSource requires the 'path' option")
+    val files = AvroDirSource.listFiles(path)
+    // empty → empty schema, NOT an error: Spark also calls inferSchema
+    // on the write path, where the directory legitimately doesn't
+    // exist yet (the write takes its schema from the dataframe).
     if (files.isEmpty) new StructType()
     else {
       val r = new DataFileReader[GenericRecord](
@@ -143,23 +148,44 @@ class AvroDirTable(path: String, tableSchema: StructType)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
-      // SaveMode.Overwrite arrives as truncate-then-append; existing
-      // container files are removed once, on the driver, before tasks
-      // start writing their own.
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new Write {
+        // Every batch-write job gets its own id, baked into its file
+        // names. That makes commit() able to reconcile the directory:
+        //   - a task attempt that died WITHOUT running abort() leaves a
+        //     partial file carrying this job's id but absent from the
+        //     commit messages → deleted at commit (no duplicate rows
+        //     from a retried attempt, no truncated containers);
+        //   - task ids are only unique per SparkContext, so without the
+        //     job id an append from a fresh JVM could silently
+        //     overwrite an earlier JVM's part-00000-0.avro;
+        //   - SaveMode.Overwrite truncates AT COMMIT, not at factory
+        //     creation — a failed overwrite leaves the old table
+        //     intact instead of destroying it and exposing a partial
+        //     new write.
+        private val jobId =
+          java.util.UUID.randomUUID.toString.replace("-", "").take(12)
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
               p: PhysicalWriteInfo): DataWriterFactory = {
             new File(path).mkdirs()
-            if (doTruncate) AvroDirSource.listFiles(path).foreach(_.delete())
-            new AvroWriterFactory(path, info.schema())
+            new AvroWriterFactory(path, info.schema(), jobId)
           }
-          // File names are task-unique, so commit needs no renames; a
-          // failed task's abort() deletes its own file.
-          override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val committed =
+              messages.map(_.asInstanceOf[AvroCommit].file).toSet
+            AvroDirSource.listFiles(path).foreach { f =>
+              val mine = f.getName.contains(jobId)
+              val keep =
+                if (doTruncate) committed(f.getAbsolutePath)
+                else !mine || committed(f.getAbsolutePath)
+              if (!keep) f.delete()
+            }
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            AvroDirSource.listFiles(path)
+              .filter(_.getName.contains(jobId)).foreach(_.delete())
         }
 
         // Streaming (exactly-once) flavor: file names are derived from
@@ -251,11 +277,11 @@ class AvroFileWriter(file: File, schema: StructType)
   override def close(): Unit = ()
 }
 
-class AvroWriterFactory(path: String, schema: StructType)
+class AvroWriterFactory(path: String, schema: StructType, jobId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new AvroFileWriter(
-      new File(path, f"part-$partitionId%05d-$taskId.avro"), schema)
+      new File(path, f"part-$jobId-$partitionId%05d-$taskId.avro"), schema)
 }
 
 /** Streaming writers name files by (epoch, partition) ONLY — replayed

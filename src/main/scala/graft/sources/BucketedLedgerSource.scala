@@ -93,7 +93,9 @@ class BucketedLedgerTable(table: String, rows: Long, buckets: Int,
       override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
         filters.foreach {
           case org.apache.spark.sql.sources.In("bucket", vs) =>
-            keepBuckets = Some(vs.map(_.asInstanceOf[Number].longValue).toSet)
+            // nulls can't equal any bucket — drop them, don't NPE
+            keepBuckets = Some(vs.iterator.filter(_ != null)
+              .map(_.asInstanceOf[Number].longValue).toSet)
           case _ => ()
         }
 
@@ -121,7 +123,9 @@ class BucketedLedgerTable(table: String, rows: Long, buckets: Int,
           case org.apache.spark.sql.sources.EqualTo("bucket", v: Number) =>
             staticBuckets = Some(Set(v.longValue))
           case org.apache.spark.sql.sources.In("bucket", vs) =>
-            staticBuckets = Some(vs.map(_.asInstanceOf[Number].longValue).toSet)
+            // nulls can't equal any bucket — drop them, don't NPE
+            staticBuckets = Some(vs.iterator.filter(_ != null)
+              .map(_.asInstanceOf[Number].longValue).toSet)
           case _ => ()
         }
         filters

@@ -51,9 +51,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new File(nsDir(ident.namespace), ident.name)
   private def schemaFile(dir: File): File = new File(dir, "_schema.json")
   private def isTable(dir: File): Boolean = schemaFile(dir).exists()
-  private def deleteRec(f: File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
-  }
+  private def deleteRec(f: File): Unit = graft.ops.GraftTmp.deleteRec(f)
 
   // ---- tables ----
 
@@ -137,8 +135,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
     val d = nsDir(ns)
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
-    val tables = Option(d.listFiles).getOrElse(Array.empty).filter(isTable)
-    if (tables.nonEmpty && !cascade) throw new NonEmptyNamespaceException(ns)
+    // ANY child — a table or a nested namespace — blocks a non-CASCADE
+    // drop; counting only direct tables would let DROP NAMESPACE
+    // silently destroy ns.sub.table.
+    val children = Option(d.listFiles).getOrElse(Array.empty)
+    if (children.nonEmpty && !cascade) throw new NonEmptyNamespaceException(ns)
     deleteRec(d); true
   }
 }

@@ -47,6 +47,13 @@ class CatalogV2Suite extends SparkSuiteBase {
     spark.sql("DROP NAMESPACE testcat.db2 CASCADE")
     assert(!spark.sql("SHOW NAMESPACES IN testcat").collect()
       .map(_.getString(0)).contains("db2"))
+    // a NESTED namespace (no direct tables) must also block a plain drop
+    spark.sql("CREATE NAMESPACE testcat.outer")
+    spark.sql("CREATE NAMESPACE testcat.outer.inner")
+    spark.sql("CREATE TABLE testcat.outer.inner.deep (k BIGINT)")
+    intercept[AnalysisException](spark.sql("DROP NAMESPACE testcat.outer"))
+    assert(spark.table("testcat.outer.inner.deep").count() == 0)
+    spark.sql("DROP NAMESPACE testcat.outer CASCADE")
   }
 
   test("DataFrameWriterV2 (writeTo) creates and appends through the catalog") {

@@ -11,6 +11,22 @@ class PlanSuite extends SparkSuiteBase {
   private def plan(name: String): String =
     run(name).queryExecution.executedPlan.toString
 
+  /** Collect scan nodes from an EXECUTED plan, recursing through
+    * materialized AQE query stages (which are leaves to `collect`). */
+  private def leafScans[T](df: org.apache.spark.sql.DataFrame)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def go(pl: SparkPlan): Seq[T] = pl.collect {
+      case q: QueryStageExec       => go(q.plan)
+      case p if pf.isDefinedAt(p)  => Seq(pf(p))
+    }.flatten
+    go(df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    })
+  }
+
   test("scan_parquet_project_filter pushes filters and prunes columns") {
     val p = plan("scan_parquet_project_filter")
     assert(p.contains("PushedFilters:") && p.contains("l_quantity"),
@@ -314,19 +330,9 @@ class PlanSuite extends SparkSuiteBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("RuntimeFilters: [dynamicpruning"),
       s"no runtime group filter on the v2 scan:\n$p")
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-    def scans(pl: SparkPlan): Seq[BatchScanExec] = pl.collect {
-      case b: BatchScanExec  => Seq(b)
-      case q: QueryStageExec => scans(q.plan)
-    }.flatten
-    val exec = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other                    => other
-    }
-    val scan = scans(exec).headOption
-      .getOrElse(fail(s"no v2 scan in:\n$exec"))
+    val scan = leafScans(df) { case b: BatchScanExec => b }.headOption
+      .getOrElse(fail("no v2 scan in the executed plan"))
     val rows = scan.metrics("numOutputRows").value
     assert(rows == 25000, s"v2 scan emitted $rows rows; split pruning didn't happen")
   }
@@ -457,19 +463,10 @@ class PlanSuite extends SparkSuiteBase {
     // …and the pruning actually happened: the fact has 5 priority
     // partitions, the runtime filter admits 2 (urgency_rank <= 2).
     // Read the scan's driver metric, not just the plan string.
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    // materialized AQE stages are leaves — recurse through them
-    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl.collect {
-      case f: FileSourceScanExec => Seq(f)
-      case q: QueryStageExec     => scans(q.plan)
-    }.flatten
-    val exec = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other                    => other
-    }
-    val factScan = scans(exec).find(_.partitionFilters.nonEmpty)
-      .getOrElse(fail(s"no partitioned fact scan in:\n$exec"))
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val factScan = leafScans(df) { case f: FileSourceScanExec => f }
+      .find(_.partitionFilters.nonEmpty)
+      .getOrElse(fail("no partitioned fact scan in the executed plan"))
     val read = factScan.metrics("numPartitions").value
     assert(read == 2, s"DPP read $read of 5 fact partitions, expected 2")
   }
