@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Executor-side evaluator behind [[AvroDirTable]]'s `SupportsDelete`:
+  * SQL three-valued logic over DSv2 [[Filter]] trees against Avro
+  * records, plus the per-file copy-on-write rewrite a row-level
+  * `DELETE FROM catalog.ns.t WHERE ...` runs as a Spark job.
+  *
+  * Semantics are SQL's exactly: a row is deleted iff the pushed filter
+  * conjunction evaluates TRUE — UNKNOWN (null input) keeps the row,
+  * which is what `DELETE ... WHERE` does in every SQL engine. The
+  * eval returns `Option[Boolean]` with `None` as UNKNOWN so AND/OR/NOT
+  * compose by the 3VL truth tables, not by Scala boolean shortcuts.
+  */
+object AvroFilterEval extends Serializable {
+
+  /** The filter shapes `canDeleteWhere` accepts; anything else makes
+    * Spark fall back to an error (this table has no row-id-based
+    * DeltaWrite path), so claim only what eval() truly implements. */
+  def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: EqualNullSafe | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull |
+         _: StringStartsWith | _: StringEndsWith | _: StringContains => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r)  => supported(l) && supported(r)
+    case Not(c)    => supported(c)
+    case AlwaysTrue()  => true
+    case AlwaysFalse() => true
+    case _ => false
+  }
+
+  /** Avro's boxed values vs Spark's literal types: compare numerics
+    * widened (long unless a double is involved), strings/booleans
+    * natively. None = UNKNOWN (a null operand). */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      if (x.isInstanceOf[java.lang.Double] || y.isInstanceOf[java.lang.Double] ||
+          x.isInstanceOf[java.lang.Float]  || y.isInstanceOf[java.lang.Float])
+        Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+      else Some(java.lang.Long.compare(x.longValue, y.longValue))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    case (x, y) => Some(x.toString.compareTo(y.toString))
+  }
+
+  private def str(a: Any): Option[String] = Option(a).map(_.toString)
+
+  /** 3VL evaluation; `v` resolves a column name to this row's value
+    * (null for SQL NULL). */
+  def eval(f: Filter, v: String => Any): Option[Boolean] = f match {
+    case EqualTo(a, x)            => cmp(v(a), x).map(_ == 0)
+    case EqualNullSafe(a, x) =>
+      val va = v(a)
+      if (va == null || x == null) Some(va == null && x == null)
+      else cmp(va, x).map(_ == 0)
+    case GreaterThan(a, x)        => cmp(v(a), x).map(_ > 0)
+    case GreaterThanOrEqual(a, x) => cmp(v(a), x).map(_ >= 0)
+    case LessThan(a, x)           => cmp(v(a), x).map(_ < 0)
+    case LessThanOrEqual(a, x)    => cmp(v(a), x).map(_ <= 0)
+    case In(a, xs) =>
+      val va = v(a)
+      if (va == null) None
+      else if (xs.exists(x => cmp(va, x).contains(0))) Some(true)
+      // no hit but a null in the list → x IN (..., NULL) is UNKNOWN
+      else if (xs.contains(null)) None
+      else Some(false)
+    case IsNull(a)    => Some(v(a) == null)
+    case IsNotNull(a) => Some(v(a) != null)
+    case StringStartsWith(a, p) => str(v(a)).map(_.startsWith(p))
+    case StringEndsWith(a, p)   => str(v(a)).map(_.endsWith(p))
+    case StringContains(a, p)   => str(v(a)).map(_.contains(p))
+    case And(l, r) => (eval(l, v), eval(r, v)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true))            => Some(true)
+      case _                                   => None
+    }
+    case Or(l, r) => (eval(l, v), eval(r, v)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false))        => Some(false)
+      case _                                 => None
+    }
+    case Not(c)        => eval(c, v).map(!_)
+    case AlwaysTrue()  => Some(true)
+    case AlwaysFalse() => Some(false)
+    case other => throw new UnsupportedOperationException(s"filter $other")
+  }
+
+  /** Copy-on-write DELETE for one container file (runs as one Spark
+    * task). A file with no matching rows is left byte-identical; a file
+    * whose every row matches is deleted; a mixed file is rewritten in
+    * the CURRENT table schema (fields resolved by name + rename
+    * aliases, so a delete also modernizes old-schema files) to a temp
+    * sibling then atomically moved over the original. */
+  def rewriteFile(filePath: String, schema: StructType, filters: Array[Filter]): Unit = {
+    val file = new File(filePath)
+    val keep = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+    var deleted = false
+    val reader = new DataFileReader[GenericRecord](
+      file, new GenericDatumReader[GenericRecord]())
+    try {
+      // column name → position in THIS file's writer schema (name first,
+      // then rename aliases newest-first); -1 → the file predates the
+      // column, value is null. Resolved once per file.
+      val pos: Map[String, Int] = schema.fields.map { f =>
+        f.name -> (f.name +: AvroDirSource.aliasesOf(f)).iterator
+          .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
+          .find(_ >= 0).getOrElse(-1)
+      }.toMap
+      def norm(x: Any): Any = x match {
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case other => other
+      }
+      while (reader.hasNext) {
+        val rec = reader.next()
+        val v: String => Any =
+          name => pos.get(name).filter(_ >= 0).map(p => norm(rec.get(p))).orNull
+        if (filters.forall(eval(_, v).contains(true))) deleted = true
+        else keep += schema.fields.map(f => v(f.name))
+      }
+    } finally reader.close()
+
+    if (!deleted) return
+    if (keep.isEmpty) { file.delete(); return }
+
+    val avroSchema = AvroDirSource.toAvroSchema(schema, "graft_row")
+    val tmp = new File(file.getParentFile, s".${file.getName}.rewrite")
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    writer.create(avroSchema, tmp)
+    try {
+      keep.foreach { vals =>
+        val rec = new GenericData.Record(avroSchema)
+        var i = 0
+        while (i < vals.length) { rec.put(i, vals(i)); i += 1 }
+        writer.append(rec)
+      }
+    } finally writer.close()
+    Files.move(tmp.toPath, file.toPath,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+}

@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression, Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.types._
@@ -80,16 +81,20 @@ class BucketedLedgerTable(table: String, rows: Long, buckets: Int,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsReportPartitioning
         with SupportsPushDownRequiredColumns with SupportsRuntimeFiltering
-        with SupportsPushDownFilters {
+        with SupportsPushDownFilters with SupportsPushDownAggregates {
       // Runtime group filtering — the connector-side DPP: when this
       // scan joins a selective broadcast dim on `bucket`, Spark pushes
       // the dim's key set back as an In filter at runtime and whole
       // bucket splits are never planned, let alone read. At 100 TB
       // this is manifest-level pruning: the scan's I/O tracks the
-      // dim's selectivity, not the table size.
+      // dim's selectivity, not the table size. Advertised ONLY with
+      // layout reporting off: pruning splits shrinks a key-grouped
+      // scan's partition-value set, which BatchScanExec rejects when
+      // the SPJ session has v2 bucketing enabled (the scored SPJ keys
+      // all read report=true; runtime-filter reads go report=false).
       private var keepBuckets: Option[Set[Long]] = None
       override def filterAttributes(): Array[NamedReference] =
-        Array(Expressions.column("bucket"))
+        if (report) Array.empty else Array(Expressions.column("bucket"))
       override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
         filters.foreach {
           case org.apache.spark.sql.sources.In("bucket", vs) =>
@@ -133,6 +138,64 @@ class BucketedLedgerTable(table: String, rows: Long, buckets: Int,
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
         Array.empty
 
+      // ---- aggregate pushdown (SupportsPushDownAggregates) ----
+      //
+      // Per-bucket COUNT / MIN(o_key) / MAX(o_key) grouped by `bucket`
+      // are pure SPLIT ARITHMETIC for this layout (bucket b holds keys
+      // b, b+B, ... < n) — the connector answers them from metadata,
+      // emitting ONE pre-aggregated row per bucket, and declares the
+      // pushdown COMPLETE so Spark plans no aggregate at all. This is
+      // what a lakehouse scan does with manifest column stats: count(*)
+      // in milliseconds vs a full scan. Soundness rule: complete
+      // pushdown is claimed only for group-by-bucket shapes (each group
+      // lives in exactly one split, so per-split results ARE final) and
+      // only for functions the arithmetic answers exactly; anything
+      // else returns false and Spark plans the normal scan + aggregate.
+      private var pushedAggCodes: Option[Array[Int]] = None
+      private def refName(e: Expression): Option[String] = e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+      // codes: 0 = count (rows per bucket), 1 = min(o_key), 2 = max(o_key),
+      // 3 = min/max(bucket) (= the group key itself)
+      private def aggCode(f: AggregateFunc): Option[Int] = f match {
+        case _: CountStar => Some(0)
+        case c: Count if !c.isDistinct =>
+          // COUNT(col) = COUNT(*) — every ledger column is non-null
+          refName(c.column).filter(schema().fieldNames.contains).map(_ => 0)
+        case m: Min => refName(m.column).collect {
+          case "o_key" => 1; case "bucket" => 3 }
+        case m: Max => refName(m.column).collect {
+          case "o_key" => 2; case "bucket" => 3 }
+        case _ => None
+      }
+      private def planAgg(agg: Aggregation): Option[Array[Int]] = {
+        if (table != "orders") return None // items ids span reps; not O(1)
+        val groupOk = agg.groupByExpressions.length == 1 &&
+          refName(agg.groupByExpressions()(0)).contains("bucket")
+        if (!groupOk) return None
+        val codes = agg.aggregateExpressions.map(aggCode)
+        if (codes.nonEmpty && codes.forall(_.isDefined)) Some(codes.flatten)
+        else None
+      }
+      override def supportCompletePushDown(agg: Aggregation): Boolean =
+        planAgg(agg).isDefined
+      override def pushAggregation(agg: Aggregation): Boolean =
+        planAgg(agg) match {
+          case Some(codes) =>
+            pushedAggCodes = Some(codes)
+            // contract: readSchema = groupBy columns ++ aggregate columns
+            // (V2ScanRelationPushDown splits the scan output at the
+            // grouping arity). All results here are LongType.
+            required = StructType(
+              StructField("bucket", LongType, nullable = false) +:
+                codes.indices.map(i =>
+                  StructField(s"agg_col_$i", LongType, nullable = false)))
+            true
+          case None => false
+        }
+
       override def build(): Scan = this
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
@@ -158,8 +221,48 @@ class BucketedLedgerTable(table: String, rows: Long, buckets: Int,
           .toArray
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new LedgerReaderFactory(required.fieldNames)
+        pushedAggCodes match {
+          case Some(codes) => new LedgerAggReaderFactory(codes)
+          case None => new LedgerReaderFactory(required.fieldNames)
+        }
     }
+}
+
+/** Reader for a completely-pushed-down per-bucket aggregation: each
+  * split emits exactly one row — (bucket, agg results) — computed from
+  * split arithmetic, reading nothing. An empty bucket (bucket ≥ rows)
+  * emits no row, matching GROUP BY semantics (no group, no row). */
+class LedgerAggReaderFactory(codes: Array[Int]) extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LedgerBucket]
+    new PartitionReader[InternalRow] {
+      private val b = p.bucket.toLong
+      // keys in bucket b: b, b+B, ..., largest < rows
+      private val cnt: Long =
+        if (b < p.rows) (p.rows - 1 - b) / p.buckets + 1 else 0L
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted || cnt == 0) false else { emitted = true; true }
+      override def get(): InternalRow = {
+        val vals = new Array[Any](codes.length + 1)
+        vals(0) = b
+        var i = 0
+        while (i < codes.length) {
+          vals(i + 1) = codes(i) match {
+            case 0 => cnt                         // count
+            case 1 => b                           // min(o_key)
+            case 2 => b + p.buckets * (cnt - 1)   // max(o_key)
+            case _ => b                           // min/max(bucket)
+          }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** One bucket's split; partitionKey() is what SPJ matches across sides. */

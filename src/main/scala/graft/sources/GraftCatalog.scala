@@ -7,10 +7,12 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, DataTypes, IntegerType, LongType, Metadata, MetadataBuilder, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource-V2 CATALOG plugin — the API lakehouse formats
@@ -31,7 +33,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * production engine points `spark.sql.catalog.*` at Iceberg/Delta and
   * every query in this library runs unchanged against governed tables.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: File = _
 
@@ -100,8 +102,71 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(s"rename $from -> $to failed")
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog tables are immutable-schema")
+  /** Schema evolution, lakehouse-style: ALTER TABLE rewrites ONLY the
+    * `_schema.json` manifest sidecar — data files are NEVER touched.
+    * Old files keep serving through the reader's by-name Avro schema
+    * resolution ([[AvroReaderFactory]]):
+    *
+    *   - ADD COLUMN: must be nullable (files that predate the column
+    *     serve null for it — a non-null add over existing data is a
+    *     lie, and Iceberg rejects it for the same reason);
+    *   - RENAME COLUMN: the old name is pushed onto the field's alias
+    *     list (`graft.avro.aliases` metadata, newest first) so files
+    *     written under ANY prior name still resolve;
+    *   - DROP COLUMN: removed from the manifest; the bytes stay in old
+    *     files but are never projected again.
+    *
+    * At 100 TB this is the only affordable evolution model: O(1)
+    * metadata vs an O(table) rewrite. Name-based resolution's documented
+    * limit (drop X, re-add X resurrects old values) is inherited —
+    * field IDs are the production fix; this catalog tracks names.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val current = DataType.fromJson(new String(
+      Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+    def topLevel(names: Array[String], what: String): String = {
+      if (names.length != 1) throw new UnsupportedOperationException(
+        s"$what: nested fields are not supported by this catalog")
+      names(0)
+    }
+    val evolved = changes.foldLeft(current) { (s, change) =>
+      change match {
+        case add: TableChange.AddColumn =>
+          val name = topLevel(add.fieldNames, "ADD COLUMN")
+          if (s.fieldNames.contains(name)) throw new IllegalArgumentException(
+            s"column $name already exists in ${ident.name}")
+          if (!add.isNullable) throw new IllegalArgumentException(
+            s"ADD COLUMN $name: new columns must be nullable — existing " +
+              "files predate the column and will serve NULL for it")
+          s.add(StructField(name, add.dataType, nullable = true))
+        case rn: TableChange.RenameColumn =>
+          val old = topLevel(rn.fieldNames, "RENAME COLUMN")
+          val i = s.fieldIndex(old) // throws on a missing column
+          if (s.fieldNames.contains(rn.newName)) throw new IllegalArgumentException(
+            s"column ${rn.newName} already exists in ${ident.name}")
+          val f = s.fields(i)
+          val aliases = (old +: AvroDirSource.aliasesOf(f)).toArray
+          val md = new MetadataBuilder().withMetadata(f.metadata)
+            .putStringArray(AvroDirSource.AliasKey, aliases).build()
+          StructType(s.fields.updated(i, f.copy(name = rn.newName, metadata = md)))
+        case del: TableChange.DeleteColumn =>
+          val name = topLevel(del.fieldNames, "DROP COLUMN")
+          if (!s.fieldNames.contains(name)) throw new IllegalArgumentException(
+            s"column $name does not exist in ${ident.name}")
+          if (s.length == 1) throw new IllegalArgumentException(
+            s"cannot drop the last column of ${ident.name}")
+          StructType(s.fields.filterNot(_.name == name))
+        case other => throw new UnsupportedOperationException(
+          s"table change ${other.getClass.getSimpleName} is not supported")
+      }
+    }
+    Files.write(schemaFile(dir).toPath,
+      evolved.json.getBytes(StandardCharsets.UTF_8))
+    new AvroDirTable(dir.getPath, evolved)
+  }
 
   // ---- namespaces ----
 
@@ -112,7 +177,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listNamespaces(ns: Array[String]): Array[Array[String]] =
     if (ns.isEmpty) listNamespaces()
-    else if (nsDir(ns).isDirectory) Array.empty
+    else if (nsDir(ns).isDirectory)
+      // nested namespaces ARE supported (a namespace is any non-table
+      // directory), so SHOW NAMESPACES IN <ns> must surface them
+      Option(nsDir(ns).listFiles).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && !isTable(d))
+        .map(d => ns :+ d.getName).sortBy(_.last)
     else throw new NoSuchNamespaceException(ns)
 
   override def namespaceExists(ns: Array[String]): Boolean =
@@ -142,4 +212,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (children.nonEmpty && !cascade) throw new NonEmptyNamespaceException(ns)
     deleteRec(d); true
   }
+
+  // ---- functions (V2 FunctionCatalog) ----
+  //
+  // The DSv2 seam lakehouse formats register their system functions
+  // under (Iceberg exposes bucket/truncate/years/... here — the
+  // documented companion to storage-partitioned joins, where both join
+  // sides must agree on the bucket transform). This catalog exposes the
+  // one function its tables' layout is defined by: `bucket(n, x)`.
+  // Resolution is the standard two-step — loadFunction returns the
+  // UnboundFunction, Catalyst binds it to the argument schema — and the
+  // bound ScalarFunction carries the `invoke` magic method, so calls
+  // compile into whole-stage codegen as a direct method call, not a
+  // reflective produceResult per row.
+
+  override def listFunctions(ns: Array[String]): Array[Identifier] =
+    if (ns.isEmpty || namespaceExists(ns)) Array(Identifier.of(ns, "bucket"))
+    else throw new NoSuchNamespaceException(ns)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name.equalsIgnoreCase("bucket")
+}
+
+/** `bucket(n, x)` = nonnegative `x mod n` — the exact arithmetic
+  * [[BucketedLedgerSource]] lays its tables out with, now callable from
+  * SQL through the catalog. Deterministic and engine-agnostic, so the
+  * DuckDB oracle spells the same modular arithmetic. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n INT, x BIGINT) -> INT: nonnegative x mod n (storage bucket id)"
+  override def bind(inputType: StructType): BoundFunction = {
+    if (inputType.length != 2)
+      throw new UnsupportedOperationException("bucket expects (n INT, x BIGINT)")
+    new GraftBucketScalar
+  }
+}
+
+/** The bound form of [[GraftBucketFunction]]. A named PUBLIC class on
+  * purpose: the `invoke` magic method is resolved reflectively
+  * (commons-lang MethodUtils), which refuses methods declared on
+  * anonymous classes — the classic V2-function pitfall. */
+class GraftBucketScalar extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = false
+  // magic method — resolved by name/signature, compiled into codegen
+  def invoke(n: Int, x: Long): Int = {
+    val m = (x % n).toInt
+    if (m < 0) m + n else m
+  }
+  // interpreted fallback (the contract requires it even when the
+  // magic method exists)
+  override def produceResult(input: InternalRow): Integer =
+    invoke(input.getInt(0), input.getLong(1))
 }

@@ -101,6 +101,84 @@ class AvroSourceSuite extends SparkSuiteBase {
     assert(read(dir).count() == 501, "replayed epoch did not overwrite its file")
   }
 
+  test("uncommitted epoch files are invisible to reads; abort deletes them") {
+    val dir = freshDir("manifest")
+    write(spark.range(10).toDF("id"), dir) // committed batch data
+    // simulate an epoch that died mid-write: a TRUNCATED container that
+    // DataFileReader cannot even open — without the commit manifest this
+    // would poison every batch read of the table
+    val poison = new java.io.File(dir, "part-e00099-00000.avro")
+    java.nio.file.Files.write(poison.toPath, Array[Byte](1, 2, 3))
+    assert(read(dir).count() == 10, "uncommitted epoch file leaked into a batch read")
+
+    // the engine's abort(epoch) must clear the partials outright
+    val table = new graft.sources.AvroDirTable(dir,
+      StructType(Seq(StructField("id", LongType, nullable = false))))
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "t"
+      override def schema(): StructType =
+        StructType(Seq(StructField("id", LongType, nullable = false)))
+      override def options() =
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())
+    }
+    table.newWriteBuilder(info).build().toStreaming.abort(99L, Array.empty)
+    assert(!poison.exists(), "abort left the dead epoch's partial file")
+
+    // a COMMITTED epoch becomes visible exactly at commit
+    val w = new graft.sources.AvroStreamingWriterFactory(dir,
+      StructType(Seq(StructField("id", LongType, nullable = false))))
+      .createWriter(0, 1L, 7L)
+    w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](42L)))
+    w.commit()
+    assert(read(dir).count() == 10, "epoch visible before StreamingWrite.commit")
+    table.newWriteBuilder(info).build().toStreaming.commit(7L, Array.empty)
+    assert(read(dir).count() == 11, "committed epoch not visible")
+
+    // overwrite-as-truncate clears data files AND epoch markers
+    write(spark.range(3).toDF("id"), dir)
+    assert(read(dir).count() == 3)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_committed-e")), "truncate kept epoch markers")
+  }
+
+  test("column pruning reaches the reader: a 1-column projection decodes 1 field") {
+    val dir = freshDir("prune")
+    write(spark.range(50).select(col("id"), (col("id") * 2).as("dbl"),
+      concat(lit("s"), col("id")).as("s")), dir)
+    val q = read(dir).select("s")
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.output.map(_.name) == Seq("s"),
+      s"scan did not prune: ${scan.output.map(_.name)}")
+    assert(q.collect().map(_.getString(0)).sorted.head == "s0")
+  }
+
+  test("a reordered user-supplied schema reads the right columns (by-name resolution)") {
+    val dir = freshDir("reorder")
+    write(spark.range(20).select(col("id"), concat(lit("v"), col("id")).as("s")), dir)
+    val back = spark.read.format("graft.sources.AvroDirSource")
+      .schema("s STRING, id BIGINT") // reversed field order
+      .option("path", dir).load()
+    val r = back.where(col("id") === 5).collect().head
+    assert(r.getString(0) == "v5" && r.getLong(1) == 5L,
+      "positional decode returned wrong columns for a reordered schema")
+  }
+
+  test("multi-type unions are rejected, not silently first-branch decoded") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    val u = SchemaBuilder.record("r").fields()
+      .name("x").`type`(Schema.createUnion(
+        Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG),
+        Schema.create(Schema.Type.STRING))).withDefault(null)
+      .endRecord()
+    val e = intercept[IllegalArgumentException](
+      graft.sources.AvroDirSource.toSparkSchema(u))
+    assert(e.getMessage.contains("multi-type union"))
+  }
+
   test("scored roundtrip key matches the nation fixture row-for-row") {
     val expect = spark.read.parquet(s"$SF/nation.parquet")
       .orderBy("n_nationkey").collect().toSeq

@@ -85,6 +85,150 @@ class CatalogV2Suite extends SparkSuiteBase {
     assert(!p.contains("SortMergeJoin"), s"dim join shuffled:\n$p")
   }
 
+  test("ALTER TABLE evolves the manifest only; old Avro files keep serving") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.evo")
+    spark.sql("CREATE TABLE testcat.evo.t AS SELECT id AS k, CONCAT('v', id) AS name FROM RANGE(5)")
+    val dir = new java.io.File(s"$wh/evo/t")
+    val dataFilesBefore = dir.listFiles().filter(_.getName.endsWith(".avro"))
+      .map(f => f.getName -> f.lastModified()).toMap
+
+    // ADD COLUMN: old files must serve NULL for it
+    spark.sql("ALTER TABLE testcat.evo.t ADD COLUMN extra BIGINT")
+    val afterAdd = spark.sql("SELECT k, name, extra FROM testcat.evo.t ORDER BY k").collect()
+    assert(afterAdd.length == 5 && afterAdd.forall(_.isNullAt(2)))
+    // new-shape INSERT lands; old rows still null
+    spark.sql("INSERT INTO testcat.evo.t VALUES (100, 'new', 7)")
+    assert(spark.sql("SELECT extra FROM testcat.evo.t WHERE k = 100").collect()
+      .head.getLong(0) == 7L)
+
+    // RENAME COLUMN: files written under the old name resolve via alias
+    spark.sql("ALTER TABLE testcat.evo.t RENAME COLUMN name TO label")
+    val renamed = spark.sql("SELECT k, label FROM testcat.evo.t ORDER BY k").collect()
+    assert(renamed.map(_.getString(1)).take(5).toSeq ==
+      Seq("v0", "v1", "v2", "v3", "v4"))
+    // and a SECOND rename still resolves files written under the FIRST name
+    spark.sql("ALTER TABLE testcat.evo.t RENAME COLUMN label TO tag")
+    assert(spark.sql("SELECT tag FROM testcat.evo.t WHERE k = 2").collect()
+      .head.getString(0) == "v2")
+
+    // DROP COLUMN: gone from the schema, data files untouched
+    spark.sql("ALTER TABLE testcat.evo.t DROP COLUMN extra")
+    assert(!spark.table("testcat.evo.t").schema.fieldNames.contains("extra"))
+
+    // the whole evolution rewrote ZERO pre-existing data files
+    val dataFilesAfter = dir.listFiles().filter(_.getName.endsWith(".avro"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    dataFilesBefore.foreach { case (name, mtime) =>
+      assert(dataFilesAfter.get(name).contains(mtime),
+        s"ALTER TABLE rewrote data file $name")
+    }
+
+    // guard rails: non-nullable add and dropping the last column refuse
+    intercept[Exception](
+      spark.sql("ALTER TABLE testcat.evo.t ADD COLUMN strict BIGINT NOT NULL"))
+    spark.sql("ALTER TABLE testcat.evo.t DROP COLUMN tag")
+    intercept[Exception](spark.sql("ALTER TABLE testcat.evo.t DROP COLUMN k"))
+  }
+
+  test("DELETE FROM rewrites only mixed files; untouched files stay byte-identical") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.del")
+    spark.sql("DROP TABLE IF EXISTS testcat.del.t")
+    // two files with disjoint key ranges: one fully-matching (deleted
+    // outright), one untouched, plus a mixed one
+    import org.apache.spark.sql.functions._
+    spark.range(30).select(col("id").as("k"), (col("id") % 3).as("m"))
+      .repartitionByRange(3, col("k"))
+      .writeTo("testcat.del.t").create()
+    val dir = new java.io.File(s"$wh/del/t")
+    val before = dir.listFiles().filter(_.getName.endsWith(".avro"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(before.size == 3)
+
+    // deletes all of [0,10) (one whole file), part of [10,20), none of [20,30)
+    spark.sql("DELETE FROM testcat.del.t WHERE k < 15")
+    val remaining = spark.sql("SELECT k FROM testcat.del.t ORDER BY k").collect().map(_.getLong(0))
+    assert(remaining.toSeq == (15L until 30L).toSeq)
+
+    val after = dir.listFiles().filter(_.getName.endsWith(".avro"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after.size == 2, "fully-matching file was not unlinked")
+    // the file with no matching rows was left byte-identical (same mtime)
+    assert(after.exists { case (n, m) => before.get(n).contains(m) },
+      "the untouched file was rewritten")
+
+    // 3VL: NULL predicate keeps the row (delete iff TRUE)
+    spark.sql("CREATE TABLE testcat.del.nulls (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO testcat.del.nulls VALUES (1, 'a'), (2, NULL), (3, 'b')")
+    spark.sql("DELETE FROM testcat.del.nulls WHERE v = 'a'")
+    assert(spark.sql("SELECT k FROM testcat.del.nulls ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L), "NULL predicate row must survive")
+    spark.sql("DELETE FROM testcat.del.nulls WHERE v IS NULL")
+    assert(spark.table("testcat.del.nulls").count() == 1)
+  }
+
+  test("SHOW NAMESPACES IN surfaces nested namespaces") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.nest")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.nest.sub1")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.nest.sub2")
+    spark.sql("CREATE TABLE IF NOT EXISTS testcat.nest.t (k BIGINT)")
+    val shown = spark.sql("SHOW NAMESPACES IN testcat.nest").collect()
+      .map(_.getString(0)).toSet
+    assert(shown == Set("nest.sub1", "nest.sub2"),
+      s"nested namespaces invisible (got $shown); tables must not be listed")
+  }
+
+  test("V2 FunctionCatalog: bucket() resolves, computes, and codegens") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.fns")
+    val rows = spark.sql(
+      "SELECT id, testcat.fns.bucket(4, CAST(id AS BIGINT)) AS b FROM RANGE(8)")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.toSeq == (0L until 8L).map(i => (i, (i % 4).toInt)).toSeq)
+    // negative inputs stay nonnegative (true mod, not remainder)
+    assert(spark.sql("SELECT testcat.fns.bucket(4, CAST(-3 AS BIGINT))").collect()
+      .head.getInt(0) == 1)
+    // the catalog lists it; an unknown function errors cleanly
+    assert(spark.sql("SHOW FUNCTIONS IN testcat.fns").collect()
+      .map(_.getString(0)).exists(_.endsWith("bucket")))
+    intercept[AnalysisException](
+      spark.sql("SELECT testcat.fns.nope(1, 2)").collect())
+  }
+
+  test("aggregate pushdown: per-bucket COUNT/MIN/MAX answered by the scan, no aggregate planned") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft.sources.BucketedLedgerSource")
+      .option("table", "orders").option("rows", "100000")
+      .option("buckets", "32").option("report", "false").load()
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("o_key").as("min_key"), max("o_key").as("max_key"))
+      .orderBy("bucket")
+    val rows = df.collect()
+    assert(rows.length == 32)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(1) == (100000L - 1 - b) / 32 + 1, s"count wrong for bucket $b")
+      assert(r.getLong(2) == b, s"min wrong for bucket $b")
+      assert(r.getLong(3) == b + 32 * ((100000L - 1 - b) / 32), s"max wrong for bucket $b")
+    }
+    // complete pushdown: the executed plan contains NO aggregate operator
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"aggregate was not completely pushed down:\n$plan")
+
+    // an unsupported aggregate (SUM of a double) falls back soundly
+    val fallback = spark.read.format("graft.sources.BucketedLedgerSource")
+      .option("table", "orders").option("rows", "1000")
+      .option("buckets", "8").option("report", "false").load()
+      .groupBy("bucket").agg(sum("o_amount").as("s"), count(lit(1)).as("n"))
+      .orderBy("bucket")
+    assert(fallback.queryExecution.executedPlan.toString.contains("Aggregate"))
+    val fb = fallback.collect()
+    assert(fb.length == 8 && fb.map(_.getLong(2)).sum == 1000L)
+  }
+
   test("CTAS writes Avro container files with the schema sidecar") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db3")
