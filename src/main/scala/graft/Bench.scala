@@ -70,6 +70,10 @@ object Bench {
     }
     warmDf.selectExpr("r_name").write.mode("overwrite").text(s"$warmRoot/text")
     spark.read.format("binaryFile").load(s"$warmRoot/text").count()
+    // SPJ session warm-up: creating the memoized v2-bucketing session is
+    // a one-time ~9 s cost (BENCH_r12 max rep) that must not masquerade
+    // as a join_storage_partitioned regression in a single-rep artifact
+    graft.ops.Joins.prewarmSpj(spark)
     val keep: String => Boolean =
       if (args.nonEmpty && args(0).nonEmpty) args(0).split(",").toSet else _ => true
     import scala.jdk.CollectionConverters._

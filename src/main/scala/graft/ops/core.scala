@@ -249,6 +249,10 @@ object Params {
   val EmbedProdTables = 4
   val EmbedProdPlanes = 16
   val TopK = 5 // llm_simsearch_topk
+  // llm_dedup_substring: minimum shared-substring length. Any common
+  // substring of length >= SubstrGramLen contains an aligned stride-1
+  // gram of exactly this length, so the gram equi-join is EXACT.
+  val SubstrGramLen = 50
   // graph_pagerank strategy cutoff, defined on PRE-DISTINCT LINEITEM
   // ROWS (the footer-readable upper bound on |pairs|: each lineitem row
   // matches exactly one order, so the pre-distinct pair set has one row

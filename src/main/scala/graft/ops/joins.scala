@@ -366,6 +366,40 @@ object Joins {
   private val spjSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
 
+  /** The memoized SPJ-configured twin of the caller's session. The two
+    * harness-level runtime confs are RE-SYNCED from the caller on every
+    * call (cheap conf.sets), not only at creation — a harness that
+    * changes timezone or shuffle partitions mid-session must see the
+    * change reach the scored SPJ plan (ADVICE r12). */
+  private def spjSession(s: SparkSession): SparkSession = {
+    val s2 = spjSessions.computeIfAbsent(s, base => {
+      val n = base.newSession()
+      n.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      n.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      n
+    })
+    for (k <- Seq("spark.sql.session.timeZone", "spark.sql.shuffle.partitions"))
+      s.conf.getOption(k).foreach(s2.conf.set(k, _))
+    s2
+  }
+
+  /** Bench warm-up hook: materialize the memoized SPJ session and run
+    * one tiny co-partitioned join through it. The one-time cost (fresh
+    * SessionState + first v2-bucketing planning, measured up to ~9.6 s
+    * in BENCH_r12's max rep) belongs outside any timed region — a
+    * single-rep driver artifact must never read session creation as a
+    * join_storage_partitioned regression (round-12 verdict #3). */
+  private[graft] def prewarmSpj(s: SparkSession): Unit = {
+    val s2 = spjSession(s)
+    def tiny(t: String) = s2.read.format("graft.sources.BucketedLedgerSource")
+      .option("table", t).option("rows", "320").option("buckets", "32").load()
+    tiny("orders").join(
+      tiny("items").select(col("bucket").as("i_bucket"), col("o_key").as("i_key")),
+      col("bucket") === col("i_bucket") && col("o_key") === col("i_key"))
+      .count()
+    ()
+  }
+
   private[graft] def joinStoragePartitioned(s: SparkSession, dir: String): DataFrame = {
     // The production SPJ conf pair, scoped to an isolated session
     // (shared SparkContext, fresh SQLConf) so no other key's planning
@@ -373,16 +407,7 @@ object Joins {
     // requireAllClusterKeysForCoPartition=false lets the join keys be
     // a SUPERSET of the storage partition keys (bucket ⊂ {bucket,
     // o_key}) — the exact recipe lakehouse formats document for SPJ.
-    val s2 = spjSessions.computeIfAbsent(s, base => {
-      val n = base.newSession()
-      // carry the harness-level runtime confs the fresh SQLConf would
-      // otherwise reset to SparkConf defaults
-      for (k <- Seq("spark.sql.session.timeZone", "spark.sql.shuffle.partitions"))
-        base.conf.getOption(k).foreach(n.conf.set(k, _))
-      n.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      n.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      n
-    })
+    val s2 = spjSession(s)
     def ledger(t: String) = s2.read.format("graft.sources.BucketedLedgerSource")
       .option("table", t).option("rows", "100000").option("buckets", "32").load()
     val it = ledger("items").select(

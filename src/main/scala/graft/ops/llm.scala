@@ -1065,7 +1065,44 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Exact cross-document SUBSTRING dedup — the training-data
+    * memorization filter (the dedup mode Lee et al.'s "Deduplicating
+    * Training Data Makes Language Models Better" runs with suffix
+    * arrays): find every document pair sharing a verbatim substring of
+    * length >= SubstrGramLen. Exactness argument: any common substring
+    * of length >= L contains an aligned stride-1 L-gram, so the
+    * distinct-gram equi-join finds EXACTLY the pairs with a shared
+    * >= L-char substring — no verification pass needed, and the count
+    * of distinct shared grams rides along as evidence. Plan shape:
+    * per-doc gram explode (codegen'd sequence/transform — no UDF) →
+    * per-doc DISTINCT (map-side partial) → equi-join on the gram →
+    * count per pair. 100-TB notes: stride-1 grams are O(total chars)
+    * rows, the honest cost of exact substring dedup (a suffix array is
+    * the same O(chars) with a smaller constant); the join key is the
+    * gram itself so the shuffle is content-addressed — at scale you'd
+    * fingerprint grams to 16 bytes first (both sides hashed by the
+    * SAME function keeps the result deterministic) and shard hot grams
+    * (boilerplate shared by k docs yields k(k-1)/2 pairs — that
+    * quadratic is the DECLARED output semantics, bounded by capping
+    * per-gram doc lists in a production run). */
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val L = SubstrGramLen
+    val grams = T(s, dir, "documents")
+      .where(length(col("text")) >= L)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${L - 1}), i -> substring(text, i, $L))"))
+        .as("g"))
+      .distinct()
+    val b = grams.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    grams.select(col("doc_id").as("doc_a"), col("g"))
+      .join(b, col("g") === col("gb") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_substring" -> (dedupSubstring _),
     "llm_dedup_exact" -> (dedupExact _),
     "llm_dedup_near" -> (dedupNear _),
     "llm_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1104,6 +1141,16 @@ object Llm {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_dedup_substring" ->
+      s"""WITH grams AS (
+         | SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), $SubstrGramLen) AS g
+         | FROM (SELECT doc_id, text,
+         |        UNNEST(RANGE(1, LENGTH(text) - ${SubstrGramLen - 2})) AS i
+         |       FROM documents WHERE LENGTH(text) >= $SubstrGramLen))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+         |FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
         | MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_dups

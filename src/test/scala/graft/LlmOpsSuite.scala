@@ -8,6 +8,29 @@ import graft.ops._
   */
 class LlmOpsSuite extends SparkSuiteBase {
 
+  test("llm_dedup_substring matches a brute-force gram-set cross-check") {
+    val L = graft.ops.Params.SubstrGramLen
+    val docs = T(spark, SF, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    def grams(t: String): Set[String] =
+      if (t.length < L) Set.empty
+      else (0 to t.length - L).iterator.map(i => t.substring(i, i + L)).toSet
+    val gsets = docs.map { case (id, t) => id -> grams(t) }
+    val expected = (for {
+      i <- gsets.indices.iterator
+      j <- (i + 1) until gsets.length
+      (a, ga) = gsets(i); (b, gb) = gsets(j)
+      shared = if (ga.size <= gb.size) ga.count(gb) else gb.count(ga)
+      if shared > 0
+    } yield ((a, b), shared.toLong)).toMap
+    val got = run("llm_dedup_substring").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == expected,
+      s"pair sets differ: only-spark=${(got.keySet -- expected.keySet).take(5)}, " +
+        s"only-brute=${(expected.keySet -- got.keySet).take(5)}")
+    assert(expected.nonEmpty, "fixture yields no shared-substring pairs — test is vacuous")
+  }
+
   test("native DotProductF expression matches the loop-UDF reference bit-exactly and codegens") {
     val e = T(spark, SF, "embeddings")
     val df = e.select(
