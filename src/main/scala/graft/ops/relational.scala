@@ -481,6 +481,74 @@ object Relational {
             |FROM graftcat.lake.nation_del ORDER BY n_nationkey""".stripMargin)
   }
 
+  /** TIME TRAVEL through the catalog: every committed state of a
+    * GraftCatalog table (CTAS append, INSERT, DELETE, ALTER, streaming
+    * epoch) publishes an immutable AvroSnapshots manifest — data files
+    * are immutable, visibility flips atomically at the manifest, and
+    * SQL `VERSION AS OF n` resolves through
+    * `TableCatalog.loadTable(ident, version)` to a read-only table
+    * pinned to that snapshot's files AND schema. The scored query reads
+    * the same table at three versions (post-create, post-append,
+    * post-delete) and aggregates each — the audit/reproducibility
+    * primitive every lakehouse format ships (`TIMESTAMP AS OF` works
+    * too, suite-tested). 100-TB note: a snapshot is O(files) names in
+    * one manifest; time travel costs nothing at write time beyond the
+    * manifest append — exactly Iceberg's snapshot-log design. */
+  private def catalogTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "nation").createOrReplaceTempView("graft_tt_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.nation_tt")
+    // v0 = CREATE (empty), v1 = the CTAS append
+    s.sql("""CREATE TABLE graftcat.lake.nation_tt AS
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_tt_src
+            |WHERE n_nationkey < 10""".stripMargin)
+    // v2 = append the rest
+    s.sql("""INSERT INTO graftcat.lake.nation_tt
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_tt_src
+            |WHERE n_nationkey >= 10""".stripMargin)
+    // v3 = row-level delete (immutable files: survivors rewrite to NEW
+    // names; v1/v2 keep reading the originals)
+    s.sql("DELETE FROM graftcat.lake.nation_tt WHERE n_regionkey = 2")
+    s.sql("""SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+            |       CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+            |FROM graftcat.lake.nation_tt VERSION AS OF 1
+            |UNION ALL
+            |SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_nationkey) AS BIGINT)
+            |FROM graftcat.lake.nation_tt VERSION AS OF 2
+            |UNION ALL
+            |SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_nationkey) AS BIGINT)
+            |FROM graftcat.lake.nation_tt VERSION AS OF 3
+            |ORDER BY version""".stripMargin)
+  }
+
+  /** Snapshot expiry — the VACUUM maintenance op that completes the
+    * versioned-table story: `expireSnapshots(ident, retainLast)` drops
+    * old manifests and physically deletes every data file no retained
+    * version references (the ONLY way a versioned table's files are
+    * ever removed — delete/truncate only unlink from the view). The
+    * scored result is the current state after expiry: correct expiry
+    * must not touch any file the live version references. The suite
+    * additionally asserts orphans are physically gone and expired
+    * versions refuse to load. */
+  private def catalogSnapshotExpire(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "nation").createOrReplaceTempView("graft_vac_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.nation_vac")
+    s.sql("""CREATE TABLE graftcat.lake.nation_vac AS
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_vac_src""".stripMargin)
+    s.sql("""DELETE FROM graftcat.lake.nation_vac
+            |WHERE n_regionkey IN (1, 3) OR n_nationkey > 20""".stripMargin)
+    val cat = s.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    cat.expireSnapshots(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("lake"), "nation_vac"), retainLast = 1)
+    s.sql("""SELECT n_nationkey, n_name, n_regionkey
+            |FROM graftcat.lake.nation_vac ORDER BY n_nationkey""".stripMargin)
+  }
+
   /** V2 FunctionCatalog (round-12 verdict #6): `graftcat.lake.bucket(8,
     * key)` resolves through GraftCatalog.loadFunction → bind, the seam
     * Iceberg registers its bucket/truncate system functions under (the
@@ -518,6 +586,8 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "catalog_schema_evolution" -> (catalogSchemaEvolution _),
     "catalog_delete_where" -> (catalogDeleteWhere _),
+    "catalog_time_travel" -> (catalogTimeTravel _),
+    "catalog_snapshot_expire" -> (catalogSnapshotExpire _),
     "catalog_v2_function" -> (catalogV2Function _),
     "agg_pushdown_v2" -> (aggPushdownV2 _),
     "catalog_table_lifecycle" -> (catalogTableLifecycle _),
@@ -559,6 +629,21 @@ object Relational {
     "catalog_delete_where" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE NOT (n_regionkey IN (0, 2) OR n_nationkey >= 20)
+        |ORDER BY n_nationkey""".stripMargin,
+    "catalog_time_travel" ->
+      """WITH v1 AS (SELECT * FROM nation WHERE n_nationkey < 10),
+        | v2 AS (SELECT * FROM nation),
+        | v3 AS (SELECT * FROM nation WHERE NOT (n_regionkey = 2))
+        |SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(n_nationkey) AS BIGINT) AS sum_key FROM v1
+        |UNION ALL
+        |SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_nationkey) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_nationkey) AS BIGINT) FROM v3
+        |ORDER BY version""".stripMargin,
+    "catalog_snapshot_expire" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE NOT (n_regionkey IN (1, 3) OR n_nationkey > 20)
         |ORDER BY n_nationkey""".stripMargin,
     "catalog_v2_function" ->
       """SELECT CAST(o_orderkey % 8 AS INT) AS bucket,

@@ -430,7 +430,48 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** STREAMING READ OF A LAKEHOUSE TABLE — the "stream a Delta/Iceberg
+    * table" shape: a versioned GraftCatalog table's stream OFFSET is
+    * its VERSION number, and each micro-batch reads exactly the data
+    * files the manifests in (start, end] ADDED
+    * (graft.sources.AvroVersionStream; offsets durable in the query
+    * checkpoint, so a restart resumes from the last committed version).
+    * The scored pipeline CTAS-es one slice of orders (v1), appends the
+    * rest (v2), then drains `readStream.table(...)` through the parquet
+    * file sink under AvailableNow and aggregates the committed output —
+    * the oracle re-derives the same totals from orders directly. At
+    * 100 TB planning a batch is O(manifest diff), never a directory
+    * listing. */
+  private def streamTableSource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.warehouse", GraftTmp.dir("graftcat_wh"))
+    T(s, dir, "orders").createOrReplaceTempView("graft_feed_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_feed")
+    s.sql("""CREATE TABLE graftcat.lake.orders_feed AS
+            |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            |FROM graft_feed_src WHERE o_orderkey % 3 = 0""".stripMargin)
+    s.sql("""INSERT INTO graftcat.lake.orders_feed
+            |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            |FROM graft_feed_src WHERE o_orderkey % 3 <> 0""".stripMargin)
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val root = GraftTmp.dir(s"stream_tbl_$tag")
+    val q = s.readStream.table("graftcat.lake.orders_feed")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$root/out")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_key"),
+        sumMoneyD(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_table_source" -> (streamTableSource _),
     "stream_custom_source" -> (streamCustomSource _),
     "stream_custom_sink" -> (streamCustomSink _),
     "events_transitions" -> (eventsTransitions _),
@@ -448,6 +489,11 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_table_source" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "stream_custom_sink" ->
       """WITH t AS (SELECT i AS tick_id, i % 100 AS user_id,
         |  (i * 7 % 1000) / 10.0 AS amount FROM range(10000) t(i))

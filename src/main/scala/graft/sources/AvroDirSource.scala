@@ -166,13 +166,47 @@ object AvroDirSource {
   }
 }
 
-class AvroDirTable(path: String, tableSchema: StructType)
+/** @param versioned catalog tables set this: every committed state is
+  *   published as an [[AvroSnapshots]] manifest, reads resolve through
+  *   the LATEST manifest (not a directory listing), data files are
+  *   immutable (DELETE rewrites to NEW names; nothing but snapshot
+  *   expiry unlinks), and the table additionally supports time travel
+  *   (via a `pinned` snapshot) and MICRO_BATCH_READ (version-offset
+  *   streaming). Plain-path tables keep listing-based semantics.
+  * @param pinned a `VERSION/TIMESTAMP AS OF` read: the scan serves
+  *   exactly this snapshot's files and schema; writes are rejected. */
+class AvroDirTable(path: String, tableSchema: StructType,
+    versioned: Boolean = false,
+    pinned: Option[AvroSnapshots.Snapshot] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
-  override def name(): String = s"graft_avro($path)"
+  override def name(): String = pinned match {
+    case Some(sn) => s"graft_avro($path@v${sn.version})"
+    case None     => s"graft_avro($path)"
+  }
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    if (pinned.isDefined) Set(TableCapability.BATCH_READ).asJava
+    else if (versioned)
+      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+        TableCapability.MICRO_BATCH_READ).asJava
+    else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+
+  /** The read view: a pinned snapshot's exact file list; else the
+    * latest manifest for versioned tables (falling back to the listing
+    * only for a pre-manifest directory); else the commit-marker-aware
+    * directory listing. */
+  private def readView(): Seq[File] = pinned match {
+    case Some(sn) => sn.files.map(n => new File(path, n))
+    case None if versioned =>
+      AvroSnapshots.latest(path) match {
+        case Some(sn) => sn.files.map(n => new File(path, n))
+        case None     => AvroDirSource.listFiles(path)
+      }
+    case None => AvroDirSource.listFiles(path)
+  }
+  private def readViewNames(): Seq[String] = readView().map(_.getName)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsReportStatistics
@@ -188,10 +222,20 @@ class AvroDirTable(path: String, tableSchema: StructType)
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
-        AvroDirSource.listFiles(path)
+        readView()
           .map(f => AvroFileSplit(f.getAbsolutePath): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new AvroReaderFactory(required)
+      // Streaming read (versioned tables): offsets are VERSION numbers —
+      // each micro-batch is the set of data files the manifests between
+      // (start, end] ADDED. See AvroVersionStream.
+      override def toMicroBatchStream(
+          checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+        require(versioned && pinned.isEmpty,
+          "streaming read is only supported on versioned (catalog) tables")
+        new AvroVersionStream(path, required,
+          options.getBoolean("skipChangeVersions", false))
+      }
 
       // Feed the cost model: without reported statistics a DSv2 scan
       // sizes as Long.MaxValue and Catalyst will NEVER auto-broadcast
@@ -202,7 +246,7 @@ class AvroDirTable(path: String, tableSchema: StructType)
       override def estimateStatistics(): Statistics = new Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           java.util.OptionalLong.of(
-            math.max(1L, AvroDirSource.listFiles(path).map(_.length()).sum))
+            math.max(1L, readView().map(_.length()).sum))
         override def numRows(): java.util.OptionalLong =
           java.util.OptionalLong.empty()
       }
@@ -224,19 +268,41 @@ class AvroDirTable(path: String, tableSchema: StructType)
   // Null semantics are SQL's: a row is deleted iff the predicate
   // conjunction evaluates TRUE (unknown keeps the row).
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(AvroFilterEval.supported)
+    pinned.isEmpty && filters.forall(AvroFilterEval.supported)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val files = AvroDirSource.listFiles(path).map(_.getAbsolutePath)
-    if (files.isEmpty) return
     val schema = tableSchema
-    spark.sparkContext
-      .parallelize(files, math.min(files.size, 32))
-      .foreach(f => AvroFilterEval.rewriteFile(f, schema, filters))
+    if (versioned) {
+      // Versioned flavor: data files are IMMUTABLE. Each task scans one
+      // candidate file and reports what the next manifest should carry —
+      // the file itself (no matches), nothing (all rows match; the file
+      // stays on disk for older snapshots), or a NEW uniquely-named
+      // rewrite holding the surviving rows. Visibility flips atomically
+      // at the manifest commit, so a concurrent time-travel read never
+      // sees a half-deleted table.
+      val names = readViewNames()
+      if (names.isEmpty) return
+      val dirPath = path
+      val jobId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val kept: Array[String] = spark.sparkContext
+        .parallelize(names, math.min(names.size, 32))
+        .flatMap(n =>
+          AvroFilterEval.rewriteVersioned(dirPath, n, schema, filters, jobId))
+        .collect()
+      AvroSnapshots.record(path, schema, kept.sorted.toSeq)
+    } else {
+      val files = AvroDirSource.listFiles(path).map(_.getAbsolutePath)
+      if (files.isEmpty) return
+      spark.sparkContext
+        .parallelize(files, math.min(files.size, 32))
+        .foreach(f => AvroFilterEval.rewriteFile(f, schema, filters))
+    }
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (pinned.isDefined) throw new UnsupportedOperationException(
+      s"${name()} is a time-travel snapshot — snapshots are read-only")
     new WriteBuilder with SupportsTruncate {
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -265,19 +331,35 @@ class AvroDirTable(path: String, tableSchema: StructType)
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val committed =
               messages.map(_.asInstanceOf[AvroCommit].file).toSet
-            // reconcile against ALL files on disk: a truncate must also
-            // clear uncommitted streaming partials, not just the read view
-            AvroDirSource.listAllAvro(path).foreach { f =>
-              val mine = f.getName.contains(jobId)
-              val keep =
-                if (doTruncate) committed(f.getAbsolutePath)
-                else !mine || committed(f.getAbsolutePath)
-              if (!keep) f.delete()
+            if (versioned) {
+              // Versioned: never delete other commits' data files — old
+              // snapshots reference them. Clean only THIS job's dead
+              // task attempts, then publish the next manifest: truncate
+              // = exactly this job's files; append = previous view plus
+              // this job's files. Visibility flips at the manifest.
+              AvroDirSource.listAllAvro(path).foreach { f =>
+                if (f.getName.contains(jobId) && !committed(f.getAbsolutePath))
+                  f.delete()
+              }
+              val mine = committed.map(new File(_).getName).toSeq
+              val files =
+                if (doTruncate) mine else readViewNames() ++ mine
+              AvroSnapshots.record(path, tableSchema, files.sorted)
+            } else {
+              // reconcile against ALL files on disk: a truncate must also
+              // clear uncommitted streaming partials, not just the read view
+              AvroDirSource.listAllAvro(path).foreach { f =>
+                val mine = f.getName.contains(jobId)
+                val keep =
+                  if (doTruncate) committed(f.getAbsolutePath)
+                  else !mine || committed(f.getAbsolutePath)
+                if (!keep) f.delete()
+              }
+              // a truncated table has no committed epochs either
+              if (doTruncate)
+                Option(new File(path).listFiles()).getOrElse(Array.empty)
+                  .filter(_.getName.startsWith("_committed-e")).foreach(_.delete())
             }
-            // a truncated table has no committed epochs either
-            if (doTruncate)
-              Option(new File(path).listFiles()).getOrElse(Array.empty)
-                .filter(_.getName.startsWith("_committed-e")).foreach(_.delete())
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             AvroDirSource.listAllAvro(path)
@@ -305,7 +387,16 @@ class AvroDirTable(path: String, tableSchema: StructType)
               java.nio.file.Files.write(
                 new File(path, AvroDirSource.committedMarker(epochId)).toPath,
                 Array.emptyByteArray)
-              ()
+              if (versioned) {
+                // publish the epoch as the next table version (an epoch
+                // REPLAY overwrites files already in the view — don't
+                // double-add them)
+                val mine = messages.map(m =>
+                  new File(m.asInstanceOf[AvroCommit].file).getName)
+                val prev = readViewNames()
+                AvroSnapshots.record(path, tableSchema,
+                  (prev ++ mine.filterNot(prev.contains)).sorted)
+              }
             }
             override def abort(epochId: Long,
                 messages: Array[WriterCommitMessage]): Unit = {
@@ -316,6 +407,7 @@ class AvroDirTable(path: String, tableSchema: StructType)
           }
       }
     }
+  }
 }
 
 case class AvroFileSplit(file: String) extends InputPartition
@@ -410,4 +502,87 @@ class AvroStreamingWriterFactory(path: String, schema: StructType)
       epochId: Long): DataWriter[InternalRow] =
     new AvroFileWriter(
       new File(path, f"part-e$epochId%05d-$partitionId%05d.avro"), schema)
+}
+
+/** Version-offset streaming read of a versioned Avro table — the
+  * "stream a lakehouse table" shape (Delta/Iceberg streaming sources
+  * work exactly this way): the stream's OFFSET is the table VERSION,
+  * and each micro-batch reads the data files the manifests in
+  * (start, end] ADDED. A version that REMOVED files (row-level DELETE,
+  * truncate) is not an append: by default the stream FAILS loudly on
+  * it — silently replaying a delete's rewrite files would duplicate
+  * every surviving row (the trap Delta's ignoreChanges is documented
+  * to fall into). With `skipChangeVersions=true` the stream skips such
+  * versions' additions entirely: appends stream exactly once, deletes
+  * never surface (an overwrite's NEW rows are skipped too — documented
+  * loss, the caller opted out of change tracking). Offsets are durable
+  * in the query's checkpoint, so a restarted stream resumes from the
+  * last committed version. Planning a batch is O(manifest); no
+  * directory listing ever happens on the hot path — at 100 TB the
+  * directory is millions of files and the manifest IS the index.
+  */
+class AvroVersionStream(path: String, required: StructType,
+    skipChangeVersions: Boolean = false)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def filesAt(v: Long): Set[String] =
+    if (v < 0) Set.empty
+    else AvroSnapshots.load(path, v).map(_.files.toSet).getOrElse(Set.empty)
+
+  override def initialOffset(): Offset = AvroVersionOffset(-1L)
+  override def latestOffset(): Offset =
+    AvroVersionOffset(AvroSnapshots.versions(path).lastOption.getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset =
+    AvroVersionOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[AvroVersionOffset].version
+    val e = end.asInstanceOf[AvroVersionOffset].version
+    // a committed offset whose manifest has been EXPIRED is data loss —
+    // the diff baseline is gone; refuse rather than replay everything
+    // (the same guard Delta's failOnDataLoss gives). Versions expired
+    // BEFORE the stream's first batch are fine: the first retained
+    // manifest diffs against the empty set and streams as one full add.
+    if (s >= 0 && AvroSnapshots.load(path, s).isEmpty &&
+        AvroSnapshots.versions(path).exists(_ > s))
+      throw new IllegalStateException(
+        s"stream offset v$s of $path was expired by snapshot expiry — " +
+          "cannot compute an exact append diff (data loss)")
+    // per-version diffs: additions accumulate; a version with removals
+    // is a CHANGE version (see class doc)
+    val added = scala.collection.mutable.LinkedHashSet.empty[String]
+    var v = s + 1
+    while (v <= e) {
+      val prev = filesAt(v - 1)
+      val cur = filesAt(v)
+      val removed = prev.diff(cur)
+      if (removed.nonEmpty) {
+        if (!skipChangeVersions) throw new IllegalStateException(
+          s"table version $v of $path removed ${removed.size} data file(s) " +
+            "(DELETE/truncate) — not an append. Streaming reads replay " +
+            "appends only; set skipChangeVersions=true to skip such versions.")
+        // skip this version's additions: they are rewrites of rows
+        // already streamed (or an overwrite the caller opted out of)
+      } else {
+        cur.diff(prev).foreach(added += _)
+      }
+      v += 1
+    }
+    // a file appended at v and removed by a LATER change version still
+    // streams (from the version that appended it) — append semantics
+    // are decided at append time
+    added.toSeq.sorted.map(n =>
+      AvroFileSplit(new File(path, n).getAbsolutePath): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class AvroVersionOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
 }

@@ -92,14 +92,10 @@ object AvroFilterEval extends Serializable {
     case other => throw new UnsupportedOperationException(s"filter $other")
   }
 
-  /** Copy-on-write DELETE for one container file (runs as one Spark
-    * task). A file with no matching rows is left byte-identical; a file
-    * whose every row matches is deleted; a mixed file is rewritten in
-    * the CURRENT table schema (fields resolved by name + rename
-    * aliases, so a delete also modernizes old-schema files) to a temp
-    * sibling then atomically moved over the original. */
-  def rewriteFile(filePath: String, schema: StructType, filters: Array[Filter]): Unit = {
-    val file = new File(filePath)
+  /** Scan one container: surviving rows (in the CURRENT schema's shape,
+    * resolved by name + rename aliases) and whether anything matched. */
+  private def scanFile(file: File, schema: StructType,
+      filters: Array[Filter]): (Seq[Array[Any]], Boolean) = {
     val keep = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
     var deleted = false
     val reader = new DataFileReader[GenericRecord](
@@ -125,25 +121,62 @@ object AvroFilterEval extends Serializable {
         else keep += schema.fields.map(f => v(f.name))
       }
     } finally reader.close()
+    (keep.toSeq, deleted)
+  }
 
-    if (!deleted) return
-    if (keep.isEmpty) { file.delete(); return }
-
+  private def writeRows(target: File, schema: StructType,
+      rows: Seq[Array[Any]]): Unit = {
     val avroSchema = AvroDirSource.toAvroSchema(schema, "graft_row")
-    val tmp = new File(file.getParentFile, s".${file.getName}.rewrite")
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](avroSchema))
-    writer.create(avroSchema, tmp)
+    writer.create(avroSchema, target)
     try {
-      keep.foreach { vals =>
+      rows.foreach { vals =>
         val rec = new GenericData.Record(avroSchema)
         var i = 0
         while (i < vals.length) { rec.put(i, vals(i)); i += 1 }
         writer.append(rec)
       }
     } finally writer.close()
+  }
+
+  /** Copy-on-write DELETE for one container file (runs as one Spark
+    * task). A file with no matching rows is left byte-identical; a file
+    * whose every row matches is deleted; a mixed file is rewritten in
+    * the CURRENT table schema (fields resolved by name + rename
+    * aliases, so a delete also modernizes old-schema files) to a temp
+    * sibling then atomically moved over the original. */
+  def rewriteFile(filePath: String, schema: StructType, filters: Array[Filter]): Unit = {
+    val file = new File(filePath)
+    val (keep, deleted) = scanFile(file, schema, filters)
+    if (!deleted) return
+    if (keep.isEmpty) { file.delete(); return }
+    val tmp = new File(file.getParentFile, s".${file.getName}.rewrite")
+    writeRows(tmp, schema, keep)
     Files.move(tmp.toPath, file.toPath,
       StandardCopyOption.REPLACE_EXISTING)
     ()
+  }
+
+  /** The VERSIONED delete flavor — data files are immutable (older
+    * snapshots reference them), so instead of mutating in place this
+    * reports what the next manifest should carry for this file:
+    *   - no matching rows  → Some(original name), file untouched;
+    *   - every row matches → None (the file leaves the view but STAYS
+    *     on disk for time travel; snapshot expiry reclaims it);
+    *   - mixed             → survivors written to a NEW uniquely-named
+    *     sibling (`part-<jobId>-rw-<orig>`), Some(new name).
+    * Runs as one Spark task per candidate file. */
+  def rewriteVersioned(dirPath: String, fileName: String, schema: StructType,
+      filters: Array[Filter], jobId: String): Option[String] = {
+    val file = new File(dirPath, fileName)
+    val (keep, deleted) = scanFile(file, schema, filters)
+    if (!deleted) Some(fileName)
+    else if (keep.isEmpty) None
+    else {
+      val newName = s"part-$jobId-rw-$fileName"
+      writeRows(new File(dirPath, newName), schema, keep)
+      Some(newName)
+    }
   }
 }

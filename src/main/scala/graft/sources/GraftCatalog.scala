@@ -72,7 +72,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val json = new String(
       Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8)
-    new AvroDirTable(dir.getPath, DataType.fromJson(json).asInstanceOf[StructType])
+    new AvroDirTable(dir.getPath,
+      DataType.fromJson(json).asInstanceOf[StructType], versioned = true)
+  }
+
+  // ---- time travel ----
+  //
+  // Catalog tables are VERSIONED: every committed state (CREATE, each
+  // INSERT/CTAS append, DELETE, ALTER, streaming epoch) publishes an
+  // AvroSnapshots manifest, and SQL's `VERSION AS OF` / `TIMESTAMP AS
+  // OF` resolve here to a read-only table pinned to that snapshot —
+  // files AND schema as of that version, so a query against v1 sees
+  // pre-evolution columns. Spark passes TIMESTAMP AS OF in MICROseconds.
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"${ident.name}: VERSION AS OF expects a numeric version, got '$version'"))
+    val snap = AvroSnapshots.load(dir.getPath, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"${ident.name}: no version $v (have ${AvroSnapshots.versions(dir.getPath).mkString(", ")})"))
+    new AvroDirTable(dir.getPath, snap.schema, versioned = true, pinned = Some(snap))
+  }
+
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val snap = AvroSnapshots.asOf(dir.getPath, timestampMicros / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"${ident.name}: no snapshot at or before timestamp $timestampMicros"))
+    new AvroDirTable(dir.getPath, snap.schema, versioned = true, pinned = Some(snap))
+  }
+
+  /** Snapshot expiry (the VACUUM maintenance op): keep the newest
+    * `retainLast` versions, drop older manifests, physically delete
+    * data files no retained version references. The only way a
+    * versioned table's data files are ever removed. */
+  def expireSnapshots(ident: Identifier, retainLast: Int): Seq[String] = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    AvroSnapshots.expire(dir.getPath, retainLast)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -83,7 +123,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       throw new NoSuchNamespaceException(ident.namespace)
     dir.mkdirs()
     Files.write(schemaFile(dir).toPath, schema.json.getBytes(StandardCharsets.UTF_8))
-    new AvroDirTable(dir.getPath, schema)
+    AvroSnapshots.record(dir.getPath, schema, Nil) // v0: the empty table
+    new AvroDirTable(dir.getPath, schema, versioned = true)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -165,7 +206,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
     Files.write(schemaFile(dir).toPath,
       evolved.json.getBytes(StandardCharsets.UTF_8))
-    new AvroDirTable(dir.getPath, evolved)
+    // evolution is itself a table version: same files, new schema — so
+    // VERSION AS OF a pre-ALTER version reads the pre-ALTER columns
+    AvroSnapshots.record(dir.getPath, evolved,
+      AvroSnapshots.latest(dir.getPath).map(_.files)
+        .getOrElse(AvroDirSource.listFiles(dir.getPath).map(_.getName)))
+    new AvroDirTable(dir.getPath, evolved, versioned = true)
   }
 
   // ---- namespaces ----

@@ -135,8 +135,9 @@ class CatalogV2Suite extends SparkSuiteBase {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.del")
     spark.sql("DROP TABLE IF EXISTS testcat.del.t")
-    // two files with disjoint key ranges: one fully-matching (deleted
-    // outright), one untouched, plus a mixed one
+    // three files with disjoint key ranges: one fully-matching (leaves
+    // the view, STAYS on disk for older snapshots), one untouched, one
+    // mixed (survivors rewrite to a NEW file — data files are immutable)
     import org.apache.spark.sql.functions._
     spark.range(30).select(col("id").as("k"), (col("id") % 3).as("m"))
       .repartitionByRange(3, col("k"))
@@ -151,12 +152,16 @@ class CatalogV2Suite extends SparkSuiteBase {
     val remaining = spark.sql("SELECT k FROM testcat.del.t ORDER BY k").collect().map(_.getLong(0))
     assert(remaining.toSeq == (15L until 30L).toSeq)
 
+    // the manifest view carries 2 files: the untouched original + the rewrite
+    val view = graft.sources.AvroSnapshots.latest(dir.getPath).get.files
+    assert(view.size == 2, s"expected 2 files in the post-delete view, got $view")
+    assert(view.count(before.contains) == 1, "exactly one ORIGINAL survives in-view")
+    // no original was mutated or unlinked (older snapshots reference them)
     val after = dir.listFiles().filter(_.getName.endsWith(".avro"))
       .map(f => f.getName -> f.lastModified()).toMap
-    assert(after.size == 2, "fully-matching file was not unlinked")
-    // the file with no matching rows was left byte-identical (same mtime)
-    assert(after.exists { case (n, m) => before.get(n).contains(m) },
-      "the untouched file was rewritten")
+    before.foreach { case (n, m) =>
+      assert(after.get(n).contains(m), s"original data file $n was mutated/unlinked")
+    }
 
     // 3VL: NULL predicate keeps the row (delete iff TRUE)
     spark.sql("CREATE TABLE testcat.del.nulls (k BIGINT, v STRING)")
@@ -227,6 +232,112 @@ class CatalogV2Suite extends SparkSuiteBase {
     assert(fallback.queryExecution.executedPlan.toString.contains("Aggregate"))
     val fb = fallback.collect()
     assert(fb.length == 8 && fb.map(_.getLong(2)).sum == 1000L)
+  }
+
+  test("time travel: VERSION/TIMESTAMP AS OF pin files AND schema; snapshots are read-only") {
+    wh
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.tt")
+    spark.sql("DROP TABLE IF EXISTS testcat.tt.t")
+    spark.sql("CREATE TABLE testcat.tt.t AS SELECT id AS k, CONCAT('v', id) AS nm FROM RANGE(10)") // v0+v1
+    spark.sql("INSERT INTO testcat.tt.t SELECT id, CONCAT('w', id) FROM RANGE(10, 15)") // v2
+    spark.sql("DELETE FROM testcat.tt.t WHERE k < 5") // v3
+    spark.sql("ALTER TABLE testcat.tt.t ADD COLUMN extra INT") // v4
+
+    assert(spark.sql("SELECT COUNT(*) FROM testcat.tt.t VERSION AS OF 0").collect().head.getLong(0) == 0)
+    assert(spark.sql("SELECT COUNT(*) FROM testcat.tt.t VERSION AS OF 1").collect().head.getLong(0) == 10)
+    assert(spark.sql("SELECT COUNT(*) FROM testcat.tt.t VERSION AS OF 2").collect().head.getLong(0) == 15)
+    assert(spark.sql("SELECT COUNT(*) FROM testcat.tt.t VERSION AS OF 3").collect().head.getLong(0) == 10)
+    // a pre-ALTER version serves the pre-ALTER schema
+    assert(spark.sql("SELECT * FROM testcat.tt.t VERSION AS OF 2").columns.toSeq == Seq("k", "nm"))
+    assert(spark.sql("SELECT * FROM testcat.tt.t VERSION AS OF 4").columns.toSeq == Seq("k", "nm", "extra"))
+    // row-level: v1 still reads the rows v3 deleted
+    assert(spark.sql("SELECT MIN(k) FROM testcat.tt.t VERSION AS OF 1").collect().head.getLong(0) == 0)
+    assert(spark.sql("SELECT MIN(k) FROM testcat.tt.t").collect().head.getLong(0) == 5)
+
+    // TIMESTAMP AS OF: the latest snapshot at-or-before now is v4
+    val cat = spark.sessionState.catalogManager.catalog("testcat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val ident = Identifier.of(Array("tt"), "t")
+    val nowMicros = System.currentTimeMillis() * 1000L
+    assert(cat.loadTable(ident, nowMicros).schema().fieldNames.toSeq ==
+      Seq("k", "nm", "extra"))
+    intercept[IllegalArgumentException](cat.loadTable(ident, 0L)) // before v0
+
+    // snapshots are read-only at the table level
+    intercept[Exception] {
+      cat.loadTable(ident, "1").asInstanceOf[graft.sources.AvroDirTable]
+        .newWriteBuilder(null)
+    }
+    // an unknown version errors cleanly
+    intercept[Exception](
+      spark.sql("SELECT * FROM testcat.tt.t VERSION AS OF 99").collect())
+  }
+
+  test("snapshot expiry reclaims unreferenced files; retained versions keep reading") {
+    wh
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.vac")
+    spark.sql("DROP TABLE IF EXISTS testcat.vac.t")
+    spark.sql("CREATE TABLE testcat.vac.t AS SELECT id AS k FROM RANGE(20)")
+    spark.sql("DELETE FROM testcat.vac.t WHERE k < 10")
+    val dir = new java.io.File(s"$wh/vac/t")
+    val onDiskBefore = dir.listFiles().count(_.getName.endsWith(".avro"))
+    val cat = spark.sessionState.catalogManager.catalog("testcat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val dead = cat.expireSnapshots(Identifier.of(Array("vac"), "t"), retainLast = 1)
+    assert(dead.nonEmpty, "expiry reclaimed nothing — delete left no unreferenced files?")
+    // current state intact
+    assert(spark.sql("SELECT COUNT(*), MIN(k) FROM testcat.vac.t").collect()
+      .head.toSeq == Seq(10L, 10L))
+    // only the referenced files remain on disk
+    val view = graft.sources.AvroSnapshots.latest(dir.getPath).get.files.toSet
+    val onDisk = dir.listFiles().filter(_.getName.endsWith(".avro")).map(_.getName).toSet
+    assert(onDisk == view, s"orphans remain: ${onDisk -- view}")
+    assert(onDisk.size < onDiskBefore)
+    // expired versions refuse to load
+    intercept[Exception](
+      spark.sql("SELECT * FROM testcat.vac.t VERSION AS OF 1").collect())
+  }
+
+  test("streaming read of a catalog table: version offsets, restart resumes, appends only") {
+    wh
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.str")
+    spark.sql("DROP TABLE IF EXISTS testcat.str.t")
+    spark.sql("CREATE TABLE testcat.str.t AS SELECT id AS k FROM RANGE(10)")
+    spark.sql("INSERT INTO testcat.str.t SELECT id FROM RANGE(10, 15)")
+    val root = java.nio.file.Files.createTempDirectory("graft_tbl_stream").toString
+    def drain(skipChanges: Boolean): Unit = {
+      val q = spark.readStream
+        .option("skipChangeVersions", skipChanges.toString)
+        .table("testcat.str.t")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain(skipChanges = false)
+    assert(spark.read.parquet(s"$root/out").count() == 15)
+    // restart with the SAME checkpoint: nothing replays...
+    drain(skipChanges = false)
+    assert(spark.read.parquet(s"$root/out").count() == 15, "restart replayed data")
+
+    spark.sql("INSERT INTO testcat.str.t SELECT id FROM RANGE(15, 18)")
+    spark.sql("DELETE FROM testcat.str.t WHERE k < 3")
+    // default contract: a version that REMOVED files fails the stream
+    // loudly — silently replaying the delete's rewrites would duplicate
+    // every surviving row
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain(skipChanges = false))
+    // opt-in skip: the append (15..18) streams exactly once, the delete
+    // version's rewrite files never surface
+    drain(skipChanges = true)
+    val streamed = spark.read.parquet(s"$root/out")
+    assert(streamed.count() == 18, s"got ${streamed.count()} rows, want 18")
+    assert(streamed.agg(org.apache.spark.sql.functions.min("k")).collect()
+      .head.getLong(0) == 0)
+    assert(streamed.select("k").distinct().count() == 18, "duplicate rows streamed")
   }
 
   test("CTAS writes Avro container files with the schema sidecar") {
