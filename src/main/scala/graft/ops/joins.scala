@@ -400,6 +400,47 @@ object Joins {
     ()
   }
 
+  /** Storage-partitioned join between two REAL bucketed catalog tables
+    * (the BucketedLedgerSource SPJ key proves the planner contract on a
+    * synthetic layout; this one proves the full lakehouse loop): both
+    * tables are created `PARTITIONED BY (bucket(16, orderkey))` through
+    * GraftCatalog, their INSERTs cluster by the bucket transform
+    * (RequiresDistributionAndOrdering, resolved through the catalog's
+    * V2 `bucket` function — one container file per bucket per task,
+    * placement recorded in the snapshot manifest), and both scans
+    * report KeyGroupedPartitioning over the SAME transform — so the
+    * orders⨝lineitem join plans with ZERO hash exchanges
+    * (CatalogV2Suite asserts the plan shape). At 100 TB the write-once
+    * clustering replaces the per-query shuffle of both fact tables —
+    * the exact economics Iceberg/Delta bucketing sells. */
+  private[graft] def catalogBucketedSpj(s: SparkSession, dir: String): DataFrame = {
+    val s2 = spjSession(s)
+    s2.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graftcat.warehouse",
+      graft.ops.GraftTmp.dir("graftcat_spj_wh"))
+    T(s2, dir, "orders").createOrReplaceTempView("graft_bspj_orders")
+    T(s2, dir, "lineitem").createOrReplaceTempView("graft_bspj_lineitem")
+    s2.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s2.sql("DROP TABLE IF EXISTS graftcat.lake.orders_b")
+    s2.sql("DROP TABLE IF EXISTS graftcat.lake.lineitem_b")
+    s2.sql("""CREATE TABLE graftcat.lake.orders_b
+             |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+             |PARTITIONED BY (bucket(16, o_orderkey))""".stripMargin)
+    s2.sql("""INSERT INTO graftcat.lake.orders_b
+             |SELECT o_orderkey, o_orderstatus, o_totalprice
+             |FROM graft_bspj_orders""".stripMargin)
+    s2.sql("""CREATE TABLE graftcat.lake.lineitem_b
+             |(l_orderkey BIGINT, l_quantity DOUBLE)
+             |PARTITIONED BY (bucket(16, l_orderkey))""".stripMargin)
+    s2.sql("""INSERT INTO graftcat.lake.lineitem_b
+             |SELECT l_orderkey, l_quantity FROM graft_bspj_lineitem""".stripMargin)
+    s2.sql("""SELECT o.o_orderstatus, COUNT(*) AS n_lines,
+             |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM graftcat.lake.orders_b o
+             |JOIN graftcat.lake.lineitem_b l ON o.o_orderkey = l.l_orderkey
+             |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin)
+  }
+
   private[graft] def joinStoragePartitioned(s: SparkSession, dir: String): DataFrame = {
     // The production SPJ conf pair, scoped to an isolated session
     // (shared SparkContext, fresh SQLConf) so no other key's planning
@@ -609,6 +650,7 @@ object Joins {
     "join_dpp_partitioned" -> (joinDppPartitioned _),
     "join_bloom_pruned" -> (joinBloomPruned _),
     "join_storage_partitioned" -> (joinStoragePartitioned _),
+    "catalog_bucketed_spj" -> (catalogBucketedSpj _),
     "join_v2_group_filter" -> (joinV2GroupFilter _),
     "tpch_q3_shaped" -> (tpchQ3Shaped _),
     "tpch_q10_shaped" -> (tpchQ10Shaped _),
@@ -700,6 +742,11 @@ object Joins {
         | CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM o JOIN it ON o.bucket = it.bucket AND o.o_key = it.o_key
         |GROUP BY o.o_key, o.o_amount ORDER BY o.o_key""".stripMargin,
+    "catalog_bucketed_spj" ->
+      """SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        | CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
     "join_bloom_pruned" ->
       """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross

@@ -549,6 +549,57 @@ object Relational {
             |FROM graftcat.lake.nation_vac ORDER BY n_nationkey""".stripMargin)
   }
 
+  /** Row-level UPDATE through the catalog (SupportsRowLevelOperations,
+    * group-based copy-on-write): Spark's RewriteUpdateTable plans SQL
+    * `UPDATE ... SET ... WHERE ...` as a ReplaceData over
+    * GraftRowLevelOperation — a runtime group-filter subquery (SELECT
+    * DISTINCT _file WHERE cond) prunes the scan to files that can
+    * contain a match, ONLY those groups are read and rewritten, and the
+    * commit atomically swaps them in the next snapshot manifest
+    * (CatalogV2Suite asserts untouched groups survive under their
+    * original names). At 100 TB an UPDATE of one key costs one group,
+    * not one table — and every pre-UPDATE version stays readable. */
+  private def catalogUpdateWhere(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "nation").createOrReplaceTempView("graft_upd_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.nation_upd")
+    s.sql("""CREATE TABLE graftcat.lake.nation_upd AS
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_upd_src""".stripMargin)
+    s.sql("""UPDATE graftcat.lake.nation_upd
+            |SET n_name = CONCAT(n_name, '_EU'), n_regionkey = n_regionkey + 100
+            |WHERE n_regionkey = 3""".stripMargin)
+    s.sql("""SELECT n_nationkey, n_name, n_regionkey
+            |FROM graftcat.lake.nation_upd ORDER BY n_nationkey""".stripMargin)
+  }
+
+  /** MERGE INTO through the catalog — the upsert DML every lakehouse
+    * pipeline runs (RewriteMergeIntoTable → ReplaceData over the same
+    * group-based GraftRowLevelOperation as UPDATE): all three branches
+    * exercised — WHEN MATCHED AND <cond> THEN DELETE, WHEN MATCHED THEN
+    * UPDATE, WHEN NOT MATCHED THEN INSERT. The runtime group filter
+    * derives matchable files from the ON condition, so a merge whose
+    * source touches one group rewrites one group. Oracle spells the
+    * same three-way outcome as a left join + anti-join union. */
+  private def catalogMergeInto(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "nation").createOrReplaceTempView("graft_mrg_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.nation_mrg")
+    s.sql("""CREATE TABLE graftcat.lake.nation_mrg AS
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_mrg_src""".stripMargin)
+    s.sql("""MERGE INTO graftcat.lake.nation_mrg AS t
+            |USING (SELECT n_nationkey + 15 AS k, CONCAT('m_', n_name) AS nm,
+            |              n_regionkey AS rk FROM graft_mrg_src) AS s
+            |ON t.n_nationkey = s.k
+            |WHEN MATCHED AND t.n_regionkey = 2 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET n_name = s.nm
+            |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+            |  VALUES (s.k, s.nm, s.rk)""".stripMargin)
+    s.sql("""SELECT n_nationkey, n_name, n_regionkey
+            |FROM graftcat.lake.nation_mrg ORDER BY n_nationkey""".stripMargin)
+  }
+
   /** V2 FunctionCatalog (round-12 verdict #6): `graftcat.lake.bucket(8,
     * key)` resolves through GraftCatalog.loadFunction → bind, the seam
     * Iceberg registers its bucket/truncate system functions under (the
@@ -588,6 +639,8 @@ object Relational {
     "catalog_delete_where" -> (catalogDeleteWhere _),
     "catalog_time_travel" -> (catalogTimeTravel _),
     "catalog_snapshot_expire" -> (catalogSnapshotExpire _),
+    "catalog_update_where" -> (catalogUpdateWhere _),
+    "catalog_merge_into" -> (catalogMergeInto _),
     "catalog_v2_function" -> (catalogV2Function _),
     "agg_pushdown_v2" -> (aggPushdownV2 _),
     "catalog_table_lifecycle" -> (catalogTableLifecycle _),
@@ -644,6 +697,24 @@ object Relational {
     "catalog_snapshot_expire" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE NOT (n_regionkey IN (1, 3) OR n_nationkey > 20)
+        |ORDER BY n_nationkey""".stripMargin,
+    "catalog_update_where" ->
+      """SELECT n_nationkey,
+        | CASE WHEN n_regionkey = 3 THEN n_name || '_EU' ELSE n_name END AS n_name,
+        | CASE WHEN n_regionkey = 3 THEN n_regionkey + 100 ELSE n_regionkey END AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "catalog_merge_into" ->
+      """WITH t AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+        | s AS (SELECT n_nationkey + 15 AS k, 'm_' || n_name AS nm,
+        |              n_regionkey AS rk FROM nation)
+        |SELECT t.n_nationkey,
+        | CASE WHEN s.k IS NULL THEN t.n_name ELSE s.nm END AS n_name,
+        | t.n_regionkey
+        |FROM t LEFT JOIN s ON t.n_nationkey = s.k
+        |WHERE NOT (s.k IS NOT NULL AND t.n_regionkey = 2)
+        |UNION ALL
+        |SELECT s.k, s.nm, s.rk FROM s
+        |WHERE s.k NOT IN (SELECT n_nationkey FROM t)
         |ORDER BY n_nationkey""".stripMargin,
     "catalog_v2_function" ->
       """SELECT CAST(o_orderkey % 8 AS INT) AS bucket,

@@ -10,8 +10,9 @@ import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.{streaming => wstream}
@@ -88,6 +89,10 @@ object AvroDirSource {
   /** Field-metadata key carrying a renamed column's prior names (newest
     * first) so old files resolve — see GraftCatalog.alterTable. */
   val AliasKey = "graft.avro.aliases"
+
+  /** Hidden metadata column: which container file a row came from — the
+    * GROUP key row-level operations (UPDATE/MERGE) rewrite by. */
+  val FileColumn = "_file"
 
   private val StreamFilePattern = "^part-e(\\d+)-\\d+\\.avro$".r
   private[sources] def committedMarker(epoch: Long): String = f"_committed-e$epoch%05d"
@@ -174,16 +179,28 @@ object AvroDirSource {
   *   (via a `pinned` snapshot) and MICRO_BATCH_READ (version-offset
   *   streaming). Plain-path tables keep listing-based semantics.
   * @param pinned a `VERSION/TIMESTAMP AS OF` read: the scan serves
-  *   exactly this snapshot's files and schema; writes are rejected. */
+  *   exactly this snapshot's files and schema; writes are rejected.
+  * @param bucketSpec `(n, col)` for a table created `PARTITIONED BY
+  *   (bucket(n, col))`: writes cluster by the bucket transform
+  *   (RequiresDistributionAndOrdering resolved through the catalog's V2
+  *   `bucket` function) into one file per bucket per task, the manifest
+  *   records each file's bucket, and the scan reports
+  *   KeyGroupedPartitioning over the same transform — two such tables
+  *   join with ZERO exchanges (storage-partitioned join). */
 class AvroDirTable(path: String, tableSchema: StructType,
     versioned: Boolean = false,
-    pinned: Option[AvroSnapshots.Snapshot] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    pinned: Option[AvroSnapshots.Snapshot] = None,
+    bucketSpec: Option[(Int, String)] = None)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsMetadataColumns with SupportsRowLevelOperations {
   override def name(): String = pinned match {
     case Some(sn) => s"graft_avro($path@v${sn.version})"
     case None     => s"graft_avro($path)"
   }
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    bucketSpec.map { case (n, c) => Array(Expressions.bucket(n, c)) }
+      .getOrElse(Array.empty)
   override def capabilities(): util.Set[TableCapability] =
     if (pinned.isDefined) Set(TableCapability.BATCH_READ).asJava
     else if (versioned)
@@ -208,9 +225,61 @@ class AvroDirTable(path: String, tableSchema: StructType,
   }
   private def readViewNames(): Seq[String] = readView().map(_.getName)
 
+  // ---- metadata columns + row-level operations (UPDATE / MERGE) ----
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = AvroDirSource.FileColumn
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "container file this row came from"
+    })
+
+  /** Group-based (copy-on-write) row-level operations — the seam SQL
+    * UPDATE and MERGE INTO plan through (Spark's RewriteUpdateTable /
+    * RewriteMergeIntoTable build a ReplaceData plan over it). The GROUP
+    * is the container file: Spark first runs a runtime group-filter
+    * subquery (SELECT DISTINCT _file WHERE <condition>) against the
+    * normal batch scan, pushes the matching names into the operation's
+    * scan as an In(_file, ...) runtime filter, reads ONLY those files,
+    * and writes their full replacement rows back; commit atomically
+    * swaps exactly the scanned groups for the new files in the next
+    * manifest. Untouched files are never read or rewritten — at 100 TB
+    * an UPDATE of one key costs one group, not one table. DELETE keeps
+    * its cheaper SupportsDelete path (Spark's metadata-delete rule wins
+    * when the predicate is translatable). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    if (pinned.isDefined) throw new UnsupportedOperationException(
+      s"${name()} is a time-travel snapshot — snapshots are read-only")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(path, tableSchema, versioned, info.command)
+    }
+  }
+
+  /** Bucket-grouped splits when the table is bucketed AND every in-view
+    * file has a recorded bucket (a legacy/plain-appended file without
+    * one soundly downgrades the scan to ungrouped). Every bucket in
+    * [0, n) gets a split — including empty ones — so two tables
+    * bucketed the same way always present identical partition-value
+    * sets to the SPJ planner. */
+  private def bucketGroups(): Option[Seq[(Int, Seq[File])]] =
+    bucketSpec.flatMap { case (n, _) =>
+      val view = readView()
+      val parts = pinned.map(_.parts)
+        .orElse(AvroSnapshots.latest(path).map(_.parts))
+        .getOrElse(Map.empty[String, Int])
+      if (view.forall(f => parts.contains(f.getName)))
+        Some((0 until n).map(b =>
+          b -> view.filter(f => parts(f.getName) == b)))
+      else None
+    }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsReportStatistics
-        with SupportsPushDownRequiredColumns {
+        with SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
       // Column pruning: Catalyst pushes the required schema down and the
       // per-file readers decode exactly those fields by name — a scan
       // that materializes every column of a wide table for a 2-column
@@ -221,9 +290,32 @@ class AvroDirTable(path: String, tableSchema: StructType,
       override def build(): Scan = this
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
+
+      private lazy val groups = bucketGroups()
+
+      // The SPJ seam: a bucketed table's scan reports the SAME bucket
+      // transform its writes clustered by; with every split carrying
+      // its bucket via HasPartitionKey, two co-bucketed catalog tables
+      // join with ZERO exchanges — the storage layout IS the exchange,
+      // paid once at write time (the 100-TB fact⨝fact answer).
+      override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+        (bucketSpec, groups) match {
+          case (Some((n, col)), Some(_)) =>
+            new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+              Array(Expressions.bucket(n, col)), n)
+          case _ =>
+            new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+              readView().size)
+        }
+
       override def planInputPartitions(): Array[InputPartition] =
-        readView()
-          .map(f => AvroFileSplit(f.getAbsolutePath): InputPartition).toArray
+        groups match {
+          case Some(gs) => gs.map { case (b, fs) =>
+            AvroBucketGroupSplit(fs.map(_.getAbsolutePath), b): InputPartition
+          }.toArray
+          case None => readView()
+            .map(f => AvroFileSplit(f.getAbsolutePath): InputPartition).toArray
+        }
       override def createReaderFactory(): PartitionReaderFactory =
         new AvroReaderFactory(required)
       // Streaming read (versioned tables): offsets are VERSION numbers —
@@ -285,12 +377,19 @@ class AvroDirTable(path: String, tableSchema: StructType,
       if (names.isEmpty) return
       val dirPath = path
       val jobId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      val kept: Array[String] = spark.sparkContext
+      val outcome: Array[(String, Option[String])] = spark.sparkContext
         .parallelize(names, math.min(names.size, 32))
-        .flatMap(n =>
-          AvroFilterEval.rewriteVersioned(dirPath, n, schema, filters, jobId))
+        .map(n =>
+          n -> AvroFilterEval.rewriteVersioned(dirPath, n, schema, filters, jobId))
         .collect()
-      AvroSnapshots.record(path, schema, kept.sorted.toSeq)
+      // a rewrite holds a SUBSET of its original's rows, so it inherits
+      // the original's bucket — grouped scans stay grouped after DELETE
+      val prevParts = AvroSnapshots.latest(path).map(_.parts).getOrElse(Map.empty)
+      val parts = outcome.toSeq.flatMap { case (orig, kept) =>
+        kept.flatMap(k => prevParts.get(orig).map(k -> _))
+      }.toMap
+      AvroSnapshots.record(path, schema,
+        outcome.flatMap(_._2).sorted.toSeq, parts)
     } else {
       val files = AvroDirSource.listFiles(path).map(_.getAbsolutePath)
       if (files.isEmpty) return
@@ -306,7 +405,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
     new WriteBuilder with SupportsTruncate {
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
-      override def build(): Write = new Write {
+      override def build(): Write = new Write with RequiresDistributionAndOrdering {
         // Every batch-write job gets its own id, baked into its file
         // names. That makes commit() able to reconcile the directory:
         //   - a task attempt that died WITHOUT running abort() leaves a
@@ -322,15 +421,39 @@ class AvroDirTable(path: String, tableSchema: StructType,
         //     new write.
         private val jobId =
           java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+
+        // Bucketed tables CLUSTER their writes: the required
+        // distribution is the bucket TRANSFORM itself, which Spark
+        // resolves through the owning catalog's V2 `bucket` function
+        // (GraftBucketFunction) — the same function SPJ later matches
+        // by canonicalName on both join sides. Each task then writes
+        // one container file PER BUCKET it holds, and the commit
+        // records every file's bucket in the manifest — the partition
+        // metadata the scan's KeyGroupedPartitioning reads back.
+        override def requiredDistribution(): Distribution = bucketSpec match {
+          case Some((n, col)) =>
+            Distributions.clustered(Array(Expressions.bucket(n, col)))
+          case None => Distributions.unspecified()
+        }
+        override def requiredOrdering(): Array[SortOrder] = Array.empty
+
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
               p: PhysicalWriteInfo): DataWriterFactory = {
             new File(path).mkdirs()
-            new AvroWriterFactory(path, info.schema(), jobId)
+            bucketSpec match {
+              case Some((n, col)) =>
+                new AvroBucketedWriterFactory(path, info.schema(), jobId, n,
+                  info.schema().fieldIndex(col))
+              case None => new AvroWriterFactory(path, info.schema(), jobId)
+            }
           }
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
-            val committed =
-              messages.map(_.asInstanceOf[AvroCommit].file).toSet
+            val entries: Seq[(String, Option[Int])] = messages.toSeq.flatMap {
+              case AvroCommit(f, b)       => Seq(f -> b)
+              case AvroBucketedCommit(fs) => fs.map { case (f, b) => f -> Some(b) }
+            }
+            val committed = entries.map(_._1).toSet
             if (versioned) {
               // Versioned: never delete other commits' data files — old
               // snapshots reference them. Clean only THIS job's dead
@@ -341,10 +464,17 @@ class AvroDirTable(path: String, tableSchema: StructType,
                 if (f.getName.contains(jobId) && !committed(f.getAbsolutePath))
                   f.delete()
               }
-              val mine = committed.map(new File(_).getName).toSeq
-              val files =
-                if (doTruncate) mine else readViewNames() ++ mine
-              AvroSnapshots.record(path, tableSchema, files.sorted)
+              val mineParts: Map[String, Int] = entries.collect {
+                case (f, Some(b)) => new File(f).getName -> b
+              }.toMap
+              val mine = entries.map { case (f, _) => new File(f).getName }
+              val prev = AvroSnapshots.latest(path)
+              val prevFiles = if (doTruncate) Nil else readViewNames()
+              val prevParts =
+                if (doTruncate) Map.empty[String, Int]
+                else prev.map(_.parts).getOrElse(Map.empty)
+              AvroSnapshots.record(path, tableSchema,
+                (prevFiles ++ mine).sorted, prevParts ++ mineParts)
             } else {
               // reconcile against ALL files on disk: a truncate must also
               // clear uncommitted streaming partials, not just the read view
@@ -411,23 +541,62 @@ class AvroDirTable(path: String, tableSchema: StructType,
 }
 
 case class AvroFileSplit(file: String) extends InputPartition
-case class AvroCommit(file: String) extends WriterCommitMessage
+/** All of one bucket's container files, as one split whose partition
+  * key is the bucket — what KeyGroupedPartitioning groups by. */
+case class AvroBucketGroupSplit(files: Seq[String], bucket: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+case class AvroCommit(file: String, bucket: Option[Int] = None)
+    extends WriterCommitMessage
+/** One task's per-bucket files from a clustered (bucketed) write. */
+case class AvroBucketedCommit(files: Seq[(String, Int)])
+    extends WriterCommitMessage
 
 /** Decodes each container against its OWN embedded writer schema,
   * resolving required fields BY NAME with rename-alias fallback — the
   * Avro schema-resolution rule. A field absent from a file (the file
-  * predates an ADD COLUMN) reads as null. */
+  * predates an ADD COLUMN) reads as null. The hidden `_file` metadata
+  * column (file provenance; the group key for row-level operations)
+  * is served from the split, not decoded. */
 class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val split = partition.asInstanceOf[AvroFileSplit]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case AvroFileSplit(f) => fileReader(f)
+      case AvroBucketGroupSplit(files, _) =>
+        // one bucket's files, read in sequence (a group is one task)
+        new PartitionReader[InternalRow] {
+          private val remaining = files.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (!remaining.hasNext) return false
+                cur = fileReader(remaining.next())
+              }
+              if (cur.next()) return true
+              cur.close(); cur = null
+            }
+            false // unreachable
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unexpected split $other")
+    }
+
+  private def fileReader(file: String): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val reader = new DataFileReader[GenericRecord](
-        new File(split.file), new GenericDatumReader[GenericRecord]())
+        new File(file), new GenericDatumReader[GenericRecord]())
+      private val fileName = UTF8String.fromString(new File(file).getName)
       // required field → position in THIS file's writer schema (name
-      // first, then rename aliases newest-first); -1 → null column.
-      // Resolved once per file, not per row.
+      // first, then rename aliases newest-first); -1 → null column,
+      // -2 → the _file metadata column. Resolved once per file.
       private val idx: Array[Int] = required.fields.map { f =>
-        (f.name +: AvroDirSource.aliasesOf(f)).iterator
+        if (f.name == AvroDirSource.FileColumn) -2
+        else (f.name +: AvroDirSource.aliasesOf(f)).iterator
           .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
           .find(_ >= 0).getOrElse(-1)
       }
@@ -437,11 +606,14 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
         val vals = new Array[Any](required.length)
         var i = 0
         while (i < required.length) {
-          val v = if (idx(i) < 0) null else rec.get(idx(i))
-          vals(i) = required.fields(i).dataType match {
-            case _ if v == null => null
-            case StringType     => UTF8String.fromString(v.toString)
-            case _              => v
+          if (idx(i) == -2) vals(i) = fileName
+          else {
+            val v = if (idx(i) < 0) null else rec.get(idx(i))
+            vals(i) = required.fields(i).dataType match {
+              case _ if v == null => null
+              case StringType     => UTF8String.fromString(v.toString)
+              case _              => v
+            }
           }
           i += 1
         }
@@ -492,6 +664,39 @@ class AvroWriterFactory(path: String, schema: StructType, jobId: String)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new AvroFileWriter(
       new File(path, f"part-$jobId-$partitionId%05d-$taskId.avro"), schema)
+}
+
+/** Clustered (bucketed) write: the incoming rows are already
+  * distributed by the bucket transform (RequiresDistributionAndOrdering),
+  * so a task usually holds one or a few buckets — each gets its OWN
+  * container file (`part-<job>-b<bucket>-<pid>-<tid>.avro`), and the
+  * commit message carries every file's bucket for the manifest. The
+  * bucket is recomputed here with the SAME arithmetic as
+  * GraftBucketScalar.invoke — write placement and SQL `bucket()` can
+  * never disagree. */
+class AvroBucketedWriterFactory(path: String, schema: StructType,
+    jobId: String, buckets: Int, colIdx: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val open =
+        scala.collection.mutable.Map.empty[Int, AvroFileWriter]
+      private val isInt =
+        schema.fields(colIdx).dataType == IntegerType
+      override def write(row: InternalRow): Unit = {
+        val x = if (isInt) row.getInt(colIdx).toLong else row.getLong(colIdx)
+        val m = (x % buckets).toInt
+        val b = if (m < 0) m + buckets else m
+        open.getOrElseUpdate(b, new AvroFileWriter(
+          new File(path, f"part-$jobId-b$b%05d-$partitionId%05d-$taskId.avro"),
+          schema)).write(row)
+      }
+      override def commit(): WriterCommitMessage =
+        AvroBucketedCommit(open.toSeq.sortBy(_._1).map { case (b, w) =>
+          w.commit().asInstanceOf[AvroCommit].file -> b
+        })
+      override def abort(): Unit = open.values.foreach(_.abort())
+      override def close(): Unit = ()
+    }
 }
 
 /** Streaming writers name files by (epoch, partition) ONLY — replayed

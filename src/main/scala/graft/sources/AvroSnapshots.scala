@@ -31,8 +31,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * travel and streaming-read offsets hang off, is identical.
   */
 object AvroSnapshots {
+  /** `parts`: per-file storage-partition value (bucket id) for files
+    * written through a bucketed table's clustered write — what the scan
+    * groups splits by to report KeyGroupedPartitioning (SPJ). A file
+    * absent from the map has unknown placement (legacy/plain append)
+    * and downgrades the scan to UnknownPartitioning. */
   case class Snapshot(version: Long, timestampMs: Long,
-      schema: StructType, files: Seq[String])
+      schema: StructType, files: Seq[String],
+      parts: Map[String, Int] = Map.empty)
 
   private def versionsDir(path: String) = new File(path, "_versions")
   private def manifestFile(path: String, v: Long) =
@@ -54,9 +60,18 @@ object AvroSnapshots {
     else {
       val lines = new String(Files.readAllBytes(f.toPath),
         StandardCharsets.UTF_8).split("\n", -1).toSeq
+      // a file line is "name" or "name\t<bucket>" (tab-separated
+      // partition value for clustered writes)
+      val entries = lines.drop(2).filter(_.nonEmpty).map { l =>
+        l.split("\t", 2) match {
+          case Array(n, b) => n -> b.toIntOption
+          case Array(n)    => n -> None
+        }
+      }
       Some(Snapshot(v, lines.head.toLong,
         DataType.fromJson(lines(1)).asInstanceOf[StructType],
-        lines.drop(2).filter(_.nonEmpty)))
+        entries.map(_._1),
+        entries.collect { case (n, Some(b)) => n -> b }.toMap))
     }
   }
 
@@ -69,9 +84,12 @@ object AvroSnapshots {
       .find(_.timestampMs <= tsMs)
 
   /** Commit the next version atomically. Returns the version number. */
-  def record(path: String, schema: StructType, files: Seq[String]): Long = {
+  def record(path: String, schema: StructType, files: Seq[String],
+      parts: Map[String, Int] = Map.empty): Long = {
     versionsDir(path).mkdirs()
-    val body = (System.currentTimeMillis().toString +: schema.json +: files)
+    val fileLines = files.map(n =>
+      parts.get(n).map(b => s"$n\t$b").getOrElse(n))
+    val body = (System.currentTimeMillis().toString +: schema.json +: fileLines)
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
     var v = versions(path).lastOption.map(_ + 1).getOrElse(0L)
     while (true) {

@@ -55,6 +55,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   private def isTable(dir: File): Boolean = schemaFile(dir).exists()
   private def deleteRec(f: File): Unit = graft.ops.GraftTmp.deleteRec(f)
 
+  // ---- bucket partitioning sidecar (`_partition.json`) ----
+  //
+  // `PARTITIONED BY (bucket(n, col))` persists as one line of trivially
+  // parseable JSON; tables loaded with a spec cluster their writes by
+  // the bucket transform and report KeyGroupedPartitioning on scan —
+  // the storage-partitioned-join layout contract.
+  private def partitionFile(dir: File): File = new File(dir, "_partition.json")
+  private val PartitionJson = """\{"bucket":(\d+),"column":"([^"]+)"\}""".r
+  private def loadBucketSpec(dir: File): Option[(Int, String)] = {
+    val f = partitionFile(dir)
+    if (!f.isFile) None
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim match {
+      case PartitionJson(n, col) => Some((n.toInt, col))
+      case other => throw new IllegalStateException(
+        s"unreadable _partition.json in $dir: $other")
+    }
+  }
+  private def parseBucketTransform(
+      partitions: Array[Transform]): Option[(Int, String)] = {
+    if (partitions.isEmpty) return None
+    require(partitions.length == 1,
+      "this catalog supports at most one partition transform")
+    val t = partitions.head
+    require(t.name == "bucket",
+      s"unsupported partition transform ${t.name} — only bucket(n, col)")
+    val args = t.arguments
+    (args(0).describe.toIntOption, args.lift(1).map(_.describe)) match {
+      case (Some(n), Some(col)) if n > 0 => Some((n, col))
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse bucket transform ${t.describe}")
+    }
+  }
+
   // ---- tables ----
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
@@ -73,7 +106,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val json = new String(
       Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8)
     new AvroDirTable(dir.getPath,
-      DataType.fromJson(json).asInstanceOf[StructType], versioned = true)
+      DataType.fromJson(json).asInstanceOf[StructType], versioned = true,
+      bucketSpec = loadBucketSpec(dir))
   }
 
   // ---- time travel ----
@@ -93,7 +127,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val snap = AvroSnapshots.load(dir.getPath, v).getOrElse(
       throw new IllegalArgumentException(
         s"${ident.name}: no version $v (have ${AvroSnapshots.versions(dir.getPath).mkString(", ")})"))
-    new AvroDirTable(dir.getPath, snap.schema, versioned = true, pinned = Some(snap))
+    new AvroDirTable(dir.getPath, snap.schema, versioned = true,
+      pinned = Some(snap), bucketSpec = loadBucketSpec(dir))
   }
 
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
@@ -102,7 +137,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val snap = AvroSnapshots.asOf(dir.getPath, timestampMicros / 1000L).getOrElse(
       throw new IllegalArgumentException(
         s"${ident.name}: no snapshot at or before timestamp $timestampMicros"))
-    new AvroDirTable(dir.getPath, snap.schema, versioned = true, pinned = Some(snap))
+    new AvroDirTable(dir.getPath, snap.schema, versioned = true,
+      pinned = Some(snap), bucketSpec = loadBucketSpec(dir))
   }
 
   /** Snapshot expiry (the VACUUM maintenance op): keep the newest
@@ -121,10 +157,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     if (!nsDir(ident.namespace).isDirectory)
       throw new NoSuchNamespaceException(ident.namespace)
+    val spec = parseBucketTransform(partitions)
+    spec.foreach { case (_, col) =>
+      require(schema.fieldNames.contains(col),
+        s"bucket column $col is not a column of ${ident.name}")
+    }
     dir.mkdirs()
     Files.write(schemaFile(dir).toPath, schema.json.getBytes(StandardCharsets.UTF_8))
+    spec.foreach { case (n, col) =>
+      Files.write(partitionFile(dir).toPath,
+        s"""{"bucket":$n,"column":"$col"}""".getBytes(StandardCharsets.UTF_8))
+    }
     AvroSnapshots.record(dir.getPath, schema, Nil) // v0: the empty table
-    new AvroDirTable(dir.getPath, schema, versioned = true)
+    new AvroDirTable(dir.getPath, schema, versioned = true, bucketSpec = spec)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -173,6 +218,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"$what: nested fields are not supported by this catalog")
       names(0)
     }
+    val bucketCol = loadBucketSpec(dir).map(_._2)
+    def guardBucketCol(name: String, what: String): Unit =
+      if (bucketCol.contains(name)) throw new IllegalArgumentException(
+        s"$what $name: the table is bucketed by $name — the partition " +
+          "column cannot be renamed or dropped")
     val evolved = changes.foldLeft(current) { (s, change) =>
       change match {
         case add: TableChange.AddColumn =>
@@ -185,6 +235,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           s.add(StructField(name, add.dataType, nullable = true))
         case rn: TableChange.RenameColumn =>
           val old = topLevel(rn.fieldNames, "RENAME COLUMN")
+          guardBucketCol(old, "RENAME COLUMN")
           val i = s.fieldIndex(old) // throws on a missing column
           if (s.fieldNames.contains(rn.newName)) throw new IllegalArgumentException(
             s"column ${rn.newName} already exists in ${ident.name}")
@@ -195,6 +246,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           StructType(s.fields.updated(i, f.copy(name = rn.newName, metadata = md)))
         case del: TableChange.DeleteColumn =>
           val name = topLevel(del.fieldNames, "DROP COLUMN")
+          guardBucketCol(name, "DROP COLUMN")
           if (!s.fieldNames.contains(name)) throw new IllegalArgumentException(
             s"column $name does not exist in ${ident.name}")
           if (s.length == 1) throw new IllegalArgumentException(
@@ -210,8 +262,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // VERSION AS OF a pre-ALTER version reads the pre-ALTER columns
     AvroSnapshots.record(dir.getPath, evolved,
       AvroSnapshots.latest(dir.getPath).map(_.files)
-        .getOrElse(AvroDirSource.listFiles(dir.getPath).map(_.getName)))
-    new AvroDirTable(dir.getPath, evolved, versioned = true)
+        .getOrElse(AvroDirSource.listFiles(dir.getPath).map(_.getName)),
+      AvroSnapshots.latest(dir.getPath).map(_.parts).getOrElse(Map.empty))
+    new AvroDirTable(dir.getPath, evolved, versioned = true,
+      bucketSpec = loadBucketSpec(dir))
   }
 
   // ---- namespaces ----

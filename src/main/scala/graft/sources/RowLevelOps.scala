@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{Filter, In}
+import org.apache.spark.sql.types.StructType
+
+/** Group-based (copy-on-write) row-level operation over an
+  * [[AvroDirTable]] — what SQL `UPDATE` and `MERGE INTO` execute as.
+  *
+  * Spark's rewrite rules (RewriteUpdateTable / RewriteMergeIntoTable)
+  * turn the DML into a ReplaceData plan around this object:
+  *
+  *   1. `requiredMetadataAttributes` asks for `_file`, so every scanned
+  *      row carries its container-file name (the GROUP id).
+  *   2. The optimizer's runtime group filtering builds a subquery —
+  *      SELECT DISTINCT _file FROM t WHERE <condition> — against the
+  *      table's NORMAL batch scan, and pushes the result into THIS
+  *      operation's scan via `SupportsRuntimeFiltering` as
+  *      `In(_file, matched names)`: only files that can contain a
+  *      matching row are read (and therefore rewritten). An UPDATE of
+  *      one key touches one group, not one table.
+  *   3. The scan records exactly which files it planned (the operation
+  *      instance is shared between the scan and the write — the same
+  *      pattern Iceberg's SparkCopyOnWriteOperation uses), Spark
+  *      computes the full replacement row set for those groups, and
+  *      `commit` atomically swaps scanned groups for the newly written
+  *      files in the next manifest ([[AvroSnapshots]]). A concurrent
+  *      reader sees the old version until the manifest lands; a
+  *      time-travel read of any prior version is untouched.
+  *
+  * Non-versioned (plain-path) tables get the same semantics with a
+  * physical swap: scanned files are unlinked at commit.
+  */
+class GraftRowLevelOperation(path: String, tableSchema: StructType,
+    versioned: Boolean, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  /** Files the operation's scan planned — set on the driver when the
+    * ReplaceData job plans input partitions (after runtime group
+    * filtering), read by commit(). */
+  @volatile private var scannedFiles: Option[Seq[String]] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftRowLevelOperation($cmd, $path)"
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(AvroDirSource.FileColumn))
+
+  private def currentView(): Seq[String] =
+    if (versioned)
+      AvroSnapshots.latest(path).map(_.files)
+        .getOrElse(AvroDirSource.listFiles(path).map(_.getName))
+    else AvroDirSource.listFiles(path).map(_.getName)
+
+  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch
+        with SupportsPushDownRequiredColumns with SupportsRuntimeFiltering {
+      private var required: StructType = tableSchema
+      private var candidates: Seq[String] = currentView()
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = this
+      override def readSchema(): StructType = required
+      override def toBatch: Batch = this
+
+      // runtime GROUP filtering: the planner's subquery hands us the
+      // matching file names; everything else is neither read nor
+      // rewritten
+      override def filterAttributes(): Array[NamedReference] =
+        Array(Expressions.column(AvroDirSource.FileColumn))
+      override def filter(filters: Array[Filter]): Unit =
+        filters.foreach {
+          case In(attr, values) if attr == AvroDirSource.FileColumn ||
+              attr.equalsIgnoreCase(AvroDirSource.FileColumn) =>
+            val keep = values.map(String.valueOf(_)).toSet
+            candidates = candidates.filter(keep)
+          case _ => // unknown runtime filter: keep the sound superset
+        }
+
+      override def planInputPartitions(): Array[InputPartition] = {
+        scannedFiles = Some(candidates)
+        candidates.map(n =>
+          AvroFileSplit(new File(path, n).getAbsolutePath): InputPartition).toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new AvroReaderFactory(required)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the replacement rows are DATA columns only — strip any metadata
+    // column Spark chose to carry through
+    val writeSchema = StructType(
+      info.schema().fields.filterNot(_.name == AvroDirSource.FileColumn))
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        private val jobId =
+          java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              p: PhysicalWriteInfo): DataWriterFactory = {
+            new File(path).mkdirs()
+            new AvroWriterFactory(path, writeSchema, jobId)
+          }
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val newFiles =
+              messages.map(m => new File(m.asInstanceOf[AvroCommit].file).getName)
+            val replaced = scannedFiles.getOrElse(throw new IllegalStateException(
+              "row-level write committed before its scan planned — " +
+                "cannot determine which groups to replace"))
+            if (versioned) {
+              val retained = currentView().filterNot(replaced.contains)
+              val next = (retained ++ newFiles).sorted
+              // retained files keep their bucket placement; the rewrite
+              // files are unclustered (a bucketed table's scan soundly
+              // downgrades to ungrouped until a clustered rewrite)
+              val prevParts = AvroSnapshots.latest(path)
+                .map(_.parts).getOrElse(Map.empty[String, Int])
+              AvroSnapshots.record(path, tableSchema, next,
+                prevParts.filter { case (n, _) => retained.contains(n) })
+            } else {
+              replaced.foreach(n => new File(path, n).delete())
+            }
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            AvroDirSource.listAllAvro(path)
+              .filter(_.getName.contains(jobId)).foreach(_.delete())
+        }
+      }
+    }
+  }
+}

@@ -340,6 +340,93 @@ class CatalogV2Suite extends SparkSuiteBase {
     assert(streamed.select("k").distinct().count() == 18, "duplicate rows streamed")
   }
 
+  test("UPDATE/MERGE rewrite only the groups the runtime filter matched") {
+    wh
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.rl")
+    spark.sql("DROP TABLE IF EXISTS testcat.rl.t")
+    // three disjoint-range files; the UPDATE condition hits only [20,30)
+    spark.range(30).select(col("id").as("k"), concat(lit("v"), col("id")).as("nm"))
+      .repartitionByRange(3, col("k"))
+      .writeTo("testcat.rl.t").create()
+    val dir = new java.io.File(s"$wh/rl/t")
+    val before = graft.sources.AvroSnapshots.latest(dir.getPath).get.files
+    assert(before.size == 3)
+
+    spark.sql("UPDATE testcat.rl.t SET nm = 'upd' WHERE k >= 25")
+    assert(spark.sql("SELECT nm FROM testcat.rl.t WHERE k = 27").collect()
+      .head.getString(0) == "upd")
+    assert(spark.sql("SELECT nm FROM testcat.rl.t WHERE k = 7").collect()
+      .head.getString(0) == "v7")
+    assert(spark.table("testcat.rl.t").count() == 30)
+    // runtime group filtering pruned the two untouched files: they are
+    // still IN VIEW under their ORIGINAL names (not rewritten copies)
+    val afterUpd = graft.sources.AvroSnapshots.latest(dir.getPath).get.files
+    assert(afterUpd.count(before.contains) == 2,
+      s"expected 2 original groups to survive the UPDATE, view=$afterUpd")
+
+    // MERGE: all three branches (conditional DELETE, UPDATE, INSERT)
+    spark.range(25, 35).select(col("id").as("k"), lit("mrg").as("nm"))
+      .createOrReplaceTempView("rl_src")
+    spark.sql("""MERGE INTO testcat.rl.t AS t USING rl_src AS s ON t.k = s.k
+                |WHEN MATCHED AND t.k = 26 THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET nm = s.nm
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT k, nm FROM testcat.rl.t ORDER BY k").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.length == 34) // 30 - 1 deleted + 5 inserted
+    assert(!rows.map(_._1).contains(26L), "MATCHED-AND DELETE branch missed")
+    assert(rows.toMap.apply(28L) == "mrg", "MATCHED UPDATE branch missed")
+    assert(rows.toMap.apply(33L) == "mrg", "NOT MATCHED INSERT branch missed")
+    assert(rows.toMap.apply(3L) == "v3", "row outside the merge changed")
+    // merge rewrote only the matched group; earlier groups still original
+    val afterMrg = graft.sources.AvroSnapshots.latest(dir.getPath).get.files
+    assert(afterMrg.count(before.contains) == 2,
+      s"MERGE rewrote groups the source cannot match, view=$afterMrg")
+    // every pre-DML version is still readable (immutable files)
+    assert(spark.sql("SELECT COUNT(*) FROM testcat.rl.t VERSION AS OF 1")
+      .collect().head.getLong(0) == 30)
+  }
+
+  test("bucketed tables: clustered writes, grouped scans, shuffle-free SPJ") {
+    wh
+    // SPJ needs the v2-bucketing confs in an isolated session (same
+    // pattern as join_storage_partitioned)
+    val sp = spark.newSession()
+    sp.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    sp.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    sp.conf.set("spark.sql.catalog.testcat", "graft.sources.GraftCatalog")
+    sp.conf.set("spark.sql.catalog.testcat.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS testcat.spj")
+    sp.sql("DROP TABLE IF EXISTS testcat.spj.a")
+    sp.sql("DROP TABLE IF EXISTS testcat.spj.b")
+    sp.sql("""CREATE TABLE testcat.spj.a (k BIGINT, amt DOUBLE)
+             |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    sp.sql("INSERT INTO testcat.spj.a SELECT id, CAST(id % 100 AS DOUBLE) FROM RANGE(2000)")
+    sp.sql("""CREATE TABLE testcat.spj.b (item BIGINT, k BIGINT, qty DOUBLE)
+             |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    sp.sql("INSERT INTO testcat.spj.b SELECT id, id % 2000, CAST(id % 7 AS DOUBLE) FROM RANGE(8000)")
+
+    // clustered write: every data file belongs to exactly one bucket
+    val aDir = new java.io.File(s"$wh/spj/a")
+    val snap = graft.sources.AvroSnapshots.latest(aDir.getPath).get
+    assert(snap.files.nonEmpty && snap.files.forall(snap.parts.contains),
+      "bucketed write did not record bucket placement for every file")
+
+    val j = sp.sql("""SELECT a.k, COUNT(*) AS n, SUM(b.qty) AS q
+                     |FROM testcat.spj.a a JOIN testcat.spj.b b ON a.k = b.k
+                     |GROUP BY a.k""".stripMargin)
+    assert(j.count() == 2000)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed catalog join shuffled:\n$plan")
+
+    // a plain (unbucketed) append downgrades grouping SOUNDLY, not wrongly:
+    // results stay right even when the layout guarantee is gone
+    sp.sql("ALTER TABLE testcat.spj.a ADD COLUMN note STRING")
+    assert(sp.sql("SELECT COUNT(*) FROM testcat.spj.a").collect().head.getLong(0) == 2000)
+  }
+
   test("CTAS writes Avro container files with the schema sidecar") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db3")
