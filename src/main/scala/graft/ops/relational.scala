@@ -600,6 +600,71 @@ object Relational {
             |FROM graftcat.lake.nation_mrg ORDER BY n_nationkey""".stripMargin)
   }
 
+  /** Compaction — the OPTIMIZE / rewrite_data_files maintenance op:
+    * per-INSERT small files (and row-level-DML rewrites with unknown
+    * placement) rewrite through the table's own clustered write into
+    * one file per bucket, restoring the grouped (SPJ-able) layout.
+    * Safe self-overwrite: data files are immutable, the scan plans
+    * against the pre-compaction manifest, the truncate-write publishes
+    * a new manifest, nothing is deleted — time travel to pre-compaction
+    * versions still works (suite-asserted). The scored result is the
+    * table contents after compaction: correct compaction is invisible
+    * to readers. At 100 TB compaction is what keeps file counts O(
+    * buckets) instead of O(commits) — planning cost control. */
+  private def catalogCompactFiles(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "nation").createOrReplaceTempView("graft_cmp_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.nation_cmp")
+    s.sql("""CREATE TABLE graftcat.lake.nation_cmp
+            |(n_nationkey INT, n_name STRING, n_regionkey INT)
+            |PARTITIONED BY (bucket(4, n_nationkey))""".stripMargin)
+    // one commit per region → many small files per bucket
+    for (r <- 0 until 5)
+      s.sql(s"""INSERT INTO graftcat.lake.nation_cmp
+               |SELECT n_nationkey, n_name, n_regionkey FROM graft_cmp_src
+               |WHERE n_regionkey = $r""".stripMargin)
+    val cat = s.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    cat.compactTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("lake"), "nation_cmp"))
+    s.sql("""SELECT n_nationkey, n_name, n_regionkey
+            |FROM graftcat.lake.nation_cmp ORDER BY n_nationkey""".stripMargin)
+  }
+
+  /** Named version refs (tags) — Iceberg's tag mechanism on the
+    * snapshot log: `tagVersion(ident, 'baseline')` pins a name to a
+    * version, SQL `VERSION AS OF 'baseline'` resolves it through
+    * loadTable(ident, version-string), and snapshot expiry keeps every
+    * tagged version (and its files) alive. The training-data
+    * provenance primitive: the tag IS the dataset version a model was
+    * trained on, reproducible forever regardless of later DML. The
+    * scored result reads the same table at the tag and at HEAD. */
+  private def catalogVersionRefs(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "nation").createOrReplaceTempView("graft_ref_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.nation_ref")
+    s.sql("""CREATE TABLE graftcat.lake.nation_ref AS
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_ref_src
+            |WHERE n_nationkey < 12""".stripMargin)
+    val cat = s.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    cat.tagVersion(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("lake"), "nation_ref"), "baseline")
+    s.sql("""INSERT INTO graftcat.lake.nation_ref
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_ref_src
+            |WHERE n_nationkey >= 12""".stripMargin)
+    s.sql("DELETE FROM graftcat.lake.nation_ref WHERE n_regionkey = 0")
+    s.sql("""SELECT 'baseline' AS ref, CAST(COUNT(*) AS BIGINT) AS n_rows,
+            |       CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+            |FROM graftcat.lake.nation_ref VERSION AS OF 'baseline'
+            |UNION ALL
+            |SELECT 'head', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_nationkey) AS BIGINT)
+            |FROM graftcat.lake.nation_ref
+            |ORDER BY ref""".stripMargin)
+  }
+
   /** V2 FunctionCatalog (round-12 verdict #6): `graftcat.lake.bucket(8,
     * key)` resolves through GraftCatalog.loadFunction → bind, the seam
     * Iceberg registers its bucket/truncate system functions under (the
@@ -641,6 +706,8 @@ object Relational {
     "catalog_snapshot_expire" -> (catalogSnapshotExpire _),
     "catalog_update_where" -> (catalogUpdateWhere _),
     "catalog_merge_into" -> (catalogMergeInto _),
+    "catalog_compact_files" -> (catalogCompactFiles _),
+    "catalog_version_refs" -> (catalogVersionRefs _),
     "catalog_v2_function" -> (catalogV2Function _),
     "agg_pushdown_v2" -> (aggPushdownV2 _),
     "catalog_table_lifecycle" -> (catalogTableLifecycle _),
@@ -698,6 +765,18 @@ object Relational {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE NOT (n_regionkey IN (1, 3) OR n_nationkey > 20)
         |ORDER BY n_nationkey""".stripMargin,
+    "catalog_compact_files" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "catalog_version_refs" ->
+      """WITH base AS (SELECT * FROM nation WHERE n_nationkey < 12),
+        | head AS (SELECT * FROM nation
+        |   WHERE NOT (n_regionkey = 0))
+        |SELECT 'baseline' AS ref, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(n_nationkey) AS BIGINT) AS sum_key FROM base
+        |UNION ALL
+        |SELECT 'head', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_nationkey) AS BIGINT)
+        |FROM head ORDER BY ref""".stripMargin,
     "catalog_update_where" ->
       """SELECT n_nationkey,
         | CASE WHEN n_regionkey = 3 THEN n_name || '_EU' ELSE n_name END AS n_name,

@@ -105,6 +105,43 @@ object AvroSnapshots {
     v // unreachable
   }
 
+  // ---- named refs (tags/branches): `_refs/<name>` → version ----
+  //
+  // Iceberg's tag mechanism: a ref is a named pointer to a version, so
+  // `VERSION AS OF 'baseline'` reproduces a blessed state forever
+  // (training-data provenance: the tag IS the dataset version a model
+  // was trained on). Refs pin their version against expiry.
+
+  private def refsDir(path: String) = new File(path, "_refs")
+  private def refFile(path: String, name: String) = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"invalid ref name '$name'")
+    new File(refsDir(path), name)
+  }
+
+  def setRef(path: String, name: String, version: Long): Unit = {
+    require(load(path, version).isDefined,
+      s"cannot tag $name: version $version does not exist")
+    refsDir(path).mkdirs()
+    Files.write(refFile(path, name).toPath,
+      version.toString.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  def getRef(path: String, name: String): Option[Long] = {
+    val f = refFile(path, name)
+    if (!f.isFile) None
+    else Some(new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  def listRefs(path: String): Map[String, Long] =
+    Option(refsDir(path).listFiles()).map(_.toSeq).getOrElse(Nil)
+      .flatMap(f => getRef(path, f.getName).map(f.getName -> _)).toMap
+
+  def dropRef(path: String, name: String): Boolean = refFile(path, name).delete()
+
   /** Snapshot expiry (VACUUM): keep only the newest `retainLast`
     * versions, delete older manifests, then delete every data file no
     * retained version references (and stream-commit markers for epochs
@@ -114,9 +151,12 @@ object AvroSnapshots {
   def expire(path: String, retainLast: Int): Seq[String] = {
     require(retainLast >= 1, "must retain at least the current version")
     val all = versions(path)
-    val (drop, keep) = all.splitAt(math.max(0, all.size - retainLast))
+    val tagged = listRefs(path).values.toSet // refs pin their versions
+    val (dropCand, keep) = all.splitAt(math.max(0, all.size - retainLast))
+    val (pinned, drop) = dropCand.partition(tagged)
+    val retained = keep ++ pinned
     val referenced: Set[String] =
-      keep.flatMap(v => load(path, v).map(_.files).getOrElse(Nil)).toSet
+      retained.flatMap(v => load(path, v).map(_.files).getOrElse(Nil)).toSet
     drop.foreach(v => manifestFile(path, v).delete())
     val dead = AvroDirSource.listAllAvro(path)
       .filterNot(f => referenced(f.getName))

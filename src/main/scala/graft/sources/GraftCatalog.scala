@@ -122,13 +122,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"${ident.name}: VERSION AS OF expects a numeric version, got '$version'"))
+    // numeric → a version number; anything else → a named ref (tag),
+    // so `VERSION AS OF 'baseline'` reproduces a blessed state forever
+    val v = version.toLongOption
+      .orElse(AvroSnapshots.getRef(dir.getPath, version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"${ident.name}: '$version' is neither a version number nor a ref " +
+          s"(refs: ${AvroSnapshots.listRefs(dir.getPath).keys.toSeq.sorted.mkString(", ")})"))
     val snap = AvroSnapshots.load(dir.getPath, v).getOrElse(
       throw new IllegalArgumentException(
         s"${ident.name}: no version $v (have ${AvroSnapshots.versions(dir.getPath).mkString(", ")})"))
     new AvroDirTable(dir.getPath, snap.schema, versioned = true,
       pinned = Some(snap), bucketSpec = loadBucketSpec(dir))
+  }
+
+  /** Tag the table's current (or a given) version with a named ref. */
+  def tagVersion(ident: Identifier, name: String,
+      version: Option[Long] = None): Long = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = version.orElse(AvroSnapshots.versions(dir.getPath).lastOption)
+      .getOrElse(throw new IllegalStateException(s"${ident.name} has no versions"))
+    AvroSnapshots.setRef(dir.getPath, name, v)
+    v
   }
 
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
@@ -139,6 +155,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"${ident.name}: no snapshot at or before timestamp $timestampMicros"))
     new AvroDirTable(dir.getPath, snap.schema, versioned = true,
       pinned = Some(snap), bucketSpec = loadBucketSpec(dir))
+  }
+
+  /** Compaction (the OPTIMIZE / rewrite_data_files maintenance op):
+    * rewrite the table's current contents through its own clustered
+    * write — many small files (per-INSERT accumulation, DML rewrites
+    * with unknown placement) become one file per bucket, re-bucketed,
+    * and grouped scans (SPJ) are restored after row-level DML degraded
+    * the layout. Executed as `INSERT OVERWRITE t SELECT * FROM t`,
+    * which is SAFE here because data files are immutable: the scan
+    * plans against the pre-compaction manifest, the truncate-write
+    * publishes a new manifest referencing only the new files, nothing
+    * is deleted (snapshot expiry reclaims the old generation later),
+    * and time travel to any pre-compaction version still works.
+    * Returns (filesBefore, filesAfter). */
+  def compactTable(ident: Identifier): (Int, Int) = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val before = AvroSnapshots.latest(dir.getPath).map(_.files.size).getOrElse(0)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val q = (catalogName +: ident.namespace.toSeq :+ ident.name)
+      .map(p => s"`$p`").mkString(".")
+    spark.sql(s"INSERT OVERWRITE $q SELECT * FROM $q")
+    val after = AvroSnapshots.latest(dir.getPath).map(_.files.size).getOrElse(0)
+    (before, after)
   }
 
   /** Snapshot expiry (the VACUUM maintenance op): keep the newest

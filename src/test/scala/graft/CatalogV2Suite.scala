@@ -427,6 +427,47 @@ class CatalogV2Suite extends SparkSuiteBase {
     assert(sp.sql("SELECT COUNT(*) FROM testcat.spj.a").collect().head.getLong(0) == 2000)
   }
 
+  test("compaction rewrites to one file per bucket; tags pin versions through expiry") {
+    wh
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.cmp")
+    spark.sql("DROP TABLE IF EXISTS testcat.cmp.t")
+    spark.sql("CREATE TABLE testcat.cmp.t (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+    for (i <- 0 until 5)
+      spark.sql(s"INSERT INTO testcat.cmp.t SELECT id, CONCAT('x', id) FROM RANGE(${i * 100}, ${i * 100 + 100})")
+    spark.sql("UPDATE testcat.cmp.t SET v = 'u' WHERE k = 7") // unplaced rewrite
+    val dirp = s"$wh/cmp/t"
+    val pre = graft.sources.AvroSnapshots.latest(dirp).get
+    assert(pre.files.size > 4 && pre.files.exists(f => !pre.parts.contains(f)))
+    val cat = spark.sessionState.catalogManager.catalog("testcat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val ident = Identifier.of(Array("cmp"), "t")
+    cat.tagVersion(ident, "precompact")
+
+    val (before, after) = cat.compactTable(ident)
+    assert(before == pre.files.size && after == 4,
+      s"expected compaction to 4 bucket files, got $before -> $after")
+    val post = graft.sources.AvroSnapshots.latest(dirp).get
+    assert(post.files.forall(post.parts.contains), "compaction left unplaced files")
+    // invisible to readers: same rows, DML result preserved
+    assert(spark.table("testcat.cmp.t").count() == 500)
+    assert(spark.sql("SELECT v FROM testcat.cmp.t WHERE k = 7").collect()
+      .head.getString(0) == "u")
+    // the tag still reads the PRE-compaction state, even after expiry
+    // (a tagged version and its files are pinned)
+    cat.expireSnapshots(ident, retainLast = 1)
+    assert(spark.sql("SELECT COUNT(*) FROM testcat.cmp.t VERSION AS OF 'precompact'")
+      .collect().head.getLong(0) == 500)
+    // dropping the tag unpins it: the next expiry reclaims its files
+    graft.sources.AvroSnapshots.dropRef(dirp, "precompact")
+    cat.expireSnapshots(ident, retainLast = 1)
+    intercept[Exception](
+      spark.sql("SELECT COUNT(*) FROM testcat.cmp.t VERSION AS OF 'precompact'").collect())
+    assert(spark.table("testcat.cmp.t").count() == 500)
+    val onDisk = new java.io.File(dirp).listFiles().count(_.getName.endsWith(".avro"))
+    assert(onDisk == 4, s"expiry left $onDisk files on disk, want 4")
+  }
+
   test("CTAS writes Avro container files with the schema sidecar") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db3")
