@@ -14,4 +14,9 @@ SKIP = {
     "llm_dedup_embed": "tools/compare_embed_slices.py",
     "astro_crossmatch_zones": "tools/compare_astro_slices.py",
     "llm_dedup_minhash_lsh": "tools/minhash_oracle_stepwise.py",
+    # 105M-row answer: compare.py fetchall()s both sides into Python
+    # (~100GB RSS, OOM-killed twice in round 13); the set-op runner
+    # keeps the whole comparison inside DuckDB's memory_limit
+    # (defaults to this key when invoked as `tool.py <sf> <out>`)
+    "events_resample_locf": "tools/compare_setops.py",
 }
