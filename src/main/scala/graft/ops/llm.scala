@@ -391,6 +391,67 @@ object Llm {
       .orderBy("v1", "v2")
   }
 
+  /** SemDeDup (Abbas et al. 2023) — cluster-scoped semantic dedup, the
+    * embedding-dedup shape that actually scales: k-means-assign every
+    * vector to a cluster, run the quadratic near-dup scan ONLY within
+    * clusters, remove every vector that has a smaller-id near-dup
+    * (cos >= tau) in its cluster. k scales with n (k = max(4, n/64)),
+    * so per-cluster population stays ~64 and total pair work is
+    * Θ(64·n) — the paper's answer to why global pairwise (llm_dedup_
+    * embed's Θ(n²)) is unaffordable at corpus scale. Cross-cluster
+    * near-dups are missed by construction — the DECLARED recall
+    * trade, bought back in production by over-clustering + assigning
+    * to multiple nearest centroids. Input = the same deterministically
+    * augmented corpus as llm_dedup_embed_prod (isotropic fixture
+    * vectors never pair at 0.9, the aug mixes do); centroids are the
+    * first k base vectors, argmin by exact (d2, sid) lexicographic
+    * struct-min — the llm_kmeans_assign discipline, so the DuckDB
+    * oracle's ROW_NUMBER spelling ties out bit-exactly. 100-TB shape:
+    * centroids broadcast (k·Dim doubles), assignment is one codegen'd
+    * map pass, the self-join shuffles on cluster id with ~64-row
+    * groups — no stage is quadratic in n. */
+  private def semDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.expressions.{dotD, norm2D}
+    val e = T(s, dir, "embeddings")
+    val k = math.max(4L, e.count() / 64L)
+    val base = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val nxt = base.select((col("vec_id") - 1).as("aid"), col("v").as("w"))
+    val aug = base.where(pmod(col("vec_id"), lit(5)) === 0)
+      .join(nxt, col("vec_id") === col("aid"))
+      .select((col("vec_id") + lit(EmbedAugOffset)).as("vec_id"),
+        zip_with(col("v"), col("w"), (x, y) => lit(0.9) * x + lit(0.1) * y).as("v"))
+    val all = base.unionByName(aug).withColumn("n2", norm2D(col("v")))
+    // the 1-row seed list joins on a constant-but-unfoldable key (the
+    // llm_kmeans_assign discipline) so the plan stays a broadcast HASH
+    // join — a foldable lit(0) key erases the equi-condition and the
+    // inventory join-lint rightly flags the resulting nested loop
+    val seeds = base.where(col("vec_id") < k)
+      .select(col("vec_id").as("sid"), col("v").as("sv"))
+      .agg(collect_list(struct(col("sid"), col("sv"))).as("seeds"))
+      .withColumn("j0", pmod(xxhash64(size(col("seeds"))), lit(1L)).cast("int"))
+    val assigned = all
+      .withColumn("j0", pmod(xxhash64(col("vec_id")), lit(1L)).cast("int"))
+      .join(broadcast(seeds), "j0")
+      .withColumn("best", array_min(transform(col("seeds"), sd =>
+        struct(
+          (col("n2") - lit(2.0) * dotD(col("v"), sd.getField("sv"))
+            + dotD(sd.getField("sv"), sd.getField("sv"))).as("d2"),
+          sd.getField("sid").as("sid")))))
+      .select(col("vec_id"), col("v"), col("n2"), col("best.sid").as("cluster"))
+    val rhs = assigned.select(col("cluster").as("c2"), col("vec_id").as("id2"),
+      col("v").as("vb"), col("n2").as("n2b"))
+    assigned.select(col("cluster"), col("vec_id").as("id1"),
+        col("v").as("va"), col("n2").as("n2a"))
+      .join(rhs, col("cluster") === col("c2") && col("id1") < col("id2"))
+      .where(dotD(col("va"), col("vb")) / (sqrt(col("n2a")) * sqrt(col("n2b")))
+        >= lit(CosineProdTau))
+      .groupBy(col("id2"), col("cluster"))
+      .agg(min(col("id1")).as("canon_id"), count(lit(1)).as("n_dups"))
+      .select(col("id2").as("vec_id"), col("cluster"), col("canon_id"), col("n_dups"))
+      .orderBy("vec_id")
+  }
+
   /** Transitive dedup clusters: connected components over the near-dup
     * pair graph by min-label propagation WITH pointer-doubling
     * (Shiloach–Vishkin shortcutting: lab := lab(lab) each round), so the
@@ -1103,6 +1164,7 @@ object Llm {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_substring" -> (dedupSubstring _),
+    "llm_semdedup" -> (semDedup _),
     "llm_dedup_exact" -> (dedupExact _),
     "llm_dedup_near" -> (dedupNear _),
     "llm_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1244,6 +1306,42 @@ object Llm {
     // and the exact-cosine verify are all spelled identically, so the
     // deterministic-recall LSH output hash-matches (same discipline as
     // llm_simsearch_lsh)
+    "llm_semdedup" -> {
+      val vList = (1 to Dim).map(i => s"CAST(embedding[$i] AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      val augList = (1 to Dim).map(i => s"0.9 * a.v[$i] + 0.1 * b.v[$i]")
+        .mkString("[", ", ", "]")
+      s"""WITH b0 AS (SELECT vec_id, $vList AS v FROM embeddings),
+         |params AS (SELECT GREATEST(4, COUNT(*) // 64) AS k FROM b0),
+         |aug AS (SELECT a.vec_id + $EmbedAugOffset AS vec_id, $augList AS v
+         |        FROM b0 a JOIN b0 b ON b.vec_id = a.vec_id + 1
+         |        WHERE a.vec_id % 5 = 0),
+         |allv AS (SELECT vec_id, v FROM b0 UNION ALL SELECT vec_id, v FROM aug),
+         |n AS (SELECT vec_id, v, ${sqlNorm2("v")} AS n2 FROM allv),
+         |seeds AS (SELECT vec_id AS sid, v AS sv FROM b0
+         |          WHERE vec_id < (SELECT k FROM params)),
+         |best AS (
+         |  -- streaming group-min argmin (struct compare = (d2, sid)
+         |  -- lexicographic, the engine's array_min discipline); the
+         |  -- ROW_NUMBER spelling materializes+sorts n*k rows and
+         |  -- ENOSPCed at x100 — this one holds n groups
+         |  SELECT n.vec_id, MIN(struct_pack(
+         |    d2 := (n.n2 - 2.0 * (${sqlDot("n.v", "s.sv")})
+         |           + (${sqlDot("s.sv", "s.sv")})),
+         |    sid := s.sid)) AS b
+         |  FROM n CROSS JOIN seeds s GROUP BY n.vec_id),
+         |assign AS (SELECT n.vec_id, n.v, n.n2, best.b.sid AS cluster
+         |           FROM n JOIN best ON n.vec_id = best.vec_id),
+         |pairs AS (
+         | SELECT a.cluster, a.vec_id AS id1, b.vec_id AS id2
+         | FROM assign a JOIN assign b
+         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         | WHERE (${sqlDot("a.v", "b.v")}) / (SQRT(a.n2) * SQRT(b.n2))
+         |   >= $CosineProdTau)
+         |SELECT id2 AS vec_id, cluster, MIN(id1) AS canon_id,
+         | CAST(COUNT(*) AS BIGINT) AS n_dups
+         |FROM pairs GROUP BY id2, cluster ORDER BY vec_id""".stripMargin
+    },
     "llm_dedup_embed_prod" -> {
       val vList = (1 to Dim).map(i => s"CAST(embedding[$i] AS DOUBLE)")
         .mkString("[", ", ", "]")

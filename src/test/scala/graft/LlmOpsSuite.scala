@@ -8,6 +8,33 @@ import graft.ops._
   */
 class LlmOpsSuite extends SparkSuiteBase {
 
+  test("llm_semdedup: removals are canonical, cluster-scoped, and aug-complete") {
+    val rows = run("llm_semdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "no removals — aug near-dups missing, test vacuous")
+    // canonical keeper: every removed vec cites a SMALLER surviving id
+    val removed = rows.map(_._1).toSet
+    rows.foreach { case (vec, _, canon, nDups) =>
+      assert(canon < vec, s"canon $canon !< removed $vec")
+      assert(nDups >= 1)
+    }
+    // min-id-keeps: a cited canon that is itself removed must cite an
+    // even smaller id (chains allowed, self-cycles impossible by <)
+    // and the overall minimum id can never be removed
+    assert(!removed.contains(rows.map(_._3).min))
+    // aug-completeness: every augmented vector assigned to its source's
+    // cluster is a 0.995-cosine near-dup of it and MUST be removed
+    // (aug ids are source + offset, so the source is always smaller)
+    val augBase = graft.ops.Params.EmbedAugOffset
+    val augRemoved = rows.filter(_._1 >= augBase)
+    assert(augRemoved.nonEmpty, "no augmented vector was deduplicated")
+    // each removed aug's canon is a base vector (min over near-dups
+    // always reaches below the aug id range)
+    augRemoved.foreach { case (vec, _, canon, _) =>
+      assert(canon < augBase,
+        s"aug $vec kept an aug-range canon $canon — min-id rule broken") }
+  }
+
   test("llm_dedup_substring matches a brute-force gram-set cross-check") {
     val L = graft.ops.Params.SubstrGramLen
     val docs = T(spark, SF, "documents").select("doc_id", "text").collect()

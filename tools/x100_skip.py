@@ -19,4 +19,8 @@ SKIP = {
     # keeps the whole comparison inside DuckDB's memory_limit
     # (defaults to this key when invoked as `tool.py <sf> <out>`)
     "events_resample_locf": "tools/compare_setops.py",
+    # the one-shot assignment cross-product (n vectors × n/64 seed
+    # centroids, two 64-double lists per row) spilled >69GB and
+    # ENOSPCed at ×100; the stepwise tool batches it by vec_id residue
+    "llm_semdedup": "tools/semdedup_oracle_stepwise.py",
 }
