@@ -70,12 +70,15 @@ object Bench {
     }
     warmDf.selectExpr("r_name").write.mode("overwrite").text(s"$warmRoot/text")
     spark.read.format("binaryFile").load(s"$warmRoot/text").count()
-    // SPJ session warm-up: creating the memoized v2-bucketing session is
-    // a one-time ~9 s cost (BENCH_r12 max rep) that must not masquerade
-    // as a join_storage_partitioned regression in a single-rep artifact
-    graft.ops.Joins.prewarmSpj(spark)
     val keep: String => Boolean =
       if (args.nonEmpty && args(0).nonEmpty) args(0).split(",").toSet else _ => true
+    // SPJ session warm-up: creating the memoized v2-bucketing session is
+    // a one-time ~9 s cost (BENCH_r12 max rep) that must not masquerade
+    // as a regression in a single-rep artifact — but only when an SPJ
+    // key is actually in this run (a filtered single-key bench must not
+    // pay it)
+    if (Seq("join_storage_partitioned", "catalog_bucketed_spj").exists(keep))
+      graft.ops.Joins.prewarmSpj(spark)
     import scala.jdk.CollectionConverters._
     val gcBeans = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala

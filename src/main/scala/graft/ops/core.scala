@@ -144,6 +144,18 @@ object GraftTmp {
   *    which disagree on shortest-decimal vs binary midpoints.
   *  - Never ORDER BY an unrounded double without a unique tiebreak.
   */
+/** The one registration for the shared `graftcat` catalog — every
+  * scored key that touches it (relational catalog keys, the streaming
+  * table source) goes through here so the warehouse location and
+  * catalog options can never drift between call sites. Idempotent:
+  * keys stay order-independent in a shared session. */
+object Graftcat {
+  def register(s: org.apache.spark.sql.SparkSession): Unit = {
+    s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.warehouse", GraftTmp.dir("graftcat_wh"))
+  }
+}
+
 object Det {
   /** Exact decimal for 2-dp money columns; wide enough for sums. */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))

@@ -420,12 +420,9 @@ object Relational {
     s.table("graft_lc_result").orderBy("o_orderstatus")
   }
 
-  /** Pin the GraftCatalog registration confs (idempotent; every catalog
-    * key calls this so keys stay order-independent in a shared session). */
-  private def graftcat(s: SparkSession): Unit = {
-    s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graftcat.warehouse", GraftTmp.dir("graftcat_wh"))
-  }
+  /** Pin the GraftCatalog registration confs — the shared helper so the
+    * warehouse can never drift between relational and streaming keys. */
+  private def graftcat(s: SparkSession): Unit = Graftcat.register(s)
 
   /** Catalog-level schema evolution (round-12 verdict #1): ALTER TABLE
     * ADD/RENAME/DROP COLUMN against a GraftCatalog table rewrites ONLY

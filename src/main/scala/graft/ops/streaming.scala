@@ -444,8 +444,7 @@ object Streaming {
     * listing. */
   private def streamTableSource(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    s.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graftcat.warehouse", GraftTmp.dir("graftcat_wh"))
+    Graftcat.register(s)
     T(s, dir, "orders").createOrReplaceTempView("graft_feed_src")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
     s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_feed")

@@ -373,23 +373,30 @@ class AvroDirTable(path: String, tableSchema: StructType,
       // rewrite holding the surviving rows. Visibility flips atomically
       // at the manifest commit, so a concurrent time-travel read never
       // sees a half-deleted table.
-      val names = readViewNames()
-      if (names.isEmpty) return
-      val dirPath = path
-      val jobId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      val outcome: Array[(String, Option[String])] = spark.sparkContext
-        .parallelize(names, math.min(names.size, 32))
-        .map(n =>
-          n -> AvroFilterEval.rewriteVersioned(dirPath, n, schema, filters, jobId))
-        .collect()
-      // a rewrite holds a SUBSET of its original's rows, so it inherits
-      // the original's bucket — grouped scans stay grouped after DELETE
-      val prevParts = AvroSnapshots.latest(path).map(_.parts).getOrElse(Map.empty)
-      val parts = outcome.toSeq.flatMap { case (orig, kept) =>
-        kept.flatMap(k => prevParts.get(orig).map(k -> _))
-      }.toMap
-      AvroSnapshots.record(path, schema,
-        outcome.flatMap(_._2).sorted.toSeq, parts)
+      // lock spans the view-read, the rewrite job, and the manifest
+      // write: a concurrent append committing mid-DELETE would
+      // otherwise be dropped from the DELETE's manifest (lost update)
+      AvroSnapshots.withCommitLock(path) {
+        val names = readViewNames()
+        if (names.nonEmpty) {
+          val dirPath = path
+          val jobId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+          val outcome: Array[(String, Option[String])] = spark.sparkContext
+            .parallelize(names, math.min(names.size, 32))
+            .map(n =>
+              n -> AvroFilterEval.rewriteVersioned(dirPath, n, schema, filters, jobId))
+            .collect()
+          // a rewrite holds a SUBSET of its original's rows, so it inherits
+          // the original's bucket — grouped scans stay grouped after DELETE
+          val prevParts = AvroSnapshots.latest(path).map(_.parts).getOrElse(Map.empty)
+          val parts = outcome.toSeq.flatMap { case (orig, kept) =>
+            kept.flatMap(k => prevParts.get(orig).map(k -> _))
+          }.toMap
+          AvroSnapshots.record(path, schema,
+            outcome.flatMap(_._2).sorted.toSeq, parts)
+          ()
+        }
+      }
     } else {
       val files = AvroDirSource.listFiles(path).map(_.getAbsolutePath)
       if (files.isEmpty) return
@@ -459,7 +466,10 @@ class AvroDirTable(path: String, tableSchema: StructType,
               // snapshots reference them. Clean only THIS job's dead
               // task attempts, then publish the next manifest: truncate
               // = exactly this job's files; append = previous view plus
-              // this job's files. Visibility flips at the manifest.
+              // this job's files. Visibility flips at the manifest;
+              // the commit lock serializes the view-read with the
+              // manifest write so concurrent committers never base on
+              // the same parent (lost update).
               AvroDirSource.listAllAvro(path).foreach { f =>
                 if (f.getName.contains(jobId) && !committed(f.getAbsolutePath))
                   f.delete()
@@ -468,13 +478,16 @@ class AvroDirTable(path: String, tableSchema: StructType,
                 case (f, Some(b)) => new File(f).getName -> b
               }.toMap
               val mine = entries.map { case (f, _) => new File(f).getName }
-              val prev = AvroSnapshots.latest(path)
-              val prevFiles = if (doTruncate) Nil else readViewNames()
-              val prevParts =
-                if (doTruncate) Map.empty[String, Int]
-                else prev.map(_.parts).getOrElse(Map.empty)
-              AvroSnapshots.record(path, tableSchema,
-                (prevFiles ++ mine).sorted, prevParts ++ mineParts)
+              AvroSnapshots.withCommitLock(path) {
+                val prev = AvroSnapshots.latest(path)
+                val prevFiles = if (doTruncate) Nil else readViewNames()
+                val prevParts =
+                  if (doTruncate) Map.empty[String, Int]
+                  else prev.map(_.parts).getOrElse(Map.empty)
+                AvroSnapshots.record(path, tableSchema,
+                  (prevFiles ++ mine).sorted, prevParts ++ mineParts)
+              }
+              ()
             } else {
               // reconcile against ALL files on disk: a truncate must also
               // clear uncommitted streaming partials, not just the read view
@@ -520,12 +533,18 @@ class AvroDirTable(path: String, tableSchema: StructType,
               if (versioned) {
                 // publish the epoch as the next table version (an epoch
                 // REPLAY overwrites files already in the view — don't
-                // double-add them)
+                // double-add them); retained files KEEP their bucket
+                // placement (epoch files are legitimately unplaced)
                 val mine = messages.map(m =>
                   new File(m.asInstanceOf[AvroCommit].file).getName)
-                val prev = readViewNames()
-                AvroSnapshots.record(path, tableSchema,
-                  (prev ++ mine.filterNot(prev.contains)).sorted)
+                AvroSnapshots.withCommitLock(path) {
+                  val prev = readViewNames()
+                  val prevParts = AvroSnapshots.latest(path)
+                    .map(_.parts).getOrElse(Map.empty[String, Int])
+                  AvroSnapshots.record(path, tableSchema,
+                    (prev ++ mine.filterNot(prev.contains)).sorted, prevParts)
+                }
+                ()
               }
             }
             override def abort(epochId: Long,
@@ -754,25 +773,34 @@ class AvroVersionStream(path: String, required: StructType,
       throw new IllegalStateException(
         s"stream offset v$s of $path was expired by snapshot expiry — " +
           "cannot compute an exact append diff (data loss)")
-    // per-version diffs: additions accumulate; a version with removals
-    // is a CHANGE version (see class doc)
+    // diff consecutive RETAINED manifests (expiry can leave gaps when a
+    // tag pins an old version): across a gap the two retained endpoints
+    // diff directly — additions are the surviving appends, and any
+    // removal makes the window a CHANGE window (can't separate rewrites
+    // from appends inside an expired gap, so skip mode skips it whole)
     val added = scala.collection.mutable.LinkedHashSet.empty[String]
-    var v = s + 1
-    while (v <= e) {
-      val prev = filesAt(v - 1)
+    var prevV = s
+    var prev = filesAt(s)
+    for (v <- AvroSnapshots.versions(path) if v > s && v <= e) {
       val cur = filesAt(v)
       val removed = prev.diff(cur)
       if (removed.nonEmpty) {
         if (!skipChangeVersions) throw new IllegalStateException(
-          s"table version $v of $path removed ${removed.size} data file(s) " +
-            "(DELETE/truncate) — not an append. Streaming reads replay " +
-            "appends only; set skipChangeVersions=true to skip such versions.")
-        // skip this version's additions: they are rewrites of rows
-        // already streamed (or an overwrite the caller opted out of)
+          (if (prevV + 1 == v)
+            s"table version $v of $path removed ${removed.size} data file(s) " +
+              "(DELETE/truncate) — not an append."
+          else
+            s"versions v${prevV + 1}..v$v of $path (partially expired) net-" +
+              s"removed ${removed.size} data file(s) — not a pure append window.") +
+            " Streaming reads replay appends only; set " +
+            "skipChangeVersions=true to skip change windows.")
+        // skip this window's additions: rewrites of rows already
+        // streamed (or changes the caller opted out of tracking)
       } else {
         cur.diff(prev).foreach(added += _)
       }
-      v += 1
+      prevV = v
+      prev = cur
     }
     // a file appended at v and removed by a LATER change version still
     // streams (from the version that appended it) — append semantics

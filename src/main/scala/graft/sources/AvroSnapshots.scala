@@ -83,7 +83,24 @@ object AvroSnapshots {
     versions(path).reverseIterator.flatMap(load(path, _))
       .find(_.timestampMs <= tsMs)
 
-  /** Commit the next version atomically. Returns the version number. */
+  /** Per-table-path commit locks: every read-view→write-manifest
+    * sequence in this JVM serializes here, so two concurrent writers
+    * can never both base their manifest on the same parent and drop
+    * each other's files (the lost-update race). Cross-JVM racers are
+    * DETECTED, not absorbed: record() claims its version number with
+    * CREATE_NEW and throws on collision rather than silently
+    * re-numbering a stale file list — at scale this seat belongs to a
+    * catalog service's atomic swap; failing loudly is the only correct
+    * filesystem-only behavior. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def withCommitLock[A](path: String)(f: => A): A =
+    commitLocks.computeIfAbsent(
+      new File(path).getAbsolutePath, _ => new Object).synchronized(f)
+
+  /** Commit the next version atomically. Returns the version number.
+    * Call inside [[withCommitLock]] whenever `files` was derived from
+    * the current view (every read-modify-write commit). */
   def record(path: String, schema: StructType, files: Seq[String],
       parts: Map[String, Int] = Map.empty): Long = {
     versionsDir(path).mkdirs()
@@ -91,18 +108,20 @@ object AvroSnapshots {
       parts.get(n).map(b => s"$n\t$b").getOrElse(n))
     val body = (System.currentTimeMillis().toString +: schema.json +: fileLines)
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
-    var v = versions(path).lastOption.map(_ + 1).getOrElse(0L)
-    while (true) {
-      try {
-        Files.write(manifestFile(path, v).toPath, body,
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-        return v
-      } catch {
-        // another committer won this version number — ours is the next
-        case _: java.nio.file.FileAlreadyExistsException => v += 1
-      }
+    val v = versions(path).lastOption.map(_ + 1).getOrElse(0L)
+    try {
+      Files.write(manifestFile(path, v).toPath, body,
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      v
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // a writer outside this JVM's commit lock won v: our file list
+        // was derived from a parent that is no longer the head, so
+        // re-numbering it would silently drop the winner's files
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit to $path at version $v — retry the " +
+            "operation against the new table state")
     }
-    v // unreachable
   }
 
   // ---- named refs (tags/branches): `_refs/<name>` → version ----
@@ -143,12 +162,17 @@ object AvroSnapshots {
   def dropRef(path: String, name: String): Boolean = refFile(path, name).delete()
 
   /** Snapshot expiry (VACUUM): keep only the newest `retainLast`
-    * versions, delete older manifests, then delete every data file no
-    * retained version references (and stream-commit markers for epochs
-    * whose files are all gone). Returns the deleted data-file names.
-    * This is the ONLY operation that removes data files from a
-    * versioned table — exactly Iceberg's expire_snapshots contract. */
-  def expire(path: String, retainLast: Int): Seq[String] = {
+    * versions (tagged versions are pinned), delete older manifests,
+    * then delete every data file reachable ONLY from the dropped
+    * manifests. Files referenced by no manifest at all — a concurrent
+    * in-flight write's task outputs that haven't committed yet — are
+    * deliberately NOT touched (Iceberg's expire_snapshots draws the
+    * same line; orphan cleanup is a separate age-gated op). Stream
+    * epoch markers are retained: a committed marker whose files were
+    * all expired is inert under the manifest read path. Returns the
+    * deleted data-file names. This is the ONLY operation that removes
+    * a versioned table's data files. */
+  def expire(path: String, retainLast: Int): Seq[String] = withCommitLock(path) {
     require(retainLast >= 1, "must retain at least the current version")
     val all = versions(path)
     val tagged = listRefs(path).values.toSet // refs pin their versions
@@ -157,10 +181,11 @@ object AvroSnapshots {
     val retained = keep ++ pinned
     val referenced: Set[String] =
       retained.flatMap(v => load(path, v).map(_.files).getOrElse(Nil)).toSet
+    val droppedRefs: Set[String] =
+      drop.flatMap(v => load(path, v).map(_.files).getOrElse(Nil)).toSet
     drop.foreach(v => manifestFile(path, v).delete())
-    val dead = AvroDirSource.listAllAvro(path)
-      .filterNot(f => referenced(f.getName))
-    dead.foreach(_.delete())
-    dead.map(_.getName)
+    val dead = (droppedRefs -- referenced).toSeq.sorted
+    dead.foreach(n => new File(path, n).delete())
+    dead
   }
 }

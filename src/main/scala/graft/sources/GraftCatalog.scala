@@ -300,10 +300,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       evolved.json.getBytes(StandardCharsets.UTF_8))
     // evolution is itself a table version: same files, new schema — so
     // VERSION AS OF a pre-ALTER version reads the pre-ALTER columns
-    AvroSnapshots.record(dir.getPath, evolved,
-      AvroSnapshots.latest(dir.getPath).map(_.files)
-        .getOrElse(AvroDirSource.listFiles(dir.getPath).map(_.getName)),
-      AvroSnapshots.latest(dir.getPath).map(_.parts).getOrElse(Map.empty))
+    AvroSnapshots.withCommitLock(dir.getPath) {
+      val prev = AvroSnapshots.latest(dir.getPath)
+      AvroSnapshots.record(dir.getPath, evolved,
+        prev.map(_.files)
+          .getOrElse(AvroDirSource.listFiles(dir.getPath).map(_.getName)),
+        prev.map(_.parts).getOrElse(Map.empty))
+    }
     new AvroDirTable(dir.getPath, evolved, versioned = true,
       bucketSpec = loadBucketSpec(dir))
   }

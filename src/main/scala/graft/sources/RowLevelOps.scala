@@ -107,21 +107,32 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
             new AvroWriterFactory(path, writeSchema, jobId)
           }
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
-            val newFiles =
-              messages.map(m => new File(m.asInstanceOf[AvroCommit].file).getName)
+            val committed =
+              messages.map(m => m.asInstanceOf[AvroCommit].file).toSet
+            val newFiles = committed.map(new File(_).getName).toSeq.sorted
             val replaced = scannedFiles.getOrElse(throw new IllegalStateException(
               "row-level write committed before its scan planned — " +
                 "cannot determine which groups to replace"))
+            // reconcile dead task attempts: a retried/speculative task
+            // that died without abort() leaves a this-job file absent
+            // from the commit messages — duplicate rows if kept
+            AvroDirSource.listAllAvro(path).foreach { f =>
+              if (f.getName.contains(jobId) && !committed(f.getAbsolutePath))
+                f.delete()
+            }
             if (versioned) {
-              val retained = currentView().filterNot(replaced.contains)
-              val next = (retained ++ newFiles).sorted
-              // retained files keep their bucket placement; the rewrite
-              // files are unclustered (a bucketed table's scan soundly
-              // downgrades to ungrouped until a clustered rewrite)
-              val prevParts = AvroSnapshots.latest(path)
-                .map(_.parts).getOrElse(Map.empty[String, Int])
-              AvroSnapshots.record(path, tableSchema, next,
-                prevParts.filter { case (n, _) => retained.contains(n) })
+              AvroSnapshots.withCommitLock(path) {
+                val retained = currentView().filterNot(replaced.contains)
+                val next = (retained ++ newFiles).sorted
+                // retained files keep their bucket placement; the rewrite
+                // files are unclustered (a bucketed table's scan soundly
+                // downgrades to ungrouped until a clustered rewrite)
+                val prevParts = AvroSnapshots.latest(path)
+                  .map(_.parts).getOrElse(Map.empty[String, Int])
+                AvroSnapshots.record(path, tableSchema, next,
+                  prevParts.filter { case (n, _) => retained.contains(n) })
+              }
+              ()
             } else {
               replaced.foreach(n => new File(path, n).delete())
             }

@@ -395,6 +395,10 @@ class CatalogV2Suite extends SparkSuiteBase {
     val sp = spark.newSession()
     sp.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     sp.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    // broadcast off: every join below must prove its claim through
+    // PARTITIONING (SPJ = zero exchanges; downgraded = a real shuffle),
+    // not dodge it with a broadcast of the small test tables
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     sp.conf.set("spark.sql.catalog.testcat", "graft.sources.GraftCatalog")
     sp.conf.set("spark.sql.catalog.testcat.warehouse", wh)
     sp.sql("CREATE NAMESPACE IF NOT EXISTS testcat.spj")
@@ -421,10 +425,32 @@ class CatalogV2Suite extends SparkSuiteBase {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed catalog join shuffled:\n$plan")
 
-    // a plain (unbucketed) append downgrades grouping SOUNDLY, not wrongly:
-    // results stay right even when the layout guarantee is gone
-    sp.sql("ALTER TABLE testcat.spj.a ADD COLUMN note STRING")
-    assert(sp.sql("SELECT COUNT(*) FROM testcat.spj.a").collect().head.getLong(0) == 2000)
+    // a row-level DML rewrite leaves an UNPLACED file: the scan must
+    // SOUNDLY downgrade to ungrouped — the join shuffles again (wrong
+    // results would follow from keeping KeyGroupedPartitioning over a
+    // partially-placed view) but stays correct
+    sp.sql("UPDATE testcat.spj.a SET amt = 0.0 WHERE k = 5")
+    val snap2 = graft.sources.AvroSnapshots.latest(aDir.getPath).get
+    assert(snap2.files.exists(f => !snap2.parts.contains(f)),
+      "UPDATE left no unplaced rewrite — downgrade path not exercised")
+    val j2 = sp.sql("""SELECT a.k, COUNT(*) AS n
+                      |FROM testcat.spj.a a JOIN testcat.spj.b b ON a.k = b.k
+                      |GROUP BY a.k""".stripMargin)
+    assert(j2.count() == 2000, "join wrong after grouping downgrade")
+    assert(j2.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+      "partially-placed view did not downgrade to a shuffled join")
+
+    // compaction re-clusters: grouping (and the shuffle-free plan) returns
+    val cat = sp.sessionState.catalogManager.catalog("testcat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    cat.compactTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("spj"), "a"))
+    val j3 = sp.sql("""SELECT a.k, COUNT(*) AS n
+                      |FROM testcat.spj.a a JOIN testcat.spj.b b ON a.k = b.k
+                      |GROUP BY a.k""".stripMargin)
+    assert(j3.count() == 2000)
+    assert(!j3.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+      "compaction did not restore the shuffle-free SPJ plan")
   }
 
   test("compaction rewrites to one file per bucket; tags pin versions through expiry") {
