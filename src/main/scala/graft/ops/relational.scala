@@ -696,7 +696,187 @@ object Relational {
         max("o_key").as("max_key"))
       .orderBy("bucket")
 
+  private def graftcatInstance(s: SparkSession): graft.sources.GraftCatalog =
+    s.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+  private def lakeIdent(name: String) =
+    org.apache.spark.sql.connector.catalog.Identifier.of(Array("lake"), name)
+
+  /** Scan-time DATA SKIPPING (round-13 verdict #1 — the gap between
+    * "correct at 100 TB" and "fast at 100 TB"): every Avro write records
+    * exact per-file column min/max/null-count stats in the snapshot
+    * manifest (AvroStats), the table's recorded sort order
+    * (`_sort.json`) makes the single INSERT land as RANGE-distributed
+    * sorted files with DISJOINT o_orderkey intervals, and the scan's
+    * pushed filter (SupportsPushDownFilters) then prunes files whose
+    * intervals provably exclude the predicate — metadata-only, before
+    * any data file opens. CatalogV2Suite asserts the selective scan
+    * plans strictly fewer splits than the manifest holds and that
+    * every filter stays a residual (pruning removes work, never rows).
+    * At 100 TB this is how a key-range query plans O(matching files)
+    * instead of O(table) — Iceberg's manifest stats / Delta's file
+    * stats, grown on the existing manifest's `\t` convention. */
+  private def catalogDataSkipping(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "orders").createOrReplaceTempView("graft_skip_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_skip")
+    s.sql("""CREATE TABLE graftcat.lake.orders_skip
+            |(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)""".stripMargin)
+    graftcatInstance(s).setSortOrder(lakeIdent("orders_skip"), "o_orderkey")
+    s.sql("""INSERT INTO graftcat.lake.orders_skip
+            |SELECT o_orderkey, o_totalprice, o_orderpriority
+            |FROM graft_skip_src""".stripMargin)
+    s.sql("""SELECT o_orderkey, o_totalprice, o_orderpriority
+            |FROM graftcat.lake.orders_skip
+            |WHERE o_orderkey < 500
+            |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Sorted compaction (OPTIMIZE with a recorded sort order, round-13
+    * verdict #5): interleaved unsorted INSERTs leave every file
+    * spanning the whole key range — stats useless, nothing prunes.
+    * `setSortOrder` + `compactTable` rewrite the current contents
+    * through the table's own write, which the sort order turns into a
+    * RANGE distribution + within-task sort → few large files with
+    * DISJOINT min/max on the sort column (suite-asserted from the
+    * manifest stats), so the data-skipping scan becomes effective on
+    * exactly the column users filter by. The scored result is a
+    * selective read after compaction — correct compaction is invisible
+    * to readers; the layout change shows up only in the plan. */
+  private def catalogCompactSorted(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "orders").createOrReplaceTempView("graft_cso_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_cso")
+    s.sql("""CREATE TABLE graftcat.lake.orders_cso
+            |(o_orderkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+    // interleaved inserts: every file spans ~the full key range
+    for (i <- 0 until 4)
+      s.sql(s"""INSERT INTO graftcat.lake.orders_cso
+               |SELECT o_orderkey, o_totalprice FROM graft_cso_src
+               |WHERE pmod(o_orderkey, 4) = $i""".stripMargin)
+    val cat = graftcatInstance(s)
+    cat.setSortOrder(lakeIdent("orders_cso"), "o_orderkey")
+    cat.compactTable(lakeIdent("orders_cso"), s)
+    s.sql("""SELECT o_orderkey, o_totalprice
+            |FROM graftcat.lake.orders_cso
+            |WHERE o_orderkey BETWEEN 200 AND 699
+            |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Time-range partition transform (round-13 verdict #6):
+    * `PARTITIONED BY (truncate(7, day))` — Iceberg's width-truncate,
+    * `truncate(w, x) = w * floor(x / w)` — lays the event corpus out by
+    * WEEK: writes cluster through the catalog's V2 `truncate` function
+    * (RequiresDistributionAndOrdering — one container file per week per
+    * task, placement + exact day min/max recorded in the manifest), and
+    * a day-range predicate then prunes to the matching weeks' files via
+    * the data-skipping scan (suite-asserted). The events-table shape
+    * every time-series corpus uses: at 100 TB the partition transform
+    * is what makes "last week's data" a metadata operation. Day is the
+    * epoch-µs integer day (same derivation as the events keys). */
+  private def catalogPartitionDays(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T.eventsUs(s, dir)
+      .select(col("user_id"), expr("us div 86400000000").cast("int").as("day"),
+        col("event_id"))
+      .createOrReplaceTempView("graft_days_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.events_days")
+    s.sql("""CREATE TABLE graftcat.lake.events_days
+            |(user_id BIGINT, day INT, event_id BIGINT)
+            |PARTITIONED BY (truncate(7, day))""".stripMargin)
+    s.sql("""INSERT INTO graftcat.lake.events_days
+            |SELECT user_id, day, event_id FROM graft_days_src""".stripMargin)
+    s.sql("""SELECT day, COUNT(*) AS n, MIN(user_id) AS min_user,
+            | MAX(user_id) AS max_user
+            |FROM graftcat.lake.events_days
+            |WHERE day BETWEEN 19731 AND 19737
+            |GROUP BY day ORDER BY day""".stripMargin)
+  }
+
+  /** Row-level CHANGE FEED between two versions (round-13 verdict #3 —
+    * the incremental-ETL primitive every consumer of a versioned table
+    * wants): `changedFiles(ident, v1, v2)` diffs the two manifests —
+    * files present in both carried identical rows at both (data files
+    * are immutable) and are NEVER read, so the feed costs O(changed
+    * files), not O(table). Candidate inserts = rows of added-only
+    * files (read at v2 through the hidden `_file` column), candidate
+    * deletes = rows of removed-only files (read at v1); EXCEPT ALL
+    * between the two cancels rows that merely rode along in a
+    * copy-on-write group rewrite — so an UPDATE surfaces as
+    * delete(old)+insert(new), an append as inserts, and a COMPACTION
+    * (pure rewrite) as an EMPTY feed (suite-asserted). Oracle spells
+    * the same diff as EXCEPT ALL over the two reconstructed states. */
+  private def catalogChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "nation").createOrReplaceTempView("graft_cdf_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.nation_cdf")
+    s.sql("""CREATE TABLE graftcat.lake.nation_cdf AS
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_cdf_src
+            |WHERE n_nationkey < 15""".stripMargin)
+    val cat = graftcatInstance(s)
+    val ident = lakeIdent("nation_cdf")
+    val v1 = cat.currentVersion(ident)
+    s.sql("""INSERT INTO graftcat.lake.nation_cdf
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_cdf_src
+            |WHERE n_nationkey >= 15""".stripMargin)
+    s.sql("""UPDATE graftcat.lake.nation_cdf
+            |SET n_name = CONCAT(n_name, '_chg') WHERE n_regionkey = 1""".stripMargin)
+    val v2 = cat.currentVersion(ident)
+    val (added, removed) = cat.changedFiles(ident, v1, v2)
+    def rowsOf(v: Long, files: Seq[String]): DataFrame = {
+      val base = s.sql(s"""SELECT n_nationkey, n_name, n_regionkey, _file
+                          |FROM graftcat.lake.nation_cdf VERSION AS OF $v""".stripMargin)
+      (if (files.isEmpty) base.where(lit(false))
+       else base.where(col("_file").isin(files: _*))).drop("_file")
+    }
+    val ins = rowsOf(v2, added)
+    val del = rowsOf(v1, removed)
+    ins.exceptAll(del).withColumn("change_type", lit("insert"))
+      .unionByName(del.exceptAll(ins).withColumn("change_type", lit("delete")))
+      .orderBy("change_type", "n_nationkey")
+  }
+
+  /** ROLLBACK (round-13 verdict #4 — the first recovery op a user
+    * reaches for after time travel): `rollbackTo(ident, v)` publishes
+    * version v's exact state — files, schema, placement, stats — as the
+    * NEXT version under the commit lock. History is preserved: the
+    * abandoned head stays readable via VERSION AS OF (and pinnable by a
+    * tag — the write-audit-publish pattern), no data file is touched,
+    * and expiry semantics are unchanged. The scored flow: build the
+    * table, take a bad DELETE, roll back to the pre-DELETE version —
+    * the table reads as if the delete never happened (suite additionally
+    * pins divergence after post-rollback writes and tag-pinned expiry
+    * of the abandoned branch). */
+  private def catalogRollback(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "nation").createOrReplaceTempView("graft_rb_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.nation_rb")
+    s.sql("""CREATE TABLE graftcat.lake.nation_rb AS
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_rb_src
+            |WHERE n_nationkey < 13""".stripMargin)
+    s.sql("""INSERT INTO graftcat.lake.nation_rb
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_rb_src
+            |WHERE n_nationkey >= 13""".stripMargin)
+    val cat = graftcatInstance(s)
+    val ident = lakeIdent("nation_rb")
+    val vGood = cat.currentVersion(ident)
+    s.sql("DELETE FROM graftcat.lake.nation_rb WHERE n_regionkey = 2") // oops
+    cat.rollbackTo(ident, vGood)
+    s.sql("""SELECT n_nationkey, n_name, n_regionkey
+            |FROM graftcat.lake.nation_rb ORDER BY n_nationkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_data_skipping" -> (catalogDataSkipping _),
+    "catalog_compact_sorted" -> (catalogCompactSorted _),
+    "catalog_partition_days" -> (catalogPartitionDays _),
+    "catalog_change_feed" -> (catalogChangeFeed _),
+    "catalog_rollback" -> (catalogRollback _),
     "catalog_schema_evolution" -> (catalogSchemaEvolution _),
     "catalog_delete_where" -> (catalogDeleteWhere _),
     "catalog_time_travel" -> (catalogTimeTravel _),
@@ -739,6 +919,35 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_data_skipping" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "catalog_compact_sorted" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey BETWEEN 200 AND 699 ORDER BY o_orderkey""".stripMargin,
+    "catalog_partition_days" ->
+      """SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | MIN(user_id) AS min_user, MAX(user_id) AS max_user
+        |FROM events
+        |WHERE epoch_us(ts) // 86400000000 BETWEEN 19731 AND 19737
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "catalog_change_feed" ->
+      """WITH s1 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |            WHERE n_nationkey < 15),
+        | s2 AS (SELECT n_nationkey,
+        |          CASE WHEN n_regionkey = 1 THEN n_name || '_chg'
+        |               ELSE n_name END AS n_name,
+        |          n_regionkey FROM nation)
+        |SELECT n_nationkey, n_name, n_regionkey, 'insert' AS change_type
+        |FROM (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s1)
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'delete'
+        |FROM (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s2)
+        |ORDER BY change_type, n_nationkey""".stripMargin,
+    "catalog_rollback" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     "catalog_schema_evolution" ->
       """SELECT n_nationkey, n_name AS nation_name,
         | CASE WHEN n_nationkey >= 13 THEN n_regionkey END AS region_id

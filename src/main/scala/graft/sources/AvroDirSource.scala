@@ -180,17 +180,26 @@ object AvroDirSource {
   *   streaming). Plain-path tables keep listing-based semantics.
   * @param pinned a `VERSION/TIMESTAMP AS OF` read: the scan serves
   *   exactly this snapshot's files and schema; writes are rejected.
-  * @param bucketSpec `(n, col)` for a table created `PARTITIONED BY
-  *   (bucket(n, col))`: writes cluster by the bucket transform
-  *   (RequiresDistributionAndOrdering resolved through the catalog's V2
-  *   `bucket` function) into one file per bucket per task, the manifest
-  *   records each file's bucket, and the scan reports
-  *   KeyGroupedPartitioning over the same transform — two such tables
-  *   join with ZERO exchanges (storage-partitioned join). */
+  * @param partSpec layout for a table created `PARTITIONED BY
+  *   (bucket(n, col))` or `(truncate(w, col))`: writes cluster by the
+  *   transform (RequiresDistributionAndOrdering resolved through the
+  *   catalog's V2 functions) into one file per partition value per
+  *   task, and the manifest records each file's value. Bucket tables
+  *   additionally report KeyGroupedPartitioning on scan — two such
+  *   tables join with ZERO exchanges (storage-partitioned join);
+  *   truncate tables get range-clustered files whose stats the
+  *   data-skipping scan prunes with.
+  * @param sortCol a recorded table sort order (`_sort.json`): every
+  *   write sorts by it (within partition-value files when partSpec is
+  *   set, else via a RANGE distribution into globally sorted files), so
+  *   per-file min/max stats on the sort column become tight/disjoint
+  *   and selective scans skip files — what OPTIMIZE-with-sort-order
+  *   buys in a production lakehouse. */
 class AvroDirTable(path: String, tableSchema: StructType,
     versioned: Boolean = false,
     pinned: Option[AvroSnapshots.Snapshot] = None,
-    bucketSpec: Option[(Int, String)] = None)
+    partSpec: Option[PartSpec] = None,
+    sortCol: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns with SupportsRowLevelOperations {
   override def name(): String = pinned match {
@@ -198,9 +207,13 @@ class AvroDirTable(path: String, tableSchema: StructType,
     case None     => s"graft_avro($path)"
   }
   override def schema(): StructType = tableSchema
+  private def transformExpr(spec: PartSpec): Transform = spec.transform match {
+    case "bucket" => Expressions.bucket(spec.n, spec.column)
+    case "truncate" => Expressions.apply("truncate",
+      Expressions.literal(spec.n), Expressions.column(spec.column))
+  }
   override def partitioning(): Array[Transform] =
-    bucketSpec.map { case (n, c) => Array(Expressions.bucket(n, c)) }
-      .getOrElse(Array.empty)
+    partSpec.map(spec => Array(transformExpr(spec))).getOrElse(Array.empty)
   override def capabilities(): util.Set[TableCapability] =
     if (pinned.isDefined) Set(TableCapability.BATCH_READ).asJava
     else if (versioned)
@@ -258,27 +271,9 @@ class AvroDirTable(path: String, tableSchema: StructType,
     }
   }
 
-  /** Bucket-grouped splits when the table is bucketed AND every in-view
-    * file has a recorded bucket (a legacy/plain-appended file without
-    * one soundly downgrades the scan to ungrouped). Every bucket in
-    * [0, n) gets a split — including empty ones — so two tables
-    * bucketed the same way always present identical partition-value
-    * sets to the SPJ planner. */
-  private def bucketGroups(): Option[Seq[(Int, Seq[File])]] =
-    bucketSpec.flatMap { case (n, _) =>
-      val view = readView()
-      val parts = pinned.map(_.parts)
-        .orElse(AvroSnapshots.latest(path).map(_.parts))
-        .getOrElse(Map.empty[String, Int])
-      if (view.forall(f => parts.contains(f.getName)))
-        Some((0 until n).map(b =>
-          b -> view.filter(f => parts(f.getName) == b)))
-      else None
-    }
-
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsReportStatistics
-        with SupportsPushDownRequiredColumns
+        with SupportsPushDownRequiredColumns with SupportsPushDownFilters
         with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
       // Column pruning: Catalyst pushes the required schema down and the
       // per-file readers decode exactly those fields by name — a scan
@@ -291,7 +286,63 @@ class AvroDirTable(path: String, tableSchema: StructType,
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
 
-      private lazy val groups = bucketGroups()
+      // Filter pushdown = FILE SKIPPING (round-13 verdict #1): pushed
+      // predicates prune the planned splits against the manifest's
+      // per-file min/max stats (AvroStats) — metadata-only, no data
+      // file opened to decide. EVERY filter is returned as a residual
+      // (Spark re-evaluates row-level), so pruning can only remove
+      // work, never rows; claiming only supported() shapes keeps
+      // pushedFilters() honest in explain output.
+      private var pushed: Array[Filter] = Array.empty
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(AvroFilterEval.supported)
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
+      // One snapshot resolution per scan: files, partition placement and
+      // stats all come from the SAME manifest (a concurrent commit
+      // between two reads could otherwise mismatch them).
+      private lazy val snap: Option[AvroSnapshots.Snapshot] =
+        pinned.orElse(if (versioned) AvroSnapshots.latest(path) else None)
+      private lazy val view: Seq[File] = snap match {
+        case Some(sn) => sn.files.map(n => new File(path, n))
+        case None     => AvroDirSource.listFiles(path)
+      }
+      /** The view minus files the pushed filters provably exclude.
+        * Stats were recorded under the column names current at write
+        * time — resolution follows the same rename-alias chain as the
+        * row readers. Files without stats are always kept (sound). */
+      private lazy val prunedView: Seq[File] =
+        if (pushed.isEmpty) view
+        else {
+          val statsJson = snap.map(_.stats).getOrElse(Map.empty)
+          view.filter { f =>
+            val st = statsJson.get(f.getName).map(AvroStats.parse)
+              .getOrElse(Map.empty[String, AvroStats.ColStats])
+            val resolve: String => Option[AvroStats.ColStats] = a =>
+              tableSchema.fields.find(_.name.equalsIgnoreCase(a)).flatMap {
+                fld => (fld.name +: AvroDirSource.aliasesOf(fld)).iterator
+                  .flatMap(st.get).nextOption()
+              }
+            AvroStats.fileMightMatch(pushed.toSeq, f.getName, resolve)
+          }
+        }
+
+      /** Bucket-grouped splits when the table is bucketed AND every
+        * in-view file has a recorded bucket (a legacy/plain-appended
+        * file without one soundly downgrades the scan to ungrouped).
+        * Every bucket in [0, n) gets a split — including ones emptied
+        * by stats pruning — so two tables bucketed the same way always
+        * present identical partition-value sets to the SPJ planner. */
+      private lazy val groups: Option[Seq[(Int, Seq[File])]] =
+        partSpec.filter(_.transform == "bucket").flatMap { spec =>
+          val parts = snap.map(_.parts).getOrElse(Map.empty[String, Int])
+          if (prunedView.forall(f => parts.contains(f.getName)))
+            Some((0 until spec.n).map(b =>
+              b -> prunedView.filter(f => parts(f.getName) == b)))
+          else None
+        }
 
       // The SPJ seam: a bucketed table's scan reports the SAME bucket
       // transform its writes clustered by; with every split carrying
@@ -299,13 +350,13 @@ class AvroDirTable(path: String, tableSchema: StructType,
       // join with ZERO exchanges — the storage layout IS the exchange,
       // paid once at write time (the 100-TB fact⨝fact answer).
       override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
-        (bucketSpec, groups) match {
-          case (Some((n, col)), Some(_)) =>
+        (partSpec, groups) match {
+          case (Some(spec), Some(_)) =>
             new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-              Array(Expressions.bucket(n, col)), n)
+              Array(Expressions.bucket(spec.n, spec.column)), spec.n)
           case _ =>
             new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
-              readView().size)
+              prunedView.size)
         }
 
       override def planInputPartitions(): Array[InputPartition] =
@@ -313,7 +364,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
           case Some(gs) => gs.map { case (b, fs) =>
             AvroBucketGroupSplit(fs.map(_.getAbsolutePath), b): InputPartition
           }.toArray
-          case None => readView()
+          case None => prunedView
             .map(f => AvroFileSplit(f.getAbsolutePath): InputPartition).toArray
         }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -333,12 +384,13 @@ class AvroDirTable(path: String, tableSchema: StructType,
       // sizes as Long.MaxValue and Catalyst will NEVER auto-broadcast
       // a catalog table, however tiny — every dim⨝fact would shuffle.
       // File bytes are the honest on-disk size (the same signal the
-      // parquet path reads from footers); CatalogV2Suite asserts a
-      // small catalog table auto-broadcasts with no hint.
+      // parquet path reads from footers) — POST-pruning, so a skipping
+      // scan's surviving slice can auto-broadcast; CatalogV2Suite
+      // asserts a small catalog table auto-broadcasts with no hint.
       override def estimateStatistics(): Statistics = new Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           java.util.OptionalLong.of(
-            math.max(1L, readView().map(_.length()).sum))
+            math.max(1L, prunedView.map(_.length()).sum))
         override def numRows(): java.util.OptionalLong =
           java.util.OptionalLong.empty()
       }
@@ -381,19 +433,29 @@ class AvroDirTable(path: String, tableSchema: StructType,
         if (names.nonEmpty) {
           val dirPath = path
           val jobId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-          val outcome: Array[(String, Option[String])] = spark.sparkContext
-            .parallelize(names, math.min(names.size, 32))
-            .map(n =>
-              n -> AvroFilterEval.rewriteVersioned(dirPath, n, schema, filters, jobId))
-            .collect()
+          val outcome: Array[(String, Option[(String, Option[String])])] =
+            spark.sparkContext
+              .parallelize(names, math.min(names.size, 32))
+              .map(n =>
+                n -> AvroFilterEval.rewriteVersioned(dirPath, n, schema, filters, jobId))
+              .collect()
           // a rewrite holds a SUBSET of its original's rows, so it inherits
           // the original's bucket — grouped scans stay grouped after DELETE
-          val prevParts = AvroSnapshots.latest(path).map(_.parts).getOrElse(Map.empty)
+          val prev = AvroSnapshots.latest(path)
+          val prevParts = prev.map(_.parts).getOrElse(Map.empty[String, Int])
+          val prevStats = prev.map(_.stats).getOrElse(Map.empty[String, String])
           val parts = outcome.toSeq.flatMap { case (orig, kept) =>
-            kept.flatMap(k => prevParts.get(orig).map(k -> _))
+            kept.flatMap { case (k, _) => prevParts.get(orig).map(k -> _) }
+          }.toMap
+          // untouched files keep their recorded stats; rewrites carry the
+          // fresh exact stats their task computed
+          val stats = outcome.toSeq.flatMap { case (orig, kept) =>
+            kept.flatMap { case (k, st) =>
+              st.orElse(if (k == orig) prevStats.get(orig) else None).map(k -> _)
+            }
           }.toMap
           AvroSnapshots.record(path, schema,
-            outcome.flatMap(_._2).sorted.toSeq, parts)
+            outcome.flatMap(_._2.map(_._1)).sorted.toSeq, parts, stats)
           ()
         }
       }
@@ -429,37 +491,48 @@ class AvroDirTable(path: String, tableSchema: StructType,
         private val jobId =
           java.util.UUID.randomUUID.toString.replace("-", "").take(12)
 
-        // Bucketed tables CLUSTER their writes: the required
-        // distribution is the bucket TRANSFORM itself, which Spark
-        // resolves through the owning catalog's V2 `bucket` function
-        // (GraftBucketFunction) — the same function SPJ later matches
-        // by canonicalName on both join sides. Each task then writes
-        // one container file PER BUCKET it holds, and the commit
-        // records every file's bucket in the manifest — the partition
-        // metadata the scan's KeyGroupedPartitioning reads back.
-        override def requiredDistribution(): Distribution = bucketSpec match {
-          case Some((n, col)) =>
-            Distributions.clustered(Array(Expressions.bucket(n, col)))
+        // Partitioned tables CLUSTER their writes: the required
+        // distribution is the partition TRANSFORM itself, which Spark
+        // resolves through the owning catalog's V2 `bucket`/`truncate`
+        // functions — the same functions SPJ later matches by
+        // canonicalName on both join sides. Each task then writes one
+        // container file PER partition value it holds, and the commit
+        // records every file's value in the manifest. A recorded sort
+        // order (`_sort.json`) additionally sorts rows within each
+        // task — and for an UNpartitioned sorted table requires a
+        // RANGE distribution, so the rewrite lands as globally sorted
+        // files with DISJOINT per-file min/max on the sort column:
+        // that is what makes the manifest stats tight enough for the
+        // data-skipping scan to prune on (sorted OPTIMIZE).
+        private def sortOrders: Array[SortOrder] = sortCol match {
+          case Some(c) => Array(Expressions.sort(Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+          case None => Array.empty
+        }
+        override def requiredDistribution(): Distribution = partSpec match {
+          case Some(spec) => Distributions.clustered(Array(transformExpr(spec)))
+          case None if sortCol.isDefined => Distributions.ordered(sortOrders)
           case None => Distributions.unspecified()
         }
-        override def requiredOrdering(): Array[SortOrder] = Array.empty
+        override def requiredOrdering(): Array[SortOrder] = sortOrders
 
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
               p: PhysicalWriteInfo): DataWriterFactory = {
             new File(path).mkdirs()
-            bucketSpec match {
-              case Some((n, col)) =>
-                new AvroBucketedWriterFactory(path, info.schema(), jobId, n,
-                  info.schema().fieldIndex(col))
+            partSpec match {
+              case Some(spec) =>
+                new AvroClusteredWriterFactory(path, info.schema(), jobId, spec)
               case None => new AvroWriterFactory(path, info.schema(), jobId)
             }
           }
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
-            val entries: Seq[(String, Option[Int])] = messages.toSeq.flatMap {
-              case AvroCommit(f, b)       => Seq(f -> b)
-              case AvroBucketedCommit(fs) => fs.map { case (f, b) => f -> Some(b) }
-            }
+            val entries: Seq[(String, Option[Int], Option[String])] =
+              messages.toSeq.flatMap {
+                case AvroCommit(f, b, st) => Seq((f, b, st))
+                case AvroBucketedCommit(fs) =>
+                  fs.map { case (f, b, st) => (f, Some(b), st) }
+              }
             val committed = entries.map(_._1).toSet
             if (versioned) {
               // Versioned: never delete other commits' data files — old
@@ -475,17 +548,24 @@ class AvroDirTable(path: String, tableSchema: StructType,
                   f.delete()
               }
               val mineParts: Map[String, Int] = entries.collect {
-                case (f, Some(b)) => new File(f).getName -> b
+                case (f, Some(b), _) => new File(f).getName -> b
               }.toMap
-              val mine = entries.map { case (f, _) => new File(f).getName }
+              val mineStats: Map[String, String] = entries.collect {
+                case (f, _, Some(st)) => new File(f).getName -> st
+              }.toMap
+              val mine = entries.map { case (f, _, _) => new File(f).getName }
               AvroSnapshots.withCommitLock(path) {
                 val prev = AvroSnapshots.latest(path)
                 val prevFiles = if (doTruncate) Nil else readViewNames()
                 val prevParts =
                   if (doTruncate) Map.empty[String, Int]
                   else prev.map(_.parts).getOrElse(Map.empty)
+                val prevStats =
+                  if (doTruncate) Map.empty[String, String]
+                  else prev.map(_.stats).getOrElse(Map.empty)
                 AvroSnapshots.record(path, tableSchema,
-                  (prevFiles ++ mine).sorted, prevParts ++ mineParts)
+                  (prevFiles ++ mine).sorted, prevParts ++ mineParts,
+                  prevStats ++ mineStats)
               }
               ()
             } else {
@@ -535,14 +615,22 @@ class AvroDirTable(path: String, tableSchema: StructType,
                 // REPLAY overwrites files already in the view — don't
                 // double-add them); retained files KEEP their bucket
                 // placement (epoch files are legitimately unplaced)
-                val mine = messages.map(m =>
-                  new File(m.asInstanceOf[AvroCommit].file).getName)
+                val commits = messages.map(_.asInstanceOf[AvroCommit])
+                val mine = commits.map(c => new File(c.file).getName)
+                val mineStats = commits.flatMap(c =>
+                  c.stats.map(new File(c.file).getName -> _)).toMap
                 AvroSnapshots.withCommitLock(path) {
+                  val prevSnap = AvroSnapshots.latest(path)
                   val prev = readViewNames()
-                  val prevParts = AvroSnapshots.latest(path)
-                    .map(_.parts).getOrElse(Map.empty[String, Int])
+                  val prevParts = prevSnap.map(_.parts)
+                    .getOrElse(Map.empty[String, Int])
+                  // a replayed epoch's file stats OVERWRITE the prior
+                  // epoch attempt's (same names, same rows — idempotent)
+                  val prevStats = prevSnap.map(_.stats)
+                    .getOrElse(Map.empty[String, String])
                   AvroSnapshots.record(path, tableSchema,
-                    (prev ++ mine.filterNot(prev.contains)).sorted, prevParts)
+                    (prev ++ mine.filterNot(prev.contains)).sorted, prevParts,
+                    prevStats ++ mineStats)
                 }
                 ()
               }
@@ -559,6 +647,29 @@ class AvroDirTable(path: String, tableSchema: StructType,
   }
 }
 
+/** Persisted partition layout of a catalog table (`_partition.json`):
+  * `bucket(n, col)` = nonnegative `col mod n` (the SPJ layout) or
+  * `truncate(w, col)` = `w * floor(col / w)` (Iceberg's width-truncate —
+  * the time/range partitioning shape: `truncate(7, day)` is weekly).
+  * Both cluster writes through RequiresDistributionAndOrdering resolved
+  * via the catalog's V2 functions; only bucket additionally reports
+  * KeyGroupedPartitioning on scan (truncate's value domain is unbounded,
+  * so two tables can't be proven partition-value-aligned — its payoff is
+  * write-time clustering that makes file stats TIGHT on the partition
+  * column, which the data-skipping scan then prunes with). */
+case class PartSpec(transform: String, n: Int, column: String) {
+  require(transform == "bucket" || transform == "truncate",
+    s"unsupported partition transform $transform")
+  require(n > 0, s"$transform width must be positive, got $n")
+  /** The storage-partition value for a column value — shared by the
+    * clustered writer and the V2 SQL functions so placement and SQL can
+    * never disagree. */
+  def partValue(x: Long): Int = transform match {
+    case "bucket" => val m = (x % n).toInt; if (m < 0) m + n else m
+    case "truncate" => Math.toIntExact(Math.floorDiv(x, n) * n)
+  }
+}
+
 case class AvroFileSplit(file: String) extends InputPartition
 /** All of one bucket's container files, as one split whose partition
   * key is the bucket — what KeyGroupedPartitioning groups by. */
@@ -566,10 +677,12 @@ case class AvroBucketGroupSplit(files: Seq[String], bucket: Int)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
-case class AvroCommit(file: String, bucket: Option[Int] = None)
+case class AvroCommit(file: String, bucket: Option[Int] = None,
+    stats: Option[String] = None)
     extends WriterCommitMessage
-/** One task's per-bucket files from a clustered (bucketed) write. */
-case class AvroBucketedCommit(files: Seq[(String, Int)])
+/** One task's per-partition-value files from a clustered write:
+  * (file, partition value, column-stats JSON). */
+case class AvroBucketedCommit(files: Seq[(String, Int, Option[String])])
     extends WriterCommitMessage
 
 /** Decodes each container against its OWN embedded writer schema,
@@ -643,10 +756,14 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
   }
 }
 
-/** Per-file Avro writer shared by the batch and streaming task paths. */
+/** Per-file Avro writer shared by the batch and streaming task paths.
+  * Collects exact per-column min/max/null-count stats as it encodes
+  * ([[AvroStats.StatsCollector]]) and ships them in the commit message —
+  * the manifest records them for scan-time data skipping. */
 class AvroFileWriter(file: File, schema: StructType)
     extends DataWriter[InternalRow] {
   private val avroSchema = AvroDirSource.toAvroSchema(schema, "graft_row")
+  private val stats = new AvroStats.StatsCollector(schema)
   private val writer = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](avroSchema))
@@ -667,12 +784,13 @@ class AvroFileWriter(file: File, schema: StructType)
           case other => throw new IllegalArgumentException(s"unsupported $other")
         }
       rec.put(i, v)
+      stats.update(i, v)
       i += 1
     }
     writer.append(rec)
   }
   override def commit(): WriterCommitMessage = {
-    writer.close(); AvroCommit(file.getAbsolutePath)
+    writer.close(); AvroCommit(file.getAbsolutePath, None, Some(stats.toJson))
   }
   override def abort(): Unit = { writer.close(); file.delete(); () }
   override def close(): Unit = ()
@@ -685,16 +803,17 @@ class AvroWriterFactory(path: String, schema: StructType, jobId: String)
       new File(path, f"part-$jobId-$partitionId%05d-$taskId.avro"), schema)
 }
 
-/** Clustered (bucketed) write: the incoming rows are already
-  * distributed by the bucket transform (RequiresDistributionAndOrdering),
-  * so a task usually holds one or a few buckets — each gets its OWN
-  * container file (`part-<job>-b<bucket>-<pid>-<tid>.avro`), and the
-  * commit message carries every file's bucket for the manifest. The
-  * bucket is recomputed here with the SAME arithmetic as
-  * GraftBucketScalar.invoke — write placement and SQL `bucket()` can
-  * never disagree. */
-class AvroBucketedWriterFactory(path: String, schema: StructType,
-    jobId: String, buckets: Int, colIdx: Int) extends DataWriterFactory {
+/** Clustered write: the incoming rows are already distributed by the
+  * partition transform (RequiresDistributionAndOrdering), so a task
+  * usually holds one or a few partition values — each gets its OWN
+  * container file (`part-<job>-b<value>-<pid>-<tid>.avro`), and the
+  * commit message carries every file's value + column stats for the
+  * manifest. The value is recomputed here with the SAME arithmetic as
+  * the catalog's V2 `bucket`/`truncate` functions ([[PartSpec]]) —
+  * write placement and SQL can never disagree. */
+class AvroClusteredWriterFactory(path: String, schema: StructType,
+    jobId: String, spec: PartSpec) extends DataWriterFactory {
+  private val colIdx = schema.fieldIndex(spec.column)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val open =
@@ -703,15 +822,15 @@ class AvroBucketedWriterFactory(path: String, schema: StructType,
         schema.fields(colIdx).dataType == IntegerType
       override def write(row: InternalRow): Unit = {
         val x = if (isInt) row.getInt(colIdx).toLong else row.getLong(colIdx)
-        val m = (x % buckets).toInt
-        val b = if (m < 0) m + buckets else m
+        val b = spec.partValue(x)
         open.getOrElseUpdate(b, new AvroFileWriter(
           new File(path, f"part-$jobId-b$b%05d-$partitionId%05d-$taskId.avro"),
           schema)).write(row)
       }
       override def commit(): WriterCommitMessage =
         AvroBucketedCommit(open.toSeq.sortBy(_._1).map { case (b, w) =>
-          w.commit().asInstanceOf[AvroCommit].file -> b
+          val c = w.commit().asInstanceOf[AvroCommit]
+          (c.file, b, c.stats)
         })
       override def abort(): Unit = open.values.foreach(_.abort())
       override def close(): Unit = ()

@@ -124,9 +124,11 @@ object AvroFilterEval extends Serializable {
     (keep.toSeq, deleted)
   }
 
+  /** Returns the rewrite's exact column-stats JSON for the manifest. */
   private def writeRows(target: File, schema: StructType,
-      rows: Seq[Array[Any]]): Unit = {
+      rows: Seq[Array[Any]]): String = {
     val avroSchema = AvroDirSource.toAvroSchema(schema, "graft_row")
+    val stats = new AvroStats.StatsCollector(schema)
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](avroSchema))
     writer.create(avroSchema, target)
@@ -134,10 +136,13 @@ object AvroFilterEval extends Serializable {
       rows.foreach { vals =>
         val rec = new GenericData.Record(avroSchema)
         var i = 0
-        while (i < vals.length) { rec.put(i, vals(i)); i += 1 }
+        while (i < vals.length) {
+          rec.put(i, vals(i)); stats.update(i, vals(i)); i += 1
+        }
         writer.append(rec)
       }
     } finally writer.close()
+    stats.toJson
   }
 
   /** Copy-on-write DELETE for one container file (runs as one Spark
@@ -161,22 +166,24 @@ object AvroFilterEval extends Serializable {
   /** The VERSIONED delete flavor — data files are immutable (older
     * snapshots reference them), so instead of mutating in place this
     * reports what the next manifest should carry for this file:
-    *   - no matching rows  → Some(original name), file untouched;
+    *   - no matching rows  → Some((original name, None)), file
+    *     untouched (the caller carries its previous stats forward);
     *   - every row matches → None (the file leaves the view but STAYS
     *     on disk for time travel; snapshot expiry reclaims it);
     *   - mixed             → survivors written to a NEW uniquely-named
-    *     sibling (`part-<jobId>-rw-<orig>`), Some(new name).
+    *     sibling (`part-<jobId>-rw-<orig>`), Some((new name, fresh
+    *     exact stats JSON for the manifest)).
     * Runs as one Spark task per candidate file. */
   def rewriteVersioned(dirPath: String, fileName: String, schema: StructType,
-      filters: Array[Filter], jobId: String): Option[String] = {
+      filters: Array[Filter], jobId: String): Option[(String, Option[String])] = {
     val file = new File(dirPath, fileName)
     val (keep, deleted) = scanFile(file, schema, filters)
-    if (!deleted) Some(fileName)
+    if (!deleted) Some((fileName, None))
     else if (keep.isEmpty) None
     else {
       val newName = s"part-$jobId-rw-$fileName"
-      writeRows(new File(dirPath, newName), schema, keep)
-      Some(newName)
+      val stats = writeRows(new File(dirPath, newName), schema, keep)
+      Some((newName, Some(stats)))
     }
   }
 }

@@ -16,29 +16,39 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * explicit [[expire]] (VACUUM), so any retained version stays
   * readable forever.
   *
-  * Manifest format is deliberately line-based (no JSON escaping to get
-  * wrong): line 1 = commit wall-clock millis, line 2 = the Spark schema
-  * as its own single-line JSON, lines 3.. = data-file names (names
-  * contain no newlines by construction). Commit is atomic via
+  * Manifest format is deliberately line-based: line 1 = commit
+  * wall-clock millis, line 2 = the Spark schema as its own single-line
+  * JSON, lines 3.. = one data file each as `\t`-separated fields —
+  * `name`, optional storage-partition value (bucket/truncate id from a
+  * clustered write), optional per-file column-stats JSON
+  * ([[AvroStats]]; compact JSON escapes tabs/newlines, so the field
+  * separators stay unambiguous). Trailing empty fields are omitted, so
+  * pre-stats manifests parse unchanged. Commit is atomic via
   * CREATE_NEW on the next version number: two racing committers cannot
   * both win the same version — the loser retries on the next number,
   * serializing commits exactly like a lakehouse catalog's atomic swap.
   *
-  * 100-TB note: a manifest here is O(files) names; at scale the same
-  * design splits the file list into manifest *trees* with per-file
-  * min/max stats (Iceberg's manifest lists) so planning prunes without
-  * reading every name — the VERSION indirection, which is what time
-  * travel and streaming-read offsets hang off, is identical.
+  * 100-TB note: a manifest here is O(files) names + O(files × columns)
+  * stats bytes; at scale the same design splits the file list into
+  * manifest *trees* (Iceberg's manifest lists) so planning prunes
+  * without reading every name — the VERSION indirection, which is what
+  * time travel and streaming-read offsets hang off, is identical. The
+  * per-file min/max stats that power scan-time data skipping are
+  * already here.
   */
 object AvroSnapshots {
-  /** `parts`: per-file storage-partition value (bucket id) for files
-    * written through a bucketed table's clustered write — what the scan
-    * groups splits by to report KeyGroupedPartitioning (SPJ). A file
-    * absent from the map has unknown placement (legacy/plain append)
-    * and downgrades the scan to UnknownPartitioning. */
+  /** `parts`: per-file storage-partition value (bucket or truncate id)
+    * for files written through a partitioned table's clustered write —
+    * what the scan groups splits by to report KeyGroupedPartitioning
+    * (SPJ, bucket transform only). A file absent from the map has
+    * unknown placement (legacy/plain append) and downgrades the scan to
+    * UnknownPartitioning.
+    * `stats`: per-file column-stats JSON ([[AvroStats]]) for scan-time
+    * data skipping; absent for files written before stats existed. */
   case class Snapshot(version: Long, timestampMs: Long,
       schema: StructType, files: Seq[String],
-      parts: Map[String, Int] = Map.empty)
+      parts: Map[String, Int] = Map.empty,
+      stats: Map[String, String] = Map.empty)
 
   private def versionsDir(path: String) = new File(path, "_versions")
   private def manifestFile(path: String, v: Long) =
@@ -60,18 +70,20 @@ object AvroSnapshots {
     else {
       val lines = new String(Files.readAllBytes(f.toPath),
         StandardCharsets.UTF_8).split("\n", -1).toSeq
-      // a file line is "name" or "name\t<bucket>" (tab-separated
-      // partition value for clustered writes)
+      // a file line is `name[\t<part>[\t<statsJson>]]` — tab-separated
+      // partition value and column stats from clustered/stats-aware
+      // writes; either middle field may be empty
       val entries = lines.drop(2).filter(_.nonEmpty).map { l =>
-        l.split("\t", 2) match {
-          case Array(n, b) => n -> b.toIntOption
-          case Array(n)    => n -> None
-        }
+        val fields = l.split("\t", 3)
+        (fields(0),
+          fields.lift(1).filter(_.nonEmpty).flatMap(_.toIntOption),
+          fields.lift(2).filter(_.nonEmpty))
       }
       Some(Snapshot(v, lines.head.toLong,
         DataType.fromJson(lines(1)).asInstanceOf[StructType],
         entries.map(_._1),
-        entries.collect { case (n, Some(b)) => n -> b }.toMap))
+        entries.collect { case (n, Some(b), _) => n -> b }.toMap,
+        entries.collect { case (n, _, Some(st)) => n -> st }.toMap))
     }
   }
 
@@ -102,10 +114,17 @@ object AvroSnapshots {
     * Call inside [[withCommitLock]] whenever `files` was derived from
     * the current view (every read-modify-write commit). */
   def record(path: String, schema: StructType, files: Seq[String],
-      parts: Map[String, Int] = Map.empty): Long = {
+      parts: Map[String, Int] = Map.empty,
+      stats: Map[String, String] = Map.empty): Long = {
     versionsDir(path).mkdirs()
-    val fileLines = files.map(n =>
-      parts.get(n).map(b => s"$n\t$b").getOrElse(n))
+    val fileLines = files.map { n =>
+      val part = parts.get(n).map(_.toString).getOrElse("")
+      stats.get(n) match {
+        case Some(st)              => s"$n\t$part\t$st"
+        case None if part.nonEmpty => s"$n\t$part"
+        case None                  => n
+      }
+    }
     val body = (System.currentTimeMillis().toString +: schema.json +: fileLines)
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
     val v = versions(path).lastOption.map(_ + 1).getOrElse(0L)

@@ -55,37 +55,89 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   private def isTable(dir: File): Boolean = schemaFile(dir).exists()
   private def deleteRec(f: File): Unit = graft.ops.GraftTmp.deleteRec(f)
 
-  // ---- bucket partitioning sidecar (`_partition.json`) ----
+  // ---- partition-layout sidecar (`_partition.json`) ----
   //
-  // `PARTITIONED BY (bucket(n, col))` persists as one line of trivially
-  // parseable JSON; tables loaded with a spec cluster their writes by
-  // the bucket transform and report KeyGroupedPartitioning on scan —
-  // the storage-partitioned-join layout contract.
+  // `PARTITIONED BY (bucket(n, col))` or `(truncate(w, col))` persists
+  // as one line of trivially parseable JSON; tables loaded with a spec
+  // cluster their writes by the transform, and bucket tables
+  // additionally report KeyGroupedPartitioning on scan — the
+  // storage-partitioned-join layout contract. `truncate(w, col)` =
+  // `w * floor(col / w)` (Iceberg's width-truncate) is the time/range
+  // shape: `truncate(7, day)` lays an event corpus out by week, so a
+  // day-range predicate prunes to the matching weeks' files via the
+  // manifest stats.
   private def partitionFile(dir: File): File = new File(dir, "_partition.json")
-  private val PartitionJson = """\{"bucket":(\d+),"column":"([^"]+)"\}""".r
-  private def loadBucketSpec(dir: File): Option[(Int, String)] = {
+  private val PartitionJsonV1 = """\{"bucket":(\d+),"column":"([^"]+)"\}""".r
+  private val PartitionJsonV2 =
+    """\{"transform":"([a-z]+)","n":(\d+),"column":"([^"]+)"\}""".r
+  private def loadPartSpec(dir: File): Option[PartSpec] = {
     val f = partitionFile(dir)
     if (!f.isFile) None
     else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim match {
-      case PartitionJson(n, col) => Some((n.toInt, col))
+      case PartitionJsonV1(n, col)    => Some(PartSpec("bucket", n.toInt, col))
+      case PartitionJsonV2(t, n, col) => Some(PartSpec(t, n.toInt, col))
       case other => throw new IllegalStateException(
         s"unreadable _partition.json in $dir: $other")
     }
   }
-  private def parseBucketTransform(
-      partitions: Array[Transform]): Option[(Int, String)] = {
+  private def parsePartTransform(
+      partitions: Array[Transform]): Option[PartSpec] = {
     if (partitions.isEmpty) return None
     require(partitions.length == 1,
       "this catalog supports at most one partition transform")
     val t = partitions.head
-    require(t.name == "bucket",
-      s"unsupported partition transform ${t.name} — only bucket(n, col)")
-    val args = t.arguments
-    (args(0).describe.toIntOption, args.lift(1).map(_.describe)) match {
-      case (Some(n), Some(col)) if n > 0 => Some((n, col))
+    require(t.name == "bucket" || t.name == "truncate",
+      s"unsupported partition transform ${t.name} — bucket(n, col) or " +
+        "truncate(w, col)")
+    // accept (n, col) and (col, n) argument orders — SQL dialects
+    // disagree on truncate's spelling
+    val args = t.arguments.map(_.describe)
+    val asInt = args.map(_.toIntOption)
+    (asInt.lift(0).flatten, asInt.lift(1).flatten) match {
+      case (Some(n), None) if n > 0 && args.length == 2 =>
+        Some(PartSpec(t.name, n, args(1)))
+      case (None, Some(n)) if n > 0 && args.length == 2 =>
+        Some(PartSpec(t.name, n, args(0)))
       case _ => throw new IllegalArgumentException(
-        s"cannot parse bucket transform ${t.describe}")
+        s"cannot parse partition transform ${t.describe}")
     }
+  }
+
+  // ---- sort-order sidecar (`_sort.json`) ----
+  //
+  // A recorded per-table sort order (Iceberg's WRITE ORDERED BY): every
+  // subsequent write — INSERTs and compaction's self-overwrite alike —
+  // sorts by the column (RequiresDistributionAndOrdering; unpartitioned
+  // tables get a RANGE distribution), so per-file min/max stats on the
+  // sort column become tight/disjoint and the data-skipping scan prunes
+  // selective predicates to O(matching files). Metadata-only to set;
+  // pays at the next rewrite (sorted OPTIMIZE).
+  private def sortFile(dir: File): File = new File(dir, "_sort.json")
+  private val SortJson = """\{"column":"([^"]+)"\}""".r
+  private def loadSortCol(dir: File): Option[String] = {
+    val f = sortFile(dir)
+    if (!f.isFile) None
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim match {
+      case SortJson(col) => Some(col)
+      case other => throw new IllegalStateException(
+        s"unreadable _sort.json in $dir: $other")
+    }
+  }
+
+  /** Record the table's write sort order (ascending). Existing files
+    * are untouched — run [[compactTable]] afterwards to rewrite the
+    * current contents sorted. */
+  def setSortOrder(ident: Identifier, column: String): Unit = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val schema = DataType.fromJson(new String(
+      Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+    require(schema.fieldNames.contains(column),
+      s"sort column $column is not a column of ${ident.name}")
+    Files.write(sortFile(dir).toPath,
+      s"""{"column":"$column"}""".getBytes(StandardCharsets.UTF_8))
+    ()
   }
 
   // ---- tables ----
@@ -107,7 +159,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8)
     new AvroDirTable(dir.getPath,
       DataType.fromJson(json).asInstanceOf[StructType], versioned = true,
-      bucketSpec = loadBucketSpec(dir))
+      partSpec = loadPartSpec(dir), sortCol = loadSortCol(dir))
   }
 
   // ---- time travel ----
@@ -133,7 +185,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       throw new IllegalArgumentException(
         s"${ident.name}: no version $v (have ${AvroSnapshots.versions(dir.getPath).mkString(", ")})"))
     new AvroDirTable(dir.getPath, snap.schema, versioned = true,
-      pinned = Some(snap), bucketSpec = loadBucketSpec(dir))
+      pinned = Some(snap), partSpec = loadPartSpec(dir))
   }
 
   /** Tag the table's current (or a given) version with a named ref. */
@@ -154,7 +206,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       throw new IllegalArgumentException(
         s"${ident.name}: no snapshot at or before timestamp $timestampMicros"))
     new AvroDirTable(dir.getPath, snap.schema, versioned = true,
-      pinned = Some(snap), bucketSpec = loadBucketSpec(dir))
+      pinned = Some(snap), partSpec = loadPartSpec(dir))
   }
 
   /** Compaction (the OPTIMIZE / rewrite_data_files maintenance op):
@@ -169,16 +221,75 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * is deleted (snapshot expiry reclaims the old generation later),
     * and time travel to any pre-compaction version still works.
     * Returns (filesBefore, filesAfter). */
-  def compactTable(ident: Identifier): (Int, Int) = {
+  def compactTable(ident: Identifier,
+      session: org.apache.spark.sql.SparkSession =
+        org.apache.spark.sql.SparkSession.active): (Int, Int) = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
+    // The rewrite resolves the table by catalog NAME in the session —
+    // verify that name maps back to THIS instance (ADVICE r13: two
+    // sessions can register the same name at different warehouses, and
+    // compacting through the wrong one would silently rewrite the
+    // other session's table).
+    val resolved = session.sessionState.catalogManager.catalog(catalogName)
+    require(resolved eq this,
+      s"catalog '$catalogName' in the given session is a different " +
+        s"instance (its warehouse is not $warehouse) — invoke " +
+        "compactTable with the session that owns this catalog")
     val before = AvroSnapshots.latest(dir.getPath).map(_.files.size).getOrElse(0)
-    val spark = org.apache.spark.sql.SparkSession.active
     val q = (catalogName +: ident.namespace.toSeq :+ ident.name)
       .map(p => s"`$p`").mkString(".")
-    spark.sql(s"INSERT OVERWRITE $q SELECT * FROM $q")
+    session.sql(s"INSERT OVERWRITE $q SELECT * FROM $q")
     val after = AvroSnapshots.latest(dir.getPath).map(_.files.size).getOrElse(0)
     (before, after)
+  }
+
+  /** Latest committed version number of a catalog table. */
+  def currentVersion(ident: Identifier): Long = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    AvroSnapshots.versions(dir.getPath).lastOption.getOrElse(
+      throw new IllegalStateException(s"${ident.name} has no versions"))
+  }
+
+  /** ROLLBACK (Iceberg's rollback_to_snapshot): publish version `v`'s
+    * exact state — files, schema, placement, stats — as the NEXT
+    * version. History is preserved (the abandoned head stays readable
+    * via VERSION AS OF and pinnable by a tag), data files are never
+    * touched, and expiry semantics are unchanged: the restore is just
+    * one more manifest. The `_schema.json` sidecar flips inside the
+    * same commit lock so a rollback across an ALTER restores the old
+    * columns consistently. Returns the new head version. */
+  def rollbackTo(ident: Identifier, version: Long): Long = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    AvroSnapshots.withCommitLock(dir.getPath) {
+      val snap = AvroSnapshots.load(dir.getPath, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"${ident.name}: no version $version to roll back to (have " +
+            s"${AvroSnapshots.versions(dir.getPath).mkString(", ")})"))
+      Files.write(schemaFile(dir).toPath,
+        snap.schema.json.getBytes(StandardCharsets.UTF_8))
+      AvroSnapshots.record(dir.getPath, snap.schema, snap.files,
+        snap.parts, snap.stats)
+    }
+  }
+
+  /** File-level diff between two versions — the planning primitive the
+    * row-level change feed reads through: (files only in `v2`, files
+    * only in `v1`). A file present in both versions carried identical
+    * rows at both (data files are immutable), so it contributes NO
+    * changes and is never read — the feed's cost is O(changed files),
+    * not O(table). */
+  def changedFiles(ident: Identifier, v1: Long, v2: Long): (Seq[String], Seq[String]) = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    def filesAt(v: Long): Set[String] =
+      AvroSnapshots.load(dir.getPath, v).map(_.files.toSet).getOrElse(
+        throw new IllegalArgumentException(
+          s"${ident.name}: version $v does not exist or was expired"))
+    val a = filesAt(v1); val b = filesAt(v2)
+    ((b -- a).toSeq.sorted, (a -- b).toSeq.sorted)
   }
 
   /** Snapshot expiry (the VACUUM maintenance op): keep the newest
@@ -197,19 +308,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     if (!nsDir(ident.namespace).isDirectory)
       throw new NoSuchNamespaceException(ident.namespace)
-    val spec = parseBucketTransform(partitions)
-    spec.foreach { case (_, col) =>
-      require(schema.fieldNames.contains(col),
-        s"bucket column $col is not a column of ${ident.name}")
+    val spec = parsePartTransform(partitions)
+    spec.foreach { sp =>
+      require(schema.fieldNames.contains(sp.column),
+        s"partition column ${sp.column} is not a column of ${ident.name}")
     }
     dir.mkdirs()
     Files.write(schemaFile(dir).toPath, schema.json.getBytes(StandardCharsets.UTF_8))
-    spec.foreach { case (n, col) =>
+    spec.foreach { sp =>
       Files.write(partitionFile(dir).toPath,
-        s"""{"bucket":$n,"column":"$col"}""".getBytes(StandardCharsets.UTF_8))
+        s"""{"transform":"${sp.transform}","n":${sp.n},"column":"${sp.column}"}"""
+          .getBytes(StandardCharsets.UTF_8))
     }
     AvroSnapshots.record(dir.getPath, schema, Nil) // v0: the empty table
-    new AvroDirTable(dir.getPath, schema, versioned = true, bucketSpec = spec)
+    new AvroDirTable(dir.getPath, schema, versioned = true, partSpec = spec)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -250,6 +362,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
+    // the WHOLE read→fold→write sequence holds the commit lock: a
+    // concurrent ALTER basing its fold on the same starting schema
+    // would silently drop this one's changes otherwise
+    AvroSnapshots.withCommitLock(dir.getPath) {
     val current = DataType.fromJson(new String(
       Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
       .asInstanceOf[StructType]
@@ -258,11 +374,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"$what: nested fields are not supported by this catalog")
       names(0)
     }
-    val bucketCol = loadBucketSpec(dir).map(_._2)
-    def guardBucketCol(name: String, what: String): Unit =
+    val bucketCol = loadPartSpec(dir).map(_.column)
+    val sortColumn = loadSortCol(dir)
+    def guardBucketCol(name: String, what: String): Unit = {
       if (bucketCol.contains(name)) throw new IllegalArgumentException(
-        s"$what $name: the table is bucketed by $name — the partition " +
+        s"$what $name: the table is partitioned by $name — the partition " +
           "column cannot be renamed or dropped")
+      if (sortColumn.contains(name)) throw new IllegalArgumentException(
+        s"$what $name: the table's write sort order is on $name — drop " +
+          "the sort order first")
+    }
     val evolved = changes.foldLeft(current) { (s, change) =>
       change match {
         case add: TableChange.AddColumn =>
@@ -296,19 +417,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           s"table change ${other.getClass.getSimpleName} is not supported")
       }
     }
+    // evolution is itself a table version: same files, new schema — so
+    // VERSION AS OF a pre-ALTER version reads the pre-ALTER columns.
+    // The `_schema.json` sidecar flips INSIDE the same commit lock as
+    // the snapshot record (ADVICE r13): a concurrent write committing
+    // between the two would otherwise publish a manifest carrying its
+    // stale captured schema, making that version's time-travel read
+    // inconsistent with the sidecar.
     Files.write(schemaFile(dir).toPath,
       evolved.json.getBytes(StandardCharsets.UTF_8))
-    // evolution is itself a table version: same files, new schema — so
-    // VERSION AS OF a pre-ALTER version reads the pre-ALTER columns
-    AvroSnapshots.withCommitLock(dir.getPath) {
-      val prev = AvroSnapshots.latest(dir.getPath)
-      AvroSnapshots.record(dir.getPath, evolved,
-        prev.map(_.files)
-          .getOrElse(AvroDirSource.listFiles(dir.getPath).map(_.getName)),
-        prev.map(_.parts).getOrElse(Map.empty))
-    }
+    val prev = AvroSnapshots.latest(dir.getPath)
+    AvroSnapshots.record(dir.getPath, evolved,
+      prev.map(_.files)
+        .getOrElse(AvroDirSource.listFiles(dir.getPath).map(_.getName)),
+      prev.map(_.parts).getOrElse(Map.empty),
+      prev.map(_.stats).getOrElse(Map.empty))
     new AvroDirTable(dir.getPath, evolved, versioned = true,
-      bucketSpec = loadBucketSpec(dir))
+      partSpec = loadPartSpec(dir), sortCol = loadSortCol(dir))
+    } // withCommitLock
   }
 
   // ---- namespaces ----
@@ -370,15 +496,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   // reflective produceResult per row.
 
   override def listFunctions(ns: Array[String]): Array[Identifier] =
-    if (ns.isEmpty || namespaceExists(ns)) Array(Identifier.of(ns, "bucket"))
+    if (ns.isEmpty || namespaceExists(ns))
+      Array(Identifier.of(ns, "bucket"), Identifier.of(ns, "truncate"))
     else throw new NoSuchNamespaceException(ns)
 
-  override def loadFunction(ident: Identifier): UnboundFunction =
+  override def loadFunction(ident: Identifier): UnboundFunction = {
+    // a function under an unknown namespace must raise, exactly like
+    // listFunctions does (ADVICE r13: `cat.no_such_ns.bucket(...)` used
+    // to resolve and execute)
+    if (ident.namespace.nonEmpty && !namespaceExists(ident.namespace))
+      throw new NoSuchFunctionException(ident)
     if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else if (ident.name.equalsIgnoreCase("truncate")) GraftTruncateFunction
     else throw new NoSuchFunctionException(ident)
+  }
 
   override def functionExists(ident: Identifier): Boolean =
-    ident.name.equalsIgnoreCase("bucket")
+    (ident.namespace.isEmpty || namespaceExists(ident.namespace)) &&
+      (ident.name.equalsIgnoreCase("bucket") ||
+        ident.name.equalsIgnoreCase("truncate"))
 }
 
 /** `bucket(n, x)` = nonnegative `x mod n` — the exact arithmetic
@@ -415,4 +551,52 @@ class GraftBucketScalar extends ScalarFunction[Integer] {
   // magic method exists)
   override def produceResult(input: InternalRow): Integer =
     invoke(input.getInt(0), input.getLong(1))
+}
+
+/** `truncate(w, x)` = `w * floor(x / w)` — Iceberg's width-truncate
+  * transform, the range/time partitioning companion to `bucket`
+  * (`truncate(7, day)` = the week a day falls in). The same arithmetic
+  * [[PartSpec.partValue]] clusters writes with, so SQL, write placement
+  * and the manifest can never disagree. Binds against INT or BIGINT
+  * value columns. */
+object GraftTruncateFunction extends UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(w INT, x INT|BIGINT) -> INT: w * floor(x / w) (range partition id)"
+  override def bind(inputType: StructType): BoundFunction = {
+    if (inputType.length != 2)
+      throw new UnsupportedOperationException(
+        "truncate expects (w INT, x INT|BIGINT)")
+    inputType.fields(1).dataType match {
+      case LongType    => new GraftTruncateLongScalar
+      case IntegerType => new GraftTruncateIntScalar
+      case other => throw new UnsupportedOperationException(
+        s"truncate: unsupported value type $other")
+    }
+  }
+}
+
+/** Bound truncate over a BIGINT value column (named public class — see
+  * [[GraftBucketScalar]] for why). */
+class GraftTruncateLongScalar extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "truncate"
+  override def canonicalName(): String = "graft.truncate"
+  override def isResultNullable: Boolean = false
+  def invoke(w: Int, x: Long): Int = Math.toIntExact(Math.floorDiv(x, w) * w)
+  override def produceResult(input: InternalRow): Integer =
+    invoke(input.getInt(0), input.getLong(1))
+}
+
+/** Bound truncate over an INT value column. */
+class GraftTruncateIntScalar extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, IntegerType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "truncate"
+  override def canonicalName(): String = "graft.truncate"
+  override def isResultNullable: Boolean = false
+  def invoke(w: Int, x: Int): Int = Math.floorDiv(x, w) * w
+  override def produceResult(input: InternalRow): Integer =
+    invoke(input.getInt(0), input.getInt(1))
 }

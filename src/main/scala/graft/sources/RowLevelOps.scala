@@ -107,9 +107,11 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
             new AvroWriterFactory(path, writeSchema, jobId)
           }
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
-            val committed =
-              messages.map(m => m.asInstanceOf[AvroCommit].file).toSet
+            val commits = messages.map(_.asInstanceOf[AvroCommit])
+            val committed = commits.map(_.file).toSet
             val newFiles = committed.map(new File(_).getName).toSeq.sorted
+            val newStats = commits.flatMap(c =>
+              c.stats.map(new File(c.file).getName -> _)).toMap
             val replaced = scannedFiles.getOrElse(throw new IllegalStateException(
               "row-level write committed before its scan planned — " +
                 "cannot determine which groups to replace"))
@@ -122,15 +124,36 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
             }
             if (versioned) {
               AvroSnapshots.withCommitLock(path) {
-                val retained = currentView().filterNot(replaced.contains)
+                val view = currentView()
+                // Copy-on-write conflict validation (the check Iceberg's
+                // commit does, ADVICE r13): the replacement row set was
+                // computed FROM the scanned groups — if any of them has
+                // left the view since (a concurrent UPDATE/DELETE/
+                // overwrite rewrote it), publishing our rewrite would
+                // resurrect its rows NEXT TO the winner's rewrite of the
+                // same rows. Fail loudly; the caller retries against the
+                // new table state. Our already-written files are deleted
+                // (no manifest will ever reference them).
+                val gone = replaced.filterNot(view.contains)
+                if (gone.nonEmpty) {
+                  newFiles.foreach(n => new File(path, n).delete())
+                  throw new java.util.ConcurrentModificationException(
+                    s"$cmd on $path conflicts with a concurrent commit: " +
+                      s"scanned group(s) ${gone.mkString(", ")} no longer " +
+                      "in the current version — retry the operation")
+                }
+                val retained = view.filterNot(replaced.contains)
                 val next = (retained ++ newFiles).sorted
                 // retained files keep their bucket placement; the rewrite
                 // files are unclustered (a bucketed table's scan soundly
                 // downgrades to ungrouped until a clustered rewrite)
-                val prevParts = AvroSnapshots.latest(path)
-                  .map(_.parts).getOrElse(Map.empty[String, Int])
+                val prev = AvroSnapshots.latest(path)
+                val prevParts = prev.map(_.parts).getOrElse(Map.empty[String, Int])
+                val prevStats = prev.map(_.stats).getOrElse(Map.empty[String, String])
                 AvroSnapshots.record(path, tableSchema, next,
-                  prevParts.filter { case (n, _) => retained.contains(n) })
+                  prevParts.filter { case (n, _) => retained.contains(n) },
+                  prevStats.filter { case (n, _) => retained.contains(n) } ++
+                    newStats)
               }
               ()
             } else {
