@@ -140,6 +140,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     ()
   }
 
+  /** Remove the recorded write sort order (future writes unsorted;
+    * existing sorted files keep their tight stats). Also what unblocks
+    * renaming/dropping the sort column. */
+  def dropSortOrder(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    sortFile(dir).delete()
+  }
+
   // ---- tables ----
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
@@ -227,15 +236,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     // The rewrite resolves the table by catalog NAME in the session —
-    // verify that name maps back to THIS instance (ADVICE r13: two
-    // sessions can register the same name at different warehouses, and
-    // compacting through the wrong one would silently rewrite the
-    // other session's table).
-    val resolved = session.sessionState.catalogManager.catalog(catalogName)
-    require(resolved eq this,
-      s"catalog '$catalogName' in the given session is a different " +
-        s"instance (its warehouse is not $warehouse) — invoke " +
-        "compactTable with the session that owns this catalog")
+    // verify that name maps back to THIS catalog's WAREHOUSE (ADVICE
+    // r13: two sessions can register the same name at different
+    // warehouses, and compacting through the wrong one would silently
+    // rewrite the other session's table). Same-warehouse instances in
+    // different sessions are equivalent — catalog instances cache per
+    // session, so identity would be too strict.
+    val sameWarehouse =
+      session.sessionState.catalogManager.catalog(catalogName) match {
+        case g: GraftCatalog =>
+          g.warehouse.getCanonicalPath == warehouse.getCanonicalPath
+        case _ => false
+      }
+    require(sameWarehouse,
+      s"catalog '$catalogName' in the given session does not resolve to " +
+        s"warehouse $warehouse — invoke compactTable with a session that " +
+        "owns this catalog")
     val before = AvroSnapshots.latest(dir.getPath).map(_.files.size).getOrElse(0)
     val q = (catalogName +: ident.namespace.toSeq :+ ident.name)
       .map(p => s"`$p`").mkString(".")

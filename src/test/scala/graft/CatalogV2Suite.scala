@@ -504,4 +504,303 @@ class CatalogV2Suite extends SparkSuiteBase {
     assert(spark.sql("SELECT SUM(dbl) FROM testcat.db3.c").collect()
       .head.getLong(0) == 2450L)
   }
+
+  // ---- round 14: data skipping / sorted compaction / truncate /
+  //      change feed / rollback / commit conflict validation ----
+
+  private def catalogOf(s: org.apache.spark.sql.SparkSession) =
+    s.sessionState.catalogManager.catalog("testcat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+  private def scanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+  /** Isolated session with AQE off: the write-side range/hash shuffles
+    * keep their full partition counts, so multi-file layouts are
+    * deterministic for the skip/prune assertions below. */
+  private lazy val skipSession = {
+    val sp = spark.newSession()
+    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    sp.conf.set("spark.sql.catalog.testcat", "graft.sources.GraftCatalog")
+    sp.conf.set("spark.sql.catalog.testcat.warehouse", wh)
+    sp
+  }
+
+  test("data skipping: pushed filters prune planned splits via manifest stats") {
+    wh
+    val sp = skipSession
+    import org.apache.spark.sql.connector.catalog.Identifier
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS testcat.skip")
+    sp.sql("DROP TABLE IF EXISTS testcat.skip.t")
+    sp.sql("CREATE TABLE testcat.skip.t (k BIGINT, v STRING)")
+    catalogOf(sp).setSortOrder(Identifier.of(Array("skip"), "t"), "k")
+    // sort order → RANGE distribution: 4 shuffle partitions → 4 sorted
+    // files with disjoint k intervals recorded in the manifest
+    sp.sql("INSERT INTO testcat.skip.t SELECT id, CONCAT('v', id) FROM RANGE(4000)")
+    val dirp = s"$wh/skip/t"
+    val snap = graft.sources.AvroSnapshots.latest(dirp).get
+    assert(snap.files.size > 1, "need a multi-file layout to demonstrate skipping")
+    assert(snap.files.forall(snap.stats.contains),
+      "write did not record stats for every file")
+
+    val q = sp.sql("SELECT k, v FROM testcat.skip.t WHERE k < 100")
+    val rows = q.collect()
+    assert(rows.length == 100 && rows.forall(_.getLong(0) < 100))
+    val planned = scanOf(q).inputPartitions.size
+    assert(planned < snap.files.size,
+      s"selective predicate planned $planned of ${snap.files.size} files — no skipping")
+    // pruning only removes work, never rows: the filter stays residual
+    assert(q.queryExecution.executedPlan.toString.contains("Filter"),
+      "pushed filter did not remain as a residual above the scan")
+    // a predicate no file can satisfy plans ZERO splits
+    val none = sp.sql("SELECT k FROM testcat.skip.t WHERE k < 0")
+    assert(none.count() == 0)
+    assert(scanOf(none).inputPartitions.isEmpty,
+      "impossible predicate still planned splits")
+    // stats follow renames: old files' stats were recorded under `k`
+    // (renaming the sort column requires dropping the sort order first —
+    // the guard exists so placement/sort sidecars can't dangle)
+    intercept[Exception](
+      sp.sql("ALTER TABLE testcat.skip.t RENAME COLUMN k TO key"))
+    catalogOf(sp).dropSortOrder(Identifier.of(Array("skip"), "t"))
+    sp.sql("ALTER TABLE testcat.skip.t RENAME COLUMN k TO key")
+    val ren = sp.sql("SELECT key FROM testcat.skip.t WHERE key < 100")
+    assert(ren.count() == 100)
+    assert(scanOf(ren).inputPartitions.size < snap.files.size,
+      "skipping lost after a column rename (alias chain not followed)")
+  }
+
+  test("sorted compaction: disjoint per-file intervals on the sort column") {
+    wh
+    val sp = skipSession
+    import org.apache.spark.sql.connector.catalog.Identifier
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS testcat.cso")
+    sp.sql("DROP TABLE IF EXISTS testcat.cso.t")
+    sp.sql("CREATE TABLE testcat.cso.t (k BIGINT, v STRING)")
+    // interleaved inserts: (id * 997) % 2000 permutes the key space, so
+    // every RANGE partition's file spans ~the whole key range and a
+    // selective scan can prune nothing
+    for (i <- 0 until 4)
+      sp.sql(s"""INSERT INTO testcat.cso.t
+                |SELECT (id * 997) % 2000, CONCAT('v', id)
+                |FROM RANGE(2000) WHERE id % 4 = $i""".stripMargin)
+    val dirp = s"$wh/cso/t"
+    val ident = Identifier.of(Array("cso"), "t")
+    val cat = catalogOf(sp)
+    def intervals(sn: graft.sources.AvroSnapshots.Snapshot, col: String) =
+      sn.files.flatMap { f =>
+        sn.stats.get(f).map(graft.sources.AvroStats.parse).flatMap(_.get(col))
+          .flatMap(cs => for (mn <- cs.min; mx <- cs.max)
+            yield (mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
+      }
+    val pre = graft.sources.AvroSnapshots.latest(dirp).get
+    val preIv = intervals(pre, "k")
+    assert(preIv.size >= 4 &&
+      preIv.combinations(2).forall { case Seq(a, b) => a._1 <= b._2 && b._1 <= a._2 },
+      s"interleaved inserts should produce fully overlapping intervals, got $preIv")
+
+    cat.setSortOrder(ident, "k")
+    val (before, after) = cat.compactTable(ident, sp)
+    assert(after < before, s"compaction did not reduce files: $before -> $after")
+    val post = graft.sources.AvroSnapshots.latest(dirp).get
+    val postIv = intervals(post, "k")
+    assert(postIv.size == post.files.size, "compacted files missing stats")
+    assert(postIv.combinations(2).forall {
+      case Seq(a, b) => a._2 < b._1 || b._2 < a._1
+    }, s"post-compaction intervals overlap: $postIv")
+    // invisible to readers; and the sorted layout now prunes
+    assert(sp.table("testcat.cso.t").count() == 2000)
+    val q = sp.sql("SELECT k FROM testcat.cso.t WHERE k < 100")
+    assert(q.count() == 100)
+    assert(scanOf(q).inputPartitions.size < post.files.size,
+      "sorted compaction did not enable file pruning")
+  }
+
+  test("truncate partition transform: clustered writes, range pruning, SQL function") {
+    wh
+    val sp = skipSession
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS testcat.days")
+    sp.sql("DROP TABLE IF EXISTS testcat.days.t")
+    sp.sql("""CREATE TABLE testcat.days.t (uid BIGINT, day INT)
+             |PARTITIONED BY (truncate(7, day))""".stripMargin)
+    // 5 weeks of synthetic days: the clustered write lands one file per
+    // week per task, placement = 7 * floor(day / 7)
+    sp.sql("INSERT INTO testcat.days.t SELECT id, CAST(id % 35 AS INT) FROM RANGE(3500)")
+    val dirp = s"$wh/days/t"
+    val snap = graft.sources.AvroSnapshots.latest(dirp).get
+    assert(snap.files.nonEmpty && snap.files.forall(snap.parts.contains),
+      "truncate write did not record placement for every file")
+    assert(snap.parts.values.toSet.subsetOf(Set(0, 7, 14, 21, 28)),
+      s"placement values are not week starts: ${snap.parts.values.toSet}")
+    assert(snap.parts.values.toSet.size == 5, "expected 5 distinct weeks")
+
+    // a one-week predicate prunes to that week's files
+    val q = sp.sql("SELECT uid, day FROM testcat.days.t WHERE day BETWEEN 7 AND 13")
+    assert(q.count() == 700)
+    val planned = scanOf(q).inputPartitions.size
+    val week1Files = snap.parts.count(_._2 == 7)
+    assert(planned == week1Files,
+      s"day-range scan planned $planned splits, want the week's $week1Files")
+
+    // the SQL-callable V2 function mirrors the placement arithmetic
+    assert(sp.sql("SELECT testcat.days.truncate(7, 23)").collect()
+      .head.getInt(0) == 21)
+    assert(sp.sql("SELECT testcat.days.truncate(7, CAST(-3 AS INT))").collect()
+      .head.getInt(0) == -7, "floored truncate must round negatives down")
+  }
+
+  test("functions under an unknown namespace do not resolve") {
+    wh
+    intercept[AnalysisException](
+      spark.sql("SELECT testcat.no_such_ns.bucket(8, CAST(5 AS BIGINT))").collect())
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.fns")
+    assert(spark.sql("SELECT testcat.fns.truncate(7, CAST(23 AS BIGINT))")
+      .collect().head.getInt(0) == 21)
+  }
+
+  test("change feed: appends+updates surface as insert/delete; compaction is empty") {
+    wh
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.cdf")
+    spark.sql("DROP TABLE IF EXISTS testcat.cdf.t")
+    spark.sql("CREATE TABLE testcat.cdf.t AS SELECT id AS k, CONCAT('v', id) AS v FROM RANGE(20)")
+    val cat = catalogOf(spark)
+    val ident = Identifier.of(Array("cdf"), "t")
+    def feed(v1: Long, v2: Long) = {
+      val (added, removed) = cat.changedFiles(ident, v1, v2)
+      def rowsOf(v: Long, files: Seq[String]) = {
+        val base = spark.sql(s"SELECT k, v, _file FROM testcat.cdf.t VERSION AS OF $v")
+        (if (files.isEmpty) base.where(lit(false))
+         else base.where(col("_file").isin(files: _*))).drop("_file")
+      }
+      val ins = rowsOf(v2, added); val del = rowsOf(v1, removed)
+      (ins.exceptAll(del).collect().toSet, del.exceptAll(ins).collect().toSet)
+    }
+    val v1 = cat.currentVersion(ident)
+    spark.sql("INSERT INTO testcat.cdf.t SELECT id, CONCAT('v', id) FROM RANGE(20, 25)")
+    spark.sql("UPDATE testcat.cdf.t SET v = 'upd' WHERE k = 3")
+    val v2 = cat.currentVersion(ident)
+    val (ins1, del1) = feed(v1, v2)
+    assert(ins1.map(r => (r.getLong(0), r.getString(1))) ==
+      Set((20L, "v20"), (21L, "v21"), (22L, "v22"), (23L, "v23"), (24L, "v24"), (3L, "upd")))
+    assert(del1.map(r => (r.getLong(0), r.getString(1))) == Set((3L, "v3")))
+
+    // DELETE: only delete rows
+    spark.sql("DELETE FROM testcat.cdf.t WHERE k >= 22")
+    val v3 = cat.currentVersion(ident)
+    val (ins2, del2) = feed(v2, v3)
+    assert(ins2.isEmpty)
+    assert(del2.map(_.getLong(0)) == Set(22L, 23L, 24L))
+
+    // COMPACTION is a pure rewrite: the feed across it must be EMPTY
+    cat.compactTable(ident)
+    val v4 = cat.currentVersion(ident)
+    val (ins3, del3) = feed(v3, v4)
+    assert(ins3.isEmpty && del3.isEmpty,
+      s"compaction leaked changes: +${ins3.size} -${del3.size}")
+  }
+
+  test("rollback restores an old head; the abandoned branch stays tag-reachable") {
+    wh
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.rb")
+    spark.sql("DROP TABLE IF EXISTS testcat.rb.t")
+    spark.sql("CREATE TABLE testcat.rb.t AS SELECT id AS k, CONCAT('v', id) AS v FROM RANGE(100)")
+    val cat = catalogOf(spark)
+    val ident = Identifier.of(Array("rb"), "t")
+    val vGood = cat.currentVersion(ident)
+    spark.sql("DELETE FROM testcat.rb.t WHERE k >= 50") // the mistake
+    cat.tagVersion(ident, "bad-head")
+    cat.rollbackTo(ident, vGood)
+    assert(spark.table("testcat.rb.t").count() == 100,
+      "rollback did not restore the pre-delete state")
+    // post-rollback writes DIVERGE from the abandoned head
+    spark.sql("INSERT INTO testcat.rb.t SELECT id, CONCAT('v', id) FROM RANGE(100, 110)")
+    assert(spark.table("testcat.rb.t").count() == 110)
+    assert(spark.sql("SELECT COUNT(*) FROM testcat.rb.t VERSION AS OF 'bad-head'")
+      .collect().head.getLong(0) == 50)
+    // expiry keeps BOTH reachable states: head by recency, the
+    // abandoned branch by its tag
+    cat.expireSnapshots(ident, retainLast = 1)
+    assert(spark.table("testcat.rb.t").count() == 110)
+    assert(spark.sql("SELECT COUNT(*) FROM testcat.rb.t VERSION AS OF 'bad-head'")
+      .collect().head.getLong(0) == 50)
+    // rollback across an ALTER restores the pre-ALTER schema (sidecar
+    // flips with the manifest under the same lock)
+    val vPreAlter = cat.currentVersion(ident)
+    spark.sql("ALTER TABLE testcat.rb.t ADD COLUMN extra BIGINT")
+    assert(spark.table("testcat.rb.t").schema.fieldNames.contains("extra"))
+    cat.rollbackTo(ident, vPreAlter)
+    assert(!spark.table("testcat.rb.t").schema.fieldNames.contains("extra"),
+      "rollback across ALTER did not restore the old schema")
+    assert(spark.table("testcat.rb.t").count() == 110)
+  }
+
+  test("row-level commit refuses when a concurrent commit rewrote a scanned group") {
+    wh
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo}
+    import org.apache.spark.sql.connector.read.ScanBuilder
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.unsafe.types.UTF8String
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.conf")
+    spark.sql("DROP TABLE IF EXISTS testcat.conf.t")
+    spark.sql("CREATE TABLE testcat.conf.t AS SELECT id AS k, CONCAT('v', id) AS v FROM RANGE(10)")
+    val dirp = s"$wh/conf/t"
+    val tblSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+
+    // drive an UPDATE's lifecycle by hand so a concurrent commit can be
+    // injected between its scan and its commit (the lost-update window)
+    val op = new graft.sources.GraftRowLevelOperation(dirp, tblSchema,
+      versioned = true,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE)
+    op.newScanBuilder(CaseInsensitiveStringMap.empty()).asInstanceOf[ScanBuilder]
+      .build().toBatch.planInputPartitions() // captures scannedFiles = all groups
+
+    // concurrent writer rewrites one of those groups
+    spark.sql("DELETE FROM testcat.conf.t WHERE k = 1")
+
+    val info = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
+      override def queryId(): String = "conflict-test"
+      override def schema(): StructType = tblSchema
+    }
+    val bw = op.newWriteBuilder(info).build().toBatch
+    val factory = bw.createBatchWriterFactory(new PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    })
+    val w = factory.createWriter(0, 0L)
+    w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0L, UTF8String.fromString("stale"))))
+    val msg = w.commit()
+    val headBefore = catalogOf(spark).currentVersion(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("conf"), "t"))
+    intercept[java.util.ConcurrentModificationException](bw.commit(Array(msg)))
+    // no manifest was published and the orphan rewrite was deleted
+    assert(catalogOf(spark).currentVersion(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("conf"), "t")) == headBefore)
+    assert(spark.table("testcat.conf.t").count() == 9,
+      "conflict-refused commit must leave the winner's state intact")
+  }
+
+  test("compactTable rejects a session whose catalog name is a different instance") {
+    wh
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.own")
+    spark.sql("DROP TABLE IF EXISTS testcat.own.t")
+    spark.sql("CREATE TABLE testcat.own.t AS SELECT id AS k FROM RANGE(5)")
+    val other = spark.newSession()
+    val otherWh = java.nio.file.Files.createTempDirectory("graft_cat_other")
+    other.conf.set("spark.sql.catalog.testcat", "graft.sources.GraftCatalog")
+    other.conf.set("spark.sql.catalog.testcat.warehouse", otherWh.toString)
+    other.sql("SHOW NAMESPACES IN testcat").collect() // force instantiation
+    val cat = catalogOf(spark)
+    intercept[IllegalArgumentException](
+      cat.compactTable(Identifier.of(Array("own"), "t"), other))
+    // the owning session still compacts fine
+    val (_, after) = cat.compactTable(Identifier.of(Array("own"), "t"), spark)
+    assert(after >= 1 && spark.table("testcat.own.t").count() == 5)
+  }
 }

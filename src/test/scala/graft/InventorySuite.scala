@@ -67,6 +67,91 @@ class InventorySuite extends SparkSuiteBase {
     assert(offenders.isEmpty, s"complex-typed output columns: $offenders")
   }
 
+  /** Keys whose BUILDERS execute Spark work by design — they
+    * materialize fixtures (roundtrip sources write the format under
+    * test), run DDL/DML against the catalog (the statement IS the
+    * operator), drain real streams, or invoke maintenance ops. Every
+    * key NOT listed here is pinned job-free at plan-build time
+    * (round-13 verdict #7: an eager action inside a pure query builder
+    * taxes every bench rep, and at 100 TB it runs a scan to plan a
+    * scan — llm_semdedup's count() was the one offender, now a footer
+    * read). */
+  private val eagerByDesign: Set[String] = Set(
+    // format-roundtrip sources: the build writes the fixture being read
+    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "source_avro_roundtrip", "source_xml_roundtrip", "source_text_roundtrip",
+    "source_binaryfile_roundtrip", "source_jdbc_roundtrip",
+    "scan_schema_evolution", "sink_partitioned_parquet",
+    // catalog keys: DDL/DML statements and maintenance ops ARE the
+    // operator under test
+    "catalog_v2_plugin", "catalog_schema_evolution", "catalog_delete_where",
+    "catalog_time_travel", "catalog_snapshot_expire", "catalog_update_where",
+    "catalog_merge_into", "catalog_compact_files", "catalog_version_refs",
+    "catalog_table_lifecycle", "catalog_bucketed_spj", "catalog_data_skipping",
+    "catalog_compact_sorted", "catalog_partition_days", "catalog_change_feed",
+    "catalog_rollback", "sql_execute_immediate", "sql_session_variable",
+    // bucketed-by-write joins: the build writes both bucketed tables
+    "join_bucketed_colocated", "join_storage_partitioned",
+    "join_v2_group_filter", "merge_upsert", "warehouse_scd2",
+    // streaming keys: the build runs the micro-batch engine to completion
+    // and returns a batch read of the committed output
+    "stream_table_source", "stream_custom_source", "stream_custom_sink",
+    "stream_custom_state", "stream_dedup", "stream_file_sink",
+    "stream_foreachbatch_upsert", "stream_session_window",
+    "stream_sliding_window", "stream_stream_join", "stream_tumbling_window",
+    "stream_tws_state", "events_funnel", "events_transitions",
+    "events_interpolate",
+    // iterative algorithms: per-round convergence checks are actions
+    "graph_pagerank", "graph_triangle_count", "llm_dedup_clusters",
+    "llm_bpe_merge_step",
+    // join_dpp_partitioned writes the partitioned parquet fixture whose
+    // partitions DPP must prune; llm_dedup_simhash localCheckpoints the
+    // fingerprint pass so the self-join computes it once, not per side;
+    // stat_crosstab: DataFrameStatFunctions.crosstab is an eager API
+    "join_dpp_partitioned", "llm_dedup_simhash", "stat_crosstab")
+
+  test("building a non-eager query fires zero Spark jobs") {
+    val sc = spark.sparkContext
+    // Pre-warm T's process-wide schema cache: the FIRST read of each
+    // fixture table pays a one-time parquet schema-inference job (the
+    // documented metastore stand-in, not a per-build action) — the lint
+    // measures builders net of it.
+    graft.ops.T.names.foreach(n => graft.ops.T(spark, SF, n))
+    val offenders = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = js.properties.getProperty("spark.jobGroup.id")
+        if (g != null && g.startsWith("graft-lint-")) {
+          offenders.add(g.stripPrefix("graft-lint-")); ()
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+           if !eagerByDesign(name)) {
+        sc.setJobGroup(s"graft-lint-$name", s"zero-jobs lint: $name")
+        fn(spark, SF) // build the plan only — never execute it
+        sc.clearJobGroup()
+      }
+      // the listener bus is async: give a straggling (forbidden) job
+      // event time to land before asserting none did
+      Thread.sleep(1500)
+      val hits = {
+        import scala.jdk.CollectionConverters._
+        offenders.asScala.toSeq.sorted
+      }
+      assert(hits.isEmpty,
+        s"query builders ran Spark jobs at plan-build time: $hits")
+    } finally sc.removeSparkListener(listener)
+  }
+
+  test("eagerByDesign names only registered keys") {
+    val unknown = eagerByDesign -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"allowlist entries with no registered key: $unknown")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: runs, non-degenerate, deterministic") {
       val a = fn(spark, SF).collect().toSeq
