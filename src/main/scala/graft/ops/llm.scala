@@ -1162,14 +1162,16 @@ object Llm {
   private[ops] def dedupSubstringImpl(s: SparkSession, dir: String,
       capPerGram: Option[Int]): DataFrame = {
     val L = SubstrGramLen
-    // gram → 16-byte md5 fingerprint BEFORE distinct/join: the shuffle
-    // never carries raw text
+    // gram → 128-bit fingerprint (two independent codegen'd xxhash64
+    // lanes — ~2⁻¹²⁸ collision odds, far cheaper per gram than md5)
+    // BEFORE distinct/join: the shuffle never carries raw text
     val grams0 = T(s, dir, "documents")
       .where(length(col("text")) >= L)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, length(text) - ${L - 1}), i -> substring(text, i, $L))"))
         .as("raw_g"))
-      .select(col("doc_id"), unhex(md5(col("raw_g"))).as("g"))
+      .select(col("doc_id"), xxhash64(col("raw_g")).as("g1"),
+        xxhash64(lit(0x9747b28cL), col("raw_g")).as("g2"))
       .distinct()
     val grams = capPerGram match {
       case None => grams0
@@ -1178,12 +1180,14 @@ object Llm {
         // gram's pair fan-out to cap(cap-1)/2 regardless of boilerplate
         import org.apache.spark.sql.expressions.Window
         grams0.withColumn("rk",
-          row_number().over(Window.partitionBy("g").orderBy("doc_id")))
+          row_number().over(Window.partitionBy("g1", "g2").orderBy("doc_id")))
           .where(col("rk") <= cap).drop("rk")
     }
-    val b = grams.select(col("doc_id").as("doc_b"), col("g").as("gb"))
-    grams.select(col("doc_id").as("doc_a"), col("g"))
-      .join(b, col("g") === col("gb") && col("doc_a") < col("doc_b"))
+    val b = grams.select(col("doc_id").as("doc_b"),
+      col("g1").as("h1"), col("g2").as("h2"))
+    grams.select(col("doc_id").as("doc_a"), col("g1"), col("g2"))
+      .join(b, col("g1") === col("h1") && col("g2") === col("h2") &&
+        col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy("doc_a", "doc_b")

@@ -274,6 +274,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsReportStatistics
         with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+        with SupportsPushDownAggregates
         with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
       // Column pruning: Catalyst pushes the required schema down and the
       // per-file readers decode exactly those fields by name — a scan
@@ -329,6 +330,114 @@ class AvroDirTable(path: String, tableSchema: StructType,
           }
         }
 
+      // ---- aggregate pushdown from MANIFEST STATS ----
+      //
+      // Global (ungrouped, unfiltered) COUNT(*) / COUNT(col) / MIN /
+      // MAX are answered from the manifest alone: every file's stats
+      // carry its exact row count, per-column null count and min/max,
+      // so the aggregate folds over O(files) manifest entries and NO
+      // data file is opened. Pushdown is declared COMPLETE — the plan
+      // contains no aggregate operator at all (the "count(*) in
+      // milliseconds" every lakehouse answers from metadata).
+      // Soundness rules: decline whenever any in-view file lacks
+      // row-counted stats, a filter was pushed (rows would need
+      // per-row evaluation), the aggregation groups or is DISTINCT, or
+      // a function/type isn't exactly answerable — Spark then plans
+      // the normal scan + aggregate.
+      private var aggResult: Option[(StructType, Seq[Any])] = None
+
+      private def statsColumn(fileStats: Map[String, AvroStats.ColStats],
+          name: String): Option[AvroStats.ColStats] =
+        tableSchema.fields.find(_.name.equalsIgnoreCase(name)).flatMap {
+          fld => (fld.name +: AvroDirSource.aliasesOf(fld)).iterator
+            .flatMap(fileStats.get).nextOption()
+        }
+      private def colRef(
+          e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+        e match {
+          case nr: org.apache.spark.sql.connector.expressions.NamedReference
+              if nr.fieldNames.length == 1 =>
+            tableSchema.fields.find(_.name.equalsIgnoreCase(nr.fieldNames()(0)))
+          case _ => None
+        }
+      /** Stats value (Long/Double/Boolean/String) → the column's Spark
+        * internal type. */
+      private def toInternal(v: Any, dt: DataType): Any = (v, dt) match {
+        case (x: java.lang.Long, IntegerType) => Int.box(x.intValue)
+        case (x: String, StringType)          => UTF8String.fromString(x)
+        case (x, _)                           => x
+      }
+
+      private def planAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Option[(StructType, Seq[Any])] = {
+        import org.apache.spark.sql.connector.expressions.aggregate._
+        if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+        // every in-view file must carry row-counted stats
+        val statsJson = snap.map(_.stats).getOrElse(Map.empty)
+        val perFile: Seq[(Long, Map[String, AvroStats.ColStats])] =
+          view.map { f =>
+            statsJson.get(f.getName) match {
+              case Some(js) => AvroStats.rowCount(js) match {
+                case Some(n) => (n, AvroStats.parse(js))
+                case None    => return None
+              }
+              case None => return None
+            }
+          }
+        val totalRows = perFile.iterator.map(_._1).sum
+        def minMax(fld: StructField, isMin: Boolean): Option[(StructField, Any)] = {
+          if (!Seq[DataType](LongType, IntegerType, DoubleType, BooleanType,
+            StringType).contains(fld.dataType)) return None
+          val bounds = perFile.flatMap { case (n, st) =>
+            // a column absent from a row-counted file's stats predates
+            // the column: all-null there, contributes no bound
+            statsColumn(st, fld.name).flatMap(c => if (isMin) c.min else c.max)
+          }
+          val folded =
+            if (bounds.isEmpty) null
+            else bounds.reduce((a, b) => {
+              val c = AvroStats.cmpBounds(a, b)
+              if ((isMin && c <= 0) || (!isMin && c >= 0)) a else b
+            })
+          Some((StructField(fld.name, fld.dataType, nullable = true),
+            toInternal(folded, fld.dataType)))
+        }
+        val results: Seq[Option[(StructField, Any)]] =
+          agg.aggregateExpressions.toSeq.zipWithIndex.map {
+            case (_: CountStar, i) =>
+              Some((StructField(s"agg_$i", LongType, nullable = false),
+                Long.box(totalRows)))
+            case (c: Count, i) if !c.isDistinct =>
+              colRef(c.column).map { fld =>
+                val nonNull = perFile.iterator.map { case (n, st) =>
+                  statsColumn(st, fld.name).map(cs => n - cs.nulls).getOrElse(0L)
+                }.sum
+                (StructField(s"agg_$i", LongType, nullable = false),
+                  Long.box(nonNull))
+              }
+            case (m: Min, _) => colRef(m.column).flatMap(minMax(_, isMin = true))
+            case (m: Max, _) => colRef(m.column).flatMap(minMax(_, isMin = false))
+            case _ => None
+          }
+        if (results.isEmpty || results.exists(_.isEmpty)) None
+        else Some((StructType(results.flatten.map(_._1)),
+          results.flatten.map(_._2)))
+      }
+
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        planAggregation(agg).isDefined
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        planAggregation(agg) match {
+          case Some((schema, row)) =>
+            aggResult = Some((schema, row))
+            required = schema
+            true
+          case None => false
+        }
+
       /** Bucket-grouped splits when the table is bucketed AND every
         * in-view file has a recorded bucket (a legacy/plain-appended
         * file without one soundly downgrades the scan to ungrouped).
@@ -351,6 +460,8 @@ class AvroDirTable(path: String, tableSchema: StructType,
       // paid once at write time (the 100-TB fact⨝fact answer).
       override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
         (partSpec, groups) match {
+          case _ if aggResult.isDefined =>
+            new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(1)
           case (Some(spec), Some(_)) =>
             new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
               Array(Expressions.bucket(spec.n, spec.column)), spec.n)
@@ -360,15 +471,19 @@ class AvroDirTable(path: String, tableSchema: StructType,
         }
 
       override def planInputPartitions(): Array[InputPartition] =
-        groups match {
-          case Some(gs) => gs.map { case (b, fs) =>
-            AvroBucketGroupSplit(fs.map(_.getAbsolutePath), b): InputPartition
-          }.toArray
-          case None => prunedView
-            .map(f => AvroFileSplit(f.getAbsolutePath): InputPartition).toArray
+        aggResult match {
+          case Some((_, row)) => Array(AvroAggSplit(row))
+          case None => groups match {
+            case Some(gs) => gs.map { case (b, fs) =>
+              AvroBucketGroupSplit(fs.map(_.getAbsolutePath), b): InputPartition
+            }.toArray
+            case None => prunedView
+              .map(f => AvroFileSplit(f.getAbsolutePath): InputPartition).toArray
+          }
         }
       override def createReaderFactory(): PartitionReaderFactory =
-        new AvroReaderFactory(required)
+        if (aggResult.isDefined) new AvroAggReaderFactory
+        else new AvroReaderFactory(required)
       // Streaming read (versioned tables): offsets are VERSION numbers —
       // each micro-batch is the set of data files the manifests between
       // (start, end] ADDED. See AvroVersionStream.
@@ -387,12 +502,21 @@ class AvroDirTable(path: String, tableSchema: StructType,
       // parquet path reads from footers) — POST-pruning, so a skipping
       // scan's surviving slice can auto-broadcast; CatalogV2Suite
       // asserts a small catalog table auto-broadcasts with no hint.
+      // Row counts come from the manifest stats when every surviving
+      // file recorded one — the exact cardinality CBO input a lakehouse
+      // catalog serves.
       override def estimateStatistics(): Statistics = new Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           java.util.OptionalLong.of(
             math.max(1L, prunedView.map(_.length()).sum))
-        override def numRows(): java.util.OptionalLong =
-          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = {
+          val statsJson = snap.map(_.stats).getOrElse(Map.empty)
+          val counts = prunedView.map(f =>
+            statsJson.get(f.getName).flatMap(AvroStats.rowCount))
+          if (counts.forall(_.isDefined))
+            java.util.OptionalLong.of(counts.flatten.sum)
+          else java.util.OptionalLong.empty()
+        }
       }
     }
 
@@ -671,6 +795,22 @@ case class PartSpec(transform: String, n: Int, column: String) {
 }
 
 case class AvroFileSplit(file: String) extends InputPartition
+/** A completely-pushed-down global aggregation: the answer was folded
+  * from manifest stats at plan time; the single split just emits it
+  * (values are already Spark-internal: Long/Int/Double/Boolean/
+  * UTF8String/null). */
+case class AvroAggSplit(values: Seq[Any]) extends InputPartition
+class AvroAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val row = partition.asInstanceOf[AvroAggSplit].values
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(row.toArray)
+      override def close(): Unit = ()
+    }
+}
 /** All of one bucket's container files, as one split whose partition
   * key is the bucket — what KeyGroupedPartitioning groups by. */
 case class AvroBucketGroupSplit(files: Seq[String], bucket: Int)
@@ -787,6 +927,7 @@ class AvroFileWriter(file: File, schema: StructType)
       stats.update(i, v)
       i += 1
     }
+    stats.countRow()
     writer.append(rec)
   }
   override def commit(): WriterCommitMessage = {

@@ -139,6 +139,7 @@ object AvroFilterEval extends Serializable {
         while (i < vals.length) {
           rec.put(i, vals(i)); stats.update(i, vals(i)); i += 1
         }
+        stats.countRow()
         writer.append(rec)
       }
     } finally writer.close()

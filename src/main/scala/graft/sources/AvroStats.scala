@@ -42,10 +42,20 @@ object AvroStats {
 
   /** Streaming min/max/null-count accumulator for one file's rows —
     * updated per field by the Avro writer as it encodes. */
+  /** Reserved stats-JSON key carrying the file's ROW COUNT — what makes
+    * COUNT(*)/COUNT(col) answerable from the manifest alone. Not a
+    * legal column name shape for the fixtures' SQL surface, and the
+    * parser routes it to [[rowCount]], never to a ColStats. */
+  val RowCountKey = "_n"
+
   final class StatsCollector(schema: StructType) {
     private val nulls = new Array[Long](schema.length)
     private val mins = new Array[Any](schema.length)
     private val maxs = new Array[Any](schema.length)
+    private var rows = 0L
+
+    /** Called once per row by the writer (fields update separately). */
+    def countRow(): Unit = rows += 1
 
     /** `v` is the boxed write-side value (Long/Integer/Double/Boolean/
       * String) or null. */
@@ -64,12 +74,26 @@ object AvroStats {
 
     def toJson: String = {
       val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-        f.name -> JArray(List(toJValue(mins(i)), toJValue(maxs(i)),
-          JLong(nulls(i))))
+        f.name -> (JArray(List(toJValue(mins(i)), toJValue(maxs(i)),
+          JLong(nulls(i)))): JValue)
       }
-      JsonMethods.compact(JsonMethods.render(JObject(fields.toList)))
+      JsonMethods.compact(JsonMethods.render(
+        JObject((RowCountKey -> (JLong(rows): JValue)) :: fields.toList)))
     }
   }
+
+  /** The file's exact row count, when the stats were recorded with one
+    * (pre-round-14 manifests lack it — callers must decline, not guess). */
+  def rowCount(json: String): Option[Long] =
+    try {
+      JsonMethods.parse(json) match {
+        case JObject(fields) => fields.collectFirst {
+          case (RowCountKey, JLong(n)) => n
+          case (RowCountKey, JInt(n))  => n.longValue
+        }
+        case _ => None
+      }
+    } catch { case _: Exception => None }
 
   private def toJValue(v: Any): JValue = v match {
     case null                 => JNull
@@ -108,6 +132,10 @@ object AvroStats {
         case _ => Map.empty
       }
     } catch { case _: Exception => Map.empty }
+
+  /** Compare two recorded bounds of the SAME column (both non-null) —
+    * the fold the manifest-stats aggregate pushdown runs MIN/MAX with. */
+  def cmpBounds(a: Any, b: Any): Int = cmp(a, b)
 
   /** Same widened comparison discipline as [[AvroFilterEval]]: numerics
     * compare as long unless a double is involved; strings/booleans

@@ -785,6 +785,53 @@ class CatalogV2Suite extends SparkSuiteBase {
       "conflict-refused commit must leave the winner's state intact")
   }
 
+  test("manifest-stats aggregate pushdown: answered with no aggregate operator") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.meta")
+    spark.sql("DROP TABLE IF EXISTS testcat.meta.t")
+    // a null-bearing column exercises COUNT(col) vs COUNT(*) and
+    // null-ignoring MIN/MAX
+    spark.sql("""CREATE TABLE testcat.meta.t AS
+                |SELECT id AS k,
+                |  CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id AS DOUBLE) END AS v
+                |FROM RANGE(100)""".stripMargin)
+    spark.sql("INSERT INTO testcat.meta.t SELECT id, CAST(id AS DOUBLE) FROM RANGE(100, 150)")
+    val q = spark.sql("""SELECT COUNT(*) AS n, COUNT(v) AS nv,
+                        | MIN(k) AS mnk, MAX(k) AS mxk, MIN(v) AS mnv, MAX(v) AS mxv
+                        |FROM testcat.meta.t""".stripMargin)
+    val r = q.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5)) == ((150L, 116L, 0L, 149L, 1.0, 149.0)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"manifest-stats pushdown did not eliminate the aggregate:\n$plan")
+
+    // an EMPTY table's global aggregate still answers (one row, nulls)
+    spark.sql("DROP TABLE IF EXISTS testcat.meta.e")
+    spark.sql("CREATE TABLE testcat.meta.e (k BIGINT, v DOUBLE)")
+    val e = spark.sql("SELECT COUNT(*) AS n, MIN(k) AS mn FROM testcat.meta.e")
+    val er = e.collect().head
+    assert(er.getLong(0) == 0L && er.isNullAt(1))
+    assert(!e.queryExecution.executedPlan.toString.contains("HashAggregate"))
+
+    // a pushed FILTER declines the complete pushdown: plan falls back
+    // to scan + aggregate and stays correct
+    val f = spark.sql("SELECT COUNT(*) AS n FROM testcat.meta.t WHERE k < 10")
+    assert(f.collect().head.getLong(0) == 10L)
+    assert(f.queryExecution.executedPlan.toString.contains("Aggregate"),
+      "filtered aggregate must fall back to a real scan+aggregate")
+
+    // GROUP BY declines too
+    val g = spark.sql("SELECT k % 2 AS p, COUNT(*) FROM testcat.meta.t GROUP BY 1")
+    assert(g.collect().length == 2)
+    assert(g.queryExecution.executedPlan.toString.contains("Aggregate"))
+
+    // time travel answers from the PINNED manifest's stats
+    val v1 = spark.sql("SELECT COUNT(*) AS n FROM testcat.meta.t VERSION AS OF 1")
+    assert(v1.collect().head.getLong(0) == 100L)
+    assert(!v1.queryExecution.executedPlan.toString.contains("HashAggregate"))
+  }
+
   test("compactTable rejects a session whose catalog name is a different instance") {
     wh
     import org.apache.spark.sql.connector.catalog.Identifier

@@ -89,7 +89,8 @@ class InventorySuite extends SparkSuiteBase {
     "catalog_merge_into", "catalog_compact_files", "catalog_version_refs",
     "catalog_table_lifecycle", "catalog_bucketed_spj", "catalog_data_skipping",
     "catalog_compact_sorted", "catalog_partition_days", "catalog_change_feed",
-    "catalog_rollback", "sql_execute_immediate", "sql_session_variable",
+    "catalog_rollback", "catalog_agg_pushdown",
+    "sql_execute_immediate", "sql_session_variable",
     // bucketed-by-write joins: the build writes both bucketed tables
     "join_bucketed_colocated", "join_storage_partitioned",
     "join_v2_group_filter", "merge_upsert", "warehouse_scd2",
