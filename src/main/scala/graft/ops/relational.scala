@@ -896,7 +896,43 @@ object Relational {
             |FROM graftcat.lake.orders_meta""".stripMargin)
   }
 
+  /** SQL-callable maintenance procedures (DSv2 ProcedureCatalog, Spark
+    * 4's `CALL` — SPARK-44167): the operational surface lakehouse
+    * formats expose (Iceberg's `CALL cat.system.*` family), now
+    * covering every versioned-table maintenance op this catalog ships.
+    * One scored flow drives ALL FIVE through SQL: `tag` a blessed
+    * version (the CALL's result row carries the version number),
+    * DELETE by mistake, `rollback` to the tag's version, record a
+    * `set_sort_order`, `compact` (which the sort order turns into a
+    * sorted rewrite), then `expire_snapshots` (the tag pins the
+    * blessed version through it). Final state = the table as if the
+    * mistake never happened — the write-audit-publish recovery loop,
+    * grantable/auditable/schedulable without shipping Scala. */
+  private def catalogProcedures(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "nation").createOrReplaceTempView("graft_proc_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.nation_proc")
+    s.sql("""CREATE TABLE graftcat.lake.nation_proc AS
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_proc_src
+            |WHERE n_nationkey < 13""".stripMargin)
+    s.sql("""INSERT INTO graftcat.lake.nation_proc
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_proc_src
+            |WHERE n_nationkey >= 13""".stripMargin)
+    val blessed = s.sql(
+      "CALL graftcat.system.tag('lake.nation_proc', 'pre_mistake')")
+      .collect().head.getLong(0)
+    s.sql("DELETE FROM graftcat.lake.nation_proc WHERE n_regionkey = 4") // oops
+    s.sql(s"CALL graftcat.system.rollback('lake.nation_proc', $blessed)")
+    s.sql("CALL graftcat.system.set_sort_order('lake.nation_proc', 'n_nationkey')")
+    s.sql("CALL graftcat.system.compact('lake.nation_proc')")
+    s.sql("CALL graftcat.system.expire_snapshots('lake.nation_proc', 1)")
+    s.sql("""SELECT n_nationkey, n_name, n_regionkey
+            |FROM graftcat.lake.nation_proc ORDER BY n_nationkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_procedures" -> (catalogProcedures _),
     "catalog_agg_pushdown" -> (catalogAggPushdown _),
     "catalog_data_skipping" -> (catalogDataSkipping _),
     "catalog_compact_sorted" -> (catalogCompactSorted _),
@@ -945,6 +981,9 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_procedures" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     "catalog_agg_pushdown" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         | CAST(COUNT(o_orderpriority) AS BIGINT) AS n_pri,

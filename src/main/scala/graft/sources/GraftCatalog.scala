@@ -33,7 +33,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * production engine points `spark.sql.catalog.*` at Iceberg/Delta and
   * every query in this library runs unchanged against governed tables.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: File = _
 
@@ -531,6 +532,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     (ident.namespace.isEmpty || namespaceExists(ident.namespace)) &&
       (ident.name.equalsIgnoreCase("bucket") ||
         ident.name.equalsIgnoreCase("truncate"))
+
+  // ---- procedures (V2 ProcedureCatalog — SQL `CALL`) ----
+  //
+  // The maintenance surface as SQL: every versioned-table op
+  // (tag / rollback / compact / set_sort_order / expire_snapshots)
+  // is CALL-able under the `system` namespace, Iceberg-style —
+  // see [[GraftProcedures]].
+
+  private val ProcNamespace = Array("system")
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    if (ns.isEmpty || ns.sameElements(ProcNamespace))
+      GraftProcedures.names.map(n => Identifier.of(ProcNamespace, n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace.sameElements(ProcNamespace))
+      throw new RuntimeException(
+        s"procedures live under $catalogName.system, got ${ident.namespace.mkString(".")}")
+    GraftProcedures.load(this, ident.name).getOrElse(throw new RuntimeException(
+      s"unknown procedure ${ident.name} (have ${GraftProcedures.names.mkString(", ")})"))
+  }
 }
 
 /** `bucket(n, x)` = nonnegative `x mod n` — the exact arithmetic

@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-callable maintenance procedures — the DSv2 ProcedureCatalog seam
+  * (Spark 4's `CALL` statement; SPARK-44167) that lakehouse formats
+  * expose their table-maintenance surface through (Iceberg's
+  * `CALL cat.system.rollback_to_snapshot(...)` family). Every versioned
+  * maintenance op this catalog ships becomes SQL:
+  *
+  *   CALL graftcat.system.tag('lake.t', 'blessed')
+  *   CALL graftcat.system.rollback('lake.t', 3)
+  *   CALL graftcat.system.compact('lake.t')
+  *   CALL graftcat.system.set_sort_order('lake.t', 'k')
+  *   CALL graftcat.system.expire_snapshots('lake.t', 2)
+  *
+  * Resolution is the standard two-step (loadProcedure → bind); `call`
+  * runs the op on the DRIVER (they are manifest/metadata operations —
+  * compact launches its own Spark job through the owning session) and
+  * returns the result as a one-row [[LocalScan]]. Table arguments are
+  * `'ns.table'` strings, parsed against this catalog — the same
+  * convention Iceberg's procedures use.
+  *
+  * 100-TB note: procedures are the OPERATIONAL surface — the thing a
+  * platform team can grant, audit and schedule without shipping Scala.
+  * Each call is O(manifest) except compact (a rewrite job by design).
+  */
+class GraftProcedure(catalog: GraftCatalog, procName: String,
+    params: Seq[(String, DataType)], output: StructType,
+    run: (GraftCatalog, InternalRow) => Seq[Any])
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = procName
+  override def description(): String =
+    s"graft maintenance procedure $procName(${params.map(_._1).mkString(", ")})"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] =
+    params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+  // maintenance ops mutate table state — never constant-foldable
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val values = run(catalog, input).toArray
+    val schema = output
+    util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(values))
+      override def readSchema(): StructType = schema
+    }).iterator()
+  }
+}
+
+object GraftProcedures {
+  /** `'ns.table'` (or `'ns.sub.table'`) → catalog Identifier. */
+  private def tableIdent(s: String): Identifier = {
+    val parts = s.split("\\.")
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
+      s"table argument must be 'namespace.table', got '$s'")
+    Identifier.of(parts.init, parts.last)
+  }
+  private def str(in: InternalRow, i: Int): String =
+    in.getUTF8String(i).toString
+
+  val names: Seq[String] =
+    Seq("rollback", "expire_snapshots", "compact", "tag", "set_sort_order")
+
+  def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "rollback" => Some(new GraftProcedure(catalog, "rollback",
+        Seq("table" -> StringType, "version" -> LongType),
+        StructType(Seq(StructField("new_head", LongType, nullable = false))),
+        (c, in) => Seq(Long.box(c.rollbackTo(tableIdent(str(in, 0)), in.getLong(1))))))
+      case "expire_snapshots" => Some(new GraftProcedure(catalog, "expire_snapshots",
+        Seq("table" -> StringType, "retain_last" -> IntegerType),
+        StructType(Seq(StructField("deleted_files", IntegerType, nullable = false))),
+        (c, in) => Seq(Int.box(
+          c.expireSnapshots(tableIdent(str(in, 0)), in.getInt(1)).size))))
+      case "compact" => Some(new GraftProcedure(catalog, "compact",
+        Seq("table" -> StringType),
+        StructType(Seq(StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false))),
+        (c, in) => {
+          val (b, a) = c.compactTable(tableIdent(str(in, 0)),
+            org.apache.spark.sql.SparkSession.active)
+          Seq(Int.box(b), Int.box(a))
+        }))
+      case "tag" => Some(new GraftProcedure(catalog, "tag",
+        Seq("table" -> StringType, "name" -> StringType),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        (c, in) => Seq(Long.box(
+          c.tagVersion(tableIdent(str(in, 0)), str(in, 1))))))
+      case "set_sort_order" => Some(new GraftProcedure(catalog, "set_sort_order",
+        Seq("table" -> StringType, "column" -> StringType),
+        StructType(Seq(StructField("sort_column", StringType, nullable = false))),
+        (c, in) => {
+          c.setSortOrder(tableIdent(str(in, 0)), str(in, 1))
+          Seq(UTF8String.fromString(str(in, 1)))
+        }))
+      case _ => None
+    }
+}

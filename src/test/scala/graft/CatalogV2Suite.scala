@@ -832,6 +832,43 @@ class CatalogV2Suite extends SparkSuiteBase {
     assert(!v1.queryExecution.executedPlan.toString.contains("HashAggregate"))
   }
 
+  test("SQL CALL procedures drive the whole maintenance surface") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.pr")
+    spark.sql("DROP TABLE IF EXISTS testcat.pr.t")
+    spark.sql("CREATE TABLE testcat.pr.t AS SELECT id AS k, CONCAT('v', id) AS v FROM RANGE(40)")
+    spark.sql("INSERT INTO testcat.pr.t SELECT id, CONCAT('v', id) FROM RANGE(40, 60)")
+
+    val tagged = spark.sql("CALL testcat.system.tag('pr.t', 'keep')")
+      .collect().head.getLong(0)
+    // k >= 35 hits a PARTIAL file → the delete writes a rewrite file
+    // that only the delete's version references (expiry bait below)
+    spark.sql("DELETE FROM testcat.pr.t WHERE k >= 35")
+    assert(spark.table("testcat.pr.t").count() == 35)
+
+    val newHead = spark.sql(s"CALL testcat.system.rollback('pr.t', $tagged)")
+      .collect().head.getLong(0)
+    assert(newHead > tagged, "rollback must publish a NEW version")
+    assert(spark.table("testcat.pr.t").count() == 60,
+      "CALL rollback did not restore the tagged state")
+
+    spark.sql("CALL testcat.system.set_sort_order('pr.t', 'k')")
+    val c = spark.sql("CALL testcat.system.compact('pr.t')").collect().head
+    assert(c.getInt(1) <= c.getInt(0), s"compact grew files: $c")
+
+    val deleted = spark.sql("CALL testcat.system.expire_snapshots('pr.t', 1)")
+      .collect().head.getInt(0)
+    assert(deleted > 0, "expiry after a delete+rollback+compact should reclaim files")
+    // the tag pinned its version through the CALLed expiry
+    assert(spark.sql("SELECT COUNT(*) FROM testcat.pr.t VERSION AS OF 'keep'")
+      .collect().head.getLong(0) == 60)
+    assert(spark.table("testcat.pr.t").count() == 60)
+
+    // guard rails: unknown procedure name / wrong namespace fail loudly
+    intercept[Exception](spark.sql("CALL testcat.system.no_such_proc('pr.t')").collect())
+    intercept[Exception](spark.sql("CALL testcat.pr.rollback('pr.t', 1)").collect())
+  }
+
   test("compactTable rejects a session whose catalog name is a different instance") {
     wh
     import org.apache.spark.sql.connector.catalog.Identifier
