@@ -238,6 +238,17 @@ class AvroDirTable(path: String, tableSchema: StructType,
   }
   private def readViewNames(): Seq[String] = readView().map(_.getName)
 
+  /** Resolve a column name to its recorded stats in one file's parsed
+    * stats map, following the rename-alias chain (stats were recorded
+    * under the name current at write time) — shared by the scan's file
+    * pruning, the aggregate pushdown, and DELETE's candidate pruning. */
+  private def resolveStats(st: Map[String, AvroStats.ColStats])(
+      a: String): Option[AvroStats.ColStats] =
+    tableSchema.fields.find(_.name.equalsIgnoreCase(a)).flatMap { fld =>
+      (fld.name +: AvroDirSource.aliasesOf(fld)).iterator
+        .flatMap(st.get).nextOption()
+    }
+
   // ---- metadata columns + row-level operations (UPDATE / MERGE) ----
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
@@ -321,12 +332,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
           view.filter { f =>
             val st = statsJson.get(f.getName).map(AvroStats.parse)
               .getOrElse(Map.empty[String, AvroStats.ColStats])
-            val resolve: String => Option[AvroStats.ColStats] = a =>
-              tableSchema.fields.find(_.name.equalsIgnoreCase(a)).flatMap {
-                fld => (fld.name +: AvroDirSource.aliasesOf(fld)).iterator
-                  .flatMap(st.get).nextOption()
-              }
-            AvroStats.fileMightMatch(pushed.toSeq, f.getName, resolve)
+            AvroStats.fileMightMatch(pushed.toSeq, f.getName, resolveStats(st))
           }
         }
 
@@ -348,10 +354,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
 
       private def statsColumn(fileStats: Map[String, AvroStats.ColStats],
           name: String): Option[AvroStats.ColStats] =
-        tableSchema.fields.find(_.name.equalsIgnoreCase(name)).flatMap {
-          fld => (fld.name +: AvroDirSource.aliasesOf(fld)).iterator
-            .flatMap(fileStats.get).nextOption()
-        }
+        resolveStats(fileStats)(name)
       private def colRef(
           e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
         e match {
@@ -553,33 +556,47 @@ class AvroDirTable(path: String, tableSchema: StructType,
       // write: a concurrent append committing mid-DELETE would
       // otherwise be dropped from the DELETE's manifest (lost update)
       AvroSnapshots.withCommitLock(path) {
+        val prev = AvroSnapshots.latest(path)
         val names = readViewNames()
         if (names.nonEmpty) {
+          val prevParts = prev.map(_.parts).getOrElse(Map.empty[String, Int])
+          val prevStats = prev.map(_.stats).getOrElse(Map.empty[String, String])
+          // Manifest-stats candidate pruning (the same skip the batch
+          // scan does): a file whose recorded intervals prove the
+          // predicate can never be TRUE holds no deletable row — it is
+          // carried into the next manifest UNREAD. At 100 TB this is
+          // what makes a one-key DELETE cost O(matching files), not a
+          // full-table read; files without stats stay candidates.
+          val (candidates, skipped) = names.partition { n =>
+            val st = prevStats.get(n).map(AvroStats.parse)
+              .getOrElse(Map.empty[String, AvroStats.ColStats])
+            AvroStats.fileMightMatch(filters.toSeq, n, resolveStats(st))
+          }
           val dirPath = path
           val jobId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
           val outcome: Array[(String, Option[(String, Option[String])])] =
-            spark.sparkContext
-              .parallelize(names, math.min(names.size, 32))
+            if (candidates.isEmpty) Array.empty
+            else spark.sparkContext
+              .parallelize(candidates, math.min(candidates.size, 32))
               .map(n =>
                 n -> AvroFilterEval.rewriteVersioned(dirPath, n, schema, filters, jobId))
               .collect()
           // a rewrite holds a SUBSET of its original's rows, so it inherits
           // the original's bucket — grouped scans stay grouped after DELETE
-          val prev = AvroSnapshots.latest(path)
-          val prevParts = prev.map(_.parts).getOrElse(Map.empty[String, Int])
-          val prevStats = prev.map(_.stats).getOrElse(Map.empty[String, String])
-          val parts = outcome.toSeq.flatMap { case (orig, kept) =>
-            kept.flatMap { case (k, _) => prevParts.get(orig).map(k -> _) }
-          }.toMap
+          val parts = skipped.flatMap(n => prevParts.get(n).map(n -> _)).toMap ++
+            outcome.toSeq.flatMap { case (orig, kept) =>
+              kept.flatMap { case (k, _) => prevParts.get(orig).map(k -> _) }
+            }.toMap
           // untouched files keep their recorded stats; rewrites carry the
           // fresh exact stats their task computed
-          val stats = outcome.toSeq.flatMap { case (orig, kept) =>
-            kept.flatMap { case (k, st) =>
-              st.orElse(if (k == orig) prevStats.get(orig) else None).map(k -> _)
-            }
-          }.toMap
+          val stats = skipped.flatMap(n => prevStats.get(n).map(n -> _)).toMap ++
+            outcome.toSeq.flatMap { case (orig, kept) =>
+              kept.flatMap { case (k, st) =>
+                st.orElse(if (k == orig) prevStats.get(orig) else None).map(k -> _)
+              }
+            }.toMap
           AvroSnapshots.record(path, schema,
-            outcome.flatMap(_._2.map(_._1)).sorted.toSeq, parts, stats)
+            (skipped ++ outcome.flatMap(_._2.map(_._1))).sorted, parts, stats)
           ()
         }
       }

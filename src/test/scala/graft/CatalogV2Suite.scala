@@ -832,6 +832,52 @@ class CatalogV2Suite extends SparkSuiteBase {
     assert(!v1.queryExecution.executedPlan.toString.contains("HashAggregate"))
   }
 
+  test("DELETE prunes candidate files via manifest stats") {
+    wh
+    val sp = skipSession
+    import org.apache.spark.sql.connector.catalog.Identifier
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS testcat.dskip")
+    sp.sql("DROP TABLE IF EXISTS testcat.dskip.t")
+    sp.sql("CREATE TABLE testcat.dskip.t (k BIGINT, v STRING)")
+    catalogOf(sp).setSortOrder(Identifier.of(Array("dskip"), "t"), "k")
+    sp.sql("INSERT INTO testcat.dskip.t SELECT id, CONCAT('v', id) FROM RANGE(4000)")
+    val dirp = s"$wh/dskip/t"
+    val files = graft.sources.AvroSnapshots.latest(dirp).get.files.size
+    assert(files > 1)
+
+    // count the rewrite job's tasks: with disjoint per-file intervals a
+    // tail-range DELETE must read exactly the files that can match
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        if (ss.properties != null &&
+            "graft-delete-skip" == ss.properties.getProperty("spark.jobGroup.id"))
+          tasks.addAndGet(ss.stageInfo.numTasks.toLong)
+    }
+    sp.sparkContext.addSparkListener(listener)
+    try {
+      sp.sparkContext.setJobGroup("graft-delete-skip", "delete pruning probe")
+      sp.sql("DELETE FROM testcat.dskip.t WHERE k >= 3900")
+      sp.sparkContext.clearJobGroup()
+      Thread.sleep(1500) // listener bus is async
+      assert(sp.table("testcat.dskip.t").count() == 3900)
+      assert(tasks.get() < files,
+        s"DELETE read ${tasks.get()} files of $files — stats did not prune candidates")
+      assert(tasks.get() >= 1, "expected at least the matching file's task")
+
+      // a provably-no-match DELETE runs ZERO tasks and changes nothing
+      tasks.set(0)
+      sp.sparkContext.setJobGroup("graft-delete-skip", "no-match delete probe")
+      sp.sql("DELETE FROM testcat.dskip.t WHERE k < 0")
+      sp.sparkContext.clearJobGroup()
+      Thread.sleep(1500)
+      assert(tasks.get() == 0,
+        s"no-match DELETE still launched ${tasks.get()} tasks")
+      assert(sp.table("testcat.dskip.t").count() == 3900)
+    } finally sp.sparkContext.removeSparkListener(listener)
+  }
+
   test("SQL CALL procedures drive the whole maintenance surface") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.pr")
