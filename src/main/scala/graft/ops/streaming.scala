@@ -469,7 +469,54 @@ object Streaming {
       .orderBy("o_orderstatus")
   }
 
+  /** Rate-limited lakehouse-table streaming (Delta's maxFilesPerTrigger,
+    * round 14): the versioned table is built in FIVE commits, and the
+    * stream drains it under `maxFilesPerTrigger=2` — each micro-batch
+    * admits whole VERSIONS until the next would exceed two added files
+    * (a batch never splits a commit, so exactly-once is untouched;
+    * always ≥ 1 version admitted so one oversized commit can't stall
+    * the stream). AvailableNow snapshots the backlog end at start and
+    * drains it in MULTIPLE bounded batches (the builder asserts > 2
+    * offset-log entries — the rate limit demonstrably engaged). At
+    * 100 TB this is what keeps a restarted backfill from reading a
+    * million files in one trigger. Output aggregates the drained rows;
+    * the oracle re-derives them from customer directly. */
+  private def streamTableRatelimit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Graftcat.register(s)
+    T(s, dir, "customer").createOrReplaceTempView("graft_rate_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.cust_rate")
+    s.sql("""CREATE TABLE graftcat.lake.cust_rate
+            |(c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE)""".stripMargin)
+    for (i <- 0 until 5)
+      s.sql(s"""INSERT INTO graftcat.lake.cust_rate
+               |SELECT c_custkey, c_nationkey, c_acctbal FROM graft_rate_src
+               |WHERE c_custkey % 5 = $i""".stripMargin)
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val root = GraftTmp.dir(s"stream_rate_$tag")
+    val q = s.readStream
+      .option("maxFilesPerTrigger", "2")
+      .table("graftcat.lake.cust_rate")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the rate limit must have engaged: several bounded batches, not one
+    val offsets = Option(new java.io.File(s"$root/cp/offsets").listFiles())
+      .map(_.count(!_.getName.startsWith("."))).getOrElse(0)
+    require(offsets > 2,
+      s"maxFilesPerTrigger did not split the drain: $offsets offset entries")
+    s.read.parquet(s"$root/out")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), sum("c_custkey").as("sum_key"),
+        sumMoneyD(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_table_ratelimit" -> (streamTableRatelimit _),
     "stream_table_source" -> (streamTableSource _),
     "stream_custom_source" -> (streamCustomSource _),
     "stream_custom_sink" -> (streamCustomSink _),
@@ -488,6 +535,11 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_table_ratelimit" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "stream_table_source" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,

@@ -495,7 +495,8 @@ class AvroDirTable(path: String, tableSchema: StructType,
         require(versioned && pinned.isEmpty,
           "streaming read is only supported on versioned (catalog) tables")
         new AvroVersionStream(path, required,
-          options.getBoolean("skipChangeVersions", false))
+          options.getBoolean("skipChangeVersions", false),
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt))
       }
 
       // Feed the cost model: without reported statistics a DSv2 scan
@@ -1023,17 +1024,67 @@ class AvroStreamingWriterFactory(path: String, schema: StructType)
   * directory is millions of files and the manifest IS the index.
   */
 class AvroVersionStream(path: String, required: StructType,
-    skipChangeVersions: Boolean = false)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    skipChangeVersions: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private def filesAt(v: Long): Set[String] =
     if (v < 0) Set.empty
     else AvroSnapshots.load(path, v).map(_.files.toSet).getOrElse(Set.empty)
 
-  override def initialOffset(): Offset = AvroVersionOffset(-1L)
-  override def latestOffset(): Offset =
+  // ---- admission control (the maxFilesPerTrigger rate limit) ----
+  //
+  // A restarted stream over a long-lived table would otherwise read the
+  // ENTIRE backlog in one micro-batch — at 100 TB that is millions of
+  // files in one trigger. With `maxFilesPerTrigger=n` each batch admits
+  // whole VERSIONS until the next one would exceed n added files
+  // (versions are the offset unit, so a batch never splits a commit —
+  // exactly-once stays trivially intact), always admitting at least one
+  // version so a single oversized commit cannot stall the stream (the
+  // same progress rule Delta's option follows). Trigger.AvailableNow
+  // snapshots the backlog end at query start and drains it in multiple
+  // bounded batches.
+  private var availableNowTarget: Long = -2L // -2 = live (not AvailableNow)
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = AvroSnapshots.versions(path).lastOption.getOrElse(-1L)
+  private def targetVersion(): Long =
+    if (availableNowTarget >= -1L) availableNowTarget
+    else AvroSnapshots.versions(path).lastOption.getOrElse(-1L)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[AvroVersionOffset].version
+    val tgt = targetVersion()
+    limit match {
+      case mf: ReadMaxFiles =>
+        var admitted = 0L
+        var prev = filesAt(s)
+        var end = s
+        val it = AvroSnapshots.versions(path).iterator
+          .filter(v => v > s && v <= tgt)
+        var stop = false
+        while (it.hasNext && !stop) {
+          val v = it.next()
+          val cur = filesAt(v)
+          val add = cur.diff(prev).size.toLong
+          if (end > s && admitted + add > mf.maxFiles()) stop = true
+          else { admitted += add; prev = cur; end = v }
+        }
+        AvroVersionOffset(end)
+      case _ => AvroVersionOffset(tgt)
+    }
+  }
+  override def reportLatestOffset(): Offset =
     AvroVersionOffset(AvroSnapshots.versions(path).lastOption.getOrElse(-1L))
+
+  override def initialOffset(): Offset = AvroVersionOffset(-1L)
+  override def latestOffset(): Offset = AvroVersionOffset(targetVersion())
   override def deserializeOffset(json: String): Offset =
     AvroVersionOffset(json.trim.toLong)
 

@@ -832,6 +832,39 @@ class CatalogV2Suite extends SparkSuiteBase {
     assert(!v1.queryExecution.executedPlan.toString.contains("HashAggregate"))
   }
 
+  test("streaming read admission control: maxFilesPerTrigger bounds each batch") {
+    wh
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.adm")
+    spark.sql("DROP TABLE IF EXISTS testcat.adm.t")
+    spark.sql("CREATE TABLE testcat.adm.t (k BIGINT)")
+    // 6 commits → a backlog of 6 versions, several files each
+    for (i <- 0 until 6)
+      spark.sql(s"INSERT INTO testcat.adm.t SELECT id FROM RANGE(${i * 10}, ${i * 10 + 10})")
+    val root = java.nio.file.Files.createTempDirectory("graft_adm_stream").toString
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "2")
+      .table("testcat.adm.t")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the full backlog drained — in MULTIPLE bounded batches, not one
+    assert(spark.read.parquet(s"$root/out").count() == 60)
+    val offsets = Option(new java.io.File(s"$root/cp/offsets").listFiles())
+      .map(_.count(!_.getName.startsWith("."))).getOrElse(0)
+    assert(offsets > 2,
+      s"expected several rate-limited batches, offset log has $offsets entries")
+    // un-limited drain of the same table: one batch takes everything
+    val root2 = java.nio.file.Files.createTempDirectory("graft_adm2").toString
+    val q2 = spark.readStream.table("testcat.adm.t")
+      .writeStream.format("parquet")
+      .option("path", s"$root2/out").option("checkpointLocation", s"$root2/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$root2/out").count() == 60)
+  }
+
   test("DELETE prunes candidate files via manifest stats") {
     wh
     val sp = skipSession
