@@ -247,6 +247,9 @@ class AvroDirTable(path: String, tableSchema: StructType,
     tableSchema.fields.find(_.name.equalsIgnoreCase(a)).flatMap { fld =>
       (fld.name +: AvroDirSource.aliasesOf(fld)).iterator
         .flatMap(st.get).nextOption()
+        // schema-less parse → column-typed bounds (NaN/Inf sentinels
+        // become doubles again for DOUBLE columns)
+        .map(AvroStats.coerce(_, fld.dataType))
     }
 
   // ---- metadata columns + row-level operations (UPDATE / MERGE) ----
@@ -351,6 +354,10 @@ class AvroDirTable(path: String, tableSchema: StructType,
       // a function/type isn't exactly answerable — Spark then plans
       // the normal scan + aggregate.
       private var aggResult: Option[(StructType, Seq[Any])] = None
+      // Spark calls supportCompletePushDown then pushAggregation with
+      // the SAME Aggregation — plan once, reuse by reference
+      private var plannedFor: AnyRef = null
+      private var plannedResult: Option[(StructType, Seq[Any])] = None
 
       private def statsColumn(fileStats: Map[String, AvroStats.ColStats],
           name: String): Option[AvroStats.ColStats] =
@@ -376,14 +383,15 @@ class AvroDirTable(path: String, tableSchema: StructType,
           : Option[(StructType, Seq[Any])] = {
         import org.apache.spark.sql.connector.expressions.aggregate._
         if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
-        // every in-view file must carry row-counted stats
+        // every in-view file must carry row-counted stats (one JSON
+        // parse per file — this fold runs at plan time over O(files))
         val statsJson = snap.map(_.stats).getOrElse(Map.empty)
         val perFile: Seq[(Long, Map[String, AvroStats.ColStats])] =
           view.map { f =>
             statsJson.get(f.getName) match {
-              case Some(js) => AvroStats.rowCount(js) match {
-                case Some(n) => (n, AvroStats.parse(js))
-                case None    => return None
+              case Some(js) => AvroStats.parseWithRows(js) match {
+                case (Some(n), cols) => (n, cols)
+                case (None, _)       => return None
               }
               case None => return None
             }
@@ -428,12 +436,21 @@ class AvroDirTable(path: String, tableSchema: StructType,
           results.flatten.map(_._2)))
       }
 
+      private def planned(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Option[(StructType, Seq[Any])] = {
+        if (!(plannedFor eq agg)) {
+          plannedResult = planAggregation(agg)
+          plannedFor = agg
+        }
+        plannedResult
+      }
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-        planAggregation(agg).isDefined
+        planned(agg).isDefined
       override def pushAggregation(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-        planAggregation(agg) match {
+        planned(agg) match {
           case Some((schema, row)) =>
             aggResult = Some((schema, row))
             required = schema
@@ -449,7 +466,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
         * present identical partition-value sets to the SPJ planner. */
       private lazy val groups: Option[Seq[(Int, Seq[File])]] =
         partSpec.filter(_.transform == "bucket").flatMap { spec =>
-          val parts = snap.map(_.parts).getOrElse(Map.empty[String, Int])
+          val parts = snap.map(_.parts).getOrElse(Map.empty[String, Long])
           if (prunedView.forall(f => parts.contains(f.getName)))
             Some((0 until spec.n).map(b =>
               b -> prunedView.filter(f => parts(f.getName) == b)))
@@ -511,9 +528,14 @@ class AvroDirTable(path: String, tableSchema: StructType,
       // catalog serves.
       override def estimateStatistics(): Statistics = new Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
-          java.util.OptionalLong.of(
+          // a completely-pushed-down aggregate emits exactly ONE row —
+          // report that, not the table's bytes, so Catalyst can
+          // broadcast the genuinely tiny side
+          if (aggResult.isDefined) java.util.OptionalLong.of(256L)
+          else java.util.OptionalLong.of(
             math.max(1L, prunedView.map(_.length()).sum))
         override def numRows(): java.util.OptionalLong = {
+          if (aggResult.isDefined) return java.util.OptionalLong.of(1L)
           val statsJson = snap.map(_.stats).getOrElse(Map.empty)
           val counts = prunedView.map(f =>
             statsJson.get(f.getName).flatMap(AvroStats.rowCount))
@@ -560,7 +582,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
         val prev = AvroSnapshots.latest(path)
         val names = readViewNames()
         if (names.nonEmpty) {
-          val prevParts = prev.map(_.parts).getOrElse(Map.empty[String, Int])
+          val prevParts = prev.map(_.parts).getOrElse(Map.empty[String, Long])
           val prevStats = prev.map(_.stats).getOrElse(Map.empty[String, String])
           // Manifest-stats candidate pruning (the same skip the batch
           // scan does): a file whose recorded intervals prove the
@@ -669,7 +691,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
             }
           }
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
-            val entries: Seq[(String, Option[Int], Option[String])] =
+            val entries: Seq[(String, Option[Long], Option[String])] =
               messages.toSeq.flatMap {
                 case AvroCommit(f, b, st) => Seq((f, b, st))
                 case AvroBucketedCommit(fs) =>
@@ -689,7 +711,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
                 if (f.getName.contains(jobId) && !committed(f.getAbsolutePath))
                   f.delete()
               }
-              val mineParts: Map[String, Int] = entries.collect {
+              val mineParts: Map[String, Long] = entries.collect {
                 case (f, Some(b), _) => new File(f).getName -> b
               }.toMap
               val mineStats: Map[String, String] = entries.collect {
@@ -700,7 +722,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
                 val prev = AvroSnapshots.latest(path)
                 val prevFiles = if (doTruncate) Nil else readViewNames()
                 val prevParts =
-                  if (doTruncate) Map.empty[String, Int]
+                  if (doTruncate) Map.empty[String, Long]
                   else prev.map(_.parts).getOrElse(Map.empty)
                 val prevStats =
                   if (doTruncate) Map.empty[String, String]
@@ -765,7 +787,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
                   val prevSnap = AvroSnapshots.latest(path)
                   val prev = readViewNames()
                   val prevParts = prevSnap.map(_.parts)
-                    .getOrElse(Map.empty[String, Int])
+                    .getOrElse(Map.empty[String, Long])
                   // a replayed epoch's file stats OVERWRITE the prior
                   // epoch attempt's (same names, same rows — idempotent)
                   val prevStats = prevSnap.map(_.stats)
@@ -806,9 +828,12 @@ case class PartSpec(transform: String, n: Int, column: String) {
   /** The storage-partition value for a column value — shared by the
     * clustered writer and the V2 SQL functions so placement and SQL can
     * never disagree. */
-  def partValue(x: Long): Int = transform match {
-    case "bucket" => val m = (x % n).toInt; if (m < 0) m + n else m
-    case "truncate" => Math.toIntExact(Math.floorDiv(x, n) * n)
+  def partValue(x: Long): Long = transform match {
+    case "bucket" => val m = x % n; if (m < 0) m + n else m
+    // Long on purpose: truncate of an epoch-scale BIGINT key exceeds
+    // Int range (Iceberg's truncate keeps the source type for the same
+    // reason); bucket values always fit but share the Long domain
+    case "truncate" => Math.floorDiv(x, n) * n
   }
 }
 
@@ -835,12 +860,12 @@ case class AvroBucketGroupSplit(files: Seq[String], bucket: Int)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
-case class AvroCommit(file: String, bucket: Option[Int] = None,
+case class AvroCommit(file: String, bucket: Option[Long] = None,
     stats: Option[String] = None)
     extends WriterCommitMessage
 /** One task's per-partition-value files from a clustered write:
   * (file, partition value, column-stats JSON). */
-case class AvroBucketedCommit(files: Seq[(String, Int, Option[String])])
+case class AvroBucketedCommit(files: Seq[(String, Long, Option[String])])
     extends WriterCommitMessage
 
 /** Decodes each container against its OWN embedded writer schema,
@@ -976,7 +1001,7 @@ class AvroClusteredWriterFactory(path: String, schema: StructType,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val open =
-        scala.collection.mutable.Map.empty[Int, AvroFileWriter]
+        scala.collection.mutable.Map.empty[Long, AvroFileWriter]
       private val isInt =
         schema.fields(colIdx).dataType == IntegerType
       override def write(row: InternalRow): Unit = {

@@ -47,7 +47,7 @@ object AvroSnapshots {
     * data skipping; absent for files written before stats existed. */
   case class Snapshot(version: Long, timestampMs: Long,
       schema: StructType, files: Seq[String],
-      parts: Map[String, Int] = Map.empty,
+      parts: Map[String, Long] = Map.empty,
       stats: Map[String, String] = Map.empty)
 
   private def versionsDir(path: String) = new File(path, "_versions")
@@ -76,7 +76,7 @@ object AvroSnapshots {
       val entries = lines.drop(2).filter(_.nonEmpty).map { l =>
         val fields = l.split("\t", 3)
         (fields(0),
-          fields.lift(1).filter(_.nonEmpty).flatMap(_.toIntOption),
+          fields.lift(1).filter(_.nonEmpty).flatMap(_.toLongOption),
           fields.lift(2).filter(_.nonEmpty))
       }
       Some(Snapshot(v, lines.head.toLong,
@@ -114,7 +114,7 @@ object AvroSnapshots {
     * Call inside [[withCommitLock]] whenever `files` was derived from
     * the current view (every read-modify-write commit). */
   def record(path: String, schema: StructType, files: Seq[String],
-      parts: Map[String, Int] = Map.empty,
+      parts: Map[String, Long] = Map.empty,
       stats: Map[String, String] = Map.empty): Long = {
     versionsDir(path).mkdirs()
     val fileLines = files.map { n =>

@@ -40,14 +40,14 @@ object AvroStats {
     * to Long (int/long), Double, Boolean or String. */
   case class ColStats(min: Option[Any], max: Option[Any], nulls: Long)
 
-  /** Streaming min/max/null-count accumulator for one file's rows —
-    * updated per field by the Avro writer as it encodes. */
   /** Reserved stats-JSON key carrying the file's ROW COUNT — what makes
     * COUNT(*)/COUNT(col) answerable from the manifest alone. Not a
     * legal column name shape for the fixtures' SQL surface, and the
     * parser routes it to [[rowCount]], never to a ColStats. */
   val RowCountKey = "_n"
 
+  /** Streaming min/max/null-count accumulator for one file's rows —
+    * updated per field by the Avro writer as it encodes. */
   final class StatsCollector(schema: StructType) {
     private val nulls = new Array[Long](schema.length)
     private val mins = new Array[Any](schema.length)
@@ -63,6 +63,10 @@ object AvroStats {
       if (v == null) { nulls(i) += 1; return }
       val n = v match {
         case x: java.lang.Integer => Long.box(x.longValue) // normalize int → long
+        // -0.0 == 0.0 in Spark's comparison semantics but not in
+        // Double.compare: normalize so bounds can never exclude the
+        // equal-by-engine value
+        case x: java.lang.Double if x.doubleValue == 0.0 => Double.box(0.0)
         case other                => other
       }
       if (mins(i) == null) { mins(i) = n; maxs(i) = n }
@@ -95,13 +99,56 @@ object AvroStats {
       }
     } catch { case _: Exception => None }
 
+  /** One-parse combination of [[rowCount]] + [[parse]] for callers that
+    * need both per file (aggregate pushdown folds O(files) of these at
+    * plan time — don't parse the JSON twice). */
+  def parseWithRows(json: String): (Option[Long], Map[String, ColStats]) =
+    try {
+      JsonMethods.parse(json) match {
+        case JObject(fields) =>
+          val rows = fields.collectFirst {
+            case (RowCountKey, JLong(n)) => n
+            case (RowCountKey, JInt(n))  => n.longValue
+          }
+          val cols = fields.collect {
+            case (name, JArray(List(mn, mx, nc))) =>
+              val nulls = nc match {
+                case JLong(x) => x
+                case JInt(x)  => x.longValue
+                case _        => 0L
+              }
+              name -> ColStats(fromJValue(mn), fromJValue(mx), nulls)
+          }.toMap
+          (rows, cols)
+        case _ => (None, Map.empty)
+      }
+    } catch { case _: Exception => (None, Map.empty) }
+
   private def toJValue(v: Any): JValue = v match {
     case null                 => JNull
     case x: java.lang.Long    => JLong(x)
-    case x: java.lang.Double  => JDouble(x)
+    case x: java.lang.Double  =>
+      // NaN/Infinity are not JSON numbers (jackson would quote them
+      // inconsistently) — encode as sentinel strings; [[coerce]] maps
+      // them back for DOUBLE columns at use time
+      if (x.isNaN || x.isInfinite) JString(x.toString) else JDouble(x)
     case x: java.lang.Boolean => JBool(x)
     case x: String            => JString(x)
     case other                => JString(other.toString)
+  }
+
+  /** Re-type a parsed bound by the column's Spark type — the parse is
+    * schema-less, so special doubles (NaN/Infinity sentinels) come back
+    * as strings until the caller names the column type. A STRING column
+    * whose values literally say "NaN" is untouched. */
+  def coerce(cs: ColStats, dt: DataType): ColStats = {
+    def fix(v: Option[Any]): Option[Any] = v.map {
+      case s: String if dt == DoubleType &&
+          (s == "NaN" || s == "Infinity" || s == "-Infinity") =>
+        Double.box(s.toDouble)
+      case o => o
+    }
+    if (dt == DoubleType) ColStats(fix(cs.min), fix(cs.max), cs.nulls) else cs
   }
 
   private def fromJValue(v: JValue): Option[Any] = v match {
@@ -138,8 +185,12 @@ object AvroStats {
   def cmpBounds(a: Any, b: Any): Int = cmp(a, b)
 
   /** Same widened comparison discipline as [[AvroFilterEval]]: numerics
-    * compare as long unless a double is involved; strings/booleans
-    * natively. Both sides non-null. */
+    * compare as long unless a double is involved; booleans natively;
+    * strings by CODE POINT (= UTF-8 binary order, which is what Spark's
+    * UTF8String comparisons use — Java's UTF-16 compareTo disagrees for
+    * supplementary-plane characters vs [U+E000, U+FFFF], and a pruning
+    * order that disagrees with the engine's can wrongly skip a file).
+    * Both sides non-null. */
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: java.lang.Number, y: java.lang.Number) =>
       if (x.isInstanceOf[java.lang.Double] || y.isInstanceOf[java.lang.Double] ||
@@ -147,7 +198,25 @@ object AvroStats {
         java.lang.Double.compare(x.doubleValue, y.doubleValue)
       else java.lang.Long.compare(x.longValue, y.longValue)
     case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
-    case (x, y) => x.toString.compareTo(y.toString)
+    case (x: String, y: String) => cmpCodePoints(x, y)
+    case (x, y) => cmpCodePoints(x.toString, y.toString)
+  }
+
+  /** UTF-16 order remapped to code-point order: chars in
+    * [U+E000, U+FFFF] sort ABOVE surrogate pairs in UTF-16 but BELOW
+    * them by code point; shifting both ranges restores code-point
+    * order char-by-char (the standard UTF-8-compatible compare). */
+  private def cmpCodePoints(a: String, b: String): Int = {
+    def adj(c: Char): Int =
+      if (c >= 0xE000) c - 0x800 else if (c >= 0xD800) c + 0x2000 else c.toInt
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i); val cb = b.charAt(i)
+      if (ca != cb) return Integer.compare(adj(ca), adj(cb))
+      i += 1
+    }
+    Integer.compare(a.length, b.length)
   }
 
   /** Normalize a pushed-filter literal into the stats value domain. */
@@ -155,7 +224,9 @@ object AvroStats {
     case i: java.lang.Integer   => Long.box(i.longValue)
     case s: java.lang.Short     => Long.box(s.longValue)
     case b: java.lang.Byte      => Long.box(b.longValue)
-    case f: java.lang.Float     => Double.box(f.doubleValue)
+    case d: java.lang.Double if d.doubleValue == 0.0 => Double.box(0.0)
+    case f: java.lang.Float     =>
+      if (f.floatValue == 0.0f) Double.box(0.0) else Double.box(f.doubleValue)
     case d: java.sql.Date       => d.toString
     case t: java.sql.Timestamp  => t.toString
     case u: org.apache.spark.unsafe.types.UTF8String => u.toString

@@ -134,10 +134,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val schema = DataType.fromJson(new String(
       Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
       .asInstanceOf[StructType]
-    require(schema.fieldNames.contains(column),
-      s"sort column $column is not a column of ${ident.name}")
+    // case-insensitive like every other resolution path; persist the
+    // schema's canonical spelling so later guards compare exactly
+    val canonical = schema.fields.map(_.name)
+      .find(_.equalsIgnoreCase(column)).getOrElse(
+        throw new IllegalArgumentException(
+          s"sort column $column is not a column of ${ident.name}"))
     Files.write(sortFile(dir).toPath,
-      s"""{"column":"$column"}""".getBytes(StandardCharsets.UTF_8))
+      s"""{"column":"$canonical"}""".getBytes(StandardCharsets.UTF_8))
     ()
   }
 
@@ -616,15 +620,17 @@ object GraftTruncateFunction extends UnboundFunction {
 }
 
 /** Bound truncate over a BIGINT value column (named public class — see
-  * [[GraftBucketScalar]] for why). */
-class GraftTruncateLongScalar extends ScalarFunction[Integer] {
+  * [[GraftBucketScalar]] for why). Returns BIGINT: truncate of an
+  * epoch-scale key exceeds Int range — the result keeps the source
+  * type, like Iceberg's truncate. */
+class GraftTruncateLongScalar extends ScalarFunction[java.lang.Long] {
   override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
-  override def resultType(): DataType = IntegerType
+  override def resultType(): DataType = LongType
   override def name(): String = "truncate"
   override def canonicalName(): String = "graft.truncate"
   override def isResultNullable: Boolean = false
-  def invoke(w: Int, x: Long): Int = Math.toIntExact(Math.floorDiv(x, w) * w)
-  override def produceResult(input: InternalRow): Integer =
+  def invoke(w: Int, x: Long): Long = Math.floorDiv(x, w) * w
+  override def produceResult(input: InternalRow): java.lang.Long =
     invoke(input.getInt(0), input.getLong(1))
 }
 

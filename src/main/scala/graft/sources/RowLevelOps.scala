@@ -148,7 +148,7 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
                 // files are unclustered (a bucketed table's scan soundly
                 // downgrades to ungrouped until a clustered rewrite)
                 val prev = AvroSnapshots.latest(path)
-                val prevParts = prev.map(_.parts).getOrElse(Map.empty[String, Int])
+                val prevParts = prev.map(_.parts).getOrElse(Map.empty[String, Long])
                 val prevStats = prev.map(_.stats).getOrElse(Map.empty[String, String])
                 AvroSnapshots.record(path, tableSchema, next,
                   prevParts.filter { case (n, _) => retained.contains(n) },

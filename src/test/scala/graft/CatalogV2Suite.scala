@@ -630,7 +630,7 @@ class CatalogV2Suite extends SparkSuiteBase {
     val snap = graft.sources.AvroSnapshots.latest(dirp).get
     assert(snap.files.nonEmpty && snap.files.forall(snap.parts.contains),
       "truncate write did not record placement for every file")
-    assert(snap.parts.values.toSet.subsetOf(Set(0, 7, 14, 21, 28)),
+    assert(snap.parts.values.toSet.subsetOf(Set[Long](0, 7, 14, 21, 28)),
       s"placement values are not week starts: ${snap.parts.values.toSet}")
     assert(snap.parts.values.toSet.size == 5, "expected 5 distinct weeks")
 
@@ -647,6 +647,10 @@ class CatalogV2Suite extends SparkSuiteBase {
       .head.getInt(0) == 21)
     assert(sp.sql("SELECT testcat.days.truncate(7, CAST(-3 AS INT))").collect()
       .head.getInt(0) == -7, "floored truncate must round negatives down")
+    // BIGINT flavor keeps the source type — epoch-scale VALUES overflow
+    // Int (the width is a granularity and stays INT)
+    assert(sp.sql("SELECT testcat.days.truncate(1000000, CAST(1723700000123456 AS BIGINT))")
+      .collect().head.getLong(0) == 1723700000000000L)
   }
 
   test("functions under an unknown namespace do not resolve") {
@@ -655,7 +659,7 @@ class CatalogV2Suite extends SparkSuiteBase {
       spark.sql("SELECT testcat.no_such_ns.bucket(8, CAST(5 AS BIGINT))").collect())
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.fns")
     assert(spark.sql("SELECT testcat.fns.truncate(7, CAST(23 AS BIGINT))")
-      .collect().head.getInt(0) == 21)
+      .collect().head.getLong(0) == 21L)
   }
 
   test("change feed: appends+updates surface as insert/delete; compaction is empty") {

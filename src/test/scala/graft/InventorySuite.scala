@@ -123,6 +123,7 @@ class InventorySuite extends SparkSuiteBase {
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties == null) return
         val g = js.properties.getProperty("spark.jobGroup.id")
         if (g != null && g.startsWith("graft-lint-")) {
           offenders.add(g.stripPrefix("graft-lint-")); ()
