@@ -94,6 +94,13 @@ object AvroDirSource {
     * GROUP key row-level operations (UPDATE/MERGE) rewrite by. */
   val FileColumn = "_file"
 
+  /** Table paths whose current self-overwrite is a COMPACTION — the
+    * commit is recorded kind=`rewrite` (dataChange=false) so streams
+    * and the change feed skip it. Set by GraftCatalog.compactTable
+    * around its INSERT OVERWRITE. */
+  private[sources] val rewriteInProgress =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private val StreamFilePattern = "^part-e(\\d+)-\\d+\\.avro$".r
   private[sources] def committedMarker(epoch: Long): String = f"_committed-e$epoch%05d"
 
@@ -189,22 +196,30 @@ object AvroDirSource {
   *   tables join with ZERO exchanges (storage-partitioned join);
   *   truncate tables get range-clustered files whose stats the
   *   data-skipping scan prunes with.
-  * @param sortCol a recorded table sort order (`_sort.json`): every
+  * @param sortSpec a recorded table sort order (`_sort.json`): every
   *   write sorts by it (within partition-value files when partSpec is
   *   set, else via a RANGE distribution into globally sorted files), so
   *   per-file min/max stats on the sort column become tight/disjoint
   *   and selective scans skip files — what OPTIMIZE-with-sort-order
-  *   buys in a production lakehouse. */
+  *   buys in a production lakehouse. A multi-column Z-ORDER spec sorts
+  *   by the interleaved-bits zvalue instead, making stats tight on ALL
+  *   the clustering columns at once.
+  * @param branch writes and reads target this movable branch head
+  *   instead of main (the write-audit-publish staging surface —
+  *   Iceberg's `spark.wap.branch`). */
 class AvroDirTable(path: String, tableSchema: StructType,
     versioned: Boolean = false,
     pinned: Option[AvroSnapshots.Snapshot] = None,
     partSpec: Option[PartSpec] = None,
-    sortCol: Option[String] = None)
+    sortSpec: Option[SortSpec] = None,
+    branch: Option[String] = None,
+    mergeOnRead: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns with SupportsRowLevelOperations {
-  override def name(): String = pinned match {
-    case Some(sn) => s"graft_avro($path@v${sn.version})"
-    case None     => s"graft_avro($path)"
+  override def name(): String = (pinned, branch) match {
+    case (Some(sn), _) => s"graft_avro($path@v${sn.version})"
+    case (_, Some(b))  => s"graft_avro($path@$b)"
+    case _             => s"graft_avro($path)"
   }
   override def schema(): StructType = tableSchema
   private def transformExpr(spec: PartSpec): Transform = spec.transform match {
@@ -224,17 +239,14 @@ class AvroDirTable(path: String, tableSchema: StructType,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   /** The read view: a pinned snapshot's exact file list; else the
-    * latest manifest for versioned tables (falling back to the listing
-    * only for a pre-manifest directory); else the commit-marker-aware
-    * directory listing. */
-  private def readView(): Seq[File] = pinned match {
+    * branch/main head manifest for versioned tables (falling back to
+    * the listing only for a pre-manifest directory); else the
+    * commit-marker-aware directory listing. */
+  private def headSnapshot(): Option[AvroSnapshots.Snapshot] =
+    pinned.orElse(if (versioned) AvroSnapshots.head(path, branch) else None)
+  private def readView(): Seq[File] = headSnapshot() match {
     case Some(sn) => sn.files.map(n => new File(path, n))
-    case None if versioned =>
-      AvroSnapshots.latest(path) match {
-        case Some(sn) => sn.files.map(n => new File(path, n))
-        case None     => AvroDirSource.listFiles(path)
-      }
-    case None => AvroDirSource.listFiles(path)
+    case None     => AvroDirSource.listFiles(path)
   }
   private def readViewNames(): Seq[String] = readView().map(_.getName)
 
@@ -281,7 +293,8 @@ class AvroDirTable(path: String, tableSchema: StructType,
       s"${name()} is a time-travel snapshot — snapshots are read-only")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new GraftRowLevelOperation(path, tableSchema, versioned, info.command)
+        new GraftRowLevelOperation(path, tableSchema, versioned,
+          info.command, branch)
     }
   }
 
@@ -318,26 +331,37 @@ class AvroDirTable(path: String, tableSchema: StructType,
       // One snapshot resolution per scan: files, partition placement and
       // stats all come from the SAME manifest (a concurrent commit
       // between two reads could otherwise mismatch them).
-      private lazy val snap: Option[AvroSnapshots.Snapshot] =
-        pinned.orElse(if (versioned) AvroSnapshots.latest(path) else None)
-      private lazy val view: Seq[File] = snap match {
-        case Some(sn) => sn.files.map(n => new File(path, n))
-        case None     => AvroDirSource.listFiles(path)
-      }
-      /** The view minus files the pushed filters provably exclude.
-        * Stats were recorded under the column names current at write
-        * time — resolution follows the same rename-alias chain as the
-        * row readers. Files without stats are always kept (sound). */
-      private lazy val prunedView: Seq[File] =
-        if (pushed.isEmpty) view
-        else {
-          val statsJson = snap.map(_.stats).getOrElse(Map.empty)
-          view.filter { f =>
-            val st = statsJson.get(f.getName).map(AvroStats.parse)
+      private lazy val snap: Option[AvroSnapshots.Snapshot] = headSnapshot()
+      /** The view minus whole manifest GROUPS and then individual files
+        * the pushed filters provably exclude. Group pruning runs FIRST,
+        * against the aggregated hull stats in the version file's group
+        * refs — a group whose hull excludes the conjunction is skipped
+        * without its entry list ever being read, so plan-time metadata
+        * cost is O(matching groups), not O(table files). Stats were
+        * recorded under the column names current at write time —
+        * resolution follows the same rename-alias chain as the row
+        * readers. Files/groups without stats are always kept (sound). */
+      private lazy val prunedEntries: Seq[AvroSnapshots.FileEntry] = snap match {
+        case Some(sn) =>
+          val admitted: Seq[AvroSnapshots.FileEntry] =
+            if (pushed.isEmpty) sn.entries
+            else sn.inline ++ sn.groups.filter { g =>
+              val hull = AvroStats.parse(g.aggStats)
+              AvroStats.groupMightMatch(pushed.toSeq, resolveStats(hull))
+            }.flatMap(g => AvroSnapshots.groupEntries(path, g.file))
+          if (pushed.isEmpty) admitted
+          else admitted.filter { e =>
+            val st = e.stats.map(AvroStats.parse)
               .getOrElse(Map.empty[String, AvroStats.ColStats])
-            AvroStats.fileMightMatch(pushed.toSeq, f.getName, resolveStats(st))
+            AvroStats.fileMightMatch(pushed.toSeq, e.name, resolveStats(st))
           }
-        }
+        case None => AvroDirSource.listFiles(path)
+          .map(f => AvroSnapshots.FileEntry(f.getName))
+      }
+      private lazy val prunedView: Seq[File] =
+        prunedEntries.map(e => new File(path, e.name))
+      private def dvPathOf(e: AvroSnapshots.FileEntry): Option[String] =
+        e.dv.map(d => new File(path, d).getAbsolutePath)
 
       // ---- aggregate pushdown from MANIFEST STATS ----
       //
@@ -383,12 +407,16 @@ class AvroDirTable(path: String, tableSchema: StructType,
           : Option[(StructType, Seq[Any])] = {
         import org.apache.spark.sql.connector.expressions.aggregate._
         if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+        val allEntries = snap.map(_.entries).getOrElse(return None)
         // every in-view file must carry row-counted stats (one JSON
-        // parse per file — this fold runs at plan time over O(files))
-        val statsJson = snap.map(_.stats).getOrElse(Map.empty)
+        // parse per file — this fold runs at plan time over O(files)),
+        // and none may carry a deletion vector (DV'd rows make the
+        // recorded counts/bounds stale upper bounds — sound for
+        // pruning, NOT for exact answers)
         val perFile: Seq[(Long, Map[String, AvroStats.ColStats])] =
-          view.map { f =>
-            statsJson.get(f.getName) match {
+          allEntries.map { e =>
+            if (e.dv.isDefined) return None
+            e.stats match {
               case Some(js) => AvroStats.parseWithRows(js) match {
                 case (Some(n), cols) => (n, cols)
                 case (None, _)       => return None
@@ -464,12 +492,15 @@ class AvroDirTable(path: String, tableSchema: StructType,
         * Every bucket in [0, n) gets a split — including ones emptied
         * by stats pruning — so two tables bucketed the same way always
         * present identical partition-value sets to the SPJ planner. */
-      private lazy val groups: Option[Seq[(Int, Seq[File])]] =
+      private lazy val groups: Option[Seq[(Int, Seq[AvroSnapshots.FileEntry])]] =
         partSpec.filter(_.transform == "bucket").flatMap { spec =>
-          val parts = snap.map(_.parts).getOrElse(Map.empty[String, Long])
-          if (prunedView.forall(f => parts.contains(f.getName)))
+          // a file from an EARLIER partition spec (pre-evolution) has a
+          // placement under a different layout — mixing specs downgrades
+          // the scan to ungrouped, soundly
+          if (prunedEntries.forall(e =>
+              e.part.isDefined && e.specId == spec.specId))
             Some((0 until spec.n).map(b =>
-              b -> prunedView.filter(f => parts(f.getName) == b)))
+              b -> prunedEntries.filter(_.part.contains(b.toLong))))
           else None
         }
 
@@ -494,11 +525,14 @@ class AvroDirTable(path: String, tableSchema: StructType,
         aggResult match {
           case Some((_, row)) => Array(AvroAggSplit(row))
           case None => groups match {
-            case Some(gs) => gs.map { case (b, fs) =>
-              AvroBucketGroupSplit(fs.map(_.getAbsolutePath), b): InputPartition
+            case Some(gs) => gs.map { case (b, es) =>
+              AvroBucketGroupSplit(es.map(e =>
+                (new File(path, e.name).getAbsolutePath, dvPathOf(e))),
+                b): InputPartition
             }.toArray
-            case None => prunedView
-              .map(f => AvroFileSplit(f.getAbsolutePath): InputPartition).toArray
+            case None => prunedEntries.map(e =>
+              AvroFileSplit(new File(path, e.name).getAbsolutePath,
+                dvPathOf(e)): InputPartition).toArray
           }
         }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -536,9 +570,10 @@ class AvroDirTable(path: String, tableSchema: StructType,
             math.max(1L, prunedView.map(_.length()).sum))
         override def numRows(): java.util.OptionalLong = {
           if (aggResult.isDefined) return java.util.OptionalLong.of(1L)
-          val statsJson = snap.map(_.stats).getOrElse(Map.empty)
-          val counts = prunedView.map(f =>
-            statsJson.get(f.getName).flatMap(AvroStats.rowCount))
+          // a DV'd file's recorded count over-states its live rows —
+          // decline rather than feed the CBO a wrong cardinality
+          val counts = prunedEntries.map(e =>
+            if (e.dv.isDefined) None else e.stats.flatMap(AvroStats.rowCount))
           if (counts.forall(_.isDefined))
             java.util.OptionalLong.of(counts.flatten.sum)
           else java.util.OptionalLong.empty()
@@ -568,58 +603,99 @@ class AvroDirTable(path: String, tableSchema: StructType,
     val spark = org.apache.spark.sql.SparkSession.active
     val schema = tableSchema
     if (versioned) {
-      // Versioned flavor: data files are IMMUTABLE. Each task scans one
-      // candidate file and reports what the next manifest should carry —
-      // the file itself (no matches), nothing (all rows match; the file
-      // stays on disk for older snapshots), or a NEW uniquely-named
-      // rewrite holding the surviving rows. Visibility flips atomically
-      // at the manifest commit, so a concurrent time-travel read never
-      // sees a half-deleted table.
-      // lock spans the view-read, the rewrite job, and the manifest
+      // Versioned flavor: data files are IMMUTABLE. Visibility flips
+      // atomically at the manifest commit, so a concurrent time-travel
+      // read never sees a half-deleted table. Two write strategies:
+      //   - copy-on-write (default): each task scans one candidate file
+      //     and reports what the next manifest should carry — the file
+      //     itself (no matches), nothing (all rows match; the file
+      //     stays on disk for older snapshots), or a NEW uniquely-named
+      //     rewrite holding the surviving rows;
+      //   - merge-on-read (mergeOnRead tables): each task reports the
+      //     MATCHED ROW POSITIONS; the commit swaps in O(matched)
+      //     deletion-vector sidecars and rewrites ZERO data files —
+      //     the only affordable shape for high-frequency CDC at 100 TB.
+      // lock spans the view-read, the scan job, and the manifest
       // write: a concurrent append committing mid-DELETE would
       // otherwise be dropped from the DELETE's manifest (lost update)
       AvroSnapshots.withCommitLock(path) {
-        val prev = AvroSnapshots.latest(path)
-        val names = readViewNames()
-        if (names.nonEmpty) {
-          val prevParts = prev.map(_.parts).getOrElse(Map.empty[String, Long])
-          val prevStats = prev.map(_.stats).getOrElse(Map.empty[String, String])
+        val prev = headSnapshot()
+        val entries = prev.map(_.entries).getOrElse(Nil)
+        if (entries.nonEmpty) {
           // Manifest-stats candidate pruning (the same skip the batch
           // scan does): a file whose recorded intervals prove the
           // predicate can never be TRUE holds no deletable row — it is
           // carried into the next manifest UNREAD. At 100 TB this is
           // what makes a one-key DELETE cost O(matching files), not a
           // full-table read; files without stats stay candidates.
-          val (candidates, skipped) = names.partition { n =>
-            val st = prevStats.get(n).map(AvroStats.parse)
+          val (candidates, skipped) = entries.partition { e =>
+            val st = e.stats.map(AvroStats.parse)
               .getOrElse(Map.empty[String, AvroStats.ColStats])
-            AvroStats.fileMightMatch(filters.toSeq, n, resolveStats(st))
+            AvroStats.fileMightMatch(filters.toSeq, e.name, resolveStats(st))
           }
           val dirPath = path
-          val jobId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-          val outcome: Array[(String, Option[(String, Option[String])])] =
-            if (candidates.isEmpty) Array.empty
-            else spark.sparkContext
-              .parallelize(candidates, math.min(candidates.size, 32))
-              .map(n =>
-                n -> AvroFilterEval.rewriteVersioned(dirPath, n, schema, filters, jobId))
-              .collect()
-          // a rewrite holds a SUBSET of its original's rows, so it inherits
-          // the original's bucket — grouped scans stay grouped after DELETE
-          val parts = skipped.flatMap(n => prevParts.get(n).map(n -> _)).toMap ++
-            outcome.toSeq.flatMap { case (orig, kept) =>
-              kept.flatMap { case (k, _) => prevParts.get(orig).map(k -> _) }
-            }.toMap
-          // untouched files keep their recorded stats; rewrites carry the
-          // fresh exact stats their task computed
-          val stats = skipped.flatMap(n => prevStats.get(n).map(n -> _)).toMap ++
-            outcome.toSeq.flatMap { case (orig, kept) =>
-              kept.flatMap { case (k, st) =>
-                st.orElse(if (k == orig) prevStats.get(orig) else None).map(k -> _)
+          val next: Seq[AvroSnapshots.FileEntry] =
+            if (mergeOnRead) {
+              // positions job: one task per candidate, O(matched) output
+              val found: Array[(String, (Seq[Long], Long))] =
+                if (candidates.isEmpty) Array.empty
+                else {
+                  val cands = candidates.map(e => (e.name, e.dv))
+                  spark.sparkContext
+                    .parallelize(cands, math.min(cands.size, 32))
+                    .map { case (n, dv) =>
+                      val existing = dv.map(d =>
+                        DeletionVectors.read(dirPath, d).toSet)
+                        .getOrElse(Set.empty[Long])
+                      n -> AvroFilterEval.matchedPositions(
+                        dirPath, n, schema, filters, existing)
+                    }.collect()
+                }
+              val byName = found.toMap
+              skipped ++ candidates.flatMap { e =>
+                byName(e.name) match {
+                  case (matched, _) if matched.isEmpty => Some(e) // untouched
+                  case (_, live) if live == 0 => None // fully deleted: drop entry
+                  case (matched, _) =>
+                    val existing = e.dv.map(DeletionVectors.read(dirPath, _))
+                      .getOrElse(Nil)
+                    Some(e.copy(dv = Some(
+                      DeletionVectors.write(dirPath, existing ++ matched))))
+                }
               }
-            }.toMap
-          AvroSnapshots.record(path, schema,
-            (skipped ++ outcome.flatMap(_._2.map(_._1))).sorted, parts, stats)
+            } else {
+              val jobId =
+                java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+              val outcome: Array[(String, Option[(String, Option[String])])] =
+                if (candidates.isEmpty) Array.empty
+                else {
+                  val cands = candidates.map(e => (e.name, e.dv))
+                  spark.sparkContext
+                    .parallelize(cands, math.min(cands.size, 32))
+                    .map { case (n, dv) =>
+                      val existing = dv.map(d =>
+                        DeletionVectors.read(dirPath, d).toSet)
+                        .getOrElse(Set.empty[Long])
+                      n -> AvroFilterEval.rewriteVersioned(
+                        dirPath, n, schema, filters, jobId, existing)
+                    }.collect()
+                }
+              val byName = outcome.toMap
+              skipped ++ candidates.flatMap { e =>
+                byName(e.name).map {
+                  case (k, None) if k == e.name => e // untouched
+                  case (k, st) =>
+                    // a rewrite holds a SUBSET of its original's rows, so
+                    // it inherits the original's bucket — grouped scans
+                    // stay grouped after DELETE; fresh exact stats ride
+                    // along, and any prior DV was materialized away
+                    AvroSnapshots.FileEntry(k, e.part, e.specId,
+                      st.orElse(e.stats), dv = None)
+                }
+              }
+            }
+          AvroSnapshots.commit(path, schema,
+            next.sortBy(_.name), AvroSnapshots.KindDelete, branch)
           ()
         }
       }
@@ -667,15 +743,23 @@ class AvroDirTable(path: String, tableSchema: StructType,
         // RANGE distribution, so the rewrite lands as globally sorted
         // files with DISJOINT per-file min/max on the sort column:
         // that is what makes the manifest stats tight enough for the
-        // data-skipping scan to prune on (sorted OPTIMIZE).
-        private def sortOrders: Array[SortOrder] = sortCol match {
-          case Some(c) => Array(Expressions.sort(Expressions.column(c),
-            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        // data-skipping scan to prune on (sorted OPTIMIZE). A Z-ORDER
+        // spec sorts by `zvalue(a, b)` — the interleaved-bits curve,
+        // resolved through the catalog's V2 zvalue function — so
+        // min/max tighten on BOTH clustering columns at once.
+        private def sortOrders: Array[SortOrder] = sortSpec match {
+          case Some(sp) =>
+            val expr =
+              if (sp.zorder) Expressions.apply("zvalue",
+                sp.columns.map(Expressions.column): _*)
+              else Expressions.column(sp.columns.head)
+            Array(Expressions.sort(expr,
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
           case None => Array.empty
         }
         override def requiredDistribution(): Distribution = partSpec match {
           case Some(spec) => Distributions.clustered(Array(transformExpr(spec)))
-          case None if sortCol.isDefined => Distributions.ordered(sortOrders)
+          case None if sortSpec.isDefined => Distributions.ordered(sortOrders)
           case None => Distributions.unspecified()
         }
         override def requiredOrdering(): Array[SortOrder] = sortOrders
@@ -702,34 +786,32 @@ class AvroDirTable(path: String, tableSchema: StructType,
               // Versioned: never delete other commits' data files — old
               // snapshots reference them. Clean only THIS job's dead
               // task attempts, then publish the next manifest: truncate
-              // = exactly this job's files; append = previous view plus
-              // this job's files. Visibility flips at the manifest;
-              // the commit lock serializes the view-read with the
-              // manifest write so concurrent committers never base on
-              // the same parent (lost update).
+              // = exactly this job's files (a replace — kind `rewrite`
+              // when a compaction is self-overwriting, so streams and
+              // the change feed skip it as dataChange=false); append =
+              // previous view plus this job's files, committed through
+              // the auto-rebasing append path (two racing appenders
+              // both land — their file sets are disjoint by job id).
               AvroDirSource.listAllAvro(path).foreach { f =>
                 if (f.getName.contains(jobId) && !committed(f.getAbsolutePath))
                   f.delete()
               }
-              val mineParts: Map[String, Long] = entries.collect {
-                case (f, Some(b), _) => new File(f).getName -> b
-              }.toMap
-              val mineStats: Map[String, String] = entries.collect {
-                case (f, _, Some(st)) => new File(f).getName -> st
-              }.toMap
-              val mine = entries.map { case (f, _, _) => new File(f).getName }
-              AvroSnapshots.withCommitLock(path) {
-                val prev = AvroSnapshots.latest(path)
-                val prevFiles = if (doTruncate) Nil else readViewNames()
-                val prevParts =
-                  if (doTruncate) Map.empty[String, Long]
-                  else prev.map(_.parts).getOrElse(Map.empty)
-                val prevStats =
-                  if (doTruncate) Map.empty[String, String]
-                  else prev.map(_.stats).getOrElse(Map.empty)
-                AvroSnapshots.record(path, tableSchema,
-                  (prevFiles ++ mine).sorted, prevParts ++ mineParts,
-                  prevStats ++ mineStats)
+              val specId = partSpec.map(_.specId).getOrElse(0)
+              val mine: Seq[AvroSnapshots.FileEntry] = entries.map {
+                case (f, b, st) => AvroSnapshots.FileEntry(
+                  new File(f).getName, b, specId, st, None)
+              }.sortBy(_.name)
+              if (doTruncate) {
+                val kind =
+                  if (AvroDirSource.rewriteInProgress.contains(
+                    new File(path).getAbsolutePath)) AvroSnapshots.KindRewrite
+                  else AvroSnapshots.KindReplace
+                AvroSnapshots.withCommitLock(path) {
+                  AvroSnapshots.commit(path, tableSchema, mine, kind, branch)
+                }
+              } else {
+                AvroSnapshots.commitAppend(path, tableSchema, mine,
+                  AvroSnapshots.KindAppend, branch)
               }
               ()
             } else {
@@ -775,27 +857,19 @@ class AvroDirTable(path: String, tableSchema: StructType,
                 new File(path, AvroDirSource.committedMarker(epochId)).toPath,
                 Array.emptyByteArray)
               if (versioned) {
-                // publish the epoch as the next table version (an epoch
-                // REPLAY overwrites files already in the view — don't
-                // double-add them); retained files KEEP their bucket
-                // placement (epoch files are legitimately unplaced)
-                val commits = messages.map(_.asInstanceOf[AvroCommit])
-                val mine = commits.map(c => new File(c.file).getName)
-                val mineStats = commits.flatMap(c =>
-                  c.stats.map(new File(c.file).getName -> _)).toMap
-                AvroSnapshots.withCommitLock(path) {
-                  val prevSnap = AvroSnapshots.latest(path)
-                  val prev = readViewNames()
-                  val prevParts = prevSnap.map(_.parts)
-                    .getOrElse(Map.empty[String, Long])
-                  // a replayed epoch's file stats OVERWRITE the prior
-                  // epoch attempt's (same names, same rows — idempotent)
-                  val prevStats = prevSnap.map(_.stats)
-                    .getOrElse(Map.empty[String, String])
-                  AvroSnapshots.record(path, tableSchema,
-                    (prev ++ mine.filterNot(prev.contains)).sorted, prevParts,
-                    prevStats ++ mineStats)
-                }
+                // publish the epoch as the next table version through
+                // the auto-rebasing append path. An epoch REPLAY
+                // overwrites files already in the view — commitAppend's
+                // same-name rule REPLACES their entries (same names,
+                // same rows — idempotent); retained files keep their
+                // bucket placement (epoch files are legitimately
+                // unplaced).
+                val mine = messages.map(_.asInstanceOf[AvroCommit]).toSeq
+                  .map(c => AvroSnapshots.FileEntry(
+                    new File(c.file).getName, None, 0, c.stats, None))
+                  .sortBy(_.name)
+                AvroSnapshots.commitAppend(path, tableSchema, mine,
+                  AvroSnapshots.KindAppend, branch)
                 ()
               }
             }
@@ -821,7 +895,8 @@ class AvroDirTable(path: String, tableSchema: StructType,
   * so two tables can't be proven partition-value-aligned — its payoff is
   * write-time clustering that makes file stats TIGHT on the partition
   * column, which the data-skipping scan then prunes with). */
-case class PartSpec(transform: String, n: Int, column: String) {
+case class PartSpec(transform: String, n: Int, column: String,
+    specId: Int = 0) {
   require(transform == "bucket" || transform == "truncate",
     s"unsupported partition transform $transform")
   require(n > 0, s"$transform width must be positive, got $n")
@@ -837,7 +912,23 @@ case class PartSpec(transform: String, n: Int, column: String) {
   }
 }
 
-case class AvroFileSplit(file: String) extends InputPartition
+/** Recorded table sort order (`_sort.json`): a single-column ascending
+  * sort, or a multi-column Z-ORDER (rows cluster by the interleaved-bits
+  * zvalue of the columns, so per-file min/max tighten on ALL of them —
+  * the multi-dimensional data-skipping layout). */
+case class SortSpec(columns: Seq[String], zorder: Boolean = false) {
+  require(columns.nonEmpty, "sort order needs at least one column")
+  require(!zorder || columns.length == 2,
+    "z-order clustering supports exactly 2 columns in this engine")
+  require(zorder || columns.length == 1,
+    "plain sort order is single-column; use zorder(a, b) for multi")
+}
+
+/** @param dvFile absolute path of the file's deletion-vector sidecar:
+  *   rows at those positions are deleted (merge-on-read) and the reader
+  *   skips them. */
+case class AvroFileSplit(file: String, dvFile: Option[String] = None)
+    extends InputPartition
 /** A completely-pushed-down global aggregation: the answer was folded
   * from manifest stats at plan time; the single split just emits it
   * (values are already Spark-internal: Long/Int/Double/Boolean/
@@ -854,9 +945,10 @@ class AvroAggReaderFactory extends PartitionReaderFactory {
       override def close(): Unit = ()
     }
 }
-/** All of one bucket's container files, as one split whose partition
-  * key is the bucket — what KeyGroupedPartitioning groups by. */
-case class AvroBucketGroupSplit(files: Seq[String], bucket: Int)
+/** All of one bucket's container files (with their deletion vectors),
+  * as one split whose partition key is the bucket — what
+  * KeyGroupedPartitioning groups by. */
+case class AvroBucketGroupSplit(files: Seq[(String, Option[String])], bucket: Int)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
@@ -877,7 +969,7 @@ case class AvroBucketedCommit(files: Seq[(String, Long, Option[String])])
 class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case AvroFileSplit(f) => fileReader(f)
+      case AvroFileSplit(f, dv) => fileReader(f, dv)
       case AvroBucketGroupSplit(files, _) =>
         // one bucket's files, read in sequence (a group is one task)
         new PartitionReader[InternalRow] {
@@ -887,7 +979,8 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
             while (true) {
               if (cur == null) {
                 if (!remaining.hasNext) return false
-                cur = fileReader(remaining.next())
+                val (f, dv) = remaining.next()
+                cur = fileReader(f, dv)
               }
               if (cur.next()) return true
               cur.close(); cur = null
@@ -901,11 +994,18 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
         throw new IllegalArgumentException(s"unexpected split $other")
     }
 
-  private def fileReader(file: String): PartitionReader[InternalRow] = {
+  private def fileReader(file: String,
+      dvFile: Option[String] = None): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val reader = new DataFileReader[GenericRecord](
         new File(file), new GenericDatumReader[GenericRecord]())
       private val fileName = UTF8String.fromString(new File(file).getName)
+      // deletion vector: positions to skip, applied as the rows stream
+      // past (the merge-on-read anti-filter)
+      private val dv: Set[Long] =
+        dvFile.map(DeletionVectors.readAbs(_).toSet).getOrElse(Set.empty)
+      private var rowPos = -1L
+      private var pending: GenericRecord = _
       // required field → position in THIS file's writer schema (name
       // first, then rename aliases newest-first); -1 → null column,
       // -2 → the _file metadata column. Resolved once per file.
@@ -915,9 +1015,16 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
           .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
           .find(_ >= 0).getOrElse(-1)
       }
-      override def next(): Boolean = reader.hasNext
+      override def next(): Boolean = {
+        while (reader.hasNext) {
+          pending = reader.next()
+          rowPos += 1
+          if (!dv.contains(rowPos)) return true
+        }
+        false
+      }
       override def get(): InternalRow = {
-        val rec = reader.next()
+        val rec = pending
         val vals = new Array[Any](required.length)
         var i = 0
         while (i < required.length) {
@@ -1056,9 +1163,42 @@ class AvroVersionStream(path: String, required: StructType,
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
-  private def filesAt(v: Long): Set[String] =
-    if (v < 0) Set.empty
-    else AvroSnapshots.load(path, v).map(_.files.toSet).getOrElse(Set.empty)
+  /** One version window's diff against the previous retained version:
+    * file names the window ADDED, whether it REMOVED or row-level-
+    * changed anything (a deletion-vector change IS a row change), and
+    * whether the whole window is a dataChange=false rewrite
+    * (compaction) that streams as nothing. */
+  protected case class WindowDiff(added: Seq[String], changed: Boolean,
+      rewriteOnly: Boolean)
+
+  /** Memoized per (baseVersion, version): manifests are immutable, so a
+    * window's diff never changes while both endpoints are retained —
+    * latestOffset polls every trigger and would otherwise re-load
+    * O(versions × files) manifests per trigger across a long backlog
+    * (quadratic drain). */
+  private val diffCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long), WindowDiff]()
+
+  private def entriesAt(v: Long): Map[String, AvroSnapshots.FileEntry] =
+    if (v < 0) Map.empty
+    else AvroSnapshots.load(path, v).map(_.byName).getOrElse(Map.empty)
+
+  private def diffOf(base: Long, v: Long): WindowDiff =
+    diffCache.computeIfAbsent((base, v), { _ =>
+      val prev = entriesAt(base)
+      val cur = entriesAt(v)
+      val added = cur.keysIterator.filterNot(prev.contains).toSeq.sorted
+      val removed = prev.keysIterator.exists(!cur.contains(_))
+      val dvChanged = cur.valuesIterator.exists(e =>
+        prev.get(e.name).exists(_.dv != e.dv))
+      val kind = AvroSnapshots.load(path, v).map(_.kind)
+        .getOrElse(AvroSnapshots.KindReplace)
+      // a rewrite (compaction) reorganizes files without changing rows —
+      // dataChange=false — but only a DIRECT window can claim it: across
+      // an expired gap other kinds may hide inside
+      val rewriteOnly = kind == AvroSnapshots.KindRewrite && base + 1 == v
+      WindowDiff(added, (removed || dvChanged) && !rewriteOnly, rewriteOnly)
+    })
 
   // ---- admission control (the maxFilesPerTrigger rate limit) ----
   //
@@ -1089,17 +1229,15 @@ class AvroVersionStream(path: String, required: StructType,
     limit match {
       case mf: ReadMaxFiles =>
         var admitted = 0L
-        var prev = filesAt(s)
         var end = s
         val it = AvroSnapshots.versions(path).iterator
           .filter(v => v > s && v <= tgt)
         var stop = false
         while (it.hasNext && !stop) {
           val v = it.next()
-          val cur = filesAt(v)
-          val add = cur.diff(prev).size.toLong
+          val add = diffOf(end, v).added.size.toLong
           if (end > s && admitted + add > mf.maxFiles()) stop = true
-          else { admitted += add; prev = cur; end = v }
+          else { admitted += add; end = v }
         }
         AvroVersionOffset(end)
       case _ => AvroVersionOffset(tgt)
@@ -1113,9 +1251,11 @@ class AvroVersionStream(path: String, required: StructType,
   override def deserializeOffset(json: String): Offset =
     AvroVersionOffset(json.trim.toLong)
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[AvroVersionOffset].version
-    val e = end.asInstanceOf[AvroVersionOffset].version
+  /** Per-version windows of (start, end] diffed against the previous
+    * RETAINED version (expiry can leave gaps when a tag pins an old
+    * version: across a gap the two retained endpoints diff directly).
+    * Shared by the data stream and the CDF stream. */
+  protected def windows(s: Long, e: Long): Seq[(Long, Long, WindowDiff)] = {
     // a committed offset whose manifest has been EXPIRED is data loss —
     // the diff baseline is gone; refuse rather than replay everything
     // (the same guard Delta's failOnDataLoss gives). Versions expired
@@ -1126,38 +1266,43 @@ class AvroVersionStream(path: String, required: StructType,
       throw new IllegalStateException(
         s"stream offset v$s of $path was expired by snapshot expiry — " +
           "cannot compute an exact append diff (data loss)")
-    // diff consecutive RETAINED manifests (expiry can leave gaps when a
-    // tag pins an old version): across a gap the two retained endpoints
-    // diff directly — additions are the surviving appends, and any
-    // removal makes the window a CHANGE window (can't separate rewrites
-    // from appends inside an expired gap, so skip mode skips it whole)
-    val added = scala.collection.mutable.LinkedHashSet.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, WindowDiff)]
     var prevV = s
-    var prev = filesAt(s)
     for (v <- AvroSnapshots.versions(path) if v > s && v <= e) {
-      val cur = filesAt(v)
-      val removed = prev.diff(cur)
-      if (removed.nonEmpty) {
+      out += ((prevV, v, diffOf(prevV, v)))
+      prevV = v
+    }
+    out.toSeq
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[AvroVersionOffset].version
+    val e = end.asInstanceOf[AvroVersionOffset].version
+    val added = scala.collection.mutable.LinkedHashSet.empty[String]
+    windows(s, e).foreach { case (prevV, v, d) =>
+      if (d.rewriteOnly) {
+        // compaction: same rows, new files — nothing to stream
+      } else if (d.changed) {
         if (!skipChangeVersions) throw new IllegalStateException(
           (if (prevV + 1 == v)
-            s"table version $v of $path removed ${removed.size} data file(s) " +
-              "(DELETE/truncate) — not an append."
+            s"table version $v of $path removed or row-level-changed data " +
+              "file(s) (DELETE/truncate/deletion vector) — not an append."
           else
             s"versions v${prevV + 1}..v$v of $path (partially expired) net-" +
-              s"removed ${removed.size} data file(s) — not a pure append window.") +
+              "changed data file(s) — not a pure append window.") +
             " Streaming reads replay appends only; set " +
-            "skipChangeVersions=true to skip change windows.")
+            "skipChangeVersions=true to skip change windows, or use " +
+            "readChangeFeed=true for row-level change capture.")
         // skip this window's additions: rewrites of rows already
         // streamed (or changes the caller opted out of tracking)
       } else {
-        cur.diff(prev).foreach(added += _)
+        d.added.foreach(added += _)
       }
-      prevV = v
-      prev = cur
     }
     // a file appended at v and removed by a LATER change version still
     // streams (from the version that appended it) — append semantics
-    // are decided at append time
+    // are decided at append time. Its dv AT APPEND TIME is what an
+    // append can carry: none.
     added.toSeq.sorted.map(n =>
       AvroFileSplit(new File(path, n).getAbsolutePath): InputPartition).toArray
   }

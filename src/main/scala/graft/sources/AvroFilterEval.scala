@@ -93,9 +93,13 @@ object AvroFilterEval extends Serializable {
   }
 
   /** Scan one container: surviving rows (in the CURRENT schema's shape,
-    * resolved by name + rename aliases) and whether anything matched. */
+    * resolved by name + rename aliases) and whether anything matched.
+    * Rows at positions in `dv` (an existing deletion vector) are
+    * ALREADY deleted — skipped without evaluation and never reported
+    * as matches. */
   private def scanFile(file: File, schema: StructType,
-      filters: Array[Filter]): (Seq[Array[Any]], Boolean) = {
+      filters: Array[Filter],
+      dv: Set[Long] = Set.empty): (Seq[Array[Any]], Boolean) = {
     val keep = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
     var deleted = false
     val reader = new DataFileReader[GenericRecord](
@@ -113,15 +117,57 @@ object AvroFilterEval extends Serializable {
         case u: org.apache.avro.util.Utf8 => u.toString
         case other => other
       }
+      var rowPos = 0L
       while (reader.hasNext) {
         val rec = reader.next()
-        val v: String => Any =
-          name => pos.get(name).filter(_ >= 0).map(p => norm(rec.get(p))).orNull
-        if (filters.forall(eval(_, v).contains(true))) deleted = true
-        else keep += schema.fields.map(f => v(f.name))
+        if (!dv.contains(rowPos)) {
+          val v: String => Any =
+            name => pos.get(name).filter(_ >= 0).map(p => norm(rec.get(p))).orNull
+          if (filters.forall(eval(_, v).contains(true))) deleted = true
+          else keep += schema.fields.map(f => v(f.name))
+        }
+        rowPos += 1
       }
     } finally reader.close()
     (keep.toSeq, deleted)
+  }
+
+  /** Merge-on-read DELETE for one container file (one Spark task):
+    * report the ROW POSITIONS the predicate deletes among the file's
+    * still-live rows (positions in `existingDv` are already gone) plus
+    * the live-row count that would remain. NOTHING is written — the
+    * caller merges the positions into the file's deletion vector and
+    * commits O(matched rows) sidecar bytes instead of rewriting the
+    * file. */
+  def matchedPositions(dirPath: String, fileName: String, schema: StructType,
+      filters: Array[Filter], existingDv: Set[Long]): (Seq[Long], Long) = {
+    val matched = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var live = 0L
+    val reader = new DataFileReader[GenericRecord](
+      new File(dirPath, fileName), new GenericDatumReader[GenericRecord]())
+    try {
+      val pos: Map[String, Int] = schema.fields.map { f =>
+        f.name -> (f.name +: AvroDirSource.aliasesOf(f)).iterator
+          .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
+          .find(_ >= 0).getOrElse(-1)
+      }.toMap
+      def norm(x: Any): Any = x match {
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case other => other
+      }
+      var rowPos = 0L
+      while (reader.hasNext) {
+        val rec = reader.next()
+        if (!existingDv.contains(rowPos)) {
+          val v: String => Any =
+            name => pos.get(name).filter(_ >= 0).map(p => norm(rec.get(p))).orNull
+          if (filters.forall(eval(_, v).contains(true))) matched += rowPos
+          else live += 1
+        }
+        rowPos += 1
+      }
+    } finally reader.close()
+    (matched.toSeq, live)
   }
 
   /** Returns the rewrite's exact column-stats JSON for the manifest. */
@@ -176,10 +222,14 @@ object AvroFilterEval extends Serializable {
     *     exact stats JSON for the manifest)).
     * Runs as one Spark task per candidate file. */
   def rewriteVersioned(dirPath: String, fileName: String, schema: StructType,
-      filters: Array[Filter], jobId: String): Option[(String, Option[String])] = {
+      filters: Array[Filter], jobId: String,
+      dv: Set[Long] = Set.empty): Option[(String, Option[String])] = {
     val file = new File(dirPath, fileName)
-    val (keep, deleted) = scanFile(file, schema, filters)
-    if (!deleted) Some((fileName, None))
+    val (keep, deleted) = scanFile(file, schema, filters, dv)
+    // an existing deletion vector counts as "something changed": the
+    // rewrite MATERIALIZES it away, so the original entry (file + dv)
+    // must not be carried forward verbatim
+    if (!deleted && dv.isEmpty) Some((fileName, None))
     else if (keep.isEmpty) None
     else {
       val newName = s"part-$jobId-rw-$fileName"

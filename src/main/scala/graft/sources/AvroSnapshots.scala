@@ -8,47 +8,126 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Version-manifest store behind [[AvroDirTable]]'s time travel — the
   * snapshot layer every lakehouse format builds on (Iceberg's snapshot
-  * log, Delta's _delta_log): each COMMITTED state of a versioned table
-  * is an immutable manifest file `_versions/v%08d.manifest` listing
-  * exactly the data files (by name) and the schema visible at that
-  * version. Reads resolve through a manifest, never a directory
-  * listing; data files are immutable and are only ever removed by an
-  * explicit [[expire]] (VACUUM), so any retained version stays
-  * readable forever.
+  * log + manifest lists, Delta's _delta_log): each COMMITTED state of a
+  * versioned table is an immutable version file
+  * `_versions/v%08d.manifest` that records the commit's wall-clock
+  * time, KIND (append / replace / delete / rewrite / ... — what a
+  * change-feed consumer branches on), PARENT version (the lineage
+  * pointer branches and fast-forward walk), the Spark schema, and the
+  * table's data-file set. Reads resolve through a manifest, never a
+  * directory listing; data files are immutable and are only ever
+  * removed by an explicit [[expire]] (VACUUM), so any retained version
+  * stays readable forever.
   *
-  * Manifest format is deliberately line-based: line 1 = commit
-  * wall-clock millis, line 2 = the Spark schema as its own single-line
-  * JSON, lines 3.. = one data file each as `\t`-separated fields —
-  * `name`, optional storage-partition value (bucket/truncate id from a
-  * clustered write), optional per-file column-stats JSON
-  * ([[AvroStats]]; compact JSON escapes tabs/newlines, so the field
-  * separators stay unambiguous). Trailing empty fields are omitted, so
-  * pre-stats manifests parse unchanged. Commit is atomic via
-  * CREATE_NEW on the next version number: two racing committers cannot
-  * both win the same version — the loser retries on the next number,
-  * serializing commits exactly like a lakehouse catalog's atomic swap.
+  * MANIFEST TREE (round 15 — the last O(table) metadata cost removed):
+  * the file list no longer lives inline in the version file. Entries
+  * are chunked into immutable manifest-GROUP files
+  * (`_versions/g<hex>.grp`, ≤ [[GroupTargetFiles]] entries each) and
+  * the version file carries one `@group` line per group — the group
+  * file name, its entry count, and an AGGREGATED column-stats JSON
+  * (min of mins / max of maxs / summed null counts over the group's
+  * files). Consequences, exactly Iceberg's manifest-list economics:
   *
-  * 100-TB note: a manifest here is O(files) names + O(files × columns)
-  * stats bytes; at scale the same design splits the file list into
-  * manifest *trees* (Iceberg's manifest lists) so planning prunes
-  * without reading every name — the VERSION indirection, which is what
-  * time travel and streaming-read offsets hang off, is identical. The
-  * per-file min/max stats that power scan-time data skipping are
-  * already here.
+  *   - a commit REUSES every group it doesn't touch by reference: an
+  *     append writes one new group with the appended entries plus a
+  *     version file of O(groups) ref lines — bytes are O(Δ + groups),
+  *     NOT O(table files);
+  *   - group count is bounded: when refs exceed [[MaxGroups]] the
+  *     commit coalesces the smallest groups into ~target-size ones
+  *     (Iceberg's commit-time manifest merge), so the version file
+  *     stays O(1)-ish and each entry is rewritten O(log n) times
+  *     amortized across the table's life;
+  *   - a SELECTIVE scan prunes whole groups by their aggregated stats
+  *     before reading a single entry (group hull excludes the pushed
+  *     conjunction ⇒ no file inside can match), then per-file stats
+  *     prune within the admitted groups — plan-time metadata reads are
+  *     O(matching groups), not O(table);
+  *   - group files are immutable, so parsed entries are cached
+  *     process-wide ([[groupEntries]]): steady-state planning re-reads
+  *     nothing.
+  *
+  * Each entry line (in group files; legacy inline version-file lines
+  * still parse) is `name \t part \t statsJson \t dvName` with trailing
+  * empty fields omitted — `part` is the storage-partition value from a
+  * clustered write, optionally `value@specId` once the partition spec
+  * has evolved; `statsJson` is [[AvroStats]] per-file column stats;
+  * `dvName` is a deletion-vector sidecar (`_dv/<hex>.dv`, sorted
+  * deleted row positions) applied as a scan-time anti-filter.
+  *
+  * Commit is atomic via CREATE_NEW on the next version number: two
+  * racing committers cannot both win the same version. Pure APPENDS
+  * that lose the race auto-rebase ([[commitAppend]]): the new files
+  * are theirs alone, so re-deriving against the winner's head and
+  * retrying is always sound. Read-modify-write commits (DELETE,
+  * row-level rewrites, truncate) keep failing loudly — re-numbering a
+  * stale file list would silently drop the winner's rows.
+  *
+  * Named refs (`_refs/<name>`) are version pointers: TAGS are
+  * immutable pins (`VERSION AS OF 'baseline'`); BRANCHES are movable
+  * heads a write can target (write-audit-publish: stage commits on a
+  * branch, audit it by name, [[fastForward]] main when blessed). Once
+  * a branch exists, `main` itself becomes an explicit branch ref so
+  * branch commits never leak into the default read view.
   */
 object AvroSnapshots {
-  /** `parts`: per-file storage-partition value (bucket or truncate id)
-    * for files written through a partitioned table's clustered write —
-    * what the scan groups splits by to report KeyGroupedPartitioning
-    * (SPJ, bucket transform only). A file absent from the map has
-    * unknown placement (legacy/plain append) and downgrades the scan to
-    * UnknownPartitioning.
-    * `stats`: per-file column-stats JSON ([[AvroStats]]) for scan-time
-    * data skipping; absent for files written before stats existed. */
+
+  /** One data file's manifest entry. `part` = storage-partition value
+    * (bucket/truncate id) with the partition-SPEC id it was written
+    * under (spec 0 = the table's original spec); `stats` = per-file
+    * column-stats JSON ([[AvroStats]]); `dv` = deletion-vector sidecar
+    * name (rows at those positions are deleted — merge-on-read). */
+  case class FileEntry(name: String, part: Option[Long] = None,
+      specId: Int = 0, stats: Option[String] = None,
+      dv: Option[String] = None)
+
+  /** A version file's reference to one immutable manifest-group file:
+    * `file` under `_versions/`, `count` entries, `aggStats` =
+    * group-hull column stats (the group-pruning key). */
+  case class GroupRef(file: String, count: Long, aggStats: String)
+
+  /** A committed table state. File-level views (`files`/`parts`/
+    * `stats`/`dvs`/`specIds`) are LAZY: they materialize group entries
+    * on first use, so a group-pruned scan that never touches a group
+    * never reads it. */
   case class Snapshot(version: Long, timestampMs: Long,
-      schema: StructType, files: Seq[String],
-      parts: Map[String, Long] = Map.empty,
-      stats: Map[String, String] = Map.empty)
+      schema: StructType, kind: String, parent: Long,
+      groups: Seq[GroupRef], inline: Seq[FileEntry], path: String) {
+    lazy val entries: Seq[FileEntry] =
+      inline ++ groups.flatMap(g => groupEntries(path, g.file))
+    lazy val byName: Map[String, FileEntry] =
+      entries.iterator.map(e => e.name -> e).toMap
+    lazy val files: Seq[String] = entries.map(_.name)
+    lazy val parts: Map[String, Long] =
+      entries.collect { case e if e.part.isDefined => e.name -> e.part.get }.toMap
+    lazy val specIds: Map[String, Int] =
+      entries.collect { case e if e.part.isDefined => e.name -> e.specId }.toMap
+    lazy val stats: Map[String, String] =
+      entries.collect { case e if e.stats.isDefined => e.name -> e.stats.get }.toMap
+    lazy val dvs: Map[String, String] =
+      entries.collect { case e if e.dv.isDefined => e.name -> e.dv.get }.toMap
+  }
+
+  /** Commit kinds — what a change-feed consumer (and the versioned
+    * stream) branches on. `rewrite` marks a commit that reorganizes
+    * files WITHOUT changing row content (compaction): streams and CDF
+    * skip it outright — Delta's dataChange=false. */
+  val KindCreate = "create"
+  val KindAppend = "append"
+  val KindReplace = "replace"
+  val KindDelete = "delete"
+  val KindAlter = "alter"
+  val KindRollback = "rollback"
+  val KindRewrite = "rewrite"
+
+  /** Max entries per manifest-group file. */
+  val GroupTargetFiles = 512
+  /** Group-count bound: a commit that would exceed this coalesces the
+    * smallest groups down to ~half the bound. */
+  val MaxGroups = 64
+
+  /** Test/diagnostic counter: group-entry materializations (how many
+    * group files a plan actually read — the group-pruning assertion). */
+  val groupReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def versionsDir(path: String) = new File(path, "_versions")
   private def manifestFile(path: String, v: Long) =
@@ -64,91 +143,118 @@ object AvroSnapshots {
         else None
       }.sorted
 
+  // ---- entry line codec (shared by group files and legacy inline) ----
+
+  private def entryLine(e: FileEntry): String = {
+    val part = e.part match {
+      case Some(p) if e.specId != 0 => s"$p@${e.specId}"
+      case Some(p)                  => p.toString
+      case None                     => ""
+    }
+    val fields = Seq(e.name, part, e.stats.getOrElse(""), e.dv.getOrElse(""))
+    // drop trailing empties so pre-dv / pre-stats lines stay compact
+    val keep = fields.lastIndexWhere(_.nonEmpty).max(0)
+    fields.take(keep + 1).mkString("\t")
+  }
+
+  private def parseEntry(l: String): FileEntry = {
+    val f = l.split("\t", 4)
+    val (part, spec) = f.lift(1).filter(_.nonEmpty) match {
+      case Some(p) => p.split("@", 2) match {
+        case Array(v, s) => (v.toLongOption, s.toIntOption.getOrElse(0))
+        case Array(v)    => (v.toLongOption, 0)
+      }
+      case None => (None, 0)
+    }
+    FileEntry(f(0), part, spec,
+      f.lift(2).filter(_.nonEmpty), f.lift(3).filter(_.nonEmpty))
+  }
+
+  // ---- manifest-group files (immutable; entries cached per process) ----
+
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[FileEntry]]()
+
+  /** Parsed entries of one group file. Group files are immutable, so
+    * the parse is cached process-wide; the read counter ticks on every
+    * materialization (cached or not) — it measures how many groups a
+    * PLAN touched, which is the group-pruning test signal. */
+  def groupEntries(path: String, group: String): Seq[FileEntry] = {
+    groupReads.incrementAndGet()
+    groupCache.computeIfAbsent(
+      new File(versionsDir(path), group).getAbsolutePath,
+      abs => new String(Files.readAllBytes(new File(abs).toPath),
+        StandardCharsets.UTF_8).split("\n", -1).toSeq
+        .filter(_.nonEmpty).map(parseEntry))
+  }
+
+  private def writeGroup(path: String, entries: Seq[FileEntry]): GroupRef = {
+    versionsDir(path).mkdirs()
+    val name = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
+      .take(16) + ".grp"
+    val f = new File(versionsDir(path), name)
+    Files.write(f.toPath,
+      entries.map(entryLine).mkString("\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    groupCache.put(f.getAbsolutePath, entries)
+    GroupRef(name, entries.size.toLong,
+      AvroStats.aggregateStats(entries.map(_.stats)))
+  }
+
   def load(path: String, v: Long): Option[Snapshot] = {
     val f = manifestFile(path, v)
     if (!f.isFile) None
     else {
       val lines = new String(Files.readAllBytes(f.toPath),
         StandardCharsets.UTF_8).split("\n", -1).toSeq
-      // a file line is `name[\t<part>[\t<statsJson>]]` — tab-separated
-      // partition value and column stats from clustered/stats-aware
-      // writes; either middle field may be empty
-      val entries = lines.drop(2).filter(_.nonEmpty).map { l =>
-        val fields = l.split("\t", 3)
-        (fields(0),
-          fields.lift(1).filter(_.nonEmpty).flatMap(_.toLongOption),
-          fields.lift(2).filter(_.nonEmpty))
+      val head = lines.head.split("\t", 3)
+      val ts = head(0).toLong
+      val kind = head.lift(1).filter(_.nonEmpty).getOrElse(KindReplace)
+      val parent = head.lift(2).flatMap(_.toLongOption).getOrElse(v - 1)
+      val body = lines.drop(2).filter(_.nonEmpty)
+      // `@group \t count \t aggStats` vs a legacy inline entry line —
+      // data-file names never start with '@'
+      val (groupLines, inlineLines) = body.partition(_.startsWith("@"))
+      val groups = groupLines.map { l =>
+        val f = l.stripPrefix("@").split("\t", 3)
+        GroupRef(f(0), f.lift(1).flatMap(_.toLongOption).getOrElse(0L),
+          f.lift(2).getOrElse("{}"))
       }
-      Some(Snapshot(v, lines.head.toLong,
+      Some(Snapshot(v, ts,
         DataType.fromJson(lines(1)).asInstanceOf[StructType],
-        entries.map(_._1),
-        entries.collect { case (n, Some(b), _) => n -> b }.toMap,
-        entries.collect { case (n, _, Some(st)) => n -> st }.toMap))
+        kind, parent, groups, inlineLines.map(parseEntry), path))
     }
   }
 
+  /** Latest committed version REGARDLESS of branch refs — the raw
+    * global sequence (version numbers are unique across branches). */
   def latest(path: String): Option[Snapshot] =
     versions(path).lastOption.flatMap(load(path, _))
 
-  /** Latest snapshot committed at or before `tsMs` (TIMESTAMP AS OF). */
+  /** Latest MAIN-lineage snapshot committed at or before `tsMs`
+    * (TIMESTAMP AS OF). Once branching has begun, the walk follows
+    * main's parent chain so a staged branch commit never answers a
+    * main-history question. */
   def asOf(path: String, tsMs: Long): Option[Snapshot] =
-    versions(path).reverseIterator.flatMap(load(path, _))
-      .find(_.timestampMs <= tsMs)
-
-  /** Per-table-path commit locks: every read-view→write-manifest
-    * sequence in this JVM serializes here, so two concurrent writers
-    * can never both base their manifest on the same parent and drop
-    * each other's files (the lost-update race). Cross-JVM racers are
-    * DETECTED, not absorbed: record() claims its version number with
-    * CREATE_NEW and throws on collision rather than silently
-    * re-numbering a stale file list — at scale this seat belongs to a
-    * catalog service's atomic swap; failing loudly is the only correct
-    * filesystem-only behavior. */
-  private val commitLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  def withCommitLock[A](path: String)(f: => A): A =
-    commitLocks.computeIfAbsent(
-      new File(path).getAbsolutePath, _ => new Object).synchronized(f)
-
-  /** Commit the next version atomically. Returns the version number.
-    * Call inside [[withCommitLock]] whenever `files` was derived from
-    * the current view (every read-modify-write commit). */
-  def record(path: String, schema: StructType, files: Seq[String],
-      parts: Map[String, Long] = Map.empty,
-      stats: Map[String, String] = Map.empty): Long = {
-    versionsDir(path).mkdirs()
-    val fileLines = files.map { n =>
-      val part = parts.get(n).map(_.toString).getOrElse("")
-      stats.get(n) match {
-        case Some(st)              => s"$n\t$part\t$st"
-        case None if part.nonEmpty => s"$n\t$part"
-        case None                  => n
-      }
+    getRefEntry(path, MainBranch) match {
+      case Some((mh, true)) =>
+        Iterator.iterate(load(path, mh))(s =>
+          s.filter(_.parent >= 0).flatMap(x => load(path, x.parent)))
+          .takeWhile(_.isDefined).flatten
+          .find(_.timestampMs <= tsMs)
+      case _ =>
+        versions(path).reverseIterator.flatMap(load(path, _))
+          .find(_.timestampMs <= tsMs)
     }
-    val body = (System.currentTimeMillis().toString +: schema.json +: fileLines)
-      .mkString("\n").getBytes(StandardCharsets.UTF_8)
-    val v = versions(path).lastOption.map(_ + 1).getOrElse(0L)
-    try {
-      Files.write(manifestFile(path, v).toPath, body,
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      v
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        // a writer outside this JVM's commit lock won v: our file list
-        // was derived from a parent that is no longer the head, so
-        // re-numbering it would silently drop the winner's files
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent commit to $path at version $v — retry the " +
-            "operation against the new table state")
-    }
-  }
 
-  // ---- named refs (tags/branches): `_refs/<name>` → version ----
+  // ---- refs (tags + branches): `_refs/<name>` ----
   //
-  // Iceberg's tag mechanism: a ref is a named pointer to a version, so
-  // `VERSION AS OF 'baseline'` reproduces a blessed state forever
-  // (training-data provenance: the tag IS the dataset version a model
-  // was trained on). Refs pin their version against expiry.
+  // A ref is a named pointer to a version. TAGS are immutable pins
+  // (`VERSION AS OF 'baseline'` — training-data provenance) and pin
+  // their version against expiry. BRANCHES are movable heads: commits
+  // can target them (write-audit-publish) and fastForward publishes a
+  // branch to main. File content: `<version>` (tag) or
+  // `<version>\tbranch`.
 
   private def refsDir(path: String) = new File(path, "_refs")
   private def refFile(path: String, name: String) = {
@@ -158,21 +264,39 @@ object AvroSnapshots {
     new File(refsDir(path), name)
   }
 
-  def setRef(path: String, name: String, version: Long): Unit = {
+  /** The reserved branch name for the default line of history. It only
+    * materializes as a ref once the first branch is created. */
+  val MainBranch = "main"
+
+  def setRef(path: String, name: String, version: Long,
+      isBranch: Boolean = false): Unit = {
     require(load(path, version).isDefined,
-      s"cannot tag $name: version $version does not exist")
+      s"cannot point ref $name: version $version does not exist")
+    if (!isBranch) require(name != MainBranch,
+      s"'$MainBranch' is the default branch head, not a taggable name")
     refsDir(path).mkdirs()
+    val body = if (isBranch) s"$version\tbranch" else version.toString
     Files.write(refFile(path, name).toPath,
-      version.toString.getBytes(StandardCharsets.UTF_8))
+      body.getBytes(StandardCharsets.UTF_8))
     ()
   }
 
-  def getRef(path: String, name: String): Option[Long] = {
+  /** (version, isBranch) of a ref. */
+  def getRefEntry(path: String, name: String): Option[(Long, Boolean)] = {
     val f = refFile(path, name)
     if (!f.isFile) None
-    else Some(new String(Files.readAllBytes(f.toPath),
-      StandardCharsets.UTF_8).trim.toLong)
+    else {
+      val fields = new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).trim.split("\t")
+      Some((fields(0).toLong, fields.lift(1).contains("branch")))
+    }
   }
+
+  def getRef(path: String, name: String): Option[Long] =
+    getRefEntry(path, name).map(_._1)
+
+  def isBranch(path: String, name: String): Boolean =
+    getRefEntry(path, name).exists(_._2)
 
   def listRefs(path: String): Map[String, Long] =
     Option(refsDir(path).listFiles()).map(_.toSeq).getOrElse(Nil)
@@ -180,31 +304,244 @@ object AvroSnapshots {
 
   def dropRef(path: String, name: String): Boolean = refFile(path, name).delete()
 
+  /** Head version of a line of history: an explicit branch ref when
+    * one exists (`main` included, once branching has begun), else the
+    * global latest version. */
+  def headVersion(path: String, branch: Option[String] = None): Option[Long] =
+    branch match {
+      case Some(b) => getRefEntry(path, b).collect { case (v, true) => v }
+      case None => getRefEntry(path, MainBranch) match {
+        case Some((v, true)) => Some(v)
+        case _               => versions(path).lastOption
+      }
+    }
+
+  def head(path: String, branch: Option[String] = None): Option[Snapshot] =
+    headVersion(path, branch).flatMap(load(path, _))
+
+  /** Create a movable branch at the current main head (or `from`),
+    * pinning `main` itself as an explicit branch ref first so branch
+    * commits never surface in the default read view. */
+  def createBranch(path: String, name: String,
+      from: Option[Long] = None): Long = withCommitLock(path) {
+    require(name != MainBranch, s"'$MainBranch' already exists")
+    require(getRefEntry(path, name).isEmpty, s"ref '$name' already exists")
+    val base = from.orElse(headVersion(path, None)).getOrElse(
+      throw new IllegalStateException(s"$path has no versions to branch from"))
+    if (getRefEntry(path, MainBranch).isEmpty)
+      setRef(path, MainBranch, headVersion(path, None).get, isBranch = true)
+    setRef(path, name, base, isBranch = true)
+    base
+  }
+
+  /** True iff `ancestor` is reachable from `v` by the parent chain. */
+  def isAncestor(path: String, ancestor: Long, v: Long): Boolean = {
+    var cur = v
+    while (cur >= 0) {
+      if (cur == ancestor) return true
+      load(path, cur) match {
+        case Some(sn) if sn.parent < cur => cur = sn.parent
+        case _ => return false // expired lineage or malformed parent
+      }
+    }
+    false
+  }
+
+  /** Fast-forward publish: move `main` to the branch head — refused
+    * when main has diverged (main head not an ancestor of the branch
+    * head), exactly git's fast-forward rule. Returns the new main
+    * head. */
+  def fastForward(path: String, branch: String): Long = withCommitLock(path) {
+    val bh = getRefEntry(path, branch) match {
+      case Some((v, true)) => v
+      case _ => throw new IllegalArgumentException(s"'$branch' is not a branch")
+    }
+    val mh = headVersion(path, None).getOrElse(-1L)
+    require(mh < 0 || isAncestor(path, mh, bh),
+      s"cannot fast-forward: main (v$mh) is not an ancestor of " +
+        s"$branch (v$bh) — main has diverged")
+    setRef(path, MainBranch, bh, isBranch = true)
+    bh
+  }
+
+  /** Per-table-path commit locks: every read-view→write-manifest
+    * sequence in this JVM serializes here, so two concurrent writers
+    * can never both base their manifest on the same parent and drop
+    * each other's files (the lost-update race). Cross-JVM racers are
+    * DETECTED via CREATE_NEW on the version number; pure appends
+    * auto-rebase ([[commitAppend]]), read-modify-write commits throw. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def withCommitLock[A](path: String)(f: => A): A =
+    commitLocks.computeIfAbsent(
+      new File(path).getAbsolutePath, _ => new Object).synchronized(f)
+
+  /** Commit `entries` as the next version of `branch` (None = main).
+    * Group assembly is incremental against the parent head: untouched
+    * groups are reused BY REFERENCE (no read, no write), groups that
+    * lost or changed entries are rewritten without them, and new or
+    * changed entries land in fresh groups — commit bytes are
+    * O(changed entries + group refs), never O(table). Call inside
+    * [[withCommitLock]] whenever `entries` was derived from the
+    * current view (every read-modify-write); a cross-JVM collision on
+    * the version number throws ConcurrentModificationException. */
+  def commit(path: String, schema: StructType, entries: Seq[FileEntry],
+      kind: String, branch: Option[String] = None): Long = {
+    versionsDir(path).mkdirs()
+    // claim the NEXT version number as of entry: a racer landing any
+    // time after this read collides on CREATE_NEW below (detected),
+    // instead of being silently renumbered past
+    val v = versions(path).lastOption.map(_ + 1).getOrElse(0L)
+    val parent = headVersion(path, branch)
+    val prev = parent.flatMap(load(path, _))
+    val desired: Map[String, FileEntry] =
+      entries.iterator.map(e => e.name -> e).toMap
+    require(desired.size == entries.size,
+      s"duplicate file names in commit to $path")
+
+    val consumed = scala.collection.mutable.HashSet.empty[String]
+    val reused = scala.collection.mutable.ArrayBuffer.empty[GroupRef]
+    val carryover = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    prev.foreach { p =>
+      p.groups.foreach { g =>
+        val ge = groupEntries(path, g.file)
+        val same = ge.forall(e => desired.get(e.name).contains(e))
+        if (same && ge.nonEmpty) {
+          reused += g
+          ge.foreach(consumed += _.name)
+        } else {
+          // keep only entries still wanted verbatim; changed entries
+          // re-enter through `fresh` below with their new shape
+          val keep = ge.filter(e => desired.get(e.name).contains(e))
+          carryover ++= keep
+          keep.foreach(consumed += _.name)
+        }
+      }
+      // legacy inline entries migrate into groups on first new commit
+      val keepInline = p.inline.filter(e => desired.get(e.name).contains(e))
+      carryover ++= keepInline
+      keepInline.foreach(consumed += _.name)
+    }
+    val fresh = entries.filterNot(e => consumed(e.name))
+
+    def dropGroupFile(g: GroupRef): Unit = {
+      val f = new File(versionsDir(path), g.file)
+      groupCache.remove(f.getAbsolutePath)
+      f.delete()
+      ()
+    }
+    var refs = reused.toSeq ++
+      (carryover.toSeq ++ fresh).grouped(GroupTargetFiles).toSeq
+        .filter(_.nonEmpty).map(writeGroup(path, _))
+    // bound the version file: coalesce the smallest groups when the
+    // ref list outgrows MaxGroups (Iceberg's commit-time manifest
+    // merge) — each entry is rewritten O(log n) times amortized
+    if (refs.size > MaxGroups) {
+      val (small, big) = refs.sortBy(_.count).splitAt(refs.size - MaxGroups / 2)
+      val merged = small.flatMap(g => groupEntries(path, g.file))
+        .grouped(GroupTargetFiles).toSeq.filter(_.nonEmpty)
+        .map(writeGroup(path, _))
+      // a just-written group coalesced straight away is referenced by
+      // no manifest — reclaim it now (prior manifests' groups stay)
+      small.filterNot(reused.contains).foreach(dropGroupFile)
+      refs = big ++ merged
+    }
+
+    val refLines = refs.map(g => s"@${g.file}\t${g.count}\t${g.aggStats}")
+    val headLine =
+      s"${System.currentTimeMillis()}\t$kind\t${parent.getOrElse(-1L)}"
+    val body = (headLine +: schema.json +: refLines)
+      .mkString("\n").getBytes(StandardCharsets.UTF_8)
+    try {
+      Files.write(manifestFile(path, v).toPath, body,
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // a writer outside this JVM's commit lock won v: our entry set
+        // was derived from a parent that is no longer the head, so
+        // re-numbering it would silently drop the winner's files.
+        // Clean the group files this attempt wrote (no manifest will
+        // ever reference them), then fail loudly.
+        (refs.toSet -- reused.toSet).foreach(dropGroupFile)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit to $path at version $v — retry the " +
+            "operation against the new table state")
+    }
+    branch match {
+      case Some(b) => setRef(path, b, v, isBranch = true)
+      case None =>
+        if (getRefEntry(path, MainBranch).exists(_._2))
+          setRef(path, MainBranch, v, isBranch = true)
+    }
+    v
+  }
+
+  /** Commit a pure APPEND: `added` files are this writer's alone, so a
+    * lost cross-JVM race is absorbed by re-deriving against the new
+    * head and retrying (bounded) — the commutative-commit auto-rebase
+    * a catalog service performs. An `added` entry whose name already
+    * exists REPLACES the old entry (streaming epoch replay overwrites
+    * its own files). Conflicting read-modify-write commits still
+    * throw from [[commit]]. */
+  def commitAppend(path: String, schema: StructType,
+      added: Seq[FileEntry], kind: String = KindAppend,
+      branch: Option[String] = None): Long = {
+    val addNames = added.map(_.name).toSet
+    var attempt = 0
+    while (true) {
+      try {
+        // base read INSIDE the lock: an in-JVM committer landing between
+        // a stale read and our commit would otherwise be dropped
+        return withCommitLock(path) {
+          val base = head(path, branch).map(_.entries).getOrElse(Nil)
+          val next = base.filterNot(e => addNames(e.name)) ++ added
+          commit(path, schema, next, kind, branch)
+        }
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= 20) throw e
+          Thread.sleep(5L * attempt)
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Snapshot expiry (VACUUM): keep only the newest `retainLast`
-    * versions (tagged versions are pinned), delete older manifests,
-    * then delete every data file reachable ONLY from the dropped
-    * manifests. Files referenced by no manifest at all — a concurrent
-    * in-flight write's task outputs that haven't committed yet — are
-    * deliberately NOT touched (Iceberg's expire_snapshots draws the
-    * same line; orphan cleanup is a separate age-gated op). Stream
-    * epoch markers are retained: a committed marker whose files were
-    * all expired is inert under the manifest read path. Returns the
-    * deleted data-file names. This is the ONLY operation that removes
-    * a versioned table's data files. */
+    * versions (ref-pinned versions — tags AND branch heads — are
+    * kept), delete older version files, then delete every manifest
+    * GROUP, deletion-vector sidecar and DATA file reachable ONLY from
+    * the dropped versions. Files referenced by no manifest at all — a
+    * concurrent in-flight write's task outputs that haven't committed
+    * yet — are deliberately NOT touched (Iceberg's expire_snapshots
+    * draws the same line; orphan cleanup is a separate age-gated op).
+    * Returns the deleted data-file names. This is the ONLY operation
+    * that removes a versioned table's data files. */
   def expire(path: String, retainLast: Int): Seq[String] = withCommitLock(path) {
     require(retainLast >= 1, "must retain at least the current version")
     val all = versions(path)
-    val tagged = listRefs(path).values.toSet // refs pin their versions
+    val pinnedVs = listRefs(path).values.toSet // refs pin their versions
     val (dropCand, keep) = all.splitAt(math.max(0, all.size - retainLast))
-    val (pinned, drop) = dropCand.partition(tagged)
+    val (pinned, drop) = dropCand.partition(pinnedVs)
     val retained = keep ++ pinned
-    val referenced: Set[String] =
-      retained.flatMap(v => load(path, v).map(_.files).getOrElse(Nil)).toSet
-    val droppedRefs: Set[String] =
-      drop.flatMap(v => load(path, v).map(_.files).getOrElse(Nil)).toSet
+    val retainedSnaps = retained.flatMap(load(path, _))
+    val droppedSnaps = drop.flatMap(load(path, _))
+    def filesOf(s: Seq[Snapshot]) = s.flatMap(_.files).toSet
+    def groupsOf(s: Seq[Snapshot]) = s.flatMap(_.groups.map(_.file)).toSet
+    def dvsOf(s: Seq[Snapshot]) = s.flatMap(_.dvs.values).toSet
+    val (refFiles, refGroups, refDvs) =
+      (filesOf(retainedSnaps), groupsOf(retainedSnaps), dvsOf(retainedSnaps))
+    val deadData = (filesOf(droppedSnaps) -- refFiles).toSeq.sorted
+    val deadGroups = (groupsOf(droppedSnaps) -- refGroups).toSeq
+    val deadDvs = (dvsOf(droppedSnaps) -- refDvs).toSeq
     drop.foreach(v => manifestFile(path, v).delete())
-    val dead = (droppedRefs -- referenced).toSeq.sorted
-    dead.foreach(n => new File(path, n).delete())
-    dead
+    deadGroups.foreach { g =>
+      val f = new File(versionsDir(path), g)
+      groupCache.remove(f.getAbsolutePath)
+      f.delete()
+    }
+    deadDvs.foreach(d => new File(path, d).delete())
+    deadData.foreach(n => new File(path, n).delete())
+    deadData
   }
 }

@@ -46,6 +46,35 @@ object AvroStats {
     * parser routes it to [[rowCount]], never to a ColStats. */
   val RowCountKey = "_n"
 
+  /** String bounds longer than this many CODE POINTS are truncated
+    * before they enter the manifest (min: prefix — a prefix sorts ≤
+    * the full value; max: prefix bumped to its code-point successor —
+    * strictly ≥ every string it covers). Iceberg truncates to ~16
+    * bytes for the same reason: long string values must not bloat
+    * every snapshot manifest and every plan-time parse. */
+  val MaxStringBound = 16
+
+  private def truncMin(s: String): String =
+    if (s.codePointCount(0, s.length) <= MaxStringBound) s
+    else s.substring(0, s.offsetByCodePoints(0, MaxStringBound))
+
+  private def truncMax(s: String): String = {
+    if (s.codePointCount(0, s.length) <= MaxStringBound) return s
+    // shortest bumped prefix ≥ s: bump the truncated prefix's last
+    // code point; where no sound successor exists (lone surrogate,
+    // U+10FFFF) drop it and bump the previous one (Iceberg's rule)
+    var p = s.substring(0, s.offsetByCodePoints(0, MaxStringBound))
+    while (p.nonEmpty) {
+      nextPrefix(p) match {
+        case Some(np) => return np
+        case None =>
+          p = p.substring(0, p.length - Character.charCount(
+            p.codePointBefore(p.length)))
+      }
+    }
+    s // every prefix position un-bumpable → keep the full value (rare)
+  }
+
   /** Streaming min/max/null-count accumulator for one file's rows —
     * updated per field by the Avro writer as it encodes. */
   final class StatsCollector(schema: StructType) {
@@ -77,8 +106,16 @@ object AvroStats {
     }
 
     def toJson: String = {
+      // string bounds are truncated (min: prefix; max: bumped prefix)
+      // so a long-text column costs O(1) manifest bytes per file
+      def bound(v: Any, isMin: Boolean): Any = v match {
+        case s: String => if (isMin) truncMin(s) else truncMax(s)
+        case o         => o
+      }
       val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-        f.name -> (JArray(List(toJValue(mins(i)), toJValue(maxs(i)),
+        f.name -> (JArray(List(
+          toJValue(if (mins(i) == null) null else bound(mins(i), isMin = true)),
+          toJValue(if (maxs(i) == null) null else bound(maxs(i), isMin = false)),
           JLong(nulls(i)))): JValue)
       }
       JsonMethods.compact(JsonMethods.render(
@@ -234,10 +271,59 @@ object AvroStats {
   }
 
   /** Smallest string strictly greater than every string with prefix
-    * `p`, when one exists in the compare order. */
-  private def nextPrefix(p: String): Option[String] =
-    if (p.isEmpty || p.last == Char.MaxValue) None
-    else Some(p.init + (p.last + 1).toChar)
+    * `p`, when one exists in the CODE-POINT compare order ([[cmp]]'s
+    * order — bumping the last UTF-16 unit is wrong for a prefix ending
+    * at 0xDFFF, whose unit-successor 0xE000 sorts BELOW it by code
+    * point and would let StringStartsWith pruning skip matching
+    * files). The successor is computed on the last code point: U+D7FF
+    * skips the surrogate block to U+E000; a trailing lone surrogate or
+    * U+10FFFF has no sound successor → None (never prunes). */
+  private def nextPrefix(p: String): Option[String] = {
+    if (p.isEmpty) return None
+    val cp = p.codePointBefore(p.length)
+    if ((cp >= 0xD800 && cp <= 0xDFFF) || cp == 0x10FFFF) return None
+    val next = if (cp == 0xD7FF) 0xE000 else cp + 1
+    Some(p.substring(0, p.length - Character.charCount(cp)) +
+      new String(Character.toChars(next)))
+  }
+
+  /** Group-hull stats: fold many files' per-file stats JSONs into one
+    * aggregated stats JSON for the files' manifest GROUP — min of
+    * mins, max of maxs, summed null counts, summed row counts. The
+    * hull is what group-level pruning tests a pushed conjunction
+    * against, so it must be conservative: any file WITHOUT stats makes
+    * the whole group unknown (`{}`), and a column absent from any
+    * file's stats is omitted (unknown → never prunes). Mixed
+    * double/sentinel bounds (NaN/±Infinity stored as strings) fold in
+    * the double domain; [[toJValue]] re-encodes specials as sentinels. */
+  def aggregateStats(statsJsons: Seq[Option[String]]): String = {
+    if (statsJsons.isEmpty || statsJsons.exists(_.isEmpty)) return "{}"
+    val parsed = statsJsons.flatten.map(parseWithRows)
+    val rows: Option[Long] =
+      if (parsed.forall(_._1.isDefined)) Some(parsed.flatMap(_._1).sum) else None
+    val common = parsed.map(_._2.keySet).reduce(_ intersect _)
+    def widen(v: Any, anyDouble: Boolean): Any = v match {
+      case s: String if anyDouble &&
+          (s == "NaN" || s == "Infinity" || s == "-Infinity") =>
+        Double.box(s.toDouble)
+      case o => o
+    }
+    val cols = common.toSeq.sorted.map { c =>
+      val cs = parsed.map(_._2(c))
+      val raw = cs.flatMap(s => s.min.toSeq ++ s.max.toSeq)
+      val anyDouble = raw.exists(_.isInstanceOf[java.lang.Double])
+      val mins = cs.flatMap(_.min).map(widen(_, anyDouble))
+      val maxs = cs.flatMap(_.max).map(widen(_, anyDouble))
+      val mn = if (mins.isEmpty) null
+        else mins.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+      val mx = if (maxs.isEmpty) null
+        else maxs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+      c -> (JArray(List(toJValue(mn), toJValue(mx),
+        JLong(cs.map(_.nulls).sum))): JValue)
+    }
+    val fields = rows.map(n => RowCountKey -> (JLong(n): JValue)).toList ++ cols
+    JsonMethods.compact(JsonMethods.render(JObject(fields)))
+  }
 
   /** True unless `filters` (a conjunction) is provably false for every
     * row `fileName` can contain. `resolve` maps an attribute name to
@@ -245,6 +331,18 @@ object AvroStats {
     * never prunes. Leaf filters referencing ONLY the hidden `_file`
     * metadata column are decided EXACTLY from the file name. */
   def fileMightMatch(filters: Seq[Filter], fileName: String,
+      resolve: String => Option[ColStats]): Boolean =
+    mightMatch(filters, Some(fileName), resolve)
+
+  /** Group-level pruning: true unless `filters` is provably false for
+    * every row of every file in a group whose aggregated hull stats
+    * `resolve` serves. `_file` leaves cannot be decided for a whole
+    * group — they keep it. */
+  def groupMightMatch(filters: Seq[Filter],
+      resolve: String => Option[ColStats]): Boolean =
+    mightMatch(filters, None, resolve)
+
+  private def mightMatch(filters: Seq[Filter], fileName: Option[String],
       resolve: String => Option[ColStats]): Boolean = {
 
     // Some((min, max)) when both bounds known; None → value predicates
@@ -269,7 +367,10 @@ object AvroStats {
       case AlwaysFalse() => false
       case leaf if leaf.references.nonEmpty &&
           leaf.references.forall(_.equalsIgnoreCase(AvroDirSource.FileColumn)) =>
-        AvroFilterEval.eval(leaf, _ => fileName).getOrElse(true)
+        fileName match {
+          case Some(fn) => AvroFilterEval.eval(leaf, _ => fn).getOrElse(true)
+          case None     => true // whole-group check: undecidable per group
+        }
       case EqualTo(a, x)       => x != null && within(a, x)
       case EqualNullSafe(a, x) =>
         if (x == null) resolve(a).forall(_.nulls > 0) else within(a, x)

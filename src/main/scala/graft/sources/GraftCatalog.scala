@@ -71,14 +71,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private val PartitionJsonV1 = """\{"bucket":(\d+),"column":"([^"]+)"\}""".r
   private val PartitionJsonV2 =
     """\{"transform":"([a-z]+)","n":(\d+),"column":"([^"]+)"\}""".r
-  private def loadPartSpec(dir: File): Option[PartSpec] = {
+  private val PartitionJsonV3 = // one spec of an evolution list
+    """\{"id":(\d+),"transform":"([a-z]+)","n":(\d+),"column":"([^"]+)"\}""".r
+  /** The table's partition-spec HISTORY (partition evolution): specs
+    * are append-only with increasing ids, each data file records the
+    * id it was written under, and only the LAST spec governs new
+    * writes — changing the layout never rewrites old files (Iceberg's
+    * spec-id-per-file design). Legacy single-object sidecars parse as
+    * spec 0. */
+  private def loadPartSpecs(dir: File): Seq[PartSpec] = {
     val f = partitionFile(dir)
-    if (!f.isFile) None
-    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim match {
-      case PartitionJsonV1(n, col)    => Some(PartSpec("bucket", n.toInt, col))
-      case PartitionJsonV2(t, n, col) => Some(PartSpec(t, n.toInt, col))
-      case other => throw new IllegalStateException(
-        s"unreadable _partition.json in $dir: $other")
+    if (!f.isFile) Nil
+    else {
+      val body = new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).trim
+      val specs = body match {
+        case PartitionJsonV1(n, col)    => Seq(PartSpec("bucket", n.toInt, col))
+        case PartitionJsonV2(t, n, col) => Seq(PartSpec(t, n.toInt, col))
+        case _ if body.startsWith("[") =>
+          PartitionJsonV3.findAllMatchIn(body).map(m =>
+            PartSpec(m.group(2), m.group(3).toInt, m.group(4),
+              m.group(1).toInt)).toSeq
+        case other => throw new IllegalStateException(
+          s"unreadable _partition.json in $dir: $other")
+      }
+      require(specs.nonEmpty, s"empty _partition.json in $dir")
+      specs
+    }
+  }
+  private def loadPartSpec(dir: File): Option[PartSpec] =
+    loadPartSpecs(dir).lastOption
+  private def writePartSpecs(dir: File, specs: Seq[PartSpec]): Unit = {
+    val body = specs.map(sp =>
+      s"""{"id":${sp.specId},"transform":"${sp.transform}","n":${sp.n},"column":"${sp.column}"}""")
+      .mkString("[", ",", "]")
+    Files.write(partitionFile(dir).toPath,
+      body.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Partition EVOLUTION: append a new spec (id = prior max + 1) that
+    * governs only FUTURE writes — existing files keep their recorded
+    * spec id and are never rewritten. Grouped (SPJ) scans soundly
+    * downgrade while the view mixes spec ids (until compaction
+    * re-clusters everything under the new spec); stats-based pruning
+    * is unaffected (it reads column intervals, not placement). */
+  def evolvePartitionSpec(ident: Identifier, transform: String,
+      n: Int, column: String): Int = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val schema = DataType.fromJson(new String(
+      Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(column)),
+      s"partition column $column is not a column of ${ident.name}")
+    AvroSnapshots.withCommitLock(dir.getPath) {
+      val specs = loadPartSpecs(dir)
+      val id = specs.map(_.specId).maxOption.map(_ + 1).getOrElse(0)
+      writePartSpecs(dir, specs :+ PartSpec(transform, n, column, id))
+      id
     }
   }
   private def parsePartTransform(
@@ -115,19 +166,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // pays at the next rewrite (sorted OPTIMIZE).
   private def sortFile(dir: File): File = new File(dir, "_sort.json")
   private val SortJson = """\{"column":"([^"]+)"\}""".r
-  private def loadSortCol(dir: File): Option[String] = {
+  private val SortJsonZ =
+    """\{"columns":\["([^"]+)","([^"]+)"\],"zorder":true\}""".r
+  private def loadSortSpec(dir: File): Option[SortSpec] = {
     val f = sortFile(dir)
     if (!f.isFile) None
     else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim match {
-      case SortJson(col) => Some(col)
+      case SortJson(col)    => Some(SortSpec(Seq(col)))
+      case SortJsonZ(a, b)  => Some(SortSpec(Seq(a, b), zorder = true))
       case other => throw new IllegalStateException(
         s"unreadable _sort.json in $dir: $other")
     }
   }
+  private def loadSortCol(dir: File): Option[String] =
+    loadSortSpec(dir).filterNot(_.zorder).map(_.columns.head)
 
   /** Record the table's write sort order (ascending). Existing files
     * are untouched — run [[compactTable]] afterwards to rewrite the
     * current contents sorted. */
+  private val ZOrderSpelling = """(?i)zorder\s*\(\s*([^,\s)]+)\s*,\s*([^,\s)]+)\s*\)""".r
   def setSortOrder(ident: Identifier, column: String): Unit = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
@@ -136,12 +193,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .asInstanceOf[StructType]
     // case-insensitive like every other resolution path; persist the
     // schema's canonical spelling so later guards compare exactly
-    val canonical = schema.fields.map(_.name)
-      .find(_.equalsIgnoreCase(column)).getOrElse(
+    def canonical(c: String): String = schema.fields.map(_.name)
+      .find(_.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
-          s"sort column $column is not a column of ${ident.name}"))
-    Files.write(sortFile(dir).toPath,
-      s"""{"column":"$canonical"}""".getBytes(StandardCharsets.UTF_8))
+          s"sort column $c is not a column of ${ident.name}"))
+    column match {
+      case ZOrderSpelling(a, b) =>
+        // Z-ORDER clustering: writes sort by the interleaved-bits
+        // zvalue of BOTH columns, so file stats tighten on each
+        val (ca, cb) = (canonical(a), canonical(b))
+        Seq(ca, cb).foreach { c =>
+          val dt = schema.fields.find(_.name == c).get.dataType
+          require(dt == LongType || dt == IntegerType,
+            s"zorder column $c must be INT or BIGINT, got $dt")
+        }
+        Files.write(sortFile(dir).toPath,
+          s"""{"columns":["$ca","$cb"],"zorder":true}"""
+            .getBytes(StandardCharsets.UTF_8))
+      case _ =>
+        Files.write(sortFile(dir).toPath,
+          s"""{"column":"${canonical(column)}"}"""
+            .getBytes(StandardCharsets.UTF_8))
+    }
     ()
   }
 
@@ -152,6 +225,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     sortFile(dir).delete()
+  }
+
+  // ---- delete-mode sidecar (`_delete.json`) ----
+  //
+  // `merge-on-read`: row-level DELETE writes O(matched-rows) deletion-
+  // vector sidecars instead of rewriting files (Iceberg v2 position
+  // deletes / Delta DVs) — the only affordable shape for high-frequency
+  // CDC at 100 TB; compaction materializes the vectors away. Default is
+  // copy-on-write (read-optimized).
+  private def deleteModeFile(dir: File): File = new File(dir, "_delete.json")
+  private def loadMergeOnRead(dir: File): Boolean = {
+    val f = deleteModeFile(dir)
+    f.isFile && new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).contains("merge-on-read")
+  }
+  def setDeleteMode(ident: Identifier, mode: String): Unit = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    mode match {
+      case "merge-on-read" =>
+        Files.write(deleteModeFile(dir).toPath,
+          """{"mode":"merge-on-read"}""".getBytes(StandardCharsets.UTF_8))
+      case "copy-on-write" => deleteModeFile(dir).delete()
+      case other => throw new IllegalArgumentException(
+        s"delete mode must be merge-on-read or copy-on-write, got $other")
+    }
+    ()
   }
 
   // ---- tables ----
@@ -166,6 +266,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     isTable(tableDir(ident))
 
+  /** The write-audit-publish session conf (Iceberg's `spark.wap.branch`
+    * shape): when set, every load of a catalog table whose `_refs/`
+    * carries a branch of that name resolves to the BRANCH — reads see
+    * the branch head and writes commit to it, leaving main untouched
+    * until [[AvroSnapshots.fastForward]] publishes. Tables without the
+    * branch load main as usual. */
+  val BranchConfKey = "spark.graft.branch"
+  private def sessionBranch(path: String): Option[String] =
+    try {
+      Option(org.apache.spark.sql.SparkSession.active)
+        .flatMap(s => s.conf.getOption(BranchConfKey))
+        .filter(_.nonEmpty)
+        .filter(b => AvroSnapshots.isBranch(path, b))
+    } catch { case _: Exception => None }
+
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
@@ -173,7 +288,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8)
     new AvroDirTable(dir.getPath,
       DataType.fromJson(json).asInstanceOf[StructType], versioned = true,
-      partSpec = loadPartSpec(dir), sortCol = loadSortCol(dir))
+      partSpec = loadPartSpec(dir), sortSpec = loadSortSpec(dir),
+      branch = sessionBranch(dir.getPath),
+      mergeOnRead = loadMergeOnRead(dir))
   }
 
   // ---- time travel ----
@@ -207,8 +324,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       version: Option[Long] = None): Long = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val v = version.orElse(AvroSnapshots.versions(dir.getPath).lastOption)
+    val v = version.orElse(AvroSnapshots.headVersion(dir.getPath))
       .getOrElse(throw new IllegalStateException(s"${ident.name} has no versions"))
+    require(!AvroSnapshots.isBranch(dir.getPath, name),
+      s"'$name' is a branch head — a tag cannot overwrite it")
     AvroSnapshots.setRef(dir.getPath, name, v)
     v
   }
@@ -247,30 +366,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // rewrite the other session's table). Same-warehouse instances in
     // different sessions are equivalent — catalog instances cache per
     // session, so identity would be too strict.
+    // isCatalogRegistered first: an unregistered name used to escape as
+    // CatalogNotFoundException and bypass this diagnostic (ADVICE r14)
     val sameWarehouse =
-      session.sessionState.catalogManager.catalog(catalogName) match {
-        case g: GraftCatalog =>
-          g.warehouse.getCanonicalPath == warehouse.getCanonicalPath
-        case _ => false
-      }
+      session.sessionState.catalogManager.isCatalogRegistered(catalogName) &&
+        (session.sessionState.catalogManager.catalog(catalogName) match {
+          case g: GraftCatalog =>
+            g.warehouse.getCanonicalPath == warehouse.getCanonicalPath
+          case _ => false
+        })
     require(sameWarehouse,
       s"catalog '$catalogName' in the given session does not resolve to " +
         s"warehouse $warehouse — invoke compactTable with a session that " +
         "owns this catalog")
-    val before = AvroSnapshots.latest(dir.getPath).map(_.files.size).getOrElse(0)
+    def filesNow() = AvroSnapshots.head(dir.getPath).map(_.files.size).getOrElse(0)
+    val before = filesNow()
     val q = (catalogName +: ident.namespace.toSeq :+ ident.name)
       .map(p => s"`$p`").mkString(".")
-    session.sql(s"INSERT OVERWRITE $q SELECT * FROM $q")
-    val after = AvroSnapshots.latest(dir.getPath).map(_.files.size).getOrElse(0)
+    // tag the self-overwrite as a REWRITE (dataChange=false): same rows,
+    // new files — streams and the change feed skip the commit
+    AvroDirSource.rewriteInProgress.add(new File(dir.getPath).getAbsolutePath)
+    try session.sql(s"INSERT OVERWRITE $q SELECT * FROM $q")
+    finally AvroDirSource.rewriteInProgress.remove(
+      new File(dir.getPath).getAbsolutePath)
+    val after = filesNow()
     (before, after)
   }
 
-  /** Latest committed version number of a catalog table. */
+  /** Current MAIN head version of a catalog table (branch commits do
+    * not move it once branching has begun). */
   def currentVersion(ident: Identifier): Long = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    AvroSnapshots.versions(dir.getPath).lastOption.getOrElse(
+    AvroSnapshots.headVersion(dir.getPath).getOrElse(
       throw new IllegalStateException(s"${ident.name} has no versions"))
+  }
+
+  /** Create a movable branch at the current main head — the staging
+    * half of write-audit-publish. Writers target it via the
+    * `spark.graft.branch` session conf; [[fastForwardBranch]]
+    * publishes. */
+  def createBranch(ident: Identifier, name: String): Long = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    AvroSnapshots.createBranch(dir.getPath, name)
+  }
+
+  /** Fast-forward main to a branch head (refused when main diverged).
+    * Returns the new main head version. */
+  def fastForwardBranch(ident: Identifier, branch: String): Long = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    AvroSnapshots.fastForward(dir.getPath, branch)
   }
 
   /** ROLLBACK (Iceberg's rollback_to_snapshot): publish version `v`'s
@@ -291,8 +438,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"${AvroSnapshots.versions(dir.getPath).mkString(", ")})"))
       Files.write(schemaFile(dir).toPath,
         snap.schema.json.getBytes(StandardCharsets.UTF_8))
-      AvroSnapshots.record(dir.getPath, snap.schema, snap.files,
-        snap.parts, snap.stats)
+      AvroSnapshots.commit(dir.getPath, snap.schema, snap.entries,
+        AvroSnapshots.KindRollback)
     }
   }
 
@@ -305,12 +452,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   def changedFiles(ident: Identifier, v1: Long, v2: Long): (Seq[String], Seq[String]) = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    def filesAt(v: Long): Set[String] =
-      AvroSnapshots.load(dir.getPath, v).map(_.files.toSet).getOrElse(
+    def entriesAt(v: Long): Map[String, Option[String]] =
+      AvroSnapshots.load(dir.getPath, v).map(
+        _.entries.map(e => e.name -> e.dv).toMap).getOrElse(
         throw new IllegalArgumentException(
           s"${ident.name}: version $v does not exist or was expired"))
-    val a = filesAt(v1); val b = filesAt(v2)
-    ((b -- a).toSeq.sorted, (a -- b).toSeq.sorted)
+    val a = entriesAt(v1); val b = entriesAt(v2)
+    // a file whose DELETION VECTOR changed carries different live rows
+    // at the two versions: it is "removed" in its v1 state and
+    // "added" in its v2 state, so the row-level feed (which reads the
+    // named files AT each version, vectors applied) diffs it correctly
+    val added = b.keysIterator.filter(n => !a.get(n).contains(b(n))).toSeq.sorted
+    val removed = a.keysIterator.filter(n => !b.get(n).contains(a(n))).toSeq.sorted
+    (added, removed)
   }
 
   /** Snapshot expiry (the VACUUM maintenance op): keep the newest
@@ -336,12 +490,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     dir.mkdirs()
     Files.write(schemaFile(dir).toPath, schema.json.getBytes(StandardCharsets.UTF_8))
-    spec.foreach { sp =>
-      Files.write(partitionFile(dir).toPath,
-        s"""{"transform":"${sp.transform}","n":${sp.n},"column":"${sp.column}"}"""
-          .getBytes(StandardCharsets.UTF_8))
-    }
-    AvroSnapshots.record(dir.getPath, schema, Nil) // v0: the empty table
+    spec.foreach(sp => writePartSpecs(dir, Seq(sp)))
+    // v0: the empty table
+    AvroSnapshots.commit(dir.getPath, schema, Nil, AvroSnapshots.KindCreate)
     new AvroDirTable(dir.getPath, schema, versioned = true, partSpec = spec)
   }
 
@@ -396,7 +547,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       names(0)
     }
     val bucketCol = loadPartSpec(dir).map(_.column)
-    val sortColumn = loadSortCol(dir)
+    val sortColumn = loadSortSpec(dir).map(_.columns).getOrElse(Nil)
     def guardBucketCol(name: String, what: String): Unit = {
       if (bucketCol.contains(name)) throw new IllegalArgumentException(
         s"$what $name: the table is partitioned by $name — the partition " +
@@ -447,14 +598,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // inconsistent with the sidecar.
     Files.write(schemaFile(dir).toPath,
       evolved.json.getBytes(StandardCharsets.UTF_8))
-    val prev = AvroSnapshots.latest(dir.getPath)
-    AvroSnapshots.record(dir.getPath, evolved,
-      prev.map(_.files)
-        .getOrElse(AvroDirSource.listFiles(dir.getPath).map(_.getName)),
-      prev.map(_.parts).getOrElse(Map.empty),
-      prev.map(_.stats).getOrElse(Map.empty))
+    val prevEntries = AvroSnapshots.head(dir.getPath).map(_.entries)
+      .getOrElse(AvroDirSource.listFiles(dir.getPath)
+        .map(f => AvroSnapshots.FileEntry(f.getName)))
+    AvroSnapshots.commit(dir.getPath, evolved, prevEntries,
+      AvroSnapshots.KindAlter)
     new AvroDirTable(dir.getPath, evolved, versioned = true,
-      partSpec = loadPartSpec(dir), sortCol = loadSortCol(dir))
+      partSpec = loadPartSpec(dir), sortSpec = loadSortSpec(dir))
     } // withCommitLock
   }
 
@@ -518,7 +668,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listFunctions(ns: Array[String]): Array[Identifier] =
     if (ns.isEmpty || namespaceExists(ns))
-      Array(Identifier.of(ns, "bucket"), Identifier.of(ns, "truncate"))
+      Array(Identifier.of(ns, "bucket"), Identifier.of(ns, "truncate"),
+        Identifier.of(ns, "zvalue"))
     else throw new NoSuchNamespaceException(ns)
 
   override def loadFunction(ident: Identifier): UnboundFunction = {
@@ -529,13 +680,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchFunctionException(ident)
     if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
     else if (ident.name.equalsIgnoreCase("truncate")) GraftTruncateFunction
+    else if (ident.name.equalsIgnoreCase("zvalue")) GraftZValueFunction
     else throw new NoSuchFunctionException(ident)
   }
 
   override def functionExists(ident: Identifier): Boolean =
     (ident.namespace.isEmpty || namespaceExists(ident.namespace)) &&
       (ident.name.equalsIgnoreCase("bucket") ||
-        ident.name.equalsIgnoreCase("truncate"))
+        ident.name.equalsIgnoreCase("truncate") ||
+        ident.name.equalsIgnoreCase("zvalue"))
 
   // ---- procedures (V2 ProcedureCatalog — SQL `CALL`) ----
   //
@@ -605,7 +758,8 @@ class GraftBucketScalar extends ScalarFunction[Integer] {
 object GraftTruncateFunction extends UnboundFunction {
   override def name(): String = "truncate"
   override def description(): String =
-    "truncate(w INT, x INT|BIGINT) -> INT: w * floor(x / w) (range partition id)"
+    "truncate(w INT, x INT|BIGINT) -> same type as x: w * floor(x / w) " +
+      "(range partition id)"
   override def bind(inputType: StructType): BoundFunction = {
     if (inputType.length != 2)
       throw new UnsupportedOperationException(
@@ -644,4 +798,70 @@ class GraftTruncateIntScalar extends ScalarFunction[Integer] {
   def invoke(w: Int, x: Int): Int = Math.floorDiv(x, w) * w
   override def produceResult(input: InternalRow): Integer =
     invoke(input.getInt(0), input.getInt(1))
+}
+
+/** `zvalue(a, b)` — the Z-ORDER (Morton) curve key: both values are
+  * sign-flipped to unsigned order and their 64 bits are INTERLEAVED
+  * into a 16-byte BINARY, which Spark sorts lexicographically (unsigned
+  * bytes — exactly the interleaved-bits order). Used as the write-path
+  * range/sort key for multi-column clustering: files sorted by zvalue
+  * get tight min/max stats on BOTH inputs, so the data-skipping scan
+  * prunes selective predicates on EITHER column. Exposed through the
+  * catalog so RequiresDistributionAndOrdering can resolve it. */
+object GraftZValueFunction extends UnboundFunction {
+  override def name(): String = "zvalue"
+  override def description(): String =
+    "zvalue(a INT|BIGINT, b INT|BIGINT) -> BINARY(16): interleaved-bits " +
+      "Z-order key (unsigned-comparable, lexicographic byte order)"
+  override def bind(inputType: StructType): BoundFunction = {
+    if (inputType.length != 2)
+      throw new UnsupportedOperationException("zvalue expects 2 arguments")
+    val ok = inputType.fields.forall(f =>
+      f.dataType == LongType || f.dataType == IntegerType)
+    if (!ok) throw new UnsupportedOperationException(
+      s"zvalue: unsupported argument types ${inputType.simpleString}")
+    new GraftZValueScalar(inputType.fields.map(_.dataType))
+  }
+}
+
+object ZValue {
+  /** Interleave the sign-flipped bits of two longs, a's bit leading. */
+  def interleave(a: Long, b: Long): Array[Byte] = {
+    val ua = a ^ Long.MinValue
+    val ub = b ^ Long.MinValue
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 64) {
+      val bitA = ((ua >>> (63 - i)) & 1L).toInt
+      val bitB = ((ub >>> (63 - i)) & 1L).toInt
+      val pa = 2 * i
+      val pb = 2 * i + 1
+      out(pa >> 3) = (out(pa >> 3) | (bitA << (7 - (pa & 7)))).toByte
+      out(pb >> 3) = (out(pb >> 3) | (bitB << (7 - (pb & 7)))).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** Bound zvalue (named public class — see [[GraftBucketScalar]] for
+  * why). INT inputs widen to their BIGINT value, so `zvalue(i, j)` and
+  * `zvalue(CAST(i AS BIGINT), j)` agree. The magic `invoke` covers the
+  * (BIGINT, BIGINT) shape; mixed shapes run through produceResult —
+  * this is a write-path range key, not a per-row hot loop. */
+class GraftZValueScalar(types: Array[DataType])
+    extends ScalarFunction[Array[Byte]] {
+  override def inputTypes(): Array[DataType] = types
+  override def resultType(): DataType = DataTypes.BinaryType
+  override def name(): String = "zvalue"
+  override def canonicalName(): String = "graft.zvalue"
+  override def isResultNullable: Boolean = false
+  def invoke(a: Long, b: Long): Array[Byte] = ZValue.interleave(a, b)
+  override def produceResult(input: InternalRow): Array[Byte] = {
+    def arg(i: Int): Long = types(i) match {
+      case LongType => input.getLong(i)
+      case _        => input.getInt(i).toLong
+    }
+    ZValue.interleave(arg(0), arg(1))
+  }
 }

@@ -36,7 +36,8 @@ import org.apache.spark.sql.types.StructType
   * physical swap: scanned files are unlinked at commit.
   */
 class GraftRowLevelOperation(path: String, tableSchema: StructType,
-    versioned: Boolean, cmd: RowLevelOperation.Command)
+    versioned: Boolean, cmd: RowLevelOperation.Command,
+    branch: Option[String] = None)
     extends RowLevelOperation {
 
   /** Files the operation's scan planned — set on the driver when the
@@ -50,17 +51,20 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array(Expressions.column(AvroDirSource.FileColumn))
 
-  private def currentView(): Seq[String] =
+  private def currentEntries(): Seq[AvroSnapshots.FileEntry] =
     if (versioned)
-      AvroSnapshots.latest(path).map(_.files)
-        .getOrElse(AvroDirSource.listFiles(path).map(_.getName))
-    else AvroDirSource.listFiles(path).map(_.getName)
+      AvroSnapshots.head(path, branch).map(_.entries)
+        .getOrElse(AvroDirSource.listFiles(path)
+          .map(f => AvroSnapshots.FileEntry(f.getName)))
+    else AvroDirSource.listFiles(path)
+      .map(f => AvroSnapshots.FileEntry(f.getName))
+  private def currentView(): Seq[String] = currentEntries().map(_.name)
 
   override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch
         with SupportsPushDownRequiredColumns with SupportsRuntimeFiltering {
       private var required: StructType = tableSchema
-      private var candidates: Seq[String] = currentView()
+      private var candidates: Seq[AvroSnapshots.FileEntry] = currentEntries()
 
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
@@ -78,14 +82,20 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
           case In(attr, values) if attr == AvroDirSource.FileColumn ||
               attr.equalsIgnoreCase(AvroDirSource.FileColumn) =>
             val keep = values.map(String.valueOf(_)).toSet
-            candidates = candidates.filter(keep)
+            candidates = candidates.filter(e => keep(e.name))
           case _ => // unknown runtime filter: keep the sound superset
         }
 
       override def planInputPartitions(): Array[InputPartition] = {
-        scannedFiles = Some(candidates)
-        candidates.map(n =>
-          AvroFileSplit(new File(path, n).getAbsolutePath): InputPartition).toArray
+        scannedFiles = Some(candidates.map(_.name))
+        // scanned groups read THROUGH their deletion vectors: the
+        // replacement row set must not resurrect rows a prior
+        // merge-on-read DELETE removed (the rewrite materializes the
+        // vector away — the replaced entry leaves with its dv)
+        candidates.map(e =>
+          AvroFileSplit(new File(path, e.name).getAbsolutePath,
+            e.dv.map(d => new File(path, d).getAbsolutePath)): InputPartition)
+          .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new AvroReaderFactory(required)
@@ -142,18 +152,17 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
                       s"scanned group(s) ${gone.mkString(", ")} no longer " +
                       "in the current version — retry the operation")
                 }
-                val retained = view.filterNot(replaced.contains)
-                val next = (retained ++ newFiles).sorted
-                // retained files keep their bucket placement; the rewrite
-                // files are unclustered (a bucketed table's scan soundly
+                // retained files keep their full entries (placement,
+                // stats, deletion vectors); the rewrite files are
+                // unclustered (a bucketed table's scan soundly
                 // downgrades to ungrouped until a clustered rewrite)
-                val prev = AvroSnapshots.latest(path)
-                val prevParts = prev.map(_.parts).getOrElse(Map.empty[String, Long])
-                val prevStats = prev.map(_.stats).getOrElse(Map.empty[String, String])
-                AvroSnapshots.record(path, tableSchema, next,
-                  prevParts.filter { case (n, _) => retained.contains(n) },
-                  prevStats.filter { case (n, _) => retained.contains(n) } ++
-                    newStats)
+                val retained = currentEntries()
+                  .filterNot(e => replaced.contains(e.name))
+                val next = (retained ++ newFiles.map(n =>
+                  AvroSnapshots.FileEntry(n, None, 0, newStats.get(n), None)))
+                  .sortBy(_.name)
+                AvroSnapshots.commit(path, tableSchema, next,
+                  AvroSnapshots.KindReplace, branch)
               }
               ()
             } else {
