@@ -931,7 +931,41 @@ object Relational {
             |FROM graftcat.lake.nation_proc ORDER BY n_nationkey""".stripMargin)
   }
 
+  /** Merge-on-read DELETE via DELETION VECTORS (round-14 verdict #2 —
+    * the CDC-affordable delete): with `set_delete_mode('merge-on-read')`
+    * a row-level DELETE writes an O(matched-rows) `_dv` sidecar of
+    * deleted row POSITIONS per affected file and swaps ONLY the
+    * manifest entry — ZERO data files are rewritten (suite-asserted: a
+    * 1-row delete leaves the data-file set byte-identical), scans apply
+    * the vector as an anti-filter, time travel reads each version
+    * under ITS dv, the change feed surfaces dv'd rows as deletes, and
+    * compaction materializes vectors away. Two successive DELETEs
+    * union into a fresh immutable sidecar (old versions keep the old
+    * one). Iceberg v2 position deletes / Delta DVs: a 1-row delete in
+    * a 1-GB file costs sidecar bytes, not a 1-GB rewrite — the only
+    * shape high-frequency CDC survives at 100 TB. The scored flow runs
+    * two DELETEs merge-on-read, then compacts (vectors cleared) and
+    * reads the final state. */
+  private def catalogDeleteVectors(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "orders").createOrReplaceTempView("graft_dv_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_dv")
+    s.sql("""CREATE TABLE graftcat.lake.orders_dv AS
+            |SELECT o_orderkey, o_custkey, o_orderpriority
+            |FROM graft_dv_src""".stripMargin)
+    s.sql("CALL graftcat.system.set_delete_mode('lake.orders_dv', 'merge-on-read')")
+    // two merge-on-read deletes: positions-only sidecars, no rewrite
+    s.sql("DELETE FROM graftcat.lake.orders_dv WHERE o_orderpriority = '1-URGENT'")
+    s.sql("DELETE FROM graftcat.lake.orders_dv WHERE o_orderkey < 100")
+    // compaction materializes the vectors away (read-optimize)
+    s.sql("CALL graftcat.system.compact('lake.orders_dv')")
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderpriority
+            |FROM graftcat.lake.orders_dv ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_delete_vectors" -> (catalogDeleteVectors _),
     "catalog_procedures" -> (catalogProcedures _),
     "catalog_agg_pushdown" -> (catalogAggPushdown _),
     "catalog_data_skipping" -> (catalogDataSkipping _),
@@ -981,6 +1015,10 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_delete_vectors" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority <> '1-URGENT' AND o_orderkey >= 100
+        |ORDER BY o_orderkey""".stripMargin,
     "catalog_procedures" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,

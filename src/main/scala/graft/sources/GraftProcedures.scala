@@ -68,7 +68,8 @@ object GraftProcedures {
     in.getUTF8String(i).toString
 
   val names: Seq[String] =
-    Seq("rollback", "expire_snapshots", "compact", "tag", "set_sort_order")
+    Seq("rollback", "expire_snapshots", "compact", "tag", "set_sort_order",
+      "set_delete_mode", "create_branch", "fast_forward", "evolve_partition")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -102,6 +103,33 @@ object GraftProcedures {
           c.setSortOrder(tableIdent(str(in, 0)), str(in, 1))
           Seq(UTF8String.fromString(str(in, 1)))
         }))
+      // merge-on-read vs copy-on-write row-level deletes (deletion
+      // vectors): `CALL c.system.set_delete_mode('ns.t', 'merge-on-read')`
+      case "set_delete_mode" => Some(new GraftProcedure(catalog, "set_delete_mode",
+        Seq("table" -> StringType, "mode" -> StringType),
+        StructType(Seq(StructField("delete_mode", StringType, nullable = false))),
+        (c, in) => {
+          c.setDeleteMode(tableIdent(str(in, 0)), str(in, 1))
+          Seq(UTF8String.fromString(str(in, 1)))
+        }))
+      // write-audit-publish: stage on a branch, fast-forward main
+      case "create_branch" => Some(new GraftProcedure(catalog, "create_branch",
+        Seq("table" -> StringType, "name" -> StringType),
+        StructType(Seq(StructField("base_version", LongType, nullable = false))),
+        (c, in) => Seq(Long.box(
+          c.createBranch(tableIdent(str(in, 0)), str(in, 1))))))
+      case "fast_forward" => Some(new GraftProcedure(catalog, "fast_forward",
+        Seq("table" -> StringType, "branch" -> StringType),
+        StructType(Seq(StructField("main_head", LongType, nullable = false))),
+        (c, in) => Seq(Long.box(
+          c.fastForwardBranch(tableIdent(str(in, 0)), str(in, 1))))))
+      // partition evolution: a NEW spec governs only future writes
+      case "evolve_partition" => Some(new GraftProcedure(catalog, "evolve_partition",
+        Seq("table" -> StringType, "transform" -> StringType,
+          "n" -> IntegerType, "column" -> StringType),
+        StructType(Seq(StructField("spec_id", IntegerType, nullable = false))),
+        (c, in) => Seq(Int.box(c.evolvePartitionSpec(
+          tableIdent(str(in, 0)), str(in, 1), in.getInt(2), str(in, 3))))))
       case _ => None
     }
 }
