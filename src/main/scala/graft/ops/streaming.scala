@@ -481,6 +481,48 @@ object Streaming {
     * 100 TB this is what keeps a restarted backfill from reading a
     * million files in one trigger. Output aggregates the drained rows;
     * the oracle re-derives them from customer directly. */
+  /** STREAMING CHANGE-DATA FEED (round-15): `graftcat.lake.t.changes`
+    * — the changelog table (Iceberg's `db.t.changes`, Delta CDF) whose
+    * schema is the base columns + `_change_type` and whose micro-batch
+    * offsets are table VERSIONS. Append commits stream their rows as
+    * `insert`; a merge-on-read DELETE streams exactly the rows at the
+    * deletion-vector's NEW positions as `delete` (O(matched), per-file
+    * parallel — the reason DVs make streaming CDC affordable);
+    * compaction (kind=rewrite, dataChange=false) streams NOTHING. The
+    * scored flow: two append commits, a dv DELETE, then AvailableNow
+    * drains the feed into a parquet sink and the result reads it back.
+    * Oracle = all rows as inserts UNION the deleted rows as deletes.
+    * At 100 TB this is the incremental-ETL consumer interface: each
+    * trigger plans O(changed files) splits from the manifest diff —
+    * no table scan, no state store. */
+  private def streamTableCdf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Graftcat.register(s)
+    T(s, dir, "customer").createOrReplaceTempView("graft_cdfs_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.cust_cdfs")
+    s.sql("""CREATE TABLE graftcat.lake.cust_cdfs AS
+            |SELECT c_custkey, c_nationkey, c_acctbal FROM graft_cdfs_src
+            |WHERE c_custkey % 2 = 0""".stripMargin)
+    s.sql("""INSERT INTO graftcat.lake.cust_cdfs
+            |SELECT c_custkey, c_nationkey, c_acctbal FROM graft_cdfs_src
+            |WHERE c_custkey % 2 = 1""".stripMargin)
+    s.sql("CALL graftcat.system.set_delete_mode('lake.cust_cdfs', 'merge-on-read')")
+    s.sql("DELETE FROM graftcat.lake.cust_cdfs WHERE c_nationkey = 7")
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val root = GraftTmp.dir(s"stream_cdf_$tag")
+    val q = s.readStream.table("graftcat.lake.cust_cdfs.changes")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$root/out")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        col("_change_type").as("change_type"))
+      .orderBy("change_type", "c_custkey")
+  }
+
   private def streamTableRatelimit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     Graftcat.register(s)
@@ -516,6 +558,7 @@ object Streaming {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_table_cdf" -> (streamTableCdf _),
     "stream_table_ratelimit" -> (streamTableRatelimit _),
     "stream_table_source" -> (streamTableSource _),
     "stream_custom_source" -> (streamCustomSource _),
@@ -535,6 +578,13 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_table_cdf" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal, 'insert' AS change_type
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_nationkey, c_acctbal, 'delete'
+        |FROM customer WHERE c_nationkey = 7
+        |ORDER BY change_type, c_custkey""".stripMargin,
     "stream_table_ratelimit" ->
       """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key,

@@ -1,0 +1,242 @@
+package graft.sources
+
+import java.io.File
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** STREAMING CHANGE-DATA FEED of a versioned table — round-15 verdict
+  * #3: the `<catalog>.<ns>.<table>.changes` changelog table (Iceberg's
+  * changelog scan / Delta CDF shape). Schema = the base table's columns
+  * plus `_change_type` STRING, offsets are table VERSIONS (restart
+  * resumes exactly-once from the checkpoint), and each micro-batch
+  * converts the manifest diff of its version window into row-level
+  * change splits — every case per-file/per-pair parallel and
+  * O(changed data), never O(table):
+  *
+  *   - APPEND window → each added file streams its rows as `insert`;
+  *   - DELETION-VECTOR window (merge-on-read DELETE) → each file whose
+  *     vector grew streams exactly the rows at the NEW positions as
+  *     `delete` — O(matched rows), the reason DVs make CDC affordable;
+  *   - entry REMOVED with no rewrite (full-file delete) → the file's
+  *     rows at the PREVIOUS version (its old vector applied) stream as
+  *     `delete`;
+  *   - copy-on-write DELETE rewrite (`part-*-rw-<orig>` pairs) → one
+  *     task per pair bag-diffs original-minus-rewrite and streams the
+  *     difference as `delete` (the rewrite is a subset, so it adds no
+  *     inserts);
+  *   - REWRITE (compaction, dataChange=false) window → nothing;
+  *   - any other rewrite (UPDATE/MERGE group replacement, overwrite) →
+  *     file-level fallback: the removed files' prior rows stream as
+  *     `delete` and the added files' rows as `insert`. Net state is
+  *     exact (apply deletes before inserts); rows that merely rode
+  *     along the group rewrite appear as a delete+insert pair — the
+  *     non-minimal but state-correct file-level CDC (the batch
+  *     change-feed key's EXCEPT ALL is the minimal spelling).
+  */
+object AvroChangeFeed {
+  val ChangeTypeColumn = "_change_type"
+  val ChangesSuffix = "changes"
+
+  def feedSchema(base: StructType): StructType =
+    StructType(base.fields.toSeq :+
+      StructField(ChangeTypeColumn, StringType, nullable = false))
+}
+
+/** The read-only changelog table `<table>.changes`. */
+class AvroChangeFeedTable(path: String, baseSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_avro_changes($path)"
+  override def schema(): StructType = AvroChangeFeed.feedSchema(baseSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = this
+      override def readSchema(): StructType = required
+      override def toMicroBatchStream(
+          checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new AvroChangeFeedStream(path, baseSchema, required,
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+    }
+}
+
+/** One change split: read `file` (skipping `skipPositions`), emit each
+  * row tagged `changeType`. `onlyPositions` restricts to exactly those
+  * row positions (the dv-delta case); `diffAgainst` bag-subtracts the
+  * sibling rewrite file's rows (the COW-pair case). */
+case class CdfSplit(file: String, changeType: String,
+    skipPositions: Seq[Long] = Nil, onlyPositions: Option[Seq[Long]] = None,
+    diffAgainst: Option[String] = None) extends InputPartition
+
+class AvroChangeFeedStream(path: String, baseSchema: StructType,
+    required: StructType, maxFiles: Option[Int])
+    extends AvroVersionStream(path, baseSchema, false, maxFiles) {
+
+  private val RewriteOf = "^part-[0-9a-f]+-rw-(.+)$".r
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[AvroVersionOffset].version
+    val e = end.asInstanceOf[AvroVersionOffset].version
+    val out = scala.collection.mutable.ArrayBuffer.empty[CdfSplit]
+    windows(s, e).foreach { case (prevV, v, d) =>
+      if (!d.rewriteOnly) {
+        val prev = entriesAt(prevV)
+        val cur = entriesAt(v)
+        val removed = prev.keySet -- cur.keySet
+        val added = cur.keySet -- prev.keySet
+        def dvOf(m: Map[String, AvroSnapshots.FileEntry], n: String): Seq[Long] =
+          m.get(n).flatMap(_.dv).map(DeletionVectors.read(path, _)).getOrElse(Nil)
+        val pairedRewrites = scala.collection.mutable.HashSet.empty[String]
+        // deletes: removed entries — paired with their COW rewrite when
+        // one exists in the same window, else the whole file's rows
+        removed.toSeq.sorted.foreach { r =>
+          val rewrite = added.find {
+            case RewriteOf(orig) => orig == r
+            case _               => false
+          }
+          rewrite.foreach(pairedRewrites += _)
+          out += CdfSplit(r, "delete", skipPositions = dvOf(prev, r),
+            diffAgainst = rewrite)
+        }
+        // deletes: deletion-vector growth — exactly the delta positions
+        cur.keysIterator.toSeq.sorted.foreach { n =>
+          if (prev.contains(n) && prev(n).dv != cur(n).dv) {
+            val old = dvOf(prev, n).toSet
+            val now = dvOf(cur, n)
+            val delta = now.filterNot(old)
+            if (delta.size != now.size - old.size)
+              throw new IllegalStateException(
+                s"deletion vector of $n shrank between v$prevV and v$v — " +
+                  "not a monotone delete; cannot stream as changes")
+            if (delta.nonEmpty)
+              out += CdfSplit(n, "delete", onlyPositions = Some(delta.sorted))
+          }
+        }
+        // inserts: added files that are not a paired COW rewrite (a
+        // rewrite is a SUBSET of its original — nothing new to insert)
+        (added -- pairedRewrites).toSeq.sorted.foreach { a =>
+          out += CdfSplit(a, "insert", skipPositions = dvOf(cur, a))
+        }
+      }
+    }
+    out.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdfReaderFactory(baseSchema, required, path)
+}
+
+/** Decodes one change split against the CURRENT base schema (by-name +
+  * rename aliases, like every reader here) and appends the constant
+  * `_change_type`. The pair-diff mode loads the (smaller, subset)
+  * rewrite file into an in-memory multiset first — one pair is one
+  * task, and a rewrite is at most one original file's rows. */
+class CdfReaderFactory(baseSchema: StructType, required: StructType,
+    dirPath: String) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val split = partition.asInstanceOf[CdfSplit]
+    new PartitionReader[InternalRow] {
+      private val reader = new DataFileReader[GenericRecord](
+        new File(dirPath, split.file), new GenericDatumReader[GenericRecord]())
+      private val skip = split.skipPositions.toSet
+      private val only = split.onlyPositions.map(_.toSet)
+      // base-column positions in THIS file's writer schema
+      private val basePos: Array[Int] = baseSchema.fields.map { f =>
+        (f.name +: AvroDirSource.aliasesOf(f)).iterator
+          .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
+          .find(_ >= 0).getOrElse(-1)
+      }
+      private def norm(x: Any): Any = x match {
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case o => o
+      }
+      private def baseVals(rec: GenericRecord): Vector[Any] =
+        basePos.iterator.map(p => if (p < 0) null else norm(rec.get(p))).toVector
+
+      // pair-diff: multiset of the rewrite's rows; an original row with
+      // a surviving twin is NOT a delete
+      private val surviving: scala.collection.mutable.Map[Vector[Any], Int] =
+        split.diffAgainst match {
+          case Some(rw) =>
+            val m = scala.collection.mutable.Map.empty[Vector[Any], Int]
+            val r = new DataFileReader[GenericRecord](
+              new File(dirPath, rw), new GenericDatumReader[GenericRecord]())
+            try {
+              val pos: Array[Int] = baseSchema.fields.map { f =>
+                (f.name +: AvroDirSource.aliasesOf(f)).iterator
+                  .map(n => Option(r.getSchema.getField(n)).map(_.pos).getOrElse(-1))
+                  .find(_ >= 0).getOrElse(-1)
+              }
+              while (r.hasNext) {
+                val rec = r.next()
+                val k = pos.iterator.map(p =>
+                  if (p < 0) null else norm(rec.get(p))).toVector
+                m.update(k, m.getOrElse(k, 0) + 1)
+              }
+            } finally r.close()
+            m
+          case None => scala.collection.mutable.Map.empty
+        }
+
+      private val changeTag = UTF8String.fromString(split.changeType)
+      private var rowPos = -1L
+      private var current: Vector[Any] = _
+
+      override def next(): Boolean = {
+        while (reader.hasNext) {
+          val rec = reader.next()
+          rowPos += 1
+          val wanted = only match {
+            case Some(sel) => sel.contains(rowPos)
+            case None      => !skip.contains(rowPos)
+          }
+          if (wanted) {
+            val vals = baseVals(rec)
+            val alive = surviving.getOrElse(vals, 0)
+            if (alive > 0) surviving.update(vals, alive - 1) // twin survives
+            else { current = vals; return true }
+          }
+        }
+        false
+      }
+
+      override def get(): InternalRow = {
+        val out = new Array[Any](required.length)
+        var i = 0
+        while (i < required.length) {
+          val f = required.fields(i)
+          if (f.name == AvroChangeFeed.ChangeTypeColumn) out(i) = changeTag
+          else {
+            val bi = baseSchema.fieldIndex(f.name)
+            out(i) = (f.dataType, current(bi)) match {
+              case (_, null)          => null
+              case (StringType, v)    => UTF8String.fromString(v.toString)
+              case (_, v)             => v
+            }
+          }
+          i += 1
+        }
+        new GenericInternalRow(out)
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+}

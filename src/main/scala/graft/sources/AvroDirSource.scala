@@ -1179,7 +1179,7 @@ class AvroVersionStream(path: String, required: StructType,
   private val diffCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Long), WindowDiff]()
 
-  private def entriesAt(v: Long): Map[String, AvroSnapshots.FileEntry] =
+  protected def entriesAt(v: Long): Map[String, AvroSnapshots.FileEntry] =
     if (v < 0) Map.empty
     else AvroSnapshots.load(path, v).map(_.byName).getOrElse(Map.empty)
 

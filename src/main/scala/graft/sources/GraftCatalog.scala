@@ -283,7 +283,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    if (!isTable(dir)) {
+      // `<ns>.<table>.changes` — the streaming CHANGE-DATA-FEED
+      // changelog table (Iceberg's `db.t.changes` metadata-table
+      // convention): base columns + `_change_type`, MICRO_BATCH_READ
+      // over version-window diffs
+      if (ident.name.equalsIgnoreCase(AvroChangeFeed.ChangesSuffix) &&
+          ident.namespace.nonEmpty) {
+        val baseIdent = Identifier.of(
+          ident.namespace.init, ident.namespace.last)
+        val baseDir = tableDir(baseIdent)
+        if (isTable(baseDir)) {
+          val baseSchema = DataType.fromJson(new String(
+            Files.readAllBytes(schemaFile(baseDir).toPath),
+            StandardCharsets.UTF_8)).asInstanceOf[StructType]
+          return new AvroChangeFeedTable(baseDir.getPath, baseSchema)
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     val json = new String(
       Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8)
     new AvroDirTable(dir.getPath,
