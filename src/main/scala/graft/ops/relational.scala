@@ -964,7 +964,58 @@ object Relational {
             |FROM graftcat.lake.orders_dv ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Writable branches + WRITE-AUDIT-PUBLISH (round-14 verdict #4 —
+    * the staging workflow every production pipeline wants): `CALL
+    * create_branch('lake.t', 'audit')` pins `main` as an explicit
+    * movable ref and opens a branch at its head; with the
+    * `spark.graft.branch` session conf set (Iceberg's `spark.wap.branch`
+    * shape), every load of the table resolves to the BRANCH — reads
+    * see the branch head and INSERT/DELETE commit to it, moving only
+    * the branch ref — while main (and every other session) is
+    * byte-untouched. Audits read the staged state by name; `CALL
+    * fast_forward('lake.t', 'audit')` publishes atomically (refused if
+    * main diverged — git's fast-forward rule, walked over the
+    * manifests' parent pointers). The scored flow stages an append +
+    * a delete on the branch, snapshots main/branch summaries before
+    * publish, fast-forwards, and returns all three phases — publish
+    * is an O(1) ref move, no data is copied. */
+  private def catalogBranchWap(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "nation").createOrReplaceTempView("graft_wap_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.nation_wap")
+    s.sql("""CREATE TABLE graftcat.lake.nation_wap AS
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_wap_src
+            |WHERE n_nationkey < 15""".stripMargin)
+    s.sql("CALL graftcat.system.create_branch('lake.nation_wap', 'audit')")
+    def summary(): (Long, Long) = {
+      val r = s.sql("""SELECT CAST(COUNT(*) AS BIGINT),
+                      |CAST(COALESCE(SUM(n_nationkey), 0) AS BIGINT)
+                      |FROM graftcat.lake.nation_wap""".stripMargin).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    // stage on the branch: all loads under the conf resolve to 'audit'
+    s.conf.set("spark.graft.branch", "audit")
+    val staged =
+      try {
+        s.sql("""INSERT INTO graftcat.lake.nation_wap
+                |SELECT n_nationkey, n_name, n_regionkey FROM graft_wap_src
+                |WHERE n_nationkey >= 15""".stripMargin)
+        s.sql("DELETE FROM graftcat.lake.nation_wap WHERE n_regionkey = 0")
+        summary() // the audit, reading the branch
+      } finally s.conf.unset("spark.graft.branch")
+    val mainBefore = summary() // main untouched while staging ran
+    s.sql("CALL graftcat.system.fast_forward('lake.nation_wap', 'audit')")
+    val mainAfter = summary() // publish = an O(1) ref move
+    import s.implicits._
+    Seq(("1_main_before_publish", mainBefore._1, mainBefore._2),
+      ("2_branch_staged", staged._1, staged._2),
+      ("3_main_after_publish", mainAfter._1, mainAfter._2))
+      .toDF("phase", "n_rows", "sum_key").orderBy("phase")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_branch_wap" -> (catalogBranchWap _),
     "catalog_delete_vectors" -> (catalogDeleteVectors _),
     "catalog_procedures" -> (catalogProcedures _),
     "catalog_agg_pushdown" -> (catalogAggPushdown _),
@@ -1015,6 +1066,19 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_branch_wap" ->
+      """WITH base AS (SELECT * FROM nation WHERE n_nationkey < 15),
+        | staged AS (SELECT * FROM nation WHERE NOT (n_regionkey = 0))
+        |SELECT '1_main_before_publish' AS phase,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(COALESCE(SUM(n_nationkey), 0) AS BIGINT) AS sum_key FROM base
+        |UNION ALL
+        |SELECT '2_branch_staged', CAST(COUNT(*) AS BIGINT),
+        | CAST(COALESCE(SUM(n_nationkey), 0) AS BIGINT) FROM staged
+        |UNION ALL
+        |SELECT '3_main_after_publish', CAST(COUNT(*) AS BIGINT),
+        | CAST(COALESCE(SUM(n_nationkey), 0) AS BIGINT) FROM staged
+        |ORDER BY phase""".stripMargin,
     "catalog_delete_vectors" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
         |WHERE o_orderpriority <> '1-URGENT' AND o_orderkey >= 100

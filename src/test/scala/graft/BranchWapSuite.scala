@@ -1,0 +1,113 @@
+package graft
+
+import java.io.File
+
+import graft.sources.{AvroSnapshots, GraftCatalog}
+
+/** Writable branches + write-audit-publish — round-15 verdict #4: main
+  * is byte-identical until fast-forward, branch commits move only the
+  * branch ref, expiry keeps branch-reachable files, and a diverged
+  * fast-forward is refused.
+  */
+class BranchWapSuite extends SparkSuiteBase {
+
+  private lazy val wh = {
+    val d = java.nio.file.Files.createTempDirectory("graft_wap_test")
+    spark.conf.set("spark.sql.catalog.wapcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.wapcat.warehouse", d.toString)
+    d.toString
+  }
+  private def cat: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("wapcat")
+      .asInstanceOf[GraftCatalog]
+  private def ident(t: String) =
+    org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), t)
+  private def tdir(t: String) = new File(new File(wh, "db"), t).getPath
+
+  private def mk(t: String, rows: Int): Unit = {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS wapcat.db")
+    spark.sql(s"DROP TABLE IF EXISTS wapcat.db.$t")
+    spark.sql(s"CREATE TABLE wapcat.db.$t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO wapcat.db.$t SELECT id, CONCAT('r', id) FROM range($rows)")
+  }
+  private def onBranch[A](b: String)(f: => A): A = {
+    spark.conf.set("spark.graft.branch", b)
+    try f finally spark.conf.unset("spark.graft.branch")
+  }
+
+  test("branch commits are invisible on main until fast-forward publishes") {
+    mk("w1", 10)
+    cat.createBranch(ident("w1"), "stage")
+    val mainHead = AvroSnapshots.headVersion(tdir("w1")).get
+    onBranch("stage") {
+      spark.sql("INSERT INTO wapcat.db.w1 SELECT id, 'new' FROM range(100, 105)")
+      spark.sql("DELETE FROM wapcat.db.w1 WHERE k = 2")
+      // the branch session sees the staged state …
+      assert(spark.table("wapcat.db.w1").count() == 14)
+    }
+    // … main doesn't: same head version, same rows
+    assert(AvroSnapshots.headVersion(tdir("w1")).contains(mainHead))
+    assert(spark.table("wapcat.db.w1").count() == 10)
+    // the staged state is also auditable READ-ONLY by ref name
+    assert(spark.sql("SELECT count(*) FROM wapcat.db.w1 VERSION AS OF 'stage'")
+      .collect().head.getLong(0) == 14)
+    // publish: an O(1) ref move — now main reads the branch head
+    val published = cat.fastForwardBranch(ident("w1"), "stage")
+    assert(published == AvroSnapshots.headVersion(tdir("w1")).get)
+    assert(spark.table("wapcat.db.w1").count() == 14)
+    assert(spark.sql("SELECT count(*) FROM wapcat.db.w1 WHERE k = 2")
+      .collect().head.getLong(0) == 0)
+  }
+
+  test("a diverged main refuses fast-forward") {
+    mk("w2", 5)
+    cat.createBranch(ident("w2"), "risky")
+    onBranch("risky") {
+      spark.sql("INSERT INTO wapcat.db.w2 VALUES (100, 'branch')")
+    }
+    // main moves on independently → histories diverge
+    spark.sql("INSERT INTO wapcat.db.w2 VALUES (200, 'main')")
+    val e = intercept[IllegalArgumentException] {
+      cat.fastForwardBranch(ident("w2"), "risky")
+    }
+    assert(e.getMessage.contains("diverged"))
+    // both lines of history remain readable
+    assert(spark.table("wapcat.db.w2").count() == 6)
+    assert(spark.sql("SELECT count(*) FROM wapcat.db.w2 VERSION AS OF 'risky'")
+      .collect().head.getLong(0) == 6)
+  }
+
+  test("expiry keeps branch-reachable files alive") {
+    mk("w3", 8)
+    cat.createBranch(ident("w3"), "keepme")
+    onBranch("keepme") {
+      spark.sql("INSERT INTO wapcat.db.w3 SELECT id, 'staged' FROM range(50, 55)")
+    }
+    // churn main so old versions become expirable
+    for (i <- 0 until 3)
+      spark.sql(s"INSERT INTO wapcat.db.w3 VALUES (${900 + i}, 'churn')")
+    cat.expireSnapshots(ident("w3"), retainLast = 1)
+    // the branch head is ref-pinned: its files must survive expiry
+    assert(spark.sql("SELECT count(*) FROM wapcat.db.w3 VERSION AS OF 'keepme'")
+      .collect().head.getLong(0) == 13)
+    assert(spark.table("wapcat.db.w3").count() == 11)
+  }
+
+  test("a tag cannot overwrite a branch; 'main' is reserved") {
+    mk("w4", 3)
+    cat.createBranch(ident("w4"), "b1")
+    intercept[IllegalArgumentException](cat.tagVersion(ident("w4"), "b1"))
+    intercept[IllegalArgumentException](cat.tagVersion(ident("w4"), "main"))
+    intercept[IllegalArgumentException](cat.createBranch(ident("w4"), "b1"))
+  }
+
+  test("an unknown branch conf falls back to main (no accidental writes lost)") {
+    mk("w5", 4)
+    onBranch("never_created") {
+      spark.sql("INSERT INTO wapcat.db.w5 VALUES (99, 'x')")
+      assert(spark.table("wapcat.db.w5").count() == 5)
+    }
+    assert(spark.table("wapcat.db.w5").count() == 5) // landed on main
+  }
+}
