@@ -1014,7 +1014,47 @@ object Relational {
       .toDF("phase", "n_rows", "sum_key").orderBy("phase")
   }
 
+  /** Z-ORDER compaction (round-14 verdict #6 — multi-column
+    * clustering): `set_sort_order('zorder(a, b)')` records a
+    * two-column Z-order spec, and compaction rewrites the table RANGE-
+    * distributed + sorted by `zvalue(a, b)` — the interleaved-bits
+    * Morton key, a catalog V2 function returning a 16-byte unsigned-
+    * comparable BINARY — so each output file covers one contiguous
+    * z-interval, a bounded rectangle-ish region of (a, b) space. The
+    * SAME manifest min/max stats then prune selective predicates on
+    * EITHER column (suite: both single-column predicates plan strictly
+    * fewer splits than files; a plain single-column sort only ever
+    * serves one). The scored flow interleaves inserts (stats useless),
+    * z-orders, compacts, and reads two selective slices — one per
+    * clustering column. At 100 TB this is how the second-most-filtered
+    * column stops costing a full scan. */
+  private def catalogCompactZorder(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "orders").createOrReplaceTempView("graft_zo_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_zo")
+    s.sql("""CREATE TABLE graftcat.lake.orders_zo
+            |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+    // interleaved inserts: every file spans ~the full space on both dims
+    for (i <- 0 until 4)
+      s.sql(s"""INSERT INTO graftcat.lake.orders_zo
+               |SELECT o_orderkey, o_custkey, o_totalprice FROM graft_zo_src
+               |WHERE pmod(o_orderkey, 4) = $i""".stripMargin)
+    s.sql("""CALL graftcat.system.set_sort_order('lake.orders_zo',
+            | 'zorder(o_orderkey, o_custkey)')""".stripMargin)
+    s.sql("CALL graftcat.system.compact('lake.orders_zo')")
+    s.sql("""SELECT 'key' AS dim, o_orderkey, o_custkey, o_totalprice
+            |FROM graftcat.lake.orders_zo
+            |WHERE o_orderkey BETWEEN 100 AND 499
+            |UNION ALL
+            |SELECT 'cust', o_orderkey, o_custkey, o_totalprice
+            |FROM graftcat.lake.orders_zo
+            |WHERE o_custkey BETWEEN 50 AND 99
+            |ORDER BY dim, o_orderkey, o_custkey, o_totalprice""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_compact_zorder" -> (catalogCompactZorder _),
     "catalog_branch_wap" -> (catalogBranchWap _),
     "catalog_delete_vectors" -> (catalogDeleteVectors _),
     "catalog_procedures" -> (catalogProcedures _),
@@ -1066,6 +1106,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_compact_zorder" ->
+      """SELECT 'key' AS dim, o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 499
+        |UNION ALL
+        |SELECT 'cust', o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey BETWEEN 50 AND 99
+        |ORDER BY dim, o_orderkey, o_custkey, o_totalprice""".stripMargin,
     "catalog_branch_wap" ->
       """WITH base AS (SELECT * FROM nation WHERE n_nationkey < 15),
         | staged AS (SELECT * FROM nation WHERE NOT (n_regionkey = 0))

@@ -90,7 +90,7 @@ class InventorySuite extends SparkSuiteBase {
     "catalog_table_lifecycle", "catalog_bucketed_spj", "catalog_data_skipping",
     "catalog_compact_sorted", "catalog_partition_days", "catalog_change_feed",
     "catalog_rollback", "catalog_agg_pushdown", "catalog_procedures",
-    "catalog_delete_vectors", "catalog_branch_wap",
+    "catalog_delete_vectors", "catalog_branch_wap", "catalog_compact_zorder",
     "sql_execute_immediate", "sql_session_variable",
     // bucketed-by-write joins: the build writes both bucketed tables
     "join_bucketed_colocated", "join_storage_partitioned",

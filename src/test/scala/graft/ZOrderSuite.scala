@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.connector.catalog.Identifier
+
+import graft.sources.{AvroSnapshots, GraftCatalog, ZValue}
+
+/** Z-order clustering — round-15 verdict #5: a two-column
+  * `zorder(a, b)` sort order makes compaction cluster by the
+  * interleaved-bits Morton key, so manifest min/max stats prune
+  * selective predicates on EITHER column (and both together tighter
+  * still).
+  */
+class ZOrderSuite extends SparkSuiteBase {
+
+  private lazy val wh = {
+    val d = java.nio.file.Files.createTempDirectory("graft_zo_test")
+    d.toString
+  }
+  /** AQE off so the write-side range shuffle keeps its 4 partitions —
+    * deterministic 4-file z-layout. */
+  private lazy val zs = {
+    val sp = spark.newSession()
+    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    sp.conf.set("spark.sql.catalog.zcat", "graft.sources.GraftCatalog")
+    sp.conf.set("spark.sql.catalog.zcat.warehouse", wh)
+    sp
+  }
+  private def cat: GraftCatalog =
+    zs.sessionState.catalogManager.catalog("zcat").asInstanceOf[GraftCatalog]
+  private def scanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+
+  test("zvalue interleaves sign-flipped bits: per-dim monotone, a leads") {
+    def hex(z: Array[Byte]) = z.map("%02x".format(_)).mkString
+    def cmp(x: Array[Byte], y: Array[Byte]) = hex(x).compareTo(hex(y))
+    // monotone in a with b fixed, and in b with a fixed
+    assert(cmp(ZValue.interleave(1, 5), ZValue.interleave(2, 5)) < 0)
+    assert(cmp(ZValue.interleave(7, 1), ZValue.interleave(7, 2)) < 0)
+    // a's bit outranks b's bit at the same level (a leads)
+    assert(cmp(ZValue.interleave(0, 1), ZValue.interleave(1, 0)) < 0)
+    // sign flip: negatives sort below positives (unsigned order after flip)
+    assert(cmp(ZValue.interleave(-1, 0), ZValue.interleave(0, 0)) < 0)
+    assert(cmp(ZValue.interleave(Long.MinValue, 0),
+      ZValue.interleave(Long.MaxValue, 0)) < 0)
+  }
+
+  test("z-order compaction prunes selective predicates on EITHER column") {
+    zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
+    zs.sql("DROP TABLE IF EXISTS zcat.db.grid")
+    zs.sql("CREATE TABLE zcat.db.grid (a BIGINT, b BIGINT)")
+    // uniform 256×256 grid, inserted in z-hostile row-major order
+    zs.sql("""INSERT INTO zcat.db.grid
+             |SELECT id % 256 AS a, id DIV 256 AS b FROM range(65536)""".stripMargin)
+    cat.setSortOrder(Identifier.of(Array("db"), "grid"), "zorder(a, b)")
+    cat.compactTable(Identifier.of(Array("db"), "grid"), zs)
+    val tdir = s"$wh/db/grid"
+    val files = AvroSnapshots.head(tdir).get.files.size
+    assert(files >= 4, s"need a multi-file z-layout, got $files files")
+    def planned(sql: String): Int = {
+      val df = zs.sql(sql)
+      df.collect() // force execution so the scan exists
+      scanOf(df).inputPartitions.size
+    }
+    val byA = planned("SELECT a, b FROM zcat.db.grid WHERE a < 64")
+    val byB = planned("SELECT a, b FROM zcat.db.grid WHERE b < 64")
+    val both = planned("SELECT a, b FROM zcat.db.grid WHERE a < 64 AND b < 64")
+    assert(byA < files, s"a-predicate planned $byA of $files — no pruning on a")
+    assert(byB < files, s"b-predicate planned $byB of $files — no pruning on b")
+    assert(both <= math.min(byA, byB),
+      s"conjunction planned $both > min($byA, $byB)")
+    // correctness untouched by the layout
+    assert(zs.sql("SELECT count(*) FROM zcat.db.grid WHERE a < 64")
+      .collect().head.getLong(0) == 64L * 256)
+    assert(zs.table("zcat.db.grid").count() == 65536)
+  }
+
+  test("a plain single-column sort cannot serve the second column") {
+    zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
+    zs.sql("DROP TABLE IF EXISTS zcat.db.flat")
+    zs.sql("CREATE TABLE zcat.db.flat (a BIGINT, b BIGINT)")
+    zs.sql("""INSERT INTO zcat.db.flat
+             |SELECT id % 256, id DIV 256 FROM range(65536)""".stripMargin)
+    cat.setSortOrder(Identifier.of(Array("db"), "flat"), "a")
+    cat.compactTable(Identifier.of(Array("db"), "flat"), zs)
+    val tdir = s"$wh/db/flat"
+    val files = AvroSnapshots.head(tdir).get.files.size
+    assert(files >= 4)
+    def planned(sql: String): Int = {
+      val df = zs.sql(sql); df.collect(); scanOf(df).inputPartitions.size
+    }
+    // sorted column prunes; the OTHER column sees every file
+    assert(planned("SELECT a FROM zcat.db.flat WHERE a < 64") < files)
+    assert(planned("SELECT b FROM zcat.db.flat WHERE b < 64") == files,
+      "a single-column sort should NOT prune the other column — " +
+        "that contrast is z-order's whole point")
+  }
+
+  test("zorder guard rails: strings refused, arity enforced") {
+    zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
+    zs.sql("DROP TABLE IF EXISTS zcat.db.bad")
+    zs.sql("CREATE TABLE zcat.db.bad (k BIGINT, s STRING)")
+    intercept[IllegalArgumentException](
+      cat.setSortOrder(Identifier.of(Array("db"), "bad"), "zorder(k, s)"))
+    intercept[IllegalArgumentException](
+      cat.setSortOrder(Identifier.of(Array("db"), "bad"), "zorder(k, nope)"))
+  }
+}
