@@ -37,17 +37,25 @@ object AvroFilterEval extends Serializable {
   }
 
   /** Avro's boxed values vs Spark's literal types: compare numerics
-    * widened (long unless a double is involved), strings/booleans
-    * natively. None = UNKNOWN (a null operand). */
+    * widened (long unless a double is involved), booleans natively,
+    * strings by CODE POINT (= UTF8String's binary order — Java's
+    * UTF-16 compareTo disagrees for supplementary-plane characters, and
+    * a DELETE evaluator that orders strings differently from the engine
+    * would delete different rows than the same predicate SELECTs).
+    * None = UNKNOWN (a null operand). */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
     case (x: java.lang.Number, y: java.lang.Number) =>
       if (x.isInstanceOf[java.lang.Double] || y.isInstanceOf[java.lang.Double] ||
-          x.isInstanceOf[java.lang.Float]  || y.isInstanceOf[java.lang.Float])
-        Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
-      else Some(java.lang.Long.compare(x.longValue, y.longValue))
+          x.isInstanceOf[java.lang.Float]  || y.isInstanceOf[java.lang.Float]) {
+        // Spark's comparison semantics: -0.0 == 0.0 (Double.compare
+        // alone would order them); NaN > everything (Double.compare
+        // already agrees)
+        def z(d: Double) = if (d == 0.0) 0.0 else d
+        Some(java.lang.Double.compare(z(x.doubleValue), z(y.doubleValue)))
+      } else Some(java.lang.Long.compare(x.longValue, y.longValue))
     case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
-    case (x, y) => Some(x.toString.compareTo(y.toString))
+    case (x, y) => Some(AvroStats.cmpCodePoints(x.toString, y.toString))
   }
 
   private def str(a: Any): Option[String] = Option(a).map(_.toString)

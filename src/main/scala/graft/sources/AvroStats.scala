@@ -242,8 +242,10 @@ object AvroStats {
   /** UTF-16 order remapped to code-point order: chars in
     * [U+E000, U+FFFF] sort ABOVE surrogate pairs in UTF-16 but BELOW
     * them by code point; shifting both ranges restores code-point
-    * order char-by-char (the standard UTF-8-compatible compare). */
-  private def cmpCodePoints(a: String, b: String): Int = {
+    * order char-by-char (the standard UTF-8-compatible compare —
+    * exactly UTF8String's binary order, so pruning, the row-level
+    * evaluator and the engine can never disagree). */
+  def cmpCodePoints(a: String, b: String): Int = {
     def adj(c: Char): Int =
       if (c >= 0xE000) c - 0x800 else if (c >= 0xD800) c + 0x2000 else c.toInt
     val n = math.min(a.length, b.length)
