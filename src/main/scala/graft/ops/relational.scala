@@ -1097,7 +1097,38 @@ object Relational {
             |GROUP BY day ORDER BY day""".stripMargin)
   }
 
+  /** Merge-on-read UPDATE through the DELTA row-level path
+    * (SupportsDelta → WriteDelta, Iceberg's position-delta write): on
+    * a merge-on-read table, Spark plans UPDATE as per-row operations
+    * keyed by the `(_file, _pos)` row identity —
+    * representUpdateAsDeleteAndInsert turns each matched row into a
+    * position DELETE (merged into `_dv` sidecars) plus an INSERT of
+    * the new values (small appended files). Only MATCHED rows produce
+    * any work: original data files are never rewritten
+    * (suite: byte-identical), a one-key UPDATE in a 1-GB file costs
+    * sidecar bytes + a tiny insert file, and the change feed streams
+    * the commit PRECISELY (dv deltas as row deletes, insert files as
+    * inserts — no file-level fallback). MERGE INTO takes the same
+    * path on merge-on-read tables (suite-covered). The companion to
+    * `catalog_update_where`'s copy-on-write group rewrite — the two
+    * write strategies every lakehouse format offers, both live here. */
+  private def catalogUpdateMor(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "customer").createOrReplaceTempView("graft_umor_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.cust_umor")
+    s.sql("""CREATE TABLE graftcat.lake.cust_umor AS
+            |SELECT c_custkey, c_nationkey, c_acctbal FROM graft_umor_src""".stripMargin)
+    s.sql("CALL graftcat.system.set_delete_mode('lake.cust_umor', 'merge-on-read')")
+    s.sql("""UPDATE graftcat.lake.cust_umor
+            |SET c_acctbal = c_acctbal + 1000.0
+            |WHERE c_nationkey = 5""".stripMargin)
+    s.sql("""SELECT c_custkey, c_nationkey, c_acctbal
+            |FROM graftcat.lake.cust_umor ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_update_mor" -> (catalogUpdateMor _),
     "catalog_partition_evolution" -> (catalogPartitionEvolution _),
     "catalog_compact_zorder" -> (catalogCompactZorder _),
     "catalog_branch_wap" -> (catalogBranchWap _),
@@ -1151,6 +1182,11 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_update_mor" ->
+      """SELECT c_custkey, c_nationkey,
+        | CASE WHEN c_nationkey = 5 THEN c_acctbal + 1000.0
+        |      ELSE c_acctbal END AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "catalog_partition_evolution" ->
       """SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day,
         | CAST(COUNT(*) AS BIGINT) AS n,

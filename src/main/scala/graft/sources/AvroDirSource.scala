@@ -94,6 +94,13 @@ object AvroDirSource {
     * GROUP key row-level operations (UPDATE/MERGE) rewrite by. */
   val FileColumn = "_file"
 
+  /** Hidden metadata column: a row's PHYSICAL record position within
+    * its container file (deletion-vector positions index the same
+    * order). `(_file, _pos)` is the row identity delta-based row-level
+    * operations key their position deletes by — Iceberg's
+    * (file, pos) row lineage. */
+  val PosColumn = "_pos"
+
   /** Table paths whose current self-overwrite is a COMPACTION — the
     * commit is recorded kind=`rewrite` (dataChange=false) so streams
     * and the change feed skip it. Set by GraftCatalog.compactTable
@@ -272,6 +279,13 @@ class AvroDirTable(path: String, tableSchema: StructType,
       override def dataType(): DataType = StringType
       override def isNullable: Boolean = false
       override def comment(): String = "container file this row came from"
+    },
+    new MetadataColumn {
+      override def name(): String = AvroDirSource.PosColumn
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "physical record position within the container file"
     })
 
   /** Group-based (copy-on-write) row-level operations — the seam SQL
@@ -292,8 +306,14 @@ class AvroDirTable(path: String, tableSchema: StructType,
     if (pinned.isDefined) throw new UnsupportedOperationException(
       s"${name()} is a time-travel snapshot — snapshots are read-only")
     new RowLevelOperationBuilder {
+      // merge-on-read tables take the DELTA path (SupportsDelta →
+      // WriteDelta): only MATCHED rows produce work — position deletes
+      // into dv sidecars + appended insert files, no group rewrite.
+      // Copy-on-write tables keep the group-based ReplaceData path.
       override def build(): RowLevelOperation =
-        new GraftRowLevelOperation(path, tableSchema, versioned,
+        if (mergeOnRead && versioned)
+          new GraftDeltaOperation(path, tableSchema, info.command, branch)
+        else new GraftRowLevelOperation(path, tableSchema, versioned,
           info.command, branch)
     }
   }
@@ -1008,9 +1028,11 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
       private var pending: GenericRecord = _
       // required field → position in THIS file's writer schema (name
       // first, then rename aliases newest-first); -1 → null column,
-      // -2 → the _file metadata column. Resolved once per file.
+      // -2 → the _file metadata column, -3 → the _pos metadata column.
+      // Resolved once per file.
       private val idx: Array[Int] = required.fields.map { f =>
         if (f.name == AvroDirSource.FileColumn) -2
+        else if (f.name == AvroDirSource.PosColumn) -3
         else (f.name +: AvroDirSource.aliasesOf(f)).iterator
           .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
           .find(_ >= 0).getOrElse(-1)
@@ -1029,6 +1051,7 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
         var i = 0
         while (i < required.length) {
           if (idx(i) == -2) vals(i) = fileName
+          else if (idx(i) == -3) vals(i) = rowPos
           else {
             val v = if (idx(i) < 0) null else rec.get(idx(i))
             vals(i) = required.fields(i).dataType match {

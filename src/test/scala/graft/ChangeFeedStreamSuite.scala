@@ -91,8 +91,8 @@ class ChangeFeedStreamSuite extends SparkSuiteBase {
       s"pair-diff deletes wrong: ${rows.filter(_._2 == "delete")}")
   }
 
-  test("an UPDATE window falls back to state-correct file-level delete+insert") {
-    mk("c4", 10)
+  test("a COW UPDATE window falls back to state-correct file-level delete+insert") {
+    mk("c4", 10, mor = false) // copy-on-write: group rewrite, unpaired files
     spark.sql("UPDATE cdfcat.db.c4 SET v = 'upd' WHERE k = 6")
     val root = java.nio.file.Files.createTempDirectory("graft_cdf4").toString
     drain("c4", root)
@@ -107,6 +107,23 @@ class ChangeFeedStreamSuite extends SparkSuiteBase {
     assert(net.toSeq == table.toSeq,
       s"file-level fallback not state-correct: net=${net.take(5).toSeq}…")
     assert(net.contains((6L, "upd")))
+  }
+
+  test("a merge-on-read UPDATE streams PRECISELY: old row out, new row in") {
+    mk("c6", 12)
+    spark.sql("UPDATE cdfcat.db.c6 SET v = 'upd' WHERE k = 4")
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf6").toString
+    drain("c6", root)
+    val rows = spark.read.parquet(s"$root/out")
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // 12 initial inserts + exactly ONE delete (old image) + ONE insert
+    // (new image) — no carried-along delete+insert pairs (the dv delta
+    // is row-precise, unlike the COW file-level fallback)
+    assert(rows.count(_._3 == "delete") == 1, s"deletes: ${rows.filter(_._3 == "delete")}")
+    assert(rows.contains((4L, "r4", "delete")))
+    assert(rows.contains((4L, "upd", "insert")))
+    assert(rows.count(_._3 == "insert") == 13)
   }
 
   test("batch read of the changes table is refused (streaming-only surface)") {

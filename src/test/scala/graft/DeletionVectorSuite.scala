@@ -132,8 +132,12 @@ class DeletionVectorSuite extends SparkSuiteBase {
       .collect().map(_.getLong(0)).toSeq
     assert(ks == Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L), s"got $ks")
     assert(spark.table("dvcat.db.t6").count() == 99)
-    // the COW rewrite materialized the vector away
-    assert(AvroSnapshots.head(tdir("t6")).get.dvs.isEmpty)
+    // merge-on-read UPDATE goes through the delta path: the touched
+    // file keeps (and grows) its vector — k=5 stays deleted, never
+    // resurrected by the update's inserts
+    assert(spark.sql("SELECT count(*) FROM dvcat.db.t6 WHERE k = 5")
+      .collect().head.getLong(0) == 0)
+    assert(AvroSnapshots.head(tdir("t6")).get.dvs.nonEmpty)
   }
 
   test("compaction materializes vectors away; expiry reclaims dead sidecars") {
@@ -151,6 +155,53 @@ class DeletionVectorSuite extends SparkSuiteBase {
     val left = Option(dvDir.listFiles()).getOrElse(Array.empty).map(_.getName)
     assert(left.isEmpty, s"expired dv sidecars not reclaimed: ${left.toSeq}")
     assert(spark.table("dvcat.db.t7").count() == 90)
+  }
+
+  test("merge-on-read UPDATE (WriteDelta): position deletes + inserts, zero rewrites") {
+    mk("t9", 200)
+    val before = dataFiles("t9")
+    spark.sql("UPDATE dvcat.db.t9 SET v = 'upd' WHERE k IN (5, 150)")
+    val after = dataFiles("t9")
+    // original files byte-untouched; only small INSERT files appeared
+    assert(before.forall { case (n, m) => after.get(n).contains(m) },
+      "merge-on-read UPDATE rewrote original files")
+    val newFiles = after.keySet -- before.keySet
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("-d")),
+      s"expected delta insert files, got $newFiles")
+    // the old positions are dv'd, the new values live in the insert file
+    val head = AvroSnapshots.head(tdir("t9")).get
+    assert(head.dvs.nonEmpty, "UPDATE left no deletion vectors")
+    assert(spark.table("dvcat.db.t9").count() == 200)
+    val upd = spark.sql("SELECT k FROM dvcat.db.t9 WHERE v = 'upd' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(upd == Seq(5L, 150L))
+    // a second UPDATE through the already-dv'd files composes
+    spark.sql("UPDATE dvcat.db.t9 SET v = 'upd2' WHERE k = 5")
+    assert(spark.sql("SELECT v FROM dvcat.db.t9 WHERE k = 5")
+      .collect().map(_.getString(0)).toSeq == Seq("upd2"))
+    assert(spark.table("dvcat.db.t9").count() == 200)
+  }
+
+  test("merge-on-read MERGE INTO takes the delta path: all three branches exact") {
+    mk("t10", 50)
+    val before = dataFiles("t10")
+    spark.sql("""MERGE INTO dvcat.db.t10 AS t
+                |USING (SELECT id AS k FROM range(40, 60)) AS s
+                |ON t.k = s.k
+                |WHEN MATCHED AND t.k < 45 THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET v = 'merged'
+                |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, 'new')""".stripMargin)
+    val after = dataFiles("t10")
+    assert(before.forall { case (n, m) => after.get(n).contains(m) },
+      "merge-on-read MERGE rewrote original files")
+    // 50 - 5 deleted (40..44) + 10 inserted (50..59) = 55
+    assert(spark.table("dvcat.db.t10").count() == 55)
+    assert(spark.sql("SELECT count(*) FROM dvcat.db.t10 WHERE v = 'merged'")
+      .collect().head.getLong(0) == 5) // 45..49
+    assert(spark.sql("SELECT count(*) FROM dvcat.db.t10 WHERE v = 'new'")
+      .collect().head.getLong(0) == 10)
+    assert(spark.sql("SELECT count(*) FROM dvcat.db.t10 WHERE k < 45 AND k >= 40")
+      .collect().head.getLong(0) == 0)
   }
 
   test("the versioned stream treats a dv commit as a change version") {
