@@ -1127,7 +1127,40 @@ object Relational {
             |FROM graftcat.lake.cust_umor ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Inspection METADATA TABLES (Iceberg's `db.t.snapshots`/`.files`)
+    * + age-gated orphan cleanup: the table's own history — version,
+    * commit KIND, PARENT pointer — is plain SQL over
+    * `graftcat.lake.t.snapshots` (one manifest walk, no data bytes),
+    * and `CALL remove_orphan_files(t, age)` reclaims task outputs no
+    * retained version references (the cleanup expire_snapshots
+    * deliberately is not; the age gate protects in-flight writes).
+    * The scored flow runs a create→append→delete→rollback→compact
+    * history and reads the lineage back: kinds and parent pointers
+    * are fully deterministic — including the compaction commit showing
+    * as kind `rewrite` (dataChange=false, what streams/CDF skip). The
+    * audit surface: "what happened to this table, in what order". */
+  private def catalogMetadataTables(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "nation").createOrReplaceTempView("graft_meta2_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.nation_meta")
+    s.sql("""CREATE TABLE graftcat.lake.nation_meta AS
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_meta2_src
+            |WHERE n_nationkey < 15""".stripMargin)
+    s.sql("""INSERT INTO graftcat.lake.nation_meta
+            |SELECT n_nationkey, n_name, n_regionkey FROM graft_meta2_src
+            |WHERE n_nationkey >= 15""".stripMargin)
+    s.sql("DELETE FROM graftcat.lake.nation_meta WHERE n_regionkey = 4")
+    s.sql("CALL graftcat.system.rollback('lake.nation_meta', 2)")
+    s.sql("CALL graftcat.system.compact('lake.nation_meta')")
+    s.sql("CALL graftcat.system.remove_orphan_files('lake.nation_meta', 86400000)")
+    s.sql("""SELECT version, kind, parent
+            |FROM graftcat.lake.nation_meta.snapshots
+            |ORDER BY version""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_metadata_tables" -> (catalogMetadataTables _),
     "catalog_update_mor" -> (catalogUpdateMor _),
     "catalog_partition_evolution" -> (catalogPartitionEvolution _),
     "catalog_compact_zorder" -> (catalogCompactZorder _),
@@ -1182,6 +1215,17 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // the lineage is fully deterministic: CTAS = create(v0)+append(v1),
+    // then append, delete, rollback, and the compaction as `rewrite`
+    "catalog_metadata_tables" ->
+      """SELECT * FROM (VALUES
+        | (CAST(0 AS BIGINT), 'create',   CAST(-1 AS BIGINT)),
+        | (1, 'append',   0),
+        | (2, 'append',   1),
+        | (3, 'delete',   2),
+        | (4, 'rollback', 3),
+        | (5, 'rewrite',  4)) AS t(version, kind, parent)
+        |ORDER BY version""".stripMargin,
     "catalog_update_mor" ->
       """SELECT c_custkey, c_nationkey,
         | CASE WHEN c_nationkey = 5 THEN c_acctbal + 1000.0

@@ -517,6 +517,39 @@ object AvroSnapshots {
     * draws the same line; orphan cleanup is a separate age-gated op).
     * Returns the deleted data-file names. This is the ONLY operation
     * that removes a versioned table's data files. */
+  /** Age-gated ORPHAN cleanup (Iceberg's remove_orphan_files — the
+    * companion [[expire]] deliberately is not): delete data files, dv
+    * sidecars and manifest-group files referenced by NO retained
+    * version and older than `olderThanMs`. The age gate is the safety
+    * seam: a concurrent in-flight write's task outputs are
+    * unreferenced until their commit lands, so callers pass an age
+    * comfortably above any job's runtime (0 only in tests). Returns
+    * the deleted names. */
+  def removeOrphans(path: String, olderThanMs: Long): Seq[String] =
+    withCommitLock(path) {
+      val now = System.currentTimeMillis()
+      val snaps = versions(path).flatMap(load(path, _))
+      val refData = snaps.flatMap(_.files).toSet
+      val refDvs = snaps.flatMap(_.dvs.values).toSet
+      val refGroups = snaps.flatMap(_.groups.map(_.file)).toSet
+      def oldEnough(f: File) = now - f.lastModified() >= olderThanMs
+      val deadData = AvroDirSource.listAllAvro(path)
+        .filter(f => !refData(f.getName) && oldEnough(f))
+      val deadDvs = Option(new File(path, "_dv").listFiles())
+        .map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.getName.endsWith(".dv") &&
+          !refDvs("_dv/" + f.getName) && oldEnough(f))
+      val deadGroups = Option(versionsDir(path).listFiles())
+        .map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.getName.endsWith(".grp") &&
+          !refGroups(f.getName) && oldEnough(f))
+      val names = deadData.map(_.getName) ++
+        deadDvs.map("_dv/" + _.getName) ++ deadGroups.map(_.getName)
+      deadGroups.foreach(f => groupCache.remove(f.getAbsolutePath))
+      (deadData ++ deadDvs ++ deadGroups).foreach(_.delete())
+      names.sorted
+    }
+
   def expire(path: String, retainLast: Int): Seq[String] = withCommitLock(path) {
     require(retainLast >= 1, "must retain at least the current version")
     val all = versions(path)

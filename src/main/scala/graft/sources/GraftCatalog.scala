@@ -288,16 +288,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // changelog table (Iceberg's `db.t.changes` metadata-table
       // convention): base columns + `_change_type`, MICRO_BATCH_READ
       // over version-window diffs
-      if (ident.name.equalsIgnoreCase(AvroChangeFeed.ChangesSuffix) &&
-          ident.namespace.nonEmpty) {
+      if (ident.namespace.nonEmpty) {
         val baseIdent = Identifier.of(
           ident.namespace.init, ident.namespace.last)
         val baseDir = tableDir(baseIdent)
         if (isTable(baseDir)) {
-          val baseSchema = DataType.fromJson(new String(
-            Files.readAllBytes(schemaFile(baseDir).toPath),
-            StandardCharsets.UTF_8)).asInstanceOf[StructType]
-          return new AvroChangeFeedTable(baseDir.getPath, baseSchema)
+          if (ident.name.equalsIgnoreCase(AvroChangeFeed.ChangesSuffix)) {
+            val baseSchema = DataType.fromJson(new String(
+              Files.readAllBytes(schemaFile(baseDir).toPath),
+              StandardCharsets.UTF_8)).asInstanceOf[StructType]
+            return new AvroChangeFeedTable(baseDir.getPath, baseSchema)
+          }
+          // `<ns>.<table>.snapshots` / `.files` — Iceberg-style
+          // inspection metadata tables over the snapshot log
+          if (ident.name.equalsIgnoreCase("snapshots") ||
+              ident.name.equalsIgnoreCase("files"))
+            return new AvroMetaTable(baseDir.getPath,
+              ident.name.toLowerCase)
         }
       }
       throw new NoSuchTableException(ident)
@@ -493,6 +500,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     AvroSnapshots.expire(dir.getPath, retainLast)
+  }
+
+  /** Age-gated orphan cleanup (remove_orphan_files): delete data/dv/
+    * manifest-group files no retained version references, older than
+    * `olderThanMs` (the gate that protects in-flight writes'
+    * uncommitted task outputs). */
+  def removeOrphanFiles(ident: Identifier, olderThanMs: Long): Seq[String] = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    AvroSnapshots.removeOrphans(dir.getPath, olderThanMs)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

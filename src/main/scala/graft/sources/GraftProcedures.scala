@@ -69,7 +69,8 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("rollback", "expire_snapshots", "compact", "tag", "set_sort_order",
-      "set_delete_mode", "create_branch", "fast_forward", "evolve_partition")
+      "set_delete_mode", "create_branch", "fast_forward", "evolve_partition",
+      "remove_orphan_files")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -130,6 +131,14 @@ object GraftProcedures {
         StructType(Seq(StructField("spec_id", IntegerType, nullable = false))),
         (c, in) => Seq(Int.box(c.evolvePartitionSpec(
           tableIdent(str(in, 0)), str(in, 1), in.getInt(2), str(in, 3))))))
+      // age-gated orphan cleanup — the maintenance op expire_snapshots
+      // deliberately is NOT (it never touches unreferenced files)
+      case "remove_orphan_files" => Some(new GraftProcedure(catalog,
+        "remove_orphan_files",
+        Seq("table" -> StringType, "older_than_ms" -> LongType),
+        StructType(Seq(StructField("deleted_files", IntegerType, nullable = false))),
+        (c, in) => Seq(Int.box(
+          c.removeOrphanFiles(tableIdent(str(in, 0)), in.getLong(1)).size))))
       case _ => None
     }
 }

@@ -91,7 +91,7 @@ class InventorySuite extends SparkSuiteBase {
     "catalog_compact_sorted", "catalog_partition_days", "catalog_change_feed",
     "catalog_rollback", "catalog_agg_pushdown", "catalog_procedures",
     "catalog_delete_vectors", "catalog_branch_wap", "catalog_compact_zorder",
-    "catalog_partition_evolution", "catalog_update_mor",
+    "catalog_partition_evolution", "catalog_update_mor", "catalog_metadata_tables",
     "sql_execute_immediate", "sql_session_variable",
     // bucketed-by-write joins: the build writes both bucketed tables
     "join_bucketed_colocated", "join_storage_partitioned",
