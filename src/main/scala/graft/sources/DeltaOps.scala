@@ -50,17 +50,45 @@ class GraftDeltaOperation(path: String, tableSchema: StructType,
   private def currentEntries(): Seq[AvroSnapshots.FileEntry] =
     AvroSnapshots.head(path, branch).map(_.entries).getOrElse(Nil)
 
+  private def resolveStats(st: Map[String, AvroStats.ColStats])(
+      a: String): Option[AvroStats.ColStats] =
+    tableSchema.fields.find(_.name.equalsIgnoreCase(a)).flatMap { fld =>
+      (fld.name +: AvroDirSource.aliasesOf(fld)).iterator
+        .flatMap(st.get).nextOption()
+        .map(AvroStats.coerce(_, fld.dataType))
+    }
+
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       private var required: StructType = tableSchema
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+      // The UPDATE/MERGE condition pushes into THIS scan like any
+      // other (V2ScanRelationPushDown), and manifest stats prune the
+      // candidate files — a one-key MOR UPDATE reads O(matching
+      // files), not the table. Every filter stays residual (pruning
+      // removes work, never rows).
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        pushed = filters.filter(AvroFilterEval.supported)
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        pushed
       override def build(): Scan = this
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
-        val entries = currentEntries()
+        val entries = currentEntries().filter { e =>
+          pushed.isEmpty || {
+            val st = e.stats.map(AvroStats.parse)
+              .getOrElse(Map.empty[String, AvroStats.ColStats])
+            AvroStats.fileMightMatch(pushed.toSeq, e.name, resolveStats(st))
+          }
+        }
         // rows are read THROUGH existing vectors (already-deleted rows
         // must not match again), but _pos stays the physical index —
         // new deletes land in the same coordinate system

@@ -204,6 +204,42 @@ class DeletionVectorSuite extends SparkSuiteBase {
       .collect().head.getLong(0) == 0)
   }
 
+  test("MOR UPDATE prunes candidate files via manifest stats (filter pushdown)") {
+    wh
+    val sp = spark.newSession()
+    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    sp.conf.set("spark.sql.catalog.dvcat", "graft.sources.GraftCatalog")
+    sp.conf.set("spark.sql.catalog.dvcat.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS dvcat.db")
+    sp.sql("DROP TABLE IF EXISTS dvcat.db.t11")
+    sp.sql("CREATE TABLE dvcat.db.t11 (k BIGINT, v STRING)")
+    cat.setSortOrder(ident("t11"), "k")
+    sp.sql("INSERT INTO dvcat.db.t11 SELECT id, CONCAT('r', id) FROM range(4000)")
+    sp.sql("CALL dvcat.system.set_delete_mode('db.t11', 'merge-on-read')")
+    val files = AvroSnapshots.head(tdir("t11")).get.files.size
+    assert(files > 1, "need a multi-file sorted layout")
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        if (ss.properties != null &&
+            "graft-mor-skip" == ss.properties.getProperty("spark.jobGroup.id"))
+          tasks.addAndGet(ss.stageInfo.numTasks.toLong)
+    }
+    sp.sparkContext.addSparkListener(listener)
+    try {
+      sp.sparkContext.setJobGroup("graft-mor-skip", "mor update pruning probe")
+      sp.sql("UPDATE dvcat.db.t11 SET v = 'upd' WHERE k < 100")
+      sp.sparkContext.clearJobGroup()
+    } finally sp.sparkContext.removeSparkListener(listener)
+    assert(tasks.get() > 0 && tasks.get() < files,
+      s"selective MOR UPDATE ran ${tasks.get()} tasks over $files files — " +
+        "the condition did not prune the delta scan")
+    assert(sp.sql("SELECT count(*) FROM dvcat.db.t11 WHERE v = 'upd'")
+      .collect().head.getLong(0) == 100)
+    assert(sp.table("dvcat.db.t11").count() == 4000)
+  }
+
   test("the versioned stream treats a dv commit as a change version") {
     mk("t8", 30)
     spark.sql("DELETE FROM dvcat.db.t8 WHERE k = 3")
