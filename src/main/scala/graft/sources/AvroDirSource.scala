@@ -769,12 +769,13 @@ class AvroDirTable(path: String, tableSchema: StructType,
         // min/max tighten on BOTH clustering columns at once.
         private def sortOrders: Array[SortOrder] = sortSpec match {
           case Some(sp) =>
-            val expr =
-              if (sp.zorder) Expressions.apply("zvalue",
-                sp.columns.map(Expressions.column): _*)
-              else Expressions.column(sp.columns.head)
-            Array(Expressions.sort(expr,
+            val exprs =
+              if (sp.zorder) Seq(Expressions.apply("zvalue",
+                sp.columns.map(Expressions.column): _*))
+              else sp.columns.map(Expressions.column)
+            exprs.map(e => Expressions.sort(e,
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+              .toArray
           case None => Array.empty
         }
         override def requiredDistribution(): Distribution = partSpec match {
@@ -940,8 +941,6 @@ case class SortSpec(columns: Seq[String], zorder: Boolean = false) {
   require(columns.nonEmpty, "sort order needs at least one column")
   require(!zorder || columns.length == 2,
     "z-order clustering supports exactly 2 columns in this engine")
-  require(zorder || columns.length == 1,
-    "plain sort order is single-column; use zorder(a, b) for multi")
 }
 
 /** @param dvFile absolute path of the file's deletion-vector sidecar:

@@ -168,12 +168,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private val SortJson = """\{"column":"([^"]+)"\}""".r
   private val SortJsonZ =
     """\{"columns":\["([^"]+)","([^"]+)"\],"zorder":true\}""".r
+  private val SortJsonMulti =
+    """\{"columns":\[([^\]]+)\],"zorder":false\}""".r
   private def loadSortSpec(dir: File): Option[SortSpec] = {
     val f = sortFile(dir)
     if (!f.isFile) None
     else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim match {
       case SortJson(col)    => Some(SortSpec(Seq(col)))
       case SortJsonZ(a, b)  => Some(SortSpec(Seq(a, b), zorder = true))
+      case SortJsonMulti(cols) => Some(SortSpec(
+        cols.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))))
       case other => throw new IllegalStateException(
         s"unreadable _sort.json in $dir: $other")
     }
@@ -209,6 +213,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         Files.write(sortFile(dir).toPath,
           s"""{"columns":["$ca","$cb"],"zorder":true}"""
+            .getBytes(StandardCharsets.UTF_8))
+      case cols if cols.contains(",") =>
+        // hierarchical multi-column sort (Iceberg's ORDER BY a, b):
+        // tight stats on the LEADING column, within-order on the rest
+        val cs = cols.split(",").toSeq.map(c => canonical(c.trim))
+        Files.write(sortFile(dir).toPath,
+          cs.map(c => "\"" + c + "\"")
+            .mkString("""{"columns":[""", ",", """],"zorder":false}""")
             .getBytes(StandardCharsets.UTF_8))
       case _ =>
         Files.write(sortFile(dir).toPath,

@@ -97,6 +97,28 @@ class ZOrderSuite extends SparkSuiteBase {
         "that contrast is z-order's whole point")
   }
 
+  test("multi-column plain sort: hierarchical clustering, leading column prunes") {
+    zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
+    zs.sql("DROP TABLE IF EXISTS zcat.db.multi")
+    zs.sql("CREATE TABLE zcat.db.multi (a BIGINT, b BIGINT)")
+    zs.sql("""INSERT INTO zcat.db.multi
+             |SELECT id % 256, id DIV 256 FROM range(65536)""".stripMargin)
+    cat.setSortOrder(Identifier.of(Array("db"), "multi"), "a, b")
+    cat.compactTable(Identifier.of(Array("db"), "multi"), zs)
+    val files = AvroSnapshots.head(s"$wh/db/multi").get.files.size
+    assert(files >= 4)
+    def planned(sql: String): Int = {
+      val df = zs.sql(sql); df.collect(); scanOf(df).inputPartitions.size
+    }
+    // hierarchical sort: the LEADING column gets disjoint intervals
+    assert(planned("SELECT a FROM zcat.db.multi WHERE a < 64") < files,
+      "leading sort column did not prune")
+    // rows within equal leading values are ordered by b — correctness
+    assert(zs.sql("SELECT count(*) FROM zcat.db.multi WHERE a = 3 AND b < 10")
+      .collect().head.getLong(0) == 10)
+    assert(zs.table("zcat.db.multi").count() == 65536)
+  }
+
   test("zorder guard rails: strings refused, arity enforced") {
     zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
     zs.sql("DROP TABLE IF EXISTS zcat.db.bad")
