@@ -75,12 +75,16 @@ class AvroChangeFeedTable(path: String, baseSchema: StructType)
     }
 }
 
-/** One change split: read `file` (skipping `skipPositions`), emit each
-  * row tagged `changeType`. `onlyPositions` restricts to exactly those
-  * row positions (the dv-delta case); `diffAgainst` bag-subtracts the
-  * sibling rewrite file's rows (the COW-pair case). */
+/** One change split: read `file`, emit each row tagged `changeType`.
+  * All deletion-vector set math happens EXECUTOR-side — the split
+  * carries sidecar NAMES, so the driver never reads a vector:
+  * `skipDv` anti-filters those positions; (`dvDeltaOld`, `dvDeltaNew`)
+  * restricts to exactly the NEW vector's positions minus the old one's
+  * (the dv-delta delete case); `diffAgainst` bag-subtracts the sibling
+  * rewrite file's rows (the COW-pair case). */
 case class CdfSplit(file: String, changeType: String,
-    skipPositions: Seq[Long] = Nil, onlyPositions: Option[Seq[Long]] = None,
+    skipDv: Option[String] = None,
+    dvDeltaOld: Option[String] = None, dvDeltaNew: Option[String] = None,
     diffAgainst: Option[String] = None) extends InputPartition
 
 class AvroChangeFeedStream(path: String, baseSchema: StructType,
@@ -101,8 +105,6 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
         val cur = entriesAt(v)
         val removed = prev.keySet -- cur.keySet
         val added = cur.keySet -- prev.keySet
-        def dvOf(m: Map[String, AvroSnapshots.FileEntry], n: String): Seq[Long] =
-          m.get(n).flatMap(_.dv).map(DeletionVectors.read(path, _)).getOrElse(Nil)
         val pairedRewrites = scala.collection.mutable.HashSet.empty[String]
         // deletes: removed entries — paired with their COW rewrite when
         // one exists in the same window, else the whole file's rows
@@ -112,27 +114,21 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
             case _               => false
           }
           rewrite.foreach(pairedRewrites += _)
-          out += CdfSplit(r, "delete", skipPositions = dvOf(prev, r),
+          out += CdfSplit(r, "delete", skipDv = prev(r).dv,
             diffAgainst = rewrite)
         }
         // deletes: deletion-vector growth — exactly the delta positions
+        // (the reader subtracts old from new; the driver only compares
+        // the sidecar NAMES)
         cur.keysIterator.toSeq.sorted.foreach { n =>
-          if (prev.contains(n) && prev(n).dv != cur(n).dv) {
-            val old = dvOf(prev, n).toSet
-            val now = dvOf(cur, n)
-            val delta = now.filterNot(old)
-            if (delta.size != now.size - old.size)
-              throw new IllegalStateException(
-                s"deletion vector of $n shrank between v$prevV and v$v — " +
-                  "not a monotone delete; cannot stream as changes")
-            if (delta.nonEmpty)
-              out += CdfSplit(n, "delete", onlyPositions = Some(delta.sorted))
-          }
+          if (prev.contains(n) && prev(n).dv != cur(n).dv)
+            out += CdfSplit(n, "delete",
+              dvDeltaOld = prev(n).dv, dvDeltaNew = cur(n).dv)
         }
         // inserts: added files that are not a paired COW rewrite (a
         // rewrite is a SUBSET of its original — nothing new to insert)
         (added -- pairedRewrites).toSeq.sorted.foreach { a =>
-          out += CdfSplit(a, "insert", skipPositions = dvOf(cur, a))
+          out += CdfSplit(a, "insert", skipDv = cur(a).dv)
         }
       }
     }
@@ -156,8 +152,20 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
     new PartitionReader[InternalRow] {
       private val reader = new DataFileReader[GenericRecord](
         new File(dirPath, split.file), new GenericDatumReader[GenericRecord]())
-      private val skip = split.skipPositions.toSet
-      private val only = split.onlyPositions.map(_.toSet)
+      private def dv(name: Option[String]): Set[Long] =
+        name.map(DeletionVectors.read(dirPath, _).toSet).getOrElse(Set.empty)
+      private val skip = dv(split.skipDv)
+      // dv-delta mode: exactly the rows the NEW vector deleted beyond
+      // the old one; a shrinking vector is not a monotone delete
+      private val only: Option[Set[Long]] = split.dvDeltaNew.map { _ =>
+        val old = dv(split.dvDeltaOld)
+        val now = dv(split.dvDeltaNew)
+        if (!old.subsetOf(now))
+          throw new IllegalStateException(
+            s"deletion vector of ${split.file} shrank — not a monotone " +
+              "delete; cannot stream as changes")
+        now -- old
+      }
       // base-column positions in THIS file's writer schema
       private val basePos: Array[Int] = baseSchema.fields.map { f =>
         (f.name +: AvroDirSource.aliasesOf(f)).iterator

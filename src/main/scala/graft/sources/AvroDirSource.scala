@@ -567,7 +567,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
           "streaming read is only supported on versioned (catalog) tables")
         new AvroVersionStream(path, required,
           options.getBoolean("skipChangeVersions", false),
-          Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt), branch)
       }
 
       // Feed the cost model: without reported statistics a DSv2 scan
@@ -1179,7 +1179,8 @@ class AvroStreamingWriterFactory(path: String, schema: StructType)
   */
 class AvroVersionStream(path: String, required: StructType,
     skipChangeVersions: Boolean = false,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    branch: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -1205,7 +1206,10 @@ class AvroVersionStream(path: String, required: StructType,
     if (v < 0) Map.empty
     else AvroSnapshots.load(path, v).map(_.byName).getOrElse(Map.empty)
 
-  private def diffOf(base: Long, v: Long): WindowDiff =
+  private def diffOf(base: Long, v: Long): WindowDiff = {
+    // bound the memo (a very long-lived stream would otherwise grow it
+    // without limit; re-deriving after a clear is always sound)
+    if (diffCache.size > 4096) diffCache.clear()
     diffCache.computeIfAbsent((base, v), { _ =>
       val prev = entriesAt(base)
       val cur = entriesAt(v)
@@ -1221,6 +1225,7 @@ class AvroVersionStream(path: String, required: StructType,
       val rewriteOnly = kind == AvroSnapshots.KindRewrite && base + 1 == v
       WindowDiff(added, (removed || dvChanged) && !rewriteOnly, rewriteOnly)
     })
+  }
 
   // ---- admission control (the maxFilesPerTrigger rate limit) ----
   //
@@ -1235,15 +1240,39 @@ class AvroVersionStream(path: String, required: StructType,
   // snapshots the backlog end at query start and drains it in multiple
   // bounded batches.
   private var availableNowTarget: Long = -2L // -2 = live (not AvailableNow)
+  /** The streamed LINEAGE's head — main's ref (or the branch's) once
+    * branching has begun, NOT the global latest: branch commits
+    * interleave in the global version sequence, and diffing main-state
+    * against branch-state would stream phantom changes. */
+  private def lineageHead(): Long =
+    AvroSnapshots.headVersion(path, branch).getOrElse(-1L)
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = AvroSnapshots.versions(path).lastOption.getOrElse(-1L)
+    availableNowTarget = lineageHead()
   private def targetVersion(): Long =
     if (availableNowTarget >= -1L) availableNowTarget
-    else AvroSnapshots.versions(path).lastOption.getOrElse(-1L)
+    else lineageHead()
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
       .getOrElse(ReadLimit.allAvailable())
+
+  /** The streamed lineage's versions in (s, e], ascending: the PARENT
+    * chain walked down from `e` — never the raw global sequence, which
+    * interleaves other branches' commits. A chain broken by expiry (a
+    * parent's manifest gone) leaves its earliest reached version to
+    * diff directly against `s` — the conservative gap window. */
+  protected def lineageVersions(s: Long, e: Long): Seq[Long] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cur = e
+    while (cur > s && cur >= 0) {
+      buf += cur
+      cur = AvroSnapshots.load(path, cur) match {
+        case Some(sn) if sn.parent < cur => sn.parent
+        case _ => -2 // expired/missing parent: stop (gap window below)
+      }
+    }
+    buf.reverse.toSeq
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[AvroVersionOffset].version
@@ -1252,8 +1281,7 @@ class AvroVersionStream(path: String, required: StructType,
       case mf: ReadMaxFiles =>
         var admitted = 0L
         var end = s
-        val it = AvroSnapshots.versions(path).iterator
-          .filter(v => v > s && v <= tgt)
+        val it = lineageVersions(s, tgt).iterator
         var stop = false
         while (it.hasNext && !stop) {
           val v = it.next()
@@ -1265,8 +1293,7 @@ class AvroVersionStream(path: String, required: StructType,
       case _ => AvroVersionOffset(tgt)
     }
   }
-  override def reportLatestOffset(): Offset =
-    AvroVersionOffset(AvroSnapshots.versions(path).lastOption.getOrElse(-1L))
+  override def reportLatestOffset(): Offset = AvroVersionOffset(lineageHead())
 
   override def initialOffset(): Offset = AvroVersionOffset(-1L)
   override def latestOffset(): Offset = AvroVersionOffset(targetVersion())
@@ -1290,7 +1317,7 @@ class AvroVersionStream(path: String, required: StructType,
           "cannot compute an exact append diff (data loss)")
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, WindowDiff)]
     var prevV = s
-    for (v <- AvroSnapshots.versions(path) if v > s && v <= e) {
+    for (v <- lineageVersions(s, e)) {
       out += ((prevV, v, diffOf(prevV, v)))
       prevV = v
     }

@@ -181,6 +181,9 @@ object AvroSnapshots {
     * PLAN touched, which is the group-pruning test signal. */
   def groupEntries(path: String, group: String): Seq[FileEntry] = {
     groupReads.incrementAndGet()
+    // bound the process-wide cache (groups are immutable — a clear is
+    // always sound, just a re-read); 16k groups ≈ 8M file entries
+    if (groupCache.size > 16384) groupCache.clear()
     groupCache.computeIfAbsent(
       new File(versionsDir(path), group).getAbsolutePath,
       abs => new String(Files.readAllBytes(new File(abs).toPath),

@@ -416,7 +416,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"catalog '$catalogName' in the given session does not resolve to " +
         s"warehouse $warehouse — invoke compactTable with a session that " +
         "owns this catalog")
-    def filesNow() = AvroSnapshots.head(dir.getPath).map(_.files.size).getOrElse(0)
+    // count on the lineage the rewrite actually targets: under a
+    // write-audit-publish session conf the INSERT OVERWRITE resolves
+    // the table AT THE BRANCH, so the before/after numbers must too
+    def filesNow() = AvroSnapshots.head(dir.getPath, sessionBranch(dir.getPath))
+      .map(_.files.size).getOrElse(0)
     val before = filesNow()
     val q = (catalogName +: ident.namespace.toSeq :+ ident.name)
       .map(p => s"`$p`").mkString(".")

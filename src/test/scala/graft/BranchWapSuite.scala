@@ -102,6 +102,30 @@ class BranchWapSuite extends SparkSuiteBase {
     intercept[IllegalArgumentException](cat.createBranch(ident("w4"), "b1"))
   }
 
+  test("a main stream follows main's LINEAGE — interleaved branch commits are invisible") {
+    mk("w6", 5)
+    cat.createBranch(ident("w6"), "side")
+    // a branch commit lands a GLOBAL version number between two main
+    // commits; a stream walking the raw version sequence would see its
+    // files appear then vanish (a phantom change window) — the lineage
+    // walk must never visit it
+    onBranch("side") {
+      spark.sql("INSERT INTO wapcat.db.w6 VALUES (500, 'branch-only')")
+    }
+    spark.sql("INSERT INTO wapcat.db.w6 VALUES (600, 'main')")
+    val root = java.nio.file.Files.createTempDirectory("graft_wap_stream").toString
+    spark.readStream.table("wapcat.db.w6").writeStream
+      .format("parquet").option("checkpointLocation", s"$root/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(s"$root/out").awaitTermination()
+    val got = spark.read.parquet(s"$root/out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.size == 6 && got.contains((600L, "main")),
+      s"main stream missed main rows: $got")
+    assert(!got.contains((500L, "branch-only")),
+      "main stream leaked a branch commit's rows")
+  }
+
   test("an unknown branch conf falls back to main (no accidental writes lost)") {
     mk("w5", 4)
     onBranch("never_created") {
