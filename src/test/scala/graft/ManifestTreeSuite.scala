@@ -6,7 +6,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.types._
 
-import graft.sources.AvroSnapshots
+import graft.sources.{AvroSnapshots, DeletionVectors}
 import graft.sources.AvroSnapshots.FileEntry
 
 /** Manifest-tree (manifest-list) invariants — round-15 verdict #1: the
@@ -146,6 +146,74 @@ class ManifestTreeSuite extends SparkSuiteBase {
     assert(retainedGroups.subsetOf(allGroups))
     // the retained head still reads every entry
     assert(AvroSnapshots.head(p).get.files.size == 5)
+  }
+
+  test("commit fuzz: random append/replace/delete/dv sequences preserve the entry map") {
+    val rnd = new scala.util.Random(15L)
+    val p = tmpTable("fuzz")
+    var state = Map.empty[String, FileEntry]
+    var nextId = 0L
+    def freshEntry(): FileEntry = {
+      nextId += 1
+      entry(nextId)
+    }
+    val checkpoints = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[String, FileEntry])]
+    for (step <- 0 until 150) {
+      rnd.nextInt(10) match {
+        case n if n < 5 => // append 1–4 fresh entries
+          val add = Seq.fill(1 + rnd.nextInt(4))(freshEntry())
+          AvroSnapshots.commitAppend(p, schema, add)
+          state ++= add.map(e => e.name -> e)
+        case n if n < 8 && state.nonEmpty => // drop a random subset (DELETE)
+          val names = state.keys.toSeq
+          val drop = rnd.shuffle(names).take(1 + rnd.nextInt(3)).toSet
+          state = state.filterNot { case (k, _) => drop(k) }
+          AvroSnapshots.withCommitLock(p)(AvroSnapshots.commit(
+            p, schema, state.values.toSeq.sortBy(_.name),
+            AvroSnapshots.KindDelete))
+        case n if n < 9 && state.nonEmpty => // grow a dv on one entry (MOR)
+          val name = state.keys.toSeq(rnd.nextInt(state.size))
+          val e = state(name)
+          val dv = DeletionVectors.write(p, Seq(rnd.nextInt(10).toLong))
+          state += name -> e.copy(dv = Some(dv))
+          AvroSnapshots.withCommitLock(p)(AvroSnapshots.commit(
+            p, schema, state.values.toSeq.sortBy(_.name),
+            AvroSnapshots.KindReplace))
+        case _ if state.nonEmpty => // full rewrite (compaction shape)
+          val rewritten = state.values.toSeq.map(_ => freshEntry())
+          state = rewritten.map(e => e.name -> e).toMap
+          AvroSnapshots.withCommitLock(p)(AvroSnapshots.commit(
+            p, schema, rewritten.sortBy(_.name), AvroSnapshots.KindRewrite))
+        case _ => // empty-table corner: append instead
+          val add = Seq(freshEntry())
+          AvroSnapshots.commitAppend(p, schema, add)
+          state ++= add.map(e => e.name -> e)
+      }
+      val head = AvroSnapshots.head(p).get
+      assert(head.byName == state,
+        s"step $step: head diverged from the model " +
+          s"(missing=${(state.keySet -- head.byName.keySet).take(3)}, " +
+          s"extra=${(head.byName.keySet -- state.keySet).take(3)})")
+      assert(head.groups.size <= AvroSnapshots.MaxGroups)
+      if (step % 37 == 0) checkpoints += ((head.version, state))
+    }
+    // IMMUTABILITY: every checkpointed version still reads its exact
+    // historical entry map after all later commits and merges
+    checkpoints.foreach { case (v, snap) =>
+      assert(AvroSnapshots.load(p, v).get.byName == snap,
+        s"version $v changed after later commits")
+    }
+    // expiry keeps the head exact and leaves no orphan group files
+    val headBefore = AvroSnapshots.head(p).get.byName
+    AvroSnapshots.expire(p, retainLast = 2)
+    assert(AvroSnapshots.head(p).get.byName == headBefore)
+    val referenced = AvroSnapshots.versions(p)
+      .flatMap(AvroSnapshots.load(p, _)).flatMap(_.groups.map(_.file)).toSet
+    val onDisk = new File(p, "_versions").listFiles()
+      .filter(_.getName.endsWith(".grp")).map(_.getName).toSet
+    assert(onDisk == referenced,
+      s"group files != referenced after expiry: extra=${onDisk -- referenced}")
   }
 
   test("selective catalog scan reads fewer manifest groups than exist") {
