@@ -208,8 +208,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val (ca, cb) = (canonical(a), canonical(b))
         Seq(ca, cb).foreach { c =>
           val dt = schema.fields.find(_.name == c).get.dataType
-          require(dt == LongType || dt == IntegerType,
-            s"zorder column $c must be INT or BIGINT, got $dt")
+          require(dt == LongType || dt == IntegerType ||
+            dt == DataTypes.DoubleType,
+            s"zorder column $c must be INT, BIGINT or DOUBLE, got $dt")
         }
         Files.write(sortFile(dir).toPath,
           s"""{"columns":["$ca","$cb"],"zorder":true}"""
@@ -858,7 +859,16 @@ class GraftTruncateIntScalar extends ScalarFunction[Integer] {
   * range/sort key for multi-column clustering: files sorted by zvalue
   * get tight min/max stats on BOTH inputs, so the data-skipping scan
   * prunes selective predicates on EITHER column. Exposed through the
-  * catalog so RequiresDistributionAndOrdering can resolve it. */
+  * catalog so RequiresDistributionAndOrdering can resolve it.
+  *
+  * Dimension-entropy caveat (measured, not theoretical): the stateless
+  * Morton key interleaves RAW bit patterns, so the two dimensions
+  * should carry comparable entropy in their high bits — two same-range
+  * integers or two comparable-range doubles cluster both dims; mixing
+  * a narrow-range integer with a double lets the double's exponent
+  * bits dominate and the integer dim stops clustering. The production
+  * upgrade is Delta's range-normalized partition ids (a stateful
+  * write-time sampling pass) — out of scope for a scalar function. */
 object GraftZValueFunction extends UnboundFunction {
   override def name(): String = "zvalue"
   override def description(): String =
@@ -868,7 +878,8 @@ object GraftZValueFunction extends UnboundFunction {
     if (inputType.length != 2)
       throw new UnsupportedOperationException("zvalue expects 2 arguments")
     val ok = inputType.fields.forall(f =>
-      f.dataType == LongType || f.dataType == IntegerType)
+      f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == DataTypes.DoubleType)
     if (!ok) throw new UnsupportedOperationException(
       s"zvalue: unsupported argument types ${inputType.simpleString}")
     new GraftZValueScalar(inputType.fields.map(_.dataType))
@@ -876,6 +887,17 @@ object GraftZValueFunction extends UnboundFunction {
 }
 
 object ZValue {
+  /** Order-preserving DOUBLE → unsigned-comparable long: positive
+    * doubles flip the sign bit, negatives flip ALL bits — IEEE-754's
+    * total order becomes plain unsigned integer order (NaN sorts above
+    * +Inf, matching the engine's NaN-greatest rule; -0.0 normalizes to
+    * 0.0 first so the two zeros coincide, like the stats layer). */
+  def doubleKey(d: Double): Long = {
+    val n = if (d == 0.0) 0.0 else d
+    val bits = java.lang.Double.doubleToLongBits(n)
+    if (bits < 0) ~bits else bits ^ Long.MinValue
+  }
+
   /** Interleave the sign-flipped bits of two longs, a's bit leading. */
   def interleave(a: Long, b: Long): Array[Byte] = {
     val ua = a ^ Long.MinValue
@@ -910,8 +932,11 @@ class GraftZValueScalar(types: Array[DataType])
   def invoke(a: Long, b: Long): Array[Byte] = ZValue.interleave(a, b)
   override def produceResult(input: InternalRow): Array[Byte] = {
     def arg(i: Int): Long = types(i) match {
-      case LongType => input.getLong(i)
-      case _        => input.getInt(i).toLong
+      case LongType             => input.getLong(i)
+      case DataTypes.DoubleType =>
+        // already unsigned-comparable — undo interleave's sign flip
+        ZValue.doubleKey(input.getDouble(i)) ^ Long.MinValue
+      case _                    => input.getInt(i).toLong
     }
     ZValue.interleave(arg(0), arg(1))
   }

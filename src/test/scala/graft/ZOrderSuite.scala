@@ -46,6 +46,22 @@ class ZOrderSuite extends SparkSuiteBase {
       ZValue.interleave(Long.MaxValue, 0)) < 0)
   }
 
+  test("doubleKey: IEEE total order becomes unsigned long order") {
+    val vals = Seq(Double.NegativeInfinity, -1e100, -3.5, -0.0, 0.0,
+      Double.MinPositiveValue, 2.25, 1e300, Double.PositiveInfinity,
+      Double.NaN)
+    val keys = vals.map(ZValue.doubleKey)
+    // pairwise monotone (NaN greatest, -0.0 == 0.0 — engine semantics)
+    for (i <- vals.indices; j <- vals.indices) {
+      val want = java.lang.Double.compare(
+        if (vals(i) == 0.0) 0.0 else vals(i),
+        if (vals(j) == 0.0) 0.0 else vals(j))
+      val got = java.lang.Long.compareUnsigned(keys(i), keys(j))
+      assert(math.signum(want) == math.signum(got),
+        s"doubleKey order broke for ${vals(i)} vs ${vals(j)}")
+    }
+  }
+
   test("z-order compaction prunes selective predicates on EITHER column") {
     zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
     zs.sql("DROP TABLE IF EXISTS zcat.db.grid")
@@ -117,6 +133,37 @@ class ZOrderSuite extends SparkSuiteBase {
     assert(zs.sql("SELECT count(*) FROM zcat.db.multi WHERE a = 3 AND b < 10")
       .collect().head.getLong(0) == 10)
     assert(zs.table("zcat.db.multi").count() == 65536)
+  }
+
+  test("z-order over DOUBLE columns: order-preserving keys, both dims prune") {
+    // two DOUBLE dims of comparable ranges — the shape the stateless
+    // Morton key serves well (the key is fully monotone per dim, so
+    // z-cells are value intervals). Mixing a narrow-range integer with
+    // a double is the documented anti-pattern: the double's exponent
+    // bits dominate the curve's high bits and the integer dim stops
+    // clustering (Delta's answer is range-normalized partition ids —
+    // a STATEFUL write-time upgrade, noted in the zvalue scaladoc).
+    zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
+    zs.sql("DROP TABLE IF EXISTS zcat.db.dgrid")
+    zs.sql("CREATE TABLE zcat.db.dgrid (x DOUBLE, y DOUBLE)")
+    zs.sql("""INSERT INTO zcat.db.dgrid
+             |SELECT CAST(id % 256 AS DOUBLE) - 128.0 AS x,
+             |       CAST(id DIV 256 AS DOUBLE) - 128.0 AS y
+             |FROM range(65536)""".stripMargin)
+    cat.setSortOrder(Identifier.of(Array("db"), "dgrid"), "zorder(x, y)")
+    cat.compactTable(Identifier.of(Array("db"), "dgrid"), zs)
+    val files = AvroSnapshots.head(s"$wh/db/dgrid").get.files.size
+    assert(files >= 4)
+    def planned(sql: String): Int = {
+      val df = zs.sql(sql); df.collect(); scanOf(df).inputPartitions.size
+    }
+    // both double dims prune — incl. across the negative range
+    assert(planned("SELECT x FROM zcat.db.dgrid WHERE x < -64.0") < files,
+      "x-predicate pruned nothing")
+    assert(planned("SELECT y FROM zcat.db.dgrid WHERE y < -64.0") < files,
+      "y-predicate pruned nothing")
+    assert(zs.sql("SELECT count(*) FROM zcat.db.dgrid WHERE x < -64.0")
+      .collect().head.getLong(0) == 64L * 256)
   }
 
   test("zorder guard rails: strings refused, arity enforced") {
