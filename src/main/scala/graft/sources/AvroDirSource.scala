@@ -715,7 +715,8 @@ class AvroDirTable(path: String, tableSchema: StructType,
               }
             }
           AvroSnapshots.commit(path, schema,
-            next.sortBy(_.name), AvroSnapshots.KindDelete, branch)
+            next.sortBy(_.name), AvroSnapshots.KindDelete, branch,
+            expectedParent = prev.map(_.version))
           ()
         }
       }

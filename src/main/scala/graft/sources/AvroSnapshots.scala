@@ -389,13 +389,24 @@ object AvroSnapshots {
     * current view (every read-modify-write); a cross-JVM collision on
     * the version number throws ConcurrentModificationException. */
   def commit(path: String, schema: StructType, entries: Seq[FileEntry],
-      kind: String, branch: Option[String] = None): Long = {
+      kind: String, branch: Option[String] = None,
+      expectedParent: Option[Long] = None): Long = {
     versionsDir(path).mkdirs()
     // claim the NEXT version number as of entry: a racer landing any
     // time after this read collides on CREATE_NEW below (detected),
     // instead of being silently renumbered past
     val v = versions(path).lastOption.map(_ + 1).getOrElse(0L)
     val parent = headVersion(path, branch)
+    // optimistic read-basis validation: a read-modify-write caller
+    // passes the head version its entry set was DERIVED from — a
+    // cross-JVM racer landing between that read and this commit would
+    // otherwise have its files silently diffed away as "removed"
+    expectedParent.foreach { ep =>
+      if (!parent.contains(ep))
+        throw new java.util.ConcurrentModificationException(
+          s"commit to $path based on v$ep but the head is now " +
+            s"v${parent.getOrElse(-1L)} — retry against the new table state")
+    }
     val prev = parent.flatMap(load(path, _))
     val desired: Map[String, FileEntry] =
       entries.iterator.map(e => e.name -> e).toMap

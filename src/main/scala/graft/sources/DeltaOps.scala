@@ -128,7 +128,8 @@ class GraftDeltaOperation(path: String, tableSchema: StructType,
               .flatMap(_.deletes.toSeq)
               .groupMapReduce(_._1)(_._2)(_ ++ _)
             AvroSnapshots.withCommitLock(path) {
-              val entries = currentEntries()
+              val basis = AvroSnapshots.head(path, branch)
+              val entries = basis.map(_.entries).getOrElse(Nil)
               val byName = entries.map(e => e.name -> e).toMap
               // snapshot isolation: a touched file rewritten/removed by
               // a concurrent commit aborts (its positions are dead
@@ -160,7 +161,8 @@ class GraftDeltaOperation(path: String, tableSchema: StructType,
               }
               AvroSnapshots.commit(path, tableSchema,
                 (next ++ inserts).sortBy(_.name),
-                AvroSnapshots.KindReplace, branch)
+                AvroSnapshots.KindReplace, branch,
+                expectedParent = basis.map(_.version))
             }
             ()
           }

@@ -650,11 +650,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // inconsistent with the sidecar.
     Files.write(schemaFile(dir).toPath,
       evolved.json.getBytes(StandardCharsets.UTF_8))
-    val prevEntries = AvroSnapshots.head(dir.getPath).map(_.entries)
+    val prevSnap = AvroSnapshots.head(dir.getPath)
+    val prevEntries = prevSnap.map(_.entries)
       .getOrElse(AvroDirSource.listFiles(dir.getPath)
         .map(f => AvroSnapshots.FileEntry(f.getName)))
     AvroSnapshots.commit(dir.getPath, evolved, prevEntries,
-      AvroSnapshots.KindAlter)
+      AvroSnapshots.KindAlter,
+      expectedParent = prevSnap.map(_.version))
     new AvroDirTable(dir.getPath, evolved, versioned = true,
       partSpec = loadPartSpec(dir), sortSpec = loadSortSpec(dir))
     } // withCommitLock

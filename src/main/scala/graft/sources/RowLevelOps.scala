@@ -134,7 +134,8 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
             }
             if (versioned) {
               AvroSnapshots.withCommitLock(path) {
-                val view = currentView()
+                val basis = AvroSnapshots.head(path, branch)
+                val view = basis.map(_.files).getOrElse(currentView())
                 // Copy-on-write conflict validation (the check Iceberg's
                 // commit does, ADVICE r13): the replacement row set was
                 // computed FROM the scanned groups — if any of them has
@@ -156,13 +157,14 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
                 // stats, deletion vectors); the rewrite files are
                 // unclustered (a bucketed table's scan soundly
                 // downgrades to ungrouped until a clustered rewrite)
-                val retained = currentEntries()
+                val retained = basis.map(_.entries).getOrElse(currentEntries())
                   .filterNot(e => replaced.contains(e.name))
                 val next = (retained ++ newFiles.map(n =>
                   AvroSnapshots.FileEntry(n, None, 0, newStats.get(n), None)))
                   .sortBy(_.name)
                 AvroSnapshots.commit(path, tableSchema, next,
-                  AvroSnapshots.KindReplace, branch)
+                  AvroSnapshots.KindReplace, branch,
+                  expectedParent = basis.map(_.version))
               }
               ()
             } else {
