@@ -53,16 +53,20 @@ object AvroChangeFeed {
       StructField(ChangeTypeColumn, StringType, nullable = false))
 }
 
-/** The read-only changelog table `<table>.changes`. */
+/** The read-only changelog table `<table>.changes` — streamable
+  * (micro-batch offsets = versions) AND batch-rangeable (Delta CDF's
+  * `startingVersion`/`endingVersion` options: one batch read of the
+  * changes in (startingVersion, endingVersion], default ending = the
+  * main head). */
 class AvroChangeFeedTable(path: String, baseSchema: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"graft_avro_changes($path)"
   override def schema(): StructType = AvroChangeFeed.feedSchema(baseSchema)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with SupportsPushDownRequiredColumns {
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
       private var required: StructType = schema()
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
@@ -72,6 +76,31 @@ class AvroChangeFeedTable(path: String, baseSchema: StructType)
           checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
         new AvroChangeFeedStream(path, baseSchema, required,
           Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+
+      // batch flavor: the same window-diff splits over an explicit
+      // version range — the "what changed between v1 and v2" audit
+      // query as a plain table read
+      override def toBatch: Batch = this
+      private lazy val range: (Long, Long) = {
+        val start = Option(options.get("startingVersion")).map(_.toLong)
+          .getOrElse(throw new IllegalArgumentException(
+            s"batch read of ${name()} requires the startingVersion option " +
+              "(changes are read over (startingVersion, endingVersion]); " +
+              "for continuous consumption use readStream"))
+        val end = Option(options.get("endingVersion")).map(_.toLong)
+          .orElse(AvroSnapshots.headVersion(path))
+          .getOrElse(-1L)
+        require(end >= start,
+          s"endingVersion $end precedes startingVersion $start")
+        (start, end)
+      }
+      override def planInputPartitions(): Array[InputPartition] = {
+        val stream = new AvroChangeFeedStream(path, baseSchema, required, None)
+        stream.planInputPartitions(
+          AvroVersionOffset(range._1), AvroVersionOffset(range._2))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new CdfReaderFactory(baseSchema, required, path)
     }
 }
 

@@ -126,10 +126,26 @@ class ChangeFeedStreamSuite extends SparkSuiteBase {
     assert(rows.count(_._3 == "insert") == 13)
   }
 
-  test("batch read of the changes table is refused (streaming-only surface)") {
+  test("batch-ranged read of the changes table (startingVersion/endingVersion)") {
     mk("c5", 5)
-    intercept[Exception] {
-      spark.table("cdfcat.db.c5.changes").collect()
-    }
+    val v1 = cat.currentVersion(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "c5"))
+    spark.sql("INSERT INTO cdfcat.db.c5 SELECT id, 'late' FROM range(10, 13)")
+    spark.sql("DELETE FROM cdfcat.db.c5 WHERE k = 1")
+    // a plain batch read without a range is refused (ranges are the
+    // batch contract; continuous consumption is readStream)
+    intercept[Exception](spark.table("cdfcat.db.c5.changes").collect())
+    val rows = spark.read.option("startingVersion", v1)
+      .table("cdfcat.db.c5.changes")
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(rows == Seq((1L, "delete"), (10L, "insert"), (11L, "insert"),
+      (12L, "insert")), s"ranged batch feed: $rows")
+    // an explicit endingVersion bounds the window
+    val bounded = spark.read.option("startingVersion", v1)
+      .option("endingVersion", v1 + 1)
+      .table("cdfcat.db.c5.changes")
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(bounded.toSeq == Seq(10L, 11L, 12L), s"bounded feed: ${bounded.toSeq}")
   }
 }
