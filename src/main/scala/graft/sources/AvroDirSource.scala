@@ -940,8 +940,8 @@ case class PartSpec(transform: String, n: Int, column: String,
   * the multi-dimensional data-skipping layout). */
 case class SortSpec(columns: Seq[String], zorder: Boolean = false) {
   require(columns.nonEmpty, "sort order needs at least one column")
-  require(!zorder || columns.length == 2,
-    "z-order clustering supports exactly 2 columns in this engine")
+  require(!zorder || (columns.length >= 2 && columns.length <= 4),
+    "z-order clustering takes 2 to 4 columns")
 }
 
 /** @param dvFile absolute path of the file's deletion-vector sidecar:

@@ -167,7 +167,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def sortFile(dir: File): File = new File(dir, "_sort.json")
   private val SortJson = """\{"column":"([^"]+)"\}""".r
   private val SortJsonZ =
-    """\{"columns":\["([^"]+)","([^"]+)"\],"zorder":true\}""".r
+    """\{"columns":\[([^\]]+)\],"zorder":true\}""".r
   private val SortJsonMulti =
     """\{"columns":\[([^\]]+)\],"zorder":false\}""".r
   private def loadSortSpec(dir: File): Option[SortSpec] = {
@@ -175,7 +175,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!f.isFile) None
     else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim match {
       case SortJson(col)    => Some(SortSpec(Seq(col)))
-      case SortJsonZ(a, b)  => Some(SortSpec(Seq(a, b), zorder = true))
+      case SortJsonZ(cols)  => Some(SortSpec(
+        cols.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")),
+        zorder = true))
       case SortJsonMulti(cols) => Some(SortSpec(
         cols.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))))
       case other => throw new IllegalStateException(
@@ -188,7 +190,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Record the table's write sort order (ascending). Existing files
     * are untouched — run [[compactTable]] afterwards to rewrite the
     * current contents sorted. */
-  private val ZOrderSpelling = """(?i)zorder\s*\(\s*([^,\s)]+)\s*,\s*([^,\s)]+)\s*\)""".r
+  private val ZOrderSpelling = """(?i)zorder\s*\(([^)]+)\)""".r
   def setSortOrder(ident: Identifier, column: String): Unit = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
@@ -202,18 +204,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new IllegalArgumentException(
           s"sort column $c is not a column of ${ident.name}"))
     column match {
-      case ZOrderSpelling(a, b) =>
+      case ZOrderSpelling(inner) =>
         // Z-ORDER clustering: writes sort by the interleaved-bits
-        // zvalue of BOTH columns, so file stats tighten on each
-        val (ca, cb) = (canonical(a), canonical(b))
-        Seq(ca, cb).foreach { c =>
+        // zvalue of ALL listed columns, so file stats tighten on each
+        val cs = inner.split(",").toSeq.map(c => canonical(c.trim))
+        require(cs.size >= 2 && cs.size <= 4,
+          s"zorder takes 2 to 4 columns, got ${cs.size}")
+        cs.foreach { c =>
           val dt = schema.fields.find(_.name == c).get.dataType
           require(dt == LongType || dt == IntegerType ||
             dt == DataTypes.DoubleType,
             s"zorder column $c must be INT, BIGINT or DOUBLE, got $dt")
         }
         Files.write(sortFile(dir).toPath,
-          s"""{"columns":["$ca","$cb"],"zorder":true}"""
+          cs.map(c => "\"" + c + "\"")
+            .mkString("""{"columns":[""", ",", """],"zorder":true}""")
             .getBytes(StandardCharsets.UTF_8))
       case cols if cols.contains(",") =>
         // hierarchical multi-column sort (Iceberg's ORDER BY a, b):
@@ -312,10 +317,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               StandardCharsets.UTF_8)).asInstanceOf[StructType]
             return new AvroChangeFeedTable(baseDir.getPath, baseSchema)
           }
-          // `<ns>.<table>.snapshots` / `.files` — Iceberg-style
-          // inspection metadata tables over the snapshot log
+          // `<ns>.<table>.snapshots` / `.files` / `.refs` — Iceberg-
+          // style inspection metadata tables over the snapshot log
           if (ident.name.equalsIgnoreCase("snapshots") ||
-              ident.name.equalsIgnoreCase("files"))
+              ident.name.equalsIgnoreCase("files") ||
+              ident.name.equalsIgnoreCase("refs"))
             return new AvroMetaTable(baseDir.getPath,
               ident.name.toLowerCase)
         }
@@ -874,11 +880,13 @@ class GraftTruncateIntScalar extends ScalarFunction[Integer] {
 object GraftZValueFunction extends UnboundFunction {
   override def name(): String = "zvalue"
   override def description(): String =
-    "zvalue(a INT|BIGINT, b INT|BIGINT) -> BINARY(16): interleaved-bits " +
-      "Z-order key (unsigned-comparable, lexicographic byte order)"
+    "zvalue(c1, ..., cN: INT|BIGINT|DOUBLE, 2<=N<=4) -> BINARY(8N): " +
+      "interleaved-bits Z-order key (unsigned-comparable, " +
+      "lexicographic byte order)"
   override def bind(inputType: StructType): BoundFunction = {
-    if (inputType.length != 2)
-      throw new UnsupportedOperationException("zvalue expects 2 arguments")
+    if (inputType.length < 2 || inputType.length > 4)
+      throw new UnsupportedOperationException(
+        "zvalue expects 2 to 4 arguments")
     val ok = inputType.fields.forall(f =>
       f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == DataTypes.DoubleType)
@@ -901,18 +909,23 @@ object ZValue {
   }
 
   /** Interleave the sign-flipped bits of two longs, a's bit leading. */
-  def interleave(a: Long, b: Long): Array[Byte] = {
-    val ua = a ^ Long.MinValue
-    val ub = b ^ Long.MinValue
-    val out = new Array[Byte](16)
+  def interleave(a: Long, b: Long): Array[Byte] = interleaveN(Array(a, b))
+
+  /** N-ary Morton interleave (2 ≤ N ≤ 4): round-robin one bit per
+    * dimension per level, first argument's bit leading — 8N bytes,
+    * unsigned-byte lexicographic order. */
+  def interleaveN(keys: Array[Long]): Array[Byte] = {
+    val n = keys.length
+    val out = new Array[Byte](8 * n)
     var i = 0
     while (i < 64) {
-      val bitA = ((ua >>> (63 - i)) & 1L).toInt
-      val bitB = ((ub >>> (63 - i)) & 1L).toInt
-      val pa = 2 * i
-      val pb = 2 * i + 1
-      out(pa >> 3) = (out(pa >> 3) | (bitA << (7 - (pa & 7)))).toByte
-      out(pb >> 3) = (out(pb >> 3) | (bitB << (7 - (pb & 7)))).toByte
+      var d = 0
+      while (d < n) {
+        val bit = (((keys(d) ^ Long.MinValue) >>> (63 - i)) & 1L).toInt
+        val pos = n * i + d
+        out(pos >> 3) = (out(pos >> 3) | (bit << (7 - (pos & 7)))).toByte
+        d += 1
+      }
       i += 1
     }
     out
@@ -940,6 +953,6 @@ class GraftZValueScalar(types: Array[DataType])
         ZValue.doubleKey(input.getDouble(i)) ^ Long.MinValue
       case _                    => input.getInt(i).toLong
     }
-    ZValue.interleave(arg(0), arg(1))
+    ZValue.interleaveN(Array.tabulate(types.length)(arg))
   }
 }

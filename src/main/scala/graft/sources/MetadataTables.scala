@@ -27,6 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     value + spec id, recorded row count, deletion-vector presence
   *     and on-disk size. The layout-debugging surface: "why does this
   *     scan plan N splits".
+  *   - `<t>.refs`: one row per named ref — name, TAG vs BRANCH, the
+  *     version it points at. The provenance/WAP observability surface:
+  *     "which blessed states exist, where is each branch head".
   *
   * Both are metadata-only (one manifest walk; group entries via the
   * process-wide cache) and plan as a handful of local rows — at 100 TB
@@ -50,6 +53,10 @@ class AvroMetaTable(path: String, which: String) extends Table with SupportsRead
       StructField("row_count", LongType, nullable = true),
       StructField("has_dv", BooleanType, nullable = false),
       StructField("size_bytes", LongType, nullable = false)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -69,6 +76,13 @@ class AvroMetaTable(path: String, which: String) extends Table with SupportsRead
           e.stats.flatMap(AvroStats.rowCount).map(Long.box).orNull,
           Boolean.box(e.dv.isDefined),
           Long.box(new File(path, e.name).length()))
+      }
+    case "refs" =>
+      AvroSnapshots.listRefs(path).toSeq.sortBy(_._1).map { case (n, v) =>
+        Seq[Any](UTF8String.fromString(n),
+          UTF8String.fromString(
+            if (AvroSnapshots.isBranch(path, n)) "branch" else "tag"),
+          Long.box(v))
       }
   }
 

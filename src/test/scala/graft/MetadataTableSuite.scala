@@ -57,6 +57,21 @@ class MetadataTableSuite extends SparkSuiteBase {
     assert(files.count(_._3) == 1, s"expected exactly one dv'd file: $files")
   }
 
+  test("refs table: tags and branch heads observable as SQL") {
+    mk("m4", 10)
+    val ident4 =
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "m4")
+    cat.tagVersion(ident4, "blessed")
+    cat.createBranch(ident4, "staging")
+    val refs = spark.sql(
+      "SELECT name, type, version FROM mcat.db.m4.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val head = cat.currentVersion(ident4)
+    assert(refs.toSeq == Seq(
+      ("blessed", "tag", head), ("main", "branch", head),
+      ("staging", "branch", head)), s"refs: ${refs.toSeq}")
+  }
+
   test("remove_orphan_files: age-gated, reference-safe") {
     mk("m3", 50)
     // plant orphans: an unreferenced data file, dv sidecar and group file

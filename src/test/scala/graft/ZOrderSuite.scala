@@ -166,6 +166,34 @@ class ZOrderSuite extends SparkSuiteBase {
       .collect().head.getLong(0) == 64L * 256)
   }
 
+  test("3-column z-order: every dimension prunes") {
+    // 8 range partitions → 8 files → the curve's top 3 varying bits
+    // are one per dimension, so each dim's halves land in separate files
+    val s8 = spark.newSession()
+    s8.conf.set("spark.sql.adaptive.enabled", "false")
+    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    s8.conf.set("spark.sql.catalog.zcat", "graft.sources.GraftCatalog")
+    s8.conf.set("spark.sql.catalog.zcat.warehouse", wh)
+    s8.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
+    s8.sql("DROP TABLE IF EXISTS zcat.db.g3")
+    s8.sql("CREATE TABLE zcat.db.g3 (a BIGINT, b BIGINT, c BIGINT)")
+    s8.sql("""INSERT INTO zcat.db.g3
+             |SELECT id % 32, (id DIV 32) % 32, id DIV 1024 FROM range(32768)""".stripMargin)
+    cat.setSortOrder(Identifier.of(Array("db"), "g3"), "zorder(a, b, c)")
+    cat.compactTable(Identifier.of(Array("db"), "g3"), s8)
+    val files = AvroSnapshots.head(s"$wh/db/g3").get.files.size
+    assert(files >= 8, s"need ≥8 files for a 3-dim split, got $files")
+    def planned(sql: String): Int = {
+      val df = s8.sql(sql); df.collect(); scanOf(df).inputPartitions.size
+    }
+    for (dim <- Seq("a", "b", "c")) {
+      val p = planned(s"SELECT $dim FROM zcat.db.g3 WHERE $dim < 8")
+      assert(p < files, s"$dim-predicate planned $p of $files — no pruning")
+    }
+    assert(s8.sql("SELECT count(*) FROM zcat.db.g3 WHERE b < 8")
+      .collect().head.getLong(0) == 8192)
+  }
+
   test("zorder guard rails: strings refused, arity enforced") {
     zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
     zs.sql("DROP TABLE IF EXISTS zcat.db.bad")
