@@ -148,6 +148,41 @@ class ManifestTreeSuite extends SparkSuiteBase {
     assert(AvroSnapshots.head(p).get.files.size == 5)
   }
 
+  // Env-gated scale probe (GRAFT_MANIFEST_PROBE=1): 10⁴ single-file
+  // appends — the verdict's "flat commit cost at ≥10⁴ files" bar.
+  // Prints p50/p99/last commit bytes and total metadata bytes; the
+  // numbers land in BASELINE.md. Skipped in normal runs (minutes).
+  test("scale probe: 10k appends keep per-commit manifest bytes flat") {
+    assume(sys.env.get("GRAFT_MANIFEST_PROBE").contains("1"))
+    val p = tmpTable("probe")
+    val n = 10000
+    val costs = new Array[Long](n)
+    var total = 0L
+    val t0 = System.nanoTime()
+    for (i <- 0 until n) {
+      val before = versionsBytes(p)
+      AvroSnapshots.commitAppend(p, schema, Seq(entry(i.toLong)))
+      val d = versionsBytes(p) - before
+      costs(i) = d
+      total += math.max(0L, d)
+      // keep metadata bounded like a real deployment: retain a window
+      if (i % 500 == 499) AvroSnapshots.expire(p, retainLast = 64)
+    }
+    val wallS = (System.nanoTime() - t0) / 1e9
+    val sorted = costs.sorted
+    val head = AvroSnapshots.head(p).get
+    println(f"[probe] n=$n files=${head.files.size} groups=${head.groups.size} " +
+      f"p50=${sorted(n / 2)}%d B p99=${sorted(n * 99 / 100)}%d B " +
+      f"last=${costs(n - 1)}%d B totalWritten=${total / 1024}%d KiB " +
+      f"onDisk=${versionsBytes(p) / 1024}%d KiB wall=$wallS%.1f s")
+    assert(head.files.size == n)
+    // flatness: the FINAL append at 10k files costs no more than 3× the
+    // p50 across the whole run (a naive inline manifest would be ~200×)
+    assert(costs(n - 1) <= 3 * sorted(n / 2),
+      s"last append ${costs(n - 1)} B vs p50 ${sorted(n / 2)} B — not flat")
+    assert(head.groups.size <= AvroSnapshots.MaxGroups)
+  }
+
   test("commit fuzz: random append/replace/delete/dv sequences preserve the entry map") {
     val rnd = new scala.util.Random(15L)
     val p = tmpTable("fuzz")
