@@ -509,6 +509,12 @@ object Streaming {
             |WHERE c_custkey % 2 = 1""".stripMargin)
     s.sql("CALL graftcat.system.set_delete_mode('lake.cust_cdfs', 'merge-on-read')")
     s.sql("DELETE FROM graftcat.lake.cust_cdfs WHERE c_nationkey = 7")
+    // merge-on-read UPDATE (kind=update): the commit's dv deltas and
+    // insert files stream as update_preimage / update_postimage pairs
+    // (round-16: the four Delta-CDF change types, not delete+insert)
+    s.sql("""UPDATE graftcat.lake.cust_cdfs
+            |SET c_acctbal = c_acctbal + 500.0
+            |WHERE c_nationkey = 3""".stripMargin)
     val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val root = GraftTmp.dir(s"stream_cdf_$tag")
     val q = s.readStream.table("graftcat.lake.cust_cdfs.changes")
@@ -584,6 +590,12 @@ object Streaming {
         |UNION ALL
         |SELECT c_custkey, c_nationkey, c_acctbal, 'delete'
         |FROM customer WHERE c_nationkey = 7
+        |UNION ALL
+        |SELECT c_custkey, c_nationkey, c_acctbal, 'update_preimage'
+        |FROM customer WHERE c_nationkey = 3
+        |UNION ALL
+        |SELECT c_custkey, c_nationkey, c_acctbal + 500.0, 'update_postimage'
+        |FROM customer WHERE c_nationkey = 3
         |ORDER BY change_type, c_custkey""".stripMargin,
     "stream_table_ratelimit" ->
       """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,

@@ -107,13 +107,16 @@ class AvroChangeFeedTable(path: String, baseSchema: StructType)
 /** One change split: read `file`, emit each row tagged `changeType`.
   * All deletion-vector set math happens EXECUTOR-side — the split
   * carries sidecar NAMES, so the driver never reads a vector:
-  * `skipDv` anti-filters those positions; (`dvDeltaOld`, `dvDeltaNew`)
-  * restricts to exactly the NEW vector's positions minus the old one's
-  * (the dv-delta delete case); `diffAgainst` bag-subtracts the sibling
-  * rewrite file's rows (the COW-pair case). */
+  * `skipDv` anti-filters those positions; `dvDeltaKind` restricts to a
+  * DELTA between the old and new vectors — `"deleted"` = new∖old (rows
+  * the window row-level deleted), `"restored"` = old∖new (rows a
+  * rollback brought back, streamed as inserts); a reader whose delta is
+  * empty exits without opening the data file. `diffAgainst`
+  * bag-subtracts the sibling rewrite file's rows (the COW-pair case). */
 case class CdfSplit(file: String, changeType: String,
     skipDv: Option[String] = None,
     dvDeltaOld: Option[String] = None, dvDeltaNew: Option[String] = None,
+    dvDeltaKind: Option[String] = None,
     diffAgainst: Option[String] = None) extends InputPartition
 
 class AvroChangeFeedStream(path: String, baseSchema: StructType,
@@ -132,6 +135,13 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
       if (!d.rewriteOnly) {
         val prev = entriesAt(prevV)
         val cur = entriesAt(v)
+        // a DIRECT merge-on-read UPDATE window pairs its dv deltas and
+        // insert files as update pre/post images (Delta CDF's types);
+        // a gap window can hide other kinds → generic delete+insert
+        val isUpdate = prevV + 1 == v &&
+          AvroSnapshots.load(path, v).exists(_.kind == AvroSnapshots.KindUpdate)
+        val delTag = if (isUpdate) "update_preimage" else "delete"
+        val insTag = if (isUpdate) "update_postimage" else "insert"
         val removed = prev.keySet -- cur.keySet
         val added = cur.keySet -- prev.keySet
         val pairedRewrites = scala.collection.mutable.HashSet.empty[String]
@@ -143,21 +153,30 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
             case _               => false
           }
           rewrite.foreach(pairedRewrites += _)
-          out += CdfSplit(r, "delete", skipDv = prev(r).dv,
+          out += CdfSplit(r, delTag, skipDv = prev(r).dv,
             diffAgainst = rewrite)
         }
-        // deletes: deletion-vector growth — exactly the delta positions
-        // (the reader subtracts old from new; the driver only compares
-        // the sidecar NAMES)
+        // deletion-vector CHANGES — the reader does the set math from
+        // the sidecar NAMES (the driver never reads a vector): new∖old
+        // positions stream as deletes (pre-images in an update window),
+        // old∖new as inserts (a rollback past a MOR delete RESTORES
+        // rows — ADVICE r15: they must surface, not poison the stream).
+        // One direction is empty in any given window; its reader exits
+        // without opening the data file.
         cur.keysIterator.toSeq.sorted.foreach { n =>
-          if (prev.contains(n) && prev(n).dv != cur(n).dv)
-            out += CdfSplit(n, "delete",
-              dvDeltaOld = prev(n).dv, dvDeltaNew = cur(n).dv)
+          if (prev.contains(n) && prev(n).dv != cur(n).dv) {
+            out += CdfSplit(n, delTag,
+              dvDeltaOld = prev(n).dv, dvDeltaNew = cur(n).dv,
+              dvDeltaKind = Some("deleted"))
+            out += CdfSplit(n, "insert",
+              dvDeltaOld = prev(n).dv, dvDeltaNew = cur(n).dv,
+              dvDeltaKind = Some("restored"))
+          }
         }
         // inserts: added files that are not a paired COW rewrite (a
         // rewrite is a SUBSET of its original — nothing new to insert)
         (added -- pairedRewrites).toSeq.sorted.foreach { a =>
-          out += CdfSplit(a, "insert", skipDv = cur(a).dv)
+          out += CdfSplit(a, insTag, skipDv = cur(a).dv)
         }
       }
     }
@@ -179,24 +198,27 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val split = partition.asInstanceOf[CdfSplit]
     new PartitionReader[InternalRow] {
-      private val reader = new DataFileReader[GenericRecord](
-        new File(dirPath, split.file), new GenericDatumReader[GenericRecord]())
+      // lazy: an empty-dv-delta split decides from the sidecars alone
+      // and never opens the data container at all
+      private var readerOpened = false
+      private lazy val reader = {
+        readerOpened = true
+        new DataFileReader[GenericRecord](
+          new File(dirPath, split.file), new GenericDatumReader[GenericRecord]())
+      }
       private def dv(name: Option[String]): Set[Long] =
         name.map(DeletionVectors.read(dirPath, _).toSet).getOrElse(Set.empty)
       private val skip = dv(split.skipDv)
-      // dv-delta mode: exactly the rows the NEW vector deleted beyond
-      // the old one; a shrinking vector is not a monotone delete
-      private val only: Option[Set[Long]] = split.dvDeltaNew.map { _ =>
+      // dv-delta mode: `deleted` = the rows the NEW vector removed
+      // beyond the old one; `restored` = rows the window brought back
+      // (a rollback can shrink or drop a vector — ADVICE r15)
+      private val only: Option[Set[Long]] = split.dvDeltaKind.map { k =>
         val old = dv(split.dvDeltaOld)
         val now = dv(split.dvDeltaNew)
-        if (!old.subsetOf(now))
-          throw new IllegalStateException(
-            s"deletion vector of ${split.file} shrank — not a monotone " +
-              "delete; cannot stream as changes")
-        now -- old
+        if (k == "restored") old -- now else now -- old
       }
       // base-column positions in THIS file's writer schema
-      private val basePos: Array[Int] = baseSchema.fields.map { f =>
+      private lazy val basePos: Array[Int] = baseSchema.fields.map { f =>
         (f.name +: AvroDirSource.aliasesOf(f)).iterator
           .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
           .find(_ >= 0).getOrElse(-1)
@@ -238,6 +260,9 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
       private var current: Vector[Any] = _
 
       override def next(): Boolean = {
+        // an empty dv delta (the other direction's split carries this
+        // window's change) — exit without scanning the data file
+        if (only.exists(_.isEmpty)) return false
         while (reader.hasNext) {
           val rec = reader.next()
           rowPos += 1
@@ -273,7 +298,7 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
         }
         new GenericInternalRow(out)
       }
-      override def close(): Unit = reader.close()
+      override def close(): Unit = if (readerOpened) reader.close()
     }
   }
 }

@@ -453,6 +453,17 @@ class AvroDirTable(path: String, tableSchema: StructType,
             // the column: all-null there, contributes no bound
             statsColumn(st, fld.name).flatMap(c => if (isMin) c.min else c.max)
           }
+          // String bounds at or beyond the truncation width may be a
+          // truncated prefix (min) or a bumped prefix that exists in NO
+          // row (max) — sound for pruning, WRONG as an exact answer.
+          // Truncation cannot be ruled out from the manifest alone
+          // (legacy manifests carry no exactness flag), so decline and
+          // let Spark plan the real scan + aggregate (ADVICE r15).
+          if (fld.dataType == StringType && bounds.exists {
+            case s: String =>
+              s.codePointCount(0, s.length) >= AvroStats.MaxStringBound
+            case _ => false
+          }) return None
           val folded =
             if (bounds.isEmpty) null
             else bounds.reduce((a, b) => {

@@ -118,6 +118,11 @@ object AvroSnapshots {
   val KindAlter = "alter"
   val KindRollback = "rollback"
   val KindRewrite = "rewrite"
+  /** A merge-on-read UPDATE's delta commit (position deletes + insert
+    * files for the SAME logical rows) — what lets the change feed emit
+    * `update_preimage`/`update_postimage` pairs instead of raw
+    * delete+insert (Delta CDF's update image types). */
+  val KindUpdate = "update"
 
   /** Max entries per manifest-group file. */
   val GroupTargetFiles = 512
@@ -132,6 +137,36 @@ object AvroSnapshots {
   private def versionsDir(path: String) = new File(path, "_versions")
   private def manifestFile(path: String, v: Long) =
     new File(versionsDir(path), f"v$v%08d.manifest")
+
+  // ---- durable lineage log (`_versions/lineage.log`) ----
+  //
+  // One `version \t parent \t timestampMs` line appended per commit,
+  // NEVER expired: snapshot expiry can delete the manifests BETWEEN a
+  // ref-pinned old version and the head, and the parent walk used to
+  // stop at the first expired gap — making the pinned version
+  // unreachable via TIMESTAMP AS OF and a legal fast-forward refusable
+  // (ADVICE r15). The log keeps the ancestry decidable forever at
+  // O(bytes-per-commit) — the role Iceberg's snapshot-log array in
+  // table metadata plays. Tables that predate the log (or a lost
+  // append) degrade to the manifest-only walk, exactly the old
+  // behavior.
+  private def lineageFile(path: String) =
+    new File(versionsDir(path), "lineage.log")
+
+  /** version → (parent, timestampMs), from the durable log. */
+  private def lineage(path: String): Map[Long, (Long, Long)] = {
+    val f = lineageFile(path)
+    if (!f.isFile) Map.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty).flatMap { l =>
+        val p = l.split("\t")
+        for {
+          v <- p.lift(0).flatMap(_.toLongOption)
+          par <- p.lift(1).flatMap(_.toLongOption)
+          ts <- p.lift(2).flatMap(_.toLongOption)
+        } yield v -> (par, ts)
+      }.toMap
+  }
 
   /** All committed version numbers, ascending. */
   def versions(path: String): Seq[Long] =
@@ -237,13 +272,19 @@ object AvroSnapshots {
   /** Latest MAIN-lineage snapshot committed at or before `tsMs`
     * (TIMESTAMP AS OF). Once branching has begun, the walk follows
     * main's parent chain so a staged branch commit never answers a
-    * main-history question. */
+    * main-history question. Expired versions in the chain are stepped
+    * OVER via the durable lineage log (ADVICE r15: a tag-pinned old
+    * version disconnected from the head by expiry stays reachable) —
+    * the answer is the newest RETAINED ancestor at or before `tsMs`. */
   def asOf(path: String, tsMs: Long): Option[Snapshot] =
     getRefEntry(path, MainBranch) match {
       case Some((mh, true)) =>
-        Iterator.iterate(load(path, mh))(s =>
-          s.filter(_.parent >= 0).flatMap(x => load(path, x.parent)))
-          .takeWhile(_.isDefined).flatten
+        val lin = lineage(path)
+        Iterator.iterate(Option(mh))(_.flatMap { c =>
+          load(path, c).map(_.parent).orElse(lin.get(c).map(_._1))
+            .filter(p => p >= 0 && p < c)
+        }).takeWhile(_.isDefined).flatten
+          .flatMap(load(path, _)) // expired chain members are skipped
           .find(_.timestampMs <= tsMs)
       case _ =>
         versions(path).reverseIterator.flatMap(load(path, _))
@@ -337,14 +378,18 @@ object AvroSnapshots {
     base
   }
 
-  /** True iff `ancestor` is reachable from `v` by the parent chain. */
+  /** True iff `ancestor` is reachable from `v` by the parent chain.
+    * Walks through expired versions via the durable lineage log, so a
+    * fast-forward across an expiry gap is decided by the real
+    * ancestry, not refused for lack of manifests (ADVICE r15). */
   def isAncestor(path: String, ancestor: Long, v: Long): Boolean = {
+    lazy val lin = lineage(path)
     var cur = v
     while (cur >= 0) {
       if (cur == ancestor) return true
-      load(path, cur) match {
-        case Some(sn) if sn.parent < cur => cur = sn.parent
-        case _ => return false // expired lineage or malformed parent
+      load(path, cur).map(_.parent).orElse(lin.get(cur).map(_._1)) match {
+        case Some(p) if p < cur => cur = p
+        case _ => return false // unknown lineage or malformed parent
       }
     }
     false
@@ -462,13 +507,20 @@ object AvroSnapshots {
     }
 
     val refLines = refs.map(g => s"@${g.file}\t${g.count}\t${g.aggStats}")
-    val headLine =
-      s"${System.currentTimeMillis()}\t$kind\t${parent.getOrElse(-1L)}"
+    val ts = System.currentTimeMillis()
+    val headLine = s"$ts\t$kind\t${parent.getOrElse(-1L)}"
     val body = (headLine +: schema.json +: refLines)
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
     try {
       Files.write(manifestFile(path, v).toPath, body,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      // durable ancestry record — survives expiry so asOf/isAncestor
+      // stay decidable across expired gaps. Best-effort: a lost append
+      // only degrades those walks to the manifest-only behavior.
+      try Files.write(lineageFile(path).toPath,
+        s"$v\t${parent.getOrElse(-1L)}\t$ts\n".getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      catch { case _: java.io.IOException => () }
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         // a writer outside this JVM's commit lock won v: our entry set

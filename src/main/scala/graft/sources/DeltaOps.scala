@@ -159,9 +159,16 @@ class GraftDeltaOperation(path: String, tableSchema: StructType,
                 case (f, st) => AvroSnapshots.FileEntry(
                   new File(f).getName, None, 0, st, None)
               }
+              // UPDATE's delta commit is tagged `update`: its dv deltas
+              // and insert files are the same logical rows' pre/post
+              // images, and the change feed pairs them as such
+              val kind =
+                if (cmd == RowLevelOperation.Command.UPDATE)
+                  AvroSnapshots.KindUpdate
+                else AvroSnapshots.KindReplace
               AvroSnapshots.commit(path, tableSchema,
                 (next ++ inserts).sortBy(_.name),
-                AvroSnapshots.KindReplace, branch,
+                kind, branch,
                 expectedParent = basis.map(_.version))
             }
             ()

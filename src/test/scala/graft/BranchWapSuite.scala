@@ -134,4 +134,32 @@ class BranchWapSuite extends SparkSuiteBase {
     }
     assert(spark.table("wapcat.db.w5").count() == 5) // landed on main
   }
+
+  test("asOf and fast-forward stay decidable across expiry gaps (lineage log)") {
+    mk("w6", 5)
+    val id6 = ident("w6")
+    val vBase = cat.currentVersion(id6)
+    val tsBase = System.currentTimeMillis()
+    cat.createBranch(id6, "adv") // pins main as an explicit ref at vBase
+    Thread.sleep(20)
+    onBranch("adv") {
+      for (i <- 0 until 4)
+        spark.sql(s"INSERT INTO wapcat.db.w6 VALUES (${100 + i}, 'staged')")
+    }
+    cat.expireSnapshots(id6, retainLast = 1)
+    // the gap is real: a middle branch commit's manifest is gone, only
+    // the durable lineage log still knows its parent pointer
+    assert(AvroSnapshots.load(tdir("w6"), vBase + 2).isEmpty,
+      "expiry should have dropped the middle versions")
+    // the LEGAL fast-forward is decided by real ancestry ACROSS the
+    // gap — before the lineage log, isAncestor stopped at the first
+    // expired manifest and refused it (ADVICE r15)
+    cat.fastForwardBranch(id6, "adv")
+    assert(spark.table("wapcat.db.w6").count() == 9)
+    // TIMESTAMP AS OF the base era walks main's chain THROUGH the gap
+    // down to the retained base version
+    val asOld = AvroSnapshots.asOf(tdir("w6"), tsBase)
+    assert(asOld.exists(_.version == vBase),
+      s"asOf across the gap: ${asOld.map(_.version)}")
+  }
 }

@@ -836,6 +836,36 @@ class CatalogV2Suite extends SparkSuiteBase {
     assert(!v1.queryExecution.executedPlan.toString.contains("HashAggregate"))
   }
 
+  test("string MIN/MAX pushdown declines on possibly-truncated bounds (ADVICE r15)") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.meta")
+    spark.sql("DROP TABLE IF EXISTS testcat.meta.longs")
+    // values far beyond MaxStringBound (16 code points): the manifest
+    // holds a truncated prefix (min) and a bumped prefix that exists in
+    // NO row (max) — an exact answer from the manifest would be WRONG
+    spark.sql("""CREATE TABLE testcat.meta.longs AS
+                |SELECT CONCAT('prefix_that_is_quite_long_', LPAD(CAST(id AS STRING), 4, '0')) AS s
+                |FROM RANGE(50)""".stripMargin)
+    val q = spark.sql("SELECT MIN(s) AS mn, MAX(s) AS mx FROM testcat.meta.longs")
+    val r = q.collect().head
+    assert(r.getString(0) == "prefix_that_is_quite_long_0000" &&
+      r.getString(1) == "prefix_that_is_quite_long_0049",
+      s"string MIN/MAX corrupted by truncated manifest bounds: $r")
+    // the pushdown DECLINED — a real scan+aggregate ran
+    assert(q.queryExecution.executedPlan.toString.contains("Aggregate"),
+      "string MIN/MAX over truncatable bounds must fall back to a scan")
+    // short strings (< 16 code points) stay exactly answerable from
+    // the manifest — no aggregate operator in the plan
+    spark.sql("DROP TABLE IF EXISTS testcat.meta.shorts")
+    spark.sql("""CREATE TABLE testcat.meta.shorts AS
+                |SELECT CONCAT('s_', CAST(id AS STRING)) AS s FROM RANGE(50)""".stripMargin)
+    val qs = spark.sql("SELECT MIN(s) AS mn, MAX(s) AS mx FROM testcat.meta.shorts")
+    val rs = qs.collect().head
+    assert(rs.getString(0) == "s_0" && rs.getString(1) == "s_9")
+    assert(!qs.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "short string bounds are exact — pushdown should still answer")
+  }
+
   test("streaming read admission control: maxFilesPerTrigger bounds each batch") {
     wh
     import org.apache.spark.sql.streaming.Trigger

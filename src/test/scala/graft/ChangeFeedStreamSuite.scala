@@ -109,21 +109,62 @@ class ChangeFeedStreamSuite extends SparkSuiteBase {
     assert(net.contains((6L, "upd")))
   }
 
-  test("a merge-on-read UPDATE streams PRECISELY: old row out, new row in") {
+  test("a merge-on-read UPDATE streams update_preimage/update_postimage pairs") {
     mk("c6", 12)
-    spark.sql("UPDATE cdfcat.db.c6 SET v = 'upd' WHERE k = 4")
+    spark.sql("UPDATE cdfcat.db.c6 SET v = 'upd' WHERE k IN (4, 7)")
     val root = java.nio.file.Files.createTempDirectory("graft_cdf6").toString
     drain("c6", root)
     val rows = spark.read.parquet(s"$root/out")
       .select("k", "v", "_change_type").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-    // 12 initial inserts + exactly ONE delete (old image) + ONE insert
-    // (new image) — no carried-along delete+insert pairs (the dv delta
-    // is row-precise, unlike the COW file-level fallback)
-    assert(rows.count(_._3 == "delete") == 1, s"deletes: ${rows.filter(_._3 == "delete")}")
-    assert(rows.contains((4L, "r4", "delete")))
-    assert(rows.contains((4L, "upd", "insert")))
-    assert(rows.count(_._3 == "insert") == 13)
+    // 12 initial inserts + the update commit's PAIRED images (round-16
+    // verdict #3: Delta CDF's four change types, not raw delete+insert)
+    val pre = rows.filter(_._3 == "update_preimage")
+    val post = rows.filter(_._3 == "update_postimage")
+    assert(pre.toSet == Set((4L, "r4", "update_preimage"),
+      (7L, "r7", "update_preimage")), s"preimages: $pre")
+    assert(post.toSet == Set((4L, "upd", "update_postimage"),
+      (7L, "upd", "update_postimage")), s"postimages: $post")
+    assert(pre.size == post.size, "images must pair 1:1")
+    assert(rows.count(_._3 == "insert") == 12 && rows.count(_._3 == "delete") == 0,
+      s"update must not surface as delete+insert: $rows")
+    // ordering: within the update window every preimage split precedes
+    // every postimage split (dv-deltas are planned first, insert files
+    // after) — asserted on the planned split sequence itself
+    val path = new File(wh, "db/c6").getPath
+    val base = spark.table("cdfcat.db.c6").schema
+    val head = graft.sources.AvroSnapshots.headVersion(path).get
+    val splits = new graft.sources.AvroChangeFeedStream(path, base,
+      graft.sources.AvroChangeFeed.feedSchema(base), None)
+      .planInputPartitions(graft.sources.AvroVersionOffset(head - 1),
+        graft.sources.AvroVersionOffset(head))
+      .map(_.asInstanceOf[graft.sources.CdfSplit].changeType).toSeq
+    val lastPre = splits.lastIndexOf("update_preimage")
+    val firstPost = splits.indexOf("update_postimage")
+    assert(lastPre >= 0 && firstPost > lastPre,
+      s"preimages must precede postimages in the plan: $splits")
+  }
+
+  test("rollback past a MOR DELETE restores rows as inserts (dv shrink)") {
+    mk("c7", 15)
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "c7")
+    val vBefore = cat.currentVersion(ident)
+    spark.sql("DELETE FROM cdfcat.db.c7 WHERE k IN (2, 9)")
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf7").toString
+    drain("c7", root)
+    assert(feed(root).filter(_._2 == "delete").map(_._1) == Seq(2L, 9L))
+    // rollback removes the deletion vector with the file retained —
+    // the stream used to kill itself here (ADVICE r15); now the
+    // restored rows surface as inserts and nothing streams as delete
+    spark.sql(s"CALL cdfcat.system.rollback('db.c7', $vBefore)")
+    drain("c7", root)
+    val after = feed(root)
+    assert(after.count(_._2 == "insert") == 17,
+      s"restored rows must stream as inserts: ${after.filter(_._2 == "insert").size}")
+    assert(after.filter(_._2 == "delete").map(_._1) == Seq(2L, 9L),
+      "rollback must not add phantom deletes")
+    // net state = the table again
+    assert(spark.table("cdfcat.db.c7").count() == 15)
   }
 
   test("batch-ranged read of the changes table (startingVersion/endingVersion)") {
