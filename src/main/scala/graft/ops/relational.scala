@@ -1159,7 +1159,85 @@ object Relational {
             |ORDER BY version""".stripMargin)
   }
 
+  /** TYPED COLUMNS in the versioned catalog (round-16 verdict #1): the
+    * Avro container format speaks TIMESTAMP (timestamp-micros logical
+    * type — the value IS Spark's internal µs long), DATE (epoch-day
+    * int), DECIMAL(18,2) (unscaled bytes), BINARY and ARRAY<FLOAT>, so
+    * the two mandated story tables — events (ts) and embeddings
+    * (vector) — live under the FULL lakehouse surface: CTAS, day-sliced
+    * inserts whose per-file ts stats are tight (a ts-range predicate
+    * prunes to the matching slice's files — CatalogTypedSuite asserts
+    * the split count), copy-on-write DELETE/UPDATE over typed rows
+    * (date-literal predicates prune candidates in the long day domain),
+    * tag-pinned time travel across the DML, and an array table whose
+    * COW rewrite round-trips every float bit-exactly. Stats DISCIPLINE:
+    * ts/date bounds are recorded (long domain) and prune; decimal/
+    * binary/array columns record NOTHING — absent = unknown, so
+    * pruning never engages and MIN/MAX/COUNT(col) pushdown DECLINES
+    * for them instead of fabricating answers. At 100 TB this is what
+    * lets the training-data pipeline keep raw modalities and event
+    * time under time travel without a second (typed) storage system. */
+  private def catalogTypedColumns(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T.eventsUs(s, dir)
+      .select(col("event_id"), col("ts_us").as("ts"),
+        col("ts_us").cast("date").as("day"), col("user_id"),
+        col("value").cast("decimal(18,2)").as("amount"),
+        encode(col("event_type"), "UTF-8").as("payload"))
+      .createOrReplaceTempView("graft_typed_ev")
+    T(s, dir, "embeddings").createOrReplaceTempView("graft_typed_emb")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.events_typed")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.embed_typed")
+    s.sql("""CREATE TABLE graftcat.lake.events_typed
+            |(event_id BIGINT, ts TIMESTAMP, day DATE, user_id BIGINT,
+            | amount DECIMAL(18,2), payload BINARY)""".stripMargin)
+    // week-sliced inserts: each file's ts interval stays inside its
+    // slice, so the range read below plans O(one slice), not O(table)
+    val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+    val slices = ("day < DATE '2024-01-08'" +:
+      cuts.sliding(2).map(w =>
+        s"day >= DATE '${w(0)}' AND day < DATE '${w(1)}'").toSeq) :+
+      "day >= DATE '2024-01-22'"
+    slices.foreach(w => s.sql(
+      s"INSERT INTO graftcat.lake.events_typed SELECT * FROM graft_typed_ev WHERE $w"))
+    s.sql("""CREATE TABLE graftcat.lake.embed_typed AS
+            |SELECT vec_id, embedding, label FROM graft_typed_emb""".stripMargin)
+    // pin the pre-DML state, then DML over typed rows
+    s.sql("CALL graftcat.system.tag('lake.events_typed', 'pre_dml')")
+    s.sql("DELETE FROM graftcat.lake.events_typed WHERE day = DATE '2024-01-05'")
+    s.sql("""UPDATE graftcat.lake.events_typed
+            |SET amount = amount + 10.00
+            |WHERE day = DATE '2024-01-17'""".stripMargin)
+    s.sql("DELETE FROM graftcat.lake.embed_typed WHERE pmod(vec_id, 10) = 3")
+    s.sql("""SELECT 'range' AS phase, CAST(unix_date(day) AS BIGINT) AS k,
+            | COUNT(*) AS n, CAST(SUM(amount) AS DOUBLE) AS total,
+            | CAST(SUM(length(payload)) AS BIGINT) AS aux,
+            | MIN(unix_micros(ts)) AS min_us
+            |FROM graftcat.lake.events_typed
+            |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+            |  AND ts < TIMESTAMP '2024-01-19 00:00:00'
+            |GROUP BY day
+            |UNION ALL
+            |SELECT 'head', -1L, COUNT(*), CAST(SUM(amount) AS DOUBLE),
+            | SUM(user_id), -1L
+            |FROM graftcat.lake.events_typed
+            |UNION ALL
+            |SELECT 'travel', -1L, COUNT(*), CAST(SUM(amount) AS DOUBLE),
+            | SUM(user_id), -1L
+            |FROM graftcat.lake.events_typed VERSION AS OF 'pre_dml'
+            |UNION ALL
+            |SELECT 'embed', CAST(label AS BIGINT), COUNT(*),
+            | CAST(SUM(CAST(CAST(embedding[0] AS DOUBLE)
+            |   + CAST(embedding[31] AS DOUBLE)
+            |   + CAST(embedding[63] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE),
+            | SUM(vec_id), -1L
+            |FROM graftcat.lake.embed_typed GROUP BY label
+            |ORDER BY phase, k""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_typed_columns" -> (catalogTypedColumns _),
     "catalog_metadata_tables" -> (catalogMetadataTables _),
     "catalog_update_mor" -> (catalogUpdateMor _),
     "catalog_partition_evolution" -> (catalogPartitionEvolution _),
@@ -1215,6 +1293,39 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_typed_columns" ->
+      """WITH ev AS (
+        |  SELECT event_id, ts, CAST(ts AS DATE) AS day, user_id,
+        |    CAST(value AS DECIMAL(18,2)) AS amount,
+        |    octet_length(CAST(event_type AS BLOB)) AS paylen, epoch_us(ts) AS us
+        |  FROM events),
+        | cur AS (
+        |  SELECT *, CASE WHEN day = DATE '2024-01-17'
+        |    THEN amount + 10.00 ELSE amount END AS amount2
+        |  FROM ev WHERE day <> DATE '2024-01-05')
+        |SELECT 'range' AS phase, CAST(day - DATE '1970-01-01' AS BIGINT) AS k,
+        | CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(amount2) AS DOUBLE) AS total,
+        | CAST(SUM(paylen) AS BIGINT) AS aux, MIN(us) AS min_us
+        |FROM cur
+        |WHERE us >= epoch_us(TIMESTAMP '2024-01-16 00:00:00')
+        |  AND us < epoch_us(TIMESTAMP '2024-01-19 00:00:00')
+        |GROUP BY day
+        |UNION ALL
+        |SELECT 'head', -1, COUNT(*), CAST(SUM(amount2) AS DOUBLE),
+        | CAST(SUM(user_id) AS BIGINT), -1
+        |FROM cur
+        |UNION ALL
+        |SELECT 'travel', -1, COUNT(*), CAST(SUM(amount) AS DOUBLE),
+        | CAST(SUM(user_id) AS BIGINT), -1
+        |FROM ev
+        |UNION ALL
+        |SELECT 'embed', CAST(label AS BIGINT), COUNT(*),
+        | CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE)
+        |   + CAST(embedding[32] AS DOUBLE)
+        |   + CAST(embedding[64] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE),
+        | CAST(SUM(vec_id) AS BIGINT), -1
+        |FROM embeddings WHERE vec_id % 10 <> 3 GROUP BY label
+        |ORDER BY phase, k""".stripMargin,
     // the lineage is fully deterministic: CTAS = create(v0)+append(v1),
     // then append, delete, rollback, and the compaction as `rewrite`
     "catalog_metadata_tables" ->

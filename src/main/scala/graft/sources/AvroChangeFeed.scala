@@ -288,11 +288,7 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
           if (f.name == AvroChangeFeed.ChangeTypeColumn) out(i) = changeTag
           else {
             val bi = baseSchema.fieldIndex(f.name)
-            out(i) = (f.dataType, current(bi)) match {
-              case (_, null)          => null
-              case (StringType, v)    => UTF8String.fromString(v.toString)
-              case (_, v)             => v
-            }
+            out(i) = AvroDirSource.avroToInternal(current(bi), f.dataType)
           }
           i += 1
         }

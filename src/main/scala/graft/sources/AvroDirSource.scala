@@ -135,45 +135,101 @@ object AvroDirSource {
     if (f.metadata.contains(AliasKey)) f.metadata.getStringArray(AliasKey).toSeq
     else Nil
 
-  /** Avro record schema → Spark schema (unions with null → nullable).
-    * Unions with more than one non-null branch have no faithful Spark
-    * spelling in this source's type system — rejected, not silently
-    * first-branch-decoded. */
+  /** One non-null Avro schema → the Spark type it carries, standard
+    * Avro LOGICAL TYPES included (timestamp-micros on long, date on
+    * int, decimal on bytes) — the same spellings every Avro-speaking
+    * engine writes, so the container stays interoperable. */
+  private def avroTypeToSpark(s: Schema, field: String): DataType =
+    s.getType match {
+      case Schema.Type.LONG =>
+        if (s.getLogicalType.isInstanceOf[org.apache.avro.LogicalTypes.TimestampMicros])
+          TimestampType
+        else LongType
+      case Schema.Type.INT =>
+        if (s.getLogicalType.isInstanceOf[org.apache.avro.LogicalTypes.Date])
+          DateType
+        else IntegerType
+      case Schema.Type.DOUBLE  => DoubleType
+      case Schema.Type.FLOAT   => FloatType
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.STRING  => StringType
+      case Schema.Type.BYTES => s.getLogicalType match {
+        case d: org.apache.avro.LogicalTypes.Decimal =>
+          DecimalType(d.getPrecision, d.getScale)
+        case _ => BinaryType
+      }
+      case Schema.Type.ARRAY =>
+        val (elem, elemNullable) = unUnion(s.getElementType, field)
+        ArrayType(avroTypeToSpark(elem, field), containsNull = elemNullable)
+      case other => throw new IllegalArgumentException(
+        s"field $field: unsupported avro type $other")
+    }
+
+  /** Split a possibly-union schema into (the one non-null branch,
+    * nullable?). Multi-type unions have no faithful Spark spelling in
+    * this source's type system — rejected, not first-branch-decoded. */
+  private def unUnion(s: Schema, field: String): (Schema, Boolean) =
+    s.getType match {
+      case Schema.Type.UNION =>
+        val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        if (nonNull.size != 1) throw new IllegalArgumentException(
+          s"field $field: multi-type union $s is unsupported")
+        (nonNull.head, true)
+      case _ => (s, false)
+    }
+
+  /** Avro record schema → Spark schema (unions with null → nullable). */
   def toSparkSchema(s: Schema): StructType = StructType(
     s.getFields.asScala.map { f =>
-      val (t, nullable) = f.schema().getType match {
-        case Schema.Type.UNION =>
-          val nonNull = f.schema().getTypes.asScala
-            .filter(_.getType != Schema.Type.NULL)
-          if (nonNull.size != 1)
-            throw new IllegalArgumentException(
-              s"field ${f.name()}: multi-type union ${f.schema()} is unsupported")
-          (nonNull.head.getType, true)
-        case t => (t, false)
-      }
-      val spark = t match {
-        case Schema.Type.LONG    => LongType
-        case Schema.Type.INT     => IntegerType
-        case Schema.Type.DOUBLE  => DoubleType
-        case Schema.Type.BOOLEAN => BooleanType
-        case Schema.Type.STRING  => StringType
-        case other => throw new IllegalArgumentException(s"unsupported avro type $other")
-      }
-      StructField(f.name(), spark, nullable)
+      val (base, nullable) = unUnion(f.schema(), f.name())
+      StructField(f.name(), avroTypeToSpark(base, f.name()), nullable)
     }.toSeq)
+
+  /** One Spark type → a non-null Avro schema. TIMESTAMP rides
+    * timestamp-micros (the value IS Spark's internal µs long), DATE
+    * rides the date logical type (internal epoch-day int), DECIMAL
+    * (p ≤ 38) the decimal logical type on bytes (unscaled big-endian),
+    * BINARY plain bytes, and ARRAY-of-numeric an Avro array —
+    * round-16 verdict #1: events (ts) and embeddings (vector) CTAS
+    * into the versioned catalog with full DML/time-travel semantics. */
+  private def sparkTypeToAvro(dt: DataType, field: String): Schema = dt match {
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case TimestampType =>
+      org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      org.apache.avro.LogicalTypes.date()
+        .addToSchema(Schema.create(Schema.Type.INT))
+    case d: DecimalType if d.precision <= 38 =>
+      org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case ArrayType(et, containsNull) =>
+      et match {
+        case LongType | IntegerType | DoubleType | FloatType =>
+        case other => throw new IllegalArgumentException(
+          s"field $field: ARRAY element type $other is unsupported " +
+            "(numeric arrays only)")
+      }
+      val elem = sparkTypeToAvro(et, field)
+      Schema.createArray(
+        if (containsNull)
+          Schema.createUnion(Schema.create(Schema.Type.NULL), elem)
+        else elem)
+    case other => throw new IllegalArgumentException(
+      s"field $field: unsupported spark type $other")
+  }
 
   /** Spark schema → Avro record schema (nullable → union with null). */
   def toAvroSchema(s: StructType, name: String): Schema = {
     var fields = SchemaBuilder.record(name).namespace("graft").fields()
     s.fields.foreach { f =>
-      val base = f.dataType match {
-        case LongType    => Schema.create(Schema.Type.LONG)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case StringType  => Schema.create(Schema.Type.STRING)
-        case other => throw new IllegalArgumentException(s"unsupported spark type $other")
-      }
+      val base = sparkTypeToAvro(f.dataType, f.name)
       fields =
         if (f.nullable)
           fields.name(f.name)
@@ -182,6 +238,32 @@ object AvroDirSource {
         else fields.name(f.name).`type`(base).noDefault()
     }
     fields.endRecord()
+  }
+
+  /** Decoded Avro value → Spark INTERNAL value for `dt` — the one
+    * conversion every reader here shares (scan, CDF, metadata). The
+    * raw decode is already internal for long/int/double/float/boolean,
+    * timestamp (µs long) and date (epoch-day int). */
+  def avroToInternal(v: Any, dt: DataType): Any = dt match {
+    case _ if v == null => null
+    case StringType     => UTF8String.fromString(v.toString)
+    case d: DecimalType =>
+      val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+      val bytes = new Array[Byte](bb.remaining()); bb.get(bytes)
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale),
+        d.precision, d.scale)
+    case BinaryType =>
+      val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+      val bytes = new Array[Byte](bb.remaining()); bb.get(bytes)
+      bytes
+    case ArrayType(et, _) =>
+      val xs = v.asInstanceOf[java.util.List[Any]]
+      val out = new Array[Any](xs.size())
+      var i = 0
+      while (i < out.length) { out(i) = avroToInternal(xs.get(i), et); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    case _ => v
   }
 }
 
@@ -415,11 +497,15 @@ class AvroDirTable(path: String, tableSchema: StructType,
           case _ => None
         }
       /** Stats value (Long/Double/Boolean/String) → the column's Spark
-        * internal type. */
+        * internal type (timestamps are stored as their internal µs
+        * long already; dates narrow back to the epoch-day int, floats
+        * back from the double bound domain). */
       private def toInternal(v: Any, dt: DataType): Any = (v, dt) match {
-        case (x: java.lang.Long, IntegerType) => Int.box(x.intValue)
-        case (x: String, StringType)          => UTF8String.fromString(x)
-        case (x, _)                           => x
+        case (x: java.lang.Long, IntegerType)  => Int.box(x.intValue)
+        case (x: java.lang.Long, DateType)     => Int.box(x.intValue)
+        case (x: java.lang.Double, FloatType)  => Float.box(x.floatValue)
+        case (x: String, StringType)           => UTF8String.fromString(x)
+        case (x, _)                            => x
       }
 
       private def planAggregation(
@@ -446,8 +532,10 @@ class AvroDirTable(path: String, tableSchema: StructType,
           }
         val totalRows = perFile.iterator.map(_._1).sum
         def minMax(fld: StructField, isMin: Boolean): Option[(StructField, Any)] = {
-          if (!Seq[DataType](LongType, IntegerType, DoubleType, BooleanType,
-            StringType).contains(fld.dataType)) return None
+          // exactly the types whose stats record exact bounds
+          // (AvroStats.trackable) — decimal/binary/array bounds are
+          // never recorded, so their MIN/MAX must plan a real scan
+          if (!AvroStats.trackable(fld.dataType)) return None
           val bounds = perFile.flatMap { case (n, st) =>
             // a column absent from a row-counted file's stats predates
             // the column: all-null there, contributes no bound
@@ -479,13 +567,17 @@ class AvroDirTable(path: String, tableSchema: StructType,
               Some((StructField(s"agg_$i", LongType, nullable = false),
                 Long.box(totalRows)))
             case (c: Count, i) if !c.isDistinct =>
-              colRef(c.column).map { fld =>
-                val nonNull = perFile.iterator.map { case (n, st) =>
-                  statsColumn(st, fld.name).map(cs => n - cs.nulls).getOrElse(0L)
-                }.sum
-                (StructField(s"agg_$i", LongType, nullable = false),
-                  Long.box(nonNull))
-              }
+              // only trackable types: an untracked (decimal/binary/
+              // array) column is absent from every stats JSON, which
+              // would be mistaken for "predates the column / all-null"
+              colRef(c.column).filter(f => AvroStats.trackable(f.dataType))
+                .map { fld =>
+                  val nonNull = perFile.iterator.map { case (n, st) =>
+                    statsColumn(st, fld.name).map(cs => n - cs.nulls).getOrElse(0L)
+                  }.sum
+                  (StructField(s"agg_$i", LongType, nullable = false),
+                    Long.box(nonNull))
+                }
             case (m: Min, _) => colRef(m.column).flatMap(minMax(_, isMin = true))
             case (m: Max, _) => colRef(m.column).flatMap(minMax(_, isMin = false))
             case _ => None
@@ -1065,11 +1157,7 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
           else if (idx(i) == -3) vals(i) = rowPos
           else {
             val v = if (idx(i) < 0) null else rec.get(idx(i))
-            vals(i) = required.fields(i).dataType match {
-              case _ if v == null => null
-              case StringType     => UTF8String.fromString(v.toString)
-              case _              => v
-            }
+            vals(i) = AvroDirSource.avroToInternal(v, required.fields(i).dataType)
           }
           i += 1
         }
@@ -1100,11 +1188,37 @@ class AvroFileWriter(file: File, schema: StructType)
       val v =
         if (row.isNullAt(i)) null
         else schema.fields(i).dataType match {
-          case LongType    => java.lang.Long.valueOf(row.getLong(i))
-          case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
-          case DoubleType  => java.lang.Double.valueOf(row.getDouble(i))
-          case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
-          case StringType  => row.getUTF8String(i).toString
+          case LongType      => java.lang.Long.valueOf(row.getLong(i))
+          case IntegerType   => java.lang.Integer.valueOf(row.getInt(i))
+          case DoubleType    => java.lang.Double.valueOf(row.getDouble(i))
+          case FloatType     => java.lang.Float.valueOf(row.getFloat(i))
+          case BooleanType   => java.lang.Boolean.valueOf(row.getBoolean(i))
+          case StringType    => row.getUTF8String(i).toString
+          // internal µs / epoch-day ARE the logical-type base values
+          case TimestampType => java.lang.Long.valueOf(row.getLong(i))
+          case DateType      => java.lang.Integer.valueOf(row.getInt(i))
+          case d: DecimalType => java.nio.ByteBuffer.wrap(
+            row.getDecimal(i, d.precision, d.scale)
+              .toJavaBigDecimal.unscaledValue().toByteArray)
+          case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
+          case ArrayType(et, _) =>
+            val arr = row.getArray(i)
+            val out = new java.util.ArrayList[Any](arr.numElements())
+            var j = 0
+            while (j < arr.numElements()) {
+              out.add(
+                if (arr.isNullAt(j)) null
+                else et match {
+                  case LongType    => java.lang.Long.valueOf(arr.getLong(j))
+                  case IntegerType => java.lang.Integer.valueOf(arr.getInt(j))
+                  case DoubleType  => java.lang.Double.valueOf(arr.getDouble(j))
+                  case FloatType   => java.lang.Float.valueOf(arr.getFloat(j))
+                  case other => throw new IllegalArgumentException(
+                    s"unsupported array element $other")
+                })
+              j += 1
+            }
+            out
           case other => throw new IllegalArgumentException(s"unsupported $other")
         }
       rec.put(i, v)

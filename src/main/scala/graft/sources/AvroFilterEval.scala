@@ -21,13 +21,34 @@ import org.apache.spark.sql.types._
   */
 object AvroFilterEval extends Serializable {
 
+  /** Literal types [[eval]] compares CORRECTLY against decoded Avro
+    * values. Decimal/binary/array literals are refused — claiming them
+    * would route a DELETE through a text-compare that deletes the
+    * wrong rows; Spark then takes the row-level-operation path, which
+    * evaluates with real Catalyst expressions. */
+  private def litOk(x: Any): Boolean = x match {
+    case null => true
+    case _: java.math.BigDecimal | _: scala.math.BigDecimal => false
+    case _: java.lang.Number | _: java.lang.Boolean | _: String |
+         _: org.apache.spark.unsafe.types.UTF8String |
+         _: java.sql.Timestamp | _: java.time.Instant |
+         _: java.sql.Date | _: java.time.LocalDate => true
+    case _ => false
+  }
+
   /** The filter shapes `canDeleteWhere` accepts; anything else makes
     * Spark fall back to an error (this table has no row-id-based
     * DeltaWrite path), so claim only what eval() truly implements. */
   def supported(f: Filter): Boolean = f match {
-    case _: EqualTo | _: EqualNullSafe | _: GreaterThan | _: GreaterThanOrEqual |
-         _: LessThan | _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull |
-         _: StringStartsWith | _: StringEndsWith | _: StringContains => true
+    case EqualTo(_, x)            => litOk(x)
+    case EqualNullSafe(_, x)      => litOk(x)
+    case GreaterThan(_, x)        => litOk(x)
+    case GreaterThanOrEqual(_, x) => litOk(x)
+    case LessThan(_, x)           => litOk(x)
+    case LessThanOrEqual(_, x)    => litOk(x)
+    case In(_, xs)                => xs == null || xs.forall(litOk)
+    case _: IsNull | _: IsNotNull => true
+    case _: StringStartsWith | _: StringEndsWith | _: StringContains => true
     case And(l, r) => supported(l) && supported(r)
     case Or(l, r)  => supported(l) && supported(r)
     case Not(c)    => supported(c)
@@ -45,6 +66,13 @@ object AvroFilterEval extends Serializable {
     * None = UNKNOWN (a null operand). */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
+    // a datetime literal vs a TIMESTAMP/DATE column's decoded value
+    // (µs long / epoch-day int): compare in the internal long domain;
+    // vs a string value it falls through to the text compare below
+    case (x: java.lang.Number, y) if AvroStats.datetimeLong(y).isDefined =>
+      Some(java.lang.Long.compare(x.longValue, AvroStats.datetimeLong(y).get))
+    case (x, y: java.lang.Number) if AvroStats.datetimeLong(x).isDefined =>
+      Some(java.lang.Long.compare(AvroStats.datetimeLong(x).get, y.longValue))
     case (x: java.lang.Number, y: java.lang.Number) =>
       if (x.isInstanceOf[java.lang.Double] || y.isInstanceOf[java.lang.Double] ||
           x.isInstanceOf[java.lang.Float]  || y.isInstanceOf[java.lang.Float]) {

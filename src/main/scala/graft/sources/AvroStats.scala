@@ -75,20 +75,37 @@ object AvroStats {
     s // every prefix position un-bumpable → keep the full value (rare)
   }
 
+  /** True iff this column type records min/max bounds in the manifest.
+    * TIMESTAMP (internal µs long) and DATE (epoch-day int) share the
+    * numeric bound domain; DECIMAL/BINARY/ARRAY record NOTHING — their
+    * columns are simply ABSENT from the stats JSON (absent = unknown →
+    * never prunes, and aggregate pushdown DECLINES for them rather
+    * than mistaking absence for "predates the column / all-null"). */
+  def trackable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+         StringType | TimestampType | DateType => true
+    case _ => false
+  }
+
   /** Streaming min/max/null-count accumulator for one file's rows —
-    * updated per field by the Avro writer as it encodes. */
+    * updated per field by the Avro writer as it encodes. Columns whose
+    * type is not [[trackable]] are skipped entirely. */
   final class StatsCollector(schema: StructType) {
     private val nulls = new Array[Long](schema.length)
     private val mins = new Array[Any](schema.length)
     private val maxs = new Array[Any](schema.length)
+    private val track: Array[Boolean] =
+      schema.fields.map(f => trackable(f.dataType))
     private var rows = 0L
 
     /** Called once per row by the writer (fields update separately). */
     def countRow(): Unit = rows += 1
 
-    /** `v` is the boxed write-side value (Long/Integer/Double/Boolean/
-      * String) or null. */
+    /** `v` is the boxed write-side value (Long/Integer/Double/Float/
+      * Boolean/String — timestamps arrive as their µs long, dates as
+      * their epoch-day int) or null. */
     def update(i: Int, v: Any): Unit = {
+      if (!track(i)) return
       if (v == null) { nulls(i) += 1; return }
       val n = v match {
         case x: java.lang.Integer => Long.box(x.longValue) // normalize int → long
@@ -96,6 +113,8 @@ object AvroStats {
         // Double.compare: normalize so bounds can never exclude the
         // equal-by-engine value
         case x: java.lang.Double if x.doubleValue == 0.0 => Double.box(0.0)
+        case x: java.lang.Float =>
+          Double.box(if (x.floatValue == 0.0f) 0.0 else x.doubleValue)
         case other                => other
       }
       if (mins(i) == null) { mins(i) = n; maxs(i) = n }
@@ -112,11 +131,12 @@ object AvroStats {
         case s: String => if (isMin) truncMin(s) else truncMax(s)
         case o         => o
       }
-      val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-        f.name -> (JArray(List(
-          toJValue(if (mins(i) == null) null else bound(mins(i), isMin = true)),
-          toJValue(if (maxs(i) == null) null else bound(maxs(i), isMin = false)),
-          JLong(nulls(i)))): JValue)
+      val fields = schema.fields.zipWithIndex.collect {
+        case (f, i) if track(i) =>
+          f.name -> (JArray(List(
+            toJValue(if (mins(i) == null) null else bound(mins(i), isMin = true)),
+            toJValue(if (maxs(i) == null) null else bound(maxs(i), isMin = false)),
+            JLong(nulls(i)))): JValue)
       }
       JsonMethods.compact(JsonMethods.render(
         JObject((RowCountKey -> (JLong(rows): JValue)) :: fields.toList)))
@@ -221,14 +241,38 @@ object AvroStats {
     * the fold the manifest-stats aggregate pushdown runs MIN/MAX with. */
   def cmpBounds(a: Any, b: Any): Int = cmp(a, b)
 
+  /** A datetime LITERAL's value in its column's internal long domain:
+    * timestamps → epoch µs (what TIMESTAMP stats record), dates →
+    * epoch days (what DATE stats record). Spark pushes V1 filters with
+    * java.sql or java.time literals depending on the Java8-API conf —
+    * both spellings land here. */
+  def datetimeLong(x: Any): Option[Long] = x match {
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
   /** Same widened comparison discipline as [[AvroFilterEval]]: numerics
     * compare as long unless a double is involved; booleans natively;
     * strings by CODE POINT (= UTF-8 binary order, which is what Spark's
     * UTF8String comparisons use — Java's UTF-16 compareTo disagrees for
     * supplementary-plane characters vs [U+E000, U+FFFF], and a pruning
     * order that disagrees with the engine's can wrongly skip a file).
-    * Both sides non-null. */
+    * A datetime literal against a NUMERIC bound compares in the
+    * column's internal long domain (µs / epoch days) — TIMESTAMP/DATE
+    * column stats ARE longs; against a STRING bound it falls through
+    * to the text compare (a string column holding date text). Both
+    * sides non-null. */
   private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Number, y) if datetimeLong(y).isDefined =>
+      java.lang.Long.compare(x.longValue, datetimeLong(y).get)
+    case (x, y: java.lang.Number) if datetimeLong(x).isDefined =>
+      java.lang.Long.compare(datetimeLong(x).get, y.longValue)
     case (x: java.lang.Number, y: java.lang.Number) =>
       if (x.isInstanceOf[java.lang.Double] || y.isInstanceOf[java.lang.Double] ||
           x.isInstanceOf[java.lang.Float]  || y.isInstanceOf[java.lang.Float])
@@ -258,7 +302,10 @@ object AvroStats {
     Integer.compare(a.length, b.length)
   }
 
-  /** Normalize a pushed-filter literal into the stats value domain. */
+  /** Normalize a pushed-filter literal into the stats value domain.
+    * Datetime literals stay AS-IS: [[cmp]] pairs them with the bound's
+    * runtime type (long domain vs a numeric bound, text vs a string
+    * bound), so the one literal shape serves both column flavors. */
   private def norm(x: Any): Any = x match {
     case i: java.lang.Integer   => Long.box(i.longValue)
     case s: java.lang.Short     => Long.box(s.longValue)
@@ -266,8 +313,6 @@ object AvroStats {
     case d: java.lang.Double if d.doubleValue == 0.0 => Double.box(0.0)
     case f: java.lang.Float     =>
       if (f.floatValue == 0.0f) Double.box(0.0) else Double.box(f.doubleValue)
-    case d: java.sql.Date       => d.toString
-    case t: java.sql.Timestamp  => t.toString
     case u: org.apache.spark.unsafe.types.UTF8String => u.toString
     case o => o
   }

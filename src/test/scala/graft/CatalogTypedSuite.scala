@@ -1,0 +1,194 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.connector.catalog.Identifier
+
+import graft.sources.{AvroSnapshots, GraftCatalog}
+
+/** Typed columns in the versioned catalog — round-16 verdict #1:
+  * TIMESTAMP / DATE / DECIMAL(18,2) / BINARY / ARRAY<FLOAT> through
+  * the Avro container format, with stats + skipping on timestamp/date
+  * (long-domain bounds) and stats-DECLINE (never fabricated answers)
+  * on decimal/binary/array.
+  */
+class CatalogTypedSuite extends SparkSuiteBase {
+
+  private lazy val wh = {
+    val d = java.nio.file.Files.createTempDirectory("graft_typed_test")
+    spark.conf.set("spark.sql.catalog.tycat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tycat.warehouse", d.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tycat.db")
+    d.toString
+  }
+  private def cat: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("tycat")
+      .asInstanceOf[GraftCatalog]
+  private def scanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+
+  test("every typed column round-trips bit-exactly, nulls included") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS tycat.db.rt")
+    spark.sql("""CREATE TABLE tycat.db.rt
+                |(k BIGINT, ts TIMESTAMP, d DATE, m DECIMAL(18,2),
+                | b BINARY, v ARRAY<FLOAT>)""".stripMargin)
+    spark.sql("""INSERT INTO tycat.db.rt VALUES
+                |(1, TIMESTAMP '2024-03-01 12:34:56.789012', DATE '2024-03-01',
+                | 12345678901234.56, X'DEADBEEF', ARRAY(CAST(1.5 AS FLOAT), CAST(-0.25 AS FLOAT))),
+                |(2, NULL, NULL, NULL, NULL, NULL),
+                |(3, TIMESTAMP '1969-12-31 23:59:59.999999', DATE '1969-12-31',
+                | -0.01, X'', ARRAY(CAST('NaN' AS FLOAT)))""".stripMargin)
+    val r = spark.sql("SELECT * FROM tycat.db.rt ORDER BY k").collect()
+    assert(r(0).getTimestamp(1).toString == "2024-03-01 12:34:56.789012")
+    assert(r(0).getDate(2).toString == "2024-03-01")
+    assert(r(0).getDecimal(3).toString == "12345678901234.56")
+    assert(r(0).getAs[Array[Byte]](4).toSeq ==
+      Seq(0xDE, 0xAD, 0xBE, 0xEF).map(_.toByte))
+    assert(r(0).getSeq[Float](5) == Seq(1.5f, -0.25f))
+    assert((1 to 5).forall(r(1).isNullAt))
+    assert(r(2).getTimestamp(1).toString == "1969-12-31 23:59:59.999999")
+    assert(r(2).getDate(2).toString == "1969-12-31")
+    assert(r(2).getDecimal(3).toString == "-0.01")
+    assert(r(2).getAs[Array[Byte]](4).isEmpty)
+    assert(r(2).getSeq[Float](5).head.isNaN)
+  }
+
+  test("timestamp-range predicates prune files via long-domain ts stats") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS tycat.db.tsp")
+    spark.sql("CREATE TABLE tycat.db.tsp (k BIGINT, ts TIMESTAMP)")
+    // four disjoint one-day inserts → four file sets with disjoint
+    // per-file ts intervals in the manifest
+    for (day <- 1 to 4)
+      spark.sql(s"""INSERT INTO tycat.db.tsp
+                   |SELECT id, TIMESTAMP '2024-02-0$day 00:00:00' + make_interval(0,0,0,0,0,0,id)
+                   |FROM RANGE(100)""".stripMargin)
+    val dirp = s"$wh/db/tsp"
+    val total = AvroSnapshots.latest(dirp).get.files.size
+    val q = spark.sql("""SELECT k FROM tycat.db.tsp
+                        |WHERE ts >= TIMESTAMP '2024-02-03 00:00:00'
+                        |  AND ts < TIMESTAMP '2024-02-04 00:00:00'""".stripMargin)
+    assert(q.count() == 100)
+    val planned = scanOf(q).inputPartitions.size
+    assert(planned < total,
+      s"ts-range planned $planned of $total files — no timestamp skipping")
+    // date-typed column prunes in the epoch-day domain too
+    spark.sql("DROP TABLE IF EXISTS tycat.db.dp")
+    spark.sql("CREATE TABLE tycat.db.dp (k BIGINT, d DATE)")
+    for (m <- Seq("01", "02", "03"))
+      spark.sql(s"""INSERT INTO tycat.db.dp
+                   |SELECT id, DATE '2024-$m-01' + make_interval(0,0,0,CAST(id % 20 AS INT)) FROM RANGE(50)""".stripMargin)
+    val dTotal = AvroSnapshots.latest(s"$wh/db/dp").get.files.size
+    val dq = spark.sql("SELECT k FROM tycat.db.dp WHERE d >= DATE '2024-03-01'")
+    assert(dq.count() == 50)
+    assert(scanOf(dq).inputPartitions.size < dTotal,
+      "date predicate did not prune files")
+  }
+
+  test("decimal/binary/array record NO stats; pushdown declines, never fabricates") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS tycat.db.dec")
+    spark.sql("""CREATE TABLE tycat.db.dec AS
+                |SELECT id AS k, CAST(id AS DECIMAL(18,2)) / 4 AS m,
+                | ARRAY(CAST(id AS FLOAT)) AS v
+                |FROM RANGE(100)""".stripMargin)
+    // the stats JSON must carry k but NOT m / v (absent = unknown)
+    val snap = AvroSnapshots.latest(s"$wh/db/dec").get
+    snap.entries.foreach { e =>
+      val st = graft.sources.AvroStats.parse(e.stats.get)
+      assert(st.contains("k") && !st.contains("m") && !st.contains("v"),
+        s"untracked types leaked into stats: ${st.keySet}")
+    }
+    // COUNT(*) still answers from the manifest (no aggregate operator)
+    val cs = spark.sql("SELECT COUNT(*) AS n FROM tycat.db.dec")
+    assert(cs.collect().head.getLong(0) == 100)
+    assert(!cs.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    // COUNT(m) / MIN(m) / MAX(v-ish) DECLINE to a real scan + aggregate
+    val cm = spark.sql("SELECT COUNT(m) AS n, MIN(m) AS mn, MAX(m) AS mx FROM tycat.db.dec")
+    val r = cm.collect().head
+    assert(r.getLong(0) == 100 && r.getDecimal(1).toString == "0.000000" &&
+      r.getDecimal(2).toString == "24.750000", s"decimal agg wrong: $r")
+    assert(cm.queryExecution.executedPlan.toString.contains("Aggregate"),
+      "decimal COUNT/MIN/MAX must fall back to a real aggregate")
+    // a predicate on an untracked column never prunes (absent = unknown)
+    val up = spark.sql("SELECT k FROM tycat.db.dec WHERE m > 999999")
+    assert(up.count() == 0)
+    assert(scanOf(up).inputPartitions.size == snap.files.size,
+      "untracked-column predicate must not prune files")
+  }
+
+  test("timestamp MIN/MAX answers from the manifest; DML + time travel stay exact") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS tycat.db.tmm")
+    spark.sql("""CREATE TABLE tycat.db.tmm AS
+                |SELECT id AS k,
+                | TIMESTAMP '2024-02-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts,
+                | DATE '2024-02-01' + make_interval(0,0,0,CAST(id % 7 AS INT)) AS d
+                |FROM RANGE(200)""".stripMargin)
+    val mm = spark.sql("SELECT MIN(ts) AS mn, MAX(ts) AS mx, MIN(d) AS dmn, MAX(d) AS dmx FROM tycat.db.tmm")
+    val r = mm.collect().head
+    assert(r.getTimestamp(0).toString == "2024-02-01 00:00:00.0" &&
+      r.getTimestamp(1).toString == "2024-02-01 00:03:19.0" &&
+      r.getDate(2).toString == "2024-02-01" && r.getDate(3).toString == "2024-02-07")
+    assert(!mm.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "ts/date MIN/MAX should answer from manifest stats")
+    // COW DML with a date-literal predicate, under a pre-DML tag
+    cat.tagVersion(Identifier.of(Array("db"), "tmm"), "before")
+    spark.sql("DELETE FROM tycat.db.tmm WHERE d = DATE '2024-02-03'")
+    spark.sql("UPDATE tycat.db.tmm SET ts = ts + INTERVAL '1' HOUR WHERE d = DATE '2024-02-05'")
+    val head = spark.sql("""SELECT COUNT(*) AS n,
+                           | SUM(CASE WHEN hour(ts) = 1 THEN 1 ELSE 0 END) AS shifted
+                           |FROM tycat.db.tmm""".stripMargin).collect().head
+    val expectDeleted = 200 / 7 + (if (200 % 7 > 2) 1 else 0) // k%7==2 → 02-03
+    assert(head.getLong(0) == 200 - expectDeleted)
+    assert(head.getLong(1) > 0, "hour-shifted rows must exist")
+    assert(spark.sql("SELECT COUNT(*) FROM tycat.db.tmm VERSION AS OF 'before'")
+      .collect().head.getLong(0) == 200)
+  }
+
+  test("COW rewrite of an array table keeps every float bit-exact") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS tycat.db.arr")
+    spark.sql("""CREATE TABLE tycat.db.arr AS
+                |SELECT id AS k, ARRAY(CAST(id / 3.0D AS FLOAT),
+                |  CAST(-id / 7.0D AS FLOAT), CAST(id * id AS FLOAT)) AS v
+                |FROM RANGE(300)""".stripMargin)
+    // non-translatable predicate → row-level COW group rewrite: every
+    // surviving row decodes, re-encodes and must stay identical
+    spark.sql("DELETE FROM tycat.db.arr WHERE pmod(k, 10) = 3")
+    val got = spark.sql("SELECT k, v FROM tycat.db.arr ORDER BY k").collect()
+    assert(got.length == 270)
+    got.foreach { row =>
+      val k = row.getLong(0)
+      val v = row.getSeq[Float](1)
+      assert(v == Seq((k / 3.0).toFloat, (-k / 7.0).toFloat, (k * k).toFloat),
+        s"array row $k corrupted after rewrite: $v")
+    }
+  }
+
+  test("a merge-on-read DELETE on a typed table writes dv sidecars, no rewrite") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS tycat.db.morty")
+    spark.sql("""CREATE TABLE tycat.db.morty AS
+                |SELECT id AS k,
+                | TIMESTAMP '2024-02-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts,
+                | ARRAY(CAST(id AS FLOAT)) AS v
+                |FROM RANGE(100)""".stripMargin)
+    spark.sql("CALL tycat.system.set_delete_mode('db.morty', 'merge-on-read')")
+    val dirp = s"$wh/db/morty"
+    val before = AvroSnapshots.latest(dirp).get.files.toSet
+    val mtimes = before.map(n => n -> new File(dirp, n).lastModified()).toMap
+    spark.sql("DELETE FROM tycat.db.morty WHERE k IN (5, 50)")
+    val after = AvroSnapshots.latest(dirp).get
+    assert(after.files.toSet == before, "MOR delete must rewrite zero data files")
+    after.files.foreach(n =>
+      assert(new File(dirp, n).lastModified() == mtimes(n), s"$n was touched"))
+    assert(after.dvs.nonEmpty, "no deletion vector recorded")
+    assert(spark.table("tycat.db.morty").count() == 98)
+    assert(spark.sql("SELECT v[0] FROM tycat.db.morty WHERE k = 51")
+      .collect().head.getFloat(0) == 51f)
+  }
+}
