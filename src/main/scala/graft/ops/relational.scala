@@ -1236,7 +1236,63 @@ object Relational {
             |ORDER BY phase, k""".stripMargin)
   }
 
+  /** EQUALITY DELETES (round-16 verdict #2 — Iceberg v2 equality
+    * deletes, the CDC-upsert write shape): on a
+    * `merge-on-read-equality` table, `DELETE WHERE key IN (...)`
+    * writes ONE O(keys) `_eq` sidecar, attaches it to exactly the
+    * manifest entries whose recorded [min,max] might contain a key
+    * (metadata-only stats pruning — EqualityDeleteSuite asserts one
+    * attachment on a sorted layout and ZERO Spark tasks), and commits.
+    * No data file is read or written — a positional delete must SCAN
+    * candidates for row positions; at 100 TB a high-frequency CDC
+    * stream only survives the zero-read shape. Scans anti-join rows
+    * against applicable sidecars; a file appended AFTER the delete
+    * never carries the ref (per-entry attachment IS Iceberg's
+    * sequence-number scoping), so re-inserting a deleted key is an
+    * upsert; compaction reads through the refs and writes clean files;
+    * snapshot expiry reclaims unreferenced sidecars; agg pushdown and
+    * CBO row counts decline over eq'd files (stale counts). The scored
+    * flow: sorted CTAS of customer, tag, a batch key DELETE, a
+    * re-insert (upsert), a second single-key DELETE, compaction, then
+    * head + time-travel + per-key probes — hash-exact vs DuckDB. */
+  private def catalogDeleteEquality(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "customer").createOrReplaceTempView("graft_eqd_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.cust_eqd")
+    s.sql("""CREATE TABLE graftcat.lake.cust_eqd
+            |(c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE)""".stripMargin)
+    s.sql("CALL graftcat.system.set_sort_order('lake.cust_eqd', 'c_custkey')")
+    s.sql("""INSERT INTO graftcat.lake.cust_eqd
+            |SELECT c_custkey, c_nationkey, c_acctbal FROM graft_eqd_src""".stripMargin)
+    s.sql("CALL graftcat.system.set_delete_mode('lake.cust_eqd', 'merge-on-read-equality')")
+    s.sql("CALL graftcat.system.tag('lake.cust_eqd', 'pre_cdc')")
+    // CDC batch delete: one sidecar, zero reads
+    s.sql("DELETE FROM graftcat.lake.cust_eqd WHERE c_custkey IN (1, 2, 3, 40, 41, 100)")
+    // upsert: the re-inserted key lives (new files carry no ref)
+    s.sql("""INSERT INTO graftcat.lake.cust_eqd
+            |SELECT c_custkey, c_nationkey, c_acctbal + 1000.0
+            |FROM graft_eqd_src WHERE c_custkey = 2""".stripMargin)
+    s.sql("DELETE FROM graftcat.lake.cust_eqd WHERE c_custkey = 40") // idempotent re-delete
+    s.sql("CALL graftcat.system.compact('lake.cust_eqd')") // materializes the deletes
+    s.sql("""SELECT 'head' AS phase, COUNT(*) AS n,
+            | SUM(c_custkey) AS sum_key,
+            | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM graftcat.lake.cust_eqd
+            |UNION ALL
+            |SELECT 'pre_cdc', COUNT(*), SUM(c_custkey),
+            | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            |FROM graftcat.lake.cust_eqd VERSION AS OF 'pre_cdc'
+            |UNION ALL
+            |SELECT CONCAT('key_', c_custkey), c_custkey,
+            | CAST(c_nationkey AS BIGINT), c_acctbal
+            |FROM graftcat.lake.cust_eqd
+            |WHERE c_custkey IN (1, 2, 3, 40, 41, 100)
+            |ORDER BY phase, n""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_delete_equality" -> (catalogDeleteEquality _),
     "catalog_typed_columns" -> (catalogTypedColumns _),
     "catalog_metadata_tables" -> (catalogMetadataTables _),
     "catalog_update_mor" -> (catalogUpdateMor _),
@@ -1293,6 +1349,25 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_delete_equality" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |  WHERE c_custkey NOT IN (1, 2, 3, 40, 41, 100)
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, c_acctbal + 1000.0 FROM customer
+        |  WHERE c_custkey = 2)
+        |SELECT 'head' AS phase, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM cur
+        |UNION ALL
+        |SELECT 'pre_cdc', CAST(COUNT(*) AS BIGINT), CAST(SUM(c_custkey) AS BIGINT),
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'key_' || c_custkey, c_custkey, CAST(c_nationkey AS BIGINT), c_acctbal
+        |FROM cur WHERE c_custkey IN (1, 2, 3, 40, 41, 100)
+        |ORDER BY phase, n""".stripMargin,
     "catalog_typed_columns" ->
       """WITH ev AS (
         |  SELECT event_id, ts, CAST(ts AS DATE) AS day, user_id,

@@ -105,18 +105,22 @@ class AvroChangeFeedTable(path: String, baseSchema: StructType)
 }
 
 /** One change split: read `file`, emit each row tagged `changeType`.
-  * All deletion-vector set math happens EXECUTOR-side — the split
-  * carries sidecar NAMES, so the driver never reads a vector:
-  * `skipDv` anti-filters those positions; `dvDeltaKind` restricts to a
-  * DELTA between the old and new vectors — `"deleted"` = new∖old (rows
-  * the window row-level deleted), `"restored"` = old∖new (rows a
-  * rollback brought back, streamed as inserts); a reader whose delta is
-  * empty exits without opening the data file. `diffAgainst`
-  * bag-subtracts the sibling rewrite file's rows (the COW-pair case). */
+  * All deletion-vector / equality-delete set math happens
+  * EXECUTOR-side — the split carries sidecar NAMES, so the driver
+  * never reads a sidecar: `skipDv` anti-filters those positions;
+  * `deltaKind` restricts to the LIVENESS DELTA between the file's old
+  * state (`dvDeltaOld`, `eqDeltaOld`) and new state (`dvDeltaNew`,
+  * `eqDeltaNew`) — `"deleted"` = rows live before and not after (a
+  * row-level delete, positional or equality), `"restored"` = rows
+  * live after and not before (a rollback brought them back, streamed
+  * as inserts); a reader whose delta is provably empty exits without
+  * opening the data file. `diffAgainst` bag-subtracts the sibling
+  * rewrite file's rows (the COW-pair case). */
 case class CdfSplit(file: String, changeType: String,
     skipDv: Option[String] = None,
     dvDeltaOld: Option[String] = None, dvDeltaNew: Option[String] = None,
-    dvDeltaKind: Option[String] = None,
+    eqDeltaOld: Seq[String] = Nil, eqDeltaNew: Seq[String] = Nil,
+    deltaKind: Option[String] = None,
     diffAgainst: Option[String] = None) extends InputPartition
 
 class AvroChangeFeedStream(path: String, baseSchema: StructType,
@@ -156,21 +160,26 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
           out += CdfSplit(r, delTag, skipDv = prev(r).dv,
             diffAgainst = rewrite)
         }
-        // deletion-vector CHANGES — the reader does the set math from
-        // the sidecar NAMES (the driver never reads a vector): new∖old
-        // positions stream as deletes (pre-images in an update window),
-        // old∖new as inserts (a rollback past a MOR delete RESTORES
-        // rows — ADVICE r15: they must surface, not poison the stream).
-        // One direction is empty in any given window; its reader exits
-        // without opening the data file.
+        // deletion-vector / equality-delete CHANGES — the reader does
+        // the liveness math from the sidecar NAMES (the driver never
+        // reads one): rows live-before-and-not-after stream as deletes
+        // (pre-images in an update window), live-after-and-not-before
+        // as inserts (a rollback past a MOR delete RESTORES rows —
+        // ADVICE r15: they must surface, not poison the stream). One
+        // direction is empty in any given window; its reader exits
+        // without opening the data file when that is provable from
+        // the sidecars alone.
         cur.keysIterator.toSeq.sorted.foreach { n =>
-          if (prev.contains(n) && prev(n).dv != cur(n).dv) {
+          if (prev.contains(n) &&
+              (prev(n).dv != cur(n).dv || prev(n).eq != cur(n).eq)) {
             out += CdfSplit(n, delTag,
               dvDeltaOld = prev(n).dv, dvDeltaNew = cur(n).dv,
-              dvDeltaKind = Some("deleted"))
+              eqDeltaOld = prev(n).eq, eqDeltaNew = cur(n).eq,
+              deltaKind = Some("deleted"))
             out += CdfSplit(n, "insert",
               dvDeltaOld = prev(n).dv, dvDeltaNew = cur(n).dv,
-              dvDeltaKind = Some("restored"))
+              eqDeltaOld = prev(n).eq, eqDeltaNew = cur(n).eq,
+              deltaKind = Some("restored"))
           }
         }
         // inserts: added files that are not a paired COW rewrite (a
@@ -209,14 +218,32 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
       private def dv(name: Option[String]): Set[Long] =
         name.map(DeletionVectors.read(dirPath, _).toSet).getOrElse(Set.empty)
       private val skip = dv(split.skipDv)
-      // dv-delta mode: `deleted` = the rows the NEW vector removed
-      // beyond the old one; `restored` = rows the window brought back
-      // (a rollback can shrink or drop a vector — ADVICE r15)
-      private val only: Option[Set[Long]] = split.dvDeltaKind.map { k =>
-        val old = dv(split.dvDeltaOld)
-        val now = dv(split.dvDeltaNew)
-        if (k == "restored") old -- now else now -- old
+      // delta mode: `deleted` = rows live in the OLD state and not in
+      // the NEW one (positional or equality delete); `restored` = the
+      // reverse (a rollback can shrink/drop a vector or detach an
+      // equality delete — ADVICE r15). The dv sets are read eagerly
+      // (no data file needed); eq matchers resolve against the file's
+      // writer schema, so they are lazy.
+      private val deltaMode = split.deltaKind.isDefined
+      private val dvOldSet = if (deltaMode) dv(split.dvDeltaOld) else Set.empty[Long]
+      private val dvNewSet = if (deltaMode) dv(split.dvDeltaNew) else Set.empty[Long]
+      private val eqUnchanged = split.eqDeltaOld == split.eqDeltaNew
+      // provably-empty delta (equal eq lists + empty dv delta in this
+      // split's direction): exit without opening the data container
+      private val provablyEmpty = deltaMode && eqUnchanged && {
+        if (split.deltaKind.contains("restored")) (dvOldSet -- dvNewSet).isEmpty
+        else (dvNewSet -- dvOldSet).isEmpty
       }
+      private def eqSkips(names: Seq[String]): Seq[(Int, Any => Boolean)] =
+        names.map { n =>
+          val (col, kind, keys) = EqualityDeletes.read(dirPath, n)
+          val fld = Option(reader.getSchema.getField(col)).getOrElse(
+            throw new IllegalStateException(
+              s"equality delete keys on '$col' but ${split.file} has no such field"))
+          (fld.pos, EqualityDeletes.matcher(kind, keys))
+        }
+      private lazy val eqOld = eqSkips(split.eqDeltaOld)
+      private lazy val eqNew = eqSkips(split.eqDeltaNew)
       // base-column positions in THIS file's writer schema
       private lazy val basePos: Array[Int] = baseSchema.fields.map { f =>
         (f.name +: AvroDirSource.aliasesOf(f)).iterator
@@ -260,16 +287,21 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
       private var current: Vector[Any] = _
 
       override def next(): Boolean = {
-        // an empty dv delta (the other direction's split carries this
+        // an empty delta (the other direction's split carries this
         // window's change) — exit without scanning the data file
-        if (only.exists(_.isEmpty)) return false
+        if (provablyEmpty) return false
         while (reader.hasNext) {
           val rec = reader.next()
           rowPos += 1
-          val wanted = only match {
-            case Some(sel) => sel.contains(rowPos)
-            case None      => !skip.contains(rowPos)
-          }
+          val wanted =
+            if (deltaMode) {
+              def liveOld = !dvOldSet.contains(rowPos) &&
+                !eqOld.exists { case (p, m) => m(rec.get(p)) }
+              def liveNew = !dvNewSet.contains(rowPos) &&
+                !eqNew.exists { case (p, m) => m(rec.get(p)) }
+              if (split.deltaKind.contains("restored")) !liveOld && liveNew
+              else liveOld && !liveNew
+            } else !skip.contains(rowPos)
           if (wanted) {
             val vals = baseVals(rec)
             val alive = surviving.getOrElse(vals, 0)

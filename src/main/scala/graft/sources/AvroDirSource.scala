@@ -302,7 +302,8 @@ class AvroDirTable(path: String, tableSchema: StructType,
     partSpec: Option[PartSpec] = None,
     sortSpec: Option[SortSpec] = None,
     branch: Option[String] = None,
-    mergeOnRead: Boolean = false)
+    mergeOnRead: Boolean = false,
+    equalityDeletes: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns with SupportsRowLevelOperations {
   override def name(): String = (pinned, branch) match {
@@ -464,6 +465,8 @@ class AvroDirTable(path: String, tableSchema: StructType,
         prunedEntries.map(e => new File(path, e.name))
       private def dvPathOf(e: AvroSnapshots.FileEntry): Option[String] =
         e.dv.map(d => new File(path, d).getAbsolutePath)
+      private def eqPathsOf(e: AvroSnapshots.FileEntry): Seq[String] =
+        e.eq.map(n => new File(path, n).getAbsolutePath)
 
       // ---- aggregate pushdown from MANIFEST STATS ----
       //
@@ -521,7 +524,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
         // pruning, NOT for exact answers)
         val perFile: Seq[(Long, Map[String, AvroStats.ColStats])] =
           allEntries.map { e =>
-            if (e.dv.isDefined) return None
+            if (e.dv.isDefined || e.eq.nonEmpty) return None
             e.stats match {
               case Some(js) => AvroStats.parseWithRows(js) match {
                 case (Some(n), cols) => (n, cols)
@@ -650,12 +653,13 @@ class AvroDirTable(path: String, tableSchema: StructType,
           case None => groups match {
             case Some(gs) => gs.map { case (b, es) =>
               AvroBucketGroupSplit(es.map(e =>
-                (new File(path, e.name).getAbsolutePath, dvPathOf(e))),
+                (new File(path, e.name).getAbsolutePath, dvPathOf(e),
+                  eqPathsOf(e))),
                 b): InputPartition
             }.toArray
             case None => prunedEntries.map(e =>
               AvroFileSplit(new File(path, e.name).getAbsolutePath,
-                dvPathOf(e)): InputPartition).toArray
+                dvPathOf(e), eqPathsOf(e)): InputPartition).toArray
           }
         }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -693,10 +697,12 @@ class AvroDirTable(path: String, tableSchema: StructType,
             math.max(1L, prunedView.map(_.length()).sum))
         override def numRows(): java.util.OptionalLong = {
           if (aggResult.isDefined) return java.util.OptionalLong.of(1L)
-          // a DV'd file's recorded count over-states its live rows —
-          // decline rather than feed the CBO a wrong cardinality
+          // a DV'd or equality-deleted file's recorded count over-states
+          // its live rows — decline rather than feed the CBO a wrong
+          // cardinality
           val counts = prunedEntries.map(e =>
-            if (e.dv.isDefined) None else e.stats.flatMap(AvroStats.rowCount))
+            if (e.dv.isDefined || e.eq.nonEmpty) None
+            else e.stats.flatMap(AvroStats.rowCount))
           if (counts.forall(_.isDefined))
             java.util.OptionalLong.of(counts.flatten.sum)
           else java.util.OptionalLong.empty()
@@ -744,7 +750,44 @@ class AvroDirTable(path: String, tableSchema: StructType,
       AvroSnapshots.withCommitLock(path) {
         val prev = headSnapshot()
         val entries = prev.map(_.entries).getOrElse(Nil)
-        if (entries.nonEmpty) {
+        // EQUALITY fast path (round-16 verdict #2): on an
+        // equality-delete table, a `key = v` / `key IN (...)` DELETE
+        // writes ONE O(keys) sidecar, attaches it to the entries whose
+        // recorded bounds might contain a key (metadata-only stats
+        // pruning), and commits — ZERO data files read, zero Spark
+        // tasks. Files appended later never carry the ref (sequence
+        // scoping); any other predicate shape falls through to the
+        // positional scan below.
+        val eqExtracted =
+          if (entries.nonEmpty && mergeOnRead && equalityDeletes)
+            EqualityDeletes.extract(filters, tableSchema)
+          else None
+        if (eqExtracted.isDefined) {
+          val (col, kind, keys) = eqExtracted.get
+          val next =
+            if (keys.isEmpty) entries // `k = NULL`: deletes nothing
+            else {
+              val lits: Array[Any] =
+                if (kind == "long") keys.map(k => Long.box(k.toLong)).toArray
+                else keys.toArray[Any]
+              val inF = org.apache.spark.sql.sources.In(col, lits)
+              val touched = entries.filter { e =>
+                val st = e.stats.map(AvroStats.parse)
+                  .getOrElse(Map.empty[String, AvroStats.ColStats])
+                AvroStats.fileMightMatch(Seq(inF), e.name, resolveStats(st))
+              }.map(_.name).toSet
+              if (touched.isEmpty) entries
+              else {
+                val eqName = EqualityDeletes.write(path, col, kind, keys)
+                entries.map(e =>
+                  if (touched(e.name)) e.copy(eq = e.eq :+ eqName) else e)
+              }
+            }
+          AvroSnapshots.commit(path, schema,
+            next.sortBy(_.name), AvroSnapshots.KindDelete, branch,
+            expectedParent = prev.map(_.version))
+          ()
+        } else if (entries.nonEmpty) {
           // Manifest-stats candidate pruning (the same skip the batch
           // scan does): a file whose recorded intervals prove the
           // predicate can never be TRUE holds no deletable row — it is
@@ -1049,8 +1092,12 @@ case class SortSpec(columns: Seq[String], zorder: Boolean = false) {
 
 /** @param dvFile absolute path of the file's deletion-vector sidecar:
   *   rows at those positions are deleted (merge-on-read) and the reader
-  *   skips them. */
-case class AvroFileSplit(file: String, dvFile: Option[String] = None)
+  *   skips them.
+  * @param eqFiles absolute paths of the file's equality-delete sidecars:
+  *   rows whose key column matches a recorded key are deleted
+  *   ([[EqualityDeletes]]) and the reader skips them. */
+case class AvroFileSplit(file: String, dvFile: Option[String] = None,
+    eqFiles: Seq[String] = Nil)
     extends InputPartition
 /** A completely-pushed-down global aggregation: the answer was folded
   * from manifest stats at plan time; the single split just emits it
@@ -1068,10 +1115,11 @@ class AvroAggReaderFactory extends PartitionReaderFactory {
       override def close(): Unit = ()
     }
 }
-/** All of one bucket's container files (with their deletion vectors),
-  * as one split whose partition key is the bucket — what
-  * KeyGroupedPartitioning groups by. */
-case class AvroBucketGroupSplit(files: Seq[(String, Option[String])], bucket: Int)
+/** All of one bucket's container files (with their deletion-vector and
+  * equality-delete sidecars), as one split whose partition key is the
+  * bucket — what KeyGroupedPartitioning groups by. */
+case class AvroBucketGroupSplit(
+    files: Seq[(String, Option[String], Seq[String])], bucket: Int)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
@@ -1092,7 +1140,7 @@ case class AvroBucketedCommit(files: Seq[(String, Long, Option[String])])
 class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case AvroFileSplit(f, dv) => fileReader(f, dv)
+      case AvroFileSplit(f, dv, eq) => fileReader(f, dv, eq)
       case AvroBucketGroupSplit(files, _) =>
         // one bucket's files, read in sequence (a group is one task)
         new PartitionReader[InternalRow] {
@@ -1102,8 +1150,8 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
             while (true) {
               if (cur == null) {
                 if (!remaining.hasNext) return false
-                val (f, dv) = remaining.next()
-                cur = fileReader(f, dv)
+                val (f, dv, eq) = remaining.next()
+                cur = fileReader(f, dv, eq)
               }
               if (cur.next()) return true
               cur.close(); cur = null
@@ -1118,7 +1166,8 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
     }
 
   private def fileReader(file: String,
-      dvFile: Option[String] = None): PartitionReader[InternalRow] = {
+      dvFile: Option[String] = None,
+      eqFiles: Seq[String] = Nil): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val reader = new DataFileReader[GenericRecord](
         new File(file), new GenericDatumReader[GenericRecord]())
@@ -1127,6 +1176,17 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
       // past (the merge-on-read anti-filter)
       private val dv: Set[Long] =
         dvFile.map(DeletionVectors.readAbs(_).toSet).getOrElse(Set.empty)
+      // equality deletes: (key position in THIS file's writer schema,
+      // matcher) per sidecar — a matching row is deleted. A sidecar
+      // keying a column this file lacks fails LOUDLY: silently serving
+      // the row would resurrect a deleted key.
+      private val eqSkips: Seq[(Int, Any => Boolean)] = eqFiles.map { p =>
+        val (col, kind, keys) = EqualityDeletes.readAbs(p)
+        val fld = Option(reader.getSchema.getField(col)).getOrElse(
+          throw new IllegalStateException(
+            s"equality delete keys on '$col' but $file has no such field"))
+        (fld.pos, EqualityDeletes.matcher(kind, keys))
+      }
       private var rowPos = -1L
       private var pending: GenericRecord = _
       // required field → position in THIS file's writer schema (name
@@ -1144,7 +1204,9 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
         while (reader.hasNext) {
           pending = reader.next()
           rowPos += 1
-          if (!dv.contains(rowPos)) return true
+          if (!dv.contains(rowPos) &&
+              !eqSkips.exists { case (p, m) => m(pending.get(p)) })
+            return true
         }
         false
       }

@@ -75,10 +75,13 @@ object AvroSnapshots {
     * (bucket/truncate id) with the partition-SPEC id it was written
     * under (spec 0 = the table's original spec); `stats` = per-file
     * column-stats JSON ([[AvroStats]]); `dv` = deletion-vector sidecar
-    * name (rows at those positions are deleted — merge-on-read). */
+    * name (rows at those positions are deleted — merge-on-read);
+    * `eq` = equality-delete sidecar names (rows whose key matches are
+    * deleted — [[EqualityDeletes]]; a file appended after a delete
+    * never carries the ref, which IS the sequence scoping). */
   case class FileEntry(name: String, part: Option[Long] = None,
       specId: Int = 0, stats: Option[String] = None,
-      dv: Option[String] = None)
+      dv: Option[String] = None, eq: Seq[String] = Nil)
 
   /** A version file's reference to one immutable manifest-group file:
     * `file` under `_versions/`, `count` entries, `aggStats` =
@@ -105,6 +108,8 @@ object AvroSnapshots {
       entries.collect { case e if e.stats.isDefined => e.name -> e.stats.get }.toMap
     lazy val dvs: Map[String, String] =
       entries.collect { case e if e.dv.isDefined => e.name -> e.dv.get }.toMap
+    lazy val eqs: Map[String, Seq[String]] =
+      entries.collect { case e if e.eq.nonEmpty => e.name -> e.eq }.toMap
   }
 
   /** Commit kinds — what a change-feed consumer (and the versioned
@@ -186,14 +191,15 @@ object AvroSnapshots {
       case Some(p)                  => p.toString
       case None                     => ""
     }
-    val fields = Seq(e.name, part, e.stats.getOrElse(""), e.dv.getOrElse(""))
+    val fields = Seq(e.name, part, e.stats.getOrElse(""), e.dv.getOrElse(""),
+      e.eq.mkString(","))
     // drop trailing empties so pre-dv / pre-stats lines stay compact
     val keep = fields.lastIndexWhere(_.nonEmpty).max(0)
     fields.take(keep + 1).mkString("\t")
   }
 
   private def parseEntry(l: String): FileEntry = {
-    val f = l.split("\t", 4)
+    val f = l.split("\t", 5)
     val (part, spec) = f.lift(1).filter(_.nonEmpty) match {
       case Some(p) => p.split("@", 2) match {
         case Array(v, s) => (v.toLongOption, s.toIntOption.getOrElse(0))
@@ -202,7 +208,8 @@ object AvroSnapshots {
       case None => (None, 0)
     }
     FileEntry(f(0), part, spec,
-      f.lift(2).filter(_.nonEmpty), f.lift(3).filter(_.nonEmpty))
+      f.lift(2).filter(_.nonEmpty), f.lift(3).filter(_.nonEmpty),
+      f.lift(4).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
   }
 
   // ---- manifest-group files (immutable; entries cached per process) ----
@@ -597,6 +604,7 @@ object AvroSnapshots {
       val snaps = versions(path).flatMap(load(path, _))
       val refData = snaps.flatMap(_.files).toSet
       val refDvs = snaps.flatMap(_.dvs.values).toSet
+      val refEqs = snaps.flatMap(_.eqs.values.flatten).toSet
       val refGroups = snaps.flatMap(_.groups.map(_.file)).toSet
       def oldEnough(f: File) = now - f.lastModified() >= olderThanMs
       val deadData = AvroDirSource.listAllAvro(path)
@@ -605,14 +613,19 @@ object AvroSnapshots {
         .map(_.toSeq).getOrElse(Nil)
         .filter(f => f.getName.endsWith(".dv") &&
           !refDvs("_dv/" + f.getName) && oldEnough(f))
+      val deadEqs = Option(new File(path, "_eq").listFiles())
+        .map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.getName.endsWith(".eq") &&
+          !refEqs("_eq/" + f.getName) && oldEnough(f))
       val deadGroups = Option(versionsDir(path).listFiles())
         .map(_.toSeq).getOrElse(Nil)
         .filter(f => f.getName.endsWith(".grp") &&
           !refGroups(f.getName) && oldEnough(f))
       val names = deadData.map(_.getName) ++
-        deadDvs.map("_dv/" + _.getName) ++ deadGroups.map(_.getName)
+        deadDvs.map("_dv/" + _.getName) ++ deadEqs.map("_eq/" + _.getName) ++
+        deadGroups.map(_.getName)
       deadGroups.foreach(f => groupCache.remove(f.getAbsolutePath))
-      (deadData ++ deadDvs ++ deadGroups).foreach(_.delete())
+      (deadData ++ deadDvs ++ deadEqs ++ deadGroups).foreach(_.delete())
       names.sorted
     }
 
@@ -628,11 +641,13 @@ object AvroSnapshots {
     def filesOf(s: Seq[Snapshot]) = s.flatMap(_.files).toSet
     def groupsOf(s: Seq[Snapshot]) = s.flatMap(_.groups.map(_.file)).toSet
     def dvsOf(s: Seq[Snapshot]) = s.flatMap(_.dvs.values).toSet
+    def eqsOf(s: Seq[Snapshot]) = s.flatMap(_.eqs.values.flatten).toSet
     val (refFiles, refGroups, refDvs) =
       (filesOf(retainedSnaps), groupsOf(retainedSnaps), dvsOf(retainedSnaps))
     val deadData = (filesOf(droppedSnaps) -- refFiles).toSeq.sorted
     val deadGroups = (groupsOf(droppedSnaps) -- refGroups).toSeq
     val deadDvs = (dvsOf(droppedSnaps) -- refDvs).toSeq
+    val deadEqs = (eqsOf(droppedSnaps) -- eqsOf(retainedSnaps)).toSeq
     drop.foreach(v => manifestFile(path, v).delete())
     deadGroups.foreach { g =>
       val f = new File(versionsDir(path), g)
@@ -640,6 +655,7 @@ object AvroSnapshots {
       f.delete()
     }
     deadDvs.foreach(d => new File(path, d).delete())
+    deadEqs.foreach(d => new File(path, d).delete())
     deadData.foreach(n => new File(path, n).delete())
     deadData
   }

@@ -89,12 +89,14 @@ class GraftDeltaOperation(path: String, tableSchema: StructType,
             AvroStats.fileMightMatch(pushed.toSeq, e.name, resolveStats(st))
           }
         }
-        // rows are read THROUGH existing vectors (already-deleted rows
-        // must not match again), but _pos stays the physical index —
-        // new deletes land in the same coordinate system
+        // rows are read THROUGH existing vectors and equality deletes
+        // (already-deleted rows must not match again), but _pos stays
+        // the physical index — new deletes land in the same
+        // coordinate system
         entries.map(e => AvroFileSplit(
           new File(path, e.name).getAbsolutePath,
-          e.dv.map(d => new File(path, d).getAbsolutePath)): InputPartition)
+          e.dv.map(d => new File(path, d).getAbsolutePath),
+          e.eq.map(n => new File(path, n).getAbsolutePath)): InputPartition)
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =

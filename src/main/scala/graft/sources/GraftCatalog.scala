@@ -258,6 +258,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     f.isFile && new String(Files.readAllBytes(f.toPath),
       StandardCharsets.UTF_8).contains("merge-on-read")
   }
+  /** `merge-on-read-equality` mode: key-shaped DELETEs additionally
+    * take the EQUALITY fast path (O(keys) sidecar, zero data reads —
+    * the CDC upsert shape); everything else behaves as merge-on-read. */
+  private def loadEqualityMode(dir: File): Boolean = {
+    val f = deleteModeFile(dir)
+    f.isFile && new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).contains("equality")
+  }
   def setDeleteMode(ident: Identifier, mode: String): Unit = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
@@ -265,9 +273,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "merge-on-read" =>
         Files.write(deleteModeFile(dir).toPath,
           """{"mode":"merge-on-read"}""".getBytes(StandardCharsets.UTF_8))
+      case "merge-on-read-equality" =>
+        Files.write(deleteModeFile(dir).toPath,
+          """{"mode":"merge-on-read-equality"}""".getBytes(StandardCharsets.UTF_8))
       case "copy-on-write" => deleteModeFile(dir).delete()
       case other => throw new IllegalArgumentException(
-        s"delete mode must be merge-on-read or copy-on-write, got $other")
+        "delete mode must be merge-on-read, merge-on-read-equality or " +
+          s"copy-on-write, got $other")
     }
     ()
   }
@@ -334,7 +346,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       DataType.fromJson(json).asInstanceOf[StructType], versioned = true,
       partSpec = loadPartSpec(dir), sortSpec = loadSortSpec(dir),
       branch = sessionBranch(dir.getPath),
-      mergeOnRead = loadMergeOnRead(dir))
+      mergeOnRead = loadMergeOnRead(dir),
+      equalityDeletes = loadEqualityMode(dir))
   }
 
   // ---- time travel ----
@@ -500,16 +513,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   def changedFiles(ident: Identifier, v1: Long, v2: Long): (Seq[String], Seq[String]) = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    def entriesAt(v: Long): Map[String, Option[String]] =
+    def entriesAt(v: Long): Map[String, (Option[String], Seq[String])] =
       AvroSnapshots.load(dir.getPath, v).map(
-        _.entries.map(e => e.name -> e.dv).toMap).getOrElse(
+        _.entries.map(e => e.name -> ((e.dv, e.eq))).toMap).getOrElse(
         throw new IllegalArgumentException(
           s"${ident.name}: version $v does not exist or was expired"))
     val a = entriesAt(v1); val b = entriesAt(v2)
-    // a file whose DELETION VECTOR changed carries different live rows
-    // at the two versions: it is "removed" in its v1 state and
-    // "added" in its v2 state, so the row-level feed (which reads the
-    // named files AT each version, vectors applied) diffs it correctly
+    // a file whose DELETION VECTOR or EQUALITY-DELETE set changed
+    // carries different live rows at the two versions: it is "removed"
+    // in its v1 state and "added" in its v2 state, so the row-level
+    // feed (which reads the named files AT each version, sidecars
+    // applied) diffs it correctly
     val added = b.keysIterator.filter(n => !a.get(n).contains(b(n))).toSeq.sorted
     val removed = a.keysIterator.filter(n => !b.get(n).contains(a(n))).toSeq.sorted
     (added, removed)

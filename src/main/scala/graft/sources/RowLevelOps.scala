@@ -88,13 +88,14 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
 
       override def planInputPartitions(): Array[InputPartition] = {
         scannedFiles = Some(candidates.map(_.name))
-        // scanned groups read THROUGH their deletion vectors: the
-        // replacement row set must not resurrect rows a prior
-        // merge-on-read DELETE removed (the rewrite materializes the
-        // vector away — the replaced entry leaves with its dv)
+        // scanned groups read THROUGH their deletion vectors and
+        // equality deletes: the replacement row set must not resurrect
+        // rows a prior merge-on-read DELETE removed (the rewrite
+        // materializes both away — the replaced entry leaves with them)
         candidates.map(e =>
           AvroFileSplit(new File(path, e.name).getAbsolutePath,
-            e.dv.map(d => new File(path, d).getAbsolutePath)): InputPartition)
+            e.dv.map(d => new File(path, d).getAbsolutePath),
+            e.eq.map(n => new File(path, n).getAbsolutePath)): InputPartition)
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =

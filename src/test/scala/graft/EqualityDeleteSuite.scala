@@ -1,0 +1,188 @@
+package graft
+
+import java.io.File
+
+import graft.sources.{AvroSnapshots, EqualityDeletes, GraftCatalog}
+
+/** Equality deletes — round-16 verdict #2: key-based merge-on-read
+  * delete sidecars. A CDC-shaped DELETE writes O(keys) bytes and ZERO
+  * read tasks; scans anti-join; later appends are out of scope
+  * (sequence scoping → upsert semantics); compaction materializes the
+  * deletes away; expiry reclaims unreferenced sidecars.
+  */
+class EqualityDeleteSuite extends SparkSuiteBase {
+
+  private lazy val wh = {
+    val d = java.nio.file.Files.createTempDirectory("graft_eqdel_test")
+    spark.conf.set("spark.sql.catalog.eqcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.eqcat.warehouse", d.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS eqcat.db")
+    d.toString
+  }
+  private def cat: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("eqcat")
+      .asInstanceOf[GraftCatalog]
+  private def ident(t: String) =
+    org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), t)
+  private def tdir(t: String) = s"$wh/db/$t"
+
+  private def mk(t: String, rows: Int): Unit = {
+    wh
+    spark.sql(s"DROP TABLE IF EXISTS eqcat.db.$t")
+    spark.sql(s"CREATE TABLE eqcat.db.$t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO eqcat.db.$t SELECT id, CONCAT('r', id) FROM range($rows)")
+    spark.sql(s"CALL eqcat.system.set_delete_mode('db.$t', 'merge-on-read-equality')")
+  }
+
+  test("a key DELETE runs zero Spark tasks, rewrites nothing, reads exclude the keys") {
+    mk("e1", 1000)
+    val dirp = tdir("e1")
+    val before = AvroSnapshots.head(dirp).get.files.toSet
+    val mtimes = before.map(n => n -> new File(dirp, n).lastModified()).toMap
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        if (ss.properties != null &&
+            "graft-eq-del" == ss.properties.getProperty("spark.jobGroup.id"))
+          tasks.addAndGet(ss.stageInfo.numTasks.toLong)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup("graft-eq-del", "equality delete probe")
+      spark.sql("DELETE FROM eqcat.db.e1 WHERE k IN (3, 700, 999)")
+      spark.sparkContext.clearJobGroup()
+      Thread.sleep(300) // let the listener bus drain before the zero-check
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(tasks.get() == 0,
+      s"equality DELETE launched ${tasks.get()} tasks — must be metadata-only")
+    val after = AvroSnapshots.head(dirp).get
+    assert(after.files.toSet == before, "equality delete must add/remove no data file")
+    after.files.foreach(n =>
+      assert(new File(dirp, n).lastModified() == mtimes(n), s"$n was rewritten"))
+    assert(after.eqs.nonEmpty, "no equality sidecar recorded")
+    val got = spark.sql("SELECT k FROM eqcat.db.e1 ORDER BY k")
+      .collect().map(_.getLong(0))
+    assert(got.length == 997 && !got.contains(3L) && !got.contains(700L) &&
+      !got.contains(999L))
+  }
+
+  test("sequence scoping: a re-inserted key lives again (upsert), old versions exact") {
+    mk("e2", 100)
+    val v0 = cat.currentVersion(ident("e2"))
+    spark.sql("DELETE FROM eqcat.db.e2 WHERE k = 7")
+    spark.sql("INSERT INTO eqcat.db.e2 VALUES (7, 'reborn')")
+    val rows = spark.sql("SELECT v FROM eqcat.db.e2 WHERE k = 7").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("reborn"),
+      s"upsert produced ${rows.toSeq} — new file must not carry the delete ref")
+    // time travel: before the delete the ORIGINAL row is visible
+    assert(spark.sql(s"SELECT v FROM eqcat.db.e2 VERSION AS OF $v0 WHERE k = 7")
+      .collect().map(_.getString(0)).toSeq == Seq("r7"))
+    assert(spark.table("eqcat.db.e2").count() == 100)
+  }
+
+  test("stats pruning attaches the sidecar only to files that might hold a key") {
+    wh
+    // AQE off so the sorted write keeps its full range-shuffle fan-out
+    // (multi-file layout with disjoint k bounds)
+    val sp = spark.newSession()
+    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    sp.conf.set("spark.sql.catalog.eqcat", "graft.sources.GraftCatalog")
+    sp.conf.set("spark.sql.catalog.eqcat.warehouse", wh)
+    sp.sql("DROP TABLE IF EXISTS eqcat.db.e3")
+    sp.sql("CREATE TABLE eqcat.db.e3 (k BIGINT, v STRING)")
+    sp.sessionState.catalogManager.catalog("eqcat")
+      .asInstanceOf[GraftCatalog].setSortOrder(ident("e3"), "k")
+    sp.sql("INSERT INTO eqcat.db.e3 SELECT id, CONCAT('r', id) FROM range(4000)")
+    sp.sql("CALL eqcat.system.set_delete_mode('db.e3', 'merge-on-read-equality')")
+    val dirp = tdir("e3")
+    val files = AvroSnapshots.head(dirp).get.files.size
+    assert(files > 1, "need a multi-file sorted layout")
+    sp.sql("DELETE FROM eqcat.db.e3 WHERE k = 42")
+    val eqs = AvroSnapshots.head(dirp).get.eqs
+    assert(eqs.size == 1 && eqs.size < files,
+      s"sidecar attached to ${eqs.size} of $files files — stats pruning absent")
+    assert(sp.table("eqcat.db.e3").count() == 3999)
+  }
+
+  test("non-key predicates fall back to the positional path; mixed deletes compose") {
+    mk("e4", 500)
+    spark.sql("DELETE FROM eqcat.db.e4 WHERE k IN (10, 20)") // equality
+    spark.sql("DELETE FROM eqcat.db.e4 WHERE k >= 490")      // positional (range)
+    val head = AvroSnapshots.head(tdir("e4")).get
+    assert(head.eqs.nonEmpty, "equality delete missing")
+    assert(head.dvs.nonEmpty, "range delete should have taken the dv path")
+    assert(spark.table("eqcat.db.e4").count() == 488)
+    // a string-keyed equality delete works too
+    spark.sql("DELETE FROM eqcat.db.e4 WHERE v = 'r100'")
+    assert(spark.table("eqcat.db.e4").count() == 487)
+    assert(spark.sql("SELECT count(*) FROM eqcat.db.e4 WHERE k = 100")
+      .collect().head.getLong(0) == 0)
+  }
+
+  test("MOR UPDATE reads through equality deletes and never resurrects") {
+    mk("e5", 200)
+    spark.sql("DELETE FROM eqcat.db.e5 WHERE k IN (50, 51)")
+    spark.sql("UPDATE eqcat.db.e5 SET v = 'upd' WHERE k >= 50 AND k < 60")
+    val got = spark.sql("SELECT k FROM eqcat.db.e5 WHERE v = 'upd' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == (52L to 59L), s"update touched wrong rows: $got")
+    assert(spark.table("eqcat.db.e5").count() == 198)
+  }
+
+  test("compaction materializes equality deletes away; expiry reclaims sidecars") {
+    mk("e6", 300)
+    spark.sql("DELETE FROM eqcat.db.e6 WHERE k IN (1, 2, 3)")
+    assert(AvroSnapshots.head(tdir("e6")).get.eqs.nonEmpty)
+    spark.sql("CALL eqcat.system.compact('db.e6')")
+    val head = AvroSnapshots.head(tdir("e6")).get
+    assert(head.eqs.isEmpty, "compaction must drop the refs (clean files)")
+    assert(spark.table("eqcat.db.e6").count() == 297)
+    // expiry drops the pre-compaction versions → the sidecar is
+    // unreferenced and physically reclaimed
+    cat.expireSnapshots(ident("e6"), retainLast = 1)
+    val eqDir = new File(tdir("e6"), "_eq")
+    val left = Option(eqDir.listFiles()).map(_.length).getOrElse(0)
+    assert(left == 0, s"$left orphaned equality sidecars survived expiry")
+  }
+
+  test("aggregate pushdown and CBO row counts decline over eq-deleted files") {
+    mk("e7", 100)
+    val q0 = spark.sql("SELECT COUNT(*) AS n FROM eqcat.db.e7")
+    assert(q0.collect().head.getLong(0) == 100)
+    assert(!q0.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    spark.sql("DELETE FROM eqcat.db.e7 WHERE k = 5")
+    val q1 = spark.sql("SELECT COUNT(*) AS n FROM eqcat.db.e7")
+    assert(q1.collect().head.getLong(0) == 99)
+    assert(q1.queryExecution.executedPlan.toString.contains("Aggregate"),
+      "stale manifest counts must not answer over eq-deleted files")
+  }
+
+  test("the change feed streams equality-deleted rows as row-level deletes") {
+    import org.apache.spark.sql.streaming.Trigger
+    mk("e8", 50)
+    spark.sql("DELETE FROM eqcat.db.e8 WHERE k IN (11, 22)")
+    val root = java.nio.file.Files.createTempDirectory("graft_eqcdf").toString
+    spark.readStream.table("eqcat.db.e8.changes")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val rows = spark.read.parquet(s"$root/out")
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.count(_._2 == "insert") == 50)
+    assert(rows.filter(_._2 == "delete").map(_._1).sorted == Seq(11L, 22L),
+      s"eq-delete CDF rows: ${rows.filter(_._2 == "delete")}")
+  }
+
+  test("sidecar codec round-trips; unknown column fails loudly") {
+    wh
+    val dirp = java.nio.file.Files.createTempDirectory("graft_eqcodec").toString
+    val name = EqualityDeletes.write(dirp, "user_id", "long", Seq("9", "3", "9"))
+    val (col, kind, keys) = EqualityDeletes.read(dirp, name)
+    assert(col == "user_id" && kind == "long" && keys == Set("3", "9"))
+    val m = EqualityDeletes.matcher(kind, keys)
+    assert(m(java.lang.Long.valueOf(3L)) && m(java.lang.Integer.valueOf(9)) &&
+      !m(java.lang.Long.valueOf(4L)) && !m(null))
+  }
+}
