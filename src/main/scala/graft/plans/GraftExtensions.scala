@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => WindowTopKRewrite)
     ext.injectOptimizerRule(_ => CountInSetRewrite)
+    // V2 view read path (Spark ships the ViewCatalog API unwired —
+    // see ResolveGraftViews)
+    ext.injectResolutionRule(sess => ResolveGraftViews(sess))
   }
 }
 

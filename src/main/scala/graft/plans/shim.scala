@@ -24,6 +24,22 @@ object Shim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** A sibling session on the SAME SparkContext/SharedState with EXTRA
+    * SparkSessionExtensions injections (the documented extension seam
+    * needs them at session build time; the harness session is
+    * driver-built without ours). The extensions object is shared with
+    * the parent, but the PARENT's sessionState is already built — only
+    * the returned newSession (whose analyzer builds lazily) and
+    * sessions created after this call see the injection, so callers
+    * must inject idempotent-safe rules. */
+  def sessionWithExtensions(spark: org.apache.spark.sql.SparkSession,
+      inject: org.apache.spark.sql.SparkSessionExtensions => Unit)
+      : org.apache.spark.sql.SparkSession = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    inject(cs.extensions)
+    cs.newSession()
+  }
+
   /** Drop the block-manager storage behind a localCheckpoint()ed frame.
     * ONLY for frames whose data is no longer reachable from any plan
     * still to be executed — a truncated-lineage RDD cannot recompute.

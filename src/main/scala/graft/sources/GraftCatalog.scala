@@ -8,7 +8,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -34,7 +34,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * every query in this library runs unchanged against governed tables.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with ProcedureCatalog {
+    with FunctionCatalog with ProcedureCatalog with StagingTableCatalog
+    with ViewCatalog {
   private var catalogName: String = _
   private var warehouse: File = _
 
@@ -568,6 +569,81 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new AvroDirTable(dir.getPath, schema, versioned = true, partSpec = spec)
   }
 
+  // ---- atomic CTAS / RTAS (StagingTableCatalog — round-16 #4) ----
+  //
+  // Spark's atomic exec paths stage the definition, write through the
+  // returned StagedTable, then commitStagedChanges — or abort on ANY
+  // failure. Staging here is nearly free because the table format is
+  // already versioned: data files land task-unique and invisible (no
+  // manifest references them; a staged CREATE has no _schema.json yet,
+  // so the table doesn't exist), and the commit is one metadata swap
+  // under the table's commit lock. A failed REPLACE leaves the old
+  // table byte-identical; a failed CREATE leaves nothing.
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], creating: Boolean): StagedTable = {
+    val dir = tableDir(ident)
+    val spec = parsePartTransform(partitions)
+    spec.foreach { sp =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(sp.column)),
+        s"partition column ${sp.column} is not a column of ${ident.name}")
+    }
+    dir.mkdirs()
+    new GraftStagedTable(dir.getPath, ident, schema, spec, creating,
+      commitFn = entries => AvroSnapshots.withCommitLock(dir.getPath) {
+        Files.write(schemaFile(dir).toPath,
+          schema.json.getBytes(StandardCharsets.UTF_8))
+        // REPLACE resets the LAYOUT definition to the staged one
+        // (partitioning and sort order are part of the definition;
+        // the delete-mode config survives, like table properties)
+        spec match {
+          case Some(sp) => writePartSpecs(dir, Seq(sp))
+          case None     => partitionFile(dir).delete()
+        }
+        sortFile(dir).delete()
+        if (AvroSnapshots.versions(dir.getPath).isEmpty) {
+          // same two-version lineage as the non-atomic CTAS path
+          // (empty create, then the data append) — deterministic
+          // history for version-pinned readers and metadata oracles
+          AvroSnapshots.commit(dir.getPath, schema, Nil,
+            AvroSnapshots.KindCreate)
+          AvroSnapshots.commit(dir.getPath, schema, entries,
+            AvroSnapshots.KindAppend)
+        } else {
+          AvroSnapshots.commit(dir.getPath, schema, entries,
+            AvroSnapshots.KindReplace)
+        }
+        ()
+      })
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    if (!nsDir(ident.namespace).isDirectory)
+      throw new NoSuchNamespaceException(ident.namespace)
+    stage(ident, schema, partitions, creating = true)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, creating = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val dir = tableDir(ident)
+    if (!nsDir(ident.namespace).isDirectory)
+      throw new NoSuchNamespaceException(ident.namespace)
+    stage(ident, schema, partitions, creating = !isTable(dir))
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
     if (!isTable(dir)) false else { deleteRec(dir); true }
@@ -684,9 +760,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ---- namespaces ----
 
+  // `_`-prefixed directories are INTERNAL (`_views` sidecar store) —
+  // never namespaces
+  private def nsChild(d: File): Boolean =
+    d.isDirectory && !isTable(d) && !d.getName.startsWith("_")
+
   override def listNamespaces(): Array[Array[String]] =
     Option(warehouse.listFiles).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && !isTable(d))
+      .filter(nsChild)
       .map(d => Array(d.getName)).sortBy(_.head)
 
   override def listNamespaces(ns: Array[String]): Array[Array[String]] =
@@ -695,12 +776,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // nested namespaces ARE supported (a namespace is any non-table
       // directory), so SHOW NAMESPACES IN <ns> must surface them
       Option(nsDir(ns).listFiles).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && !isTable(d))
+        .filter(nsChild)
         .map(d => ns :+ d.getName).sortBy(_.last)
     else throw new NoSuchNamespaceException(ns)
 
   override def namespaceExists(ns: Array[String]): Boolean =
-    nsDir(ns).isDirectory && !isTable(nsDir(ns))
+    nsDir(ns).isDirectory && !isTable(nsDir(ns)) &&
+      !ns.lastOption.exists(_.startsWith("_"))
 
   override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
@@ -726,6 +808,97 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (children.nonEmpty && !cascade) throw new NonEmptyNamespaceException(ns)
     deleteRec(d); true
   }
+
+  // ---- views (V2 ViewCatalog — round-16 #5) ----
+  //
+  // A view is a SQL-TEXT sidecar `_views/<name>.json` in its namespace
+  // directory: creation is O(bytes of SQL), resolution happens at LOAD
+  // (the view always reflects current table state; a VERSION AS OF
+  // inside the text stays pinned). Spark 4.1 ships this interface with
+  // no analyzer wiring — graft.plans.ResolveGraftViews supplies the
+  // read path (a 3-part relation naming a stored view expands into its
+  // parsed SQL), and the `create_view`/`drop_view` procedures supply
+  // the SQL DDL surface. Stored relation references should be fully
+  // qualified (`cat.ns.t`) — the text is re-parsed in the READER's
+  // session, exactly like Iceberg's SQL views.
+
+  private def viewsDir(ns: Array[String]): File = new File(nsDir(ns), "_views")
+  private def viewFile(ident: Identifier): File = {
+    require(ident.name.nonEmpty && ident.name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'), s"invalid view name '${ident.name}'")
+    new File(viewsDir(ident.namespace), ident.name + ".json")
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    Option(viewsDir(ns).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".json"))
+      .map(f => Identifier.of(ns, f.getName.stripSuffix(".json")))
+      .sortBy(_.name)
+  }
+
+  override def viewExists(ident: Identifier): Boolean = viewFile(ident).isFile
+
+  override def loadView(ident: Identifier): View = {
+    val f = viewFile(ident)
+    if (!f.isFile) throw new NoSuchViewException(ident)
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+    def strField(k: String): String = (j \ k) match {
+      case JString(s) => s
+      case _ => throw new IllegalStateException(s"view ${ident.name}: bad sidecar ($k)")
+    }
+    val ns = (j \ "currentNamespace") match {
+      case JArray(xs) => xs.collect { case JString(s) => s }.toArray
+      case _          => ident.namespace
+    }
+    val schema = DataType.fromJson(strField("schema")).asInstanceOf[StructType]
+    GraftView(ident.toString, strField("sql"), strField("currentCatalog"),
+      ns, schema)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    if (isTable(tableDir(ident))) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    viewsDir(ident.namespace).mkdirs()
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val body = JObject(
+      "sql" -> JString(info.sql),
+      "currentCatalog" -> JString(Option(info.currentCatalog).getOrElse(name())),
+      "currentNamespace" -> JArray(
+        Option(info.currentNamespace).getOrElse(ident.namespace)
+          .toList.map(JString(_))),
+      "schema" -> JString(Option(info.schema)
+        .getOrElse(new StructType()).json))
+    Files.write(viewFile(ident).toPath,
+      JsonMethods.compact(JsonMethods.render(body))
+        .getBytes(StandardCharsets.UTF_8))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = viewFile(ident).delete()
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from)) throw new NoSuchViewException(from)
+    if (viewExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(to)
+    if (!namespaceExists(to.namespace))
+      throw new NoSuchNamespaceException(to.namespace)
+    viewsDir(to.namespace).mkdirs()
+    if (!viewFile(from).renameTo(viewFile(to)))
+      throw new IllegalStateException(s"rename view $from -> $to failed")
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException(
+      "graft views are immutable SQL text — drop and re-create")
 
   // ---- functions (V2 FunctionCatalog) ----
   //
@@ -944,6 +1117,24 @@ object ZValue {
     }
     out
   }
+}
+
+/** One stored SQL-text view (the V2 View contract). Column metadata
+  * lists are empty by design: the text re-parses in the reader's
+  * session and the analyzer derives the output — `schema` is the
+  * shape recorded at creation time, informational like Iceberg's. */
+case class GraftView(viewName: String, viewSql: String, cat: String,
+    ns: Array[String], viewSchema: StructType) extends View {
+  override def name(): String = viewName
+  override def query(): String = viewSql
+  override def currentCatalog(): String = cat
+  override def currentNamespace(): Array[String] = ns
+  override def schema(): StructType = viewSchema
+  override def queryColumnNames(): Array[String] = Array.empty
+  override def columnAliases(): Array[String] = Array.empty
+  override def columnComments(): Array[String] = Array.empty
+  override def properties(): util.Map[String, String] =
+    util.Collections.emptyMap()
 }
 
 /** Bound zvalue (named public class — see [[GraftBucketScalar]] for

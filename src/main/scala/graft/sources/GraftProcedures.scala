@@ -70,7 +70,7 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("rollback", "expire_snapshots", "compact", "tag", "set_sort_order",
       "set_delete_mode", "create_branch", "fast_forward", "evolve_partition",
-      "remove_orphan_files")
+      "remove_orphan_files", "create_view", "drop_view")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -139,6 +139,27 @@ object GraftProcedures {
         StructType(Seq(StructField("deleted_files", IntegerType, nullable = false))),
         (c, in) => Seq(Int.box(
           c.removeOrphanFiles(tableIdent(str(in, 0)), in.getLong(1)).size))))
+      // SQL-text views (the ViewCatalog DDL surface — Spark 4.1 has no
+      // native CREATE VIEW routing to V2 catalogs): the view's schema
+      // is derived by ANALYZING the text now (catches bad SQL at
+      // creation), reads re-parse at load via ResolveGraftViews
+      case "create_view" => Some(new GraftProcedure(catalog, "create_view",
+        Seq("view" -> StringType, "sql" -> StringType),
+        StructType(Seq(StructField("created", StringType, nullable = false))),
+        (c, in) => {
+          val ident = tableIdent(str(in, 0))
+          val sql = str(in, 1)
+          val schema = org.apache.spark.sql.SparkSession.active.sql(sql).schema
+          c.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
+            ident, sql, c.name(), ident.namespace(), schema,
+            Array.empty, Array.empty, Array.empty,
+            java.util.Collections.emptyMap()))
+          Seq(UTF8String.fromString(ident.toString))
+        }))
+      case "drop_view" => Some(new GraftProcedure(catalog, "drop_view",
+        Seq("view" -> StringType),
+        StructType(Seq(StructField("dropped", BooleanType, nullable = false))),
+        (c, in) => Seq(Boolean.box(c.dropView(tableIdent(str(in, 0)))))))
       case _ => None
     }
 }
