@@ -677,6 +677,61 @@ class AvroDirTable(path: String, tableSchema: StructType,
           Option(options.get("maxFilesPerTrigger")).map(_.toInt), branch)
       }
 
+      /** Merged per-column statistics from the surviving files' manifest
+        * entries (round-16 verdict #6): distinct counts fold from the
+        * per-file KMV sketches (mergeable — union of minima), null
+        * counts sum from the recorded ColStats; resolution follows the
+        * rename-alias chain like every stats path. Declined wholesale
+        * when any surviving file carries a deletion vector / equality
+        * delete (live-row counts would be stale) or predates sketches.
+        * This is the CBO's join-reorder input — cardinalities served
+        * from metadata, no file opened. */
+      private lazy val colStatsMap: java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val out = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        val entries = prunedEntries
+        if (entries.nonEmpty && entries.forall(e =>
+            e.dv.isEmpty && e.eq.isEmpty && e.stats.isDefined)) {
+          val perFile = entries.map { e =>
+            (AvroStats.parse(e.stats.get), AvroStats.ndvSketches(e.stats.get))
+          }
+          tableSchema.fields.filter(f => AvroStats.trackable(f.dataType))
+            .foreach { fld =>
+              val names = fld.name +: AvroDirSource.aliasesOf(fld)
+              val sketches = perFile.map { case (_, nd) =>
+                names.iterator.flatMap(nd.get).nextOption()
+              }
+              // a column absent from a file's stats predates the column
+              // (all-null there): contributes an EMPTY sketch; absent
+              // SKETCHES on a stats-bearing file mean pre-sketch
+              // manifests — decline the column, don't guess
+              val colStats = perFile.map { case (cs, _) =>
+                names.iterator.flatMap(cs.get).nextOption()
+              }
+              val preSketch = sketches.zip(colStats).exists {
+                case (None, Some(cs)) => cs.min.isDefined // values, no sketch
+                case _                => false
+              }
+              if (!preSketch) {
+                val distinct = AvroStats.ndvEstimate(sketches.flatten)
+                val nulls = colStats.flatten.map(_.nulls).sum
+                out.put(Expressions.column(fld.name),
+                  new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                    override def distinctCount(): java.util.OptionalLong =
+                      java.util.OptionalLong.of(distinct)
+                    override def nullCount(): java.util.OptionalLong =
+                      java.util.OptionalLong.of(nulls)
+                  })
+                ()
+              }
+            }
+        }
+        out
+      }
+
       // Feed the cost model: without reported statistics a DSv2 scan
       // sizes as Long.MaxValue and Catalyst will NEVER auto-broadcast
       // a catalog table, however tiny — every dim⨝fact would shuffle.
@@ -707,6 +762,12 @@ class AvroDirTable(path: String, tableSchema: StructType,
             java.util.OptionalLong.of(counts.flatten.sum)
           else java.util.OptionalLong.empty()
         }
+        override def columnStats(): java.util.Map[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+          if (aggResult.isDefined)
+            java.util.Collections.emptyMap()
+          else colStatsMap
       }
     }
 
