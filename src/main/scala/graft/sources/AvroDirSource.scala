@@ -101,12 +101,20 @@ object AvroDirSource {
     * (file, pos) row lineage. */
   val PosColumn = "_pos"
 
-  /** Table paths whose current self-overwrite is a COMPACTION — the
-    * commit is recorded kind=`rewrite` (dataChange=false) so streams
-    * and the change feed skip it. Set by GraftCatalog.compactTable
-    * around its INSERT OVERWRITE. */
-  private[sources] val rewriteInProgress =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Table paths whose current self-overwrite is a COMPACTION, mapped
+    * to the head VERSION the rewrite was planned against — the commit
+    * is recorded kind=`rewrite` (dataChange=false, streams and the
+    * change feed skip it) AND validates that read basis: a compaction
+    * claims "same rows, new files", so publishing it over a concurrent
+    * DML's commit would silently undo that DML (round-16 fuzz find).
+    * THREAD-local because the INSERT OVERWRITE executes on the calling
+    * thread — two racing compactions must not clobber each other's
+    * basis. Set by GraftCatalog.compactTable. */
+  private[sources] val rewriteBasis =
+    new ThreadLocal[java.util.HashMap[String, Long]] {
+      override def initialValue(): java.util.HashMap[String, Long] =
+        new java.util.HashMap[String, Long]()
+    }
 
   private val StreamFilePattern = "^part-e(\\d+)-\\d+\\.avro$".r
   private[sources] def committedMarker(epoch: Long): String = f"_committed-e$epoch%05d"
@@ -1031,12 +1039,23 @@ class AvroDirTable(path: String, tableSchema: StructType,
                   new File(f).getName, b, specId, st, None)
               }.sortBy(_.name)
               if (doTruncate) {
+                val abs = new File(path).getAbsolutePath
+                val basisMap = AvroDirSource.rewriteBasis.get()
+                // a COMPACTION validates its read basis: the rewrite's
+                // rows came from that version, and committing them over
+                // a concurrent DML's head would silently undo the DML
+                // while claiming dataChange=false. A plain overwrite
+                // needs no basis — its content REPLACES whatever is
+                // there (last-writer-wins IS the overwrite semantics).
+                val basis =
+                  if (basisMap.containsKey(abs)) Some(basisMap.get(abs).longValue)
+                  else None
                 val kind =
-                  if (AvroDirSource.rewriteInProgress.contains(
-                    new File(path).getAbsolutePath)) AvroSnapshots.KindRewrite
+                  if (basis.isDefined) AvroSnapshots.KindRewrite
                   else AvroSnapshots.KindReplace
                 AvroSnapshots.withCommitLock(path) {
-                  AvroSnapshots.commit(path, tableSchema, mine, kind, branch)
+                  AvroSnapshots.commit(path, tableSchema, mine, kind, branch,
+                    expectedParent = basis)
                 }
               } else {
                 AvroSnapshots.commitAppend(path, tableSchema, mine,

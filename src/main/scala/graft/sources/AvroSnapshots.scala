@@ -83,10 +83,14 @@ object AvroSnapshots {
       specId: Int = 0, stats: Option[String] = None,
       dv: Option[String] = None, eq: Seq[String] = Nil)
 
-  /** A version file's reference to one immutable manifest-group file:
-    * `file` under `_versions/`, `count` entries, `aggStats` =
-    * group-hull column stats (the group-pruning key). */
-  case class GroupRef(file: String, count: Long, aggStats: String)
+  /** A reference to one immutable manifest-group file: `file` under
+    * `_versions/`, `count` entries in its SUBTREE, `aggStats` =
+    * subtree-hull column stats (the group-pruning key), `depth` = 0
+    * for a leaf (entry lines), ≥1 for a PARENT group whose lines are
+    * child refs (round-16 verdict #7 — the second tree level that
+    * keeps every commit's bytes bounded by refs, never by entries). */
+  case class GroupRef(file: String, count: Long, aggStats: String,
+      depth: Int = 0)
 
   /** A committed table state. File-level views (`files`/`parts`/
     * `stats`/`dvs`/`specIds`) are LAZY: they materialize group entries
@@ -94,7 +98,8 @@ object AvroSnapshots {
     * never reads it. */
   case class Snapshot(version: Long, timestampMs: Long,
       schema: StructType, kind: String, parent: Long,
-      groups: Seq[GroupRef], inline: Seq[FileEntry], path: String) {
+      groups: Seq[GroupRef], inline: Seq[FileEntry], path: String,
+      lineage: String = MainBranch) {
     lazy val entries: Seq[FileEntry] =
       inline ++ groups.flatMap(g => groupEntries(path, g.file))
     lazy val byName: Map[String, FileEntry] =
@@ -131,9 +136,13 @@ object AvroSnapshots {
 
   /** Max entries per manifest-group file. */
   val GroupTargetFiles = 512
-  /** Group-count bound: a commit that would exceed this coalesces the
-    * smallest groups down to ~half the bound. */
+  /** Group-count bound: a commit that would exceed this WRAPS the
+    * smallest refs into a parent group down to ~half the bound. */
   val MaxGroups = 64
+  /** Nesting bound for parent groups. Size-sorted wrapping yields
+    * log-ish depth in practice; a ref already this deep falls back to
+    * the entry-level merge instead of nesting further. */
+  val MaxGroupDepth = 4
 
   /** Test/diagnostic counter: group-entry materializations (how many
     * group files a plan actually read — the group-pruning assertion). */
@@ -212,38 +221,103 @@ object AvroSnapshots {
       f.lift(4).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
   }
 
-  // ---- manifest-group files (immutable; entries cached per process) ----
+  // ---- manifest-group files (immutable; parses cached per process) ----
+  //
+  // A LEAF group file holds entry lines; a PARENT group file holds
+  // `@child \t count \t aggStats \t depth` ref lines — the same codec
+  // version files use, so the tree nests uniformly. Parents exist so a
+  // commit that must shrink its ref list can WRAP refs (O(refs) bytes)
+  // instead of rewriting their entries (O(entries) bytes): p99 commit
+  // cost stays bounded by the ref fan-out, never by table size.
 
-  private val groupCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[FileEntry]]()
+  /** `@file \t count \t aggStats \t depth` ⇄ GroupRef (depth omitted
+    * when 0 — round-15 files parse unchanged). */
+  private def refLine(g: GroupRef): String = {
+    val base = s"@${g.file}\t${g.count}\t${g.aggStats}"
+    if (g.depth == 0) base else s"$base\t${g.depth}"
+  }
+  private[sources] def parseRefLine(l: String): GroupRef = {
+    val f = l.stripPrefix("@").split("\t", 4)
+    GroupRef(f(0), f.lift(1).flatMap(_.toLongOption).getOrElse(0L),
+      f.lift(2).getOrElse("{}"),
+      f.lift(3).flatMap(_.toIntOption).getOrElse(0))
+  }
 
-  /** Parsed entries of one group file. Group files are immutable, so
-    * the parse is cached process-wide; the read counter ticks on every
-    * materialization (cached or not) — it measures how many groups a
-    * PLAN touched, which is the group-pruning test signal. */
-  def groupEntries(path: String, group: String): Seq[FileEntry] = {
-    groupReads.incrementAndGet()
+  private val groupCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[GroupRef], Seq[FileEntry])]()
+
+  /** One group file's (child refs, own entry lines) — leaf files have
+    * only entries, parent files only child refs; the parser tolerates
+    * both. Immutable, so cached process-wide. */
+  private def parseGroupFile(path: String,
+      group: String): (Seq[GroupRef], Seq[FileEntry]) = {
     // bound the process-wide cache (groups are immutable — a clear is
     // always sound, just a re-read); 16k groups ≈ 8M file entries
     if (groupCache.size > 16384) groupCache.clear()
     groupCache.computeIfAbsent(
       new File(versionsDir(path), group).getAbsolutePath,
-      abs => new String(Files.readAllBytes(new File(abs).toPath),
-        StandardCharsets.UTF_8).split("\n", -1).toSeq
-        .filter(_.nonEmpty).map(parseEntry))
+      abs => {
+        val lines = new String(Files.readAllBytes(new File(abs).toPath),
+          StandardCharsets.UTF_8).split("\n", -1).toSeq.filter(_.nonEmpty)
+        val (refLines, entryLines) = lines.partition(_.startsWith("@"))
+        (refLines.map(parseRefLine), entryLines.map(parseEntry))
+      })
   }
+
+  /** All entries under one group ref, parents flattened recursively.
+    * The read counter ticks per group FILE materialized (cached or
+    * not) — it measures how many groups a PLAN touched, which is the
+    * group-pruning test signal. */
+  def groupEntries(path: String, group: String): Seq[FileEntry] = {
+    groupReads.incrementAndGet()
+    val (children, entries) = parseGroupFile(path, group)
+    entries ++ children.flatMap(c => groupEntries(path, c.file))
+  }
+
+  /** The TRANSITIVE set of group files reachable from `refs` —
+    * parents count their children (what expiry/orphan cleanup must
+    * treat as referenced). */
+  def groupClosure(path: String, refs: Seq[GroupRef]): Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    val stack = scala.collection.mutable.Stack[String](refs.map(_.file): _*)
+    while (stack.nonEmpty) {
+      val f = stack.pop()
+      if (out.add(f) && new File(versionsDir(path), f).isFile)
+        parseGroupFile(path, f)._1.foreach(c => stack.push(c.file))
+    }
+    out.toSet
+  }
+
+  private def freshGroupName(): String =
+    "g" + java.util.UUID.randomUUID.toString.replace("-", "").take(16) + ".grp"
 
   private def writeGroup(path: String, entries: Seq[FileEntry]): GroupRef = {
     versionsDir(path).mkdirs()
-    val name = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
-      .take(16) + ".grp"
+    val name = freshGroupName()
     val f = new File(versionsDir(path), name)
     Files.write(f.toPath,
       entries.map(entryLine).mkString("\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    groupCache.put(f.getAbsolutePath, entries)
+    groupCache.put(f.getAbsolutePath, (Nil, entries))
     GroupRef(name, entries.size.toLong,
       AvroStats.aggregateStats(entries.map(_.stats)))
+  }
+
+  /** Wrap refs into one PARENT group — O(refs) bytes, no entry moves.
+    * The parent's hull folds the children's hulls (child aggStats are
+    * stats-shaped JSONs; an unknown child hull keeps the parent
+    * unknown — conservative). */
+  private def writeParent(path: String, children: Seq[GroupRef]): GroupRef = {
+    versionsDir(path).mkdirs()
+    val name = freshGroupName()
+    val f = new File(versionsDir(path), name)
+    Files.write(f.toPath,
+      children.map(refLine).mkString("\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    groupCache.put(f.getAbsolutePath, (children, Nil))
+    GroupRef(name, children.map(_.count).sum,
+      AvroStats.aggregateStats(children.map(c => Some(c.aggStats))),
+      children.map(_.depth).max + 1)
   }
 
   def load(path: String, v: Long): Option[Snapshot] = {
@@ -252,22 +326,23 @@ object AvroSnapshots {
     else {
       val lines = new String(Files.readAllBytes(f.toPath),
         StandardCharsets.UTF_8).split("\n", -1).toSeq
-      val head = lines.head.split("\t", 3)
+      val head = lines.head.split("\t", 4)
       val ts = head(0).toLong
       val kind = head.lift(1).filter(_.nonEmpty).getOrElse(KindReplace)
       val parent = head.lift(2).flatMap(_.toLongOption).getOrElse(v - 1)
+      // 4th field: the LINEAGE (branch) this commit belongs to —
+      // recorded atomically with the version claim (round-16 #8), so
+      // head resolution never depends on the separately-written ref
+      // file having caught up; absent (pre-round-16) ⇒ main
+      val lineage = head.lift(3).filter(_.nonEmpty).getOrElse(MainBranch)
       val body = lines.drop(2).filter(_.nonEmpty)
-      // `@group \t count \t aggStats` vs a legacy inline entry line —
-      // data-file names never start with '@'
+      // `@group \t count \t aggStats [\t depth]` vs a legacy inline
+      // entry line — data-file names never start with '@'
       val (groupLines, inlineLines) = body.partition(_.startsWith("@"))
-      val groups = groupLines.map { l =>
-        val f = l.stripPrefix("@").split("\t", 3)
-        GroupRef(f(0), f.lift(1).flatMap(_.toLongOption).getOrElse(0L),
-          f.lift(2).getOrElse("{}"))
-      }
+      val groups = groupLines.map(parseRefLine)
       Some(Snapshot(v, ts,
         DataType.fromJson(lines(1)).asInstanceOf[StructType],
-        kind, parent, groups, inlineLines.map(parseEntry), path))
+        kind, parent, groups, inlineLines.map(parseEntry), path, lineage))
     }
   }
 
@@ -355,14 +430,66 @@ object AvroSnapshots {
 
   def dropRef(path: String, name: String): Boolean = refFile(path, name).delete()
 
+  /** (parent, lineage) of one version's manifest header — immutable,
+    * cached process-wide (roll-forward scans consult many versions). */
+  private val headerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, String)]]()
+  private def headerOf(path: String, v: Long): Option[(Long, String)] = {
+    if (headerCache.size > 65536) headerCache.clear()
+    headerCache.computeIfAbsent(
+      manifestFile(path, v).getAbsolutePath,
+      _ => {
+        val f = manifestFile(path, v)
+        if (!f.isFile) None
+        else {
+          val first = new String(Files.readAllBytes(f.toPath),
+            StandardCharsets.UTF_8).takeWhile(_ != '\n')
+          val h = first.split("\t", 4)
+          Some((h.lift(2).flatMap(_.toLongOption).getOrElse(v - 1),
+            h.lift(3).filter(_.nonEmpty).getOrElse(MainBranch)))
+        }
+      })
+  }
+
+  /** ROLL FORWARD a ref over committed extensions of its own lineage:
+    * the version-file CREATE_NEW is the commit point, but the ref file
+    * is written AFTER it — a reader (or a competing committer's
+    * read-basis) landing in that gap would otherwise base on the
+    * previous head and silently orphan the committed version
+    * (round-16 fuzz find: a lost append). Walking versions > ref whose
+    * recorded lineage matches AND whose parent chains from the current
+    * head recovers exactly the commits whose ref update hasn't landed
+    * (or never will — crash between the two writes); the ref is then
+    * healed best-effort. Legacy manifests without a lineage field
+    * never roll a branch forward (parent-chain check). */
+  private def rollForward(path: String, b: String, from: Long): Long = {
+    var cur = from
+    val newer = versions(path).filter(_ > from)
+    var progress = true
+    while (progress) {
+      progress = false
+      newer.foreach { v =>
+        if (v > cur && headerOf(path, v).contains((cur, b))) {
+          cur = v; progress = true
+        }
+      }
+    }
+    if (cur != from)
+      try setRef(path, b, cur, isBranch = true)
+      catch { case _: Exception => () } // heal is best-effort
+    cur
+  }
+
   /** Head version of a line of history: an explicit branch ref when
-    * one exists (`main` included, once branching has begun), else the
-    * global latest version. */
+    * one exists (`main` included, once branching has begun) ROLLED
+    * FORWARD over committed-but-unreffed extensions, else the global
+    * latest version. */
   def headVersion(path: String, branch: Option[String] = None): Option[Long] =
     branch match {
-      case Some(b) => getRefEntry(path, b).collect { case (v, true) => v }
+      case Some(b) => getRefEntry(path, b).collect {
+        case (v, true) => rollForward(path, b, v) }
       case None => getRefEntry(path, MainBranch) match {
-        case Some((v, true)) => Some(v)
+        case Some((v, true)) => Some(rollForward(path, MainBranch, v))
         case _               => versions(path).lastOption
       }
     }
@@ -465,31 +592,57 @@ object AvroSnapshots {
     require(desired.size == entries.size,
       s"duplicate file names in commit to $path")
 
-    val consumed = scala.collection.mutable.HashSet.empty[String]
     val reused = scala.collection.mutable.ArrayBuffer.empty[GroupRef]
     val carryover = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    // Recursive incremental reuse: an untouched subtree is reused by
+    // ONE ref (parent or leaf, no read of its entries beyond the
+    // cached parse); a parent with changes DISSOLVES into its
+    // unchanged children (kept by reference) plus the changed leaves'
+    // surviving entries — a 1-file DML under a 100k-entry parent
+    // rewrites one leaf, never the subtree. The wrap step below
+    // re-bounds the ref list.
+    def rebuildRef(g: GroupRef): (Seq[GroupRef], Seq[FileEntry]) = {
+      val (children, ge) = parseGroupFile(path, g.file)
+      val leafSame = ge.forall(e => desired.get(e.name).contains(e))
+      if (children.isEmpty) {
+        if (leafSame && ge.nonEmpty) (Seq(g), Nil)
+        else (Nil, ge.filter(e => desired.get(e.name).contains(e)))
+      } else {
+        val sub = children.map(c => (c, rebuildRef(c)))
+        val allReused = leafSame && sub.forall { case (c, (refs, carry)) =>
+          carry.isEmpty && refs == Seq(c) }
+        if (allReused) (Seq(g), Nil)
+        else (sub.flatMap(_._2._1),
+          ge.filter(e => desired.get(e.name).contains(e)) ++
+            sub.flatMap(_._2._2))
+      }
+    }
     prev.foreach { p =>
       p.groups.foreach { g =>
-        val ge = groupEntries(path, g.file)
-        val same = ge.forall(e => desired.get(e.name).contains(e))
-        if (same && ge.nonEmpty) {
-          reused += g
-          ge.foreach(consumed += _.name)
-        } else {
-          // keep only entries still wanted verbatim; changed entries
-          // re-enter through `fresh` below with their new shape
-          val keep = ge.filter(e => desired.get(e.name).contains(e))
-          carryover ++= keep
-          keep.foreach(consumed += _.name)
-        }
+        val (refs, carry) = rebuildRef(g)
+        reused ++= refs
+        carryover ++= carry
       }
       // legacy inline entries migrate into groups on first new commit
-      val keepInline = p.inline.filter(e => desired.get(e.name).contains(e))
-      carryover ++= keepInline
-      keepInline.foreach(consumed += _.name)
+      carryover ++= p.inline.filter(e => desired.get(e.name).contains(e))
     }
-    val fresh = entries.filterNot(e => consumed(e.name))
+    // an entry IDENTICAL to its previous shape is covered by a reused
+    // subtree or a dissolved leaf's carryover (each prev entry lives
+    // under exactly one ref); only new/changed entries are fresh
+    val prevByName: Map[String, FileEntry] =
+      prev.map(_.byName).getOrElse(Map.empty)
+    val fresh = entries.filterNot(e => prevByName.get(e.name).contains(e))
 
+    // every group file THIS attempt writes — reclaimed wholesale if the
+    // CREATE_NEW commit below loses (children that pre-existed stay:
+    // prior manifests reference them)
+    val written = scala.collection.mutable.ArrayBuffer.empty[GroupRef]
+    def newGroup(es: Seq[FileEntry]): GroupRef = {
+      val g = writeGroup(path, es); written += g; g
+    }
+    def newParent(cs: Seq[GroupRef]): GroupRef = {
+      val g = writeParent(path, cs); written += g; g
+    }
     def dropGroupFile(g: GroupRef): Unit = {
       val f = new File(versionsDir(path), g.file)
       groupCache.remove(f.getAbsolutePath)
@@ -498,24 +651,37 @@ object AvroSnapshots {
     }
     var refs = reused.toSeq ++
       (carryover.toSeq ++ fresh).grouped(GroupTargetFiles).toSeq
-        .filter(_.nonEmpty).map(writeGroup(path, _))
-    // bound the version file: coalesce the smallest groups when the
-    // ref list outgrows MaxGroups (Iceberg's commit-time manifest
-    // merge) — each entry is rewritten O(log n) times amortized
+        .filter(_.nonEmpty).map(newGroup)
+    // Bound the version file: when the ref list outgrows MaxGroups,
+    // WRAP the smallest refs into one parent group — O(wrapped refs)
+    // bytes, no entry rewritten, so p99 commit cost is bounded by the
+    // ref fan-out at ANY table size (round-16 #7; round 15's
+    // entry-rewriting merge made p99 grow with file count). Size-sorted
+    // wrapping keeps the tree shallow (a parent's count makes it sort
+    // large, so it is re-wrapped only under even larger siblings —
+    // binomial-heap-style log depth); past MaxGroupDepth the old
+    // entry-level merge runs instead (practically unreachable).
     if (refs.size > MaxGroups) {
       val (small, big) = refs.sortBy(_.count).splitAt(refs.size - MaxGroups / 2)
-      val merged = small.flatMap(g => groupEntries(path, g.file))
-        .grouped(GroupTargetFiles).toSeq.filter(_.nonEmpty)
-        .map(writeGroup(path, _))
-      // a just-written group coalesced straight away is referenced by
-      // no manifest — reclaim it now (prior manifests' groups stay)
-      small.filterNot(reused.contains).foreach(dropGroupFile)
-      refs = big ++ merged
+      if (small.forall(_.depth < MaxGroupDepth)) {
+        refs = big :+ newParent(small)
+      } else {
+        val merged = small.flatMap(g => groupEntries(path, g.file))
+          .grouped(GroupTargetFiles).toSeq.filter(_.nonEmpty).map(newGroup)
+        // a just-written group coalesced straight away is referenced
+        // by no manifest — reclaim it now (prior manifests' refs stay)
+        small.filter(written.contains).foreach(dropGroupFile)
+        refs = big ++ merged
+      }
     }
 
-    val refLines = refs.map(g => s"@${g.file}\t${g.count}\t${g.aggStats}")
+    val refLines = refs.map(refLine)
     val ts = System.currentTimeMillis()
-    val headLine = s"$ts\t$kind\t${parent.getOrElse(-1L)}"
+    // lineage rides the atomically-claimed version file, so the commit
+    // is attributable to its branch even before (or without) the ref
+    // update below — what roll-forward recovery keys on
+    val headLine =
+      s"$ts\t$kind\t${parent.getOrElse(-1L)}\t${branch.getOrElse(MainBranch)}"
     val body = (headLine +: schema.json +: refLines)
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
     try {
@@ -534,8 +700,9 @@ object AvroSnapshots {
         // was derived from a parent that is no longer the head, so
         // re-numbering it would silently drop the winner's files.
         // Clean the group files this attempt wrote (no manifest will
-        // ever reference them), then fail loudly.
-        (refs.toSet -- reused.toSet).foreach(dropGroupFile)
+        // ever reference them; pre-existing children stay), then fail
+        // loudly.
+        written.foreach(dropGroupFile)
         throw new java.util.ConcurrentModificationException(
           s"concurrent commit to $path at version $v — retry the " +
             "operation against the new table state")
@@ -566,9 +733,18 @@ object AvroSnapshots {
         // base read INSIDE the lock: an in-JVM committer landing between
         // a stale read and our commit would otherwise be dropped
         return withCommitLock(path) {
-          val base = head(path, branch).map(_.entries).getOrElse(Nil)
+          val basis = head(path, branch)
+          val base = basis.map(_.entries).getOrElse(Nil)
           val next = base.filterNot(e => addNames(e.name)) ++ added
-          commit(path, schema, next, kind, branch)
+          // read-basis validation on APPENDS too: a cross-JVM winner
+          // landing between our base read and the version claim used
+          // to be caught only when it collided on the same version
+          // number — a stale base slipping PAST the claim silently
+          // dropped the winner's files (round-16: found by the racing-
+          // appender suite once commits got slower). expectedParent
+          // turns every stale base into the CME this loop retries.
+          commit(path, schema, next, kind, branch,
+            expectedParent = basis.map(_.version))
         }
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -605,7 +781,8 @@ object AvroSnapshots {
       val refData = snaps.flatMap(_.files).toSet
       val refDvs = snaps.flatMap(_.dvs.values).toSet
       val refEqs = snaps.flatMap(_.eqs.values.flatten).toSet
-      val refGroups = snaps.flatMap(_.groups.map(_.file)).toSet
+      // TRANSITIVE: a parent group's children are referenced through it
+      val refGroups = groupClosure(path, snaps.flatMap(_.groups))
       def oldEnough(f: File) = now - f.lastModified() >= olderThanMs
       val deadData = AvroDirSource.listAllAvro(path)
         .filter(f => !refData(f.getName) && oldEnough(f))
@@ -639,7 +816,8 @@ object AvroSnapshots {
     val retainedSnaps = retained.flatMap(load(path, _))
     val droppedSnaps = drop.flatMap(load(path, _))
     def filesOf(s: Seq[Snapshot]) = s.flatMap(_.files).toSet
-    def groupsOf(s: Seq[Snapshot]) = s.flatMap(_.groups.map(_.file)).toSet
+    // transitive — parents reference their children
+    def groupsOf(s: Seq[Snapshot]) = groupClosure(path, s.flatMap(_.groups))
     def dvsOf(s: Seq[Snapshot]) = s.flatMap(_.dvs.values).toSet
     def eqsOf(s: Seq[Snapshot]) = s.flatMap(_.eqs.values.flatten).toSet
     val (refFiles, refGroups, refDvs) =

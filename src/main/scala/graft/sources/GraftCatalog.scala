@@ -445,12 +445,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val before = filesNow()
     val q = (catalogName +: ident.namespace.toSeq :+ ident.name)
       .map(p => s"`$p`").mkString(".")
-    // tag the self-overwrite as a REWRITE (dataChange=false): same rows,
-    // new files — streams and the change feed skip the commit
-    AvroDirSource.rewriteInProgress.add(new File(dir.getPath).getAbsolutePath)
+    // tag the self-overwrite as a REWRITE (dataChange=false): same
+    // rows, new files — streams and the change feed skip the commit.
+    // The recorded head version is the rewrite's READ BASIS: the
+    // truncate commit validates it, so a concurrent DML landing
+    // mid-compaction refuses the compaction instead of being undone
+    val abs = new File(dir.getPath).getAbsolutePath
+    val basis = AvroSnapshots
+      .headVersion(dir.getPath, sessionBranch(dir.getPath)).getOrElse(-1L)
+    AvroDirSource.rewriteBasis.get().put(abs, basis)
     try session.sql(s"INSERT OVERWRITE $q SELECT * FROM $q")
-    finally AvroDirSource.rewriteInProgress.remove(
-      new File(dir.getPath).getAbsolutePath)
+    finally AvroDirSource.rewriteBasis.get().remove(abs)
     val after = filesNow()
     (before, after)
   }
