@@ -402,8 +402,16 @@ object AvroSnapshots {
       s"'$MainBranch' is the default branch head, not a taggable name")
     refsDir(path).mkdirs()
     val body = if (isBranch) s"$version\tbranch" else version.toString
-    Files.write(refFile(path, name).toPath,
-      body.getBytes(StandardCharsets.UTF_8))
+    // ATOMIC ref move (write-temp + rename): a plain truncate-write
+    // lets a concurrent reader observe an EMPTY/torn ref mid-update —
+    // under racing writers that read threw and killed whole
+    // operations (round-16 fuzz find under load)
+    val tmp = new File(refsDir(path),
+      s".tmp-${java.util.UUID.randomUUID.toString.take(12)}")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, refFile(path, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
@@ -426,6 +434,7 @@ object AvroSnapshots {
 
   def listRefs(path: String): Map[String, Long] =
     Option(refsDir(path).listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filterNot(_.getName.startsWith(".")) // in-flight atomic-move temps
       .flatMap(f => getRef(path, f.getName).map(f.getName -> _)).toMap
 
   def dropRef(path: String, name: String): Boolean = refFile(path, name).delete()

@@ -122,11 +122,13 @@ class ConcurrentWriterFuzzSuite extends SparkSuiteBase {
         appended.asScala.map(id => id.longValue -> s"a$id")).toMap
     val got = s1.table("ccat.db.t").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got == expected,
-      s"divergence: missing=${(expected.keySet -- got.keySet).take(5)} " +
-        s"extra=${(got.keySet -- expected.keySet).take(5)} " +
-        s"diff=${expected.collect { case (k, v) if got.get(k).exists(_ != v) =>
-          (k, v, got(k)) }.take(5)}")
+    val missing = (expected.keySet -- got.keySet).toSeq.sorted.take(8)
+    val extra = (got.keySet -- expected.keySet).toSeq.sorted.take(8)
+    val valueDiff = expected.collect {
+      case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(8)
+    assert(missing.isEmpty && extra.isEmpty && valueDiff.isEmpty,
+      s"divergence: missing=$missing extra=$extra diff=$valueDiff " +
+        s"(sizes got=${got.size} expected=${expected.size})")
 
     // branch state: seed rows + branch appends, NO main DML leaked
     s1.conf.set("spark.graft.branch", "side")
