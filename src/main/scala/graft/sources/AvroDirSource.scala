@@ -1483,15 +1483,19 @@ class AvroVersionStream(path: String, required: StructType,
       val cur = entriesAt(v)
       val added = cur.keysIterator.filterNot(prev.contains).toSeq.sorted
       val removed = prev.keysIterator.exists(!cur.contains(_))
-      val dvChanged = cur.valuesIterator.exists(e =>
-        prev.get(e.name).exists(_.dv != e.dv))
+      // a row-level change is a dv OR equality-delete change: an
+      // eq-delete commit deletes rows without touching any data file,
+      // and an appends-only stream that silently skipped it would
+      // claim append semantics over a window that removed rows
+      val rowChanged = cur.valuesIterator.exists(e =>
+        prev.get(e.name).exists(p => p.dv != e.dv || p.eq != e.eq))
       val kind = AvroSnapshots.load(path, v).map(_.kind)
         .getOrElse(AvroSnapshots.KindReplace)
       // a rewrite (compaction) reorganizes files without changing rows —
       // dataChange=false — but only a DIRECT window can claim it: across
       // an expired gap other kinds may hide inside
       val rewriteOnly = kind == AvroSnapshots.KindRewrite && base + 1 == v
-      WindowDiff(added, (removed || dvChanged) && !rewriteOnly, rewriteOnly)
+      WindowDiff(added, (removed || rowChanged) && !rewriteOnly, rewriteOnly)
     })
   }
 
@@ -1603,7 +1607,8 @@ class AvroVersionStream(path: String, required: StructType,
         if (!skipChangeVersions) throw new IllegalStateException(
           (if (prevV + 1 == v)
             s"table version $v of $path removed or row-level-changed data " +
-              "file(s) (DELETE/truncate/deletion vector) — not an append."
+              "file(s) (DELETE/truncate/deletion vector/equality delete) — " +
+              "not an append."
           else
             s"versions v${prevV + 1}..v$v of $path (partially expired) net-" +
               "changed data file(s) — not a pure append window.") +

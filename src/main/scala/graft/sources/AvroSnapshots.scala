@@ -133,6 +133,13 @@ object AvroSnapshots {
     * `update_preimage`/`update_postimage` pairs instead of raw
     * delete+insert (Delta CDF's update image types). */
   val KindUpdate = "update"
+  /** An atomic CDC batch application ([[GraftCatalog.applyCdc]]): ONE
+    * equality-delete sidecar covering every batch key plus the upsert
+    * rows' new data files, in ONE commit. The change feed streams it
+    * as row-level delete+insert (a mixed upsert/delete batch has no
+    * sound per-row pre/post pairing without key-level diffing, which
+    * the consumer can do — it has the key). */
+  val KindCdc = "cdc"
 
   /** Max entries per manifest-group file. */
   val GroupTargetFiles = 512

@@ -460,6 +460,159 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (before, after)
   }
 
+  /** Apply one CDC batch ATOMICALLY — the streaming-upsert write shape
+    * (Iceberg v2's equality-delete upsert, Flink's CDC sink): the
+    * source relation carries the table's columns plus `_op` ∈
+    * {'upsert', 'delete'}, and application is
+    *
+    *   1. the upsert rows land as NEW data files written by a
+    *      distributed job — INVISIBLE until committed (no manifest
+    *      references them, exactly the staged-RTAS property);
+    *   2. ONE O(batch-keys) equality-delete sidecar covering EVERY
+    *      batch key (an upsert is delete-then-insert) attaches to
+    *      exactly the pre-existing entries whose recorded [min, max]
+    *      might contain a key — metadata-only stats pruning, ZERO
+    *      data-file reads;
+    *   3. ONE manifest commit publishes both, so a reader sees either
+    *      the whole batch or none of it (a delete-commit-then-
+    *      insert-commit spelling exposes a missing-rows window; the
+    *      reverse exposes duplicate keys).
+    *
+    * The new files never carry the sidecar ref (per-entry attachment =
+    * sequence scoping), so the upserts' new values live while every
+    * old value of a batch key is dead. Keys must be unique per batch
+    * (the standard CDC-batch contract — ops on one key have no
+    * intra-batch order), non-null, and of BIGINT/INT/STRING type.
+    *
+    * 100-TB economics: per batch this is O(upsert rows) write + O(keys)
+    * sidecar bytes + one manifest swap — no read, no shuffle of table
+    * data; the deferred read-side key-probe cost is the same trade the
+    * equality-delete DELETE makes, and compaction materializes it away.
+    * Key collection is O(batch keys) driver memory — batch-sized, like
+    * the IN-list a key DELETE already plans. Returns (version, upserts,
+    * deleted keys). */
+  def applyCdc(ident: Identifier, keyCol: String, sourceSql: String,
+      session: org.apache.spark.sql.SparkSession =
+        org.apache.spark.sql.SparkSession.active): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{col, lower}
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    require(loadEqualityMode(dir),
+      s"${ident.name}: apply_cdc requires delete mode " +
+        "merge-on-read-equality (CALL system.set_delete_mode first)")
+    val schema = DataType.fromJson(new String(
+      Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+    val keyField = schema.fields.find(_.name.equalsIgnoreCase(keyCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"CDC key column $keyCol is not a column of ${ident.name}"))
+    val kind = keyField.dataType match {
+      case LongType | IntegerType => "long"
+      case org.apache.spark.sql.types.StringType => "string"
+      case other => throw new IllegalArgumentException(
+        s"CDC key column ${keyField.name} must be BIGINT/INT/STRING, got $other")
+    }
+    val src = session.sql(sourceSql)
+    val opCol = src.schema.fieldNames.find(_.equalsIgnoreCase("_op"))
+      .getOrElse(throw new IllegalArgumentException(
+        "CDC source must carry an _op column ('upsert' | 'delete')"))
+    val extra = src.schema.fieldNames.filterNot(n =>
+      n.equalsIgnoreCase(opCol) ||
+        schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(extra.isEmpty,
+      s"CDC source columns ${extra.mkString(", ")} are not columns of ${ident.name}")
+    schema.fieldNames.foreach(n => require(
+      src.schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+      s"CDC source is missing table column $n"))
+    // keys + ops: ONE driver-side pass over the batch's key column —
+    // O(batch keys), the same footprint as a key DELETE's IN list
+    val keyed = src.select(col(keyField.name).cast(keyField.dataType),
+      lower(col(opCol))).collect()
+    val keys = keyed.map { r =>
+      val op = r.getString(1)
+      require(op == "upsert" || op == "delete",
+        s"CDC _op must be 'upsert' or 'delete', got '$op'")
+      require(!r.isNullAt(0), "CDC key may not be null")
+      String.valueOf(r.get(0))
+    }
+    require(keys.distinct.length == keys.length,
+      "CDC batch carries duplicate keys — ops on one key have no " +
+        "intra-batch order; deduplicate upstream (keep the last op)")
+    val nUpserts = keyed.count(_.getString(1) == "upsert").toLong
+    // distributed upsert write: new files are invisible (no manifest
+    // references them) until the single commit below publishes them
+    val ordered = src.where(lower(col(opCol)) === "upsert")
+      .select(schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+    val jobId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val dirPath = dir.getPath
+    val schemaJson = schema.json
+    val written: Array[(String, Option[String])] =
+      try {
+        ordered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+            val w = new AvroFileWriter(
+              new File(dirPath, f"part-$jobId-$pid%05d-cdc.avro"), sch)
+            var ok = false
+            try { it.foreach(w.write); ok = true }
+            finally if (!ok) w.abort()
+            w.commit() match {
+              case AvroCommit(f, _, st) => Iterator((new File(f).getName, st))
+              case other => throw new IllegalStateException(s"unexpected $other")
+            }
+          }
+        }.collect()
+      } catch {
+        case e: Throwable =>
+          // failed job: reclaim this job's partials — nothing references
+          // them, so the table is untouched (the apply is all-or-nothing)
+          AvroDirSource.listAllAvro(dirPath)
+            .filter(_.getName.contains(jobId)).foreach(_.delete())
+          throw e
+      }
+    def resolve(st: Map[String, AvroStats.ColStats])(
+        a: String): Option[AvroStats.ColStats] =
+      schema.fields.find(_.name.equalsIgnoreCase(a)).flatMap { fld =>
+        (fld.name +: AvroDirSource.aliasesOf(fld)).iterator
+          .flatMap(st.get).nextOption()
+          .map(AvroStats.coerce(_, fld.dataType))
+      }
+    AvroSnapshots.withCommitLock(dirPath) {
+      val branch = sessionBranch(dirPath)
+      val prev = AvroSnapshots.head(dirPath, branch)
+      val entries = prev.map(_.entries).getOrElse(Nil)
+      val attached =
+        if (keys.isEmpty) entries
+        else {
+          val lits: Array[Any] =
+            if (kind == "long") keys.map(k => Long.box(k.toLong)).toArray[Any]
+            else keys.toArray[Any]
+          val inF = org.apache.spark.sql.sources.In(keyField.name, lits)
+          val touched = entries.filter { e =>
+            val st = e.stats.map(AvroStats.parse)
+              .getOrElse(Map.empty[String, AvroStats.ColStats])
+            AvroStats.fileMightMatch(Seq(inF), e.name, resolve(st))
+          }.map(_.name).toSet
+          if (touched.isEmpty) entries
+          else {
+            val eqName = EqualityDeletes.write(
+              dirPath, keyField.name, kind, keys.toSeq)
+            entries.map(e =>
+              if (touched(e.name)) e.copy(eq = e.eq :+ eqName) else e)
+          }
+        }
+      val newEntries = written.map { case (n, st) =>
+        AvroSnapshots.FileEntry(n, None, 0, st, None)
+      }
+      val v = AvroSnapshots.commit(dirPath, schema,
+        (attached ++ newEntries).sortBy(_.name), AvroSnapshots.KindCdc,
+        branch, expectedParent = prev.map(_.version))
+      (v, nUpserts, keys.length.toLong - nUpserts)
+    }
+  }
+
   /** Current MAIN head version of a catalog table (branch commits do
     * not move it once branching has begun). */
   def currentVersion(ident: Identifier): Long = {

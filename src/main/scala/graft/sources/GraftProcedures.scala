@@ -70,7 +70,7 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("rollback", "expire_snapshots", "compact", "tag", "set_sort_order",
       "set_delete_mode", "create_branch", "fast_forward", "evolve_partition",
-      "remove_orphan_files", "create_view", "drop_view")
+      "remove_orphan_files", "create_view", "drop_view", "apply_cdc")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -155,6 +155,20 @@ object GraftProcedures {
             Array.empty, Array.empty, Array.empty,
             java.util.Collections.emptyMap()))
           Seq(UTF8String.fromString(ident.toString))
+        }))
+      // atomic CDC batch application (equality-delete upsert): the
+      // source SQL's rows (table columns + _op ∈ upsert|delete) land
+      // as ONE commit — new data files + one O(keys) eq sidecar
+      case "apply_cdc" => Some(new GraftProcedure(catalog, "apply_cdc",
+        Seq("table" -> StringType, "key_column" -> StringType,
+          "source_sql" -> StringType),
+        StructType(Seq(StructField("version", LongType, nullable = false),
+          StructField("upserts", LongType, nullable = false),
+          StructField("deletes", LongType, nullable = false))),
+        (c, in) => {
+          val (v, up, del) = c.applyCdc(tableIdent(str(in, 0)), str(in, 1),
+            str(in, 2), org.apache.spark.sql.SparkSession.active)
+          Seq(Long.box(v), Long.box(up), Long.box(del))
         }))
       case "drop_view" => Some(new GraftProcedure(catalog, "drop_view",
         Seq("view" -> StringType),
