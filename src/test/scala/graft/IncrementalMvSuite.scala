@@ -1,0 +1,127 @@
+package graft
+
+import graft.sources.GraftCatalog
+
+/** Incremental materialized-view maintenance over the change feed: an
+  * aggregate MV stays exact by MERGE-folding each refresh window's
+  * row-level changes (signed by change type), never re-reading the
+  * base. Covered DML kinds: append, MOR UPDATE (pre/post images), dv
+  * DELETE, COW delete, equality/CDC apply, full-group delete,
+  * compaction (must contribute NOTHING), and the no-change no-op.
+  */
+class IncrementalMvSuite extends SparkSuiteBase {
+
+  private lazy val wh = {
+    val d = java.nio.file.Files.createTempDirectory("graft_imv_test")
+    spark.conf.set("spark.sql.catalog.mvcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mvcat.warehouse", d.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mvcat.db")
+    d.toString
+  }
+  private def cat: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("mvcat")
+      .asInstanceOf[GraftCatalog]
+  private def ident(t: String) =
+    org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), t)
+
+  /** Build base table `t` (g BIGINT group, x BIGINT measure) + MV
+    * `t_mv`, materialized at the returned watermark. */
+  private def mk(t: String, rows: Int): Long = {
+    wh
+    spark.sql(s"DROP TABLE IF EXISTS mvcat.db.$t")
+    spark.sql(s"DROP TABLE IF EXISTS mvcat.db.${t}_mv")
+    spark.sql(s"CREATE TABLE mvcat.db.$t (k BIGINT, g BIGINT, x BIGINT)")
+    spark.sql(s"INSERT INTO mvcat.db.$t SELECT id, id % 5, id * 7 FROM range($rows)")
+    spark.sql(s"CREATE TABLE mvcat.db.${t}_mv (g BIGINT, n BIGINT, sx BIGINT)")
+    val w = cat.currentVersion(ident(t))
+    spark.sql(s"""INSERT INTO mvcat.db.${t}_mv
+                 |SELECT g, COUNT(*), SUM(x)
+                 |FROM mvcat.db.$t VERSION AS OF $w GROUP BY g""".stripMargin)
+    w
+  }
+
+  /** One incremental refresh of `t_mv` over (from, head]; returns the
+    * new watermark. */
+  private def refresh(t: String, from: Long): Long = {
+    val head = cat.currentVersion(ident(t))
+    if (head == from) return from
+    spark.read.option("startingVersion", from).option("endingVersion", head)
+      .table(s"mvcat.db.$t.changes")
+      .createOrReplaceTempView(s"graft_imv_ch_$t")
+    spark.sql(s"""MERGE INTO mvcat.db.${t}_mv m
+                 |USING (
+                 |  SELECT g,
+                 |    SUM(CASE WHEN _change_type IN ('insert', 'update_postimage')
+                 |        THEN 1L ELSE -1L END) AS dn,
+                 |    SUM(CASE WHEN _change_type IN ('insert', 'update_postimage')
+                 |        THEN x ELSE -x END) AS dx
+                 |  FROM graft_imv_ch_$t GROUP BY g) d
+                 |ON m.g = d.g
+                 |WHEN MATCHED AND m.n + d.dn = 0L THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET n = m.n + d.dn, sx = m.sx + d.dx
+                 |WHEN NOT MATCHED THEN INSERT (g, n, sx) VALUES (d.g, d.dn, d.dx)""".stripMargin)
+    head
+  }
+
+  private def assertMvExact(t: String): Unit = {
+    val mv = spark.sql(s"SELECT g, n, sx FROM mvcat.db.${t}_mv ORDER BY g")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val re = spark.sql(
+      s"SELECT g, COUNT(*), SUM(x) FROM mvcat.db.$t GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mv == re, s"MV drifted from recompute:\n  mv=$mv\n  re=$re")
+  }
+
+  test("append / COW delete / full-group delete fold exactly") {
+    var w = mk("m1", 500)
+    spark.sql("INSERT INTO mvcat.db.m1 SELECT id, id % 5, id * 7 FROM range(500, 700)")
+    w = refresh("m1", w); assertMvExact("m1")
+    spark.sql("DELETE FROM mvcat.db.m1 WHERE k % 3 = 0 AND g = 1") // COW partial
+    w = refresh("m1", w); assertMvExact("m1")
+    spark.sql("DELETE FROM mvcat.db.m1 WHERE g = 4") // full group
+    w = refresh("m1", w); assertMvExact("m1")
+    assert(spark.sql("SELECT COUNT(*) FROM mvcat.db.m1_mv WHERE g = 4")
+      .collect().head.getLong(0) == 0, "emptied group must leave the MV")
+  }
+
+  test("MOR update streams pre/post images and the fold nets the difference") {
+    var w = mk("m2", 300)
+    spark.sql("CALL mvcat.system.set_delete_mode('db.m2', 'merge-on-read')")
+    spark.sql("UPDATE mvcat.db.m2 SET x = x + 1000 WHERE g = 2")
+    w = refresh("m2", w); assertMvExact("m2")
+    // counts unchanged, only the measure moved
+    assert(spark.sql("SELECT n FROM mvcat.db.m2_mv WHERE g = 2")
+      .collect().head.getLong(0) == 60)
+    spark.sql("DELETE FROM mvcat.db.m2 WHERE k < 50") // dv delete
+    w = refresh("m2", w); assertMvExact("m2")
+  }
+
+  test("a CDC apply batch (equality upsert) folds through the MV refresh") {
+    var w = mk("m3", 200)
+    spark.sql("CALL mvcat.system.set_delete_mode('db.m3', 'merge-on-read-equality')")
+    // upsert keys 0..9 into group 9 with x=1, delete keys 100..104
+    spark.sql("""CALL mvcat.system.apply_cdc('db.m3', 'k',
+      | 'SELECT id AS k, CAST(9 AS BIGINT) AS g, CAST(1 AS BIGINT) AS x,
+      |    ''upsert'' AS _op FROM range(10)
+      |  UNION ALL SELECT 100 + id, NULL, NULL, ''delete'' FROM range(5)')""".stripMargin)
+    w = refresh("m3", w); assertMvExact("m3")
+    // the upserts moved rows ACROSS groups (old g=k%5 rows died, new
+    // g=9 rows live) and created a brand-new MV group
+    assert(spark.sql("SELECT n, sx FROM mvcat.db.m3_mv WHERE g = 9")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 10L)))
+  }
+
+  test("compaction contributes nothing; empty window is a no-op") {
+    var w = mk("m4", 100)
+    spark.sql("DELETE FROM mvcat.db.m4 WHERE k = 1")
+    w = refresh("m4", w); assertMvExact("m4")
+    val mvV = cat.currentVersion(ident("m4_mv"))
+    spark.sql("CALL mvcat.system.compact('db.m4')") // kind=rewrite
+    val w2 = refresh("m4", w)
+    assert(w2 > w, "compaction does advance the base version")
+    assertMvExact("m4") // ...but the CDF window is empty, so the MV is unchanged
+    val w3 = refresh("m4", w2)
+    assert(w3 == w2, "no-change refresh must not advance")
+    assert(cat.currentVersion(ident("m4_mv")) >= mvV) // MERGE of empty delta is allowed
+  }
+}
