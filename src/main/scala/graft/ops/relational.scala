@@ -1291,6 +1291,54 @@ object Relational {
             |ORDER BY phase, n""".stripMargin)
   }
 
+  /** PER-FILE BLOOM FILTERS for point-lookup pruning (round 16 —
+    * Parquet column blooms / Iceberg puffin blobs): on an UNSORTED
+    * high-cardinality column every file's [min, max] spans the whole
+    * domain, so `col = v` scans the table; with
+    * `CALL system.set_bloom_filter('ns.t', 'col')` every write records
+    * a `_bloom/<dataFile>.bf` sidecar (scalable 32 KiB half-full
+    * blocks, k=4, bit-flip-gated growth ⇒ per-block FPP ≤ 6% at ANY
+    * file size) and `=`/`IN` lookups prune every file whose bloom
+    * proves absence — after min/max pruning, so only admitted files
+    * pay the cached sidecar probe. The sidecar rides the data file's
+    * NAME (immutable files ⇒ no manifest change; files without
+    * sidecars never prune — sound), is reclaimed with its file by
+    * expiry/orphan cleanup, and the same probe prunes DELETE
+    * candidates and CDC eq-attachment. Scored flow: 4 inserts of
+    * md5-keyed rows (every file's hex bounds span [0,f] — stats
+    * CANNOT prune, suite-asserted), point lookups incl. a miss and an
+    * IN probe, each planning ≤1 split (suite); at 100 TB this is the
+    * needle-in-haystack lookup going from a corpus scan to one file. */
+  private def catalogPointLookup(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "orders").createOrReplaceTempView("graft_blm_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_blm")
+    s.sql("""CREATE TABLE graftcat.lake.orders_blm
+            |(o_orderkey BIGINT, h STRING, o_totalprice DOUBLE)""".stripMargin)
+    s.sql("CALL graftcat.system.set_bloom_filter('lake.orders_blm', 'h')")
+    // four slices → four files; h = md5(key) is uniform hex, so every
+    // file's recorded string bounds span ~[0, f] and min/max pruning
+    // is structurally useless — exactly the bloom's territory
+    for (i <- 0 until 4)
+      s.sql(s"""INSERT INTO graftcat.lake.orders_blm
+               |SELECT o_orderkey, md5(CAST(o_orderkey AS STRING)), o_totalprice
+               |FROM graft_blm_src WHERE o_orderkey % 4 = $i""".stripMargin)
+    s.sql("""SELECT 'hit' AS phase, o_orderkey AS k, h, o_totalprice AS val
+            |FROM graftcat.lake.orders_blm WHERE h = md5('7')
+            |UNION ALL
+            |SELECT 'in3', o_orderkey, h, o_totalprice
+            |FROM graftcat.lake.orders_blm
+            |WHERE h IN (md5('32'), md5('33'), md5('34'))
+            |UNION ALL
+            |SELECT 'miss', COUNT(*), 'x', -1.0
+            |FROM graftcat.lake.orders_blm WHERE h = md5('no-such-key')
+            |UNION ALL
+            |SELECT 'key_probe', o_orderkey, h, o_totalprice
+            |FROM graftcat.lake.orders_blm WHERE o_orderkey = 1
+            |ORDER BY phase, k""".stripMargin)
+  }
+
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE over the change feed —
     * what the CDF exists FOR (Delta's incremental MV / Materialize's
     * delta-query shape): an aggregate MV over a versioned base table
@@ -1562,6 +1610,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_point_lookup" -> (catalogPointLookup _),
     "catalog_incremental_mv" -> (catalogIncrementalMv _),
     "catalog_cdc_apply" -> (catalogCdcApply _),
     "catalog_views" -> (catalogViews _),
@@ -1623,6 +1672,20 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_point_lookup" ->
+      """SELECT 'hit' AS phase, o_orderkey AS k,
+        |  md5(CAST(o_orderkey AS VARCHAR)) AS h, o_totalprice AS val
+        |FROM orders WHERE o_orderkey = 7
+        |UNION ALL
+        |SELECT 'in3', o_orderkey, md5(CAST(o_orderkey AS VARCHAR)), o_totalprice
+        |FROM orders WHERE o_orderkey IN (32, 33, 34)
+        |UNION ALL
+        |SELECT 'miss', 0, 'x', -1.0
+        |UNION ALL
+        |SELECT 'key_probe', o_orderkey, md5(CAST(o_orderkey AS VARCHAR)),
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey = 1
+        |ORDER BY phase, k""".stripMargin,
     "catalog_incremental_mv" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderpriority,

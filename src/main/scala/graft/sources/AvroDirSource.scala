@@ -362,6 +362,13 @@ class AvroDirTable(path: String, tableSchema: StructType,
         .map(AvroStats.coerce(_, fld.dataType))
     }
 
+  /** Candidate recorded names of a column for bloom-sidecar probes —
+    * the same rename-alias chain the stats resolution follows. */
+  private def bloomNames(a: String): Seq[String] =
+    tableSchema.fields.find(_.name.equalsIgnoreCase(a))
+      .map(fld => (fld.name +: AvroDirSource.aliasesOf(fld)).toSeq)
+      .getOrElse(Seq(a))
+
   // ---- metadata columns + row-level operations (UPDATE / MERGE) ----
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
@@ -461,10 +468,18 @@ class AvroDirTable(path: String, tableSchema: StructType,
               AvroStats.groupMightMatch(pushed.toSeq, resolveStats(hull))
             }.flatMap(g => AvroSnapshots.groupEntries(path, g.file))
           if (pushed.isEmpty) admitted
-          else admitted.filter { e =>
-            val st = e.stats.map(AvroStats.parse)
-              .getOrElse(Map.empty[String, AvroStats.ColStats])
-            AvroStats.fileMightMatch(pushed.toSeq, e.name, resolveStats(st))
+          else {
+            val statsKept = admitted.filter { e =>
+              val st = e.stats.map(AvroStats.parse)
+                .getOrElse(Map.empty[String, AvroStats.ColStats])
+              AvroStats.fileMightMatch(pushed.toSeq, e.name, resolveStats(st))
+            }
+            // bloom point-lookup pruning: only stats-admitted files pay
+            // the (cached) sidecar probe; tables without sidecars skip
+            // the whole pass on one directory check
+            if (!BloomFilters.anySidecars(path)) statsKept
+            else statsKept.filter(e => BloomFilters.fileMightMatch(
+              path, e.name, pushed.toSeq, bloomNames))
           }
         case None => AvroDirSource.listFiles(path)
           .map(f => AvroSnapshots.FileEntry(f.getName))
@@ -840,10 +855,13 @@ class AvroDirTable(path: String, tableSchema: StructType,
                 if (kind == "long") keys.map(k => Long.box(k.toLong)).toArray
                 else keys.toArray[Any]
               val inF = org.apache.spark.sql.sources.In(col, lits)
+              val probeBloom = BloomFilters.anySidecars(path)
               val touched = entries.filter { e =>
                 val st = e.stats.map(AvroStats.parse)
                   .getOrElse(Map.empty[String, AvroStats.ColStats])
-                AvroStats.fileMightMatch(Seq(inF), e.name, resolveStats(st))
+                AvroStats.fileMightMatch(Seq(inF), e.name, resolveStats(st)) &&
+                (!probeBloom || BloomFilters.fileMightMatch(
+                  path, e.name, Seq(inF), bloomNames))
               }.map(_.name).toSet
               if (touched.isEmpty) entries
               else {
@@ -863,10 +881,13 @@ class AvroDirTable(path: String, tableSchema: StructType,
           // carried into the next manifest UNREAD. At 100 TB this is
           // what makes a one-key DELETE cost O(matching files), not a
           // full-table read; files without stats stay candidates.
+          val probeBloom = BloomFilters.anySidecars(path)
           val (candidates, skipped) = entries.partition { e =>
             val st = e.stats.map(AvroStats.parse)
               .getOrElse(Map.empty[String, AvroStats.ColStats])
-            AvroStats.fileMightMatch(filters.toSeq, e.name, resolveStats(st))
+            AvroStats.fileMightMatch(filters.toSeq, e.name, resolveStats(st)) &&
+            (!probeBloom || BloomFilters.fileMightMatch(
+              path, e.name, filters.toSeq, bloomNames))
           }
           val dirPath = path
           val next: Seq[AvroSnapshots.FileEntry] =
@@ -1318,6 +1339,9 @@ class AvroFileWriter(file: File, schema: StructType)
     extends DataWriter[InternalRow] {
   private val avroSchema = AvroDirSource.toAvroSchema(schema, "graft_row")
   private val stats = new AvroStats.StatsCollector(schema)
+  // per-file bloom sidecar for the table's opted-in lookup columns
+  // (null when none — the hot path pays one null check per field)
+  private val bloom = BloomFilters.builderFor(file, schema)
   private val writer = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](avroSchema))
@@ -1365,15 +1389,20 @@ class AvroFileWriter(file: File, schema: StructType)
         }
       rec.put(i, v)
       stats.update(i, v)
+      if (bloom != null) bloom.update(i, v)
       i += 1
     }
     stats.countRow()
     writer.append(rec)
   }
   override def commit(): WriterCommitMessage = {
-    writer.close(); AvroCommit(file.getAbsolutePath, None, Some(stats.toJson))
+    writer.close()
+    if (bloom != null) BloomFilters.write(file, bloom)
+    AvroCommit(file.getAbsolutePath, None, Some(stats.toJson))
   }
-  override def abort(): Unit = { writer.close(); file.delete(); () }
+  override def abort(): Unit = {
+    writer.close(); file.delete(); BloomFilters.delete(file); ()
+  }
   override def close(): Unit = ()
 }
 

@@ -814,11 +814,21 @@ object AvroSnapshots {
         .map(_.toSeq).getOrElse(Nil)
         .filter(f => f.getName.endsWith(".grp") &&
           !refGroups(f.getName) && oldEnough(f))
+      // bloom sidecars ride their data file's NAME: one is dead exactly
+      // when no retained version references that data file
+      val deadBlooms = Option(new File(path, "_bloom").listFiles())
+        .map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.getName.endsWith(".bf") &&
+          !refData(f.getName.stripSuffix(".bf")) && oldEnough(f))
       val names = deadData.map(_.getName) ++
         deadDvs.map("_dv/" + _.getName) ++ deadEqs.map("_eq/" + _.getName) ++
-        deadGroups.map(_.getName)
+        deadGroups.map(_.getName) ++ deadBlooms.map("_bloom/" + _.getName)
       deadGroups.foreach(f => groupCache.remove(f.getAbsolutePath))
-      (deadData ++ deadDvs ++ deadEqs ++ deadGroups).foreach(_.delete())
+      (deadData ++ deadDvs ++ deadEqs ++ deadGroups ++ deadBlooms)
+        .foreach(_.delete())
+      // a data file deleted here orphans its sidecar next pass; reap now
+      deadData.foreach(f =>
+        new File(new File(path, "_bloom"), f.getName + ".bf").delete())
       names.sorted
     }
 
@@ -850,7 +860,11 @@ object AvroSnapshots {
     }
     deadDvs.foreach(d => new File(path, d).delete())
     deadEqs.foreach(d => new File(path, d).delete())
-    deadData.foreach(n => new File(path, n).delete())
+    deadData.foreach { n =>
+      new File(path, n).delete()
+      // the bloom sidecar lives and dies with its data file
+      new File(new File(path, "_bloom"), s"$n.bf").delete()
+    }
     deadData
   }
 }

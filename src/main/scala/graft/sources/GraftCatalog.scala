@@ -285,6 +285,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     ()
   }
 
+  /** Enable per-file BLOOM FILTERS on the named lookup columns
+    * (comma-separated; BIGINT/INT/STRING). Future writes record a
+    * `_bloom/<dataFile>.bf` sidecar; point lookups (`col = v` /
+    * `col IN (...)`) then prune files min/max stats cannot (unsorted
+    * high-cardinality columns). Existing files simply lack sidecars
+    * and never prune — run compact to backfill. Empty string disables
+    * (existing sidecars keep pruning until their files rewrite). */
+  def setBloomFilter(ident: Identifier, columns: String): Unit = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val cols = columns.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (cols.isEmpty) {
+      new File(dir, BloomFilters.ColsFile).delete()
+      return
+    }
+    val schema = DataType.fromJson(new String(
+      Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+    val canonical = cols.map { c =>
+      val fld = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloom column $c is not a column of ${ident.name}"))
+      require(fld.dataType == LongType || fld.dataType == IntegerType ||
+        fld.dataType == DataTypes.StringType,
+        s"bloom column ${fld.name} must be BIGINT/INT/STRING, got ${fld.dataType}")
+      fld.name
+    }
+    BloomFilters.setColumns(dir.getPath, canonical)
+  }
+
   // ---- tables ----
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
@@ -590,10 +620,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             if (kind == "long") keys.map(k => Long.box(k.toLong)).toArray[Any]
             else keys.toArray[Any]
           val inF = org.apache.spark.sql.sources.In(keyField.name, lits)
+          val probeBloom = BloomFilters.anySidecars(dirPath)
+          val keyNames = (keyField.name +:
+            AvroDirSource.aliasesOf(keyField)).toSeq
           val touched = entries.filter { e =>
             val st = e.stats.map(AvroStats.parse)
               .getOrElse(Map.empty[String, AvroStats.ColStats])
-            AvroStats.fileMightMatch(Seq(inF), e.name, resolve(st))
+            AvroStats.fileMightMatch(Seq(inF), e.name, resolve(st)) &&
+            (!probeBloom || BloomFilters.fileMightMatch(
+              dirPath, e.name, Seq(inF), _ => keyNames))
           }.map(_.name).toSet
           if (touched.isEmpty) entries
           else {

@@ -70,7 +70,8 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("rollback", "expire_snapshots", "compact", "tag", "set_sort_order",
       "set_delete_mode", "create_branch", "fast_forward", "evolve_partition",
-      "remove_orphan_files", "create_view", "drop_view", "apply_cdc")
+      "remove_orphan_files", "create_view", "drop_view", "apply_cdc",
+      "set_bloom_filter")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -155,6 +156,17 @@ object GraftProcedures {
             Array.empty, Array.empty, Array.empty,
             java.util.Collections.emptyMap()))
           Seq(UTF8String.fromString(ident.toString))
+        }))
+      // per-file bloom filters on the named lookup columns — point
+      // lookups then prune files min/max stats cannot (unsorted
+      // high-cardinality columns); '' disables
+      case "set_bloom_filter" => Some(new GraftProcedure(catalog,
+        "set_bloom_filter",
+        Seq("table" -> StringType, "columns" -> StringType),
+        StructType(Seq(StructField("bloom_columns", StringType, nullable = false))),
+        (c, in) => {
+          c.setBloomFilter(tableIdent(str(in, 0)), str(in, 1))
+          Seq(UTF8String.fromString(str(in, 1)))
         }))
       // atomic CDC batch application (equality-delete upsert): the
       // source SQL's rows (table columns + _op ∈ upsert|delete) land

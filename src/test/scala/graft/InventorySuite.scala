@@ -94,7 +94,7 @@ class InventorySuite extends SparkSuiteBase {
     "catalog_partition_evolution", "catalog_update_mor", "catalog_metadata_tables",
     "catalog_typed_columns", "catalog_delete_equality",
     "catalog_rtas", "catalog_views", "catalog_cdc_apply",
-    "catalog_incremental_mv",
+    "catalog_incremental_mv", "catalog_point_lookup",
     "sql_execute_immediate", "sql_session_variable",
     // bucketed-by-write joins: the build writes both bucketed tables
     "join_bucketed_colocated", "join_storage_partitioned",
