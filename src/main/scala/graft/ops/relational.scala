@@ -1352,12 +1352,14 @@ object Relational {
     * manifest diff — vs O(table) for a recompute: at 100 TB that is
     * the difference between folding a day's changes and re-scanning
     * the corpus. Measures fold in DECIMAL so increments are exact (a
-    * double fold would drift hash-comparison). The watermark is the
-    * base version the MV reflects, advanced after each MERGE
-    * (orchestrator-held here, the standard incremental-job pattern;
-    * exactly-once across a crash between MERGE and watermark-store
-    * needs the watermark written WITH the MV commit — Delta's txn ids;
-    * design note in SCALING.md). Scored flow: materialize from a
+    * double fold would drift hash-comparison). EXACTLY-ONCE: the
+    * watermark (the base version the MV reflects) is stamped as a
+    * COMMIT PROPERTY on the MERGE's own commit
+    * (`spark.graft.commit.properties` — Delta's txn-id seam), so a
+    * crash between "apply delta" and "store watermark" cannot exist;
+    * each refresh re-derives its window from the MV's OWN lineage
+    * (`lastCommitProperty`), making a replayed refresh a provable
+    * no-op. Scored flow: materialize from a
     * pinned version, three DML rounds (append + MOR UPDATE with
     * pre/post images; dv DELETE; a full-group delete that must REMOVE
     * its MV row), refresh after each (plus a no-change no-op refresh),
@@ -1379,18 +1381,33 @@ object Relational {
             |(priority STRING, n BIGINT, total DECIMAL(18,2))""".stripMargin)
     val cat = graftcatInstance(s)
     val ident = lakeIdent("orders_imv")
+    val mvIdent = lakeIdent("mv_prio")
+    val WmKey = "graft.mv.watermark"
+    /** Run `body` with `props` stamped on every commit it makes. */
+    def stamped(props: String)(body: => Unit): Unit = {
+      s.conf.set("spark.graft.commit.properties", props)
+      try body finally s.conf.unset("spark.graft.commit.properties")
+    }
     // materialize FROM the watermark version — the MV reflects exactly
-    // this base state, so the first refresh window starts here
-    var watermark = cat.currentVersion(ident)
-    s.sql(s"""INSERT INTO graftcat.lake.mv_prio
-             |SELECT o_orderpriority, COUNT(*),
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             |FROM graftcat.lake.orders_imv VERSION AS OF $watermark
-             |GROUP BY o_orderpriority""".stripMargin)
+    // this base state, and the watermark rides the materialization's
+    // own commit (atomic: the MV can never exist without one)
+    val w0 = cat.currentVersion(ident)
+    stamped(s"$WmKey=$w0") {
+      s.sql(s"""INSERT INTO graftcat.lake.mv_prio
+               |SELECT o_orderpriority, COUNT(*),
+               |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               |FROM graftcat.lake.orders_imv VERSION AS OF $w0
+               |GROUP BY o_orderpriority""".stripMargin)
+      ()
+    }
     var refreshes = 0
     def refresh(): Unit = {
+      // the refresh window derives from the MV's OWN lineage — replay-
+      // safe: a re-run after any crash sees the stored watermark
+      val watermark = cat.lastCommitProperty(mvIdent, WmKey).map(_.toLong)
+        .getOrElse(throw new IllegalStateException("MV has no watermark"))
       val head = cat.currentVersion(ident)
-      if (head > watermark) {
+      if (head > watermark) stamped(s"$WmKey=$head") {
         s.read.option("startingVersion", watermark)
           .option("endingVersion", head)
           .table("graftcat.lake.orders_imv.changes")
@@ -1411,7 +1428,6 @@ object Relational {
                 |  n = m.n + d.dn, total = CAST(m.total + d.dt AS DECIMAL(18,2))
                 |WHEN NOT MATCHED THEN INSERT (priority, n, total)
                 |  VALUES (d.priority, d.dn, d.dt)""".stripMargin)
-        watermark = head
         refreshes += 1
       }
     }

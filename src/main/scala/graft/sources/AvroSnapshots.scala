@@ -99,7 +99,8 @@ object AvroSnapshots {
   case class Snapshot(version: Long, timestampMs: Long,
       schema: StructType, kind: String, parent: Long,
       groups: Seq[GroupRef], inline: Seq[FileEntry], path: String,
-      lineage: String = MainBranch) {
+      lineage: String = MainBranch,
+      props: Map[String, String] = Map.empty) {
     lazy val entries: Seq[FileEntry] =
       inline ++ groups.flatMap(g => groupEntries(path, g.file))
     lazy val byName: Map[String, FileEntry] =
@@ -333,7 +334,7 @@ object AvroSnapshots {
     else {
       val lines = new String(Files.readAllBytes(f.toPath),
         StandardCharsets.UTF_8).split("\n", -1).toSeq
-      val head = lines.head.split("\t", 4)
+      val head = lines.head.split("\t", 5)
       val ts = head(0).toLong
       val kind = head.lift(1).filter(_.nonEmpty).getOrElse(KindReplace)
       val parent = head.lift(2).flatMap(_.toLongOption).getOrElse(v - 1)
@@ -342,6 +343,8 @@ object AvroSnapshots {
       // head resolution never depends on the separately-written ref
       // file having caught up; absent (pre-round-16) ⇒ main
       val lineage = head.lift(3).filter(_.nonEmpty).getOrElse(MainBranch)
+      val props = head.lift(4).filter(_.nonEmpty)
+        .map(parseProps).getOrElse(Map.empty[String, String])
       val body = lines.drop(2).filter(_.nonEmpty)
       // `@group \t count \t aggStats [\t depth]` vs a legacy inline
       // entry line — data-file names never start with '@'
@@ -349,7 +352,8 @@ object AvroSnapshots {
       val groups = groupLines.map(parseRefLine)
       Some(Snapshot(v, ts,
         DataType.fromJson(lines(1)).asInstanceOf[StructType],
-        kind, parent, groups, inlineLines.map(parseEntry), path, lineage))
+        kind, parent, groups, inlineLines.map(parseEntry), path, lineage,
+        props))
     }
   }
 
@@ -357,6 +361,70 @@ object AvroSnapshots {
     * global sequence (version numbers are unique across branches). */
   def latest(path: String): Option[Snapshot] =
     versions(path).lastOption.flatMap(load(path, _))
+
+  // ---- commit properties (Delta's commitInfo userMetadata / txn ids) ----
+  //
+  // Arbitrary key→value pairs recorded ATOMICALLY with a commit, in the
+  // version file's header line. The transactional seam consumers build
+  // exactly-once on: an incremental-MV refresh stamps the base-table
+  // watermark on the SAME commit as its MERGE, so a crash between
+  // "apply delta" and "store watermark" cannot exist — replaying the
+  // refresh reads the stored watermark and sees an empty window.
+  // Session surface: set `spark.graft.commit.properties` to
+  // `k=v;k2=v2` (URL-encoded as needed) and every commit on this
+  // session thread carries the pairs until the conf is cleared.
+
+  val CommitPropsConf = "spark.graft.commit.properties"
+
+  private def encodeProps(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+        java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString(";")
+
+  private[sources] def parseProps(s: String): Map[String, String] =
+    s.split(";").iterator.filter(_.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          try Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8"))
+          catch { case _: Exception => Some(k -> v) }
+        case _ => None
+      }
+    }.toMap
+
+  private def sessionProps(): Map[String, String] =
+    try {
+      Option(org.apache.spark.sql.SparkSession.active)
+        .flatMap(_.conf.getOption(CommitPropsConf)).filter(_.nonEmpty)
+        .map(parseProps).getOrElse(Map.empty)
+    } catch { case _: Exception => Map.empty }
+
+  /** Newest value of commit property `key` on the branch's lineage
+    * (walking parents from the head; expired chain members are stepped
+    * over via the durable lineage log). O(versions since the property
+    * was last stamped) header reads — for a periodically-refreshed MV
+    * that is O(commits per refresh interval), not O(history). */
+  def lastProp(path: String, key: String,
+      branch: Option[String] = None): Option[String] = {
+    val lin = lineage(path)
+    var cur = headVersion(path, branch).getOrElse(-1L)
+    var guard = 0
+    while (cur >= 0 && guard < 1000000) {
+      load(path, cur) match {
+        case Some(sn) =>
+          sn.props.get(key) match {
+            case s @ Some(_) => return s
+            case None        => cur = if (sn.parent < cur) sn.parent else -1L
+          }
+        case None =>
+          val p = lin.get(cur).map(_._1).getOrElse(-1L)
+          cur = if (p < cur) p else -1L
+      }
+      guard += 1
+    }
+    None
+  }
 
   /** Latest MAIN-lineage snapshot committed at or before `tsMs`
     * (TIMESTAMP AS OF). Once branching has begun, the walk follows
@@ -460,7 +528,7 @@ object AvroSnapshots {
         else {
           val first = new String(Files.readAllBytes(f.toPath),
             StandardCharsets.UTF_8).takeWhile(_ != '\n')
-          val h = first.split("\t", 4)
+          val h = first.split("\t", 5)
           Some((h.lift(2).flatMap(_.toLongOption).getOrElse(v - 1),
             h.lift(3).filter(_.nonEmpty).getOrElse(MainBranch)))
         }
@@ -695,9 +763,13 @@ object AvroSnapshots {
     val ts = System.currentTimeMillis()
     // lineage rides the atomically-claimed version file, so the commit
     // is attributable to its branch even before (or without) the ref
-    // update below — what roll-forward recovery keys on
+    // update below — what roll-forward recovery keys on. Commit
+    // properties (session conf) ride the same line: atomic with the
+    // commit or not at all.
+    val props = sessionProps()
     val headLine =
-      s"$ts\t$kind\t${parent.getOrElse(-1L)}\t${branch.getOrElse(MainBranch)}"
+      s"$ts\t$kind\t${parent.getOrElse(-1L)}\t${branch.getOrElse(MainBranch)}" +
+        (if (props.isEmpty) "" else "\t" + encodeProps(props))
     val body = (headLine +: schema.json +: refLines)
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
     try {

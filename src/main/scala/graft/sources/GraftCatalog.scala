@@ -648,6 +648,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** Newest value of commit property `key` on the table's main lineage
+    * — commit properties (Delta's commitInfo userMetadata / txn ids)
+    * are stamped via the `spark.graft.commit.properties` session conf
+    * and recorded ATOMICALLY in the commit's manifest header. The
+    * exactly-once seam for incremental consumers: an MV refresh stamps
+    * its base-table watermark on the SAME commit as its MERGE. */
+  def lastCommitProperty(ident: Identifier, key: String): Option[String] = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    AvroSnapshots.lastProp(dir.getPath, key, sessionBranch(dir.getPath))
+  }
+
   /** Current MAIN head version of a catalog table (branch commits do
     * not move it once branching has begun). */
   def currentVersion(ident: Identifier): Long = {

@@ -45,7 +45,8 @@ class AvroMetaTable(path: String, which: String) extends Table with SupportsRead
       StructField("parent", LongType, nullable = false),
       StructField("committed_at", LongType, nullable = false),
       StructField("group_count", IntegerType, nullable = false),
-      StructField("file_count", LongType, nullable = false)))
+      StructField("file_count", LongType, nullable = false),
+      StructField("properties", StringType, nullable = true)))
     case "files" => StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("part_value", LongType, nullable = true),
@@ -67,7 +68,10 @@ class AvroMetaTable(path: String, which: String) extends Table with SupportsRead
       AvroSnapshots.versions(path).flatMap(v => AvroSnapshots.load(path, v))
         .map(sn => Seq[Any](sn.version, UTF8String.fromString(sn.kind),
           sn.parent, sn.timestampMs, Int.box(sn.groups.size),
-          Long.box(sn.files.size.toLong)))
+          Long.box(sn.files.size.toLong),
+          if (sn.props.isEmpty) null
+          else UTF8String.fromString(sn.props.toSeq.sorted
+            .map { case (k, v) => s"$k=$v" }.mkString(";"))))
     case "files" =>
       AvroSnapshots.head(path).map(_.entries).getOrElse(Nil).map { e =>
         Seq[Any](UTF8String.fromString(e.name),

@@ -111,6 +111,60 @@ class IncrementalMvSuite extends SparkSuiteBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 10L)))
   }
 
+  test("commit properties make the refresh replay-safe (watermark rides the MERGE)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mvcat.db.m5")
+    spark.sql("DROP TABLE IF EXISTS mvcat.db.m5_mv")
+    spark.sql("CREATE TABLE mvcat.db.m5 (k BIGINT, g BIGINT, x BIGINT)")
+    spark.sql("INSERT INTO mvcat.db.m5 SELECT id, id % 3, id FROM range(90)")
+    spark.sql("CREATE TABLE mvcat.db.m5_mv (g BIGINT, n BIGINT, sx BIGINT)")
+    val Wm = "graft.mv.watermark"
+    def stamped(v: Long)(body: => Unit): Unit = {
+      spark.conf.set("spark.graft.commit.properties", s"$Wm=$v")
+      try body finally spark.conf.unset("spark.graft.commit.properties")
+    }
+    val w0 = cat.currentVersion(ident("m5"))
+    stamped(w0) {
+      spark.sql(s"""INSERT INTO mvcat.db.m5_mv
+                   |SELECT g, COUNT(*), SUM(x)
+                   |FROM mvcat.db.m5 VERSION AS OF $w0 GROUP BY g""".stripMargin)
+      ()
+    }
+    // the stamp is durable, atomic with the commit, and visible both
+    // through the API and the .snapshots inspection table
+    assert(cat.lastCommitProperty(ident("m5_mv"), Wm).contains(w0.toString))
+    val shown = spark.sql(
+      "SELECT properties FROM mvcat.db.m5_mv.snapshots ORDER BY version DESC LIMIT 1")
+      .collect().head.getString(0)
+    assert(shown == s"$Wm=$w0", s"snapshots table shows '$shown'")
+    // crash-replay model: refresh() derives its window from the STORED
+    // watermark, so running it twice applies the delta exactly once
+    spark.sql("INSERT INTO mvcat.db.m5 SELECT id, id % 3, id FROM range(90, 120)")
+    def storedRefresh(): Boolean = {
+      val from = cat.lastCommitProperty(ident("m5_mv"), Wm).get.toLong
+      val head = cat.currentVersion(ident("m5"))
+      if (head <= from) return false
+      spark.read.option("startingVersion", from).option("endingVersion", head)
+        .table("mvcat.db.m5.changes").createOrReplaceTempView("m5_ch")
+      stamped(head) {
+        spark.sql("""MERGE INTO mvcat.db.m5_mv m
+                    |USING (SELECT g, COUNT(*) AS dn, SUM(x) AS dx FROM m5_ch
+                    |       WHERE _change_type = 'insert' GROUP BY g) d
+                    |ON m.g = d.g
+                    |WHEN MATCHED THEN UPDATE SET n = m.n + d.dn, sx = m.sx + d.dx
+                    |WHEN NOT MATCHED THEN INSERT (g, n, sx) VALUES (d.g, d.dn, d.dx)""".stripMargin)
+        ()
+      }
+      true
+    }
+    assert(storedRefresh(), "first refresh must apply")
+    val mvVersion = cat.currentVersion(ident("m5_mv"))
+    assert(!storedRefresh(), "replayed refresh must see an empty window")
+    assert(cat.currentVersion(ident("m5_mv")) == mvVersion,
+      "replayed refresh committed")
+    assertMvExact("m5")
+  }
+
   test("compaction contributes nothing; empty window is a no-op") {
     var w = mk("m4", 100)
     spark.sql("DELETE FROM mvcat.db.m4 WHERE k = 1")
