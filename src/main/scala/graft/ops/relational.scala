@@ -1291,6 +1291,68 @@ object Relational {
             |ORDER BY phase, n""".stripMargin)
   }
 
+  /** METADATA-ONLY RETENTION DELETE (round 16 — Iceberg's metadata
+    * delete / full-file drop): when a file's stats PROVE every row
+    * matches the DELETE predicate (`fileMustMatch` — bounds cover,
+    * zero nulls in compared columns, conservative three-valued dual of
+    * the pruning check), the entry is dropped from the next manifest
+    * UNREAD. A retention `DELETE WHERE day < cutoff` over a
+    * time-clustered table is then a pure manifest swap — zero tasks,
+    * zero data reads, zero rewrites, at ANY table size (the data files
+    * stay on disk for older snapshots; expiry reclaims them) — while
+    * boundary files still scan and rewrite exactly their survivors.
+    * Scored flow: day-sliced typed events (each file's ts interval
+    * inside its slice), a cutoff DELETE aligned to a slice boundary
+    * (in-flow require: the surviving file set is a strict SUBSET of
+    * the pre-delete set — nothing was rewritten), a second cutoff
+    * mid-slice (boundary file rewrites), head + time-travel probes.
+    * MetadataDeleteSuite adds the zero-task listener proof, the
+    * null-blocks-the-proof case, merge-on-read (no dv written),
+    * `_file`-targeted drops, and CDF delete rows. */
+  private def catalogRetentionDelete(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T.eventsUs(s, dir)
+      .select(col("event_id"), col("ts_us").as("ts"),
+        col("ts_us").cast("date").as("day"), col("user_id"), col("value"))
+      .createOrReplaceTempView("graft_ret_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.events_ret")
+    s.sql("""CREATE TABLE graftcat.lake.events_ret
+            |(event_id BIGINT, ts TIMESTAMP, day DATE, user_id BIGINT,
+            | value DOUBLE)""".stripMargin)
+    val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+    val slices = ("day < DATE '2024-01-08'" +:
+      cuts.sliding(2).map(w =>
+        s"day >= DATE '${w(0)}' AND day < DATE '${w(1)}'").toSeq) :+
+      "day >= DATE '2024-01-22'"
+    slices.foreach(w => s.sql(
+      s"INSERT INTO graftcat.lake.events_ret SELECT * FROM graft_ret_src WHERE $w"))
+    s.sql("CALL graftcat.system.tag('lake.events_ret', 'pre_retention')")
+    // current file inventory via the .files inspection table (metadata-
+    // only read — O(files) local rows)
+    def files(): Set[String] =
+      s.sql("SELECT file FROM graftcat.lake.events_ret.files")
+        .collect().map(_.getString(0)).toSet
+    val before = files()
+    // slice-aligned cutoff: every pre-2024-01-15 file is PROVABLY all-
+    // matched → dropped unread (nothing rewritten: survivors ⊂ before)
+    s.sql("DELETE FROM graftcat.lake.events_ret WHERE day < DATE '2024-01-15'")
+    val after = files()
+    require(after.subsetOf(before) && after.size < before.size,
+      s"slice-aligned retention DELETE must drop files unread: " +
+        s"${before.size} -> ${after.size}, new=${after -- before}")
+    // mid-slice cutoff: the boundary file scans + rewrites its survivors
+    s.sql("DELETE FROM graftcat.lake.events_ret WHERE day < DATE '2024-01-17'")
+    s.sql("""SELECT 'head' AS phase, CAST(unix_date(day) AS BIGINT) AS k,
+            | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+            |   AS total
+            |FROM graftcat.lake.events_ret GROUP BY day
+            |UNION ALL
+            |SELECT 'pre', -1L, COUNT(*), CAST(SUM(user_id) AS DOUBLE)
+            |FROM graftcat.lake.events_ret VERSION AS OF 'pre_retention'
+            |ORDER BY phase, k""".stripMargin)
+  }
+
   /** PER-FILE BLOOM FILTERS for point-lookup pruning (round 16 —
     * Parquet column blooms / Iceberg puffin blobs): on an UNSORTED
     * high-cardinality column every file's [min, max] spans the whole
@@ -1626,6 +1688,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_retention_delete" -> (catalogRetentionDelete _),
     "catalog_point_lookup" -> (catalogPointLookup _),
     "catalog_incremental_mv" -> (catalogIncrementalMv _),
     "catalog_cdc_apply" -> (catalogCdcApply _),
@@ -1688,6 +1751,18 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_retention_delete" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS DATE) AS day, user_id, value
+        |  FROM events),
+        | cur AS (SELECT * FROM ev WHERE day >= DATE '2024-01-17')
+        |SELECT 'head' AS phase, CAST(day - DATE '1970-01-01' AS BIGINT) AS k,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM cur GROUP BY day
+        |UNION ALL
+        |SELECT 'pre', -1, COUNT(*), CAST(SUM(user_id) AS DOUBLE) FROM ev
+        |ORDER BY phase, k""".stripMargin,
     "catalog_point_lookup" ->
       """SELECT 'hit' AS phase, o_orderkey AS k,
         |  md5(CAST(o_orderkey AS VARCHAR)) AS h, o_totalprice AS val

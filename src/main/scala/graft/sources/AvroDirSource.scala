@@ -882,12 +882,26 @@ class AvroDirTable(path: String, tableSchema: StructType,
           // what makes a one-key DELETE cost O(matching files), not a
           // full-table read; files without stats stay candidates.
           val probeBloom = BloomFilters.anySidecars(path)
-          val (candidates, skipped) = entries.partition { e =>
+          val (touched, skipped) = entries.partition { e =>
             val st = e.stats.map(AvroStats.parse)
               .getOrElse(Map.empty[String, AvroStats.ColStats])
             AvroStats.fileMightMatch(filters.toSeq, e.name, resolveStats(st)) &&
             (!probeBloom || BloomFilters.fileMightMatch(
               path, e.name, filters.toSeq, bloomNames))
+          }
+          // METADATA DELETE (Iceberg's full-file drop): a file whose
+          // stats PROVE every row matches the predicate is dropped
+          // from the next manifest UNREAD — a retention
+          // `DELETE WHERE day < cutoff` over a day-clustered table is
+          // then a pure manifest swap, zero tasks, zero data reads, at
+          // ANY table size. Rows already dead under a dv/eq sidecar
+          // only shrink the live set, so the proof covers them too;
+          // the file itself stays on disk for older snapshots.
+          val (fullDrop, candidates) = touched.partition { e =>
+            e.stats.exists { sj =>
+              AvroStats.fileMustMatch(filters.toSeq, e.name,
+                resolveStats(AvroStats.parse(sj)))
+            }
           }
           val dirPath = path
           val next: Seq[AvroSnapshots.FileEntry] =

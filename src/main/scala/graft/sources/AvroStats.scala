@@ -500,6 +500,65 @@ object AvroStats {
       resolve: String => Option[ColStats]): Boolean =
     mightMatch(filters, None, resolve)
 
+  /** Dual of [[fileMightMatch]]: true only when `filters` (a
+    * conjunction) is PROVABLY TRUE for every row the file can contain —
+    * what lets a retention `DELETE WHERE day < cutoff` drop whole
+    * files from the manifest with ZERO reads (Iceberg's metadata
+    * delete). Strictly conservative: unknown stats, unknown shapes, or
+    * ANY null in a value-compared column (a null makes the comparison
+    * UNKNOWN, so that row would survive the DELETE) ⇒ false. Sound
+    * under string-bound truncation: stored min is a PREFIX of (≤) the
+    * true min and stored max a bump of (≥) the true max, so the stored
+    * interval COVERS the values — a test that holds on the covering
+    * interval holds on every value. Rows already dead under a dv/eq
+    * sidecar only shrink the live set — proving the predicate for all
+    * possible rows proves it for the live ones. */
+  def fileMustMatch(filters: Seq[Filter], fileName: String,
+      resolve: String => Option[ColStats]): Boolean = {
+    def stats(a: String): Option[ColStats] = resolve(a)
+    // both bounds known AND zero nulls: every row has a comparable value
+    def solidBounds(a: String): Option[(Any, Any)] =
+      stats(a).filter(_.nulls == 0L)
+        .flatMap(s => for (mn <- s.min; mx <- s.max) yield (mn, mx))
+    def valueLeaf(a: String, test: ((Any, Any)) => Boolean): Boolean =
+      solidBounds(a).exists(test)
+    def must(f: Filter): Boolean = f match {
+      case And(l, r) => must(l) && must(r)
+      case Or(l, r)  => must(l) || must(r) // sufficient, conservative
+      case AlwaysTrue()  => true
+      case AlwaysFalse() => false
+      case leaf if leaf.references.nonEmpty &&
+          leaf.references.forall(_.equalsIgnoreCase(AvroDirSource.FileColumn)) =>
+        // every row of the file shares one _file value: decide exactly
+        AvroFilterEval.eval(leaf, _ => fileName).getOrElse(false)
+      case EqualTo(a, x) => x != null && valueLeaf(a, { case (mn, mx) =>
+        cmp(norm(x), mn) == 0 && cmp(norm(x), mx) == 0 })
+      case EqualNullSafe(a, x) =>
+        if (x == null) stats(a).exists(_.min.isEmpty)
+        else valueLeaf(a, { case (mn, mx) =>
+          cmp(norm(x), mn) == 0 && cmp(norm(x), mx) == 0 })
+      case GreaterThan(a, x) =>
+        x != null && valueLeaf(a, { case (mn, _) => cmp(norm(x), mn) < 0 })
+      case GreaterThanOrEqual(a, x) =>
+        x != null && valueLeaf(a, { case (mn, _) => cmp(norm(x), mn) <= 0 })
+      case LessThan(a, x) =>
+        x != null && valueLeaf(a, { case (_, mx) => cmp(norm(x), mx) > 0 })
+      case LessThanOrEqual(a, x) =>
+        x != null && valueLeaf(a, { case (_, mx) => cmp(norm(x), mx) >= 0 })
+      case In(a, xs) => xs != null && xs.exists(x => x != null &&
+        valueLeaf(a, { case (mn, mx) =>
+          cmp(norm(x), mn) == 0 && cmp(norm(x), mx) == 0 }))
+      case IsNull(a)    => stats(a).exists(_.min.isEmpty)
+      case IsNotNull(a) => stats(a).exists(s => s.nulls == 0L && s.min.isDefined)
+      case StringStartsWith(a, p) => p != null &&
+        valueLeaf(a, { case (mn: String, mx: String) =>
+          mn.startsWith(p) && mx.startsWith(p)
+        case _ => false })
+      case _ => false // Not/EndsWith/Contains/unknown: never provable here
+    }
+    filters.nonEmpty && filters.forall(must)
+  }
+
   private def mightMatch(filters: Seq[Filter], fileName: Option[String],
       resolve: String => Option[ColStats]): Boolean = {
 
