@@ -1291,6 +1291,56 @@ object Relational {
             |ORDER BY phase, n""".stripMargin)
   }
 
+  /** COLUMN DEFAULT VALUES (round 16 — the
+    * `TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE` seam +
+    * Spark's standard CURRENT_DEFAULT/EXISTS_DEFAULT field metadata,
+    * persisted in the schema sidecar): `ALTER TABLE ... ADD COLUMN c T
+    * DEFAULT v` makes every reader serve v for files that PREDATE the
+    * column (EXISTS default — data never rewrites), the analyzer fill
+    * v on writes that omit the column or say `DEFAULT`, and
+    * `ALTER COLUMN ... SET DEFAULT` change FUTURE writes only (the
+    * exists-default is immutable history). The row-level DELETE
+    * evaluator and the CDF read the same defaults, so a predicate on a
+    * defaulted column matches identical rows whether SELECTed, DELETEd
+    * or streamed. Scored flow: CTAS, ADD COLUMN status/score with
+    * defaults, column-list + DEFAULT-keyword inserts, SET DEFAULT,
+    * a DELETE keyed on the defaulted column that must match pre-column
+    * rows, head + time-travel probes — hash-exact. */
+  private def catalogColumnDefaults(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "nation").createOrReplaceTempView("graft_dflt_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.nation_dflt")
+    s.sql("""CREATE TABLE graftcat.lake.nation_dflt AS
+            |SELECT n_nationkey, n_name FROM graft_dflt_src
+            |WHERE n_nationkey < 15""".stripMargin)
+    s.sql("CALL graftcat.system.tag('lake.nation_dflt', 'pre_alter')")
+    s.sql("""ALTER TABLE graftcat.lake.nation_dflt
+            |ADD COLUMN status STRING DEFAULT 'active'""".stripMargin)
+    s.sql("""ALTER TABLE graftcat.lake.nation_dflt
+            |ADD COLUMN score DOUBLE DEFAULT 1.5""".stripMargin)
+    // a column-list insert omitting the defaulted columns fills them
+    s.sql("""INSERT INTO graftcat.lake.nation_dflt (n_nationkey, n_name)
+            |SELECT n_nationkey, n_name FROM graft_dflt_src
+            |WHERE n_nationkey >= 15 AND n_nationkey < 20""".stripMargin)
+    // SET DEFAULT governs future writes; pre-column rows keep 'active'
+    s.sql("""ALTER TABLE graftcat.lake.nation_dflt
+            |ALTER COLUMN status SET DEFAULT 'vip'""".stripMargin)
+    s.sql("""INSERT INTO graftcat.lake.nation_dflt
+            |SELECT n_nationkey, n_name, DEFAULT, 9.0 FROM graft_dflt_src
+            |WHERE n_nationkey >= 20""".stripMargin)
+    // the DELETE evaluator sees the exists-default for pre-column rows
+    s.sql("""DELETE FROM graftcat.lake.nation_dflt
+            |WHERE status = 'active' AND n_nationkey < 3""".stripMargin)
+    s.sql("""SELECT 'head' AS phase, n_nationkey AS k, n_name, status,
+            | score
+            |FROM graftcat.lake.nation_dflt
+            |UNION ALL
+            |SELECT 'pre_alter', n_nationkey, n_name, 'x', -1.0
+            |FROM graftcat.lake.nation_dflt VERSION AS OF 'pre_alter'
+            |ORDER BY phase, k""".stripMargin)
+  }
+
   /** METADATA-ONLY RETENTION DELETE (round 16 — Iceberg's metadata
     * delete / full-file drop): when a file's stats PROVE every row
     * matches the DELETE predicate (`fileMustMatch` — bounds cover,
@@ -1688,6 +1738,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_column_defaults" -> (catalogColumnDefaults _),
     "catalog_retention_delete" -> (catalogRetentionDelete _),
     "catalog_point_lookup" -> (catalogPointLookup _),
     "catalog_incremental_mv" -> (catalogIncrementalMv _),
@@ -1751,6 +1802,24 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_column_defaults" ->
+      """WITH cur AS (
+        |  SELECT n_nationkey, n_name, 'active' AS status,
+        |    CAST(1.5 AS DOUBLE) AS score
+        |  FROM nation WHERE n_nationkey < 15
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, 'active', CAST(1.5 AS DOUBLE)
+        |  FROM nation WHERE n_nationkey >= 15 AND n_nationkey < 20
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, 'vip', CAST(9.0 AS DOUBLE)
+        |  FROM nation WHERE n_nationkey >= 20)
+        |SELECT 'head' AS phase, n_nationkey AS k, n_name, status, score
+        |FROM cur
+        |WHERE NOT (status = 'active' AND n_nationkey < 3)
+        |UNION ALL
+        |SELECT 'pre_alter', n_nationkey, n_name, 'x', CAST(-1.0 AS DOUBLE)
+        |FROM nation WHERE n_nationkey < 15
+        |ORDER BY phase, k""".stripMargin,
     "catalog_retention_delete" ->
       """WITH ev AS (
         |  SELECT event_id, CAST(ts AS DATE) AS day, user_id, value

@@ -244,18 +244,23 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
         }
       private lazy val eqOld = eqSkips(split.eqDeltaOld)
       private lazy val eqNew = eqSkips(split.eqDeltaNew)
-      // base-column positions in THIS file's writer schema
+      // base-column positions in THIS file's writer schema; an absent
+      // column serves its EXISTS default (ADD COLUMN ... DEFAULT)
       private lazy val basePos: Array[Int] = baseSchema.fields.map { f =>
         (f.name +: AvroDirSource.aliasesOf(f)).iterator
           .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
           .find(_ >= 0).getOrElse(-1)
       }
+      private lazy val baseDflt: Array[Any] =
+        baseSchema.fields.map(AvroDirSource.existsDefaultAvro)
       private def norm(x: Any): Any = x match {
         case u: org.apache.avro.util.Utf8 => u.toString
         case o => o
       }
       private def baseVals(rec: GenericRecord): Vector[Any] =
-        basePos.iterator.map(p => if (p < 0) null else norm(rec.get(p))).toVector
+        basePos.iterator.zipWithIndex.map { case (p, i) =>
+          if (p < 0) baseDflt(i) else norm(rec.get(p))
+        }.toVector
 
       // pair-diff: multiset of the rewrite's rows; an original row with
       // a surviving twin is NOT a delete
@@ -273,8 +278,9 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
               }
               while (r.hasNext) {
                 val rec = r.next()
-                val k = pos.iterator.map(p =>
-                  if (p < 0) null else norm(rec.get(p))).toVector
+                val k = pos.iterator.zipWithIndex.map { case (p, i) =>
+                  if (p < 0) baseDflt(i) else norm(rec.get(p))
+                }.toVector
                 m.update(k, m.getOrElse(k, 0) + 1)
               }
             } finally r.close()

@@ -143,6 +143,23 @@ object AvroDirSource {
     if (f.metadata.contains(AliasKey)) f.metadata.getStringArray(AliasKey).toSeq
     else Nil
 
+  /** A field's EXISTS default — the value rows written BEFORE the
+    * column was added must read as (`ALTER TABLE ... ADD COLUMN ...
+    * DEFAULT ...`; standard `EXISTS_DEFAULT` field metadata, Spark's
+    * own keys) — in Catalyst's INTERNAL domain (UTF8String etc.), or
+    * null when the column has none. */
+  def existsDefaultInternal(f: StructField): Any =
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .getExistenceDefaultValue(f)
+
+  /** Same, in the decoded-Avro/external value domain the row-level
+    * filter evaluator and the rewrite writer speak. */
+  def existsDefaultAvro(f: StructField): Any =
+    existsDefaultInternal(f) match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case o => o
+    }
+
   /** One non-null Avro schema → the Spark type it carries, standard
     * Avro LOGICAL TYPES included (timestamp-micros on long, date on
     * int, decimal on bytes) — the same spellings every Avro-speaking
@@ -844,7 +861,16 @@ class AvroDirTable(path: String, tableSchema: StructType,
         // positional scan below.
         val eqExtracted =
           if (entries.nonEmpty && mergeOnRead && equalityDeletes)
-            EqualityDeletes.extract(filters, tableSchema)
+            EqualityDeletes.extract(filters, tableSchema).filter { case (c, _, _) =>
+              // every live file must SPEAK the key column: a file
+              // predating an ADD COLUMN holds the exists-default for
+              // it, which a key sidecar cannot express — those tables
+              // take the row-level scanning path below (default-aware)
+              val fld = tableSchema.fields.find(_.name.equalsIgnoreCase(c)).get
+              val names = fld.name +: AvroDirSource.aliasesOf(fld)
+              entries.forall(e => e.stats.exists(sj =>
+                names.exists(AvroStats.parse(sj).contains)))
+            }
           else None
         if (eqExtracted.isDefined) {
           val (col, kind, keys) = eqExtracted.get
@@ -1305,9 +1331,10 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
       private var rowPos = -1L
       private var pending: GenericRecord = _
       // required field → position in THIS file's writer schema (name
-      // first, then rename aliases newest-first); -1 → null column,
-      // -2 → the _file metadata column, -3 → the _pos metadata column.
-      // Resolved once per file.
+      // first, then rename aliases newest-first); -1 → absent column
+      // (serves the field's EXISTS default, null when none — ADD
+      // COLUMN ... DEFAULT semantics), -2 → the _file metadata column,
+      // -3 → the _pos metadata column. Resolved once per file.
       private val idx: Array[Int] = required.fields.map { f =>
         if (f.name == AvroDirSource.FileColumn) -2
         else if (f.name == AvroDirSource.PosColumn) -3
@@ -1315,6 +1342,8 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
           .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
           .find(_ >= 0).getOrElse(-1)
       }
+      private val dflt: Array[Any] =
+        required.fields.map(AvroDirSource.existsDefaultInternal)
       override def next(): Boolean = {
         while (reader.hasNext) {
           pending = reader.next()
@@ -1332,10 +1361,9 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
         while (i < required.length) {
           if (idx(i) == -2) vals(i) = fileName
           else if (idx(i) == -3) vals(i) = rowPos
-          else {
-            val v = if (idx(i) < 0) null else rec.get(idx(i))
-            vals(i) = AvroDirSource.avroToInternal(v, required.fields(i).dataType)
-          }
+          else if (idx(i) == -1) vals(i) = dflt(i) // pre-column file
+          else vals(i) = AvroDirSource.avroToInternal(
+            rec.get(idx(i)), required.fields(i).dataType)
           i += 1
         }
         new GenericInternalRow(vals)

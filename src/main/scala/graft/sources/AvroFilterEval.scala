@@ -149,6 +149,12 @@ object AvroFilterEval extends Serializable {
           .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
           .find(_ >= 0).getOrElse(-1)
       }.toMap
+      // a field absent from this file serves its EXISTS default (ADD
+      // COLUMN ... DEFAULT) — the evaluator must see the same value a
+      // read would, or a DELETE on the defaulted column would match
+      // different rows than the same predicate SELECTs
+      val dflt: Map[String, Any] = schema.fields.map(f =>
+        f.name -> AvroDirSource.existsDefaultAvro(f)).toMap
       def norm(x: Any): Any = x match {
         case u: org.apache.avro.util.Utf8 => u.toString
         case other => other
@@ -157,8 +163,10 @@ object AvroFilterEval extends Serializable {
       while (reader.hasNext) {
         val rec = reader.next()
         if (!dv.contains(rowPos)) {
-          val v: String => Any =
-            name => pos.get(name).filter(_ >= 0).map(p => norm(rec.get(p))).orNull
+          val v: String => Any = name => pos.get(name) match {
+            case Some(p) if p >= 0 => norm(rec.get(p))
+            case _                 => dflt.getOrElse(name, null)
+          }
           if (filters.forall(eval(_, v).contains(true))) deleted = true
           else keep += schema.fields.map(f => v(f.name))
         }
@@ -187,6 +195,12 @@ object AvroFilterEval extends Serializable {
           .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
           .find(_ >= 0).getOrElse(-1)
       }.toMap
+      // a field absent from this file serves its EXISTS default (ADD
+      // COLUMN ... DEFAULT) — the evaluator must see the same value a
+      // read would, or a DELETE on the defaulted column would match
+      // different rows than the same predicate SELECTs
+      val dflt: Map[String, Any] = schema.fields.map(f =>
+        f.name -> AvroDirSource.existsDefaultAvro(f)).toMap
       def norm(x: Any): Any = x match {
         case u: org.apache.avro.util.Utf8 => u.toString
         case other => other
@@ -195,8 +209,10 @@ object AvroFilterEval extends Serializable {
       while (reader.hasNext) {
         val rec = reader.next()
         if (!existingDv.contains(rowPos)) {
-          val v: String => Any =
-            name => pos.get(name).filter(_ >= 0).map(p => norm(rec.get(p))).orNull
+          val v: String => Any = name => pos.get(name) match {
+            case Some(p) if p >= 0 => norm(rec.get(p))
+            case _                 => dflt.getOrElse(name, null)
+          }
           if (filters.forall(eval(_, v).contains(true))) matched += rowPos
           else live += 1
         }

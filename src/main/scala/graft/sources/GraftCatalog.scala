@@ -49,6 +49,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
   override def name(): String = catalogName
 
+  /** Column DEFAULT values are supported end-to-end: stored as the
+    * standard CURRENT_DEFAULT / EXISTS_DEFAULT field metadata in the
+    * schema sidecar, filled by Spark's analyzer on writes that omit
+    * the column, and served by every reader for files that PREDATE
+    * the column (ALTER TABLE ... ADD COLUMN ... DEFAULT). */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def nsDir(ns: Array[String]): File =
     ns.foldLeft(warehouse)((d, n) => new File(d, n))
   private def tableDir(ident: Identifier): File =
@@ -623,6 +631,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val probeBloom = BloomFilters.anySidecars(dirPath)
           val keyNames = (keyField.name +:
             AvroDirSource.aliasesOf(keyField)).toSeq
+          // a file predating the key column (or stats) cannot carry an
+          // equality ref — its rows hold the exists-default the sidecar
+          // cannot express. CDC keys exist from table creation; refuse
+          // loudly instead of deleting the wrong rows.
+          entries.foreach(e => require(
+            e.stats.exists(sj => keyNames.exists(AvroStats.parse(sj).contains)),
+            s"apply_cdc: file ${e.name} predates stats or key column " +
+              s"${keyField.name} — compact the table first"))
           val touched = entries.filter { e =>
             val st = e.stats.map(AvroStats.parse)
               .getOrElse(Map.empty[String, AvroStats.ColStats])
@@ -917,8 +933,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"column $name already exists in ${ident.name}")
           if (!add.isNullable) throw new IllegalArgumentException(
             s"ADD COLUMN $name: new columns must be nullable — existing " +
-              "files predate the column and will serve NULL for it")
-          s.add(StructField(name, add.dataType, nullable = true))
+              "files predate the column and will serve its default " +
+              "(or NULL) for it")
+          Option(add.defaultValue()) match {
+            case Some(d) =>
+              // DEFAULT: record CURRENT_DEFAULT (future inserts) and
+              // constant-fold EXISTS_DEFAULT (what pre-column files
+              // read as) — Spark's own metadata keys, so the analyzer
+              // and readers agree. Restrict to the types every
+              // evaluator in this engine compares soundly.
+              val ok = add.dataType match {
+                case LongType | IntegerType | DataTypes.DoubleType |
+                     DataTypes.FloatType | DataTypes.BooleanType |
+                     DataTypes.StringType | DataTypes.TimestampType |
+                     DataTypes.DateType => true
+                case _ => false
+              }
+              if (!ok) throw new IllegalArgumentException(
+                s"ADD COLUMN $name: DEFAULT is supported for numeric/" +
+                  s"string/boolean/timestamp/date columns, not ${add.dataType}")
+              val sql = Option(d.getSql).getOrElse(
+                throw new IllegalArgumentException(
+                  s"ADD COLUMN $name: default has no SQL form"))
+              val rdc = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+              val md = new MetadataBuilder()
+                .putString(rdc.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+                .putString(rdc.EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+                .build()
+              val folded = rdc.constantFoldCurrentDefaultsToExistDefaults(
+                StructType(Seq(StructField(name, add.dataType,
+                  nullable = true, md))), "ALTER TABLE ADD COLUMN")
+              s.add(folded.fields.head)
+            case None =>
+              s.add(StructField(name, add.dataType, nullable = true))
+          }
+        case upd: TableChange.UpdateColumnDefaultValue =>
+          val name = topLevel(upd.fieldNames, "ALTER COLUMN DEFAULT")
+          val i = s.fieldIndex(name)
+          val f = s.fields(i)
+          val rdc = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          val newSql = Option(upd.newCurrentDefault()).map(_.getSql)
+            .orElse(Option(upd.newDefaultValue())).filter(_ != null)
+            .map(_.trim).filter(_.nonEmpty)
+          val mb = new MetadataBuilder().withMetadata(f.metadata)
+          val md = newSql match {
+            // SET DEFAULT: only FUTURE writes change — EXISTS_DEFAULT
+            // (what pre-column files read as) is immutable history
+            case Some(sql) =>
+              mb.putString(rdc.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql).build()
+            case None => // DROP DEFAULT
+              mb.remove(rdc.CURRENT_DEFAULT_COLUMN_METADATA_KEY).build()
+          }
+          StructType(s.fields.updated(i, f.copy(metadata = md)))
         case rn: TableChange.RenameColumn =>
           val old = topLevel(rn.fieldNames, "RENAME COLUMN")
           guardBucketCol(old, "RENAME COLUMN")
