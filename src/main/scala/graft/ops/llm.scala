@@ -144,8 +144,9 @@ object Llm {
   private val MinhashB: Seq[Long] =
     (0 until 64).map(k => (15485863L * (k + 1)) % MinhashP)
 
-  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
+  /** (doc_id, band, bv) banded MinHash rows of a shingled frame —
+    * shared by the one-shot LSH key and the incremental-index key. */
+  private def bandedOf(sh: DataFrame): DataFrame = {
     // hash each shingle string ONCE (md5-prefix → 32-bit int, the
     // cross-engine-stable discipline); the 64 signature slots re-hash
     // that value with the universal family above, min-aggregated
@@ -162,12 +163,17 @@ object Llm {
     // ~44-char string (measured ~1 s cheaper on the self-join at sf0.1),
     // still oracle-exact because DuckDB renders the same digits and
     // hashes the same bytes
-    val banded = sigs
+    sigs
       .withColumn("bvs", array((0 until 16).map(b =>
         shiftrightunsigned(graft.plans.expressions.md5Prefix64(concat_ws(",",
           col(s"s${4 * b}"), col(s"s${4 * b + 1}"),
           col(s"s${4 * b + 2}"), col(s"s${4 * b + 3}"))), 4)): _*))
       .select(col("doc_id"), posexplode(col("bvs")).as(Seq("band", "bv")))
+  }
+
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val banded = bandedOf(sh)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -181,6 +187,71 @@ object Llm {
       .where(col("inter") * JaccardDen >= col("uni") * JaccardNum)
       .select(col("d1"), col("d2"), dround(col("inter") / col("uni"), 6).as("jaccard"))
       .orderBy("d1", "d2")
+  }
+
+  /** INCREMENTAL near-dup dedup against a PERSISTED LSH index (the
+    * CDC shape of MinHash dedup — how a training-data pipeline keeps a
+    * 100-TB corpus deduped as batches arrive, instead of re-running
+    * all-pairs): the banded MinHash rows of the existing corpus live
+    * in a VERSIONED CATALOG table (`lake.lsh_index` — snapshot
+    * isolation, time travel, compaction all apply to the index
+    * itself); a new batch computes O(batch) signatures, probes
+    * batch×index and batch×batch on the 8-byte band keys, exact-
+    * Jaccard-verifies the candidates, and then APPENDS its own bands
+    * as ONE commit — the index version advances exactly once per
+    * batch (required in-flow), so a crashed batch re-probes the same
+    * index state. Cost per batch: O(batch) hashing + collision-bounded
+    * candidates — never O(corpus); old×old pairs were settled when
+    * those docs entered. Oracle: the full key's band/verify SQL with
+    * the candidate set restricted to pairs touching the batch —
+    * hash-exact because signatures, band keys and the verify are the
+    * same md5-prefix spelling. */
+  private def dedupMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    Graftcat.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.lsh_index")
+    s.sql("""CREATE TABLE graftcat.lake.lsh_index
+            |(doc_id BIGINT, band INT, bv BIGINT)""".stripMargin)
+    val sh = shingled(s, dir).localCheckpoint()
+    val banded = bandedOf(sh)
+    // existing corpus: doc_id % 3 != 0 — its bands ARE the index
+    banded.where(col("doc_id") % 3 =!= 0)
+      .createOrReplaceTempView("graft_lshinc_base")
+    s.sql("""INSERT INTO graftcat.lake.lsh_index
+            |SELECT doc_id, band, bv FROM graft_lshinc_base""".stripMargin)
+    val v0 = s.sql("SELECT MAX(version) FROM graftcat.lake.lsh_index.snapshots")
+      .collect().head.getLong(0)
+    // the arriving batch: bands computed once, probed twice, appended
+    val batch = bandedOf(sh.where(col("doc_id") % 3 === 0)).localCheckpoint()
+    val idx = s.table("graftcat.lake.lsh_index")
+    val candIdx = batch.as("x").join(idx.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+    val candSelf = batch.as("x").join(batch.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    val cand = candIdx.unionByName(candSelf).distinct()
+    val a = sh.select(col("doc_id").as("d1"), col("shingles").as("sha"))
+    val b = sh.select(col("doc_id").as("d2"), col("shingles").as("shb"))
+    val pairs = cand.join(a, "d1").join(b, "d2")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .where(col("inter") * JaccardDen >= col("uni") * JaccardNum)
+      .select(col("d1"), col("d2"),
+        dround(col("inter") / col("uni"), 6).as("jaccard"))
+      .orderBy("d1", "d2")
+      .localCheckpoint() // settle the result BEFORE the index mutates
+    // index maintenance: the batch's bands land as ONE commit
+    batch.createOrReplaceTempView("graft_lshinc_batch")
+    s.sql("""INSERT INTO graftcat.lake.lsh_index
+            |SELECT doc_id, band, bv FROM graft_lshinc_batch""".stripMargin)
+    val v1 = s.sql("SELECT MAX(version) FROM graftcat.lake.lsh_index.snapshots")
+      .collect().head.getLong(0)
+    require(v1 == v0 + 1,
+      s"index append must be exactly one version: v$v0 -> v$v1")
+    pairs
   }
 
   /** SimHash bit-sketch near-dup: 64-bit fingerprint from token hashes,
@@ -1206,6 +1277,7 @@ object Llm {
     "llm_dedup_exact" -> (dedupExact _),
     "llm_dedup_near" -> (dedupNear _),
     "llm_dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "llm_dedup_minhash_incremental" -> (dedupMinhashIncremental _),
     "llm_dedup_simhash" -> (dedupSimhash _),
     "llm_dedup_embed" -> (dedupEmbed _),
     "llm_dedup_embed_prod" -> (dedupEmbedProd _),
@@ -1320,6 +1392,38 @@ object Llm {
          |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
          |         FROM bands x JOIN bands y
          |          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT c.d1, c.d2, ${sqlRound("i / (sa.sz + sb.sz - i)", 6)} AS jaccard
+         |FROM cand c
+         | JOIN inter t ON t.d1 = c.d1 AND t.d2 = c.d2
+         | JOIN sizes sa ON sa.doc_id = c.d1
+         | JOIN sizes sb ON sb.doc_id = c.d2
+         |WHERE $JaccardDen * i >= $JaccardNum * (sa.sz + sb.sz - i)
+         |ORDER BY c.d1, c.d2""".stripMargin,
+    // the full key's band/verify SQL with the candidate set restricted
+    // to pairs TOUCHING the batch (doc_id % 3 = 0) — exactly what the
+    // incremental probe (batch×index ∪ batch×batch) generates
+    "llm_dedup_minhash_incremental" ->
+      s"""WITH sh AS ($sqlShingles),
+         |hs AS (SELECT doc_id,
+         |        CAST(('0x' || SUBSTR(MD5(sh), 1, 8)) AS BIGINT) AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         | ${(0 until 64).map(i =>
+              s"MIN((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS s$i")
+              .mkString(",\n ")}
+         | FROM hs GROUP BY doc_id),
+         |bands AS (
+         | ${(0 until 16).map(b =>
+              s"SELECT doc_id, $b AS band, CAST(('0x' || SUBSTR(MD5(CONCAT_WS(','," +
+                s" s${4 * b}, s${4 * b + 1}, s${4 * b + 2}, s${4 * b + 3})), 1, 15))" +
+                " AS BIGINT) AS bv FROM sig").mkString("\n UNION ALL\n ")}),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM bands x JOIN bands y
+         |          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |         WHERE x.doc_id % 3 = 0 OR y.doc_id % 3 = 0),
          |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
          |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
