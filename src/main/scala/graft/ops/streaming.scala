@@ -529,6 +529,101 @@ object Streaming {
       .orderBy("change_type", "c_custkey")
   }
 
+  /** TABLE REPLICATION over the change feed (round 16 — the
+    * CDF-consumer loop every lakehouse ships: Delta's
+    * `readChangeFeed` → MERGE): a stream over `src.changes` folds each
+    * micro-batch to ONE NET OP PER KEY — order inside a multi-version
+    * batch comes from the new `_commit_version` column (Delta CDF's),
+    * latest version wins, insert-beats-delete within a version (a MOR
+    * update's post-image outranks its pre-image) — and applies it to
+    * the target with `apply_cdc` (one equality-delete upsert commit
+    * per batch, zero target reads). Replays are safe twice over:
+    * offsets live in the checkpoint (a drained restart does nothing —
+    * required in-flow), and re-applying a batch's net ops is
+    * state-idempotent. The scored flow replicates a table through an
+    * append + MOR update + delete history and requires dst ≡ src
+    * row-for-row before emitting per-nation aggregates of BOTH sides.
+    * At 100 TB this is the incremental-ETL consumer: each trigger
+    * moves O(changed rows), never O(table). */
+  private def streamCdcReplicate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Graftcat.register(s)
+    T(s, dir, "customer").createOrReplaceTempView("graft_repl_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.cust_repl_src")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.cust_repl_dst")
+    s.sql("""CREATE TABLE graftcat.lake.cust_repl_src AS
+            |SELECT c_custkey, c_nationkey, c_acctbal FROM graft_repl_src
+            |WHERE c_custkey % 2 = 0""".stripMargin)
+    s.sql("CALL graftcat.system.set_delete_mode('lake.cust_repl_src', 'merge-on-read')")
+    s.sql("""INSERT INTO graftcat.lake.cust_repl_src
+            |SELECT c_custkey, c_nationkey, c_acctbal FROM graft_repl_src
+            |WHERE c_custkey % 2 = 1""".stripMargin)
+    s.sql("""UPDATE graftcat.lake.cust_repl_src
+            |SET c_acctbal = c_acctbal + 500.0 WHERE c_nationkey = 3""".stripMargin)
+    s.sql("DELETE FROM graftcat.lake.cust_repl_src WHERE c_nationkey = 7")
+    s.sql("""CREATE TABLE graftcat.lake.cust_repl_dst
+            |(c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE)""".stripMargin)
+    s.sql("CALL graftcat.system.set_delete_mode('lake.cust_repl_dst', 'merge-on-read-equality')")
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val root = GraftTmp.dir(s"stream_repl_$tag")
+    def drain(): Unit = {
+      val q = s.readStream.table("graftcat.lake.cust_repl_src.changes")
+        .writeStream
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val bs = b.sparkSession // the micro-batch session owns the view
+          val view = s"graft_repl_batch_$tag"
+          // settle the batch ONCE: apply_cdc takes three passes over its
+          // source (key collect, upsert write, validation) and each
+          // would otherwise re-run the whole CDF scan + window
+          val mat = b.localCheckpoint()
+          mat.createOrReplaceTempView(view)
+          val net =
+            s"""SELECT c_custkey, c_nationkey, c_acctbal,
+               |  CASE WHEN _change_type IN (''insert'', ''update_postimage'')
+               |       THEN ''upsert'' ELSE ''delete'' END AS _op
+               |FROM (
+               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+               |    ORDER BY _commit_version DESC,
+               |      CASE WHEN _change_type IN (''insert'', ''update_postimage'')
+               |           THEN 1 ELSE 0 END DESC) AS rn
+               |  FROM $view) WHERE rn = 1""".stripMargin
+          bs.sql("CALL graftcat.system.apply_cdc('lake.cust_repl_dst', " +
+            s"'c_custkey', '$net')")
+          mat.unpersist()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // replay safety half 1: a drained restart finds no new offsets and
+    // must not commit anything to the target
+    val vDst = s.sql("SELECT MAX(version) FROM graftcat.lake.cust_repl_dst.snapshots")
+      .collect().head.getLong(0)
+    drain()
+    val vDst2 = s.sql("SELECT MAX(version) FROM graftcat.lake.cust_repl_dst.snapshots")
+      .collect().head.getLong(0)
+    require(vDst2 == vDst,
+      s"drained restart committed to the target: v$vDst -> v$vDst2")
+    // the replica must BE the source, row for row
+    val srcNow = s.table("graftcat.lake.cust_repl_src")
+    val dstNow = s.table("graftcat.lake.cust_repl_dst")
+    require(srcNow.exceptAll(dstNow).isEmpty && dstNow.exceptAll(srcNow).isEmpty,
+      "replica diverged from source")
+    s.sql("""SELECT 'dst' AS side, CAST(c_nationkey AS BIGINT) AS k,
+            | COUNT(*) AS n,
+            | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM graftcat.lake.cust_repl_dst GROUP BY c_nationkey
+            |UNION ALL
+            |SELECT 'src', CAST(c_nationkey AS BIGINT), COUNT(*),
+            | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            |FROM graftcat.lake.cust_repl_src GROUP BY c_nationkey
+            |ORDER BY side, k""".stripMargin)
+  }
+
   private def streamTableRatelimit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     Graftcat.register(s)
@@ -564,6 +659,7 @@ object Streaming {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc_replicate" -> (streamCdcReplicate _),
     "stream_table_cdf" -> (streamTableCdf _),
     "stream_table_ratelimit" -> (streamTableRatelimit _),
     "stream_table_source" -> (streamTableSource _),
@@ -584,6 +680,21 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_cdc_replicate" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CASE WHEN c_nationkey = 3 THEN c_acctbal + 500.0
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_nationkey <> 7)
+        |SELECT 'dst' AS side, CAST(c_nationkey AS BIGINT) AS k,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM cur GROUP BY c_nationkey
+        |UNION ALL
+        |SELECT 'src', CAST(c_nationkey AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        | CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM cur GROUP BY c_nationkey
+        |ORDER BY side, k""".stripMargin,
     "stream_table_cdf" ->
       """SELECT c_custkey, c_nationkey, c_acctbal, 'insert' AS change_type
         |FROM customer

@@ -46,11 +46,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object AvroChangeFeed {
   val ChangeTypeColumn = "_change_type"
+  /** The table VERSION whose commit produced a change row (Delta CDF's
+    * `_commit_version`) — what lets a consumer ORDER a key's events
+    * inside a multi-version micro-batch and fold them to a net op
+    * (the replication consumer's correctness hinge). */
+  val CommitVersionColumn = "_commit_version"
   val ChangesSuffix = "changes"
 
   def feedSchema(base: StructType): StructType =
     StructType(base.fields.toSeq :+
-      StructField(ChangeTypeColumn, StringType, nullable = false))
+      StructField(ChangeTypeColumn, StringType, nullable = false) :+
+      StructField(CommitVersionColumn, LongType, nullable = false))
 }
 
 /** The read-only changelog table `<table>.changes` — streamable
@@ -121,7 +127,8 @@ case class CdfSplit(file: String, changeType: String,
     dvDeltaOld: Option[String] = None, dvDeltaNew: Option[String] = None,
     eqDeltaOld: Seq[String] = Nil, eqDeltaNew: Seq[String] = Nil,
     deltaKind: Option[String] = None,
-    diffAgainst: Option[String] = None) extends InputPartition
+    diffAgainst: Option[String] = None,
+    commitVersion: Long = -1L) extends InputPartition
 
 class AvroChangeFeedStream(path: String, baseSchema: StructType,
     required: StructType, maxFiles: Option[Int])
@@ -158,7 +165,7 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
           }
           rewrite.foreach(pairedRewrites += _)
           out += CdfSplit(r, delTag, skipDv = prev(r).dv,
-            diffAgainst = rewrite)
+            diffAgainst = rewrite, commitVersion = v)
         }
         // deletion-vector / equality-delete CHANGES — the reader does
         // the liveness math from the sidecar NAMES (the driver never
@@ -175,17 +182,17 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
             out += CdfSplit(n, delTag,
               dvDeltaOld = prev(n).dv, dvDeltaNew = cur(n).dv,
               eqDeltaOld = prev(n).eq, eqDeltaNew = cur(n).eq,
-              deltaKind = Some("deleted"))
+              deltaKind = Some("deleted"), commitVersion = v)
             out += CdfSplit(n, "insert",
               dvDeltaOld = prev(n).dv, dvDeltaNew = cur(n).dv,
               eqDeltaOld = prev(n).eq, eqDeltaNew = cur(n).eq,
-              deltaKind = Some("restored"))
+              deltaKind = Some("restored"), commitVersion = v)
           }
         }
         // inserts: added files that are not a paired COW rewrite (a
         // rewrite is a SUBSET of its original — nothing new to insert)
         (added -- pairedRewrites).toSeq.sorted.foreach { a =>
-          out += CdfSplit(a, insTag, skipDv = cur(a).dv)
+          out += CdfSplit(a, insTag, skipDv = cur(a).dv, commitVersion = v)
         }
       }
     }
@@ -324,6 +331,8 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
         while (i < required.length) {
           val f = required.fields(i)
           if (f.name == AvroChangeFeed.ChangeTypeColumn) out(i) = changeTag
+          else if (f.name == AvroChangeFeed.CommitVersionColumn)
+            out(i) = split.commitVersion
           else {
             val bi = baseSchema.fieldIndex(f.name)
             out(i) = AvroDirSource.avroToInternal(current(bi), f.dataType)

@@ -167,6 +167,33 @@ class ChangeFeedStreamSuite extends SparkSuiteBase {
     assert(spark.table("cdfcat.db.c7").count() == 15)
   }
 
+  test("_commit_version attributes every change row to its commit") {
+    mk("c9", 4)
+    val id9 = org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "c9")
+    val v0 = cat.currentVersion(id9)
+    spark.sql("INSERT INTO cdfcat.db.c9 VALUES (100, 'a')") // v0+1
+    spark.sql("DELETE FROM cdfcat.db.c9 WHERE k = 1")       // v0+2
+    val rows = spark.read.option("startingVersion", v0)
+      .table("cdfcat.db.c9.changes")
+      .select("k", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(rows == Seq((1L, "delete", v0 + 2), (100L, "insert", v0 + 1)),
+      s"versioned feed: $rows")
+    // the net-op fold the replication consumer runs: latest version
+    // wins, insert beats delete within one version (MOR update images)
+    spark.sql("CALL cdfcat.system.set_delete_mode('db.c9', 'merge-on-read')")
+    spark.sql("UPDATE cdfcat.db.c9 SET v = 'upd' WHERE k = 100") // v0+3: pre+post
+    val net = spark.read.option("startingVersion", v0)
+      .table("cdfcat.db.c9.changes")
+      .where("k = 100")
+      .orderBy(org.apache.spark.sql.functions.col("_commit_version").desc,
+        org.apache.spark.sql.functions
+          .expr("_change_type IN ('insert','update_postimage')").desc)
+      .select("v", "_change_type").collect().head
+    assert(net.getString(0) == "upd" && net.getString(1) == "update_postimage",
+      s"net fold picked ${net.toSeq}")
+  }
+
   test("batch-ranged read of the changes table (startingVersion/endingVersion)") {
     mk("c5", 5)
     val v1 = cat.currentVersion(

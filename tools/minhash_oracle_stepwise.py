@@ -43,14 +43,14 @@ def view(sf_dir, t):
         else f"read_parquet('{src}')"
 
 
-def assert_matches_oracle(out_dir):
+def assert_matches_oracle(out_dir, key):
     """Guard against silent drift (same discipline as
     compare_astro_slices.py, which loads the oracle verbatim): every
     hand-respelled constant below must appear verbatim in the one-shot
     oracle SQL the engine dumped. If graft.ops.Llm or Params change,
     this tool must FAIL LOUDLY instead of validating stale math."""
     import json
-    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["llm_dedup_minhash_lsh"]
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[key]
     for i, (a, b) in enumerate(hash_consts()):
         frag = f"MIN(({a} * h + {b}) % 4294967311) AS s{i}"
         assert frag in sql, f"minhash const drift: '{frag}' not in oracle SQL"
@@ -67,8 +67,12 @@ def assert_matches_oracle(out_dir):
     assert "LEAD(tok, 5)" not in sql, "shingle width changed (tool assumes k=5)"
 
 
-def main(sf_dir, out_dir):
-    assert_matches_oracle(out_dir)
+def main(sf_dir, out_dir, key="llm_dedup_minhash_lsh"):
+    # the incremental key is the SAME math with candidates restricted to
+    # pairs touching the batch (doc_id % 3 = 0) — assert that the
+    # restriction is really in its oracle, then apply it here
+    incremental = key == "llm_dedup_minhash_incremental"
+    assert_matches_oracle(out_dir, key)
     con = duckdb.connect()
     con.execute("SET memory_limit='48GB'")
     con.execute("SET threads=16")
@@ -101,10 +105,17 @@ def main(sf_dir, out_dir):
         for bi in range(BANDS))
     con.execute(f"CREATE TEMP TABLE bands AS {band_sel}")
     con.execute("DROP TABLE sig")
-    con.execute("""CREATE TEMP TABLE cand AS
+    touch = "WHERE x.doc_id % 3 = 0 OR y.doc_id % 3 = 0" if incremental else ""
+    if incremental:
+        import json
+        sql = json.load(open(f"{out_dir}/oracle_sql.json"))[key]
+        assert "x.doc_id % 3 = 0 OR y.doc_id % 3 = 0" in sql, \
+            "incremental oracle lost its batch restriction"
+    con.execute(f"""CREATE TEMP TABLE cand AS
         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
         FROM bands x JOIN bands y
-          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id""")
+          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+        {touch}""")
     con.execute("DROP TABLE bands")
     (nc,) = con.execute("SELECT COUNT(*) FROM cand").fetchone()
     print(f"cand materialized: {nc} pairs", flush=True)
@@ -131,18 +142,19 @@ def main(sf_dir, out_dir):
         WHERE 5 * i >= 4 * (sa.sz + sb.sz - i)
         ORDER BY c.d1, c.d2""").fetchall()
     mine = con.execute(
-        f"SELECT * FROM read_parquet('{out_dir}/llm_dedup_minhash_lsh/*.parquet')"
+        f"SELECT * FROM read_parquet('{out_dir}/{key}/*.parquet')"
         " ORDER BY 1, 2").fetchall()
     if len(ref) != len(mine):
-        print(f"FAIL llm_dedup_minhash_lsh: rows {len(mine)} != {len(ref)}")
+        print(f"FAIL {key}: rows {len(mine)} != {len(ref)}")
         return 1
     for i, (m, r) in enumerate(zip(mine, ref)):
         if [canon(v) for v in m] != [canon(v) for v in r]:
-            print(f"FAIL llm_dedup_minhash_lsh: row {i}: {m} != {r}")
+            print(f"FAIL {key}: row {i}: {m} != {r}")
             return 1
-    print(f"pass llm_dedup_minhash_lsh: {len(mine)} rows")
+    print(f"pass {key}: {len(mine)} rows")
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  *(sys.argv[3:4] or ["llm_dedup_minhash_lsh"])))

@@ -14,6 +14,10 @@ SKIP = {
     "llm_dedup_embed": "tools/compare_embed_slices.py",
     "astro_crossmatch_zones": "tools/compare_astro_slices.py",
     "llm_dedup_minhash_lsh": "tools/minhash_oracle_stepwise.py",
+    # same 73M-row shingle CTE economics, candidates restricted to
+    # pairs touching the batch — administered by the same stepwise
+    # pipeline via a key-selecting wrapper
+    "llm_dedup_minhash_incremental": "tools/minhash_incremental_oracle.py",
     # 105M-row answer: compare.py fetchall()s both sides into Python
     # (~100GB RSS, OOM-killed twice in round 13); the set-op runner
     # keeps the whole comparison inside DuckDB's memory_limit
