@@ -584,20 +584,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         col(f.name).cast(f.dataType).as(f.name)): _*)
     val jobId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val dirPath = dir.getPath
-    val schemaJson = schema.json
-    val written: Array[(String, Option[String])] =
+    // a PARTITIONED table's CDC files land through the clustered writer
+    // so their placement is recorded (grouped/SPJ scans keep working
+    // under a CDC feed); rows are not pre-distributed by the transform,
+    // so a task may cut one file per partition value it holds — batch-
+    // sized, and compaction re-clusters
+    val spec = loadPartSpec(dir)
+    val factory: org.apache.spark.sql.connector.write.DataWriterFactory =
+      spec match {
+        case Some(sp) => new AvroClusteredWriterFactory(dirPath, schema, jobId, sp)
+        case None     => new AvroWriterFactory(dirPath, schema, jobId)
+      }
+    val written: Array[(String, Option[Long], Option[String])] =
       try {
         ordered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
           if (!it.hasNext) Iterator.empty
           else {
-            val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-            val w = new AvroFileWriter(
-              new File(dirPath, f"part-$jobId-$pid%05d-cdc.avro"), sch)
+            val w = factory.createWriter(pid, pid.toLong)
             var ok = false
             try { it.foreach(w.write); ok = true }
             finally if (!ok) w.abort()
             w.commit() match {
-              case AvroCommit(f, _, st) => Iterator((new File(f).getName, st))
+              case AvroCommit(f, _, st) =>
+                Iterator((new File(f).getName, None: Option[Long], st))
+              case AvroBucketedCommit(fs) => fs.iterator.map {
+                case (f, b, st) => (new File(f).getName, Option(b), st)
+              }
               case other => throw new IllegalStateException(s"unexpected $other")
             }
           }
@@ -617,51 +629,67 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .flatMap(st.get).nextOption()
           .map(AvroStats.coerce(_, fld.dataType))
       }
-    AvroSnapshots.withCommitLock(dirPath) {
-      val branch = sessionBranch(dirPath)
-      val prev = AvroSnapshots.head(dirPath, branch)
-      val entries = prev.map(_.entries).getOrElse(Nil)
-      val attached =
-        if (keys.isEmpty) entries
-        else {
-          val lits: Array[Any] =
-            if (kind == "long") keys.map(k => Long.box(k.toLong)).toArray[Any]
-            else keys.toArray[Any]
-          val inF = org.apache.spark.sql.sources.In(keyField.name, lits)
-          val probeBloom = BloomFilters.anySidecars(dirPath)
-          val keyNames = (keyField.name +:
-            AvroDirSource.aliasesOf(keyField)).toSeq
-          // a file predating the key column (or stats) cannot carry an
-          // equality ref — its rows hold the exists-default the sidecar
-          // cannot express. CDC keys exist from table creation; refuse
-          // loudly instead of deleting the wrong rows.
-          entries.foreach(e => require(
-            e.stats.exists(sj => keyNames.exists(AvroStats.parse(sj).contains)),
-            s"apply_cdc: file ${e.name} predates stats or key column " +
-              s"${keyField.name} — compact the table first"))
-          val touched = entries.filter { e =>
-            val st = e.stats.map(AvroStats.parse)
-              .getOrElse(Map.empty[String, AvroStats.ColStats])
-            AvroStats.fileMightMatch(Seq(inF), e.name, resolve(st)) &&
-            (!probeBloom || BloomFilters.fileMightMatch(
-              dirPath, e.name, Seq(inF), _ => keyNames))
-          }.map(_.name).toSet
-          if (touched.isEmpty) entries
-          else {
-            val eqName = EqualityDeletes.write(
-              dirPath, keyField.name, kind, keys.toSeq)
-            entries.map(e =>
-              if (touched(e.name)) e.copy(eq = e.eq :+ eqName) else e)
+    // sidecar content is retry-invariant — write it at most once
+    lazy val eqName: String =
+      EqualityDeletes.write(dirPath, keyField.name, kind, keys.toSeq)
+    var attempt = 0
+    while (true) {
+      try {
+        return AvroSnapshots.withCommitLock(dirPath) {
+          val branch = sessionBranch(dirPath)
+          val prev = AvroSnapshots.head(dirPath, branch)
+          val entries = prev.map(_.entries).getOrElse(Nil)
+          val attached =
+            if (keys.isEmpty) entries
+            else {
+              val lits: Array[Any] =
+                if (kind == "long") keys.map(k => Long.box(k.toLong)).toArray[Any]
+                else keys.toArray[Any]
+              val inF = org.apache.spark.sql.sources.In(keyField.name, lits)
+              val probeBloom = BloomFilters.anySidecars(dirPath)
+              val keyNames = (keyField.name +:
+                AvroDirSource.aliasesOf(keyField)).toSeq
+              // a file predating the key column (or stats) cannot carry an
+              // equality ref — its rows hold the exists-default the sidecar
+              // cannot express. CDC keys exist from table creation; refuse
+              // loudly instead of deleting the wrong rows.
+              entries.foreach(e => require(
+                e.stats.exists(sj => keyNames.exists(AvroStats.parse(sj).contains)),
+                s"apply_cdc: file ${e.name} predates stats or key column " +
+                  s"${keyField.name} — compact the table first"))
+              val touched = entries.filter { e =>
+                val st = e.stats.map(AvroStats.parse)
+                  .getOrElse(Map.empty[String, AvroStats.ColStats])
+                AvroStats.fileMightMatch(Seq(inF), e.name, resolve(st)) &&
+                (!probeBloom || BloomFilters.fileMightMatch(
+                  dirPath, e.name, Seq(inF), _ => keyNames))
+              }.map(_.name).toSet
+              if (touched.isEmpty) entries
+              else entries.map(e =>
+                if (touched(e.name)) e.copy(eq = e.eq :+ eqName) else e)
+            }
+          val newEntries = written.map { case (n, b, st) =>
+            AvroSnapshots.FileEntry(n, b,
+              b.flatMap(_ => spec.map(_.specId)).getOrElse(0), st, None)
           }
+          val v = AvroSnapshots.commit(dirPath, schema,
+            (attached ++ newEntries).sortBy(_.name), AvroSnapshots.KindCdc,
+            branch, expectedParent = prev.map(_.version))
+          (v, nUpserts, keys.length.toLong - nUpserts)
         }
-      val newEntries = written.map { case (n, st) =>
-        AvroSnapshots.FileEntry(n, None, 0, st, None)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // a cross-JVM writer landed between our basis read and the
+          // version claim. The upsert files and sidecar are OURS alone
+          // (invisible to the winner), so re-deriving the attachment
+          // against the new head and retrying is always sound — the
+          // same auto-rebase discipline commitAppend uses.
+          attempt += 1
+          if (attempt >= 20) throw e
+          Thread.sleep(5L * attempt)
       }
-      val v = AvroSnapshots.commit(dirPath, schema,
-        (attached ++ newEntries).sortBy(_.name), AvroSnapshots.KindCdc,
-        branch, expectedParent = prev.map(_.version))
-      (v, nUpserts, keys.length.toLong - nUpserts)
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Newest value of commit property `key` on the table's main lineage

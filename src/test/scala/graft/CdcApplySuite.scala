@@ -171,6 +171,28 @@ class CdcApplySuite extends SparkSuiteBase {
       s"eq-delete window must fail an appends-only stream, got: $msg")
   }
 
+  test("a partitioned table's CDC files record their bucket placement") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS cdcat.db.c7")
+    spark.sql("""CREATE TABLE cdcat.db.c7 (k BIGINT, v STRING)
+                |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql("INSERT INTO cdcat.db.c7 SELECT id, CONCAT('r', id) FROM range(100)")
+    spark.sql("CALL cdcat.system.set_delete_mode('db.c7', 'merge-on-read-equality')")
+    val before = AvroSnapshots.head(tdir("c7")).get.files.toSet
+    spark.sql("""CALL cdcat.system.apply_cdc('db.c7', 'k',
+      | 'SELECT id AS k, ''u'' AS v, ''upsert'' AS _op FROM range(8)
+      |  UNION ALL SELECT 90 + id, NULL, ''delete'' FROM range(2)')""".stripMargin)
+    val after = AvroSnapshots.head(tdir("c7")).get
+    val fresh = after.entries.filterNot(e => before(e.name))
+    assert(fresh.nonEmpty, "no CDC files landed")
+    fresh.foreach(e => assert(e.part.isDefined,
+      s"CDC file ${e.name} lost its bucket placement"))
+    val m = spark.sql("SELECT k, v FROM cdcat.db.c7").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 98 && (0L to 7L).forall(m(_) == "u") &&
+      !m.contains(90L) && !m.contains(91L) && m(50L) == "r50")
+  }
+
   test("time travel across CDC batches is exact; compaction materializes") {
     mk("c6", 30)
     val v0 = cat.currentVersion(ident("c6"))

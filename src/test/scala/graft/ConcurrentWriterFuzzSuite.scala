@@ -50,7 +50,9 @@ class ConcurrentWriterFuzzSuite extends SparkSuiteBase {
     s1.sql("DROP TABLE IF EXISTS ccat.db.t")
     s1.sql("CREATE TABLE ccat.db.t (k BIGINT, v STRING)")
     s1.sql("INSERT INTO ccat.db.t SELECT id, CONCAT('r', id) FROM range(200)")
-    s1.sql("CALL ccat.system.set_delete_mode('db.t', 'merge-on-read')")
+    // equality mode: key DELETEs take the eq fast path, UPDATE stays
+    // merge-on-read, and apply_cdc (raced below) is admitted
+    s1.sql("CALL ccat.system.set_delete_mode('db.t', 'merge-on-read-equality')")
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "t")
     def catOf(s: SparkSession) = s.sessionState.catalogManager
       .catalog("ccat").asInstanceOf[GraftCatalog]
@@ -64,13 +66,15 @@ class ConcurrentWriterFuzzSuite extends SparkSuiteBase {
     val refusals = new java.util.concurrent.atomic.AtomicInteger()
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
 
+    val cdcLive = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     def worker(sess: SparkSession, seed: Long, poolLo: Long, poolHi: Long,
         tag: Long): Thread = new Thread(() => {
       try {
         SparkSession.setActiveSession(sess)
         val rnd = new scala.util.Random(seed)
+        var cdcPrev = -1L // this thread's live CDC key (disjoint namespace)
         for (i <- 0 until 14) {
-          val op = rnd.nextInt(10)
+          val op = rnd.nextInt(12)
           try {
             op match {
               case 0 | 1 | 2 =>
@@ -101,6 +105,22 @@ class ConcurrentWriterFuzzSuite extends SparkSuiteBase {
                 sess.sql("CALL ccat.system.compact('db.t')")
               case 9 =>
                 catOf(sess).expireSnapshots(ident, 8)
+              case _ =>
+                // atomic CDC batch on this thread's own id namespace:
+                // upsert a fresh key, delete the previous one — ONE
+                // commit, auto-rebased internally on cross-JVM races
+                // (apply_cdc's retry loop is what this op exercises)
+                val id = tag * 100000 + 50000 + i
+                val del = if (cdcPrev >= 0)
+                  s" UNION ALL SELECT CAST($cdcPrev AS BIGINT), NULL, ''delete''"
+                else ""
+                sess.sql("CALL ccat.system.apply_cdc('db.t', 'k', " +
+                  s"'SELECT CAST($id AS BIGINT) AS k, ''c$id'' AS v, " +
+                  s"''upsert'' AS _op$del')")
+                if (cdcPrev >= 0) { cdcLive.remove(cdcPrev); () }
+                cdcLive.add(id)
+                cdcPrev = id
+                ()
             }
           } catch {
             case t: Throwable if isRefusal(t) => refusals.incrementAndGet()
@@ -119,7 +139,8 @@ class ConcurrentWriterFuzzSuite extends SparkSuiteBase {
     val expected: Map[Long, String] =
       ((0L until 200L).filterNot(deleted.contains)
         .map(k => k -> (s"r$k" + "+" * updates.getOrDefault(k, 0))) ++
-        appended.asScala.map(id => id.longValue -> s"a$id")).toMap
+        appended.asScala.map(id => id.longValue -> s"a$id") ++
+        cdcLive.asScala.map(id => id.longValue -> s"c$id")).toMap
     val got = s1.table("ccat.db.t").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val missing = (expected.keySet -- got.keySet).toSeq.sorted.take(8)
