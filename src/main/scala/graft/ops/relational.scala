@@ -1172,7 +1172,8 @@ object Relational {
     * tag-pinned time travel across the DML, and an array table whose
     * COW rewrite round-trips every float bit-exactly. Stats DISCIPLINE:
     * ts/date bounds are recorded (long domain) and prune; decimal/
-    * binary/array columns record NOTHING — absent = unknown, so
+    * binary/array columns record NOTHING (decimal graduated to exact
+    * tagged bounds — see catalog_decimal_stats) — absent = unknown, so
     * pruning never engages and MIN/MAX/COUNT(col) pushdown DECLINES
     * for them instead of fabricating answers. At 100 TB this is what
     * lets the training-data pipeline keep raw modalities and event
@@ -1289,6 +1290,59 @@ object Relational {
             |FROM graftcat.lake.cust_eqd
             |WHERE c_custkey IN (1, 2, 3, 40, 41, 100)
             |ORDER BY phase, n""".stripMargin)
+  }
+
+  /** DECIMAL COLUMN STATISTICS (round 16 — closes the typed-columns
+    * gap where DECIMAL recorded nothing): bounds ride the manifest as
+    * tagged plain-strings (`dec:<text>` — exact, never truncated),
+    * compared and group-hull-folded in the BigDecimal domain (a text
+    * fold would order "10.00" before "9.99" and prune wrong files),
+    * re-typed by column at use time. Money-range scans over a sorted
+    * layout prune files; MIN/MAX/COUNT(col) answer from the manifest —
+    * but ONLY when the column is present in EVERY file's stats:
+    * absence is ambiguous between "file predates the decimal-stats
+    * upgrade" (values exist, no stats) and "file predates an ADD
+    * COLUMN" (all null), so exact answers decline to a scan rather
+    * than guess (pruning is inherently sound either way — absent never
+    * prunes). fileMustMatch extends too: a slice-aligned retention
+    * DELETE on an amount column drops whole files unread. Scored flow:
+    * amount-sliced inserts, a range query + manifest-answered
+    * MIN/MAX/COUNT, a mid-range DELETE, time travel — hash-exact. */
+  private def catalogDecimalStats(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "orders").createOrReplaceTempView("graft_decs_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_decs")
+    s.sql("""CREATE TABLE graftcat.lake.orders_decs
+            |(o_orderkey BIGINT, amount DECIMAL(12,2))""".stripMargin)
+    // amount-sliced inserts: each file's decimal interval stays inside
+    // its slice, so range predicates prune to O(matching slices)
+    val cuts = Seq("50000.00", "150000.00", "250000.00")
+    val slices = (s"o_totalprice < ${cuts.head}" +:
+      cuts.sliding(2).map(w =>
+        s"o_totalprice >= ${w(0)} AND o_totalprice < ${w(1)}").toSeq) :+
+      s"o_totalprice >= ${cuts.last}"
+    slices.foreach(w => s.sql(
+      s"""INSERT INTO graftcat.lake.orders_decs
+         |SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2))
+         |FROM graft_decs_src WHERE $w""".stripMargin))
+    s.sql("CALL graftcat.system.tag('lake.orders_decs', 'pre_dml')")
+    // slice-aligned retention DELETE: provably-all-matched files drop
+    // unread (fileMustMatch in the decimal domain)
+    s.sql("DELETE FROM graftcat.lake.orders_decs WHERE amount < 50000.00")
+    s.sql("""SELECT 'range' AS phase, COUNT(*) AS n,
+            | CAST(MIN(amount) AS DOUBLE) AS lo, CAST(MAX(amount) AS DOUBLE) AS hi
+            |FROM graftcat.lake.orders_decs
+            |WHERE amount >= 100000.00 AND amount < 200000.00
+            |UNION ALL
+            |SELECT 'minmax', COUNT(amount),
+            | CAST(MIN(amount) AS DOUBLE), CAST(MAX(amount) AS DOUBLE)
+            |FROM graftcat.lake.orders_decs
+            |UNION ALL
+            |SELECT 'travel', COUNT(*),
+            | CAST(MIN(amount) AS DOUBLE), CAST(MAX(amount) AS DOUBLE)
+            |FROM graftcat.lake.orders_decs VERSION AS OF 'pre_dml'
+            |ORDER BY phase""".stripMargin)
   }
 
   /** COLUMN DEFAULT VALUES (round 16 — the
@@ -1738,6 +1792,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_decimal_stats" -> (catalogDecimalStats _),
     "catalog_column_defaults" -> (catalogColumnDefaults _),
     "catalog_retention_delete" -> (catalogRetentionDelete _),
     "catalog_point_lookup" -> (catalogPointLookup _),
@@ -1802,6 +1857,23 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_decimal_stats" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS amount
+        |  FROM orders),
+        | cur AS (SELECT * FROM t WHERE amount >= 50000.00)
+        |SELECT 'range' AS phase, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(MIN(amount) AS DOUBLE) AS lo, CAST(MAX(amount) AS DOUBLE) AS hi
+        |FROM cur WHERE amount >= 100000.00 AND amount < 200000.00
+        |UNION ALL
+        |SELECT 'minmax', COUNT(amount),
+        | CAST(MIN(amount) AS DOUBLE), CAST(MAX(amount) AS DOUBLE)
+        |FROM cur
+        |UNION ALL
+        |SELECT 'travel', COUNT(*),
+        | CAST(MIN(amount) AS DOUBLE), CAST(MAX(amount) AS DOUBLE)
+        |FROM t
+        |ORDER BY phase""".stripMargin,
     "catalog_column_defaults" ->
       """WITH cur AS (
         |  SELECT n_nationkey, n_name, 'active' AS status,

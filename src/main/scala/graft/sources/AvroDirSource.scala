@@ -548,6 +548,12 @@ class AvroDirTable(path: String, tableSchema: StructType,
         case (x: java.lang.Long, DateType)     => Int.box(x.intValue)
         case (x: java.lang.Double, FloatType)  => Float.box(x.floatValue)
         case (x: String, StringType)           => UTF8String.fromString(x)
+        case (x: String, d: DecimalType) if x.startsWith("dec:") =>
+          org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(x.substring(4)), d.precision, d.scale)
+        // resolveStats.coerce already re-typed the tagged bound
+        case (x: java.math.BigDecimal, d: DecimalType) =>
+          org.apache.spark.sql.types.Decimal(x, d.precision, d.scale)
         case (x, _)                            => x
       }
 
@@ -576,9 +582,17 @@ class AvroDirTable(path: String, tableSchema: StructType,
         val totalRows = perFile.iterator.map(_._1).sum
         def minMax(fld: StructField, isMin: Boolean): Option[(StructField, Any)] = {
           // exactly the types whose stats record exact bounds
-          // (AvroStats.trackable) — decimal/binary/array bounds are
-          // never recorded, so their MIN/MAX must plan a real scan
+          // (AvroStats.trackable) — binary/array bounds are never
+          // recorded, so their MIN/MAX must plan a real scan
           if (!AvroStats.trackable(fld.dataType)) return None
+          // DECIMAL stats are a round-16 addition: a file written
+          // BEFORE it carries no entry for a decimal column that DOES
+          // hold values — absence is ambiguous with "predates an ADD
+          // COLUMN" (all-null), so an exact answer requires the column
+          // PRESENT in every file's stats; otherwise decline to a scan
+          if (fld.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+              perFile.exists { case (_, st) => statsColumn(st, fld.name).isEmpty })
+            return None
           val bounds = perFile.flatMap { case (n, st) =>
             // a column absent from a row-counted file's stats predates
             // the column: all-null there, contributes no bound
@@ -610,10 +624,16 @@ class AvroDirTable(path: String, tableSchema: StructType,
               Some((StructField(s"agg_$i", LongType, nullable = false),
                 Long.box(totalRows)))
             case (c: Count, i) if !c.isDistinct =>
-              // only trackable types: an untracked (decimal/binary/
-              // array) column is absent from every stats JSON, which
-              // would be mistaken for "predates the column / all-null"
+              // only trackable types: an untracked (binary/array)
+              // column is absent from every stats JSON, which would be
+              // mistaken for "predates the column / all-null"; DECIMAL
+              // additionally requires presence in EVERY file (absence
+              // is ambiguous pre-round-16 — same rule as minMax)
               colRef(c.column).filter(f => AvroStats.trackable(f.dataType))
+                .filterNot(f =>
+                  f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+                    perFile.exists { case (_, st) =>
+                      statsColumn(st, f.name).isEmpty })
                 .map { fld =>
                   val nonNull = perFile.iterator.map { case (n, st) =>
                     statsColumn(st, fld.name).map(cs => n - cs.nulls).getOrElse(0L)

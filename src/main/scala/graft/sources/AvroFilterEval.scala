@@ -28,13 +28,29 @@ object AvroFilterEval extends Serializable {
     * evaluates with real Catalyst expressions. */
   private def litOk(x: Any): Boolean = x match {
     case null => true
-    case _: java.math.BigDecimal | _: scala.math.BigDecimal => false
+    // decimal literals compare exactly: the resolvers decode a DECIMAL
+    // column's unscaled bytes to BigDecimal with the column scale, and
+    // cmp() pairs BigDecimals in the exact domain (round 16 — was
+    // refused, which also kept decimal predicates off the stats
+    // pruning and the metadata-delete fast path)
+    case _: java.math.BigDecimal | _: scala.math.BigDecimal => true
     case _: java.lang.Number | _: java.lang.Boolean | _: String |
          _: org.apache.spark.unsafe.types.UTF8String |
          _: java.sql.Timestamp | _: java.time.Instant |
          _: java.sql.Date | _: java.time.LocalDate => true
     case _ => false
   }
+
+  private def asDec(v: Any): Option[java.math.BigDecimal] = v match {
+    case d: java.math.BigDecimal  => Some(d)
+    case d: scala.math.BigDecimal => Some(d.bigDecimal)
+    case n: java.lang.Long    => Some(java.math.BigDecimal.valueOf(n))
+    case n: java.lang.Integer => Some(java.math.BigDecimal.valueOf(n.longValue))
+    case n: java.lang.Double  => Some(java.math.BigDecimal.valueOf(n.doubleValue))
+    case _ => None
+  }
+  private def isDec(v: Any): Boolean =
+    v.isInstanceOf[java.math.BigDecimal] || v.isInstanceOf[scala.math.BigDecimal]
 
   /** The filter shapes `canDeleteWhere` accepts; anything else makes
     * Spark fall back to an error (this table has no row-id-based
@@ -66,6 +82,10 @@ object AvroFilterEval extends Serializable {
     * None = UNKNOWN (a null operand). */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
+    // a decimal operand (decoded column value or pushed literal):
+    // compare exactly in the BigDecimal domain
+    case (x, y) if isDec(x) || isDec(y) =>
+      for (p <- asDec(x); q <- asDec(y)) yield p.compareTo(q)
     // a datetime literal vs a TIMESTAMP/DATE column's decoded value
     // (µs long / epoch-day int): compare in the internal long domain;
     // vs a string value it falls through to the text compare below
@@ -155,16 +175,31 @@ object AvroFilterEval extends Serializable {
       // different rows than the same predicate SELECTs
       val dflt: Map[String, Any] = schema.fields.map(f =>
         f.name -> AvroDirSource.existsDefaultAvro(f)).toMap
+      // DECIMAL columns decode their unscaled bytes with the column
+      // scale so cmp() compares them exactly
+      val decScale: Map[String, Int] = schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] =>
+          f.name -> f.dataType.asInstanceOf[DecimalType].scale
+      }.toMap
       def norm(x: Any): Any = x match {
         case u: org.apache.avro.util.Utf8 => u.toString
         case other => other
+      }
+      def decode(name: String, x: Any): Any = x match {
+        case b: java.nio.ByteBuffer if decScale.contains(name) =>
+          val d = b.duplicate()
+          val bytes = new Array[Byte](d.remaining())
+          d.get(bytes)
+          new java.math.BigDecimal(
+            new java.math.BigInteger(bytes), decScale(name))
+        case o => norm(o)
       }
       var rowPos = 0L
       while (reader.hasNext) {
         val rec = reader.next()
         if (!dv.contains(rowPos)) {
           val v: String => Any = name => pos.get(name) match {
-            case Some(p) if p >= 0 => norm(rec.get(p))
+            case Some(p) if p >= 0 => decode(name, rec.get(p))
             case _                 => dflt.getOrElse(name, null)
           }
           if (filters.forall(eval(_, v).contains(true))) deleted = true
@@ -201,16 +236,31 @@ object AvroFilterEval extends Serializable {
       // different rows than the same predicate SELECTs
       val dflt: Map[String, Any] = schema.fields.map(f =>
         f.name -> AvroDirSource.existsDefaultAvro(f)).toMap
+      // DECIMAL columns decode their unscaled bytes with the column
+      // scale so cmp() compares them exactly
+      val decScale: Map[String, Int] = schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] =>
+          f.name -> f.dataType.asInstanceOf[DecimalType].scale
+      }.toMap
       def norm(x: Any): Any = x match {
         case u: org.apache.avro.util.Utf8 => u.toString
         case other => other
+      }
+      def decode(name: String, x: Any): Any = x match {
+        case b: java.nio.ByteBuffer if decScale.contains(name) =>
+          val d = b.duplicate()
+          val bytes = new Array[Byte](d.remaining())
+          d.get(bytes)
+          new java.math.BigDecimal(
+            new java.math.BigInteger(bytes), decScale(name))
+        case o => norm(o)
       }
       var rowPos = 0L
       while (reader.hasNext) {
         val rec = reader.next()
         if (!existingDv.contains(rowPos)) {
           val v: String => Any = name => pos.get(name) match {
-            case Some(p) if p >= 0 => norm(rec.get(p))
+            case Some(p) if p >= 0 => decode(name, rec.get(p))
             case _                 => dflt.getOrElse(name, null)
           }
           if (filters.forall(eval(_, v).contains(true))) matched += rowPos
@@ -235,7 +285,14 @@ object AvroFilterEval extends Serializable {
         val rec = new GenericData.Record(avroSchema)
         var i = 0
         while (i < vals.length) {
-          rec.put(i, vals(i)); stats.update(i, vals(i)); i += 1
+          // decimal survivors were decoded to BigDecimal for the
+          // evaluator — re-encode as the Avro unscaled bytes
+          val av = vals(i) match {
+            case d: java.math.BigDecimal =>
+              java.nio.ByteBuffer.wrap(d.unscaledValue.toByteArray)
+            case o => o
+          }
+          rec.put(i, av); stats.update(i, av); i += 1
         }
         stats.countRow()
         writer.append(rec)

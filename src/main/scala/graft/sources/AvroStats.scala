@@ -76,6 +76,7 @@ object AvroStats {
     * timestamps as longs, floats as doubles, -0.0 folded), so two
     * files hashing the same logical value always agree. */
   def ndvHash(v: Any): Long = v match {
+    case d: java.math.BigDecimal => ndvHash("dec:" + d.toPlainString)
     case x: java.lang.Long    => splitmix64(x.longValue)
     case x: java.lang.Double  =>
       splitmix64(java.lang.Double.doubleToLongBits(
@@ -175,13 +176,40 @@ object AvroStats {
 
   /** True iff this column type records min/max bounds in the manifest.
     * TIMESTAMP (internal µs long) and DATE (epoch-day int) share the
-    * numeric bound domain; DECIMAL/BINARY/ARRAY record NOTHING — their
+    * numeric bound domain; DECIMAL records exact tagged bounds (round
+    * 16); BINARY/ARRAY record NOTHING — their
     * columns are simply ABSENT from the stats JSON (absent = unknown →
     * never prunes, and aggregate pushdown DECLINES for them rather
     * than mistaking absence for "predates the column / all-null"). */
   def trackable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | BooleanType |
          StringType | TimestampType | DateType => true
+    // DECIMAL (round 16): bounds as tagged plain-strings ("dec:<text>")
+    // — exact (never truncated), folded numerically by [[cmp]]'s
+    // decimal case, re-typed by [[coerce]]. BINARY/ARRAY still record
+    // nothing (absent = unknown → never prunes).
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Tag prefix for decimal bounds in stats JSON: distinguishes them
+    // from genuine text so schema-less group-hull folds stay numeric.
+    */
+  private val DecTag = "dec:"
+  private def asDec(v: Any): Option[java.math.BigDecimal] = v match {
+    case d: java.math.BigDecimal  => Some(d)
+    case d: scala.math.BigDecimal => Some(d.bigDecimal)
+    case s: String if s.startsWith(DecTag) =>
+      try Some(new java.math.BigDecimal(s.substring(DecTag.length)))
+      catch { case _: Exception => None }
+    case n: java.lang.Long    => Some(java.math.BigDecimal.valueOf(n))
+    case n: java.lang.Integer => Some(java.math.BigDecimal.valueOf(n.longValue))
+    case n: java.lang.Double  => Some(java.math.BigDecimal.valueOf(n.doubleValue))
+    case _ => None
+  }
+  private def isDecish(v: Any): Boolean = v match {
+    case _: java.math.BigDecimal | _: scala.math.BigDecimal => true
+    case s: String => s.startsWith(DecTag)
     case _ => false
   }
 
@@ -192,6 +220,12 @@ object AvroStats {
     private val nulls = new Array[Long](schema.length)
     private val mins = new Array[Any](schema.length)
     private val maxs = new Array[Any](schema.length)
+    // decimal columns arrive from the writer as unscaled-bytes buffers;
+    // the column's SCALE rebuilds the exact value
+    private val decScale: Array[Int] = schema.fields.map(_.dataType match {
+      case d: DecimalType => d.scale
+      case _              => -1
+    })
     private val track: Array[Boolean] =
       schema.fields.map(f => trackable(f.dataType))
     private val ndv: Array[KmvSketch] =
@@ -209,6 +243,11 @@ object AvroStats {
       if (!track(i)) return
       if (v == null) { nulls(i) += 1; return }
       val n = v match {
+        case b: java.nio.ByteBuffer if decScale(i) >= 0 =>
+          val d = b.duplicate()
+          val bytes = new Array[Byte](d.remaining())
+          d.get(bytes)
+          new java.math.BigDecimal(new java.math.BigInteger(bytes), decScale(i))
         case x: java.lang.Integer => Long.box(x.longValue) // normalize int → long
         // -0.0 == 0.0 in Spark's comparison semantics but not in
         // Double.compare: normalize so bounds can never exclude the
@@ -294,6 +333,7 @@ object AvroStats {
 
   private def toJValue(v: Any): JValue = v match {
     case null                 => JNull
+    case d: java.math.BigDecimal => JString(DecTag + d.toPlainString)
     case x: java.lang.Long    => JLong(x)
     case x: java.lang.Double  =>
       // NaN/Infinity are not JSON numbers (jackson would quote them
@@ -314,9 +354,13 @@ object AvroStats {
       case s: String if dt == DoubleType &&
           (s == "NaN" || s == "Infinity" || s == "-Infinity") =>
         Double.box(s.toDouble)
+      case s: String if dt.isInstanceOf[DecimalType] && s.startsWith(DecTag) =>
+        new java.math.BigDecimal(s.substring(DecTag.length))
       case o => o
     }
-    if (dt == DoubleType) ColStats(fix(cs.min), fix(cs.max), cs.nulls) else cs
+    if (dt == DoubleType || dt.isInstanceOf[DecimalType])
+      ColStats(fix(cs.min), fix(cs.max), cs.nulls)
+    else cs
   }
 
   private def fromJValue(v: JValue): Option[Any] = v match {
@@ -380,6 +424,13 @@ object AvroStats {
     * to the text compare (a string column holding date text). Both
     * sides non-null. */
   private def cmp(a: Any, b: Any): Int = (a, b) match {
+    // decimal bounds/literals (incl. the "dec:<text>" tagged spelling
+    // stats JSON carries) compare EXACTLY in the BigDecimal domain
+    case (x, y) if isDecish(x) || isDecish(y) =>
+      (asDec(x), asDec(y)) match {
+        case (Some(p), Some(q)) => p.compareTo(q)
+        case _ => cmpCodePoints(x.toString, y.toString)
+      }
     case (x: java.lang.Number, y) if datetimeLong(y).isDefined =>
       java.lang.Long.compare(x.longValue, datetimeLong(y).get)
     case (x, y: java.lang.Number) if datetimeLong(x).isDefined =>

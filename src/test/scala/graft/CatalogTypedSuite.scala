@@ -88,36 +88,38 @@ class CatalogTypedSuite extends SparkSuiteBase {
       "date predicate did not prune files")
   }
 
-  test("decimal/binary/array record NO stats; pushdown declines, never fabricates") {
+  test("decimal bounds recorded (round 16); binary/array stay absent and decline") {
     wh
     spark.sql("DROP TABLE IF EXISTS tycat.db.dec")
     spark.sql("""CREATE TABLE tycat.db.dec AS
                 |SELECT id AS k, CAST(id AS DECIMAL(18,2)) / 4 AS m,
                 | ARRAY(CAST(id AS FLOAT)) AS v
                 |FROM RANGE(100)""".stripMargin)
-    // the stats JSON must carry k but NOT m / v (absent = unknown)
+    // the stats JSON carries k AND m (tagged exact decimal bounds);
+    // array v stays ABSENT (absent = unknown)
     val snap = AvroSnapshots.latest(s"$wh/db/dec").get
     snap.entries.foreach { e =>
       val st = graft.sources.AvroStats.parse(e.stats.get)
-      assert(st.contains("k") && !st.contains("m") && !st.contains("v"),
-        s"untracked types leaked into stats: ${st.keySet}")
+      assert(st.contains("k") && st.contains("m") && !st.contains("v"),
+        s"stats keys: ${st.keySet}")
     }
     // COUNT(*) still answers from the manifest (no aggregate operator)
     val cs = spark.sql("SELECT COUNT(*) AS n FROM tycat.db.dec")
     assert(cs.collect().head.getLong(0) == 100)
     assert(!cs.queryExecution.executedPlan.toString.contains("HashAggregate"))
-    // COUNT(m) / MIN(m) / MAX(v-ish) DECLINE to a real scan + aggregate
+    // COUNT(m) / MIN(m) / MAX(m) now answer from the manifest — exact
+    // decimal bounds, every file's stats carry the column
     val cm = spark.sql("SELECT COUNT(m) AS n, MIN(m) AS mn, MAX(m) AS mx FROM tycat.db.dec")
     val r = cm.collect().head
     assert(r.getLong(0) == 100 && r.getDecimal(1).toString == "0.000000" &&
       r.getDecimal(2).toString == "24.750000", s"decimal agg wrong: $r")
-    assert(cm.queryExecution.executedPlan.toString.contains("Aggregate"),
-      "decimal COUNT/MIN/MAX must fall back to a real aggregate")
-    // a predicate on an untracked column never prunes (absent = unknown)
+    assert(!cm.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "decimal COUNT/MIN/MAX should answer from the manifest now")
+    // a decimal range predicate PRUNES via the recorded bounds
     val up = spark.sql("SELECT k FROM tycat.db.dec WHERE m > 999999")
     assert(up.count() == 0)
-    assert(scanOf(up).inputPartitions.size == snap.files.size,
-      "untracked-column predicate must not prune files")
+    assert(scanOf(up).inputPartitions.isEmpty,
+      "impossible decimal predicate should prune every file")
   }
 
   test("timestamp MIN/MAX answers from the manifest; DML + time travel stay exact") {
