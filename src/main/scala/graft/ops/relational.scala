@@ -1292,6 +1292,71 @@ object Relational {
             |ORDER BY phase, n""".stripMargin)
   }
 
+  /** BIN-PACK COMPACTION (round 16 — Iceberg's rewrite_data_files
+    * binpack, the OPTIMIZE a 100-TB table can actually afford):
+    * `CALL system.compact_small('ns.t', min_rows)` rewrites ONLY the
+    * debt — files under the row threshold (what a CDC/streaming feed
+    * accrues) and files carrying dv/equality sidecars (targeted
+    * materialization) — and leaves every healthy file byte-untouched;
+    * the commit is kind=rewrite (dataChange=false, streams/CDF skip
+    * it) with read-basis validation (a concurrent DML refuses the
+    * compaction, never the reverse). Full compaction is O(table) I/O
+    * per run; binpack is O(debt) — the difference between maintenance
+    * you schedule hourly and maintenance you can never run. Scored
+    * flow: one healthy file + a trickle of small inserts + an
+    * equality delete, binpack, in-flow requires the healthy file
+    * SURVIVED IDENTICALLY (same name in `.files`) while the small
+    * ones coalesced and the sidecar materialized away; content +
+    * time travel hash-exact. */
+  private def catalogCompactBinpack(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "customer").createOrReplaceTempView("graft_bp_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.cust_bp")
+    s.sql("""CREATE TABLE graftcat.lake.cust_bp
+            |(c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE)""".stripMargin)
+    // bloom on the key: the equality delete below then attaches its
+    // sidecar ONLY to the small files that hold the keys — the healthy
+    // file's bloom proves absence, so binpack has no reason to touch it
+    s.sql("CALL graftcat.system.set_bloom_filter('lake.cust_bp', 'c_custkey')")
+    // one healthy file...
+    s.sql("""INSERT INTO graftcat.lake.cust_bp
+            |SELECT /*+ REPARTITION(1) */ c_custkey, c_nationkey, c_acctbal
+            |FROM graft_bp_src WHERE c_custkey % 5 > 0""".stripMargin)
+    // ...then the small-file trickle a feed accrues
+    for (i <- 0 until 4)
+      s.sql(s"""INSERT INTO graftcat.lake.cust_bp
+               |SELECT /*+ REPARTITION(1) */ c_custkey, c_nationkey, c_acctbal
+               |FROM graft_bp_src
+               |WHERE c_custkey % 5 = 0 AND c_custkey % 4 = $i""".stripMargin)
+    s.sql("CALL graftcat.system.set_delete_mode('lake.cust_bp', 'merge-on-read-equality')")
+    s.sql("DELETE FROM graftcat.lake.cust_bp WHERE c_custkey IN (5, 10)")
+    s.sql("CALL graftcat.system.tag('lake.cust_bp', 'pre_binpack')")
+    def files(): Map[String, Long] =
+      s.sql("SELECT file, row_count FROM graftcat.lake.cust_bp.files")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = files()
+    val healthy = before.maxBy(_._2)._1
+    val r = s.sql(
+      s"CALL graftcat.system.compact_small('lake.cust_bp', ${before(healthy)})")
+      .collect().head
+    val after = files()
+    require(after.contains(healthy),
+      s"binpack rewrote the healthy file $healthy")
+    require(after.size < before.size && r.getInt(0) >= 4,
+      s"binpack did not coalesce the debt: ${before.size} -> ${after.size}, " +
+        s"rewritten ${r.getInt(0)}")
+    s.sql("""SELECT 'head' AS phase, CAST(c_nationkey AS BIGINT) AS k,
+            | COUNT(*) AS n,
+            | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM graftcat.lake.cust_bp GROUP BY c_nationkey
+            |UNION ALL
+            |SELECT 'pre', -1L, COUNT(*),
+            | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            |FROM graftcat.lake.cust_bp VERSION AS OF 'pre_binpack'
+            |ORDER BY phase, k""".stripMargin)
+  }
+
   /** DECIMAL COLUMN STATISTICS (round 16 — closes the typed-columns
     * gap where DECIMAL recorded nothing): bounds ride the manifest as
     * tagged plain-strings (`dec:<text>` — exact, never truncated),
@@ -1792,6 +1857,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_compact_binpack" -> (catalogCompactBinpack _),
     "catalog_decimal_stats" -> (catalogDecimalStats _),
     "catalog_column_defaults" -> (catalogColumnDefaults _),
     "catalog_retention_delete" -> (catalogRetentionDelete _),
@@ -1857,6 +1923,19 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_compact_binpack" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |  WHERE c_custkey NOT IN (5, 10))
+        |SELECT 'head' AS phase, CAST(c_nationkey AS BIGINT) AS k,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM cur GROUP BY c_nationkey
+        |UNION ALL
+        |SELECT 'pre', -1, COUNT(*),
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM cur
+        |ORDER BY phase, k""".stripMargin,
     "catalog_decimal_stats" ->
       """WITH t AS (
         |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS amount

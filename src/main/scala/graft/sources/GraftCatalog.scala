@@ -704,6 +704,100 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     AvroSnapshots.lastProp(dir.getPath, key, sessionBranch(dir.getPath))
   }
 
+  /** BIN-PACK compaction (Iceberg's rewrite_data_files binpack — the
+    * OPTIMIZE flavor a 100-TB table actually schedules): rewrite ONLY
+    * the files worth rewriting — row count below `minRows` (the
+    * small-file debt a CDC/streaming feed accrues) or carrying
+    * dv/equality sidecars (targeted materialization) — and leave every
+    * healthy file byte-untouched. Contrast [[compactTable]]: a full
+    * self-overwrite is O(table) I/O per run, which at scale means you
+    * can never afford to run it; binpack is O(debt). The rewrite reads
+    * candidates through the TABLE SCAN (`_file IN (...)` — dv/eq
+    * anti-joins, exists-defaults and schema modernization all apply),
+    * writes through the clustered factory when a partition spec
+    * exists, and commits kind=rewrite (dataChange=false — streams and
+    * the CDF skip it) with read-basis validation: a concurrent DML
+    * refuses the compaction, never the reverse. Returns
+    * (filesRewritten, filesAfter). */
+  def compactSmall(ident: Identifier, minRows: Long,
+      session: org.apache.spark.sql.SparkSession =
+        org.apache.spark.sql.SparkSession.active): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val dirPath = dir.getPath
+    val branch = sessionBranch(dirPath)
+    val head = AvroSnapshots.head(dirPath, branch).getOrElse(return (0, 0))
+    val schema = DataType.fromJson(new String(
+      Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+    def isDebt(e: AvroSnapshots.FileEntry): Boolean =
+      e.dv.isDefined || e.eq.nonEmpty ||
+        e.stats.flatMap(AvroStats.rowCount).forall(_ < minRows)
+    val candidates = head.entries.filter(isDebt)
+    // one clean small file is not debt worth a commit; sidecarred
+    // files always are (the rewrite materializes them away)
+    if (candidates.isEmpty ||
+        (candidates.size == 1 && candidates.head.dv.isEmpty &&
+          candidates.head.eq.isEmpty))
+      return (0, head.entries.size)
+    val names = candidates.map(_.name)
+    val q = (catalogName +: ident.namespace.toSeq :+ ident.name)
+      .map(p => s"`$p`").mkString(".")
+    val src = session.table(q).where(col(AvroDirSource.FileColumn)
+        .isin(names: _*))
+      .select(schema.fields.toSeq.map(f => col(f.name)): _*)
+    val jobId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val spec = loadPartSpec(dir)
+    val factory: org.apache.spark.sql.connector.write.DataWriterFactory =
+      spec match {
+        case Some(sp) => new AvroClusteredWriterFactory(dirPath, schema, jobId, sp)
+        case None     => new AvroWriterFactory(dirPath, schema, jobId)
+      }
+    val written: Array[(String, Option[Long], Option[String])] =
+      try {
+        // the debt COALESCES: one writer task per job (binpack target =
+        // one healthy file per partition value), fed by however many
+        // small files the scan planned
+        src.coalesce(1).queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val w = factory.createWriter(pid, pid.toLong)
+            var ok = false
+            try { it.foreach(w.write); ok = true }
+            finally if (!ok) w.abort()
+            w.commit() match {
+              case AvroCommit(f, _, st) =>
+                Iterator((new File(f).getName, None: Option[Long], st))
+              case AvroBucketedCommit(fs) => fs.iterator.map {
+                case (f, b, st) => (new File(f).getName, Option(b), st)
+              }
+              case other => throw new IllegalStateException(s"unexpected $other")
+            }
+          }
+        }.collect()
+      } catch {
+        case e: Throwable =>
+          AvroDirSource.listAllAvro(dirPath)
+            .filter(_.getName.contains(jobId)).foreach(_.delete())
+          throw e
+      }
+    val newEntries = written.map { case (n, b, st) =>
+      AvroSnapshots.FileEntry(n, b,
+        b.flatMap(_ => spec.map(_.specId)).getOrElse(0), st, None)
+    }
+    val dropped = names.toSet
+    AvroSnapshots.withCommitLock(dirPath) {
+      AvroSnapshots.commit(dirPath, schema,
+        (head.entries.filterNot(e => dropped(e.name)) ++ newEntries)
+          .sortBy(_.name),
+        AvroSnapshots.KindRewrite, branch,
+        expectedParent = Some(head.version))
+    }
+    (candidates.size,
+      head.entries.size - candidates.size + newEntries.length)
+  }
+
   /** Current MAIN head version of a catalog table (branch commits do
     * not move it once branching has begun). */
   def currentVersion(ident: Identifier): Long = {

@@ -71,7 +71,7 @@ object GraftProcedures {
     Seq("rollback", "expire_snapshots", "compact", "tag", "set_sort_order",
       "set_delete_mode", "create_branch", "fast_forward", "evolve_partition",
       "remove_orphan_files", "create_view", "drop_view", "apply_cdc",
-      "set_bloom_filter")
+      "set_bloom_filter", "compact_small")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -84,6 +84,17 @@ object GraftProcedures {
         StructType(Seq(StructField("deleted_files", IntegerType, nullable = false))),
         (c, in) => Seq(Int.box(
           c.expireSnapshots(tableIdent(str(in, 0)), in.getInt(1)).size))))
+      // bin-pack small-file compaction (Iceberg rewrite_data_files):
+      // rewrites ONLY sub-threshold / sidecarred files — O(debt) I/O
+      case "compact_small" => Some(new GraftProcedure(catalog, "compact_small",
+        Seq("table" -> StringType, "min_rows" -> LongType),
+        StructType(Seq(StructField("files_rewritten", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false))),
+        (c, in) => {
+          val (r, a) = c.compactSmall(tableIdent(str(in, 0)), in.getLong(1),
+            org.apache.spark.sql.SparkSession.active)
+          Seq(Int.box(r), Int.box(a))
+        }))
       case "compact" => Some(new GraftProcedure(catalog, "compact",
         Seq("table" -> StringType),
         StructType(Seq(StructField("files_before", IntegerType, nullable = false),

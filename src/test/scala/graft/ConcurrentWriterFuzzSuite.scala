@@ -102,7 +102,12 @@ class ConcurrentWriterFuzzSuite extends SparkSuiteBase {
                 branchAppended.add(id)
                 ()
               case 8 =>
-                sess.sql("CALL ccat.system.compact('db.t')")
+                // alternate full self-overwrite and binpack — both are
+                // basis-validated rewrites a racing DML must refuse
+                if (rnd.nextBoolean())
+                  sess.sql("CALL ccat.system.compact('db.t')")
+                else
+                  sess.sql("CALL ccat.system.compact_small('db.t', 50)")
               case 9 =>
                 catOf(sess).expireSnapshots(ident, 8)
               case _ =>

@@ -96,7 +96,7 @@ class InventorySuite extends SparkSuiteBase {
     "catalog_rtas", "catalog_views", "catalog_cdc_apply",
     "catalog_incremental_mv", "catalog_point_lookup",
     "catalog_retention_delete", "catalog_column_defaults",
-    "catalog_decimal_stats",
+    "catalog_decimal_stats", "catalog_compact_binpack",
     "llm_dedup_minhash_incremental",
     "sql_execute_immediate", "sql_session_variable",
     // bucketed-by-write joins: the build writes both bucketed tables
