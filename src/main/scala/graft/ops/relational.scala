@@ -1303,11 +1303,12 @@ object Relational {
     * compaction, never the reverse). Full compaction is O(table) I/O
     * per run; binpack is O(debt) — the difference between maintenance
     * you schedule hourly and maintenance you can never run. Scored
-    * flow: one healthy file + a trickle of small inserts + an
-    * equality delete, binpack, in-flow requires the healthy file
-    * SURVIVED IDENTICALLY (same name in `.files`) while the small
-    * ones coalesced and the sidecar materialized away; content +
-    * time travel hash-exact. */
+    * flow: one healthy file (disjoint key range — the stats exclude
+    * the delete keys deterministically at every scale) + a trickle of
+    * small inserts + an equality delete, binpack, in-flow requires
+    * the healthy file SURVIVED IDENTICALLY (same name in `.files`)
+    * while the small ones coalesced and the sidecar materialized
+    * away; content + time travel hash-exact. */
   private def catalogCompactBinpack(s: SparkSession, dir: String): DataFrame = {
     graftcat(s)
     T(s, dir, "customer").createOrReplaceTempView("graft_bp_src")
@@ -1315,22 +1316,21 @@ object Relational {
     s.sql("DROP TABLE IF EXISTS graftcat.lake.cust_bp")
     s.sql("""CREATE TABLE graftcat.lake.cust_bp
             |(c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE)""".stripMargin)
-    // bloom on the key: the equality delete below then attaches its
-    // sidecar ONLY to the small files that hold the keys — the healthy
-    // file's bloom proves absence, so binpack has no reason to touch it
-    s.sql("CALL graftcat.system.set_bloom_filter('lake.cust_bp', 'c_custkey')")
-    // one healthy file...
+    // one healthy file (a DISJOINT key range, so the stats exclude the
+    // small-range delete keys DETERMINISTICALLY at every scale — the
+    // x100 gate caught a bloom-scoped variant whose aggregate FPP let
+    // the sidecar attach to a 12M-key file)...
     s.sql("""INSERT INTO graftcat.lake.cust_bp
             |SELECT /*+ REPARTITION(1) */ c_custkey, c_nationkey, c_acctbal
-            |FROM graft_bp_src WHERE c_custkey % 5 > 0""".stripMargin)
+            |FROM graft_bp_src WHERE c_custkey > 100""".stripMargin)
     // ...then the small-file trickle a feed accrues
     for (i <- 0 until 4)
       s.sql(s"""INSERT INTO graftcat.lake.cust_bp
                |SELECT /*+ REPARTITION(1) */ c_custkey, c_nationkey, c_acctbal
                |FROM graft_bp_src
-               |WHERE c_custkey % 5 = 0 AND c_custkey % 4 = $i""".stripMargin)
+               |WHERE c_custkey <= 100 AND c_custkey % 4 = $i""".stripMargin)
     s.sql("CALL graftcat.system.set_delete_mode('lake.cust_bp', 'merge-on-read-equality')")
-    s.sql("DELETE FROM graftcat.lake.cust_bp WHERE c_custkey IN (5, 10)")
+    s.sql("DELETE FROM graftcat.lake.cust_bp WHERE c_custkey IN (8, 12)")
     s.sql("CALL graftcat.system.tag('lake.cust_bp', 'pre_binpack')")
     def files(): Map[String, Long] =
       s.sql("SELECT file, row_count FROM graftcat.lake.cust_bp.files")
@@ -1926,7 +1926,7 @@ object Relational {
     "catalog_compact_binpack" ->
       """WITH cur AS (
         |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
-        |  WHERE c_custkey NOT IN (5, 10))
+        |  WHERE c_custkey NOT IN (8, 12))
         |SELECT 'head' AS phase, CAST(c_nationkey AS BIGINT) AS k,
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -624,6 +624,71 @@ object Streaming {
             |ORDER BY side, k""".stripMargin)
   }
 
+  /** TABLE-TO-TABLE STREAMING PIPELINE (round 16 — the full streaming
+    * lakehouse loop: `readStream.table(src)` → transform →
+    * `writeStream.toTable(dst)`, both ends VERSIONED catalog tables):
+    * the source's offsets are its table versions (checkpointed —
+    * exactly-once restart), each micro-batch plans O(appended files)
+    * from the manifest diff, and the sink lands each epoch as one
+    * auto-rebased append version whose files are named by
+    * (epoch, partition) — an epoch REPLAY overwrites its own files and
+    * commitAppend's same-name rule replaces their entries, so crash
+    * recovery is idempotent at BOTH ends. The scored flow streams a
+    * filtered projection across five append versions, restarts the
+    * drained stream and requires ZERO new sink versions, and emits
+    * matching aggregates of both tables — hash-exact. At 100 TB this
+    * is the bronze→silver hop: each trigger moves O(new data), the
+    * sink stays time-travelable, and downstream consumers stream ITS
+    * versions in turn. */
+  private def streamTableSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Graftcat.register(s)
+    T(s, dir, "orders").createOrReplaceTempView("graft_tsink_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_tsink")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_tsink_dst")
+    s.sql("""CREATE TABLE graftcat.lake.orders_tsink
+            |(o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)""".stripMargin)
+    for (i <- 0 until 5)
+      s.sql(s"""INSERT INTO graftcat.lake.orders_tsink
+               |SELECT o_orderkey, o_orderpriority, o_totalprice
+               |FROM graft_tsink_src WHERE o_orderkey % 5 = $i""".stripMargin)
+    s.sql("""CREATE TABLE graftcat.lake.orders_tsink_dst
+            |(o_orderkey BIGINT, o_orderpriority STRING, price2 DOUBLE)""".stripMargin)
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val root = GraftTmp.dir(s"stream_tsink_$tag")
+    def drain(): Unit = {
+      val q = s.readStream.table("graftcat.lake.orders_tsink")
+        .where(col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice") * 2.0).as("price2"))
+        .writeStream
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .toTable("graftcat.lake.orders_tsink_dst")
+      q.awaitTermination()
+    }
+    drain()
+    val vDst = s.sql(
+      "SELECT MAX(version) FROM graftcat.lake.orders_tsink_dst.snapshots")
+      .collect().head.getLong(0)
+    drain() // exactly-once: a drained restart commits nothing
+    val vDst2 = s.sql(
+      "SELECT MAX(version) FROM graftcat.lake.orders_tsink_dst.snapshots")
+      .collect().head.getLong(0)
+    require(vDst2 == vDst,
+      s"drained restart committed to the sink table: v$vDst -> v$vDst2")
+    s.sql("""SELECT 'dst' AS side, o_orderpriority AS k, COUNT(*) AS n,
+            | CAST(SUM(CAST(price2 AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM graftcat.lake.orders_tsink_dst GROUP BY o_orderpriority
+            |UNION ALL
+            |SELECT 'src', o_orderpriority, COUNT(*),
+            | CAST(SUM(CAST(o_totalprice * 2.0 AS DECIMAL(18,2))) AS DOUBLE)
+            |FROM graftcat.lake.orders_tsink WHERE o_totalprice > 150000.0
+            |GROUP BY o_orderpriority
+            |ORDER BY side, k""".stripMargin)
+  }
+
   private def streamTableRatelimit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     Graftcat.register(s)
@@ -659,6 +724,7 @@ object Streaming {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_table_sink" -> (streamTableSink _),
     "stream_cdc_replicate" -> (streamCdcReplicate _),
     "stream_table_cdf" -> (streamTableCdf _),
     "stream_table_ratelimit" -> (streamTableRatelimit _),
@@ -680,6 +746,19 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_table_sink" ->
+      """WITH cur AS (
+        |  SELECT o_orderpriority, o_totalprice * 2.0 AS price2
+        |  FROM orders WHERE o_totalprice > 150000.0)
+        |SELECT 'dst' AS side, o_orderpriority AS k,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(price2 AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM cur GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'src', o_orderpriority, CAST(COUNT(*) AS BIGINT),
+        | CAST(SUM(CAST(price2 AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM cur GROUP BY o_orderpriority
+        |ORDER BY side, k""".stripMargin,
     "stream_cdc_replicate" ->
       """WITH cur AS (
         |  SELECT c_custkey, c_nationkey,

@@ -26,15 +26,21 @@ import org.apache.spark.sql.types._
   *     name convention IS the reference (data files are immutable, so
   *     no manifest-format change; a file without a sidecar simply
   *     never prunes — old files stay sound).
-  *   - STRUCTURE: a SCALABLE chain of fixed 32 KiB blocks (k=4 double
-  *     hashing over [[AvroStats.ndvHash]]'s normalized value domain).
-  *     Inserts go to the current block; when it passes half-full BY
-  *     BIT FLIPS (duplicates never flip bits, so a low-cardinality
-  *     column stays at one block) a new block opens — per-block FPP
-  *     stays ≤ (1/2)^4 ≈ 6% regardless of file row count, the
-  *     streaming answer to "size the bloom by NDV you don't know yet".
-  *     ~45 k distinct values per block ⇒ a 2 M-distinct file costs
-  *     ~1.4 MiB sidecar — data-file-proportional, never manifest bytes.
+  *   - STRUCTURE: a GEOMETRIC scalable chain (k=4 double hashing over
+  *     [[AvroStats.ndvHash]]'s normalized value domain). Inserts go to
+  *     the current block; when it passes QUARTER-full BY BIT FLIPS
+  *     (duplicates never flip bits, so a low-cardinality column stays
+  *     at one 32 KiB block) a new block opens at TWICE the size
+  *     (capped at 8 MiB). Quarter-full bounds per-block FPP at
+  *     (1/4)^4 ≈ 0.4%, and doubling keeps the block COUNT logarithmic
+  *     in file NDV, so the chain's aggregate FPP (a probe must miss in
+  *     EVERY block) stays a few percent at ANY file size — the ×100
+  *     gate caught the fixed-size half-full variant saturating in
+  *     aggregate on a 12 M-key file (260 blocks × 6% ⇒ ~certain false
+  *     positive). Cost lands at ~11 bits per distinct value — a
+  *     well-sized static bloom, achieved streaming without knowing NDV
+  *     up front; sidecar bytes are data-file-proportional, never
+  *     manifest bytes.
   *   - READ: scan/DELETE/CDC candidate pruning probes the sidecar for
   *     `col = v` / `col IN (...)` conjuncts AFTER min/max pruning —
   *     only already-admitted files pay the (process-cached) sidecar
@@ -44,11 +50,12 @@ import org.apache.spark.sql.types._
 object BloomFilters {
   val ColsFile = "_bloomcols.json"
   private val Dir = "_bloom"
-  private val Magic = 0x47424631 // "GBF1"
+  private val Magic = 0x47424632 // "GBF2" (geometric chain)
 
-  /** 2^18 bits = 32 KiB per block. */
+  /** First block: 2^18 bits = 32 KiB. */
   val BlockBits: Int = 1 << 18
-  private val BlockWords = BlockBits / 64
+  /** Blocks double up to 2^26 bits = 8 MiB. */
+  private val MaxBlockBits: Int = 1 << 26
   private val K = 4
 
   def sidecar(tablePath: String, dataFileName: String): File =
@@ -95,14 +102,15 @@ object BloomFilters {
     z ^ (z >>> 31)
   }
 
-  private def bitOf(h1: Long, h2: Long, i: Int): Int =
-    (((h1 + i * h2) & Long.MaxValue) % BlockBits).toInt
+  private def bitOf(h1: Long, h2: Long, i: Int, mBits: Int): Int =
+    (((h1 + i * h2) & Long.MaxValue) % mBits).toInt
 
   // ---- write side ----
 
-  /** Streaming builder for ONE column's scalable block chain. */
+  /** Streaming builder for ONE column's geometric block chain. */
   private final class ChainBuilder {
-    private var blocks = List(new Array[Long](BlockWords))
+    private var curBits = BlockBits
+    private var blocks = List(new Array[Long](BlockBits / 64))
     private var setBits = 0
     def update(v: Any): Unit = {
       val n = norm(v)
@@ -112,15 +120,17 @@ object BloomFilters {
       val cur = blocks.head
       var i = 0
       while (i < K) {
-        val b = bitOf(h1, h2, i)
+        val b = bitOf(h1, h2, i, curBits)
         val w = b >>> 6
         val m = 1L << (b & 63)
         if ((cur(w) & m) == 0L) { cur(w) |= m; setBits += 1 }
         i += 1
       }
-      // half-full: seal and open a fresh block — per-block FPP bounded
-      if (setBits > BlockBits / 2) {
-        blocks = new Array[Long](BlockWords) :: blocks
+      // quarter-full: seal and open the next (doubled) block — tight
+      // per-block FPP × logarithmic block count = bounded chain FPP
+      if (setBits > curBits / 4) {
+        curBits = math.min(curBits * 2, MaxBlockBits)
+        blocks = new Array[Long](curBits / 64) :: blocks
         setBits = 0
       }
     }
@@ -179,8 +189,9 @@ object BloomFilters {
         s.writeUTF(name)
         s.writeInt(blocks.size)
         blocks.foreach { blk =>
+          s.writeInt(blk.length) // geometric chain: per-block size
           var i = 0
-          while (i < BlockWords) { s.writeLong(blk(i)); i += 1 }
+          while (i < blk.length) { s.writeLong(blk(i)); i += 1 }
         }
       }
     } finally s.close()
@@ -227,9 +238,10 @@ object BloomFilters {
                 val name = s.readUTF()
                 val nb = s.readInt()
                 val blocks = (0 until nb).map { _ =>
-                  val a = new Array[Long](BlockWords)
+                  val words = s.readInt()
+                  val a = new Array[Long](words)
                   var i = 0
-                  while (i < BlockWords) { a(i) = s.readLong(); i += 1 }
+                  while (i < words) { a(i) = s.readLong(); i += 1 }
                   a
                 }
                 name -> (blocks: Seq[Array[Long]])
@@ -247,10 +259,11 @@ object BloomFilters {
     val h1 = AvroStats.ndvHash(n)
     val h2 = mix(h1) | 1L
     blocks.exists { blk =>
+      val mBits = blk.length * 64
       var i = 0
       var all = true
       while (all && i < K) {
-        val b = bitOf(h1, h2, i)
+        val b = bitOf(h1, h2, i, mBits)
         all = (blk(b >>> 6) & (1L << (b & 63))) != 0L
         i += 1
       }
