@@ -1687,6 +1687,68 @@ object Relational {
             |ORDER BY phase, priority""".stripMargin)
   }
 
+  /** COMPOSITE-KEY EQUALITY DELETES (round 16 — Iceberg v2's
+    * multi-column equality deletes, the multi-tenant `(tenant, key)` /
+    * order-line `(order, line)` shape): a conjunction of `=` over
+    * distinct BIGINT/INT/STRING columns writes ONE tuple sidecar
+    * (format: comma'd columns + kinds header, tab-joined tuples),
+    * attaches via stats+bloom pruning of the ORIGINAL conjunction, and
+    * commits with ZERO data reads — the scored flow requires the file
+    * set UNCHANGED across the delete. Scans/CDF anti-join the row's
+    * key TUPLE (a null component never matches); later appends carry
+    * no ref, so re-inserting a deleted line is an upsert; compaction
+    * materializes. Any other shape (OR, ranges, duplicate columns,
+    * tab-bearing strings) falls back to the scanning path. Scored
+    * flow: lineitem's (l_orderkey, l_linenumber) — two composite
+    * deletes, a sibling-line probe proving TUPLE (not per-column)
+    * semantics, an upsert of one deleted line, compaction, time
+    * travel — hash-exact. */
+  private def catalogDeleteEqualityMulti(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("int").as("l_linenumber"),
+        col("l_quantity"))
+      .createOrReplaceTempView("graft_eqm_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.line_eqm")
+    s.sql("""CREATE TABLE graftcat.lake.line_eqm
+            |(l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE)""".stripMargin)
+    s.sql("CALL graftcat.system.set_sort_order('lake.line_eqm', 'l_orderkey')")
+    s.sql("""INSERT INTO graftcat.lake.line_eqm
+            |SELECT l_orderkey, l_linenumber, l_quantity FROM graft_eqm_src""".stripMargin)
+    s.sql("CALL graftcat.system.set_delete_mode('lake.line_eqm', 'merge-on-read-equality')")
+    s.sql("CALL graftcat.system.tag('lake.line_eqm', 'pre_eqm')")
+    def files(): Set[String] =
+      s.sql("SELECT file FROM graftcat.lake.line_eqm.files")
+        .collect().map(_.getString(0)).toSet
+    val before = files()
+    s.sql("""DELETE FROM graftcat.lake.line_eqm
+            |WHERE l_orderkey = 3 AND l_linenumber = 2""".stripMargin)
+    s.sql("""DELETE FROM graftcat.lake.line_eqm
+            |WHERE l_orderkey = 100 AND l_linenumber = 1""".stripMargin)
+    require(files() == before,
+      "composite equality DELETE must not add or rewrite any data file")
+    // upsert: the re-inserted line lives (new files carry no ref)
+    s.sql("""INSERT INTO graftcat.lake.line_eqm
+            |SELECT l_orderkey, l_linenumber, l_quantity + 100.0
+            |FROM graft_eqm_src
+            |WHERE l_orderkey = 3 AND l_linenumber = 2""".stripMargin)
+    s.sql("CALL graftcat.system.compact('lake.line_eqm')")
+    s.sql("""SELECT 'head' AS phase, COUNT(*) AS n,
+            | SUM(l_orderkey * l_linenumber) AS mix,
+            | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM graftcat.lake.line_eqm
+            |UNION ALL
+            |SELECT 'pre_eqm', COUNT(*), SUM(l_orderkey * l_linenumber),
+            | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            |FROM graftcat.lake.line_eqm VERSION AS OF 'pre_eqm'
+            |UNION ALL
+            |SELECT CONCAT('order3_line', l_linenumber), l_linenumber,
+            | l_orderkey, l_quantity
+            |FROM graftcat.lake.line_eqm WHERE l_orderkey = 3
+            |ORDER BY phase, n""".stripMargin)
+  }
+
   /** ATOMIC CDC BATCH APPLICATION (`CALL graftcat.system.apply_cdc` —
     * the streaming-upsert write shape, Iceberg v2's equality-delete
     * upsert / the Flink CDC sink): each batch carries the table's
@@ -1857,6 +1919,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_delete_equality_multi" -> (catalogDeleteEqualityMulti _),
     "catalog_compact_binpack" -> (catalogCompactBinpack _),
     "catalog_decimal_stats" -> (catalogDecimalStats _),
     "catalog_column_defaults" -> (catalogColumnDefaults _),
@@ -1923,6 +1986,28 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_delete_equality_multi" ->
+      """WITH cur AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |  WHERE NOT (l_orderkey = 3 AND l_linenumber = 2)
+        |    AND NOT (l_orderkey = 100 AND l_linenumber = 1)
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 100.0 FROM lineitem
+        |  WHERE l_orderkey = 3 AND l_linenumber = 2)
+        |SELECT 'head' AS phase, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS mix,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM cur
+        |UNION ALL
+        |SELECT 'pre_eqm', CAST(COUNT(*) AS BIGINT),
+        | CAST(SUM(l_orderkey * l_linenumber) AS BIGINT),
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT CONCAT('order3_line', l_linenumber),
+        | CAST(l_linenumber AS BIGINT), l_orderkey, l_quantity
+        |FROM cur WHERE l_orderkey = 3
+        |ORDER BY phase, n""".stripMargin,
     "catalog_compact_binpack" ->
       """WITH cur AS (
         |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer

@@ -241,13 +241,15 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
         if (split.deltaKind.contains("restored")) (dvOldSet -- dvNewSet).isEmpty
         else (dvNewSet -- dvOldSet).isEmpty
       }
-      private def eqSkips(names: Seq[String]): Seq[(Int, Any => Boolean)] =
+      private def eqSkips(names: Seq[String]): Seq[(Array[Int], Seq[Any] => Boolean)] =
         names.map { n =>
-          val (col, kind, keys) = EqualityDeletes.read(dirPath, n)
-          val fld = Option(reader.getSchema.getField(col)).getOrElse(
-            throw new IllegalStateException(
-              s"equality delete keys on '$col' but ${split.file} has no such field"))
-          (fld.pos, EqualityDeletes.matcher(kind, keys))
+          val (cols, kinds, keys) = EqualityDeletes.readMulti(dirPath, n)
+          val positions = cols.map(c =>
+            Option(reader.getSchema.getField(c)).getOrElse(
+              throw new IllegalStateException(
+                s"equality delete keys on '$c' but ${split.file} has no such field"))
+              .pos).toArray
+          (positions, EqualityDeletes.tupleMatcher(kinds, keys))
         }
       private lazy val eqOld = eqSkips(split.eqDeltaOld)
       private lazy val eqNew = eqSkips(split.eqDeltaNew)
@@ -309,9 +311,9 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
           val wanted =
             if (deltaMode) {
               def liveOld = !dvOldSet.contains(rowPos) &&
-                !eqOld.exists { case (p, m) => m(rec.get(p)) }
+                !eqOld.exists { case (ps, m) => m(ps.toSeq.map(rec.get(_))) }
               def liveNew = !dvNewSet.contains(rowPos) &&
-                !eqNew.exists { case (p, m) => m(rec.get(p)) }
+                !eqNew.exists { case (ps, m) => m(ps.toSeq.map(rec.get(_))) }
               if (split.deltaKind.contains("restored")) !liveOld && liveNew
               else liveOld && !liveNew
             } else !skip.contains(rowPos)

@@ -881,37 +881,38 @@ class AvroDirTable(path: String, tableSchema: StructType,
         // positional scan below.
         val eqExtracted =
           if (entries.nonEmpty && mergeOnRead && equalityDeletes)
-            EqualityDeletes.extract(filters, tableSchema).filter { case (c, _, _) =>
-              // every live file must SPEAK the key column: a file
+            EqualityDeletes.extract(filters, tableSchema).filter { case (cols, _, _) =>
+              // every live file must SPEAK every key column: a file
               // predating an ADD COLUMN holds the exists-default for
               // it, which a key sidecar cannot express — those tables
               // take the row-level scanning path below (default-aware)
-              val fld = tableSchema.fields.find(_.name.equalsIgnoreCase(c)).get
-              val names = fld.name +: AvroDirSource.aliasesOf(fld)
-              entries.forall(e => e.stats.exists(sj =>
-                names.exists(AvroStats.parse(sj).contains)))
+              cols.forall { c =>
+                val fld = tableSchema.fields.find(_.name.equalsIgnoreCase(c)).get
+                val names = fld.name +: AvroDirSource.aliasesOf(fld)
+                entries.forall(e => e.stats.exists(sj =>
+                  names.exists(AvroStats.parse(sj).contains)))
+              }
             }
           else None
         if (eqExtracted.isDefined) {
-          val (col, kind, keys) = eqExtracted.get
+          val (cols, kinds, keys) = eqExtracted.get
           val next =
             if (keys.isEmpty) entries // `k = NULL`: deletes nothing
             else {
-              val lits: Array[Any] =
-                if (kind == "long") keys.map(k => Long.box(k.toLong)).toArray
-                else keys.toArray[Any]
-              val inF = org.apache.spark.sql.sources.In(col, lits)
+              // attach pruning with the ORIGINAL pushed predicate —
+              // identical for the single-column In shape, and exactly
+              // the composite conjunction for multi-column keys
               val probeBloom = BloomFilters.anySidecars(path)
               val touched = entries.filter { e =>
                 val st = e.stats.map(AvroStats.parse)
                   .getOrElse(Map.empty[String, AvroStats.ColStats])
-                AvroStats.fileMightMatch(Seq(inF), e.name, resolveStats(st)) &&
+                AvroStats.fileMightMatch(filters.toSeq, e.name, resolveStats(st)) &&
                 (!probeBloom || BloomFilters.fileMightMatch(
-                  path, e.name, Seq(inF), bloomNames))
+                  path, e.name, filters.toSeq, bloomNames))
               }.map(_.name).toSet
               if (touched.isEmpty) entries
               else {
-                val eqName = EqualityDeletes.write(path, col, kind, keys)
+                val eqName = EqualityDeletes.writeMulti(path, cols, kinds, keys)
                 entries.map(e =>
                   if (touched(e.name)) e.copy(eq = e.eq :+ eqName) else e)
               }
@@ -1341,13 +1342,16 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
       // matcher) per sidecar — a matching row is deleted. A sidecar
       // keying a column this file lacks fails LOUDLY: silently serving
       // the row would resurrect a deleted key.
-      private val eqSkips: Seq[(Int, Any => Boolean)] = eqFiles.map { p =>
-        val (col, kind, keys) = EqualityDeletes.readAbs(p)
-        val fld = Option(reader.getSchema.getField(col)).getOrElse(
-          throw new IllegalStateException(
-            s"equality delete keys on '$col' but $file has no such field"))
-        (fld.pos, EqualityDeletes.matcher(kind, keys))
-      }
+      private val eqSkips: Seq[(Array[Int], Seq[Any] => Boolean)] =
+        eqFiles.map { p =>
+          val (cols, kinds, keys) = EqualityDeletes.readMultiAbs(p)
+          val positions = cols.map(c =>
+            Option(reader.getSchema.getField(c)).getOrElse(
+              throw new IllegalStateException(
+                s"equality delete keys on '$c' but $file has no such field"))
+              .pos).toArray
+          (positions, EqualityDeletes.tupleMatcher(kinds, keys))
+        }
       private var rowPos = -1L
       private var pending: GenericRecord = _
       // required field → position in THIS file's writer schema (name
@@ -1369,7 +1373,8 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
           pending = reader.next()
           rowPos += 1
           if (!dv.contains(rowPos) &&
-              !eqSkips.exists { case (p, m) => m(pending.get(p)) })
+              !eqSkips.exists { case (ps, m) =>
+                m(ps.toSeq.map(pending.get(_))) })
             return true
         }
         false

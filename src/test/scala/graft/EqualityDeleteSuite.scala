@@ -175,6 +175,83 @@ class EqualityDeleteSuite extends SparkSuiteBase {
       s"eq-delete CDF rows: ${rows.filter(_._2 == "delete")}")
   }
 
+  test("composite keys: tuple semantics, zero tasks, CDF, fallback shapes") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS eqcat.db.m1")
+    spark.sql("CREATE TABLE eqcat.db.m1 (t BIGINT, k BIGINT, v STRING)")
+    spark.sql("""INSERT INTO eqcat.db.m1
+                |SELECT id % 4, id, CONCAT('r', id) FROM range(400)""".stripMargin)
+    spark.sql("CALL eqcat.system.set_delete_mode('db.m1', 'merge-on-read-equality')")
+    val dirp = tdir("m1")
+    val before = AvroSnapshots.head(dirp).get.files.toSet
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        if (ss.properties != null &&
+            "graft-eqm-del" == ss.properties.getProperty("spark.jobGroup.id"))
+          tasks.addAndGet(ss.stageInfo.numTasks.toLong)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup("graft-eqm-del", "composite eq delete")
+      // id=6 has (t=2, k=6): the TUPLE dies, not every t=2 or every k=6
+      spark.sql("DELETE FROM eqcat.db.m1 WHERE t = 2 AND k = 6")
+      spark.sparkContext.clearJobGroup()
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(tasks.get() == 0, s"composite eq DELETE launched ${tasks.get()} tasks")
+    assert(AvroSnapshots.head(dirp).get.files.toSet == before)
+    assert(AvroSnapshots.head(dirp).get.eqs.nonEmpty)
+    assert(spark.table("eqcat.db.m1").count() == 399)
+    // tuple, not per-column: other t=2 rows and k=6's siblings live
+    assert(spark.sql("SELECT COUNT(*) FROM eqcat.db.m1 WHERE t = 2")
+      .collect().head.getLong(0) == 99)
+    // string component in the tuple
+    spark.sql("DELETE FROM eqcat.db.m1 WHERE v = 'r10' AND t = 2")
+    assert(spark.table("eqcat.db.m1").count() == 398)
+    // fallback shapes take the scanning path, and compose with tuples
+    spark.sql("DELETE FROM eqcat.db.m1 WHERE t = 1 AND k < 10") // range → dv
+    val head = AvroSnapshots.head(dirp).get
+    assert(head.dvs.nonEmpty, "range conjunction must take the dv path")
+    assert(spark.table("eqcat.db.m1").count() == 395) // k=1,5,9 had t=1
+    // duplicate column (t = 1 AND t = 2) is not a tuple — scanning path
+    spark.sql("DELETE FROM eqcat.db.m1 WHERE t = 1 AND t = 2")
+    assert(spark.table("eqcat.db.m1").count() == 395)
+    // CDF: the deleted tuples stream as row-level deletes
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_eqm_cdf").toString
+    spark.readStream.table("eqcat.db.m1.changes")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val dels = spark.read.parquet(s"$root/out")
+      .where("_change_type = 'delete'")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(dels == Seq(1L, 5L, 6L, 9L, 10L), s"CDF deletes: $dels")
+  }
+
+  test("composite sidecar codec round-trips") {
+    wh
+    val dirp = java.nio.file.Files.createTempDirectory("graft_eqm_codec").toString
+    val name = EqualityDeletes.writeMulti(dirp, Seq("t", "v"),
+      Seq("long", "string"), Seq(Seq("2", "x"), Seq("3", "y"), Seq("2", "x")))
+    val (cols, kinds, keys) = EqualityDeletes.readMulti(dirp, name)
+    assert(cols == Seq("t", "v") && kinds == Seq("long", "string"))
+    assert(keys == Set(Seq("2", "x"), Seq("3", "y")))
+    val m = EqualityDeletes.tupleMatcher(kinds, keys)
+    assert(m(Seq(java.lang.Long.valueOf(2L), "x")))
+    assert(m(Seq(java.lang.Integer.valueOf(3), new org.apache.avro.util.Utf8("y"))))
+    assert(!m(Seq(java.lang.Long.valueOf(2L), "y")))
+    assert(!m(Seq(null, "x")), "a null component never matches")
+    // single-column reader refuses a composite sidecar loudly
+    intercept[IllegalArgumentException](EqualityDeletes.read(dirp, name))
+    // tab-bearing strings are refused at write
+    intercept[IllegalArgumentException](
+      EqualityDeletes.writeMulti(dirp, Seq("v"), Seq("string"),
+        Seq(Seq("a\tb"))))
+  }
+
   test("sidecar codec round-trips; unknown column fails loudly") {
     wh
     val dirp = java.nio.file.Files.createTempDirectory("graft_eqcodec").toString
