@@ -521,6 +521,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * old value of a batch key is dead. Keys must be unique per batch
     * (the standard CDC-batch contract — ops on one key have no
     * intra-batch order), non-null, and of BIGINT/INT/STRING type.
+    * COMPOSITE keys (round 16): pass a comma-separated column list —
+    * the sidecar holds key TUPLES and the batch contract applies to
+    * the tuple.
     *
     * 100-TB economics: per batch this is O(upsert rows) write + O(keys)
     * sidecar bytes + one manifest swap — no read, no shuffle of table
@@ -541,15 +544,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val schema = DataType.fromJson(new String(
       Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
       .asInstanceOf[StructType]
-    val keyField = schema.fields.find(_.name.equalsIgnoreCase(keyCol))
-      .getOrElse(throw new IllegalArgumentException(
-        s"CDC key column $keyCol is not a column of ${ident.name}"))
-    val kind = keyField.dataType match {
+    val keyFields = keyCol.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"CDC key column $c is not a column of ${ident.name}"))
+    }.toSeq
+    require(keyFields.nonEmpty &&
+      keyFields.map(_.name).distinct.size == keyFields.size,
+      s"CDC key spec '$keyCol' must name distinct columns")
+    val kinds = keyFields.map(_.dataType match {
       case LongType | IntegerType => "long"
       case org.apache.spark.sql.types.StringType => "string"
       case other => throw new IllegalArgumentException(
-        s"CDC key column ${keyField.name} must be BIGINT/INT/STRING, got $other")
-    }
+        s"CDC key columns must be BIGINT/INT/STRING, got $other")
+    })
     val src = session.sql(sourceSql)
     val opCol = src.schema.fieldNames.find(_.equalsIgnoreCase("_op"))
       .getOrElse(throw new IllegalArgumentException(
@@ -562,21 +570,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     schema.fieldNames.foreach(n => require(
       src.schema.fieldNames.exists(_.equalsIgnoreCase(n)),
       s"CDC source is missing table column $n"))
-    // keys + ops: ONE driver-side pass over the batch's key column —
+    // keys + ops: ONE driver-side pass over the batch's key columns —
     // O(batch keys), the same footprint as a key DELETE's IN list
-    val keyed = src.select(col(keyField.name).cast(keyField.dataType),
-      lower(col(opCol))).collect()
-    val keys = keyed.map { r =>
-      val op = r.getString(1)
+    val keyed = src.select(
+      keyFields.map(f => col(f.name).cast(f.dataType)) :+
+        lower(col(opCol)): _*).collect()
+    val nk = keyFields.size
+    val keys: Array[Seq[String]] = keyed.map { r =>
+      val op = r.getString(nk)
       require(op == "upsert" || op == "delete",
         s"CDC _op must be 'upsert' or 'delete', got '$op'")
-      require(!r.isNullAt(0), "CDC key may not be null")
-      String.valueOf(r.get(0))
+      (0 until nk).map { i =>
+        require(!r.isNullAt(i), "CDC key components may not be null")
+        val v = String.valueOf(r.get(i))
+        require(!v.contains('\t') && !v.contains('\n'),
+          "string key components may not contain tab/newline")
+        v
+      }
     }
-    require(keys.distinct.length == keys.length,
+    require(keys.map(_.mkString("\t")).distinct.length == keys.length,
       "CDC batch carries duplicate keys — ops on one key have no " +
         "intra-batch order; deduplicate upstream (keep the last op)")
-    val nUpserts = keyed.count(_.getString(1) == "upsert").toLong
+    val nUpserts = keyed.count(_.getString(nk) == "upsert").toLong
     // distributed upsert write: new files are invisible (no manifest
     // references them) until the single commit below publishes them
     val ordered = src.where(lower(col(opCol)) === "upsert")
@@ -630,8 +645,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .map(AvroStats.coerce(_, fld.dataType))
       }
     // sidecar content is retry-invariant — write it at most once
-    lazy val eqName: String =
-      EqualityDeletes.write(dirPath, keyField.name, kind, keys.toSeq)
+    lazy val eqName: String = EqualityDeletes.writeMulti(
+      dirPath, keyFields.map(_.name), kinds, keys.toSeq)
     var attempt = 0
     while (true) {
       try {
@@ -642,27 +657,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val attached =
             if (keys.isEmpty) entries
             else {
-              val lits: Array[Any] =
-                if (kind == "long") keys.map(k => Long.box(k.toLong)).toArray[Any]
-                else keys.toArray[Any]
-              val inF = org.apache.spark.sql.sources.In(keyField.name, lits)
+              // attach pruning: per-column In over the batch's key
+              // components — a NECESSARY condition of tuple membership
+              // (sound; a composite tuple can only live in a file
+              // admitting every component), probed against stats and
+              // blooms per column
+              val inFs: Seq[org.apache.spark.sql.sources.Filter] =
+                keyFields.zipWithIndex.map { case (f, i) =>
+                  val lits: Array[Any] =
+                    if (kinds(i) == "long")
+                      keys.map(t => Long.box(t(i).toLong)).toArray[Any]
+                    else keys.map(t => t(i): Any).toArray[Any]
+                  org.apache.spark.sql.sources.In(f.name, lits)
+                }
               val probeBloom = BloomFilters.anySidecars(dirPath)
-              val keyNames = (keyField.name +:
-                AvroDirSource.aliasesOf(keyField)).toSeq
-              // a file predating the key column (or stats) cannot carry an
+              val keyNamesOf: Map[String, Seq[String]] = keyFields.map(f =>
+                f.name -> (f.name +: AvroDirSource.aliasesOf(f)).toSeq).toMap
+              // a file predating a key column (or stats) cannot carry an
               // equality ref — its rows hold the exists-default the sidecar
               // cannot express. CDC keys exist from table creation; refuse
               // loudly instead of deleting the wrong rows.
               entries.foreach(e => require(
-                e.stats.exists(sj => keyNames.exists(AvroStats.parse(sj).contains)),
-                s"apply_cdc: file ${e.name} predates stats or key column " +
-                  s"${keyField.name} — compact the table first"))
+                keyFields.forall(f => e.stats.exists(sj =>
+                  keyNamesOf(f.name).exists(AvroStats.parse(sj).contains))),
+                s"apply_cdc: file ${e.name} predates stats or a key column " +
+                  s"of '$keyCol' — compact the table first"))
               val touched = entries.filter { e =>
                 val st = e.stats.map(AvroStats.parse)
                   .getOrElse(Map.empty[String, AvroStats.ColStats])
-                AvroStats.fileMightMatch(Seq(inF), e.name, resolve(st)) &&
+                AvroStats.fileMightMatch(inFs, e.name, resolve(st)) &&
                 (!probeBloom || BloomFilters.fileMightMatch(
-                  dirPath, e.name, Seq(inF), _ => keyNames))
+                  dirPath, e.name, inFs,
+                  a => keyNamesOf.getOrElse(a, Seq(a))))
               }.map(_.name).toSet
               if (touched.isEmpty) entries
               else entries.map(e =>

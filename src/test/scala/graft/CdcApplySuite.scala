@@ -193,6 +193,39 @@ class CdcApplySuite extends SparkSuiteBase {
       !m.contains(90L) && !m.contains(91L) && m(50L) == "r50")
   }
 
+  test("composite CDC keys: the tuple is the key, per-column pruning sound") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS cdcat.db.c8")
+    spark.sql("CREATE TABLE cdcat.db.c8 (t BIGINT, k BIGINT, v STRING)")
+    spark.sql("""INSERT INTO cdcat.db.c8
+                |SELECT id % 3, id, CONCAT('r', id) FROM range(300)""".stripMargin)
+    spark.sql("CALL cdcat.system.set_delete_mode('db.c8', 'merge-on-read-equality')")
+    // upsert tuple (1, 7) (id=7 has t=1), delete tuple (2, 8) (id=8 has
+    // t=2): each op keys the TUPLE — (1, 8) / (2, 7) must be unaffected
+    spark.sql("""CALL cdcat.system.apply_cdc('db.c8', 't, k',
+      | 'SELECT CAST(1 AS BIGINT) AS t, CAST(7 AS BIGINT) AS k,
+      |    ''upd'' AS v, ''upsert'' AS _op
+      |  UNION ALL SELECT 2, 8, NULL, ''delete''')""".stripMargin)
+    val m = spark.sql("SELECT k, v FROM cdcat.db.c8").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 299 && m(7L) == "upd" && !m.contains(8L) && m(9L) == "r9")
+    // duplicate TUPLE refused; same k under different t is fine
+    spark.sql("""CALL cdcat.system.apply_cdc('db.c8', 't, k',
+      | 'SELECT CAST(0 AS BIGINT) AS t, CAST(50 AS BIGINT) AS k,
+      |    ''x'' AS v, ''upsert'' AS _op
+      |  UNION ALL SELECT 1, 50, ''y'', ''upsert''')""".stripMargin)
+    assert(intercept[Exception] {
+      spark.sql("CALL cdcat.system.apply_cdc('db.c8', 't, k', " +
+        "'SELECT CAST(0 AS BIGINT) AS t, CAST(60 AS BIGINT) AS k, ''a'' AS v, " +
+        "''upsert'' AS _op UNION ALL SELECT 0, 60, ''b'', ''delete''')")
+    }.getMessage.contains("duplicate"))
+    // original (2,50,'r50') lives untouched, plus the two new tuples —
+    // the tuple is the key, so same-k different-t rows coexist
+    assert(spark.sql("SELECT COUNT(*) FROM cdcat.db.c8 WHERE k = 50")
+      .collect().head.getLong(0) == 3)
+    assert(spark.table("cdcat.db.c8").count() == 301)
+  }
+
   test("time travel across CDC batches is exact; compaction materializes") {
     mk("c6", 30)
     val v0 = cat.currentVersion(ident("c6"))
