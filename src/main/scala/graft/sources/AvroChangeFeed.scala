@@ -51,12 +51,18 @@ object AvroChangeFeed {
     * inside a multi-version micro-batch and fold them to a net op
     * (the replication consumer's correctness hinge). */
   val CommitVersionColumn = "_commit_version"
+  /** The commit's wall-clock time (Delta CDF's `_commit_timestamp`) —
+    * the audit/windowing companion; ordering guarantees come from the
+    * VERSION (clocks can tie or skew), so consumers fold by version
+    * and report by timestamp. */
+  val CommitTimestampColumn = "_commit_timestamp"
   val ChangesSuffix = "changes"
 
   def feedSchema(base: StructType): StructType =
     StructType(base.fields.toSeq :+
       StructField(ChangeTypeColumn, StringType, nullable = false) :+
-      StructField(CommitVersionColumn, LongType, nullable = false))
+      StructField(CommitVersionColumn, LongType, nullable = false) :+
+      StructField(CommitTimestampColumn, TimestampType, nullable = false))
 }
 
 /** The read-only changelog table `<table>.changes` — streamable
@@ -128,7 +134,8 @@ case class CdfSplit(file: String, changeType: String,
     eqDeltaOld: Seq[String] = Nil, eqDeltaNew: Seq[String] = Nil,
     deltaKind: Option[String] = None,
     diffAgainst: Option[String] = None,
-    commitVersion: Long = -1L) extends InputPartition
+    commitVersion: Long = -1L,
+    commitTsMs: Long = 0L) extends InputPartition
 
 class AvroChangeFeedStream(path: String, baseSchema: StructType,
     required: StructType, maxFiles: Option[Int])
@@ -149,8 +156,10 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
         // a DIRECT merge-on-read UPDATE window pairs its dv deltas and
         // insert files as update pre/post images (Delta CDF's types);
         // a gap window can hide other kinds → generic delete+insert
+        val snap = AvroSnapshots.load(path, v)
         val isUpdate = prevV + 1 == v &&
-          AvroSnapshots.load(path, v).exists(_.kind == AvroSnapshots.KindUpdate)
+          snap.exists(_.kind == AvroSnapshots.KindUpdate)
+        val tsMs = snap.map(_.timestampMs).getOrElse(0L)
         val delTag = if (isUpdate) "update_preimage" else "delete"
         val insTag = if (isUpdate) "update_postimage" else "insert"
         val removed = prev.keySet -- cur.keySet
@@ -165,7 +174,7 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
           }
           rewrite.foreach(pairedRewrites += _)
           out += CdfSplit(r, delTag, skipDv = prev(r).dv,
-            diffAgainst = rewrite, commitVersion = v)
+            diffAgainst = rewrite, commitVersion = v, commitTsMs = tsMs)
         }
         // deletion-vector / equality-delete CHANGES — the reader does
         // the liveness math from the sidecar NAMES (the driver never
@@ -182,17 +191,20 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
             out += CdfSplit(n, delTag,
               dvDeltaOld = prev(n).dv, dvDeltaNew = cur(n).dv,
               eqDeltaOld = prev(n).eq, eqDeltaNew = cur(n).eq,
-              deltaKind = Some("deleted"), commitVersion = v)
+              deltaKind = Some("deleted"), commitVersion = v,
+              commitTsMs = tsMs)
             out += CdfSplit(n, "insert",
               dvDeltaOld = prev(n).dv, dvDeltaNew = cur(n).dv,
               eqDeltaOld = prev(n).eq, eqDeltaNew = cur(n).eq,
-              deltaKind = Some("restored"), commitVersion = v)
+              deltaKind = Some("restored"), commitVersion = v,
+              commitTsMs = tsMs)
           }
         }
         // inserts: added files that are not a paired COW rewrite (a
         // rewrite is a SUBSET of its original — nothing new to insert)
         (added -- pairedRewrites).toSeq.sorted.foreach { a =>
-          out += CdfSplit(a, insTag, skipDv = cur(a).dv, commitVersion = v)
+          out += CdfSplit(a, insTag, skipDv = cur(a).dv, commitVersion = v,
+            commitTsMs = tsMs)
         }
       }
     }
@@ -335,6 +347,8 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
           if (f.name == AvroChangeFeed.ChangeTypeColumn) out(i) = changeTag
           else if (f.name == AvroChangeFeed.CommitVersionColumn)
             out(i) = split.commitVersion
+          else if (f.name == AvroChangeFeed.CommitTimestampColumn)
+            out(i) = split.commitTsMs * 1000L // internal micros
           else {
             val bi = baseSchema.fieldIndex(f.name)
             out(i) = AvroDirSource.avroToInternal(current(bi), f.dataType)

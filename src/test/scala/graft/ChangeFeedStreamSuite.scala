@@ -194,6 +194,22 @@ class ChangeFeedStreamSuite extends SparkSuiteBase {
       s"net fold picked ${net.toSeq}")
   }
 
+  test("_commit_timestamp rides each change row (version-consistent, monotone)") {
+    mk("c10", 3)
+    spark.sql("INSERT INTO cdfcat.db.c10 VALUES (50, 'x')")
+    spark.sql("DELETE FROM cdfcat.db.c10 WHERE k = 1")
+    val rows = spark.read.option("startingVersion", -1)
+      .table("cdfcat.db.c10.changes")
+      .select("_commit_version", "_commit_timestamp").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    assert(rows.forall(_._2 > 0L), "timestamps must be set")
+    // one timestamp per version, nondecreasing along versions
+    val byV = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byV.values.forall(_.size == 1), s"ts not version-consistent: $byV")
+    val ordered = byV.toSeq.sortBy(_._1).map(_._2.head)
+    assert(ordered == ordered.sorted, s"ts not monotone: $ordered")
+  }
+
   test("batch-ranged read of the changes table (startingVersion/endingVersion)") {
     mk("c5", 5)
     val v1 = cat.currentVersion(
