@@ -1614,10 +1614,16 @@ object Relational {
     val ident = lakeIdent("orders_imv")
     val mvIdent = lakeIdent("mv_prio")
     val WmKey = "graft.mv.watermark"
-    /** Run `body` with `props` stamped on every commit it makes. */
+    /** Run `body` with `k=v` stamped on every commit it makes — via
+      * the THREAD-scoped stamp (ADVICE r16: the session conf is
+      * session-global; a concurrent commit from another thread would
+      * be falsely stamped with the watermark). */
     def stamped(props: String)(body: => Unit): Unit = {
-      s.conf.set("spark.graft.commit.properties", props)
-      try body finally s.conf.unset("spark.graft.commit.properties")
+      val m = props.split("=", 2) match {
+        case Array(k, v) => Map(k -> v)
+        case _           => Map(props -> "")
+      }
+      graft.sources.AvroSnapshots.withCommitProps(m)(body)
     }
     // materialize FROM the watermark version — the MV reflects exactly
     // this base state, and the watermark rides the materialization's

@@ -130,12 +130,24 @@ class AvroChangeFeedTable(path: String, baseSchema: StructType)
   * rewrite file's rows (the COW-pair case). */
 case class CdfSplit(file: String, changeType: String,
     skipDv: Option[String] = None,
+    skipEq: Seq[String] = Nil,
     dvDeltaOld: Option[String] = None, dvDeltaNew: Option[String] = None,
     eqDeltaOld: Seq[String] = Nil, eqDeltaNew: Seq[String] = Nil,
     deltaKind: Option[String] = None,
     diffAgainst: Option[String] = None,
     commitVersion: Long = -1L,
-    commitTsMs: Long = 0L) extends InputPartition
+    commitTsMs: Long = 0L,
+    firstRowId: Long = -1L,
+    lineage: Option[String] = None,
+    others: Seq[CdfFileRef] = Nil) extends InputPartition
+
+/** One OTHER-side file of a row-id window diff (row lineage — round
+  * 17): `[lo, hi]` is the file's conservative stable-id hull (manifest
+  * range ∪ recorded physical `_row_id` bounds) — the driver hands a
+  * lineage split only the other-side files whose hulls OVERLAP its
+  * own, so a task loads O(its rewrite group), not O(window). */
+case class CdfFileRef(name: String, firstRowId: Long,
+    dv: Option[String], eq: Seq[String], lo: Long, hi: Long)
 
 class AvroChangeFeedStream(path: String, baseSchema: StructType,
     required: StructType, maxFiles: Option[Int])
@@ -159,22 +171,91 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
         val snap = AvroSnapshots.load(path, v)
         val isUpdate = prevV + 1 == v &&
           snap.exists(_.kind == AvroSnapshots.KindUpdate)
-        val tsMs = snap.map(_.timestampMs).getOrElse(0L)
+        // a gap window whose snapshot was EXPIRED still needs a real
+        // commit timestamp (ADVICE r16: never emit epoch-zero) — the
+        // nearest retained LATER snapshot's time is the tightest
+        // upper bound the metadata still holds; none retained at all
+        // is a corrupt table and fails loudly
+        val tsMs = snap.map(_.timestampMs).getOrElse {
+          val head = AvroSnapshots.headVersion(path).getOrElse(v)
+          Iterator.range(v + 1, head + 1)
+            .flatMap(AvroSnapshots.load(path, _).map(_.timestampMs))
+            .nextOption().getOrElse(throw new IllegalStateException(
+              s"change feed of $path: no retained snapshot at or after " +
+                s"version $v to source a commit timestamp from"))
+        }
         val delTag = if (isUpdate) "update_preimage" else "delete"
         val insTag = if (isUpdate) "update_postimage" else "insert"
         val removed = prev.keySet -- cur.keySet
         val added = cur.keySet -- prev.keySet
         val pairedRewrites = scala.collection.mutable.HashSet.empty[String]
+        val pairOf: Map[String, Option[String]] =
+          removed.toSeq.sorted.map { r =>
+            val rewrite = added.find {
+              case RewriteOf(orig) => orig == r
+              case _               => false
+            }
+            rewrite.foreach(pairedRewrites += _)
+            r -> rewrite
+          }.toMap
+        // ROW-ID WINDOW DIFF (row lineage — round 17): when every
+        // unpaired removed AND added entry carries a lineage base, a
+        // group rewrite (COW UPDATE/MERGE, overwrite) diffs by stable
+        // id instead of the file-level delete+insert fallback — rows
+        // whose id matches with identical content stream NOTHING
+        // (carryover), matched-but-changed rows stream as
+        // update_preimage/update_postimage pairs, and only genuinely
+        // new/gone ids stream as insert/delete. Non-overlapping id
+        // hulls (a plain overwrite) degrade to the old behavior at the
+        // old cost: each side's other-list filters to overlap.
+        val loneRemoved = removed.toSeq.sorted.filter(r => pairOf(r).isEmpty)
+        val loneAdded = (added -- pairedRewrites).toSeq.sorted
+        def hull(e: AvroSnapshots.FileEntry): (Long, Long) = {
+          val rows = e.stats.flatMap(AvroStats.rowCount).getOrElse(0L)
+          var lo = e.firstRowId
+          var hi = e.firstRowId + math.max(rows - 1, 0L)
+          e.stats.map(AvroStats.parse)
+            .flatMap(_.get(AvroDirSource.RowIdColumn)).foreach { cs =>
+              (cs.min, cs.max) match {
+                case (Some(a: java.lang.Long), Some(b: java.lang.Long)) =>
+                  lo = math.min(lo, a); hi = math.max(hi, b)
+                case _ => ()
+              }
+            }
+          (lo, hi)
+        }
+        val useLineage = !isUpdate && loneRemoved.nonEmpty &&
+          loneAdded.nonEmpty &&
+          loneRemoved.forall(r => prev(r).firstRowId >= 0) &&
+          loneAdded.forall(a => cur(a).firstRowId >= 0)
+        lazy val removedRefs = loneRemoved.map { r =>
+          val (lo, hi) = hull(prev(r))
+          CdfFileRef(r, prev(r).firstRowId, prev(r).dv, prev(r).eq, lo, hi)
+        }
+        lazy val addedRefs = loneAdded.map { a =>
+          val (lo, hi) = hull(cur(a))
+          CdfFileRef(a, cur(a).firstRowId, cur(a).dv, cur(a).eq, lo, hi)
+        }
+        def overlapping(refs: Seq[CdfFileRef], b: (Long, Long)): Seq[CdfFileRef] =
+          refs.filter(rf => rf.lo <= b._2 && b._1 <= rf.hi)
         // deletes: removed entries — paired with their COW rewrite when
-        // one exists in the same window, else the whole file's rows
+        // one exists in the same window; row-id-diffed when lineage
+        // allows; else the whole file's rows
         removed.toSeq.sorted.foreach { r =>
-          val rewrite = added.find {
-            case RewriteOf(orig) => orig == r
-            case _               => false
-          }
-          rewrite.foreach(pairedRewrites += _)
-          out += CdfSplit(r, delTag, skipDv = prev(r).dv,
-            diffAgainst = rewrite, commitVersion = v, commitTsMs = tsMs)
+          val rewrite = pairOf(r)
+          // carry the entry's equality-delete refs too (ADVICE r16):
+          // rows an earlier eq-delete commit already streamed as
+          // deletes must not re-stream when a metadata-only DELETE
+          // later drops the whole file
+          if (rewrite.isEmpty && useLineage)
+            out += CdfSplit(r, delTag, skipDv = prev(r).dv,
+              skipEq = prev(r).eq, commitVersion = v, commitTsMs = tsMs,
+              firstRowId = prev(r).firstRowId, lineage = Some("del"),
+              others = overlapping(addedRefs, hull(prev(r))))
+          else
+            out += CdfSplit(r, delTag, skipDv = prev(r).dv,
+              skipEq = prev(r).eq,
+              diffAgainst = rewrite, commitVersion = v, commitTsMs = tsMs)
         }
         // deletion-vector / equality-delete CHANGES — the reader does
         // the liveness math from the sidecar NAMES (the driver never
@@ -203,8 +284,17 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
         // inserts: added files that are not a paired COW rewrite (a
         // rewrite is a SUBSET of its original — nothing new to insert)
         (added -- pairedRewrites).toSeq.sorted.foreach { a =>
-          out += CdfSplit(a, insTag, skipDv = cur(a).dv, commitVersion = v,
-            commitTsMs = tsMs)
+          // a GAP window can append a file and eq-delete into it in the
+          // same window — only rows live at window end are inserts
+          if (useLineage)
+            out += CdfSplit(a, insTag, skipDv = cur(a).dv,
+              skipEq = cur(a).eq, commitVersion = v, commitTsMs = tsMs,
+              firstRowId = cur(a).firstRowId, lineage = Some("ins"),
+              others = overlapping(removedRefs, hull(cur(a))))
+          else
+            out += CdfSplit(a, insTag, skipDv = cur(a).dv,
+              skipEq = cur(a).eq, commitVersion = v,
+              commitTsMs = tsMs)
         }
       }
     }
@@ -265,23 +355,91 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
         }
       private lazy val eqOld = eqSkips(split.eqDeltaOld)
       private lazy val eqNew = eqSkips(split.eqDeltaNew)
-      // base-column positions in THIS file's writer schema; an absent
+      // non-delta splits: rows already dead via the entry's eq sidecars
+      // never stream (the eq-delete commit streamed them already)
+      private lazy val eqSkip = eqSkips(split.skipEq)
+      // base-column positions in a file's writer schema; an absent
       // column serves its EXISTS default (ADD COLUMN ... DEFAULT)
-      private lazy val basePos: Array[Int] = baseSchema.fields.map { f =>
-        (f.name +: AvroDirSource.aliasesOf(f)).iterator
-          .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
-          .find(_ >= 0).getOrElse(-1)
-      }
+      private def posFor(s: org.apache.avro.Schema): Array[Int] =
+        baseSchema.fields.map { f =>
+          (f.name +: AvroDirSource.aliasesOf(f)).iterator
+            .map(n => Option(s.getField(n)).map(_.pos).getOrElse(-1))
+            .find(_ >= 0).getOrElse(-1)
+        }
+      private lazy val basePos: Array[Int] = posFor(reader.getSchema)
       private lazy val baseDflt: Array[Any] =
         baseSchema.fields.map(AvroDirSource.existsDefaultAvro)
       private def norm(x: Any): Any = x match {
         case u: org.apache.avro.util.Utf8 => u.toString
         case o => o
       }
-      private def baseVals(rec: GenericRecord): Vector[Any] =
-        basePos.iterator.zipWithIndex.map { case (p, i) =>
+      private def valsFor(rec: GenericRecord, pos: Array[Int]): Vector[Any] =
+        pos.iterator.zipWithIndex.map { case (p, i) =>
           if (p < 0) baseDflt(i) else norm(rec.get(p))
         }.toVector
+      private def baseVals(rec: GenericRecord): Vector[Any] =
+        valsFor(rec, basePos)
+
+      // ---- row-id window diff (row lineage — round 17) ----
+      // This split's stable ids: physical `_row_id` when the file is a
+      // rewrite output, else manifest base + position.
+      private lazy val physRowIdPos: Int =
+        Option(reader.getSchema.getField(AvroDirSource.RowIdColumn))
+          .map(_.pos).getOrElse(-1)
+      private def rowIdOf(rec: GenericRecord): java.lang.Long = {
+        val phys = if (physRowIdPos >= 0) rec.get(physRowIdPos) else null
+        if (phys != null)
+          java.lang.Long.valueOf(phys.asInstanceOf[java.lang.Number].longValue)
+        else if (split.firstRowId >= 0)
+          java.lang.Long.valueOf(split.firstRowId + rowPos)
+        else null
+      }
+      // OTHER side of the diff: id → live row content of the window's
+      // opposite files whose id hulls overlap this file's (the driver
+      // pre-filtered) — O(this rewrite group) memory per task.
+      private lazy val otherSide: java.util.HashMap[java.lang.Long, Vector[Any]] = {
+        val m = new java.util.HashMap[java.lang.Long, Vector[Any]]()
+        split.others.foreach { ref =>
+          val r = new DataFileReader[GenericRecord](
+            new File(dirPath, ref.name), new GenericDatumReader[GenericRecord]())
+          try {
+            val dvSet = ref.dv.map(DeletionVectors.read(dirPath, _).toSet)
+              .getOrElse(Set.empty[Long])
+            val eqs = ref.eq.map { n =>
+              val (cols, kinds, keys) = EqualityDeletes.readMulti(dirPath, n)
+              val positions = cols.map(c =>
+                Option(r.getSchema.getField(c)).getOrElse(
+                  throw new IllegalStateException(
+                    s"equality delete keys on '$c' but ${ref.name} has no such field"))
+                  .pos).toArray
+              (positions, EqualityDeletes.tupleMatcher(kinds, keys))
+            }
+            val physPos = Option(r.getSchema.getField(AvroDirSource.RowIdColumn))
+              .map(_.pos).getOrElse(-1)
+            val bp = posFor(r.getSchema)
+            var p = -1L
+            while (r.hasNext) {
+              val rec = r.next()
+              p += 1
+              if (!dvSet.contains(p) &&
+                  !eqs.exists { case (ps, mm) => mm(ps.toSeq.map(rec.get(_))) }) {
+                val phys = if (physPos >= 0) rec.get(physPos) else null
+                val id: java.lang.Long =
+                  if (phys != null) java.lang.Long.valueOf(
+                    phys.asInstanceOf[java.lang.Number].longValue)
+                  else if (ref.firstRowId >= 0)
+                    java.lang.Long.valueOf(ref.firstRowId + p)
+                  else null
+                if (id != null) m.put(id, valsFor(rec, bp))
+              }
+            }
+          } finally r.close()
+        }
+        m
+      }
+      private lazy val pairTag = UTF8String.fromString(
+        if (split.lineage.contains("del")) "update_preimage"
+        else "update_postimage")
 
       // pair-diff: multiset of the rewrite's rows; an original row with
       // a surviving twin is NOT a delete
@@ -310,6 +468,7 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
         }
 
       private val changeTag = UTF8String.fromString(split.changeType)
+      private var rowTag: UTF8String = changeTag
       private var rowPos = -1L
       private var current: Vector[Any] = _
 
@@ -328,12 +487,27 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
                 !eqNew.exists { case (ps, m) => m(ps.toSeq.map(rec.get(_))) }
               if (split.deltaKind.contains("restored")) !liveOld && liveNew
               else liveOld && !liveNew
-            } else !skip.contains(rowPos)
+            } else !skip.contains(rowPos) &&
+              !eqSkip.exists { case (ps, m) => m(ps.toSeq.map(rec.get(_))) }
           if (wanted) {
             val vals = baseVals(rec)
-            val alive = surviving.getOrElse(vals, 0)
-            if (alive > 0) surviving.update(vals, alive - 1) // twin survives
-            else { current = vals; return true }
+            if (split.lineage.isDefined) {
+              // row-id diff: a matched id with identical content is a
+              // carryover (streams nothing); matched-but-changed rows
+              // pair as update pre/post images; an unmatched id is a
+              // genuine delete (old side) / insert (new side)
+              val id = rowIdOf(rec)
+              val other = if (id == null) null else otherSide.get(id)
+              if (other == null) {
+                rowTag = changeTag; current = vals; return true
+              } else if (other != vals) {
+                rowTag = pairTag; current = vals; return true
+              } // else: carryover — skip
+            } else {
+              val alive = surviving.getOrElse(vals, 0)
+              if (alive > 0) surviving.update(vals, alive - 1) // twin survives
+              else { rowTag = changeTag; current = vals; return true }
+            }
           }
         }
         false
@@ -344,7 +518,7 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
         var i = 0
         while (i < required.length) {
           val f = required.fields(i)
-          if (f.name == AvroChangeFeed.ChangeTypeColumn) out(i) = changeTag
+          if (f.name == AvroChangeFeed.ChangeTypeColumn) out(i) = rowTag
           else if (f.name == AvroChangeFeed.CommitVersionColumn)
             out(i) = split.commitVersion
           else if (f.name == AvroChangeFeed.CommitTimestampColumn)

@@ -101,6 +101,18 @@ object AvroDirSource {
     * (file, pos) row lineage. */
   val PosColumn = "_pos"
 
+  /** Hidden metadata column: a row's STABLE id (round 17 — Iceberg v3
+    * row lineage / Delta row tracking). Unlike `(_file, _pos)`, which
+    * changes whenever a rewrite moves the row, `_row_id` survives COW
+    * UPDATE/MERGE rewrites, compaction and binpack: first-write rows
+    * derive `firstRowId + _pos` from their file's manifest entry;
+    * rewrite outputs carry the original id as a PHYSICAL `_row_id`
+    * field (null for brand-new rows, which re-derive fresh ids from
+    * the output file's own range). NULL on legacy files with no
+    * lineage. The change feed diffs rewrite windows by this id, so
+    * only genuinely-changed rows surface. */
+  val RowIdColumn = "_row_id"
+
   /** Table paths whose current self-overwrite is a COMPACTION, mapped
     * to the head VERSION the rewrite was planned against — the commit
     * is recorded kind=`rewrite` (dataChange=false, streams and the
@@ -110,6 +122,19 @@ object AvroDirSource {
     * THREAD-local because the INSERT OVERWRITE executes on the calling
     * thread — two racing compactions must not clobber each other's
     * basis. Set by GraftCatalog.compactTable. */
+  /** Table paths whose current thread-local operation is a LINEAGE
+    * rewrite (compaction): the table transiently exposes `_row_id` as
+    * a trailing nullable DATA column, so the compaction's
+    * `INSERT OVERWRITE t SELECT * FROM t` carries every row's stable
+    * id through the rewrite as a physical column — the manifest
+    * records the base schema unchanged. Set by
+    * GraftCatalog.compactTable around its self-overwrite. */
+  private[sources] val lineageRewrite =
+    new ThreadLocal[java.util.HashSet[String]] {
+      override def initialValue(): java.util.HashSet[String] =
+        new java.util.HashSet[String]()
+    }
+
   private[sources] val rewriteBasis =
     new ThreadLocal[java.util.HashMap[String, Long]] {
       override def initialValue(): java.util.HashMap[String, Long] =
@@ -336,7 +361,16 @@ class AvroDirTable(path: String, tableSchema: StructType,
     case (_, Some(b))  => s"graft_avro($path@$b)"
     case _             => s"graft_avro($path)"
   }
-  override def schema(): StructType = tableSchema
+  /** Whether THIS thread's current operation is a lineage-carrying
+    * compaction of this table (see [[AvroDirSource.lineageRewrite]]). */
+  private def lineageRewriteActive: Boolean =
+    AvroDirSource.lineageRewrite.get()
+      .contains(new File(path).getAbsolutePath)
+  override def schema(): StructType =
+    if (lineageRewriteActive)
+      StructType(tableSchema.fields :+ org.apache.spark.sql.types.StructField(
+        AvroDirSource.RowIdColumn, LongType, nullable = true))
+    else tableSchema
   private def transformExpr(spec: PartSpec): Transform = spec.transform match {
     case "bucket" => Expressions.bucket(spec.n, spec.column)
     case "truncate" => Expressions.apply("truncate",
@@ -388,7 +422,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
 
   // ---- metadata columns + row-level operations (UPDATE / MERGE) ----
 
-  override def metadataColumns(): Array[MetadataColumn] = Array(
+  private val allMetadataColumns: Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name(): String = AvroDirSource.FileColumn
       override def dataType(): DataType = StringType
@@ -401,7 +435,22 @@ class AvroDirTable(path: String, tableSchema: StructType,
       override def isNullable: Boolean = false
       override def comment(): String =
         "physical record position within the container file"
+    },
+    new MetadataColumn {
+      override def name(): String = AvroDirSource.RowIdColumn
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = true // legacy files: no lineage
+      override def comment(): String =
+        "stable row id surviving rewrites (row lineage)"
     })
+
+  /** During a lineage compaction `_row_id` is a DATA column of this
+    * table's transient schema — it must not ALSO appear as a metadata
+    * column (the names would conflict in analysis). */
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (lineageRewriteActive)
+      allMetadataColumns.filterNot(_.name == AvroDirSource.RowIdColumn)
+    else allMetadataColumns
 
   /** Group-based (copy-on-write) row-level operations — the seam SQL
     * UPDATE and MERGE INTO plan through (Spark's RewriteUpdateTable /
@@ -714,12 +763,12 @@ class AvroDirTable(path: String, tableSchema: StructType,
             case Some(gs) => gs.map { case (b, es) =>
               AvroBucketGroupSplit(es.map(e =>
                 (new File(path, e.name).getAbsolutePath, dvPathOf(e),
-                  eqPathsOf(e))),
+                  eqPathsOf(e), e.firstRowId)),
                 b): InputPartition
             }.toArray
             case None => prunedEntries.map(e =>
               AvroFileSplit(new File(path, e.name).getAbsolutePath,
-                dvPathOf(e), eqPathsOf(e)): InputPartition).toArray
+                dvPathOf(e), eqPathsOf(e), e.firstRowId): InputPartition).toArray
           }
         }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -986,15 +1035,15 @@ class AvroDirTable(path: String, tableSchema: StructType,
               val outcome: Array[(String, Option[(String, Option[String])])] =
                 if (candidates.isEmpty) Array.empty
                 else {
-                  val cands = candidates.map(e => (e.name, e.dv))
+                  val cands = candidates.map(e => (e.name, e.dv, e.firstRowId))
                   spark.sparkContext
                     .parallelize(cands, math.min(cands.size, 32))
-                    .map { case (n, dv) =>
+                    .map { case (n, dv, frid) =>
                       val existing = dv.map(d =>
                         DeletionVectors.read(dirPath, d).toSet)
                         .getOrElse(Set.empty[Long])
                       n -> AvroFilterEval.rewriteVersioned(
-                        dirPath, n, schema, filters, jobId, existing)
+                        dirPath, n, schema, filters, jobId, existing, frid)
                     }.collect()
                 }
               val byName = outcome.toMap
@@ -1257,9 +1306,12 @@ case class SortSpec(columns: Seq[String], zorder: Boolean = false) {
   *   skips them.
   * @param eqFiles absolute paths of the file's equality-delete sidecars:
   *   rows whose key column matches a recorded key are deleted
-  *   ([[EqualityDeletes]]) and the reader skips them. */
+  *   ([[EqualityDeletes]]) and the reader skips them.
+  * @param firstRowId the file's manifest row-lineage base: `_row_id` =
+  *   firstRowId + position unless the row carries a physical id; −1 =
+  *   no lineage (`_row_id` reads null). */
 case class AvroFileSplit(file: String, dvFile: Option[String] = None,
-    eqFiles: Seq[String] = Nil)
+    eqFiles: Seq[String] = Nil, firstRowId: Long = -1L)
     extends InputPartition
 /** A completely-pushed-down global aggregation: the answer was folded
   * from manifest stats at plan time; the single split just emits it
@@ -1278,10 +1330,11 @@ class AvroAggReaderFactory extends PartitionReaderFactory {
     }
 }
 /** All of one bucket's container files (with their deletion-vector and
-  * equality-delete sidecars), as one split whose partition key is the
-  * bucket — what KeyGroupedPartitioning groups by. */
+  * equality-delete sidecars and row-lineage base), as one split whose
+  * partition key is the bucket — what KeyGroupedPartitioning groups
+  * by. */
 case class AvroBucketGroupSplit(
-    files: Seq[(String, Option[String], Seq[String])], bucket: Int)
+    files: Seq[(String, Option[String], Seq[String], Long)], bucket: Int)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
@@ -1302,7 +1355,7 @@ case class AvroBucketedCommit(files: Seq[(String, Long, Option[String])])
 class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case AvroFileSplit(f, dv, eq) => fileReader(f, dv, eq)
+      case AvroFileSplit(f, dv, eq, frid) => fileReader(f, dv, eq, frid)
       case AvroBucketGroupSplit(files, _) =>
         // one bucket's files, read in sequence (a group is one task)
         new PartitionReader[InternalRow] {
@@ -1312,8 +1365,8 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
             while (true) {
               if (cur == null) {
                 if (!remaining.hasNext) return false
-                val (f, dv, eq) = remaining.next()
-                cur = fileReader(f, dv, eq)
+                val (f, dv, eq, frid) = remaining.next()
+                cur = fileReader(f, dv, eq, frid)
               }
               if (cur.next()) return true
               cur.close(); cur = null
@@ -1329,7 +1382,8 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
 
   private def fileReader(file: String,
       dvFile: Option[String] = None,
-      eqFiles: Seq[String] = Nil): PartitionReader[InternalRow] = {
+      eqFiles: Seq[String] = Nil,
+      firstRowId: Long = -1L): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val reader = new DataFileReader[GenericRecord](
         new File(file), new GenericDatumReader[GenericRecord]())
@@ -1358,10 +1412,17 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
       // first, then rename aliases newest-first); -1 → absent column
       // (serves the field's EXISTS default, null when none — ADD
       // COLUMN ... DEFAULT semantics), -2 → the _file metadata column,
-      // -3 → the _pos metadata column. Resolved once per file.
+      // -3 → the _pos metadata column, -4 → the _row_id metadata
+      // column (physical field when the file carries one — a rewrite
+      // output — else firstRowId + _pos, null without lineage).
+      // Resolved once per file.
+      private val physRowId: Int =
+        Option(reader.getSchema.getField(AvroDirSource.RowIdColumn))
+          .map(_.pos).getOrElse(-1)
       private val idx: Array[Int] = required.fields.map { f =>
         if (f.name == AvroDirSource.FileColumn) -2
         else if (f.name == AvroDirSource.PosColumn) -3
+        else if (f.name == AvroDirSource.RowIdColumn) -4
         else (f.name +: AvroDirSource.aliasesOf(f)).iterator
           .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
           .find(_ >= 0).getOrElse(-1)
@@ -1386,6 +1447,15 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
         while (i < required.length) {
           if (idx(i) == -2) vals(i) = fileName
           else if (idx(i) == -3) vals(i) = rowPos
+          else if (idx(i) == -4) {
+            val phys = if (physRowId >= 0) rec.get(physRowId) else null
+            vals(i) =
+              if (phys != null) java.lang.Long.valueOf(
+                phys.asInstanceOf[java.lang.Number].longValue)
+              else if (firstRowId >= 0)
+                java.lang.Long.valueOf(firstRowId + rowPos)
+              else null
+          }
           else if (idx(i) == -1) vals(i) = dflt(i) // pre-column file
           else vals(i) = AvroDirSource.avroToInternal(
             rec.get(idx(i)), required.fields(i).dataType)

@@ -153,9 +153,15 @@ object AvroFilterEval extends Serializable {
     * Rows at positions in `dv` (an existing deletion vector) are
     * ALREADY deleted — skipped without evaluation and never reported
     * as matches. */
+  /** When `withLineage`, each kept row carries ONE extra trailing
+    * value: the row's stable id — the file's physical `_row_id` when
+    * it has one (a prior rewrite output), else `lineageBase + pos`,
+    * else null (no lineage). */
   private def scanFile(file: File, schema: StructType,
       filters: Array[Filter],
-      dv: Set[Long] = Set.empty): (Seq[Array[Any]], Boolean) = {
+      dv: Set[Long] = Set.empty,
+      lineageBase: Long = -1L,
+      withLineage: Boolean = false): (Seq[Array[Any]], Boolean) = {
     val keep = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
     var deleted = false
     val reader = new DataFileReader[GenericRecord](
@@ -194,6 +200,9 @@ object AvroFilterEval extends Serializable {
             new java.math.BigInteger(bytes), decScale(name))
         case o => norm(o)
       }
+      val physIdPos: Int =
+        Option(reader.getSchema.getField(AvroDirSource.RowIdColumn))
+          .map(_.pos).getOrElse(-1)
       var rowPos = 0L
       while (reader.hasNext) {
         val rec = reader.next()
@@ -203,7 +212,17 @@ object AvroFilterEval extends Serializable {
             case _                 => dflt.getOrElse(name, null)
           }
           if (filters.forall(eval(_, v).contains(true))) deleted = true
-          else keep += schema.fields.map(f => v(f.name))
+          else if (!withLineage) keep += schema.fields.map(f => v(f.name))
+          else {
+            val phys = if (physIdPos >= 0) rec.get(physIdPos) else null
+            val id: Any =
+              if (phys != null) java.lang.Long.valueOf(
+                phys.asInstanceOf[java.lang.Number].longValue)
+              else if (lineageBase >= 0)
+                java.lang.Long.valueOf(lineageBase + rowPos)
+              else null
+            keep += (schema.fields.map(f => v(f.name)) :+ id)
+          }
         }
         rowPos += 1
       }
@@ -332,9 +351,11 @@ object AvroFilterEval extends Serializable {
     * Runs as one Spark task per candidate file. */
   def rewriteVersioned(dirPath: String, fileName: String, schema: StructType,
       filters: Array[Filter], jobId: String,
-      dv: Set[Long] = Set.empty): Option[(String, Option[String])] = {
+      dv: Set[Long] = Set.empty,
+      firstRowId: Long = -1L): Option[(String, Option[String])] = {
     val file = new File(dirPath, fileName)
-    val (keep, deleted) = scanFile(file, schema, filters, dv)
+    val (keep, deleted) =
+      scanFile(file, schema, filters, dv, firstRowId, withLineage = true)
     // an existing deletion vector counts as "something changed": the
     // rewrite MATERIALIZES it away, so the original entry (file + dv)
     // must not be carried forward verbatim
@@ -342,7 +363,12 @@ object AvroFilterEval extends Serializable {
     else if (keep.isEmpty) None
     else {
       val newName = s"part-$jobId-rw-$fileName"
-      val stats = writeRows(new File(dirPath, newName), schema, keep)
+      // surviving rows keep their stable ids as a physical trailing
+      // `_row_id` column (row lineage through COW DELETE — round 17)
+      val schemaWithId = StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(AvroDirSource.RowIdColumn,
+          org.apache.spark.sql.types.LongType, nullable = true))
+      val stats = writeRows(new File(dirPath, newName), schemaWithId, keep)
       Some((newName, Some(stats)))
     }
   }

@@ -78,10 +78,19 @@ object AvroSnapshots {
     * name (rows at those positions are deleted — merge-on-read);
     * `eq` = equality-delete sidecar names (rows whose key matches are
     * deleted — [[EqualityDeletes]]; a file appended after a delete
-    * never carries the ref, which IS the sequence scoping). */
+    * never carries the ref, which IS the sequence scoping);
+    * `firstRowId` = ROW LINEAGE base (round 17 — Iceberg v3 row ids /
+    * Delta row tracking): the file's rows occupy the stable-id range
+    * [firstRowId, firstRowId + rowCount) unless a row carries an
+    * explicit physical `_row_id` (a rewrite output preserving original
+    * ids); −1 = unassigned (legacy entry / unknown row count — no
+    * lineage, consumers fall back). Assigned ONCE by [[commit]] from
+    * the table's monotone row-id counter and inherited verbatim by
+    * every later entry of the same file. */
   case class FileEntry(name: String, part: Option[Long] = None,
       specId: Int = 0, stats: Option[String] = None,
-      dv: Option[String] = None, eq: Seq[String] = Nil)
+      dv: Option[String] = None, eq: Seq[String] = Nil,
+      firstRowId: Long = -1L)
 
   /** A reference to one immutable manifest-group file: `file` under
     * `_versions/`, `count` entries in its SUBTREE, `aggStats` =
@@ -100,7 +109,8 @@ object AvroSnapshots {
       schema: StructType, kind: String, parent: Long,
       groups: Seq[GroupRef], inline: Seq[FileEntry], path: String,
       lineage: String = MainBranch,
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      nextRowId: Option[Long] = None) {
     lazy val entries: Seq[FileEntry] =
       inline ++ groups.flatMap(g => groupEntries(path, g.file))
     lazy val byName: Map[String, FileEntry] =
@@ -209,14 +219,15 @@ object AvroSnapshots {
       case None                     => ""
     }
     val fields = Seq(e.name, part, e.stats.getOrElse(""), e.dv.getOrElse(""),
-      e.eq.mkString(","))
+      e.eq.mkString(","),
+      if (e.firstRowId >= 0) e.firstRowId.toString else "")
     // drop trailing empties so pre-dv / pre-stats lines stay compact
     val keep = fields.lastIndexWhere(_.nonEmpty).max(0)
     fields.take(keep + 1).mkString("\t")
   }
 
   private def parseEntry(l: String): FileEntry = {
-    val f = l.split("\t", 5)
+    val f = l.split("\t", 6)
     val (part, spec) = f.lift(1).filter(_.nonEmpty) match {
       case Some(p) => p.split("@", 2) match {
         case Array(v, s) => (v.toLongOption, s.toIntOption.getOrElse(0))
@@ -226,7 +237,8 @@ object AvroSnapshots {
     }
     FileEntry(f(0), part, spec,
       f.lift(2).filter(_.nonEmpty), f.lift(3).filter(_.nonEmpty),
-      f.lift(4).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
+      f.lift(4).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
+      f.lift(5).flatMap(_.toLongOption).getOrElse(-1L))
   }
 
   // ---- manifest-group files (immutable; parses cached per process) ----
@@ -334,7 +346,7 @@ object AvroSnapshots {
     else {
       val lines = new String(Files.readAllBytes(f.toPath),
         StandardCharsets.UTF_8).split("\n", -1).toSeq
-      val head = lines.head.split("\t", 5)
+      val head = lines.head.split("\t", 6)
       val ts = head(0).toLong
       val kind = head.lift(1).filter(_.nonEmpty).getOrElse(KindReplace)
       val parent = head.lift(2).flatMap(_.toLongOption).getOrElse(v - 1)
@@ -345,6 +357,9 @@ object AvroSnapshots {
       val lineage = head.lift(3).filter(_.nonEmpty).getOrElse(MainBranch)
       val props = head.lift(4).filter(_.nonEmpty)
         .map(parseProps).getOrElse(Map.empty[String, String])
+      // 6th field: the table's monotone next-row-id counter (row
+      // lineage — round 17); absent on pre-lineage manifests
+      val nextRowId = head.lift(5).flatMap(_.toLongOption)
       val body = lines.drop(2).filter(_.nonEmpty)
       // `@group \t count \t aggStats [\t depth]` vs a legacy inline
       // entry line — data-file names never start with '@'
@@ -353,7 +368,7 @@ object AvroSnapshots {
       Some(Snapshot(v, ts,
         DataType.fromJson(lines(1)).asInstanceOf[StructType],
         kind, parent, groups, inlineLines.map(parseEntry), path, lineage,
-        props))
+        props, nextRowId))
     }
   }
 
@@ -373,8 +388,27 @@ object AvroSnapshots {
   // Session surface: set `spark.graft.commit.properties` to
   // `k=v;k2=v2` (URL-encoded as needed) and every commit on this
   // session thread carries the pairs until the conf is cleared.
+  // THREAD scoping (ADVICE r16): the session conf is session-GLOBAL,
+  // so a concurrent commit from another thread of the same session
+  // would be falsely stamped while an MV refresh has it set. Library
+  // callers (the MV refresh, CDC apply) therefore stamp via
+  // [[withCommitProps]] — an InheritableThreadLocal that scopes the
+  // pairs to the committing thread (and threads it spawns) and takes
+  // precedence over the conf; the conf remains the user-facing SQL
+  // `SET` surface for sessions that are single-threaded by use.
 
   val CommitPropsConf = "spark.graft.commit.properties"
+
+  private val threadProps = new InheritableThreadLocal[Map[String, String]]()
+
+  /** Run `body` with `props` stamped on every commit THIS thread (and
+    * children spawned inside) makes — never other session threads. */
+  def withCommitProps[T](props: Map[String, String])(body: => T): T = {
+    val prev = threadProps.get()
+    threadProps.set(props)
+    try body
+    finally if (prev == null) threadProps.remove() else threadProps.set(prev)
+  }
 
   private def encodeProps(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -395,9 +429,10 @@ object AvroSnapshots {
 
   private def sessionProps(): Map[String, String] =
     try {
-      Option(org.apache.spark.sql.SparkSession.active)
-        .flatMap(_.conf.getOption(CommitPropsConf)).filter(_.nonEmpty)
-        .map(parseProps).getOrElse(Map.empty)
+      Option(threadProps.get()).getOrElse(
+        Option(org.apache.spark.sql.SparkSession.active)
+          .flatMap(_.conf.getOption(CommitPropsConf)).filter(_.nonEmpty)
+          .map(parseProps).getOrElse(Map.empty))
     } catch { case _: Exception => Map.empty }
 
   /** Newest value of commit property `key` on the branch's lineage
@@ -671,9 +706,43 @@ object AvroSnapshots {
             s"v${parent.getOrElse(-1L)} — retry against the new table state")
     }
     val prev = parent.flatMap(load(path, _))
+    val prevByName: Map[String, FileEntry] =
+      prev.map(_.byName).getOrElse(Map.empty)
+    // ---- row lineage (round 17): assign/inherit firstRowId ----
+    // A NEW data file claims the next [counter, counter + rows) id
+    // range from the table's monotone counter (recorded in the header;
+    // derived once from entries for pre-lineage tables — the counter
+    // then persists, so ids of since-deleted files are never reissued).
+    // An entry whose file already existed INHERITS its assigned base
+    // verbatim — callers that rebuild entries positionally cannot drop
+    // it. Files with no recorded row count stay at −1 (no lineage).
+    val bootstrap: Long = prev.flatMap(_.nextRowId).getOrElse {
+      val claimed = prevByName.valuesIterator.collect {
+        case e if e.firstRowId >= 0 =>
+          e.firstRowId + e.stats.flatMap(AvroStats.rowCount).getOrElse(0L)
+      }
+      if (claimed.isEmpty) 0L else claimed.max
+    }
+    var rowIdCounter = bootstrap
+    val lineaged = entries.map { e =>
+      prevByName.get(e.name) match {
+        case Some(pe) =>
+          if (e.firstRowId >= 0 || pe.firstRowId < 0) e
+          else e.copy(firstRowId = pe.firstRowId)
+        case None =>
+          if (e.firstRowId >= 0) e
+          else e.stats.flatMap(AvroStats.rowCount) match {
+            case Some(n) =>
+              val assigned = e.copy(firstRowId = rowIdCounter)
+              rowIdCounter += n
+              assigned
+            case None => e
+          }
+      }
+    }
     val desired: Map[String, FileEntry] =
-      entries.iterator.map(e => e.name -> e).toMap
-    require(desired.size == entries.size,
+      lineaged.iterator.map(e => e.name -> e).toMap
+    require(desired.size == lineaged.size,
       s"duplicate file names in commit to $path")
 
     val reused = scala.collection.mutable.ArrayBuffer.empty[GroupRef]
@@ -713,9 +782,7 @@ object AvroSnapshots {
     // an entry IDENTICAL to its previous shape is covered by a reused
     // subtree or a dissolved leaf's carryover (each prev entry lives
     // under exactly one ref); only new/changed entries are fresh
-    val prevByName: Map[String, FileEntry] =
-      prev.map(_.byName).getOrElse(Map.empty)
-    val fresh = entries.filterNot(e => prevByName.get(e.name).contains(e))
+    val fresh = lineaged.filterNot(e => prevByName.get(e.name).contains(e))
 
     // every group file THIS attempt writes — reclaimed wholesale if the
     // CREATE_NEW commit below loses (children that pre-existed stay:
@@ -767,9 +834,12 @@ object AvroSnapshots {
     // properties (session conf) ride the same line: atomic with the
     // commit or not at all.
     val props = sessionProps()
+    // the row-id counter always rides the header (field 6) so later
+    // commits never rescan entries to find it; props (field 5) may be
+    // empty but keeps its slot
     val headLine =
       s"$ts\t$kind\t${parent.getOrElse(-1L)}\t${branch.getOrElse(MainBranch)}" +
-        (if (props.isEmpty) "" else "\t" + encodeProps(props))
+        s"\t${if (props.isEmpty) "" else encodeProps(props)}\t$rowIdCounter"
     val body = (headLine +: schema.json +: refLines)
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
     try {

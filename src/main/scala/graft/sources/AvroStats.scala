@@ -196,6 +196,12 @@ object AvroStats {
     // from genuine text so schema-less group-hull folds stay numeric.
     */
   private val DecTag = "dec:"
+  /** Escape tag for GENUINE string bounds that would collide with
+    * [[DecTag]] (ADVICE r16: a STRING column whose values literally
+    * spell "dec:<number>" must never be compared numerically) —
+    * applied at encode, stripped at parse, so a "dec:"-prefixed
+    * JString in stats JSON is unambiguously a decimal bound. */
+  private val TxtTag = "txt:"
   private def asDec(v: Any): Option[java.math.BigDecimal] = v match {
     case d: java.math.BigDecimal  => Some(d)
     case d: scala.math.BigDecimal => Some(d.bigDecimal)
@@ -207,9 +213,12 @@ object AvroStats {
     case n: java.lang.Double  => Some(java.math.BigDecimal.valueOf(n.doubleValue))
     case _ => None
   }
+  /** Decimal compare is entered by a genuine BigDecimal VALUE only —
+    * the resolved column TYPE decides (coerce re-types tagged bounds
+    * for DecimalType columns; literals for them arrive as BigDecimal),
+    * never a value's string shape (ADVICE r16). */
   private def isDecish(v: Any): Boolean = v match {
     case _: java.math.BigDecimal | _: scala.math.BigDecimal => true
-    case s: String => s.startsWith(DecTag)
     case _ => false
   }
 
@@ -341,7 +350,11 @@ object AvroStats {
       // them back for DOUBLE columns at use time
       if (x.isNaN || x.isInfinite) JString(x.toString) else JDouble(x)
     case x: java.lang.Boolean => JBool(x)
-    case x: String            => JString(x)
+    case x: String            =>
+      // a genuine string bound colliding with a tag is escaped so the
+      // schema-less hull fold can trust the "dec:" prefix (ADVICE r16)
+      if (x.startsWith(DecTag) || x.startsWith(TxtTag)) JString(TxtTag + x)
+      else JString(x)
     case other                => JString(other.toString)
   }
 
@@ -370,7 +383,18 @@ object AvroStats {
     case JDouble(x)       => Some(Double.box(x))
     case JDecimal(x)      => Some(Double.box(x.doubleValue))
     case JBool(x)         => Some(Boolean.box(x))
-    case JString(x)       => Some(x)
+    case JString(x)       =>
+      // encode-time escaping makes the tags trustworthy here: "txt:" =
+      // genuine string (strip), "dec:" = decimal bound (re-type), so
+      // every later compare runs in the value's TRUE domain. A legacy
+      // pre-escape manifest whose string column literally held
+      // "dec:<number>" is the one residual ambiguity — rewritten on
+      // the next compaction.
+      if (x.startsWith(TxtTag)) Some(x.substring(TxtTag.length))
+      else if (x.startsWith(DecTag))
+        (try Some(new java.math.BigDecimal(x.substring(DecTag.length)))
+         catch { case _: Exception => None }).orElse(Some(x))
+      else Some(x)
     case other            => Some(other.values.toString)
   }
 

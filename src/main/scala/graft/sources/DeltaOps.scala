@@ -96,7 +96,8 @@ class GraftDeltaOperation(path: String, tableSchema: StructType,
         entries.map(e => AvroFileSplit(
           new File(path, e.name).getAbsolutePath,
           e.dv.map(d => new File(path, d).getAbsolutePath),
-          e.eq.map(n => new File(path, n).getAbsolutePath)): InputPartition)
+          e.eq.map(n => new File(path, n).getAbsolutePath),
+          e.firstRowId): InputPartition)
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =

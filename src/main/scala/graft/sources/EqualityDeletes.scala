@@ -130,8 +130,14 @@ object EqualityDeletes {
     def strOk(v: String): Boolean = !v.contains('\t') && !v.contains('\n')
     filters match {
       case Array(EqualTo(a, v)) =>
-        col(a).map { case (c, k) =>
-          (Seq(c), Seq(k), key(v).filter(strOk).map(Seq(_)).toSeq) }
+        // a non-null key the sidecar codec cannot spell (tab/newline) →
+        // not expressible here; fall back to the scanning delete, which
+        // handles it, instead of silently deleting nothing
+        key(v) match {
+          case Some(s) if !strOk(s) => None
+          case ks => col(a).map { case (c, k) =>
+            (Seq(c), Seq(k), ks.map(Seq(_)).toSeq) }
+        }
       case Array(In(a, vs)) if vs != null =>
         val ks = vs.toSeq.flatMap(key(_).toSeq)
         // a non-null literal the key codec cannot spell → not expressible

@@ -492,8 +492,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val basis = AvroSnapshots
       .headVersion(dir.getPath, sessionBranch(dir.getPath)).getOrElse(-1L)
     AvroDirSource.rewriteBasis.get().put(abs, basis)
+    // lineage rewrite: the table transiently exposes `_row_id` as a
+    // trailing data column, so SELECT * carries every row's stable id
+    // through the rewrite (written back as a physical column) — row
+    // lineage survives compaction (round 17)
+    AvroDirSource.lineageRewrite.get().add(abs)
     try session.sql(s"INSERT OVERWRITE $q SELECT * FROM $q")
-    finally AvroDirSource.rewriteBasis.get().remove(abs)
+    finally {
+      AvroDirSource.rewriteBasis.get().remove(abs)
+      AvroDirSource.lineageRewrite.get().remove(abs)
+      ()
+    }
     val after = filesNow()
     (before, after)
   }
@@ -770,15 +779,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val names = candidates.map(_.name)
     val q = (catalogName +: ident.namespace.toSeq :+ ident.name)
       .map(p => s"`$p`").mkString(".")
+    // row lineage rides the rewrite: `_row_id` (derived or physical)
+    // is selected alongside the data columns and written back as a
+    // physical column, so binpacked rows keep their stable ids
     val src = session.table(q).where(col(AvroDirSource.FileColumn)
         .isin(names: _*))
-      .select(schema.fields.toSeq.map(f => col(f.name)): _*)
+      .select(schema.fields.toSeq.map(f => col(f.name)) :+
+        col(AvroDirSource.RowIdColumn): _*)
+    val writeSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(AvroDirSource.RowIdColumn,
+        org.apache.spark.sql.types.LongType, nullable = true))
     val jobId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val spec = loadPartSpec(dir)
     val factory: org.apache.spark.sql.connector.write.DataWriterFactory =
       spec match {
-        case Some(sp) => new AvroClusteredWriterFactory(dirPath, schema, jobId, sp)
-        case None     => new AvroWriterFactory(dirPath, schema, jobId)
+        case Some(sp) => new AvroClusteredWriterFactory(dirPath, writeSchema, jobId, sp)
+        case None     => new AvroWriterFactory(dirPath, writeSchema, jobId)
       }
     val written: Array[(String, Option[Long], Option[String])] =
       try {

@@ -49,7 +49,13 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
   override def description(): String = s"GraftRowLevelOperation($cmd, $path)"
 
   override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array(Expressions.column(AvroDirSource.FileColumn))
+    Array(Expressions.column(AvroDirSource.FileColumn),
+      // row lineage (round 17): every scanned row carries its stable
+      // id through the ReplaceData plan — carryover and updated rows
+      // keep it (written back as a PHYSICAL column of the rewrite
+      // files), MERGE-inserted rows arrive null and derive fresh ids
+      // from the new file's own manifest range
+      Expressions.column(AvroDirSource.RowIdColumn))
 
   private def currentEntries(): Seq[AvroSnapshots.FileEntry] =
     if (versioned)
@@ -95,7 +101,8 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
         candidates.map(e =>
           AvroFileSplit(new File(path, e.name).getAbsolutePath,
             e.dv.map(d => new File(path, d).getAbsolutePath),
-            e.eq.map(n => new File(path, n).getAbsolutePath)): InputPartition)
+            e.eq.map(n => new File(path, n).getAbsolutePath),
+            e.firstRowId): InputPartition)
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -103,20 +110,31 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    // the replacement rows are DATA columns only — strip any metadata
-    // column Spark chose to carry through
-    val writeSchema = StructType(
-      info.schema().fields.filterNot(_.name == AvroDirSource.FileColumn))
+    // ReplaceData hands the writer DATA columns via write(row) — the
+    // metadata attrs this operation required arrive through the
+    // TWO-ARG write(metadata, row) seam (ReplaceDataProjections'
+    // metadataProjection). The stable `_row_id` (metadata position 1,
+    // after `_file`) is MATERIALIZED as a physical trailing column of
+    // every rewrite file (Iceberg v3 row lineage through COW):
+    // carryover and updated rows keep their id, MERGE-inserted rows
+    // arrive null and later derive fresh ids from the new file's own
+    // manifest range.
+    val dataSchema = StructType(info.schema().fields.filterNot(f =>
+      f.name == AvroDirSource.FileColumn ||
+        f.name == AvroDirSource.RowIdColumn))
+    val writeSchema = StructType(dataSchema.fields :+
+      org.apache.spark.sql.types.StructField(AvroDirSource.RowIdColumn,
+        org.apache.spark.sql.types.LongType, nullable = true))
     new WriteBuilder {
       override def build(): Write = new Write {
         private val jobId =
           java.util.UUID.randomUUID.toString.replace("-", "").take(12)
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
-              p: PhysicalWriteInfo): DataWriterFactory = {
-            new File(path).mkdirs()
-            new AvroWriterFactory(path, writeSchema, jobId)
-          }
+              p: PhysicalWriteInfo): DataWriterFactory =
+            new LineageMergingWriterFactory(
+              new AvroWriterFactory(path, writeSchema, jobId),
+              dataArity = dataSchema.length, path = path)
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val commits = messages.map(_.asInstanceOf[AvroCommit])
             val committed = commits.map(_.file).toSet
@@ -177,6 +195,48 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
               .filter(_.getName.contains(jobId)).foreach(_.delete())
         }
       }
+    }
+  }
+}
+
+/** Appends the row-lineage id to each replacement row before handing
+  * it to the wrapped per-file writer, whose schema carries `_row_id`
+  * as a physical trailing LONG column. The id arrives on the
+  * METADATA row of the two-arg `write(metadata, row)` call
+  * (ReplaceData's metadataProjection — metadata attr order is
+  * `[_file, _row_id]`, this operation's declaration order); a one-arg
+  * `write(row)` (no metadata projection in the plan) writes a null id
+  * — the row derives a fresh id from its file's manifest range, the
+  * sound fallback. */
+private[sources] class LineageMergingWriterFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    dataArity: Int, path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    new File(path).mkdirs()
+    val w = inner.createWriter(partitionId, taskId)
+    new org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+      private val idRow = new GenericInternalRow(1)
+      private val joined = new JoinedRow
+      override def write(meta: InternalRow, row: InternalRow): Unit = {
+        // metadata attrs: [_file(0), _row_id(1)]
+        if (meta == null || meta.numFields < 2 || meta.isNullAt(1))
+          idRow.update(0, null)
+        else idRow.update(0, meta.getLong(1))
+        w.write(joined(row, idRow))
+      }
+      override def write(row: InternalRow): Unit = {
+        idRow.update(0, null)
+        w.write(joined(row, idRow))
+      }
+      override def commit(): WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
     }
   }
 }

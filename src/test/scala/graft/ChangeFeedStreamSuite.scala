@@ -91,22 +91,37 @@ class ChangeFeedStreamSuite extends SparkSuiteBase {
       s"pair-diff deletes wrong: ${rows.filter(_._2 == "delete")}")
   }
 
-  test("a COW UPDATE window falls back to state-correct file-level delete+insert") {
+  test("a COW UPDATE window row-id-diffs: exactly the changed rows as pre/post pairs") {
     mk("c4", 10, mor = false) // copy-on-write: group rewrite, unpaired files
     spark.sql("UPDATE cdfcat.db.c4 SET v = 'upd' WHERE k = 6")
     val root = java.nio.file.Files.createTempDirectory("graft_cdf4").toString
     drain("c4", root)
     val df = spark.read.parquet(s"$root/out")
-    // net state after applying deletes then inserts == the table
-    val inserts = df.where("_change_type = 'insert'").select("k", "v")
-    val deletes = df.where("_change_type = 'delete'").select("k", "v")
-    val net = inserts.exceptAll(deletes).collect()
-      .map(r => (r.getLong(0), r.getString(1))).sorted
-    val table = spark.table("cdfcat.db.c4").collect()
-      .map(r => (r.getLong(0), r.getString(1))).sorted
-    assert(net.toSeq == table.toSeq,
-      s"file-level fallback not state-correct: net=${net.take(5).toSeq}…")
-    assert(net.contains((6L, "upd")))
+    val changes = df.where("_change_type != 'insert' OR v = 'upd'")
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    // row lineage (round 17): ONLY the updated row streams, as an
+    // update_preimage/update_postimage pair — the 9 rows that merely
+    // rode the group rewrite stream NOTHING beyond their original
+    // inserts (the old fallback streamed all 10 as delete+insert)
+    assert(changes == Seq((6L, "r6", "update_preimage"),
+      (6L, "upd", "update_postimage")), s"COW UPDATE feed: $changes")
+    assert(df.where("_change_type = 'insert'").count() == 10, // the CTAS
+      "carryover rows must not re-stream")
+    assert(df.where("_change_type = 'delete'").count() == 0)
+  }
+
+  test("a plain INSERT OVERWRITE window still streams delete+insert (no id overlap)") {
+    mk("c12", 8, mor = false)
+    spark.sql("INSERT OVERWRITE cdfcat.db.c12 SELECT id, 'ow' FROM range(100, 103)")
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf12").toString
+    drain("c12", root)
+    val rows = feed(root)
+    assert(rows.count(_._2 == "insert") == 11, s"$rows") // 8 CTAS + 3 overwrite
+    assert(rows.filter(_._2 == "delete").map(_._1).sorted == (0L until 8L),
+      s"overwrite must delete every prior row: $rows")
+    assert(!rows.exists(_._2.startsWith("update_")),
+      "disjoint id hulls must not fabricate update pairs")
   }
 
   test("a merge-on-read UPDATE streams update_preimage/update_postimage pairs") {
@@ -231,5 +246,35 @@ class ChangeFeedStreamSuite extends SparkSuiteBase {
       .table("cdfcat.db.c5.changes")
       .select("k").collect().map(_.getLong(0)).sorted
     assert(bounded.toSeq == Seq(10L, 11L, 12L), s"bounded feed: ${bounded.toSeq}")
+  }
+
+  test("expiry and the feed: expired offsets refuse; retained reads keep real timestamps (ADVICE r16)") {
+    mk("c11", 3)
+    val ident =
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "c11")
+    val v0 = cat.currentVersion(ident)
+    spark.sql("INSERT INTO cdfcat.db.c11 VALUES (10, 'a')")
+    spark.sql("INSERT INTO cdfcat.db.c11 VALUES (11, 'b')")
+    cat.expireSnapshots(ident, retainLast = 1)
+    // an offset whose diff baseline was expired is DATA LOSS — the
+    // feed must refuse loudly (Delta's failOnDataLoss), never emit a
+    // window with fabricated contents/timestamps
+    val ex = intercept[Exception] {
+      spark.read.option("startingVersion", v0)
+        .table("cdfcat.db.c11.changes").collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("expired"),
+      s"wrong refusal: ${ex.getMessage}")
+    // a fresh read over the partially-expired table streams the first
+    // retained manifest as one full add — with a REAL commit time (the
+    // epoch-zero fallback must be unreachable)
+    val rows = spark.read.option("startingVersion", -1)
+      .table("cdfcat.db.c11.changes")
+      .select("k", "_commit_timestamp").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    assert(rows.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L, 10L, 11L),
+      s"feed: ${rows.toSeq}")
+    assert(rows.forall(_._2 > 1000000000000L), // past 2001 — a real clock
+      s"epoch-zero timestamp leaked into the feed: ${rows.toSeq}")
   }
 }

@@ -121,4 +121,46 @@ class DecimalStatsSuite extends SparkSuiteBase {
       .compareTo(new java.math.BigDecimal("7.77")) == 0)
     assert(spark.table("dccat.db.d5").count() == 50)
   }
+
+  test("a STRING column spelling 'dec:<n>' stays text (ADVICE r16)") {
+    // the column TYPE decides decimal-vs-text: values that merely look
+    // like tagged decimal bounds must compare by code point — the old
+    // shape-sniff pruned (and metadata-deleted) wrongly
+    wh
+    spark.sql("DROP TABLE IF EXISTS dccat.db.d6")
+    spark.sql("CREATE TABLE dccat.db.d6 (k BIGINT, tag STRING)")
+    // file A: tags dec:100..dec:900 — numerically ≥ 100, textually
+    // 'dec:100' < 'dec:50' < 'dec:900'
+    spark.sql("""INSERT INTO dccat.db.d6 SELECT /*+ REPARTITION(1) */
+                |id, CONCAT('dec:', CAST(100 + id AS STRING))
+                |FROM range(801)""".stripMargin)
+    spark.sql("""INSERT INTO dccat.db.d6 SELECT /*+ REPARTITION(1) */
+                |1000 + id, CONCAT('x', CAST(id AS STRING)) FROM range(10)""".stripMargin)
+    // 'dec:50' sits INSIDE file A's text bounds; the numeric misread
+    // (100..900 vs 50) would prune the file and miss matching rows
+    val q = spark.sql(
+      "SELECT k FROM dccat.db.d6 WHERE tag > 'dec:4' AND tag < 'dec:6'")
+    val got = q.collect().map(_.getLong(0)).sorted.toSeq
+    // text order: 'dec:4' < 'dec:400'..'dec:499','dec:5xx' < 'dec:6'
+    val want = (300L to 499L).toSeq // ids with 100+id in [400,599]
+    assert(got == want, s"got ${got.size} rows, want ${want.size} — " +
+      "shape-sniffed numeric pruning lost text rows")
+    // equality probe on a value numerically below the misread bounds
+    spark.sql("INSERT INTO dccat.db.d6 VALUES (9999, 'dec:50')")
+    assert(spark.sql("SELECT count(*) FROM dccat.db.d6 WHERE tag = 'dec:50'")
+      .collect().head.getLong(0) == 1)
+    // fileMustMatch must not prove a full match numerically: values
+    // dec:20..dec:99 are all NUMERICALLY < 100, but TEXTUALLY every
+    // one is > 'dec:100' ('2'..'9' > '1') — the shape-sniffed proof
+    // would metadata-drop the whole file; the engine's own row
+    // evaluation deletes nothing
+    spark.sql("DROP TABLE IF EXISTS dccat.db.d7")
+    spark.sql("CREATE TABLE dccat.db.d7 (k BIGINT, tag STRING)")
+    spark.sql("""INSERT INTO dccat.db.d7 SELECT /*+ REPARTITION(1) */
+                |id, CONCAT('dec:', CAST(20 + id AS STRING))
+                |FROM range(80)""".stripMargin)
+    spark.sql("DELETE FROM dccat.db.d7 WHERE tag < 'dec:100'")
+    assert(spark.table("dccat.db.d7").count() == 80,
+      "numeric misread of text bounds metadata-dropped live rows")
+  }
 }

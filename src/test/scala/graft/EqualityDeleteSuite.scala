@@ -252,6 +252,33 @@ class EqualityDeleteSuite extends SparkSuiteBase {
         Seq(Seq("a\tb"))))
   }
 
+  test("a tab-bearing string key falls back to the scanning delete (ADVICE r16)") {
+    // the sidecar codec cannot spell tab/newline keys; the old bug
+    // silently committed an unchanged snapshot (deleted nothing) — the
+    // EqualTo extract must now decline so the positional path runs
+    mk("e9", 50)
+    spark.sql("INSERT INTO eqcat.db.e9 VALUES (1000, 'a\tb'), (1001, 'c\nd')")
+    assert(spark.table("eqcat.db.e9").count() == 52)
+    spark.sql("DELETE FROM eqcat.db.e9 WHERE v = 'a\tb'")
+    assert(spark.table("eqcat.db.e9").count() == 51,
+      "tab-keyed DELETE must actually delete via the scanning fallback")
+    assert(spark.sql("SELECT count(*) FROM eqcat.db.e9 WHERE v = 'a\tb'")
+      .collect().head.getLong(0) == 0)
+    spark.sql("DELETE FROM eqcat.db.e9 WHERE v = 'c\nd'")
+    assert(spark.table("eqcat.db.e9").count() == 50)
+    // extract() itself: declined (None), not "empty keys"
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("v", StringType)))
+    assert(EqualityDeletes.extract(Array(EqualTo("v", "a\tb")), schema).isEmpty)
+    // a plain string key still extracts; a NULL key still yields the
+    // empty-key-set shape (k = NULL deletes nothing)
+    assert(EqualityDeletes.extract(Array(EqualTo("v", "ab")), schema)
+      .exists(_._3 == Seq(Seq("ab"))))
+    assert(EqualityDeletes.extract(Array(EqualTo("v", null)), schema)
+      .exists(_._3.isEmpty))
+  }
+
   test("sidecar codec round-trips; unknown column fails loudly") {
     wh
     val dirp = java.nio.file.Files.createTempDirectory("graft_eqcodec").toString

@@ -178,4 +178,38 @@ class IncrementalMvSuite extends SparkSuiteBase {
     assert(w3 == w2, "no-change refresh must not advance")
     assert(cat.currentVersion(ident("m4_mv")) >= mvV) // MERGE of empty delta is allowed
   }
+
+  test("the commit-property stamp is thread-scoped (ADVICE r16)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mvcat.db.m6")
+    spark.sql("CREATE TABLE mvcat.db.m6 (k BIGINT)")
+    val dirp = s"$wh/db/m6"
+    // a pool thread that exists BEFORE the stamp: its commits must not
+    // be falsely stamped while this thread holds withCommitProps (the
+    // session-conf surface was session-global — the lost-update bug)
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    pool.submit(new Runnable { def run(): Unit = () }).get() // warm it
+    try {
+      graft.sources.AvroSnapshots.withCommitProps(Map("graft.test.wm" -> "7")) {
+        pool.submit(new Runnable {
+          def run(): Unit =
+            spark.sql("INSERT INTO mvcat.db.m6 VALUES (1)")
+        }).get()
+        val otherV = cat.currentVersion(ident("m6"))
+        assert(!graft.sources.AvroSnapshots.load(dirp, otherV).get.props
+          .contains("graft.test.wm"),
+          "a concurrent thread's commit was falsely stamped")
+        spark.sql("INSERT INTO mvcat.db.m6 VALUES (2)")
+        val mineV = cat.currentVersion(ident("m6"))
+        assert(graft.sources.AvroSnapshots.load(dirp, mineV).get.props
+          .get("graft.test.wm").contains("7"),
+          "the stamping thread's own commit lost its stamp")
+      }
+      // after the scope closes, this thread stamps nothing again
+      spark.sql("INSERT INTO mvcat.db.m6 VALUES (3)")
+      assert(!graft.sources.AvroSnapshots
+        .load(dirp, cat.currentVersion(ident("m6"))).get.props
+        .contains("graft.test.wm"))
+    } finally pool.shutdown()
+  }
 }

@@ -145,4 +145,30 @@ class MetadataDeleteSuite extends SparkSuiteBase {
       .collect().groupBy(_.getString(2)).view.mapValues(_.length).toMap
     assert(byType("insert") == 1000 && byType("delete") == 250, s"$byType")
   }
+
+  test("a dropped file's eq-deleted rows never re-stream as deletes (ADVICE r16)") {
+    import org.apache.spark.sql.streaming.Trigger
+    mk("d7")
+    spark.sql("CALL mdcat.system.set_delete_mode('db.d7', 'merge-on-read-equality')")
+    // rows 900 and 950 die by equality delete first (one CDF delete
+    // each), then the metadata DELETE drops their whole file — only
+    // the 248 rows still live at drop time may stream as deletes
+    spark.sql("DELETE FROM mdcat.db.d7 WHERE k IN (900, 950)")
+    spark.sql("DELETE FROM mdcat.db.d7 WHERE k >= 750")
+    assert(spark.table("mdcat.db.d7").count() == 750)
+    val root = java.nio.file.Files.createTempDirectory("graft_mddel_eqcdf").toString
+    spark.readStream.table("mdcat.db.d7.changes")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val dels = spark.read.parquet(s"$root/out")
+      .where("_change_type = 'delete'").select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(dels.size == 250, s"${dels.size} delete rows — eq-deleted rows " +
+      "re-streamed (double-decrement) or live rows dropped")
+    assert(dels.count(_ == 900L) == 1 && dels.count(_ == 950L) == 1,
+      "each eq-deleted row must stream as a delete exactly once")
+    assert(dels.distinct.size == 250 && dels == (750L until 1000L),
+      "net feed must equal one delete per originally-live dropped row")
+  }
 }
