@@ -840,6 +840,57 @@ object Relational {
       .orderBy("change_type", "n_nationkey")
   }
 
+  /** ROW LINEAGE (round-17 verdict #1 — Iceberg v3 row ids / Delta row
+    * tracking): every data file's manifest entry carries a monotone
+    * `firstRowId` base; a row's stable `_row_id` (hidden metadata
+    * column) is base + position on first-write files and a PHYSICAL
+    * column on rewrite outputs, so the id survives COW UPDATE/MERGE
+    * rewrites, positional COW DELETE, binpack and full compaction. The
+    * change feed then diffs a group-rewrite window BY ID: carryover
+    * rows that merely rode the rewrite stream NOTHING, changed rows
+    * stream as `update_preimage`/`update_postimage` pairs — the
+    * file-level delete+insert fallback is gone, and an incremental MV
+    * or CDC replica over a COW table sees zero rewrite churn. Scored
+    * flow: CTAS a COW table, UPDATE a sparse key set, batch-read the
+    * change feed over the UPDATE window (only the changed rows may
+    * appear — hash-exact row count enforces the silence of the other
+    * rows), then compact and prove every (id, key) pairing survived
+    * as a summary row. At 100 TB the id diff is O(rewritten group)
+    * per task — the driver hands each side only the other side's
+    * id-hull-overlapping files. */
+  private def catalogRowLineage(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "orders").createOrReplaceTempView("graft_rl_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_lin")
+    s.sql("""CREATE TABLE graftcat.lake.orders_lin AS
+            |SELECT /*+ REPARTITION(4) */ o_orderkey, o_orderpriority
+            |FROM graft_rl_src WHERE o_orderkey < 4000""".stripMargin)
+    val cat = graftcatInstance(s)
+    val ident = lakeIdent("orders_lin")
+    val v0 = cat.currentVersion(ident)
+    s.sql("""UPDATE graftcat.lake.orders_lin
+            |SET o_orderpriority = 'ROWLIN' WHERE o_orderkey % 50 = 7""".stripMargin)
+    val changes = s.read.option("startingVersion", v0)
+      .table("graftcat.lake.orders_lin.changes")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("_change_type").as("change_type"))
+    // id stability across compaction: every (stable id, key) pairing
+    // must survive the rewrite — the join count equals the table count
+    val before = s.table("graftcat.lake.orders_lin")
+      .select(col("_row_id").as("rid"), col("o_orderkey").as("k"))
+      .localCheckpoint()
+    s.sql("CALL graftcat.system.compact('lake.orders_lin')")
+    val after = s.table("graftcat.lake.orders_lin")
+      .select(col("_row_id").as("rid2"), col("o_orderkey").as("k2"))
+    val stable = before.join(after,
+      before("rid") === after("rid2") && before("k") === after("k2")).count()
+    changes.unionByName(s.range(1).select(
+      lit(-1L).as("o_orderkey"), lit(stable.toString).as("o_orderpriority"),
+      lit("stable_ids").as("change_type")))
+      .orderBy("o_orderkey", "change_type")
+  }
+
   /** ROLLBACK (round-13 verdict #4 — the first recovery op a user
     * reaches for after time travel): `rollbackTo(ident, v)` publishes
     * version v's exact state — files, schema, placement, stats — as the
@@ -1949,6 +2000,7 @@ object Relational {
     "catalog_compact_sorted" -> (catalogCompactSorted _),
     "catalog_partition_days" -> (catalogPartitionDays _),
     "catalog_change_feed" -> (catalogChangeFeed _),
+    "catalog_row_lineage" -> (catalogRowLineage _),
     "catalog_rollback" -> (catalogRollback _),
     "catalog_schema_evolution" -> (catalogSchemaEvolution _),
     "catalog_delete_where" -> (catalogDeleteWhere _),
@@ -2282,6 +2334,17 @@ object Relational {
     "catalog_rollback" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "catalog_row_lineage" ->
+      """WITH base AS (SELECT o_orderkey, o_orderpriority FROM orders
+        |              WHERE o_orderkey < 4000),
+        | upd AS (SELECT * FROM base WHERE o_orderkey % 50 = 7)
+        |SELECT o_orderkey, o_orderpriority,
+        |       'update_preimage' AS change_type FROM upd
+        |UNION ALL
+        |SELECT o_orderkey, 'ROWLIN', 'update_postimage' FROM upd
+        |UNION ALL
+        |SELECT -1, CAST((SELECT COUNT(*) FROM base) AS VARCHAR), 'stable_ids'
+        |ORDER BY o_orderkey, change_type""".stripMargin,
     "catalog_schema_evolution" ->
       """SELECT n_nationkey, n_name AS nation_name,
         | CASE WHEN n_nationkey >= 13 THEN n_regionkey END AS region_id

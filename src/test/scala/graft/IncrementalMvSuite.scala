@@ -179,6 +179,32 @@ class IncrementalMvSuite extends SparkSuiteBase {
     assert(cat.currentVersion(ident("m4_mv")) >= mvV) // MERGE of empty delta is allowed
   }
 
+  test("COW UPDATE/MERGE fold precisely — row lineage kills rewrite churn (r17)") {
+    // the base stays COPY-ON-WRITE: before row lineage, a COW UPDATE's
+    // feed was file-level delete+insert (every rewritten row counted
+    // twice with opposite signs — state-correct but churn); now only
+    // the genuinely-changed rows stream, and the fold must stay exact
+    var w = mk("m7", 400)
+    spark.sql("UPDATE mvcat.db.m7 SET x = x + 500 WHERE k % 7 = 0")
+    // the refresh window must contain ONLY the changed rows as
+    // pre/post pairs (2 rows per updated key), nothing else
+    val head = cat.currentVersion(ident("m7"))
+    val win = spark.read.option("startingVersion", w)
+      .option("endingVersion", head).table("mvcat.db.m7.changes")
+    assert(win.count() == 2L * (400 / 7 + 1),
+      s"COW UPDATE window streamed ${win.count()} rows — rewrite churn")
+    w = refresh("m7", w); assertMvExact("m7")
+    spark.sql("""MERGE INTO mvcat.db.m7 t
+                |USING (SELECT id AS k, CAST(2 AS BIGINT) AS g,
+                |       CAST(id * 11 AS BIGINT) AS x FROM range(390, 420)) s
+                |ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET x = s.x, g = s.g
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    w = refresh("m7", w); assertMvExact("m7")
+    spark.sql("DELETE FROM mvcat.db.m7 WHERE k % 11 = 3") // COW delete
+    w = refresh("m7", w); assertMvExact("m7")
+  }
+
   test("the commit-property stamp is thread-scoped (ADVICE r16)") {
     wh
     spark.sql("DROP TABLE IF EXISTS mvcat.db.m6")

@@ -97,7 +97,7 @@ class InventorySuite extends SparkSuiteBase {
     "catalog_incremental_mv", "catalog_point_lookup",
     "catalog_retention_delete", "catalog_column_defaults",
     "catalog_decimal_stats", "catalog_compact_binpack",
-    "catalog_delete_equality_multi",
+    "catalog_delete_equality_multi", "catalog_row_lineage",
     "llm_dedup_minhash_incremental",
     "sql_execute_immediate", "sql_session_variable",
     // bucketed-by-write joins: the build writes both bucketed tables
