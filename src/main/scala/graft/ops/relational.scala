@@ -542,6 +542,19 @@ object Relational {
     cat.expireSnapshots(
       org.apache.spark.sql.connector.catalog.Identifier.of(
         Array("lake"), "nation_vac"), retainLast = 1)
+    // TIME-composed flavor (round 17 — Iceberg's
+    // expire_snapshots(older_than, retain_last)): one more DML round,
+    // then "expire older than now, keep last 1" via the CALL surface —
+    // same final state, and a too-old cutoff expires nothing
+    s.sql("""INSERT INTO graftcat.lake.nation_vac
+            |SELECT n_nationkey + 500, n_name, n_regionkey
+            |FROM graft_vac_src WHERE n_nationkey < 3""".stripMargin)
+    s.sql("""DELETE FROM graftcat.lake.nation_vac
+            |WHERE n_nationkey >= 500""".stripMargin)
+    s.sql("""CALL graftcat.system.expire_snapshots_older_than(
+            |'lake.nation_vac', 1, 1)""".stripMargin) // epoch cutoff: no-op
+    s.sql(s"""CALL graftcat.system.expire_snapshots_older_than(
+            |'lake.nation_vac', ${System.currentTimeMillis() + 3600000L}, 1)""".stripMargin)
     s.sql("""SELECT n_nationkey, n_name, n_regionkey
             |FROM graftcat.lake.nation_vac ORDER BY n_nationkey""".stripMargin)
   }

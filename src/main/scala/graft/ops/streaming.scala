@@ -689,6 +689,81 @@ object Streaming {
             |ORDER BY side, k""".stripMargin)
   }
 
+  /** STREAMING WRITE-AUDIT-PUBLISH (round-17 verdict #3 — the
+    * production pattern composing `stream_table_sink` with
+    * `catalog_branch_wap`): a streaming sink stages its epochs on a
+    * BRANCH of the target table (`spark.graft.branch` resolves every
+    * load under the conf at the branch), main stays byte-identical
+    * while batches land, an audit reads the branch by name, and a
+    * blessed audit publishes with one O(1) `fast_forward` ref move —
+    * a failed audit just abandons the branch (zero main versions,
+    * suite-asserted with the branch dropped). Exactly-once survives
+    * the branch hop: a drained restart against the SAME checkpoint
+    * commits nothing to the branch (required in-flow). At 100 TB this
+    * is how a continuous ingest pipeline gets atomic daily publishes
+    * without pausing the stream's writer. */
+  private def streamBranchWap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Graftcat.register(s)
+    T(s, dir, "orders").createOrReplaceTempView("graft_swap_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_swap_in")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_swap")
+    s.sql("""CREATE TABLE graftcat.lake.orders_swap_in
+            |(o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)""".stripMargin)
+    for (i <- 0 until 3)
+      s.sql(s"""INSERT INTO graftcat.lake.orders_swap_in
+               |SELECT o_orderkey, o_orderpriority, o_totalprice
+               |FROM graft_swap_src WHERE o_orderkey % 3 = $i""".stripMargin)
+    s.sql("""CREATE TABLE graftcat.lake.orders_swap
+            |(o_orderkey BIGINT, o_orderpriority STRING, price2 DOUBLE)""".stripMargin)
+    s.sql("CALL graftcat.system.create_branch('lake.orders_swap', 'staging')")
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val root = GraftTmp.dir(s"stream_swap_$tag")
+    def summary(): (Long, Double) = {
+      val r = s.sql("""SELECT CAST(COUNT(*) AS BIGINT),
+                      |CAST(COALESCE(SUM(CAST(price2 AS DECIMAL(18,2))), 0.0)
+                      |  AS DOUBLE)
+                      |FROM graftcat.lake.orders_swap""".stripMargin).collect().head
+      (r.getLong(0), r.getDouble(1))
+    }
+    def drainToBranch(): Unit = {
+      s.conf.set("spark.graft.branch", "staging")
+      try {
+        s.readStream.table("graftcat.lake.orders_swap_in")
+          .where(col("o_totalprice") > 100000.0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            (col("o_totalprice") * 2.0).as("price2"))
+          .writeStream
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .toTable("graftcat.lake.orders_swap")
+          .awaitTermination()
+      } finally s.conf.unset("spark.graft.branch")
+    }
+    drainToBranch()
+    val mainBefore = summary() // MAIN: empty while the branch staged
+    // the audit reads the BRANCH by conf (the staged state)
+    s.conf.set("spark.graft.branch", "staging")
+    val staged = try summary() finally s.conf.unset("spark.graft.branch")
+    // exactly-once through the branch hop: a drained restart commits
+    // nothing (the branch head must not move)
+    val dirp = s.conf.get("spark.sql.catalog.graftcat.warehouse") +
+      "/lake/orders_swap"
+    val bh1 = graft.sources.AvroSnapshots.headVersion(dirp, Some("staging"))
+    drainToBranch()
+    val bh2 = graft.sources.AvroSnapshots.headVersion(dirp, Some("staging"))
+    require(bh1 == bh2,
+      s"drained restart moved the staging branch: $bh1 -> $bh2")
+    s.sql("CALL graftcat.system.fast_forward('lake.orders_swap', 'staging')")
+    val mainAfter = summary() // publish = one ref move
+    import s.implicits._
+    Seq(("1_main_before_publish", mainBefore._1, mainBefore._2),
+      ("2_branch_staged", staged._1, staged._2),
+      ("3_main_after_publish", mainAfter._1, mainAfter._2))
+      .toDF("phase", "n_rows", "total").orderBy("phase")
+  }
+
   private def streamTableRatelimit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     Graftcat.register(s)
@@ -725,6 +800,7 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_table_sink" -> (streamTableSink _),
+    "stream_branch_wap" -> (streamBranchWap _),
     "stream_cdc_replicate" -> (streamCdcReplicate _),
     "stream_table_cdf" -> (streamTableCdf _),
     "stream_table_ratelimit" -> (streamTableRatelimit _),
@@ -759,6 +835,19 @@ object Streaming {
         | CAST(SUM(CAST(price2 AS DECIMAL(18,2))) AS DOUBLE)
         |FROM cur GROUP BY o_orderpriority
         |ORDER BY side, k""".stripMargin,
+    "stream_branch_wap" ->
+      """WITH f AS (
+        |  SELECT CAST(o_totalprice * 2.0 AS DECIMAL(18,2)) AS p2
+        |  FROM orders WHERE o_totalprice > 100000.0)
+        |SELECT '1_main_before_publish' AS phase,
+        |  CAST(0 AS BIGINT) AS n_rows, 0.0 AS total
+        |UNION ALL
+        |SELECT '2_branch_staged', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(p2) AS DOUBLE) FROM f
+        |UNION ALL
+        |SELECT '3_main_after_publish', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(p2) AS DOUBLE) FROM f
+        |ORDER BY phase""".stripMargin,
     "stream_cdc_replicate" ->
       """WITH cur AS (
         |  SELECT c_custkey, c_nationkey,

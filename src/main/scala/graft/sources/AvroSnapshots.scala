@@ -974,11 +974,30 @@ object AvroSnapshots {
       names.sorted
     }
 
-  def expire(path: String, retainLast: Int): Seq[String] = withCommitLock(path) {
+  def expire(path: String, retainLast: Int): Seq[String] =
+    expire(path, retainLast, olderThanMs = None)
+
+  /** Time-composed flavor (round 17 — Iceberg's
+    * `expire_snapshots(older_than, retain_last)`): a version is
+    * dropped only when it is BOTH outside the newest `retainLast` AND
+    * committed strictly before `olderThanMs` (epoch millis) — the
+    * production retention contract "expire older than T, keep at
+    * least N". Ref-pinned versions (tags and branch heads) survive
+    * either way, and the durable lineage log keeps TIMESTAMP AS OF
+    * ancestry decidable across the expired gaps. */
+  def expire(path: String, retainLast: Int,
+      olderThanMs: Option[Long]): Seq[String] = withCommitLock(path) {
     require(retainLast >= 1, "must retain at least the current version")
     val all = versions(path)
     val pinnedVs = listRefs(path).values.toSet // refs pin their versions
-    val (dropCand, keep) = all.splitAt(math.max(0, all.size - retainLast))
+    val (countCand, keep0) = all.splitAt(math.max(0, all.size - retainLast))
+    // the age gate composes: young versions stay even beyond the count
+    val (dropCand, youngKeep) = olderThanMs match {
+      case Some(cutoff) => countCand.partition(v =>
+        load(path, v).forall(_.timestampMs < cutoff))
+      case None => (countCand, Nil)
+    }
+    val keep = youngKeep ++ keep0
     val (pinned, drop) = dropCand.partition(pinnedVs)
     val retained = keep ++ pinned
     val retainedSnaps = retained.flatMap(load(path, _))

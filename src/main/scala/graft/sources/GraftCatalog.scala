@@ -919,10 +919,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * `retainLast` versions, drop older manifests, physically delete
     * data files no retained version references. The only way a
     * versioned table's data files are ever removed. */
-  def expireSnapshots(ident: Identifier, retainLast: Int): Seq[String] = {
+  def expireSnapshots(ident: Identifier, retainLast: Int): Seq[String] =
+    expireSnapshots(ident, retainLast, olderThanMs = None)
+
+  /** Time-composed expiry (round 17 — Iceberg's
+    * `expire_snapshots(older_than, retain_last)`): drop only versions
+    * BOTH beyond the newest `retainLast` AND committed before
+    * `olderThanMs`; tags/branch heads survive either way. */
+  def expireSnapshots(ident: Identifier, retainLast: Int,
+      olderThanMs: Option[Long]): Seq[String] = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    AvroSnapshots.expire(dir.getPath, retainLast)
+    AvroSnapshots.expire(dir.getPath, retainLast, olderThanMs)
   }
 
   /** Age-gated orphan cleanup (remove_orphan_files): delete data/dv/

@@ -68,7 +68,8 @@ object GraftProcedures {
     in.getUTF8String(i).toString
 
   val names: Seq[String] =
-    Seq("rollback", "expire_snapshots", "compact", "tag", "set_sort_order",
+    Seq("rollback", "expire_snapshots", "expire_snapshots_older_than",
+      "compact", "tag", "set_sort_order",
       "set_delete_mode", "create_branch", "fast_forward", "evolve_partition",
       "remove_orphan_files", "create_view", "drop_view", "apply_cdc",
       "set_bloom_filter", "compact_small")
@@ -84,6 +85,17 @@ object GraftProcedures {
         StructType(Seq(StructField("deleted_files", IntegerType, nullable = false))),
         (c, in) => Seq(Int.box(
           c.expireSnapshots(tableIdent(str(in, 0)), in.getInt(1)).size))))
+      // time-composed retention (Iceberg's expire_snapshots(older_than,
+      // retain_last)): drop versions BOTH beyond the newest retain_last
+      // AND committed before older_than_ms; tags/branches still pin
+      case "expire_snapshots_older_than" => Some(new GraftProcedure(catalog,
+        "expire_snapshots_older_than",
+        Seq("table" -> StringType, "older_than_ms" -> LongType,
+          "retain_last" -> IntegerType),
+        StructType(Seq(StructField("deleted_files", IntegerType, nullable = false))),
+        (c, in) => Seq(Int.box(
+          c.expireSnapshots(tableIdent(str(in, 0)), in.getInt(2),
+            Some(in.getLong(1))).size))))
       // bin-pack small-file compaction (Iceberg rewrite_data_files):
       // rewrites ONLY sub-threshold / sidecarred files — O(debt) I/O
       case "compact_small" => Some(new GraftProcedure(catalog, "compact_small",

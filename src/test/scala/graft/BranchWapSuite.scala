@@ -162,4 +162,34 @@ class BranchWapSuite extends SparkSuiteBase {
     assert(asOld.exists(_.version == vBase),
       s"asOf across the gap: ${asOld.map(_.version)}")
   }
+
+  test("streaming WAP: epochs stage on the branch; a failed audit abandons with zero main versions (r17)") {
+    import org.apache.spark.sql.streaming.Trigger
+    mk("w7", 0)
+    spark.sql("DROP TABLE IF EXISTS wapcat.db.w7src")
+    spark.sql("CREATE TABLE wapcat.db.w7src (k BIGINT, v STRING)")
+    for (i <- 0 until 3)
+      spark.sql(s"INSERT INTO wapcat.db.w7src SELECT ${i * 100} + id, 'x' FROM range(100)")
+    spark.sql("CALL wapcat.system.create_branch('db.w7', 'ingest')")
+    val mainV0 = AvroSnapshots.headVersion(tdir("w7"), None)
+    val root = java.nio.file.Files.createTempDirectory("graft_swap_t").toString
+    onBranch("ingest") {
+      spark.readStream.table("wapcat.db.w7src")
+        .writeStream.option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .toTable("wapcat.db.w7").awaitTermination()
+    }
+    // staged on the branch; MAIN moved not at all (byte-identical view)
+    assert(AvroSnapshots.headVersion(tdir("w7"), None) == mainV0,
+      "streaming into the branch must not move main")
+    assert(spark.table("wapcat.db.w7").count() == 0)
+    val auditRows = onBranch("ingest")(spark.table("wapcat.db.w7").count())
+    assert(auditRows == 300, s"branch audit sees $auditRows rows")
+    // FAILED audit: abandon — drop the branch ref; main never gains a
+    // version and the orphaned branch files are age-gated cleanup's job
+    AvroSnapshots.dropRef(tdir("w7"), "ingest")
+    assert(AvroSnapshots.headVersion(tdir("w7"), None) == mainV0,
+      "abandoning the branch must leave zero main versions")
+    assert(spark.table("wapcat.db.w7").count() == 0)
+  }
 }

@@ -1000,4 +1000,51 @@ class CatalogV2Suite extends SparkSuiteBase {
     val (_, after) = cat.compactTable(Identifier.of(Array("own"), "t"), spark)
     assert(after >= 1 && spark.table("testcat.own.t").count() == 5)
   }
+
+  test("time-based expiry: age AND count compose; tags still pin; asOf stays decidable (r17)") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.texp")
+    spark.sql("DROP TABLE IF EXISTS testcat.texp.t")
+    spark.sql("CREATE TABLE testcat.texp.t (k BIGINT)")
+    val cat = spark.sessionState.catalogManager.catalog("testcat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val ident = Identifier.of(Array("texp"), "t")
+    val dirp = s"$wh/texp/t"
+    spark.sql("INSERT INTO testcat.texp.t VALUES (1)")
+    val vOld = cat.currentVersion(ident)
+    spark.sql("CALL testcat.system.tag('texp.t', 'keepme')") // pins vOld (head)
+    val tsMid = System.currentTimeMillis()
+    Thread.sleep(20)
+    spark.sql("INSERT INTO testcat.texp.t VALUES (2)")
+    spark.sql("INSERT INTO testcat.texp.t VALUES (3)")
+    val head = cat.currentVersion(ident)
+    // epoch-old cutoff: nothing is old enough — ALL versions survive
+    spark.sql("CALL testcat.system.expire_snapshots_older_than('texp.t', 1, 1)")
+    assert(graft.sources.AvroSnapshots.versions(dirp).size >= 4,
+      "a pre-epoch cutoff must expire nothing")
+    // cutoff between vOld and the two later inserts, retain_last=1:
+    // only versions BOTH older than the cutoff AND beyond the newest 1
+    // drop; the tagged vOld survives its age
+    spark.sql(
+      s"CALL testcat.system.expire_snapshots_older_than('texp.t', $tsMid, 1)")
+    val left = graft.sources.AvroSnapshots.versions(dirp).toSet
+    assert(left.contains(vOld), "tag must pin the old version through age expiry")
+    assert(left.contains(head))
+    // young-but-beyond-count versions survive the age gate
+    assert(left.contains(head - 1),
+      "a version younger than the cutoff must survive even beyond retain_last")
+    assert(spark.sql("SELECT k FROM testcat.texp.t VERSION AS OF 'keepme'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // far-future cutoff now composes with the count: everything but
+    // head + pinned drops, and TIMESTAMP AS OF before the gap still
+    // resolves via the durable lineage log
+    spark.sql(s"""CALL testcat.system.expire_snapshots_older_than(
+                 |'texp.t', ${System.currentTimeMillis() + 3600000L}, 1)""".stripMargin)
+    val left2 = graft.sources.AvroSnapshots.versions(dirp).toSet
+    assert(left2 == Set(vOld, head), s"composed expiry left $left2")
+    assert(spark.table("testcat.texp.t").count() == 3)
+    assert(spark.sql("SELECT k FROM testcat.texp.t VERSION AS OF 'keepme'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }

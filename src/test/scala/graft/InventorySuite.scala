@@ -106,7 +106,7 @@ class InventorySuite extends SparkSuiteBase {
     // streaming keys: the build runs the micro-batch engine to completion
     // and returns a batch read of the committed output
     "stream_table_source", "stream_table_ratelimit", "stream_table_cdf",
-    "stream_cdc_replicate", "stream_table_sink",
+    "stream_cdc_replicate", "stream_table_sink", "stream_branch_wap",
     "stream_custom_source", "stream_custom_sink",
     "stream_custom_state", "stream_dedup", "stream_file_sink",
     "stream_foreachbatch_upsert", "stream_session_window",
