@@ -853,6 +853,53 @@ object Relational {
       .orderBy("change_type", "n_nationkey")
   }
 
+  /** VARIANT COLUMNS in the versioned catalog (round-17 verdict #4 —
+    * typed-columns phase 2; Iceberg v3 / Delta variant shredding's
+    * unshredded core): a `VARIANT` column stores its (metadata, value)
+    * binary pair as ONE length-prefixed bytes field in the Avro
+    * container, so open-schema event payloads live in a versioned
+    * table with time travel, DML and the change feed intact. Stats
+    * record NOTHING for variant columns (absent = unknown → never
+    * prunes; aggregate pushdown declines) — the stats-decline
+    * discipline BINARY established. Scored flow: CTAS shredded-JSON
+    * payloads via `parse_json`, COW UPDATE a sparse key set to a
+    * redacted payload (the group rewrite round-trips variant bytes —
+    * row lineage keeps the feed to exact pre/post pairs), COW DELETE
+    * another set, then read `variant_get` extractions through the
+    * final scan AND the change-feed window; the DuckDB oracle shreds
+    * the same JSON text with its native JSON functions. */
+  private def catalogVariantColumns(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "orders").createOrReplaceTempView("graft_var_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_var")
+    s.sql("CREATE TABLE graftcat.lake.orders_var (id BIGINT, payload VARIANT)")
+    val cat = graftcatInstance(s)
+    val v0 = cat.currentVersion(lakeIdent("orders_var")) // pre-insert
+    s.sql("""INSERT INTO graftcat.lake.orders_var
+            |SELECT o_orderkey,
+            |  parse_json(CONCAT('{"c":',
+            |    CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING),
+            |    ',"p":"', o_orderpriority, '"}'))
+            |FROM graft_var_src WHERE o_orderkey < 3000""".stripMargin)
+    s.sql("""UPDATE graftcat.lake.orders_var
+            |SET payload = parse_json('{"c":-1,"p":"REDACTED"}')
+            |WHERE id % 40 = 11""".stripMargin)
+    s.sql("DELETE FROM graftcat.lake.orders_var WHERE id % 40 = 13")
+    val feed = s.read.option("startingVersion", v0)
+      .table("graftcat.lake.orders_var.changes")
+      .select(col("id"),
+        expr("variant_get(payload, '$.p', 'string')").as("p"),
+        expr("variant_get(payload, '$.c', 'bigint')").as("c"),
+        col("_change_type").as("change_type"))
+    val fin = s.table("graftcat.lake.orders_var")
+      .select(col("id"),
+        expr("variant_get(payload, '$.p', 'string')").as("p"),
+        expr("variant_get(payload, '$.c', 'bigint')").as("c"),
+        lit("final").as("change_type"))
+    fin.unionByName(feed).orderBy("change_type", "id", "p")
+  }
+
   /** ROW LINEAGE (round-17 verdict #1 — Iceberg v3 row ids / Delta row
     * tracking): every data file's manifest entry carries a monotone
     * `firstRowId` base; a row's stable `_row_id` (hidden metadata
@@ -2014,6 +2061,7 @@ object Relational {
     "catalog_partition_days" -> (catalogPartitionDays _),
     "catalog_change_feed" -> (catalogChangeFeed _),
     "catalog_row_lineage" -> (catalogRowLineage _),
+    "catalog_variant_columns" -> (catalogVariantColumns _),
     "catalog_rollback" -> (catalogRollback _),
     "catalog_schema_evolution" -> (catalogSchemaEvolution _),
     "catalog_delete_where" -> (catalogDeleteWhere _),
@@ -2347,6 +2395,28 @@ object Relational {
     "catalog_rollback" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "catalog_variant_columns" ->
+      """WITH base AS (SELECT o_orderkey AS id,
+        |  '{"c":' || CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR)
+        |    || ',"p":"' || o_orderpriority || '"}' AS js
+        |  FROM orders WHERE o_orderkey < 3000)
+        |SELECT id, json_extract_string(js, '$.p') AS p,
+        |  CAST(json_extract(js, '$.c') AS BIGINT) AS c,
+        |  'final' AS change_type
+        |FROM base WHERE id % 40 NOT IN (11, 13)
+        |UNION ALL SELECT id, 'REDACTED', -1, 'final'
+        |FROM base WHERE id % 40 = 11
+        |UNION ALL SELECT id, json_extract_string(js, '$.p'),
+        |  CAST(json_extract(js, '$.c') AS BIGINT), 'insert' FROM base
+        |UNION ALL SELECT id, json_extract_string(js, '$.p'),
+        |  CAST(json_extract(js, '$.c') AS BIGINT), 'update_preimage'
+        |FROM base WHERE id % 40 = 11
+        |UNION ALL SELECT id, 'REDACTED', -1, 'update_postimage'
+        |FROM base WHERE id % 40 = 11
+        |UNION ALL SELECT id, json_extract_string(js, '$.p'),
+        |  CAST(json_extract(js, '$.c') AS BIGINT), 'delete'
+        |FROM base WHERE id % 40 = 13
+        |ORDER BY change_type, id, p""".stripMargin,
     "catalog_row_lineage" ->
       """WITH base AS (SELECT o_orderkey, o_orderpriority FROM orders
         |              WHERE o_orderkey < 4000),

@@ -259,6 +259,12 @@ object AvroDirSource {
       org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
         .addToSchema(Schema.create(Schema.Type.BYTES))
     case BinaryType => Schema.create(Schema.Type.BYTES)
+    // VARIANT (round 17 — typed-columns phase 2): the (metadata, value)
+    // binary pair packs into ONE bytes field, length-prefixed —
+    // [4-byte BE metadata length][metadata][value]. Stats record
+    // NOTHING for variant columns (absent = unknown → never prunes,
+    // aggregate pushdown declines) — the same discipline BINARY uses.
+    case VariantType => Schema.create(Schema.Type.BYTES)
     case ArrayType(et, containsNull) =>
       et match {
         case LongType | IntegerType | DoubleType | FloatType =>
@@ -307,6 +313,12 @@ object AvroDirSource {
       val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
       val bytes = new Array[Byte](bb.remaining()); bb.get(bytes)
       bytes
+    case VariantType =>
+      val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+      val mLen = bb.getInt
+      val meta = new Array[Byte](mLen); bb.get(meta)
+      val value = new Array[Byte](bb.remaining()); bb.get(value)
+      new org.apache.spark.unsafe.types.VariantVal(value, meta)
     case ArrayType(et, _) =>
       val xs = v.asInstanceOf[java.util.List[Any]]
       val out = new Array[Any](xs.size())
@@ -1504,6 +1516,15 @@ class AvroFileWriter(file: File, schema: StructType)
             row.getDecimal(i, d.precision, d.scale)
               .toJavaBigDecimal.unscaledValue().toByteArray)
           case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
+          case VariantType =>
+            // length-prefixed (metadata, value) pair in one bytes field
+            val vv = row.getVariant(i)
+            val meta = vv.getMetadata
+            val value = vv.getValue
+            val bb = java.nio.ByteBuffer.allocate(4 + meta.length + value.length)
+            bb.putInt(meta.length).put(meta).put(value)
+            bb.flip()
+            bb
           case ArrayType(et, _) =>
             val arr = row.getArray(i)
             val out = new java.util.ArrayList[Any](arr.numElements())

@@ -193,4 +193,55 @@ class CatalogTypedSuite extends SparkSuiteBase {
     assert(spark.sql("SELECT v[0] FROM tycat.db.morty WHERE k = 51")
       .collect().head.getFloat(0) == 51f)
   }
+
+  test("VARIANT columns: round-trip, time travel, DML, stats-decline (r17)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS tycat.db.vt")
+    spark.sql("CREATE TABLE tycat.db.vt (k BIGINT, payload VARIANT)")
+    spark.sql("""INSERT INTO tycat.db.vt
+                |SELECT id, parse_json(CONCAT('{"a":', id, ',"s":"v', id, '"}'))
+                |FROM range(100)""".stripMargin)
+    val v1 = cat.currentVersion(Identifier.of(Array("db"), "vt"))
+    // typed extraction through the scan
+    val got = spark.sql("""SELECT k, variant_get(payload, '$.a', 'bigint') AS a,
+                          |variant_get(payload, '$.s', 'string') AS s
+                          |FROM tycat.db.vt WHERE k < 3 ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((0L, 0L, "v0"), (1L, 1L, "v1"), (2L, 2L, "v2")))
+    // nulls round-trip; variant stays open-schema per row
+    spark.sql("INSERT INTO tycat.db.vt VALUES (1000, NULL), " +
+      "(1001, parse_json('{\"other\":true}'))")
+    assert(spark.sql("SELECT payload FROM tycat.db.vt WHERE k = 1000")
+      .collect().head.isNullAt(0))
+    assert(spark.sql(
+      "SELECT variant_get(payload, '$.other', 'boolean') FROM tycat.db.vt WHERE k = 1001")
+      .collect().head.getBoolean(0))
+    // COW UPDATE rewrites variant bytes verbatim for carryover rows
+    spark.sql("""UPDATE tycat.db.vt SET payload = parse_json('{"a":-1}')
+                |WHERE k = 7""".stripMargin)
+    assert(spark.sql(
+      "SELECT variant_get(payload, '$.a', 'bigint') FROM tycat.db.vt WHERE k = 7")
+      .collect().head.getLong(0) == -1L)
+    assert(spark.sql(
+      "SELECT variant_get(payload, '$.a', 'bigint') FROM tycat.db.vt WHERE k = 8")
+      .collect().head.getLong(0) == 8L)
+    // time travel: pre-update payload intact
+    assert(spark.sql(
+      s"SELECT variant_get(payload, '$$.a', 'bigint') FROM tycat.db.vt VERSION AS OF $v1 WHERE k = 7")
+      .collect().head.getLong(0) == 7L)
+    // stats-decline: variant columns record NO stats (absent = unknown)
+    val dirp = s"$wh/db/vt"
+    val stats = graft.sources.AvroSnapshots.head(dirp).get.stats.values
+    assert(stats.nonEmpty && stats.forall(!_.contains("\"payload\"")),
+      "variant columns must record no stats")
+    // ...so a global COUNT over the variant column still plans a real
+    // aggregate for MIN/MAX-style pushdown? COUNT(*) is row counts —
+    // fine; assert the CDF round-trips variant extractions instead
+    val feed = spark.read.option("startingVersion", v1)
+      .table("tycat.db.vt.changes")
+      .where("_change_type IN ('update_preimage', 'update_postimage')")
+      .selectExpr("variant_get(payload, '$.a', 'bigint')")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(feed == Seq(-1L, 7L), s"variant CDF pairs: $feed")
+  }
 }
