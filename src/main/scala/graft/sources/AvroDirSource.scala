@@ -739,15 +739,29 @@ class AvroDirTable(path: String, tableSchema: StructType,
         * Every bucket in [0, n) gets a split — including ones emptied
         * by stats pruning — so two tables bucketed the same way always
         * present identical partition-value sets to the SPJ planner. */
-      private lazy val groups: Option[Seq[(Int, Seq[AvroSnapshots.FileEntry])]] =
+      /** `(bucket, conforming entries)` plus the NON-conforming few
+        * (pre-evolution spec / unclustered rewrite) that ride EVERY
+        * group behind a per-row residual bucket filter. */
+      private lazy val groups: Option[(Seq[(Int, Seq[AvroSnapshots.FileEntry])],
+          Seq[AvroSnapshots.FileEntry])] =
         partSpec.filter(_.transform == "bucket").flatMap { spec =>
-          // a file from an EARLIER partition spec (pre-evolution) has a
-          // placement under a different layout — mixing specs downgrades
-          // the scan to ungrouped, soundly
-          if (prunedEntries.forall(e =>
-              e.part.isDefined && e.specId == spec.specId))
-            Some((0 until spec.n).map(b =>
-              b -> prunedEntries.filter(_.part.contains(b.toLong))))
+          val (conf, nonConf) = prunedEntries.partition(e =>
+            e.part.isDefined && e.specId == spec.specId)
+          def grouped = (0 until spec.n).map(b =>
+            b -> conf.filter(_.part.contains(b.toLong)))
+          if (nonConf.isEmpty) Some((grouped, Nil))
+          // PARTIAL SPJ (round-17 verdict #5 — Spark's partially-
+          // clustered distribution, connector-side): a FEW files from
+          // an earlier spec (or an unclustered COW rewrite) ride every
+          // group with a per-row residual bucket filter — each of
+          // their rows surfaces in exactly the one group whose key it
+          // hashes to, so the KeyGroupedPartitioning claim stays true
+          // and the join keeps ZERO exchanges. Cost: each such file is
+          // read once per bucket — bounded by the gate below; a mostly-
+          // foreign view still downgrades to ungrouped, soundly.
+          else if (nonConf.size <= math.max(2, prunedEntries.size / 4))
+            Some(((0 until spec.n).map(b =>
+              b -> conf.filter(_.part.contains(b.toLong))), nonConf))
           else None
         }
 
@@ -772,12 +786,18 @@ class AvroDirTable(path: String, tableSchema: StructType,
         aggResult match {
           case Some((_, row)) => Array(AvroAggSplit(row))
           case None => groups match {
-            case Some(gs) => gs.map { case (b, es) =>
-              AvroBucketGroupSplit(es.map(e =>
-                (new File(path, e.name).getAbsolutePath, dvPathOf(e),
-                  eqPathsOf(e), e.firstRowId)),
-                b): InputPartition
-            }.toArray
+            case Some((gs, residual)) =>
+              val spec = partSpec.get
+              val tail = residual.map(e => AvroGroupFile(
+                new File(path, e.name).getAbsolutePath, dvPathOf(e),
+                eqPathsOf(e), e.firstRowId,
+                bucketBy = Some((spec.column, spec.n))))
+              gs.map { case (b, es) =>
+                AvroBucketGroupSplit(es.map(e => AvroGroupFile(
+                  new File(path, e.name).getAbsolutePath, dvPathOf(e),
+                  eqPathsOf(e), e.firstRowId)) ++ tail,
+                  b): InputPartition
+              }.toArray
             case None => prunedEntries.map(e =>
               AvroFileSplit(new File(path, e.name).getAbsolutePath,
                 dvPathOf(e), eqPathsOf(e), e.firstRowId): InputPartition).toArray
@@ -1341,12 +1361,23 @@ class AvroAggReaderFactory extends PartitionReaderFactory {
       override def close(): Unit = ()
     }
 }
+/** One file of a bucket-group split. `bucketBy = Some((column, n))`
+  * marks a NON-CONFORMING file (pre-evolution spec / unclustered
+  * rewrite) riding the group with a per-row RESIDUAL bucket filter:
+  * the reader keeps only rows whose `floorMod(column, n)` equals the
+  * split's bucket — each row still surfaces in exactly one group, so
+  * the KeyGroupedPartitioning claim stays true (partial SPJ, round
+  * 17). Conforming files carry None and serve every row. */
+case class AvroGroupFile(file: String, dv: Option[String] = None,
+    eqs: Seq[String] = Nil, firstRowId: Long = -1L,
+    bucketBy: Option[(String, Int)] = None)
+
 /** All of one bucket's container files (with their deletion-vector and
   * equality-delete sidecars and row-lineage base), as one split whose
   * partition key is the bucket — what KeyGroupedPartitioning groups
   * by. */
 case class AvroBucketGroupSplit(
-    files: Seq[(String, Option[String], Seq[String], Long)], bucket: Int)
+    files: Seq[AvroGroupFile], bucket: Int)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
@@ -1368,7 +1399,7 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case AvroFileSplit(f, dv, eq, frid) => fileReader(f, dv, eq, frid)
-      case AvroBucketGroupSplit(files, _) =>
+      case AvroBucketGroupSplit(files, b) =>
         // one bucket's files, read in sequence (a group is one task)
         new PartitionReader[InternalRow] {
           private val remaining = files.iterator
@@ -1377,8 +1408,9 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
             while (true) {
               if (cur == null) {
                 if (!remaining.hasNext) return false
-                val (f, dv, eq, frid) = remaining.next()
-                cur = fileReader(f, dv, eq, frid)
+                val gf = remaining.next()
+                cur = fileReader(gf.file, gf.dv, gf.eqs, gf.firstRowId,
+                  gf.bucketBy.map { case (c, n) => (c, n, b) })
               }
               if (cur.next()) return true
               cur.close(); cur = null
@@ -1395,7 +1427,8 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
   private def fileReader(file: String,
       dvFile: Option[String] = None,
       eqFiles: Seq[String] = Nil,
-      firstRowId: Long = -1L): PartitionReader[InternalRow] = {
+      firstRowId: Long = -1L,
+      bucketKeep: Option[(String, Int, Int)] = None): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val reader = new DataFileReader[GenericRecord](
         new File(file), new GenericDatumReader[GenericRecord]())
@@ -1418,6 +1451,24 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
               .pos).toArray
           (positions, EqualityDeletes.tupleMatcher(kinds, keys))
         }
+      // residual bucket filter (partial SPJ): keep only rows whose
+      // floorMod(column, n) equals this split's bucket — the writer's
+      // partValue spelling, nulls/absent mapping to 0 like a clustered
+      // write's getLong would
+      private val bucketCheck: Option[(Int, Int, Int)] =
+        bucketKeep.map { case (c, n, b) =>
+          (Option(reader.getSchema.getField(c)).map(_.pos).getOrElse(-1), n, b)
+        }
+      private def bucketOk(rec: GenericRecord): Boolean = bucketCheck match {
+        case None => true
+        case Some((pos, n, b)) =>
+          val x = if (pos < 0) 0L else rec.get(pos) match {
+            case null                => 0L
+            case v: java.lang.Number => v.longValue
+            case _                   => 0L
+          }
+          java.lang.Math.floorMod(x, n.toLong) == b.toLong
+      }
       private var rowPos = -1L
       private var pending: GenericRecord = _
       // required field → position in THIS file's writer schema (name
@@ -1447,7 +1498,8 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
           rowPos += 1
           if (!dv.contains(rowPos) &&
               !eqSkips.exists { case (ps, m) =>
-                m(ps.toSeq.map(pending.get(_))) })
+                m(ps.toSeq.map(pending.get(_))) } &&
+              bucketOk(pending))
             return true
         }
         false

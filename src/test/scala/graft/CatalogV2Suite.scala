@@ -425,20 +425,42 @@ class CatalogV2Suite extends SparkSuiteBase {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed catalog join shuffled:\n$plan")
 
-    // a row-level DML rewrite leaves an UNPLACED file: the scan must
-    // SOUNDLY downgrade to ungrouped — the join shuffles again (wrong
-    // results would follow from keeping KeyGroupedPartitioning over a
-    // partially-placed view) but stays correct
+    // a row-level DML rewrite leaves an UNPLACED file: PARTIAL SPJ
+    // (round 17) keeps the join shuffle-free — the few unplaced files
+    // ride every bucket group behind a per-row residual bucket filter,
+    // so each row still surfaces in exactly one group and results stay
+    // exact (pre-r17 this soundly downgraded to a shuffled join)
     sp.sql("UPDATE testcat.spj.a SET amt = 0.0 WHERE k = 5")
     val snap2 = graft.sources.AvroSnapshots.latest(aDir.getPath).get
     assert(snap2.files.exists(f => !snap2.parts.contains(f)),
-      "UPDATE left no unplaced rewrite — downgrade path not exercised")
+      "UPDATE left no unplaced rewrite — partial-SPJ path not exercised")
     val j2 = sp.sql("""SELECT a.k, COUNT(*) AS n
                       |FROM testcat.spj.a a JOIN testcat.spj.b b ON a.k = b.k
                       |GROUP BY a.k""".stripMargin)
-    assert(j2.count() == 2000, "join wrong after grouping downgrade")
-    assert(j2.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
-      "partially-placed view did not downgrade to a shuffled join")
+    assert(j2.count() == 2000, "join wrong under partial SPJ")
+    assert(!j2.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+      "a single unplaced rewrite must keep the join shuffle-free (partial SPJ)")
+    // no duplicates or losses: the residual filter serves each row once
+    val dup = sp.sql("""SELECT a.k FROM testcat.spj.a a GROUP BY a.k
+                       |HAVING COUNT(*) != 1""".stripMargin).count()
+    assert(dup == 0, s"$dup keys duplicated/lost by the residual filter")
+    assert(sp.sql("SELECT amt FROM testcat.spj.a WHERE k = 5")
+      .collect().head.getDouble(0) == 0.0)
+
+    // a MOSTLY-unplaced view still downgrades soundly: blow past the
+    // gate with many unclustered rewrites
+    for (i <- 10 until 20)
+      sp.sql(s"UPDATE testcat.spj.a SET amt = 1.0 WHERE k = $i")
+    val snap3 = graft.sources.AvroSnapshots.latest(aDir.getPath).get
+    val unplaced = snap3.files.count(f => !snap3.parts.contains(f))
+    if (unplaced > math.max(2, snap3.files.size / 4)) {
+      val j3 = sp.sql("""SELECT a.k, COUNT(*) AS n
+                        |FROM testcat.spj.a a JOIN testcat.spj.b b ON a.k = b.k
+                        |GROUP BY a.k""".stripMargin)
+      assert(j3.count() == 2000, "join wrong after grouping downgrade")
+      assert(j3.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+        "mostly-unplaced view did not downgrade to a shuffled join")
+    }
 
     // compaction re-clusters: grouping (and the shuffle-free plan) returns
     val cat = sp.sessionState.catalogManager.catalog("testcat")
