@@ -302,6 +302,17 @@ object Bench {
         "\"" + k + "\":[" + r2(mn) + "," + r2(md) + "," + r2(mx) + "]" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"medians","unit":"[min,med,max] sec","reps":$reps,"queries":$medLine}""")
+    // VERDICT r16: the 2000-char driver tail cuts the (long) medians
+    // line mid-list, so the heaviest keys' numbers used to vanish from
+    // the artifact. This SHORT top-10-by-median line sits directly
+    // above host+total — inside the guaranteed-intact tail — so
+    // cross-round comparison of the heavies never depends on what the
+    // tail happened to keep.
+    val heavies10 = results.filter(_._3.isEmpty).sortBy(-_._2._2).take(10)
+      .map { case (k, (_, md, _), _, _, _, _, _, _) =>
+        "\"" + k + "\":" + r2(md) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"heavies_top10","unit":"median sec","queries":$heavies10}""")
     println(s"""{"metric":"host","cpus":${Runtime.getRuntime.availableProcessors()},"load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},"cpu_quota":"$cpuQuota"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpu_s":${r2(cpuTotal)},"n_ok":$nOk,"n_err":$nErr,"gc_ms":$gcTotal,"sf":"$sfDir"}""")
     spark.stop()

@@ -242,6 +242,7 @@ class ManifestTreeSuite extends SparkSuiteBase {
     }
     val checkpoints = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Map[String, FileEntry])]
+    var prevBase: Map[String, Long] = Map.empty
     for (step <- 0 until 150) {
       rnd.nextInt(10) match {
         case n if n < 5 => // append 1–4 fresh entries
@@ -274,6 +275,19 @@ class ManifestTreeSuite extends SparkSuiteBase {
           state ++= add.map(e => e.name -> e)
       }
       val head = AvroSnapshots.head(p).get
+      // commit() assigns row-lineage bases the model cannot predict —
+      // fold them in, but pin STABILITY: an entry that survived keeps
+      // the base it was first assigned (round 17)
+      state.keySet.intersect(prevBase.keySet).foreach { n =>
+        assert(head.byName(n).firstRowId == prevBase(n),
+          s"step $step: $n changed firstRowId " +
+            s"${prevBase(n)} -> ${head.byName(n).firstRowId}")
+      }
+      state = state.map { case (n, e) =>
+        n -> e.copy(firstRowId =
+          head.byName.get(n).map(_.firstRowId).getOrElse(-1L))
+      }
+      prevBase = head.byName.view.mapValues(_.firstRowId).toMap
       assert(head.byName == state,
         s"step $step: head diverged from the model " +
           s"(missing=${(state.keySet -- head.byName.keySet).take(3)}, " +
