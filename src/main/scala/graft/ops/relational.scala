@@ -1730,10 +1730,13 @@ object Relational {
       * session-global; a concurrent commit from another thread would
       * be falsely stamped with the watermark). */
     def stamped(props: String)(body: => Unit): Unit = {
-      val m = props.split("=", 2) match {
-        case Array(k, v) => Map(k -> v)
-        case _           => Map(props -> "")
-      }
+      // the full `k=v;k2=v2` spelling the conf surface documents
+      val m = props.split(";").iterator.filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => k -> v
+          case Array(k)    => k -> ""
+        }
+      }.toMap
       graft.sources.AvroSnapshots.withCommitProps(m)(body)
     }
     // materialize FROM the watermark version — the MV reflects exactly

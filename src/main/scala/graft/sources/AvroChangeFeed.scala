@@ -228,16 +228,21 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
           loneAdded.nonEmpty &&
           loneRemoved.forall(r => prev(r).firstRowId >= 0) &&
           loneAdded.forall(a => cur(a).firstRowId >= 0)
-        lazy val removedRefs = loneRemoved.map { r =>
+        // hulls parsed ONCE per file (stats JSON parse is the cost);
+        // the overlap probes below reuse these refs
+        lazy val removedRefs: Map[String, CdfFileRef] = loneRemoved.map { r =>
           val (lo, hi) = hull(prev(r))
-          CdfFileRef(r, prev(r).firstRowId, prev(r).dv, prev(r).eq, lo, hi)
-        }
-        lazy val addedRefs = loneAdded.map { a =>
+          r -> CdfFileRef(r, prev(r).firstRowId, prev(r).dv, prev(r).eq, lo, hi)
+        }.toMap
+        lazy val addedRefs: Map[String, CdfFileRef] = loneAdded.map { a =>
           val (lo, hi) = hull(cur(a))
-          CdfFileRef(a, cur(a).firstRowId, cur(a).dv, cur(a).eq, lo, hi)
-        }
-        def overlapping(refs: Seq[CdfFileRef], b: (Long, Long)): Seq[CdfFileRef] =
-          refs.filter(rf => rf.lo <= b._2 && b._1 <= rf.hi)
+          a -> CdfFileRef(a, cur(a).firstRowId, cur(a).dv, cur(a).eq, lo, hi)
+        }.toMap
+        def overlapping(refs: Map[String, CdfFileRef],
+            self: CdfFileRef): Seq[CdfFileRef] =
+          refs.valuesIterator
+            .filter(rf => rf.lo <= self.hi && self.lo <= rf.hi)
+            .toSeq.sortBy(_.name)
         // deletes: removed entries — paired with their COW rewrite when
         // one exists in the same window; row-id-diffed when lineage
         // allows; else the whole file's rows
@@ -251,7 +256,7 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
             out += CdfSplit(r, delTag, skipDv = prev(r).dv,
               skipEq = prev(r).eq, commitVersion = v, commitTsMs = tsMs,
               firstRowId = prev(r).firstRowId, lineage = Some("del"),
-              others = overlapping(addedRefs, hull(prev(r))))
+              others = overlapping(addedRefs, removedRefs(r)))
           else
             out += CdfSplit(r, delTag, skipDv = prev(r).dv,
               skipEq = prev(r).eq,
@@ -290,7 +295,7 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
             out += CdfSplit(a, insTag, skipDv = cur(a).dv,
               skipEq = cur(a).eq, commitVersion = v, commitTsMs = tsMs,
               firstRowId = cur(a).firstRowId, lineage = Some("ins"),
-              others = overlapping(removedRefs, hull(cur(a))))
+              others = overlapping(removedRefs, addedRefs(a)))
           else
             out += CdfSplit(a, insTag, skipDv = cur(a).dv,
               skipEq = cur(a).eq, commitVersion = v,
@@ -386,14 +391,10 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
       private lazy val physRowIdPos: Int =
         Option(reader.getSchema.getField(AvroDirSource.RowIdColumn))
           .map(_.pos).getOrElse(-1)
-      private def rowIdOf(rec: GenericRecord): java.lang.Long = {
-        val phys = if (physRowIdPos >= 0) rec.get(physRowIdPos) else null
-        if (phys != null)
-          java.lang.Long.valueOf(phys.asInstanceOf[java.lang.Number].longValue)
-        else if (split.firstRowId >= 0)
-          java.lang.Long.valueOf(split.firstRowId + rowPos)
-        else null
-      }
+      private def rowIdOf(rec: GenericRecord): java.lang.Long =
+        AvroDirSource.rowIdOf(
+          if (physRowIdPos >= 0) rec.get(physRowIdPos) else null,
+          split.firstRowId, rowPos)
       // OTHER side of the diff: id → live row content of the window's
       // opposite files whose id hulls overlap this file's (the driver
       // pre-filtered) — O(this rewrite group) memory per task.
@@ -423,13 +424,9 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
               p += 1
               if (!dvSet.contains(p) &&
                   !eqs.exists { case (ps, mm) => mm(ps.toSeq.map(rec.get(_))) }) {
-                val phys = if (physPos >= 0) rec.get(physPos) else null
-                val id: java.lang.Long =
-                  if (phys != null) java.lang.Long.valueOf(
-                    phys.asInstanceOf[java.lang.Number].longValue)
-                  else if (ref.firstRowId >= 0)
-                    java.lang.Long.valueOf(ref.firstRowId + p)
-                  else null
+                val id = AvroDirSource.rowIdOf(
+                  if (physPos >= 0) rec.get(physPos) else null,
+                  ref.firstRowId, p)
                 if (id != null) m.put(id, valsFor(rec, bp))
               }
             }

@@ -122,6 +122,18 @@ object AvroDirSource {
     * THREAD-local because the INSERT OVERWRITE executes on the calling
     * thread — two racing compactions must not clobber each other's
     * basis. Set by GraftCatalog.compactTable. */
+  /** The stable id of a decoded Avro row: the PHYSICAL `_row_id` value
+    * when the file carries one (a rewrite output), else `base + pos`
+    * when the manifest assigned a lineage base, else null. The ONE
+    * spelling every reader shares — the scan's metadata column, both
+    * sides of the change feed's id diff, and the COW-delete rewrite —
+    * so the paths can never disagree on a row's identity. */
+  def rowIdOf(physValue: Any, base: Long, pos: Long): java.lang.Long =
+    if (physValue != null)
+      java.lang.Long.valueOf(physValue.asInstanceOf[java.lang.Number].longValue)
+    else if (base >= 0) java.lang.Long.valueOf(base + pos)
+    else null
+
   /** Table paths whose current thread-local operation is a LINEAGE
     * rewrite (compaction): the table transiently exposes `_row_id` as
     * a trailing nullable DATA column, so the compaction's
@@ -760,8 +772,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
           // read once per bucket — bounded by the gate below; a mostly-
           // foreign view still downgrades to ungrouped, soundly.
           else if (nonConf.size <= math.max(2, prunedEntries.size / 4))
-            Some(((0 until spec.n).map(b =>
-              b -> conf.filter(_.part.contains(b.toLong))), nonConf))
+            Some((grouped, nonConf))
           else None
         }
 
@@ -1511,15 +1522,10 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
         while (i < required.length) {
           if (idx(i) == -2) vals(i) = fileName
           else if (idx(i) == -3) vals(i) = rowPos
-          else if (idx(i) == -4) {
-            val phys = if (physRowId >= 0) rec.get(physRowId) else null
-            vals(i) =
-              if (phys != null) java.lang.Long.valueOf(
-                phys.asInstanceOf[java.lang.Number].longValue)
-              else if (firstRowId >= 0)
-                java.lang.Long.valueOf(firstRowId + rowPos)
-              else null
-          }
+          else if (idx(i) == -4)
+            vals(i) = AvroDirSource.rowIdOf(
+              if (physRowId >= 0) rec.get(physRowId) else null,
+              firstRowId, rowPos)
           else if (idx(i) == -1) vals(i) = dflt(i) // pre-column file
           else vals(i) = AvroDirSource.avroToInternal(
             rec.get(idx(i)), required.fields(i).dataType)

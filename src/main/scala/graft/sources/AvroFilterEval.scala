@@ -214,13 +214,9 @@ object AvroFilterEval extends Serializable {
           if (filters.forall(eval(_, v).contains(true))) deleted = true
           else if (!withLineage) keep += schema.fields.map(f => v(f.name))
           else {
-            val phys = if (physIdPos >= 0) rec.get(physIdPos) else null
-            val id: Any =
-              if (phys != null) java.lang.Long.valueOf(
-                phys.asInstanceOf[java.lang.Number].longValue)
-              else if (lineageBase >= 0)
-                java.lang.Long.valueOf(lineageBase + rowPos)
-              else null
+            val id: Any = AvroDirSource.rowIdOf(
+              if (physIdPos >= 0) rec.get(physIdPos) else null,
+              lineageBase, rowPos)
             keep += (schema.fields.map(f => v(f.name)) :+ id)
           }
         }

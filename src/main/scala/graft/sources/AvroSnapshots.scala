@@ -392,17 +392,21 @@ object AvroSnapshots {
   // so a concurrent commit from another thread of the same session
   // would be falsely stamped while an MV refresh has it set. Library
   // callers (the MV refresh, CDC apply) therefore stamp via
-  // [[withCommitProps]] — an InheritableThreadLocal that scopes the
-  // pairs to the committing thread (and threads it spawns) and takes
-  // precedence over the conf; the conf remains the user-facing SQL
-  // `SET` surface for sessions that are single-threaded by use.
+  // [[withCommitProps]] — a PLAIN ThreadLocal scoping the pairs to
+  // exactly the committing thread (commits execute on the thread that
+  // runs the statement); deliberately NOT inheritable, because a
+  // pooled thread Spark lazily creates inside the scope would inherit
+  // the stamp PERMANENTLY and re-introduce cross-thread mis-stamping
+  // in inheritance form. The conf remains the user-facing SQL `SET`
+  // surface for sessions that are single-threaded by use.
 
   val CommitPropsConf = "spark.graft.commit.properties"
 
-  private val threadProps = new InheritableThreadLocal[Map[String, String]]()
+  private val threadProps = new ThreadLocal[Map[String, String]]()
 
-  /** Run `body` with `props` stamped on every commit THIS thread (and
-    * children spawned inside) makes — never other session threads. */
+  /** Run `body` with `props` stamped on every commit THIS thread
+    * makes — never other session threads, never threads spawned
+    * inside the scope. */
   def withCommitProps[T](props: Map[String, String])(body: => T): T = {
     val prev = threadProps.get()
     threadProps.set(props)

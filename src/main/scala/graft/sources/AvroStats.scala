@@ -386,10 +386,11 @@ object AvroStats {
     case JString(x)       =>
       // encode-time escaping makes the tags trustworthy here: "txt:" =
       // genuine string (strip), "dec:" = decimal bound (re-type), so
-      // every later compare runs in the value's TRUE domain. A legacy
-      // pre-escape manifest whose string column literally held
-      // "dec:<number>" is the one residual ambiguity — rewritten on
-      // the next compaction.
+      // every later compare runs in the value's TRUE domain. Residual
+      // ambiguity is confined to LEGACY pre-escape manifests whose
+      // string column literally held "dec:<number>" (misread numeric)
+      // or "txt:…" (wrongly stripped) — both self-heal when the next
+      // compaction rewrites the file's stats with escaping.
       if (x.startsWith(TxtTag)) Some(x.substring(TxtTag.length))
       else if (x.startsWith(DecTag))
         (try Some(new java.math.BigDecimal(x.substring(DecTag.length)))

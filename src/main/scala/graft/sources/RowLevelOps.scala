@@ -133,8 +133,7 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
           override def createBatchWriterFactory(
               p: PhysicalWriteInfo): DataWriterFactory =
             new LineageMergingWriterFactory(
-              new AvroWriterFactory(path, writeSchema, jobId),
-              dataArity = dataSchema.length, path = path)
+              new AvroWriterFactory(path, writeSchema, jobId), path)
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val commits = messages.map(_.asInstanceOf[AvroCommit])
             val committed = commits.map(_.file).toSet
@@ -210,7 +209,7 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
   * sound fallback. */
 private[sources] class LineageMergingWriterFactory(
     inner: org.apache.spark.sql.connector.write.DataWriterFactory,
-    dataArity: Int, path: String)
+    path: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[

@@ -129,6 +129,34 @@ class RowLineageSuite extends SparkSuiteBase {
       s"binpack changed row ids: ${after.toSeq.diff(before.toSeq).take(5)}")
   }
 
+  test("the id-diff stays minimal over a wide multi-file COW UPDATE") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS rlcat.db.r7")
+    spark.sql("CREATE TABLE rlcat.db.r7 (k BIGINT, v STRING)")
+    spark.sql("""INSERT INTO rlcat.db.r7
+                |SELECT /*+ REPARTITION(8) */ id, CONCAT('v', id)
+                |FROM range(200000)""".stripMargin)
+    val v0 = cat.currentVersion(ident("r7"))
+    // a 1% UPDATE touching every file: all 8 groups rewrite, the feed
+    // must still carry ONLY the 2000 changed rows as pre/post pairs
+    spark.sql("UPDATE rlcat.db.r7 SET v = 'U' WHERE k % 100 = 17")
+    val feed = spark.read.option("startingVersion", v0)
+      .table("rlcat.db.r7.changes")
+    assert(feed.count() == 4000,
+      s"wide COW UPDATE window streamed ${feed.count()} rows — " +
+        "the id diff must carry exactly 2000 pre/post pairs")
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 2000L,
+      "update_postimage" -> 2000L), s"$byType")
+    // ids of the pairs match one-to-one
+    val pre = feed.where("_change_type = 'update_preimage'")
+      .select("k").collect().map(_.getLong(0)).sorted
+    val post = feed.where("_change_type = 'update_postimage'")
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(pre.sameElements(post))
+  }
+
   test("full compaction (sorted rewrite) preserves ids") {
     wh
     spark.sql("DROP TABLE IF EXISTS rlcat.db.r6")
