@@ -764,6 +764,103 @@ object Streaming {
       .toDF("phase", "n_rows", "total").orderBy("phase")
   }
 
+  /** CONTINUOUS incremental MV maintenance (round 17 — the streaming
+    * composition of `catalog_incremental_mv`, Delta's streaming-MERGE
+    * MV pattern): a stream reads the base table's CHANGE FEED and
+    * foreachBatch MERGE-folds each micro-batch's row-level changes
+    * (signed by change type) into an aggregate MV table — refresh cost
+    * is O(changed data) per trigger forever, never O(table). The
+    * at-least-once seam foreachBatch leaves open (a crash between the
+    * MERGE and the checkpoint advance replays the batch) is closed by
+    * IDEMPOTENT apply: the batch id rides the MERGE's own commit as a
+    * thread-scoped commit property, and a replayed id is a provable
+    * no-op; a drained AvailableNow restart must commit NOTHING
+    * (required in-flow). DML kinds folded: append, MOR UPDATE
+    * (pre/post images), dv DELETE. Output = MV ‖ full recompute —
+    * both must hash-match the DuckDB-derived final state. */
+  private def streamIncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Graftcat.register(s)
+    T(s, dir, "orders").createOrReplaceTempView("graft_smv_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_smv")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.smv_prio")
+    s.sql("""CREATE TABLE graftcat.lake.orders_smv
+            |(o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)""".stripMargin)
+    s.sql("""INSERT INTO graftcat.lake.orders_smv
+            |SELECT o_orderkey, o_orderpriority, o_totalprice
+            |FROM graft_smv_src WHERE o_orderkey % 4 = 0""".stripMargin)
+    s.sql("CALL graftcat.system.set_delete_mode('lake.orders_smv', 'merge-on-read')")
+    s.sql("""CREATE TABLE graftcat.lake.smv_prio
+            |(priority STRING, n BIGINT, total DECIMAL(18,2))""".stripMargin)
+    val cat = s.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val mvIdent = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("lake"), "smv_prio")
+    val BKey = "graft.smv.batch"
+    def fold(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      val sess = batch.sparkSession
+      // idempotent apply: an already-stamped batch id replays as a
+      // provable no-op (the crash-between-MERGE-and-checkpoint seam)
+      val applied = cat.lastCommitProperty(mvIdent, BKey)
+        .flatMap(_.toLongOption).getOrElse(-1L)
+      if (batchId <= applied) return
+      batch.createOrReplaceTempView("graft_smv_batch")
+      graft.sources.AvroSnapshots.withCommitProps(
+        Map(BKey -> batchId.toString)) {
+        sess.sql("""MERGE INTO graftcat.lake.smv_prio m
+                   |USING (
+                   |  SELECT o_orderpriority AS priority,
+                   |    SUM(CASE WHEN _change_type IN ('insert', 'update_postimage')
+                   |        THEN 1L ELSE -1L END) AS dn,
+                   |    SUM(CASE WHEN _change_type IN ('insert', 'update_postimage')
+                   |        THEN CAST(o_totalprice AS DECIMAL(18,2))
+                   |        ELSE -CAST(o_totalprice AS DECIMAL(18,2)) END) AS dt
+                   |  FROM graft_smv_batch GROUP BY o_orderpriority) d
+                   |ON m.priority = d.priority
+                   |WHEN MATCHED AND m.n + d.dn = 0L THEN DELETE
+                   |WHEN MATCHED THEN UPDATE SET
+                   |  n = m.n + d.dn, total = m.total + d.dt
+                   |WHEN NOT MATCHED THEN INSERT (priority, n, total)
+                   |  VALUES (d.priority, d.dn, d.dt)""".stripMargin)
+        ()
+      }
+    }
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val root = GraftTmp.dir(s"stream_smv_$tag")
+    def drain(): Unit =
+      s.readStream.table("graftcat.lake.orders_smv.changes")
+        .writeStream.option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(fold _)
+        .start().awaitTermination()
+    drain() // the seed commit folds in
+    // live DML between triggers: append a second slice, MOR-update a
+    // slice (pre/post images must NET to the price delta), dv-delete
+    // one group entirely — ONE more drain folds the mixed window
+    s.sql("""INSERT INTO graftcat.lake.orders_smv
+            |SELECT o_orderkey, o_orderpriority, o_totalprice
+            |FROM graft_smv_src WHERE o_orderkey % 4 = 1""".stripMargin)
+    s.sql("""UPDATE graftcat.lake.orders_smv
+            |SET o_totalprice = o_totalprice + 100.0
+            |WHERE o_orderkey % 20 = 0""".stripMargin)
+    s.sql("DELETE FROM graftcat.lake.orders_smv WHERE o_orderpriority = '5-LOW'")
+    drain()
+    val mvV = cat.currentVersion(mvIdent)
+    drain() // drained restart: ZERO new MV commits (exactly-once)
+    require(cat.currentVersion(mvIdent) == mvV,
+      s"drained restart committed to the MV: v$mvV -> " +
+        s"v${cat.currentVersion(mvIdent)}")
+    s.sql("""SELECT 'mv' AS phase, priority, n,
+            |  CAST(total AS DOUBLE) AS total
+            |FROM graftcat.lake.smv_prio
+            |UNION ALL
+            |SELECT 'recompute', o_orderpriority, COUNT(*),
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |FROM graftcat.lake.orders_smv GROUP BY o_orderpriority
+            |ORDER BY phase, priority""".stripMargin)
+  }
+
   private def streamTableRatelimit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     Graftcat.register(s)
@@ -801,6 +898,7 @@ object Streaming {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_table_sink" -> (streamTableSink _),
     "stream_branch_wap" -> (streamBranchWap _),
+    "stream_incremental_mv" -> (streamIncrementalMv _),
     "stream_cdc_replicate" -> (streamCdcReplicate _),
     "stream_table_cdf" -> (streamTableCdf _),
     "stream_table_ratelimit" -> (streamTableRatelimit _),
@@ -848,6 +946,22 @@ object Streaming {
         |SELECT '3_main_after_publish', CAST(COUNT(*) AS BIGINT),
         |  CAST(SUM(p2) AS DOUBLE) FROM f
         |ORDER BY phase""".stripMargin,
+    "stream_incremental_mv" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 100.0
+        |         ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_orderkey % 4 IN (0, 1)),
+        | cur AS (SELECT * FROM base WHERE o_orderpriority <> '5-LOW')
+        |SELECT 'mv' AS phase, o_orderpriority AS priority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM cur GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'recompute', o_orderpriority, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM cur GROUP BY o_orderpriority
+        |ORDER BY phase, priority""".stripMargin,
     "stream_cdc_replicate" ->
       """WITH cur AS (
         |  SELECT c_custkey, c_nationkey,

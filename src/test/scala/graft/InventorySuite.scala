@@ -108,6 +108,7 @@ class InventorySuite extends SparkSuiteBase {
     // and returns a batch read of the committed output
     "stream_table_source", "stream_table_ratelimit", "stream_table_cdf",
     "stream_cdc_replicate", "stream_table_sink", "stream_branch_wap",
+    "stream_incremental_mv",
     "stream_custom_source", "stream_custom_sink",
     "stream_custom_state", "stream_dedup", "stream_file_sink",
     "stream_foreachbatch_upsert", "stream_session_window",
