@@ -161,7 +161,8 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
     val s = start.asInstanceOf[AvroVersionOffset].version
     val e = end.asInstanceOf[AvroVersionOffset].version
     val out = scala.collection.mutable.ArrayBuffer.empty[CdfSplit]
-    windows(s, e).foreach { case (prevV, v, d) =>
+    val ws = windows(s, e)
+    ws.foreach { case (prevV, v, d) =>
       if (!d.rewriteOnly) {
         val prev = entriesAt(prevV)
         val cur = entriesAt(v)
@@ -172,18 +173,22 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
         val isUpdate = prevV + 1 == v &&
           snap.exists(_.kind == AvroSnapshots.KindUpdate)
         // a gap window whose snapshot was EXPIRED still needs a real
-        // commit timestamp (ADVICE r16: never emit epoch-zero) — the
-        // nearest retained LATER snapshot's time is the tightest
-        // upper bound the metadata still holds; none retained at all
-        // is a corrupt table and fails loudly
-        val tsMs = snap.map(_.timestampMs).getOrElse {
-          val head = AvroSnapshots.headVersion(path).getOrElse(v)
-          Iterator.range(v + 1, head + 1)
-            .flatMap(AvroSnapshots.load(path, _).map(_.timestampMs))
-            .nextOption().getOrElse(throw new IllegalStateException(
-              s"change feed of $path: no retained snapshot at or after " +
-                s"version $v to source a commit timestamp from"))
-        }
+        // commit timestamp (ADVICE r16: never emit epoch-zero). The
+        // durable lineage log recorded v's OWN commit time — exact and
+        // never borrowed across lineages (ADVICE r17). A legacy table
+        // without the log entry substitutes the nearest retained LATER
+        // endpoint of THIS FEED'S OWN window chain (same lineage by
+        // construction); none retained at all is corrupt — fail loudly
+        val tsMs = snap.map(_.timestampMs)
+          .orElse(AvroSnapshots.loggedTimestamp(path, v))
+          .getOrElse {
+            ws.iterator.filter(_._2 > v)
+              .flatMap(w => AvroSnapshots.load(path, w._2).map(_.timestampMs))
+              .nextOption().getOrElse(throw new IllegalStateException(
+                s"change feed of $path: no retained snapshot at or after " +
+                  s"version $v on the feed's lineage to source a commit " +
+                  "timestamp from"))
+          }
         val delTag = if (isUpdate) "update_preimage" else "delete"
         val insTag = if (isUpdate) "update_postimage" else "insert"
         val removed = prev.keySet -- cur.keySet

@@ -799,10 +799,22 @@ class AvroDirTable(path: String, tableSchema: StructType,
           case None => groups match {
             case Some((gs, residual)) =>
               val spec = partSpec.get
+              // Resolve the bucket column's rename aliases and EXISTS
+              // default ONCE at plan time: a non-conforming file may
+              // predate a rename (old field name holds the real values)
+              // or predate ADD COLUMN ... DEFAULT (the table serves the
+              // default, so the residual filter must hash it too).
+              val bucketField = tableSchema.fields
+                .find(_.name.equalsIgnoreCase(spec.column))
+              val residualSpec = BucketResidual(
+                bucketField.map(f => f.name +: AvroDirSource.aliasesOf(f))
+                  .getOrElse(Seq(spec.column)),
+                spec.n,
+                bucketField.map(AvroDirSource.existsDefaultAvro).orNull)
               val tail = residual.map(e => AvroGroupFile(
                 new File(path, e.name).getAbsolutePath, dvPathOf(e),
                 eqPathsOf(e), e.firstRowId,
-                bucketBy = Some((spec.column, spec.n))))
+                bucketBy = Some(residualSpec)))
               gs.map { case (b, es) =>
                 AvroBucketGroupSplit(es.map(e => AvroGroupFile(
                   new File(path, e.name).getAbsolutePath, dvPathOf(e),
@@ -1372,7 +1384,7 @@ class AvroAggReaderFactory extends PartitionReaderFactory {
       override def close(): Unit = ()
     }
 }
-/** One file of a bucket-group split. `bucketBy = Some((column, n))`
+/** One file of a bucket-group split. `bucketBy = Some(residual)`
   * marks a NON-CONFORMING file (pre-evolution spec / unclustered
   * rewrite) riding the group with a per-row RESIDUAL bucket filter:
   * the reader keeps only rows whose `floorMod(column, n)` equals the
@@ -1381,7 +1393,17 @@ class AvroAggReaderFactory extends PartitionReaderFactory {
   * 17). Conforming files carry None and serve every row. */
 case class AvroGroupFile(file: String, dv: Option[String] = None,
     eqs: Seq[String] = Nil, firstRowId: Long = -1L,
-    bucketBy: Option[(String, Int)] = None)
+    bucketBy: Option[BucketResidual] = None)
+
+/** The residual bucket filter's full resolution story: `names` is the
+  * bucket column's current name plus its rename aliases newest-first
+  * (a non-conforming file is exactly the kind written under an older
+  * name), and `default` is the column's EXISTS default in the
+  * decoded-Avro domain — the value the table serves (and a clustered
+  * rewrite would hash) for rows written before ADD COLUMN ... DEFAULT.
+  * Absent column with no default reads null, which the clustered
+  * writer's getLong spells as bucket 0. */
+case class BucketResidual(names: Seq[String], n: Int, default: Any)
 
 /** All of one bucket's container files (with their deletion-vector and
   * equality-delete sidecars and row-lineage base), as one split whose
@@ -1421,7 +1443,7 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
                 if (!remaining.hasNext) return false
                 val gf = remaining.next()
                 cur = fileReader(gf.file, gf.dv, gf.eqs, gf.firstRowId,
-                  gf.bucketBy.map { case (c, n) => (c, n, b) })
+                  gf.bucketBy.map(r => (r, b)))
               }
               if (cur.next()) return true
               cur.close(); cur = null
@@ -1439,7 +1461,7 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
       dvFile: Option[String] = None,
       eqFiles: Seq[String] = Nil,
       firstRowId: Long = -1L,
-      bucketKeep: Option[(String, Int, Int)] = None): PartitionReader[InternalRow] = {
+      bucketKeep: Option[(BucketResidual, Int)] = None): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val reader = new DataFileReader[GenericRecord](
         new File(file), new GenericDatumReader[GenericRecord]())
@@ -1464,16 +1486,26 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
         }
       // residual bucket filter (partial SPJ): keep only rows whose
       // floorMod(column, n) equals this split's bucket — the writer's
-      // partValue spelling, nulls/absent mapping to 0 like a clustered
-      // write's getLong would
-      private val bucketCheck: Option[(Int, Int, Int)] =
-        bucketKeep.map { case (c, n, b) =>
-          (Option(reader.getSchema.getField(c)).map(_.pos).getOrElse(-1), n, b)
+      // partValue spelling. The column resolves by name THEN rename
+      // aliases (a non-conforming file may predate a rename); a file
+      // written before the column existed serves the column's EXISTS
+      // default, so the filter hashes that default — only a genuinely
+      // null value spells bucket 0, matching a clustered rewrite.
+      private val bucketCheck: Option[(Int, Int, Int, Long)] =
+        bucketKeep.map { case (r, b) =>
+          val pos = r.names.iterator
+            .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
+            .find(_ >= 0).getOrElse(-1)
+          val dflt = r.default match {
+            case v: java.lang.Number => v.longValue
+            case _                   => 0L
+          }
+          (pos, r.n, b, dflt)
         }
       private def bucketOk(rec: GenericRecord): Boolean = bucketCheck match {
         case None => true
-        case Some((pos, n, b)) =>
-          val x = if (pos < 0) 0L else rec.get(pos) match {
+        case Some((pos, n, b, dflt)) =>
+          val x = if (pos < 0) dflt else rec.get(pos) match {
             case null                => 0L
             case v: java.lang.Number => v.longValue
             case _                   => 0L

@@ -439,6 +439,12 @@ object AvroSnapshots {
           .map(parseProps).getOrElse(Map.empty))
     } catch { case _: Exception => Map.empty }
 
+  /** The commit timestamp the durable lineage log recorded for `v` —
+    * survives the version's manifest expiry, and is a fact about the
+    * version itself (no cross-lineage borrowing; ADVICE r17). */
+  def loggedTimestamp(path: String, v: Long): Option[Long] =
+    lineage(path).get(v).map(_._2)
+
   /** Newest value of commit property `key` on the branch's lineage
     * (walking parents from the head; expired chain members are stepped
     * over via the durable lineage log). O(versions since the property
@@ -995,10 +1001,13 @@ object AvroSnapshots {
     val all = versions(path)
     val pinnedVs = listRefs(path).values.toSet // refs pin their versions
     val (countCand, keep0) = all.splitAt(math.max(0, all.size - retainLast))
-    // the age gate composes: young versions stay even beyond the count
+    // the age gate composes: young versions stay even beyond the count.
+    // An UNLOADABLE manifest is RETAINED (exists-but-unreadable — never
+    // silently dropped: its entries could not join droppedSnaps, so its
+    // data files would leak as undiscoverable-dead, ADVICE r17)
     val (dropCand, youngKeep) = olderThanMs match {
       case Some(cutoff) => countCand.partition(v =>
-        load(path, v).forall(_.timestampMs < cutoff))
+        load(path, v).exists(_.timestampMs < cutoff))
       case None => (countCand, Nil)
     }
     val keep = youngKeep ++ keep0

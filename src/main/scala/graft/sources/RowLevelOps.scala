@@ -125,6 +125,32 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
     val writeSchema = StructType(dataSchema.fields :+
       org.apache.spark.sql.types.StructField(AvroDirSource.RowIdColumn,
         org.apache.spark.sql.types.LongType, nullable = true))
+    // Resolve the `_row_id` ordinal in the plan's metadata projection
+    // BY NAME at build time — never assume a positional [_file,
+    // _row_id] layout (ADVICE r17). Some(ord): resolved from the
+    // declared metadataSchema (a non-LONG `_row_id` fails loudly here
+    // — writing it as a long would corrupt lineage silently).
+    // None + metadataSchema PRESENT: the projection genuinely omits
+    // `_row_id` → null ids (fresh derivation, the sound fallback).
+    // None + metadataSchema ABSENT: unknown layout → the writer
+    // validates the declared 2-field shape on first use, loudly.
+    val metaIdOrdinal: Option[Option[Int]] = {
+      // the interface DEFAULT throws (not Optional.empty) when the
+      // caller never populated a metadata schema
+      val ms = try info.metadataSchema()
+        catch { case _: UnsupportedOperationException =>
+          java.util.Optional.empty[StructType]() }
+      if (ms.isPresent) {
+        val ord = ms.get.fields.indexWhere(
+          _.name.equalsIgnoreCase(AvroDirSource.RowIdColumn))
+        if (ord >= 0 &&
+            ms.get.fields(ord).dataType != org.apache.spark.sql.types.LongType)
+          throw new IllegalStateException(
+            s"metadata projection types ${AvroDirSource.RowIdColumn} as " +
+              s"${ms.get.fields(ord).dataType.simpleString}, expected bigint")
+        Some(if (ord >= 0) Some(ord) else None)
+      } else None
+    }
     new WriteBuilder {
       override def build(): Write = new Write {
         private val jobId =
@@ -133,7 +159,8 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
           override def createBatchWriterFactory(
               p: PhysicalWriteInfo): DataWriterFactory =
             new LineageMergingWriterFactory(
-              new AvroWriterFactory(path, writeSchema, jobId), path)
+              new AvroWriterFactory(path, writeSchema, jobId), path,
+              metaIdOrdinal)
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val commits = messages.map(_.asInstanceOf[AvroCommit])
             val committed = commits.map(_.file).toSet
@@ -202,14 +229,20 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
   * it to the wrapped per-file writer, whose schema carries `_row_id`
   * as a physical trailing LONG column. The id arrives on the
   * METADATA row of the two-arg `write(metadata, row)` call
-  * (ReplaceData's metadataProjection — metadata attr order is
-  * `[_file, _row_id]`, this operation's declaration order); a one-arg
-  * `write(row)` (no metadata projection in the plan) writes a null id
-  * — the row derives a fresh id from its file's manifest range, the
-  * sound fallback. */
+  * (ReplaceData's metadataProjection); its ordinal is resolved BY
+  * NAME from the plan's declared metadataSchema when Spark provided
+  * one (`metaIdOrdinal = Some(Some(ord))`), never assumed positional.
+  * `Some(None)` — the projection omits `_row_id` → null ids (fresh
+  * derivation, sound). `None` — no declared schema → the writer
+  * insists on the operation's own 2-field declaration and FAILS
+  * LOUDLY on any other shape rather than writing garbage lineage. A
+  * one-arg `write(row)` (no metadata projection in the plan) writes a
+  * null id — the row derives a fresh id from its file's manifest
+  * range, the sound fallback. */
 private[sources] class LineageMergingWriterFactory(
     inner: org.apache.spark.sql.connector.write.DataWriterFactory,
-    path: String)
+    path: String,
+    metaIdOrdinal: Option[Option[Int]] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
@@ -223,10 +256,23 @@ private[sources] class LineageMergingWriterFactory(
       private val idRow = new GenericInternalRow(1)
       private val joined = new JoinedRow
       override def write(meta: InternalRow, row: InternalRow): Unit = {
-        // metadata attrs: [_file(0), _row_id(1)]
-        if (meta == null || meta.numFields < 2 || meta.isNullAt(1))
+        val ord: Int = metaIdOrdinal match {
+          case Some(Some(o)) => o   // resolved by name from the plan
+          case Some(None)    => -1  // projection omits _row_id
+          case None =>
+            // no declared schema: accept ONLY the operation's own
+            // declaration order [_file(0), _row_id(1)] — anything else
+            // would silently corrupt lineage, so fail loudly instead
+            if (meta != null && meta.numFields != 2)
+              throw new IllegalStateException(
+                s"row-level metadata projection has ${meta.numFields} " +
+                  "fields; expected the declared [_file, _row_id]")
+            1
+        }
+        if (meta == null || ord < 0 || ord >= meta.numFields ||
+            meta.isNullAt(ord))
           idRow.update(0, null)
-        else idRow.update(0, meta.getLong(1))
+        else idRow.update(0, meta.getLong(ord))
         w.write(joined(row, idRow))
       }
       override def write(row: InternalRow): Unit = {

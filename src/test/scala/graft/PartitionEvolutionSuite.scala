@@ -98,6 +98,69 @@ class PartitionEvolutionSuite extends SparkSuiteBase {
     assert(ps.table("pcat.db.buck").count() == 800)
   }
 
+  test("partial-SPJ residual filter: rename aliases and EXISTS defaults (ADVICE r17)") {
+    // SPJ session: joins below must prove their claims via partitioning
+    val sp = spark.newSession()
+    sp.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    sp.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    sp.conf.set("spark.sql.catalog.pcat", "graft.sources.GraftCatalog")
+    sp.conf.set("spark.sql.catalog.pcat.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS pcat.db")
+    val c = sp.sessionState.catalogManager.catalog("pcat")
+      .asInstanceOf[GraftCatalog]
+
+    // the co-bucketed probe side (keys 0..999, bucket(4, key))
+    sp.sql("DROP TABLE IF EXISTS pcat.db.rb")
+    sp.sql("""CREATE TABLE pcat.db.rb (key BIGINT, qty DOUBLE)
+             |PARTITIONED BY (bucket(4, key))""".stripMargin)
+    sp.sql("INSERT INTO pcat.db.rb SELECT id, 1.0 FROM range(1000)")
+    def spjCount(t: String): Long = {
+      val j = sp.sql(
+        s"""SELECT a.key, b.qty FROM pcat.db.$t a
+           |JOIN pcat.db.rb b ON a.key = b.key""".stripMargin)
+      val n = j.count()
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        s"$t join shuffled — partial SPJ not engaged, test is vacuous")
+      n
+    }
+
+    // RENAME-ALIAS scenario: the pre-evolution file stores the bucket
+    // column under its OLD name `j`; the residual filter must resolve
+    // it through the rename alias, not claim every row for bucket 0.
+    sp.sql("DROP TABLE IF EXISTS pcat.db.ra")
+    sp.sql("""CREATE TABLE pcat.db.ra (k BIGINT, j BIGINT)
+             |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    // one non-conforming file (all k=0 → one bucket), j spans buckets
+    sp.sql("INSERT INTO pcat.db.ra SELECT 0, id FROM range(64)")
+    sp.sql("ALTER TABLE pcat.db.ra RENAME COLUMN j TO key")
+    c.evolvePartitionSpec(Identifier.of(Array("db"), "ra"), "bucket", 4, "key")
+    sp.sql("INSERT INTO pcat.db.ra SELECT id, id FROM range(64, 1000)")
+    val head = AvroSnapshots.head(tdir("ra")).get
+    assert(head.entries.exists(_.specId == 0) &&
+      head.entries.count(e => e.specId != 1) <=
+        math.max(2, head.entries.size / 4),
+      "fixture drifted: pre-evolution files must ride the partial-SPJ path")
+    assert(spjCount("ra") == 1000,
+      "rows of a pre-rename file were hashed to the wrong bucket group")
+
+    // EXISTS-DEFAULT scenario: the pre-evolution file predates
+    // ADD COLUMN key ... DEFAULT 5 — the table serves 5 for its rows,
+    // so the residual filter must hash 5 (bucket 1), never 0.
+    sp.sql("DROP TABLE IF EXISTS pcat.db.rd")
+    sp.sql("""CREATE TABLE pcat.db.rd (k BIGINT)
+             |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    sp.sql("INSERT INTO pcat.db.rd SELECT 0 FROM range(64)")
+    sp.sql("ALTER TABLE pcat.db.rd ADD COLUMN key BIGINT DEFAULT 5")
+    c.evolvePartitionSpec(Identifier.of(Array("db"), "rd"), "bucket", 4, "key")
+    sp.sql("INSERT INTO pcat.db.rd SELECT id, id FROM range(64, 1000)")
+    // old rows all read key=5 → 64 matches on rb's key=5 + 936 new
+    assert(spjCount("rd") == 1000,
+      "pre-ADD-COLUMN rows must hash the column's EXISTS default")
+  }
+
   test("evolution guard rails: unknown column refused, history append-only") {
     ps.sql("CREATE NAMESPACE IF NOT EXISTS pcat.db")
     ps.sql("DROP TABLE IF EXISTS pcat.db.g")
