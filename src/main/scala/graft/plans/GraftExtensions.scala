@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => WindowTopKRewrite)
     ext.injectOptimizerRule(_ => CountInSetRewrite)
+    ext.injectOptimizerRule(_ => VariantShredPrune)
     // V2 view read path (Spark ships the ViewCatalog API unwired —
     // see ResolveGraftViews)
     ext.injectResolutionRule(sess => ResolveGraftViews(sess))
@@ -33,4 +34,17 @@ object GraftExtensions {
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =
     Shim.registerFunction(spark, dotFunction._1, dotFunction._2, dotFunction._3)
+
+  /** A sibling session of `spark` carrying the FULL graft extension set
+    * (built via [[Shim.sessionWithExtensions]] — injected rules need a
+    * sessionState built AFTER injection). MEMOIZED per parent: the
+    * extensions object is shared with the parent, so repeated injection
+    * would stack duplicate (idempotent but wasteful) rule entries. */
+  private val extSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]
+  def sessionWith(spark: SparkSession): SparkSession =
+    extSessions.synchronized {
+      extSessions.computeIfAbsent(spark,
+        s => Shim.sessionWithExtensions(s, new GraftExtensions().apply(_)))
+    }
 }

@@ -540,6 +540,19 @@ class AvroDirTable(path: String, tableSchema: StructType,
       // stats all come from the SAME manifest (a concurrent commit
       // between two reads could otherwise mismatch them).
       private lazy val snap: Option[AvroSnapshots.Snapshot] = headSnapshot()
+      // variant-shred pruning ([[VariantShredding]]): typed comparisons
+      // on declared variant paths, annotated into the scan options by
+      // the VariantShredPrune optimizer rule; evaluated against the
+      // SHADOW per-file bounds with the same interval logic as pushed
+      // filters. Purely an optimization — the original Filter stays in
+      // the plan, and files without shadow stats are always kept.
+      private lazy val shredPushed: Seq[VariantShredding.Pred] =
+        VariantShredding.decodePredicates(
+          options.get(VariantShredding.OptionKey))
+      private def shredResolve(st: Map[String, AvroStats.ColStats])(
+          a: String): Option[AvroStats.ColStats] =
+        shredPushed.find(_.statsName == a)
+          .flatMap(p => st.get(a).map(AvroStats.coerce(_, p.typ)))
       /** The view minus whole manifest GROUPS and then individual files
         * the pushed filters provably exclude. Group pruning runs FIRST,
         * against the aggregated hull stats in the version file's group
@@ -551,18 +564,23 @@ class AvroDirTable(path: String, tableSchema: StructType,
         * readers. Files/groups without stats are always kept (sound). */
       private lazy val prunedEntries: Seq[AvroSnapshots.FileEntry] = snap match {
         case Some(sn) =>
+          val anyFilter = pushed.nonEmpty || shredPushed.nonEmpty
           val admitted: Seq[AvroSnapshots.FileEntry] =
-            if (pushed.isEmpty) sn.entries
+            if (!anyFilter) sn.entries
             else sn.inline ++ sn.groups.filter { g =>
               val hull = AvroStats.parse(g.aggStats)
-              AvroStats.groupMightMatch(pushed.toSeq, resolveStats(hull))
+              AvroStats.groupMightMatch(pushed.toSeq, resolveStats(hull)) &&
+                AvroStats.groupMightMatch(shredPushed.map(_.filter),
+                  shredResolve(hull))
             }.flatMap(g => AvroSnapshots.groupEntries(path, g.file))
-          if (pushed.isEmpty) admitted
+          if (!anyFilter) admitted
           else {
             val statsKept = admitted.filter { e =>
               val st = e.stats.map(AvroStats.parse)
                 .getOrElse(Map.empty[String, AvroStats.ColStats])
-              AvroStats.fileMightMatch(pushed.toSeq, e.name, resolveStats(st))
+              AvroStats.fileMightMatch(pushed.toSeq, e.name, resolveStats(st)) &&
+                AvroStats.fileMightMatch(shredPushed.map(_.filter), e.name,
+                  shredResolve(st))
             }
             // bloom point-lookup pruning: only stats-admitted files pay
             // the (cached) sidecar probe; tables without sidecars skip
@@ -1577,7 +1595,19 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
 class AvroFileWriter(file: File, schema: StructType)
     extends DataWriter[InternalRow] {
   private val avroSchema = AvroDirSource.toAvroSchema(schema, "graft_row")
-  private val stats = new AvroStats.StatsCollector(schema)
+  // variant-shred extraction ([[VariantShredding]]): per-ordinal
+  // extractors with their shadow-stats slot; null when the table
+  // declares none (one null check per row, not per field)
+  private val shredBase = VariantShredding.extractorsFor(file, schema)
+  private val shredSlots: Array[Seq[(Int, VariantShredding.Extractor)]] =
+    if (shredBase == null) null
+    else {
+      var slot = -1
+      shredBase.map(_.map { ex => slot += 1; (slot, ex) })
+    }
+  private val stats = new AvroStats.StatsCollector(schema,
+    if (shredBase == null) Nil
+    else shredBase.toSeq.flatten.map(_.shred.statsName))
   // per-file bloom sidecar for the table's opted-in lookup columns
   // (null when none — the hot path pays one null check per field)
   private val bloom = BloomFilters.builderFor(file, schema)
@@ -1638,6 +1668,15 @@ class AvroFileWriter(file: File, schema: StructType)
       rec.put(i, v)
       stats.update(i, v)
       if (bloom != null) bloom.update(i, v)
+      if (shredSlots != null && shredSlots(i).nonEmpty) {
+        // a null variant (or a missing/uncastable path) records null —
+        // such rows can never satisfy a value comparison, so shadow
+        // bounds built from the non-null extractions stay sound
+        val vv = if (row.isNullAt(i)) null else row.getVariant(i)
+        shredSlots(i).foreach { case (slot, ex) =>
+          stats.updateShadow(slot, if (vv == null) null else ex.extract(vv))
+        }
+      }
       i += 1
     }
     stats.countRow()

@@ -224,8 +224,31 @@ object AvroStats {
 
   /** Streaming min/max/null-count accumulator for one file's rows —
     * updated per field by the Avro writer as it encodes. Columns whose
-    * type is not [[trackable]] are skipped entirely. */
-  final class StatsCollector(schema: StructType) {
+    * type is not [[trackable]] are skipped entirely. `shadow` names
+    * extra slots for values the writer DERIVES per row (variant-shred
+    * extractions — [[VariantShredding]]): they ride the same JSON under
+    * names no real column can spell, already normalized to the stats
+    * domain (Long / Double / String) by the caller. */
+  final class StatsCollector(schema: StructType,
+      shadow: Seq[String] = Nil) {
+    private val shNulls = new Array[Long](shadow.length)
+    private val shMins = new Array[Any](shadow.length)
+    private val shMaxs = new Array[Any](shadow.length)
+
+    /** Fold one derived value (pre-normalized or null) into shadow
+      * slot `j` — called once per (row, declared shred). */
+    def updateShadow(j: Int, v: Any): Unit = {
+      if (v == null) { shNulls(j) += 1; return }
+      val n = v match {
+        case x: java.lang.Double if x.doubleValue == 0.0 => Double.box(0.0)
+        case other => other
+      }
+      if (shMins(j) == null) { shMins(j) = n; shMaxs(j) = n }
+      else {
+        if (cmp(n, shMins(j)) < 0) shMins(j) = n
+        if (cmp(n, shMaxs(j)) > 0) shMaxs(j) = n
+      }
+    }
     private val nulls = new Array[Long](schema.length)
     private val mins = new Array[Any](schema.length)
     private val maxs = new Array[Any](schema.length)
@@ -288,6 +311,12 @@ object AvroStats {
             toJValue(if (maxs(i) == null) null else bound(maxs(i), isMin = false)),
             JLong(nulls(i)))): JValue)
       }
+      val shadowFields = shadow.zipWithIndex.map { case (name, j) =>
+        name -> (JArray(List(
+          toJValue(if (shMins(j) == null) null else bound(shMins(j), isMin = true)),
+          toJValue(if (shMaxs(j) == null) null else bound(shMaxs(j), isMin = false)),
+          JLong(shNulls(j)))): JValue)
+      }
       val sketches = schema.fields.zipWithIndex.collect {
         case (f, i) if track(i) && !ndv(i).isEmpty =>
           f.name -> (JString(ndv(i).toSeq
@@ -298,7 +327,7 @@ object AvroStats {
         else List(NdvKey -> (JObject(sketches.toList): JValue))
       JsonMethods.compact(JsonMethods.render(
         JObject((RowCountKey -> (JLong(rows): JValue)) ::
-          fields.toList ::: ndvField)))
+          fields.toList ::: shadowFields.toList ::: ndvField)))
     }
   }
 

@@ -323,6 +323,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     BloomFilters.setColumns(dir.getPath, canonical)
   }
 
+  /** Declare VARIANT SHREDDING for one hot path of a variant column
+    * (`'$.field'`, extracted as bigint/double/string): FUTURE writes
+    * record typed per-file min/max for the extraction under a shadow
+    * stats name, so `variant_get(col, path, type)` predicates prune
+    * files ([[VariantShredding]]). Existing files simply lack the
+    * shadow stats and never prune — run compact to backfill. */
+  def setVariantShredding(ident: Identifier, column: String, path: String,
+      typ: String): Unit = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val schema = DataType.fromJson(new String(
+      Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+    val fld = schema.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"shred column $column is not a column of ${ident.name}"))
+    require(fld.dataType == org.apache.spark.sql.types.VariantType,
+      s"shred column ${fld.name} must be VARIANT, got ${fld.dataType}")
+    VariantShredding.declare(dir.getPath, fld.name, path, typ)
+  }
+
   // ---- tables ----
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
@@ -847,6 +868,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     AvroSnapshots.headVersion(dir.getPath).getOrElse(
       throw new IllegalStateException(s"${ident.name} has no versions"))
+  }
+
+  /** Live data-file count at the current main head — O(manifest). */
+  def currentFileCount(ident: Identifier): Int = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    AvroSnapshots.head(dir.getPath).map(_.files.size).getOrElse(0)
   }
 
   /** Create a movable branch at the current main head — the staging

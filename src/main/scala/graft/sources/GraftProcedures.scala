@@ -72,7 +72,7 @@ object GraftProcedures {
       "compact", "tag", "set_sort_order",
       "set_delete_mode", "create_branch", "fast_forward", "evolve_partition",
       "remove_orphan_files", "create_view", "drop_view", "apply_cdc",
-      "set_bloom_filter", "compact_small")
+      "set_bloom_filter", "compact_small", "set_variant_shredding")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -204,6 +204,19 @@ object GraftProcedures {
           val (v, up, del) = c.applyCdc(tableIdent(str(in, 0)), str(in, 1),
             str(in, 2), org.apache.spark.sql.SparkSession.active)
           Seq(Long.box(v), Long.box(up), Long.box(del))
+        }))
+      // variant shredding: typed per-file stats for a declared hot
+      // path of a VARIANT column — semi-structured predicates then
+      // prune files (future writes only; compact backfills)
+      case "set_variant_shredding" => Some(new GraftProcedure(catalog,
+        "set_variant_shredding",
+        Seq("table" -> StringType, "column" -> StringType,
+          "path" -> StringType, "type" -> StringType),
+        StructType(Seq(StructField("shred", StringType, nullable = false))),
+        (c, in) => {
+          c.setVariantShredding(tableIdent(str(in, 0)), str(in, 1),
+            str(in, 2), str(in, 3))
+          Seq(UTF8String.fromString(s"${str(in, 1)}@${str(in, 2)}"))
         }))
       case "drop_view" => Some(new GraftProcedure(catalog, "drop_view",
         Seq("view" -> StringType),

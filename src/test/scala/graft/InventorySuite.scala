@@ -98,7 +98,7 @@ class InventorySuite extends SparkSuiteBase {
     "catalog_retention_delete", "catalog_column_defaults",
     "catalog_decimal_stats", "catalog_compact_binpack",
     "catalog_delete_equality_multi", "catalog_row_lineage",
-    "catalog_variant_columns",
+    "catalog_variant_columns", "catalog_variant_shredded",
     "llm_dedup_minhash_incremental",
     "sql_execute_immediate", "sql_session_variable",
     // bucketed-by-write joins: the build writes both bucketed tables

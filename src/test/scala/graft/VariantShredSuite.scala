@@ -1,0 +1,160 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.{AvroSnapshots, AvroStats}
+
+/** VARIANT shredding (round-17 verdict #1): declared hot paths of a
+  * VARIANT column get typed per-file shadow stats, and
+  * `variant_get(col, path, type)` predicates prune files through the
+  * VariantShredPrune optimizer rule — with strict stats-decline
+  * soundness for pre-declaration files and mis-typed rows. */
+class VariantShredSuite extends SparkSuiteBase {
+
+  private lazy val wh =
+    java.nio.file.Files.createTempDirectory("graft_shred_test").toString
+
+  /** Session with the graft extensions injected at build time (the
+    * rule must run BEFORE V2ScanRelationPushDown — extraOptimizations
+    * would be too late) and the test catalog registered. */
+  private lazy val vs: SparkSession = {
+    val s = graft.plans.GraftExtensions.sessionWith(spark)
+    s.conf.set("spark.sql.catalog.vcat", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.vcat.warehouse", wh)
+    s
+  }
+
+  private def tdir(t: String) = new File(new File(wh, "db"), t).getPath
+  private def plannedFiles(df: DataFrame): Int = {
+    df.collect() // force planning through the executed plan
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.sum
+  }
+
+  test("writer records shadow stats; variant-path predicates prune files") {
+    vs.sql("CREATE NAMESPACE IF NOT EXISTS vcat.db")
+    vs.sql("DROP TABLE IF EXISTS vcat.db.ev")
+    vs.sql("CREATE TABLE vcat.db.ev (id BIGINT, payload VARIANT)")
+    vs.sql("""CALL vcat.system.set_variant_shredding(
+             |'db.ev', 'payload', '$.k', 'bigint')""".stripMargin)
+    // four single-file inserts with DISJOINT $.k hulls
+    for (lo <- Seq(0, 1000, 2000, 3000))
+      vs.sql(s"""INSERT INTO vcat.db.ev
+                |SELECT id, parse_json(CONCAT('{"k":', CAST(id AS STRING),
+                |  ',"tag":"t', CAST(id % 7 AS STRING), '"}'))
+                |FROM range($lo, ${lo + 1000}, 1, 1)""".stripMargin)
+    val head = AvroSnapshots.head(tdir("ev")).get
+    assert(head.files.size == 4, s"expected 4 files, got ${head.files.size}")
+    // every file's stats carry the shadow key with the exact hull
+    val hulls = head.entries.map { e =>
+      val cs = AvroStats.parse(e.stats.get)("payload@$.k:bigint")
+      (cs.min.get.asInstanceOf[Long], cs.max.get.asInstanceOf[Long], cs.nulls)
+    }.sortBy(_._1)
+    assert(hulls == Seq((0L, 999L, 0L), (1000L, 1999L, 0L),
+      (2000L, 2999L, 0L), (3000L, 3999L, 0L)),
+      s"shadow hulls wrong: $hulls")
+
+    // range predicate on the shredded path plans ONE file of four
+    val q = vs.sql("""SELECT id FROM vcat.db.ev
+                     |WHERE variant_get(payload, '$.k', 'bigint')
+                     |  BETWEEN 1200 AND 1800""".stripMargin)
+    assert(q.count() == 601)
+    assert(plannedFiles(q) == 1,
+      "variant-path range predicate did not prune to the one covering file")
+    // equality too
+    val q2 = vs.sql("""SELECT id FROM vcat.db.ev
+                      |WHERE variant_get(payload, '$.k', 'bigint') = 2500""".stripMargin)
+    assert(q2.count() == 1 && plannedFiles(q2) == 1)
+    // try_variant_get plans to the same expression → same pruning
+    val q3 = vs.sql("""SELECT id FROM vcat.db.ev
+                      |WHERE try_variant_get(payload, '$.k', 'bigint') < 1000""".stripMargin)
+    assert(q3.count() == 1000 && plannedFiles(q3) == 1)
+    // a session WITHOUT the rule still answers exactly (no pruning)
+    spark.conf.set("spark.sql.catalog.vcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.vcat.warehouse", wh)
+    // the parent session may or may not have materialized its optimizer
+    // before the shared-extensions injection — only exactness is
+    // asserted for it (pruning there is fine either way)
+    val plain = spark.sql("""SELECT id FROM vcat.db.ev
+                            |WHERE variant_get(payload, '$.k', 'bigint')
+                            |  BETWEEN 1200 AND 1800""".stripMargin)
+    assert(plain.count() == 601)
+  }
+
+  test("stats-decline soundness: pre-declaration files and mis-typed rows") {
+    vs.sql("CREATE NAMESPACE IF NOT EXISTS vcat.db")
+    vs.sql("DROP TABLE IF EXISTS vcat.db.old")
+    vs.sql("CREATE TABLE vcat.db.old (id BIGINT, payload VARIANT)")
+    // file A written BEFORE the declaration: no shadow stats
+    vs.sql("""INSERT INTO vcat.db.old
+             |SELECT id, parse_json(CONCAT('{"k":', CAST(id AS STRING), '}'))
+             |FROM range(0, 100, 1, 1)""".stripMargin)
+    vs.sql("""CALL vcat.system.set_variant_shredding(
+             |'db.old', 'payload', '$.k', 'bigint')""".stripMargin)
+    // file B: declared-typed rows; file C: $.k is a STRING in every row
+    // (extraction nulls — bounds absent, all-null shadow entry)
+    vs.sql("""INSERT INTO vcat.db.old
+             |SELECT id, parse_json(CONCAT('{"k":', CAST(id AS STRING), '}'))
+             |FROM range(1000, 1100, 1, 1)""".stripMargin)
+    vs.sql("""INSERT INTO vcat.db.old
+             |SELECT id, parse_json(CONCAT('{"k":"s', CAST(id AS STRING), '"}'))
+             |FROM range(2000, 2100, 1, 1)""".stripMargin)
+    val head = AvroSnapshots.head(tdir("old")).get
+    assert(head.files.size == 3)
+    val withShadow = head.entries.flatMap(e =>
+      AvroStats.parse(e.stats.get).get("payload@$.k:bigint"))
+    assert(withShadow.size == 2, "files B and C must carry the shadow entry")
+    assert(withShadow.exists(cs => cs.min.isEmpty && cs.nulls == 100L),
+      "mis-typed file must record an all-null shadow entry")
+
+    // predicate matching only file A's rows: A has no shadow stats →
+    // must be KEPT (sound), so the answer is exact
+    val qa = vs.sql("""SELECT id FROM vcat.db.old
+                      |WHERE variant_get(payload, '$.k', 'bigint') < 100""".stripMargin)
+    assert(qa.count() == 100, "pre-declaration file was wrongly pruned")
+    // string-typed extraction over the mis-typed file stays exact too
+    // (C's bigint shadow entry is all-null, but the predicate's TYPE is
+    // string → different shadow name, no stats → kept)
+    val qc = vs.sql("""SELECT id FROM vcat.db.old
+                      |WHERE variant_get(payload, '$.k', 'string') = 's2050'""".stripMargin)
+    assert(qc.count() == 1)
+    // bigint predicate CAN prune the all-null mis-typed file: none of
+    // its rows extract a bigint, so none can match — count stays exact
+    val qb = vs.sql("""SELECT id FROM vcat.db.old
+                      |WHERE variant_get(payload, '$.k', 'bigint') >= 1000""".stripMargin)
+    assert(qb.count() == 100)
+    assert(plannedFiles(qb) <= 2, "all-null shadow file should prune")
+  }
+
+  test("string shreds prune; compaction backfills shadow stats") {
+    vs.sql("CREATE NAMESPACE IF NOT EXISTS vcat.db")
+    vs.sql("DROP TABLE IF EXISTS vcat.db.sv")
+    vs.sql("CREATE TABLE vcat.db.sv (id BIGINT, payload VARIANT)")
+    // pre-declaration file (will be backfilled by compaction)
+    vs.sql("""INSERT INTO vcat.db.sv
+             |SELECT id, parse_json(CONCAT('{"p":"alpha', CAST(id AS STRING), '"}'))
+             |FROM range(0, 50, 1, 1)""".stripMargin)
+    vs.sql("""CALL vcat.system.set_variant_shredding(
+             |'db.sv', 'payload', '$.p', 'string')""".stripMargin)
+    vs.sql("""INSERT INTO vcat.db.sv
+             |SELECT id, parse_json(CONCAT('{"p":"zeta', CAST(id AS STRING), '"}'))
+             |FROM range(100, 150, 1, 1)""".stripMargin)
+    val q = vs.sql("""SELECT id FROM vcat.db.sv
+                     |WHERE variant_get(payload, '$.p', 'string') >= 'zeta'""".stripMargin)
+    assert(q.count() == 50)
+    assert(plannedFiles(q) == 2, "pre-declaration file must be kept")
+    // compaction rewrites through the declaration → both ranges shredded
+    vs.sql("CALL vcat.system.compact('db.sv')")
+    val q2 = vs.sql("""SELECT id FROM vcat.db.sv
+                      |WHERE variant_get(payload, '$.p', 'string') < 'b'""".stripMargin)
+    assert(q2.count() == 50)
+    val head = AvroSnapshots.head(tdir("sv")).get
+    assert(head.entries.forall(e =>
+      AvroStats.parse(e.stats.get).contains("payload@$.p:string")),
+      "compaction must backfill shadow stats for every file")
+  }
+}
