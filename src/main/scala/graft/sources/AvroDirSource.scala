@@ -405,9 +405,14 @@ class AvroDirTable(path: String, tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     if (pinned.isDefined) Set(TableCapability.BATCH_READ).asJava
     else if (versioned)
+      // AUTOMATIC_SCHEMA_EVOLUTION (round 18): MERGE ... WITH SCHEMA
+      // EVOLUTION may add source-only columns through alterTable —
+      // an O(1) metadata commit (new columns are nullable; existing
+      // files serve their default via by-name resolution)
       Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
-        TableCapability.MICRO_BATCH_READ).asJava
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
     else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 

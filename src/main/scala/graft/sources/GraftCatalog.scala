@@ -870,6 +870,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalStateException(s"${ident.name} has no versions"))
   }
 
+  /** Append with AUTOMATIC SCHEMA MERGE (Delta's
+    * `mergeSchema`/autoMerge, round 18): source-only columns are first
+    * ADDED to the table (one O(1) metadata commit — nullable, existing
+    * files serve null via by-name resolution), table columns the
+    * source lacks are filled with NULL, then the rows append normally.
+    * The INSERT-path twin of `MERGE ... WITH SCHEMA EVOLUTION`. */
+  def appendWithSchemaMerge(ident: Identifier,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    def tableCols: Seq[StructField] =
+      DataType.fromJson(new String(
+        Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
+        .asInstanceOf[StructType].fields.toSeq
+    val newCols = df.schema.fields.filterNot(f =>
+      tableCols.exists(_.name.equalsIgnoreCase(f.name)))
+    if (newCols.nonEmpty)
+      alterTable(ident, newCols.map(f => TableChange.addColumn(
+        Array(f.name), f.dataType, true)): _*)
+    val aligned = df.select(tableCols.map { f =>
+      df.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(_) => df.col(f.name).cast(f.dataType).as(f.name)
+        case None => org.apache.spark.sql.functions.lit(null)
+          .cast(f.dataType).as(f.name)
+      }
+    }: _*)
+    aligned.writeTo(
+      (name() +: ident.namespace().toSeq :+ ident.name())
+        .map(p => s"`$p`").mkString(".")).append()
+  }
+
   /** Live data-file count at the current main head — O(manifest). */
   def currentFileCount(ident: Identifier): Int = {
     val dir = tableDir(ident)

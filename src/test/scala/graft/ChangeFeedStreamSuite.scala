@@ -277,4 +277,34 @@ class ChangeFeedStreamSuite extends SparkSuiteBase {
     assert(rows.forall(_._2 > 1000000000000L), // past 2001 — a real clock
       s"epoch-zero timestamp leaked into the feed: ${rows.toSeq}")
   }
+
+  test("a streaming CDF consumer survives a mid-stream column add (round 18)") {
+    mk("c12", 10)
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf12").toString
+    drain("c12", root) // batch 1: the 10 seed inserts, schema (k, v)
+    assert(feed(root).count(_._2 == "insert") == 10)
+    // mid-stream evolution: add a column, then DML that WRITES it
+    spark.sql("ALTER TABLE cdfcat.db.c12 ADD COLUMN w BIGINT")
+    spark.sql("INSERT INTO cdfcat.db.c12 SELECT id, 'new', id * 5 FROM range(100, 103)")
+    spark.sql("DELETE FROM cdfcat.db.c12 WHERE k = 1")
+    // the RUNNING consumer (same checkpoint, schema fixed at stream
+    // start) must keep draining without error or replay corruption:
+    // old columns exact, the post-evolution rows present
+    drain("c12", root)
+    val after = feed(root)
+    assert(after.count(_._2 == "insert") == 13 &&
+      after.count(_._2 == "delete") == 1,
+      s"mid-stream column add corrupted the feed: $after")
+    // a FRESH consumer (new checkpoint) picks up the evolved schema:
+    // pre-evolution rows read NULL for w (backfilled), new rows carry it
+    val root2 = java.nio.file.Files.createTempDirectory("graft_cdf12b").toString
+    drain("c12", root2)
+    val evolved = spark.read.parquet(s"$root2/out")
+      .select("k", "w", "_change_type").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+    assert(evolved.exists(_ == ((100L, 500L, "insert"))),
+      s"post-evolution insert lost its new-column value: ${evolved.toSeq}")
+    assert(evolved.filter(e => e._1 < 100 && e._3 == "insert").forall(_._2 == -1L),
+      "pre-evolution rows must read NULL for the added column")
+  }
 }
