@@ -1062,6 +1062,54 @@ object Relational {
       .orderBy("o_orderkey", "change_type")
   }
 
+  /** ROW TRACKING, second half (round-18, verdict r17 #4 — Delta's
+    * `_last_updated_version` / Iceberg v3's last-updated sequence
+    * number): every manifest entry records the version that ADDED its
+    * file; a row's `_last_updated_version` metadata column reads the
+    * physical per-row stamp when the file carries one (maintenance
+    * rewrites — compaction/binpack — carry it through EXACTLY, next to
+    * `_row_id`), else INHERITS the file's added version. First-write
+    * rows therefore stamp their commit; COW UPDATE/MERGE outputs
+    * inherit the update's commit (rows advance with their rewritten
+    * group — merge-on-read tables are exact since only matched rows
+    * move); compaction must NOT bump anything. Scored flow: land four
+    * quartile files, UPDATE exactly one quartile (its whole file —
+    * bumped rows == matched rows, so the oracle is exact), read the
+    * stamp distribution BEFORE and AFTER a full compaction — the two
+    * phases must be identical, which IS the "maintenance preserves
+    * stamps" proof, hash-checked. 100-TB note: the stamp is the
+    * incremental consumer's resume cursor — `WHERE
+    * _last_updated_version > w` replaces a full-table diff. */
+  private def catalogRowLineageV2(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "orders").createOrReplaceTempView("graft_rt_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_rt")
+    s.sql("CREATE TABLE graftcat.lake.orders_rt (id BIGINT, priority STRING)")
+    val slice = s.sql(
+      "SELECT (MAX(o_orderkey) DIV 4) + 1 FROM graft_rt_src")
+      .head().getLong(0)
+    for (i <- 0L until 4L)
+      s.sql(s"""INSERT INTO graftcat.lake.orders_rt
+               |SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderpriority
+               |FROM graft_rt_src
+               |WHERE o_orderkey >= ${i * slice}
+               |  AND o_orderkey < ${(i + 1) * slice}""".stripMargin)
+    s.sql(s"""UPDATE graftcat.lake.orders_rt SET priority = 'RT'
+             |WHERE id >= $slice AND id < ${2 * slice}""".stripMargin)
+    val cat = graftcatInstance(s)
+    val vUpd = cat.currentVersion(lakeIdent("orders_rt"))
+    def phase(tag: String): DataFrame =
+      s.sql(s"""SELECT '$tag' AS phase,
+               |  CASE WHEN _last_updated_version = $vUpd THEN 'updated'
+               |       ELSE 'seed' END AS stamp,
+               |  COUNT(*) AS n
+               |FROM graftcat.lake.orders_rt GROUP BY 1, 2""".stripMargin)
+    val pre = phase("pre_compact").localCheckpoint()
+    s.sql("CALL graftcat.system.compact('lake.orders_rt')")
+    pre.unionByName(phase("post_compact")).orderBy("phase", "stamp")
+  }
+
   /** ROLLBACK (round-13 verdict #4 — the first recovery op a user
     * reaches for after time travel): `rollbackTo(ident, v)` publishes
     * version v's exact state — files, schema, placement, stats — as the
@@ -2175,6 +2223,7 @@ object Relational {
     "catalog_partition_days" -> (catalogPartitionDays _),
     "catalog_change_feed" -> (catalogChangeFeed _),
     "catalog_row_lineage" -> (catalogRowLineage _),
+    "catalog_row_lineage_v2" -> (catalogRowLineageV2 _),
     "catalog_variant_columns" -> (catalogVariantColumns _),
     "catalog_variant_shredded" -> (catalogVariantShredded _),
     "catalog_merge_schema_evolution" -> (catalogMergeSchemaEvolution _),
@@ -2552,6 +2601,17 @@ object Relational {
         |UNION ALL SELECT -1, 1, 'files_planned'
         |UNION ALL SELECT -2, 4, 'files_total'
         |ORDER BY id, k, p""".stripMargin,
+    "catalog_row_lineage_v2" ->
+      """WITH m AS (SELECT (MAX(o_orderkey) // 4) + 1 AS s FROM orders),
+        | agg AS (
+        |   SELECT 'seed' AS stamp, COUNT(*) AS n FROM orders, m
+        |   WHERE o_orderkey < s OR o_orderkey >= 2 * s
+        |   UNION ALL
+        |   SELECT 'updated', COUNT(*) FROM orders, m
+        |   WHERE o_orderkey >= s AND o_orderkey < 2 * s)
+        |SELECT 'pre_compact' AS phase, stamp, n FROM agg
+        |UNION ALL SELECT 'post_compact', stamp, n FROM agg
+        |ORDER BY phase, stamp""".stripMargin,
     "catalog_row_lineage" ->
       """WITH base AS (SELECT o_orderkey, o_orderpriority FROM orders
         |              WHERE o_orderkey < 4000),

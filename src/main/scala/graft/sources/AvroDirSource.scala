@@ -113,6 +113,21 @@ object AvroDirSource {
     * only genuinely-changed rows surface. */
   val RowIdColumn = "_row_id"
 
+  /** Hidden metadata column: the VERSION that last modified a row
+    * (round 18 — Delta row tracking's `_last_updated_version` /
+    * Iceberg v3's last-updated sequence number). Resolution order:
+    * a PHYSICAL `_last_updated_version` field when the file carries
+    * one (compaction/binpack outputs — maintenance rewrites preserve
+    * every row's stamp exactly), else the file's manifest
+    * `addedVersion` (INHERITANCE: a first-write row was last updated
+    * by the commit that added its file; a COW UPDATE/MERGE rewrite
+    * output inherits the rewrite's commit — rows the operation merely
+    * carried advance WITH their group, the standard engine-side
+    * approximation when the plan exposes no per-row change signal;
+    * merge-on-read tables are EXACT, since only matched rows move to
+    * new files). NULL on legacy entries with no recorded version. */
+  val LuvColumn = "_last_updated_version"
+
   /** Table paths whose current self-overwrite is a COMPACTION, mapped
     * to the head VERSION the rewrite was planned against — the commit
     * is recorded kind=`rewrite` (dataChange=false, streams and the
@@ -392,8 +407,11 @@ class AvroDirTable(path: String, tableSchema: StructType,
       .contains(new File(path).getAbsolutePath)
   override def schema(): StructType =
     if (lineageRewriteActive)
-      StructType(tableSchema.fields :+ org.apache.spark.sql.types.StructField(
-        AvroDirSource.RowIdColumn, LongType, nullable = true))
+      StructType(tableSchema.fields :+
+        org.apache.spark.sql.types.StructField(
+          AvroDirSource.RowIdColumn, LongType, nullable = true) :+
+        org.apache.spark.sql.types.StructField(
+          AvroDirSource.LuvColumn, LongType, nullable = true))
     else tableSchema
   private def transformExpr(spec: PartSpec): Transform = spec.transform match {
     case "bucket" => Expressions.bucket(spec.n, spec.column)
@@ -471,14 +489,24 @@ class AvroDirTable(path: String, tableSchema: StructType,
       override def isNullable: Boolean = true // legacy files: no lineage
       override def comment(): String =
         "stable row id surviving rewrites (row lineage)"
+    },
+    new MetadataColumn {
+      override def name(): String = AvroDirSource.LuvColumn
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = true // legacy entries: unknown
+      override def comment(): String =
+        "version that last modified this row (row tracking)"
     })
 
-  /** During a lineage compaction `_row_id` is a DATA column of this
-    * table's transient schema — it must not ALSO appear as a metadata
-    * column (the names would conflict in analysis). */
+  /** During a lineage compaction `_row_id` and `_last_updated_version`
+    * are DATA columns of this table's transient schema — they must not
+    * ALSO appear as metadata columns (the names would conflict in
+    * analysis). */
   override def metadataColumns(): Array[MetadataColumn] =
     if (lineageRewriteActive)
-      allMetadataColumns.filterNot(_.name == AvroDirSource.RowIdColumn)
+      allMetadataColumns.filterNot(c =>
+        c.name == AvroDirSource.RowIdColumn ||
+          c.name == AvroDirSource.LuvColumn)
     else allMetadataColumns
 
   /** Group-based (copy-on-write) row-level operations — the seam SQL
@@ -837,16 +865,19 @@ class AvroDirTable(path: String, tableSchema: StructType,
               val tail = residual.map(e => AvroGroupFile(
                 new File(path, e.name).getAbsolutePath, dvPathOf(e),
                 eqPathsOf(e), e.firstRowId,
-                bucketBy = Some(residualSpec)))
+                bucketBy = Some(residualSpec),
+                addedVersion = e.addedVersion))
               gs.map { case (b, es) =>
                 AvroBucketGroupSplit(es.map(e => AvroGroupFile(
                   new File(path, e.name).getAbsolutePath, dvPathOf(e),
-                  eqPathsOf(e), e.firstRowId)) ++ tail,
+                  eqPathsOf(e), e.firstRowId,
+                  addedVersion = e.addedVersion)) ++ tail,
                   b): InputPartition
               }.toArray
             case None => prunedEntries.map(e =>
               AvroFileSplit(new File(path, e.name).getAbsolutePath,
-                dvPathOf(e), eqPathsOf(e), e.firstRowId): InputPartition).toArray
+                dvPathOf(e), eqPathsOf(e), e.firstRowId,
+                e.addedVersion): InputPartition).toArray
           }
         }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -1387,9 +1418,12 @@ case class SortSpec(columns: Seq[String], zorder: Boolean = false) {
   *   ([[EqualityDeletes]]) and the reader skips them.
   * @param firstRowId the file's manifest row-lineage base: `_row_id` =
   *   firstRowId + position unless the row carries a physical id; −1 =
-  *   no lineage (`_row_id` reads null). */
+  *   no lineage (`_row_id` reads null).
+  * @param addedVersion the version that first added this file —
+  *   `_last_updated_version` inheritance base; −1 = unknown. */
 case class AvroFileSplit(file: String, dvFile: Option[String] = None,
-    eqFiles: Seq[String] = Nil, firstRowId: Long = -1L)
+    eqFiles: Seq[String] = Nil, firstRowId: Long = -1L,
+    addedVersion: Long = -1L)
     extends InputPartition
 /** A completely-pushed-down global aggregation: the answer was folded
   * from manifest stats at plan time; the single split just emits it
@@ -1416,7 +1450,8 @@ class AvroAggReaderFactory extends PartitionReaderFactory {
   * 17). Conforming files carry None and serve every row. */
 case class AvroGroupFile(file: String, dv: Option[String] = None,
     eqs: Seq[String] = Nil, firstRowId: Long = -1L,
-    bucketBy: Option[BucketResidual] = None)
+    bucketBy: Option[BucketResidual] = None,
+    addedVersion: Long = -1L)
 
 /** The residual bucket filter's full resolution story: `names` is the
   * bucket column's current name plus its rename aliases newest-first
@@ -1454,7 +1489,7 @@ case class AvroBucketedCommit(files: Seq[(String, Long, Option[String])])
 class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case AvroFileSplit(f, dv, eq, frid) => fileReader(f, dv, eq, frid)
+      case AvroFileSplit(f, dv, eq, frid, av) => fileReader(f, dv, eq, frid, av)
       case AvroBucketGroupSplit(files, b) =>
         // one bucket's files, read in sequence (a group is one task)
         new PartitionReader[InternalRow] {
@@ -1466,7 +1501,7 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
                 if (!remaining.hasNext) return false
                 val gf = remaining.next()
                 cur = fileReader(gf.file, gf.dv, gf.eqs, gf.firstRowId,
-                  gf.bucketBy.map(r => (r, b)))
+                  gf.addedVersion, gf.bucketBy.map(r => (r, b)))
               }
               if (cur.next()) return true
               cur.close(); cur = null
@@ -1484,6 +1519,7 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
       dvFile: Option[String] = None,
       eqFiles: Seq[String] = Nil,
       firstRowId: Long = -1L,
+      addedVersion: Long = -1L,
       bucketKeep: Option[(BucketResidual, Int)] = None): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val reader = new DataFileReader[GenericRecord](
@@ -1548,10 +1584,18 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
       private val physRowId: Int =
         Option(reader.getSchema.getField(AvroDirSource.RowIdColumn))
           .map(_.pos).getOrElse(-1)
+      // -5 -> the _last_updated_version metadata column: physical
+      // field when the file carries one (a maintenance rewrite
+      // output), else the file's manifest addedVersion (inheritance),
+      // else null (legacy entry)
+      private val physLuv: Int =
+        Option(reader.getSchema.getField(AvroDirSource.LuvColumn))
+          .map(_.pos).getOrElse(-1)
       private val idx: Array[Int] = required.fields.map { f =>
         if (f.name == AvroDirSource.FileColumn) -2
         else if (f.name == AvroDirSource.PosColumn) -3
         else if (f.name == AvroDirSource.RowIdColumn) -4
+        else if (f.name == AvroDirSource.LuvColumn) -5
         else (f.name +: AvroDirSource.aliasesOf(f)).iterator
           .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
           .find(_ >= 0).getOrElse(-1)
@@ -1581,6 +1625,15 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
             vals(i) = AvroDirSource.rowIdOf(
               if (physRowId >= 0) rec.get(physRowId) else null,
               firstRowId, rowPos)
+          else if (idx(i) == -5) {
+            val phys = if (physLuv >= 0) rec.get(physLuv) else null
+            vals(i) =
+              if (phys != null)
+                java.lang.Long.valueOf(
+                  phys.asInstanceOf[java.lang.Number].longValue)
+              else if (addedVersion >= 0) java.lang.Long.valueOf(addedVersion)
+              else null
+          }
           else if (idx(i) == -1) vals(i) = dflt(i) // pre-column file
           else vals(i) = AvroDirSource.avroToInternal(
             rec.get(idx(i)), required.fields(i).dataType)

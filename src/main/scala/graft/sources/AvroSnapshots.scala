@@ -87,10 +87,15 @@ object AvroSnapshots {
     * lineage, consumers fall back). Assigned ONCE by [[commit]] from
     * the table's monotone row-id counter and inherited verbatim by
     * every later entry of the same file. */
+  /** `addedVersion` (round 18 — row tracking's second half): the
+    * version whose commit FIRST added this data file; −1 on legacy
+    * entries. Rows without a physical `_last_updated_version` column
+    * INHERIT it (Iceberg v3's sequence-number inheritance), so a
+    * first-write row's last-updated version is its file's commit. */
   case class FileEntry(name: String, part: Option[Long] = None,
       specId: Int = 0, stats: Option[String] = None,
       dv: Option[String] = None, eq: Seq[String] = Nil,
-      firstRowId: Long = -1L)
+      firstRowId: Long = -1L, addedVersion: Long = -1L)
 
   /** A reference to one immutable manifest-group file: `file` under
     * `_versions/`, `count` entries in its SUBTREE, `aggStats` =
@@ -220,14 +225,15 @@ object AvroSnapshots {
     }
     val fields = Seq(e.name, part, e.stats.getOrElse(""), e.dv.getOrElse(""),
       e.eq.mkString(","),
-      if (e.firstRowId >= 0) e.firstRowId.toString else "")
+      if (e.firstRowId >= 0) e.firstRowId.toString else "",
+      if (e.addedVersion >= 0) e.addedVersion.toString else "")
     // drop trailing empties so pre-dv / pre-stats lines stay compact
     val keep = fields.lastIndexWhere(_.nonEmpty).max(0)
     fields.take(keep + 1).mkString("\t")
   }
 
   private def parseEntry(l: String): FileEntry = {
-    val f = l.split("\t", 6)
+    val f = l.split("\t", 7)
     val (part, spec) = f.lift(1).filter(_.nonEmpty) match {
       case Some(p) => p.split("@", 2) match {
         case Array(v, s) => (v.toLongOption, s.toIntOption.getOrElse(0))
@@ -238,7 +244,8 @@ object AvroSnapshots {
     FileEntry(f(0), part, spec,
       f.lift(2).filter(_.nonEmpty), f.lift(3).filter(_.nonEmpty),
       f.lift(4).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
-      f.lift(5).flatMap(_.toLongOption).getOrElse(-1L))
+      f.lift(5).flatMap(_.toLongOption).getOrElse(-1L),
+      f.lift(6).flatMap(_.toLongOption).getOrElse(-1L))
   }
 
   // ---- manifest-group files (immutable; parses cached per process) ----
@@ -734,12 +741,20 @@ object AvroSnapshots {
       if (claimed.isEmpty) 0L else claimed.max
     }
     var rowIdCounter = bootstrap
-    val lineaged = entries.map { e =>
-      prevByName.get(e.name) match {
+    val lineaged = entries.map { e0 =>
+      prevByName.get(e0.name) match {
         case Some(pe) =>
+          // retained file: inherit lineage base AND added-version
+          // verbatim — a caller that rebuilt entries cannot drop them
+          val e = if (e0.addedVersion >= 0 || pe.addedVersion < 0) e0
+            else e0.copy(addedVersion = pe.addedVersion)
           if (e.firstRowId >= 0 || pe.firstRowId < 0) e
           else e.copy(firstRowId = pe.firstRowId)
         case None =>
+          // new file: stamped with THIS commit's version (row
+          // tracking's inheritance base — round 18)
+          val e = if (e0.addedVersion >= 0) e0
+            else e0.copy(addedVersion = v)
           if (e.firstRowId >= 0) e
           else e.stats.flatMap(AvroStats.rowCount) match {
             case Some(n) =>

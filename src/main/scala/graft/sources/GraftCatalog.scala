@@ -800,15 +800,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val names = candidates.map(_.name)
     val q = (catalogName +: ident.namespace.toSeq :+ ident.name)
       .map(p => s"`$p`").mkString(".")
-    // row lineage rides the rewrite: `_row_id` (derived or physical)
-    // is selected alongside the data columns and written back as a
-    // physical column, so binpacked rows keep their stable ids
+    // row lineage AND row tracking ride the rewrite: `_row_id` and
+    // `_last_updated_version` (derived or physical) are selected
+    // alongside the data columns and written back as physical columns,
+    // so binpacked rows keep their stable ids and their last-updated
+    // stamps (maintenance must not bump them — round 18)
     val src = session.table(q).where(col(AvroDirSource.FileColumn)
         .isin(names: _*))
       .select(schema.fields.toSeq.map(f => col(f.name)) :+
-        col(AvroDirSource.RowIdColumn): _*)
+        col(AvroDirSource.RowIdColumn) :+ col(AvroDirSource.LuvColumn): _*)
     val writeSchema = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField(AvroDirSource.RowIdColumn,
+        org.apache.spark.sql.types.LongType, nullable = true) :+
+      org.apache.spark.sql.types.StructField(AvroDirSource.LuvColumn,
         org.apache.spark.sql.types.LongType, nullable = true))
     val jobId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val spec = loadPartSpec(dir)

@@ -99,7 +99,7 @@ class InventorySuite extends SparkSuiteBase {
     "catalog_decimal_stats", "catalog_compact_binpack",
     "catalog_delete_equality_multi", "catalog_row_lineage",
     "catalog_variant_columns", "catalog_variant_shredded",
-    "catalog_merge_schema_evolution",
+    "catalog_merge_schema_evolution", "catalog_row_lineage_v2",
     "llm_dedup_minhash_incremental",
     "sql_execute_immediate", "sql_session_variable",
     // bucketed-by-write joins: the build writes both bucketed tables

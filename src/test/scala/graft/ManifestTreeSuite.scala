@@ -243,6 +243,7 @@ class ManifestTreeSuite extends SparkSuiteBase {
     val checkpoints = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Map[String, FileEntry])]
     var prevBase: Map[String, Long] = Map.empty
+    var prevAdded: Map[String, Long] = Map.empty
     for (step <- 0 until 150) {
       rnd.nextInt(10) match {
         case n if n < 5 => // append 1–4 fresh entries
@@ -283,11 +284,22 @@ class ManifestTreeSuite extends SparkSuiteBase {
           s"step $step: $n changed firstRowId " +
             s"${prevBase(n)} -> ${head.byName(n).firstRowId}")
       }
+      // addedVersion (round 18) is commit-assigned like firstRowId:
+      // fold it in, pinning the same stability — a surviving entry
+      // keeps the version it was first added at
+      state.keySet.intersect(prevAdded.keySet).foreach { n =>
+        assert(head.byName(n).addedVersion == prevAdded(n),
+          s"step $step: $n changed addedVersion " +
+            s"${prevAdded(n)} -> ${head.byName(n).addedVersion}")
+      }
       state = state.map { case (n, e) =>
-        n -> e.copy(firstRowId =
-          head.byName.get(n).map(_.firstRowId).getOrElse(-1L))
+        n -> e.copy(
+          firstRowId = head.byName.get(n).map(_.firstRowId).getOrElse(-1L),
+          addedVersion =
+            head.byName.get(n).map(_.addedVersion).getOrElse(-1L))
       }
       prevBase = head.byName.view.mapValues(_.firstRowId).toMap
+      prevAdded = head.byName.view.mapValues(_.addedVersion).toMap
       assert(head.byName == state,
         s"step $step: head diverged from the model " +
           s"(missing=${(state.keySet -- head.byName.keySet).take(3)}, " +

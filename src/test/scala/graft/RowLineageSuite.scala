@@ -168,4 +168,61 @@ class RowLineageSuite extends SparkSuiteBase {
     assert(after == before,
       s"compaction changed row ids: ${after.toSeq.diff(before.toSeq).take(5)}")
   }
+
+  private def luvs(t: String): Map[Long, Long] =
+    spark.sql(s"SELECT k, _last_updated_version FROM rlcat.db.$t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("_last_updated_version: updates advance; compact AND binpack preserve (round 18)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS rlcat.db.r7")
+    spark.sql("CREATE TABLE rlcat.db.r7 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO rlcat.db.r7 SELECT /*+ REPARTITION(1) */ id, CONCAT('a', id) FROM range(100)")
+    spark.sql("INSERT INTO rlcat.db.r7 SELECT /*+ REPARTITION(1) */ 100 + id, 'b' FROM range(50)")
+    val seed = luvs("r7")
+    assert(seed.filter(_._1 < 100).values.toSet.size == 1 &&
+      seed.filter(_._1 >= 100).values.toSet.size == 1 &&
+      seed(0L) < seed(100L),
+      "appends must stamp each file's rows with its own commit version")
+    // COW UPDATE of the whole second file: its rows advance; the first
+    // file is untouched and must keep its stamp exactly
+    spark.sql("UPDATE rlcat.db.r7 SET v = 'X' WHERE k >= 100")
+    val vUpd = cat.currentVersion(ident("r7"))
+    val afterUpd = luvs("r7")
+    assert(afterUpd.filter(_._1 >= 100).values.forall(_ == vUpd),
+      "updated rows must advance to the update's commit version")
+    assert(afterUpd.filter(_._1 < 100) == seed.filter(_._1 < 100),
+      "rows in untouched files must keep their stamps")
+    // full compaction: EVERY stamp preserved exactly (physical carry)
+    cat.compactTable(ident("r7"), spark)
+    assert(luvs("r7") == afterUpd,
+      "compaction bumped _last_updated_version stamps")
+    // binpack (compact_small) after more small appends: same contract
+    spark.sql("INSERT INTO rlcat.db.r7 SELECT /*+ REPARTITION(1) */ 200 + id, 'c' FROM range(5)")
+    spark.sql("INSERT INTO rlcat.db.r7 SELECT /*+ REPARTITION(1) */ 210 + id, 'd' FROM range(5)")
+    val beforeBin = luvs("r7")
+    cat.compactSmall(ident("r7"), minRows = 20, spark)
+    assert(luvs("r7") == beforeBin,
+      "binpack bumped _last_updated_version stamps")
+    // ids and stamps ride together through every rewrite
+    assert(rowIds("r7").keySet == luvs("r7").keySet)
+  }
+
+  test("_last_updated_version is EXACT on merge-on-read tables") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS rlcat.db.r8")
+    spark.sql("CREATE TABLE rlcat.db.r8 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO rlcat.db.r8 SELECT /*+ REPARTITION(1) */ id, 'a' FROM range(100)")
+    spark.sql("CALL rlcat.system.set_delete_mode('db.r8', 'merge-on-read')")
+    val seed = luvs("r8")
+    // MOR UPDATE: only MATCHED rows move to new files — every other
+    // row stays in place and keeps its stamp (file untouched)
+    spark.sql("UPDATE rlcat.db.r8 SET v = 'X' WHERE k % 10 = 0")
+    val vUpd = cat.currentVersion(ident("r8"))
+    val after = luvs("r8")
+    assert(after.filter(_._1 % 10 == 0).values.forall(_ == vUpd),
+      "MOR-updated rows must stamp the update version")
+    assert(after.filter(_._1 % 10 != 0) == seed.filter(_._1 % 10 != 0),
+      "MOR must leave unmatched rows' stamps untouched (exact semantics)")
+  }
 }
