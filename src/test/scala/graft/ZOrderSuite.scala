@@ -194,6 +194,65 @@ class ZOrderSuite extends SparkSuiteBase {
       .collect().head.getLong(0) == 8192)
   }
 
+  test("INGEST honors the sort order: INSERT lands disjoint hulls, no compaction (round 18)") {
+    zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
+    zs.sql("DROP TABLE IF EXISTS zcat.db.ing")
+    zs.sql("CREATE TABLE zcat.db.ing (k BIGINT, v STRING)")
+    cat.setSortOrder(Identifier.of(Array("db"), "ing"), "k")
+    // ONE ordinary INSERT of shuffled keys — the write's ordered
+    // distribution (range) + per-task sort must land globally-sorted
+    // files whose per-file hulls are DISJOINT, before any compaction
+    zs.sql("""INSERT INTO zcat.db.ing
+             |SELECT CAST(RAND(7) * 100000 AS BIGINT), 'x'
+             |FROM range(20000)""".stripMargin)
+    val head = AvroSnapshots.head(s"$wh/db/ing").get
+    assert(head.files.size >= 2,
+      s"fixture drifted: need >= 2 files to prove disjointness")
+    val hulls = head.entries.map { e =>
+      val cs = graft.sources.AvroStats.parse(e.stats.get)("k")
+      (cs.min.get.asInstanceOf[Long], cs.max.get.asInstanceOf[Long])
+    }.sortBy(_._1)
+    hulls.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(lo2 > hi, s"ingest hulls overlap: $hulls")
+      case _ => ()
+    }
+    // data skipping works on the FRESH ingest — no compaction pass ran
+    val q = zs.sql("SELECT k FROM zcat.db.ing WHERE k < 10000")
+    q.collect()
+    assert(scanOf(q).inputPartitions.size < head.files.size,
+      "sort-key predicate pruned nothing on freshly ingested files")
+  }
+
+  test("STREAMING appends honor the sort order (within-file sorted, skipping live)") {
+    import org.apache.spark.sql.streaming.Trigger
+    zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
+    zs.sql("DROP TABLE IF EXISTS zcat.db.ssrc")
+    zs.sql("DROP TABLE IF EXISTS zcat.db.sdst")
+    zs.sql("CREATE TABLE zcat.db.ssrc (k BIGINT, v STRING)")
+    zs.sql("CREATE TABLE zcat.db.sdst (k BIGINT, v STRING)")
+    cat.setSortOrder(Identifier.of(Array("db"), "sdst"), "k")
+    for (i <- 0 until 3)
+      zs.sql(s"""INSERT INTO zcat.db.ssrc
+                |SELECT /*+ REPARTITION(1) */ CAST(RAND($i) * 100000 AS BIGINT), 'x'
+                |FROM range(3000)""".stripMargin)
+    val cp = java.nio.file.Files.createTempDirectory("graft_zo_cp").toString
+    zs.readStream.table("zcat.db.ssrc")
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .toTable("zcat.db.sdst").awaitTermination()
+    assert(zs.table("zcat.db.sdst").count() == 9000)
+    // every streamed file is internally sorted on the sort key — the
+    // physical row order (by _pos) must be monotone per file
+    val unsorted = zs.sql(
+      """SELECT _file FROM (
+        |  SELECT _file, k,
+        |    LAG(k) OVER (PARTITION BY _file ORDER BY _pos) AS pk
+        |  FROM zcat.db.sdst)
+        |WHERE pk IS NOT NULL AND k < pk GROUP BY _file""".stripMargin).count()
+    assert(unsorted == 0, s"$unsorted streamed files violate the sort order")
+  }
+
   test("zorder guard rails: strings refused, arity enforced") {
     zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
     zs.sql("DROP TABLE IF EXISTS zcat.db.bad")
