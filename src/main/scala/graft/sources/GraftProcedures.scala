@@ -72,7 +72,8 @@ object GraftProcedures {
       "compact", "tag", "set_sort_order",
       "set_delete_mode", "create_branch", "fast_forward", "evolve_partition",
       "remove_orphan_files", "create_view", "drop_view", "apply_cdc",
-      "set_bloom_filter", "compact_small", "set_variant_shredding")
+      "set_bloom_filter", "compact_small", "compact_clustered",
+      "set_variant_shredding")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -104,6 +105,18 @@ object GraftProcedures {
           StructField("files_after", IntegerType, nullable = false))),
         (c, in) => {
           val (r, a) = c.compactSmall(tableIdent(str(in, 0)), in.getLong(1),
+            org.apache.spark.sql.SparkSession.active)
+          Seq(Int.box(r), Int.box(a))
+        }))
+      // liquid-style incremental re-clustering: rewrites ONLY files
+      // whose sort-key hulls overlap (plus sidecarred ones) — O(dirty)
+      case "compact_clustered" => Some(new GraftProcedure(catalog,
+        "compact_clustered",
+        Seq("table" -> StringType),
+        StructType(Seq(StructField("files_rewritten", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false))),
+        (c, in) => {
+          val (r, a) = c.compactClustered(tableIdent(str(in, 0)),
             org.apache.spark.sql.SparkSession.active)
           Seq(Int.box(r), Int.box(a))
         }))

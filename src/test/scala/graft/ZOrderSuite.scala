@@ -253,6 +253,75 @@ class ZOrderSuite extends SparkSuiteBase {
     assert(unsorted == 0, s"$unsorted streamed files violate the sort order")
   }
 
+  test("compact_clustered rewrites ONLY overlapping files; idempotent (round 18)") {
+    zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
+    zs.sql("DROP TABLE IF EXISTS zcat.db.liq")
+    zs.sql("CREATE TABLE zcat.db.liq (k BIGINT, v STRING)")
+    // seed BEFORE the sort order (one file per insert — a sorted
+    // table's inserts range-split): A [0,1000) and B [1000,2000) are
+    // clean, pairwise disjoint; C [2000,3000) and D [2500,3500) are
+    // one overlapping component — the incremental re-cluster target
+    for ((lo, hi) <- Seq((0, 1000), (1000, 2000), (2000, 3000), (2500, 3500)))
+      zs.sql(s"""INSERT INTO zcat.db.liq
+                |SELECT /*+ REPARTITION(1) */ id, CONCAT('r', id)
+                |FROM range($lo, $hi)""".stripMargin)
+    cat.setSortOrder(Identifier.of(Array("db"), "liq"), "k")
+    val dirPath = s"$wh/db/liq"
+    def head() = AvroSnapshots.head(dirPath).get
+    def hulls() = head().entries.map { e =>
+      val cs = graft.sources.AvroStats.parse(e.stats.get)("k")
+      (e.name, cs.min.get.asInstanceOf[Long], cs.max.get.asInstanceOf[Long])
+    }
+    val cleanNames = hulls().filter(_._2 < 2000).map(_._1).toSet
+    assert(cleanNames.size == 2)
+    val mtimes = cleanNames.map(n =>
+      n -> new java.io.File(dirPath, n).lastModified()).toMap
+    val beforeRows = zs.sql(
+      "SELECT COUNT(*), SUM(k), COUNT(DISTINCT _row_id) FROM zcat.db.liq")
+      .collect().head
+    val luvBefore = zs.sql(
+      "SELECT k, _last_updated_version FROM zcat.db.liq")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val (rw, after) = cat.compactClustered(Identifier.of(Array("db"), "liq"), zs)
+    assert(rw == 2, s"expected exactly the 2 overlapping files, rewrote $rw")
+    // conforming files byte-untouched (entry AND mtime)
+    assert(cleanNames.forall(n => head().entries.exists(_.name == n)),
+      "a conforming file left the manifest")
+    cleanNames.foreach(n => assert(
+      new java.io.File(dirPath, n).lastModified() == mtimes(n),
+      s"conforming file $n was touched"))
+    // the pass reaches full clustering: all hulls pairwise disjoint
+    val hs = hulls().sortBy(_._2)
+    hs.sliding(2).foreach {
+      case Seq((_, _, hi), (n2, lo2, _)) =>
+        assert(lo2 > hi, s"hulls still overlap after the pass: $hs")
+      case _ => ()
+    }
+    // rows, ids and stamps all preserved (maintenance, not a change)
+    val afterRows = zs.sql(
+      "SELECT COUNT(*), SUM(k), COUNT(DISTINCT _row_id) FROM zcat.db.liq")
+      .collect().head
+    assert(afterRows == beforeRows)
+    val luvAfter = zs.sql(
+      "SELECT k, _last_updated_version FROM zcat.db.liq")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(luvAfter == luvBefore, "re-clustering bumped row-tracking stamps")
+    // idempotent: a second pass finds nothing dirty
+    assert(cat.compactClustered(Identifier.of(Array("db"), "liq"), zs)
+      == ((0, after)))
+    // a sidecarred file is always dirty: MOR-delete in one clean file,
+    // the next pass rewrites exactly that one and materializes the dv
+    zs.sql("CALL zcat.system.set_delete_mode('db.liq', 'merge-on-read')")
+    zs.sql("DELETE FROM zcat.db.liq WHERE k = 5")
+    assert(head().entries.exists(_.dv.isDefined))
+    val (rw2, _) = cat.compactClustered(Identifier.of(Array("db"), "liq"), zs)
+    assert(rw2 == 1, s"expected only the sidecarred file, rewrote $rw2")
+    assert(head().entries.forall(_.dv.isEmpty), "dv survived the rewrite")
+    assert(zs.sql("SELECT COUNT(*) FROM zcat.db.liq WHERE k = 5")
+      .collect().head.getLong(0) == 0)
+  }
+
   test("zorder guard rails: strings refused, arity enforced") {
     zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
     zs.sql("DROP TABLE IF EXISTS zcat.db.bad")
