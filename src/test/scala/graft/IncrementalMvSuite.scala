@@ -238,4 +238,73 @@ class IncrementalMvSuite extends SparkSuiteBase {
         .contains("graft.test.wm"))
     } finally pool.shutdown()
   }
+
+  /** One refresh of the LEVEL-2 MV from the LEVEL-1 MV's OWN change
+    * feed: mv2(gg) = per-(g % 2) rollup of mv1(g, n, sx), folded from
+    * mv1's signed row-level changes — never a scan of mv1, let alone
+    * the base. Returns the new mv1-version watermark. */
+  private def refresh2(t: String, from: Long): Long = {
+    val head = cat.currentVersion(ident(s"${t}_mv"))
+    if (head == from) return from
+    spark.read.option("startingVersion", from).option("endingVersion", head)
+      .table(s"mvcat.db.${t}_mv.changes")
+      .createOrReplaceTempView(s"graft_imv2_ch_$t")
+    spark.sql(s"""MERGE INTO mvcat.db.${t}_mv2 m
+                 |USING (
+                 |  SELECT g % 2 AS gg,
+                 |    SUM(CASE WHEN _change_type IN ('insert', 'update_postimage')
+                 |        THEN n ELSE -n END) AS dn,
+                 |    SUM(CASE WHEN _change_type IN ('insert', 'update_postimage')
+                 |        THEN sx ELSE -sx END) AS dsx
+                 |  FROM graft_imv2_ch_$t GROUP BY g % 2) d
+                 |ON m.gg = d.gg
+                 |WHEN MATCHED AND m.n1 + d.dn = 0L THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET n1 = m.n1 + d.dn, ssx = m.ssx + d.dsx
+                 |WHEN NOT MATCHED THEN INSERT (gg, n1, ssx)
+                 |  VALUES (d.gg, d.dn, d.dsx)""".stripMargin)
+    head
+  }
+
+  private def assertMv2Exact(t: String): Unit = {
+    val mv2 = spark.sql(
+      s"SELECT gg, n1, ssx FROM mvcat.db.${t}_mv2 ORDER BY gg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val re = spark.sql(
+      s"""SELECT g % 2 AS gg, COUNT(*) AS n1, SUM(x) AS ssx
+         |FROM mvcat.db.$t GROUP BY g % 2 ORDER BY gg""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mv2 == re, s"level-2 MV drifted from base recompute:" +
+      s"\n  mv2=$mv2\n  re=$re")
+  }
+
+  test("MV CHAINING: a level-2 MV folds the level-1 MV's own change feed (round 18)") {
+    var w1 = mk("m7", 300) // base -> mv1 watermark (base version)
+    spark.sql("CREATE TABLE mvcat.db.m7_mv2 (gg BIGINT, n1 BIGINT, ssx BIGINT)")
+    // mv1's SEED insert is itself a change-feed window: folding mv1's
+    // CDF from the beginning materializes mv2 without scanning mv1
+    var w2 = refresh2("m7", -1L)
+    assertMv2Exact("m7")
+    // mixed DML on the BASE: append + COW update + COW delete; each
+    // level refreshes from the level below's feed only
+    spark.sql("INSERT INTO mvcat.db.m7 SELECT id, id % 5, id * 7 FROM range(300, 450)")
+    spark.sql("UPDATE mvcat.db.m7 SET x = x + 1000 WHERE k % 10 = 3")
+    spark.sql("DELETE FROM mvcat.db.m7 WHERE g = 4")
+    w1 = refresh("m7", w1); assertMvExact("m7")
+    w2 = refresh2("m7", w2); assertMv2Exact("m7")
+    // both levels advance IDEMPOTENTLY: an empty window is a no-op at
+    // each level (no phantom changes from either MERGE machinery)
+    val v1 = cat.currentVersion(ident("m7_mv"))
+    val v2 = cat.currentVersion(ident("m7_mv2"))
+    w1 = refresh("m7", w1)
+    w2 = refresh2("m7", w2)
+    assert(cat.currentVersion(ident("m7_mv")) == v1 &&
+      cat.currentVersion(ident("m7_mv2")) == v2,
+      "empty refresh windows must commit nothing at either level")
+    // a second DML wave keeps the chain exact (g=4 re-created: the
+    // level-1 MERGE re-inserts the group; mv2 folds it back in)
+    spark.sql("INSERT INTO mvcat.db.m7 SELECT id, 4, id FROM range(1000, 1020)")
+    spark.sql("DELETE FROM mvcat.db.m7 WHERE g = 1 AND k % 2 = 0")
+    w1 = refresh("m7", w1); assertMvExact("m7")
+    w2 = refresh2("m7", w2); assertMv2Exact("m7")
+  }
 }
