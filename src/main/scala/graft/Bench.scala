@@ -315,6 +315,31 @@ object Bench {
         "\"" + k + "\":" + r2(md) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"heavies_top10","unit":"median sec","queries":$heavies10}""")
+    // CONTROL line (round-17 verdict #8): a FIXED synthetic calibration
+    // workload — pure Spark, no graft code, frozen sizes — measured with
+    // the same median-of-reps discipline at the end of the run. Its
+    // numbers depend only on the box (cores available, contention,
+    // JIT state), never on this round's code, so BENCH_rN vs BENCH_rM
+    // per-key deltas can be box-bias-corrected in-artifact: divide by
+    // the control drift before attributing a delta to code. Three
+    // probes cover the cost components keys are made of: codegen CPU
+    // (hash-sum over range), a real shuffle (groupBy), and a sort.
+    def calibProbe(f: () => Unit): Double = {
+      val ws = (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }
+      median(ws)
+    }
+    val calCpu = calibProbe(() =>
+      { spark.range(1L << 24)
+          .selectExpr("sum(pmod(xxhash64(id), 1000000))").collect(); () })
+    val calShuffle = calibProbe(() =>
+      { spark.range(1L << 22).selectExpr("id % 100000 AS k")
+          .groupBy("k").count().selectExpr("sum(count)").collect(); () })
+    val calSort = calibProbe(() =>
+      { spark.range(1L << 21).selectExpr("xxhash64(id) AS h")
+          .orderBy("h").limit(5).collect(); () })
+    println(s"""{"metric":"control","unit":"median sec","probes":{"cpu":${r3(calCpu)},"shuffle":${r3(calShuffle)},"sort":${r3(calSort)}}}""")
     println(s"""{"metric":"host","cpus":${Runtime.getRuntime.availableProcessors()},"load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},"cpu_quota":"$cpuQuota"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpu_s":${r2(cpuTotal)},"n_ok":$nOk,"n_err":$nErr,"gc_ms":$gcTotal,"sf":"$sfDir"}""")
     spark.stop()
