@@ -898,6 +898,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(!sortSpec.zorder,
       "compact_clustered clusters by the sort order's leading column; " +
         "z-ordered tables use compact (full z-order rewrite) instead")
+    // a bucketed table's rewrite must keep bucket placement (grouped
+    // scans/SPJ depend on it) — range-splitting by sort key would land
+    // unplaced files; its incremental maintenance is compact_small
+    require(loadPartSpec(dir).isEmpty,
+      "compact_clustered applies to unpartitioned sorted tables; " +
+        "bucketed tables re-cluster via compact (clustered rewrite)")
     val lead = sortSpec.columns.head
     val head = AvroSnapshots.head(dirPath, branch).getOrElse(return (0, 0))
     val schema = DataType.fromJson(new String(
