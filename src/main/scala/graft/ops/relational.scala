@@ -2669,17 +2669,6 @@ object Relational {
         |UNION ALL SELECT 'meta_rewritten_first', 2, ''
         |UNION ALL SELECT 'meta_rewritten_second', 0, ''
         |ORDER BY tag, id, p""".stripMargin,
-    "catalog_compact_clustered" ->
-      """WITH m AS (SELECT (MAX(o_orderkey) // 4) + 1 AS s FROM orders)
-        |SELECT 'row' AS tag, o_orderkey AS id, o_orderpriority AS p
-        |FROM orders, m WHERE o_orderkey < 3 * s
-        |UNION ALL
-        |SELECT 'row', o_orderkey, o_orderpriority FROM orders, m
-        |WHERE o_orderkey >= 2 * s + s // 2 AND o_orderkey < 3 * s + s // 2
-        |UNION ALL SELECT 'meta_overlapping_pairs_after', 0, ''
-        |UNION ALL SELECT 'meta_rewritten_first', 2, ''
-        |UNION ALL SELECT 'meta_rewritten_second', 0, ''
-        |ORDER BY tag, id, p""".stripMargin,
     "catalog_row_lineage_v2" ->
       """WITH m AS (SELECT (MAX(o_orderkey) // 4) + 1 AS s FROM orders),
         | agg AS (

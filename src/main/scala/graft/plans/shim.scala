@@ -24,20 +24,32 @@ object Shim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
-  /** A sibling session on the SAME SparkContext/SharedState with EXTRA
-    * SparkSessionExtensions injections (the documented extension seam
-    * needs them at session build time; the harness session is
-    * driver-built without ours). The extensions object is shared with
-    * the parent, but the PARENT's sessionState is already built — only
-    * the returned newSession (whose analyzer builds lazily) and
-    * sessions created after this call see the injection, so callers
-    * must inject idempotent-safe rules. */
+  /** A sibling session on the SAME SparkContext/SharedState with its
+    * OWN SparkSessionExtensions carrying the injections (the
+    * documented extension seam needs them at session build time; the
+    * harness session is driver-built without ours). The parent's
+    * extensions object is NEVER touched — injecting into the shared
+    * object would nondeterministically change the parent's (and every
+    * later sibling's) planning depending on whether their lazy
+    * sessionState had materialized yet. Session confs start fresh
+    * (same as newSession()); callers set what they need. */
   def sessionWithExtensions(spark: org.apache.spark.sql.SparkSession,
       inject: org.apache.spark.sql.SparkSessionExtensions => Unit)
       : org.apache.spark.sql.SparkSession = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    inject(cs.extensions)
-    cs.newSession()
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    inject(exts)
+    // the 6-arg constructor is Scala-private (companion-built) but
+    // bytecode-public — the one reflective call in the repo, isolated
+    // here in the documented Spark-namespace shim
+    val ctor = classOf[org.apache.spark.sql.classic.SparkSession]
+      .getDeclaredConstructors
+      .find(_.getParameterCount == 6)
+      .getOrElse(throw new IllegalStateException(
+        "SparkSession 6-arg constructor not found — Spark version drift"))
+    ctor.newInstance(cs.sparkContext, Some(cs.sharedState), None, exts,
+      Map.empty[String, String], Map.empty[String, String])
+      .asInstanceOf[org.apache.spark.sql.SparkSession]
   }
 
   /** Drop the block-manager storage behind a localCheckpoint()ed frame.

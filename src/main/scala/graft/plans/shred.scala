@@ -52,27 +52,31 @@ object VariantShredPrune extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** `(column, path, type, op, literalText)` when the expression is a
-    * supported extraction-vs-literal comparison over `rel`'s output. */
+  /** `(column, path, type, op, literalText, strict)` when the
+    * expression is a supported extraction-vs-literal comparison over
+    * `rel`'s output. `strict` records the extraction's failOnError so
+    * the scan can preserve strict error semantics (see
+    * [[VariantShredding.Pred]]). */
   private def asShredCmp(e: Expression, rel: DataSourceV2Relation)
-      : Option[(String, String, DataType, String, String)] = {
-    def extraction(x: Expression): Option[(String, String, DataType)] =
+      : Option[(String, String, DataType, String, String, Boolean)] = {
+    def extraction(x: Expression): Option[(String, String, DataType, Boolean)] =
       x match {
         case VariantGet(a: AttributeReference,
-            Literal(p: UTF8String, StringType), dt, _, _)
+            Literal(p: UTF8String, StringType), dt, failOnError, _)
           if rel.outputSet.contains(a) &&
             (dt == LongType || dt == DoubleType || dt == StringType) =>
-          Some((a.name, p.toString, dt))
+          Some((a.name, p.toString, dt,
+            failOnError.asInstanceOf[Boolean]))
         case _ => None
       }
     def side(l: Expression, r: Expression, op: String, flipped: String)
-        : Option[(String, String, DataType, String, String)] =
+        : Option[(String, String, DataType, String, String, Boolean)] =
       (extraction(l), r) match {
-        case (Some((c, p, dt)), Literal(v, lt)) if lt == dt =>
-          lit(v, dt).map(vs => (c, p, dt, op, vs))
+        case (Some((c, p, dt, st)), Literal(v, lt)) if lt == dt =>
+          lit(v, dt).map(vs => (c, p, dt, op, vs, st))
         case _ => (extraction(r), l) match {
-          case (Some((c, p, dt)), Literal(v, lt)) if lt == dt =>
-            lit(v, dt).map(vs => (c, p, dt, flipped, vs))
+          case (Some((c, p, dt, st)), Literal(v, lt)) if lt == dt =>
+            lit(v, dt).map(vs => (c, p, dt, flipped, vs, st))
           case _ => None
         }
       }

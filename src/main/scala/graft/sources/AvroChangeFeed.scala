@@ -162,6 +162,27 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
     val e = end.asInstanceOf[AvroVersionOffset].version
     val out = scala.collection.mutable.ArrayBuffer.empty[CdfSplit]
     val ws = windows(s, e)
+    // ONE lineage-log parse per planning pass, not one per gap window
+    lazy val logged = AvroSnapshots.loggedTimestamps(path)
+    // pre-lineage-log tables: walk the feed's OWN lineage down from
+    // its head; the nearest retained snapshot ABOVE v (possibly beyond
+    // this batch's end) bounds the expired commit's time — same
+    // lineage by construction, never a foreign branch's clock
+    def legacyNearestRetainedAfter(v: Long): Option[Long] = {
+      var cur = AvroSnapshots.headVersion(path).getOrElse(-1L)
+      var best: Option[Long] = None
+      var guard = 0
+      while (cur > v && guard < 1000000) {
+        AvroSnapshots.load(path, cur) match {
+          case Some(sn) =>
+            best = Some(sn.timestampMs)
+            cur = if (sn.parent < cur) sn.parent else -1L
+          case None => cur = -1L // chain broken and no log: stop
+        }
+        guard += 1
+      }
+      best
+    }
     ws.foreach { case (prevV, v, d) =>
       if (!d.rewriteOnly) {
         val prev = entriesAt(prevV)
@@ -180,15 +201,12 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
         // endpoint of THIS FEED'S OWN window chain (same lineage by
         // construction); none retained at all is corrupt — fail loudly
         val tsMs = snap.map(_.timestampMs)
-          .orElse(AvroSnapshots.loggedTimestamp(path, v))
-          .getOrElse {
-            ws.iterator.filter(_._2 > v)
-              .flatMap(w => AvroSnapshots.load(path, w._2).map(_.timestampMs))
-              .nextOption().getOrElse(throw new IllegalStateException(
-                s"change feed of $path: no retained snapshot at or after " +
-                  s"version $v on the feed's lineage to source a commit " +
-                  "timestamp from"))
-          }
+          .orElse(logged.get(v))
+          .orElse(legacyNearestRetainedAfter(v))
+          .getOrElse(throw new IllegalStateException(
+            s"change feed of $path: no retained snapshot at or after " +
+              s"version $v on the feed's lineage to source a commit " +
+              "timestamp from"))
         val delTag = if (isUpdate) "update_preimage" else "delete"
         val insTag = if (isUpdate) "update_postimage" else "insert"
         val removed = prev.keySet -- cur.keySet

@@ -584,8 +584,14 @@ class AvroDirTable(path: String, tableSchema: StructType,
           options.get(VariantShredding.OptionKey))
       private def shredResolve(st: Map[String, AvroStats.ColStats])(
           a: String): Option[AvroStats.ColStats] =
-        shredPushed.find(_.statsName == a)
-          .flatMap(p => st.get(a).map(AvroStats.coerce(_, p.typ)))
+        shredPushed.find(_.statsName == a).flatMap { p =>
+          st.get(a)
+            // a STRICT variant_get may prune only null-free files: a
+            // shadow null could be a cast failure the strict read-side
+            // expression would THROW on — pruning would suppress it
+            .filter(cs => !p.strict || cs.nulls == 0L)
+            .map(AvroStats.coerce(_, p.typ))
+        }
       /** The view minus whole manifest GROUPS and then individual files
         * the pushed filters provably exclude. Group pruning runs FIRST,
         * against the aggregated hull stats in the version file's group
@@ -1626,11 +1632,17 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
               if (physRowId >= 0) rec.get(physRowId) else null,
               firstRowId, rowPos)
           else if (idx(i) == -5) {
-            val phys = if (physLuv >= 0) rec.get(physLuv) else null
+            // a file CARRYING the physical column is a maintenance
+            // rewrite: its per-row value is authoritative INCLUDING
+            // null (a legacy row's unknown stamp stays unknown —
+            // compaction must not bump it to its own commit); only
+            // files WITHOUT the column inherit their addedVersion
             vals(i) =
-              if (phys != null)
-                java.lang.Long.valueOf(
-                  phys.asInstanceOf[java.lang.Number].longValue)
+              if (physLuv >= 0) rec.get(physLuv) match {
+                case null => null
+                case v: java.lang.Number => java.lang.Long.valueOf(v.longValue)
+                case _ => null
+              }
               else if (addedVersion >= 0) java.lang.Long.valueOf(addedVersion)
               else null
           }

@@ -452,6 +452,11 @@ object AvroSnapshots {
   def loggedTimestamp(path: String, v: Long): Option[Long] =
     lineage(path).get(v).map(_._2)
 
+  /** All logged (version → commit timestampMs) pairs in ONE parse —
+    * for callers resolving many versions per planning pass. */
+  def loggedTimestamps(path: String): Map[Long, Long] =
+    lineage(path).view.mapValues(_._2).toMap
+
   /** Newest value of commit property `key` on the branch's lineage
     * (walking parents from the head; expired chain members are stepped
     * over via the durable lineage log). O(versions since the property

@@ -97,7 +97,8 @@ class GraftDeltaOperation(path: String, tableSchema: StructType,
           new File(path, e.name).getAbsolutePath,
           e.dv.map(d => new File(path, d).getAbsolutePath),
           e.eq.map(n => new File(path, n).getAbsolutePath),
-          e.firstRowId): InputPartition)
+          e.firstRowId,
+          e.addedVersion): InputPartition) // _luv resolves in MOR DML too
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =

@@ -919,14 +919,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .map(AvroStats.coerce(_, leadField.dataType))
           .flatMap(cs => for (mn <- cs.min; mx <- cs.max) yield (mn, mx))
       }
-    // overlap-connected components over the hulls (sweep on sorted min)
+    // overlap-connected components over the hulls (sweep on sorted
+    // min). String bounds at/beyond the stats truncation width may be
+    // a prefix (min) or a bumped prefix existing in NO row (max) —
+    // "overlap" between such covering bounds is unknowable, and a
+    // rewrite could never tighten it below the truncation width, so
+    // treating it as overlap would re-rewrite the same component on
+    // every pass forever. Unknowable ⇒ NOT dirty (clustering is an
+    // optimization; idempotence and O(dirty) cost are the contract).
+    def truncated(v: Any): Boolean = v match {
+      case s: String => s.codePointCount(0, s.length) >= AvroStats.MaxStringBound
+      case _ => false
+    }
     val hulled = head.entries.flatMap(e => hull(e).map(e -> _))
       .sortWith((a, b) => AvroStats.cmpBounds(a._2._1, b._2._1) < 0)
     val components = scala.collection.mutable.ArrayBuffer
       .empty[scala.collection.mutable.ArrayBuffer[AvroSnapshots.FileEntry]]
     var curMax: Any = null
     hulled.foreach { case (e, (mn, mx)) =>
-      if (components.isEmpty || AvroStats.cmpBounds(mn, curMax) > 0) {
+      if (components.isEmpty || AvroStats.cmpBounds(mn, curMax) > 0 ||
+          truncated(mn) || truncated(curMax)) {
         components += scala.collection.mutable.ArrayBuffer(e)
         curMax = mx
       } else {

@@ -102,7 +102,11 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
           AvroFileSplit(new File(path, e.name).getAbsolutePath,
             e.dv.map(d => new File(path, d).getAbsolutePath),
             e.eq.map(n => new File(path, n).getAbsolutePath),
-            e.firstRowId): InputPartition)
+            e.firstRowId,
+            // _last_updated_version must resolve inside DML scans too:
+            // a DELETE/UPDATE predicated on it would otherwise read
+            // null for every inheritance-stamped row and match nothing
+            e.addedVersion): InputPartition)
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =

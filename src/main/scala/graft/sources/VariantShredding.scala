@@ -73,6 +73,15 @@ object VariantShredding {
   def declare(tablePath: String, column: String, path: String,
       typ: String): Unit = {
     require(path.startsWith("$"), s"shred path must start with '$$': $path")
+    // an unparseable path must be REFUSED here, at declaration — not
+    // discovered by every subsequent write's extractor construction
+    // (which would brick all writes to the table)
+    try VariantGet.getParsedPath(path, "set_variant_shredding")
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"invalid variant path '$path': ${e.getMessage}") }
+    require(!path.contains(FieldSep) && !path.contains(RecordSep) &&
+      !path.contains("\""),
+      s"shred path contains a reserved character: $path")
     val t = parseType(typ) // validate
     val next = specsFor(tablePath)
       .filterNot(s => s.column.equalsIgnoreCase(column) && s.path == path) :+
@@ -131,9 +140,14 @@ object VariantShredding {
 
   /** One decoded pruning predicate: a V1 filter whose attribute is the
     * SHADOW stats name, plus the declared extraction type (re-types
-    * parsed bounds — NaN sentinels etc. — before comparing). */
+    * parsed bounds — NaN sentinels etc. — before comparing). `strict` =
+    * the plan's variant_get has failOnError=true: such a predicate may
+    * prune ONLY files with ZERO shadow nulls — a null extraction could
+    * be a cast failure the strict expression would THROW on, and
+    * pruning the file would silently suppress that error. try-variant
+    * extractions (and null-free files) prune unconditionally. */
   case class Pred(statsName: String, typ: DataType,
-      filter: org.apache.spark.sql.sources.Filter)
+      filter: org.apache.spark.sql.sources.Filter, strict: Boolean)
 
   /** Codec separators: ASCII unit / record separator -- neither can
     * appear in a SQL identifier, and a literal containing one is
@@ -141,23 +155,25 @@ object VariantShredding {
   val FieldSep = "\u0001"
   val RecordSep = "\u0002"
 
-  /** `(column, path, type, op, literalText)` tuples -> option value.
-    * op in {gt, ge, lt, le, eq}. */
-  def encodePredicates(ps: Seq[(String, String, DataType, String, String)]): String =
-    ps.map { case (c, p, t, op, v) =>
+  /** `(column, path, type, op, literalText, strict)` tuples -> option
+    * value. op in {gt, ge, lt, le, eq}. */
+  def encodePredicates(
+      ps: Seq[(String, String, DataType, String, String, Boolean)]): String =
+    ps.map { case (c, p, t, op, v, strict) =>
       val tn = t match {
         case LongType => "bigint"; case DoubleType => "double"
         case StringType => "string"
       }
-      Seq(c, p, tn, op, v).mkString(FieldSep)
+      Seq(c, p, tn, op, v, if (strict) "s" else "t").mkString(FieldSep)
     }.mkString(RecordSep)
 
   def decodePredicates(enc: String): Seq[Pred] = {
     import org.apache.spark.sql.sources._
     if (enc == null || enc.isEmpty) return Nil
     try enc.split(RecordSep).toSeq.flatMap { rec =>
-      rec.split(FieldSep, 5) match {
-        case Array(c, p, tn, op, vs) =>
+      rec.split(FieldSep, 6) match {
+        case Array(c, p, tn, op, vs, st) =>
+          val strict = st != "t" // unknown spelling -> conservative
           val t = parseType(tn)
           val v: Any = t match {
             case LongType   => Long.box(vs.toLong)
@@ -173,7 +189,7 @@ object VariantShredding {
             case "eq" => Some(EqualTo(name, v))
             case _    => None
           }
-          f.map(Pred(name, t, _))
+          f.map(Pred(name, t, _, strict))
         case _ => Nil
       }
     } catch { case _: Exception => Nil } // malformed -> never prune
@@ -190,7 +206,11 @@ object VariantShredding {
     if (specs.isEmpty) return null
     val out = schema.fields.map { f =>
       if (f.dataType != org.apache.spark.sql.types.VariantType) Seq.empty[Extractor]
-      else specs.filter(_.column.equalsIgnoreCase(f.name)).map(new Extractor(_))
+      else specs.filter(_.column.equalsIgnoreCase(f.name)).flatMap { sh =>
+        // a hand-edited/corrupt declaration must degrade to "no shadow
+        // stats for this path", never break the table's writes
+        try Some(new Extractor(sh)) catch { case _: Exception => None }
+      }
     }
     if (out.forall(_.isEmpty)) null else out
   }

@@ -112,9 +112,11 @@ class VariantShredSuite extends SparkSuiteBase {
       "mis-typed file must record an all-null shadow entry")
 
     // predicate matching only file A's rows: A has no shadow stats →
-    // must be KEPT (sound), so the answer is exact
+    // must be KEPT (sound), so the answer is exact (try spelling —
+    // a strict bigint extraction over this mixed table throws on file
+    // C's string rows by DESIGN, shredded or not; asserted below)
     val qa = vs.sql("""SELECT id FROM vcat.db.old
-                      |WHERE variant_get(payload, '$.k', 'bigint') < 100""".stripMargin)
+                      |WHERE try_variant_get(payload, '$.k', 'bigint') < 100""".stripMargin)
     assert(qa.count() == 100, "pre-declaration file was wrongly pruned")
     // string-typed extraction over the mis-typed file stays exact too
     // (C's bigint shadow entry is all-null, but the predicate's TYPE is
@@ -122,12 +124,23 @@ class VariantShredSuite extends SparkSuiteBase {
     val qc = vs.sql("""SELECT id FROM vcat.db.old
                       |WHERE variant_get(payload, '$.k', 'string') = 's2050'""".stripMargin)
     assert(qc.count() == 1)
-    // bigint predicate CAN prune the all-null mis-typed file: none of
-    // its rows extract a bigint, so none can match — count stays exact
+    // STRICT variant_get must still SURFACE the cast error file C's
+    // rows raise — a strict predicate never prunes a file with shadow
+    // nulls (the null could be exactly such a failure), so the scan
+    // reads C and throws, same as an unshredded table would
+    val strictErr = intercept[Exception](
+      vs.sql("""SELECT id FROM vcat.db.old
+               |WHERE variant_get(payload, '$.k', 'bigint') >= 1000""".stripMargin)
+        .count())
+    assert(strictErr.toString.contains("INVALID_VARIANT_CAST") ||
+      Option(strictErr.getCause).exists(_.toString.contains("INVALID_VARIANT_CAST")),
+      s"expected the strict cast error to surface, got $strictErr")
+    // the TRY spelling has no error to hide: the all-null mis-typed
+    // file prunes (none of its rows extract a bigint) — count exact
     val qb = vs.sql("""SELECT id FROM vcat.db.old
-                      |WHERE variant_get(payload, '$.k', 'bigint') >= 1000""".stripMargin)
+                      |WHERE try_variant_get(payload, '$.k', 'bigint') >= 1000""".stripMargin)
     assert(qb.count() == 100)
-    assert(plannedFiles(qb) <= 2, "all-null shadow file should prune")
+    assert(plannedFiles(qb) <= 2, "all-null shadow file should prune for try_")
   }
 
   test("string shreds prune; compaction backfills shadow stats") {
