@@ -995,7 +995,10 @@ object Relational {
                       |FROM graftcat.lake.orders_shred
                       |WHERE variant_get(payload, '$$.k', 'bigint')
                       |  BETWEEN $slice AND ${2 * slice - 1}""".stripMargin)
-    q.collect() // finalize the (possibly adaptive) plan before reading it
+    // finalize the (possibly adaptive) plan before reading it — RDD-level
+    // force, O(0) rows cross to the driver (a collect() here would
+    // materialize the full scored slice driver-side at scale)
+    q.queryExecution.toRdd.foreachPartition(_ => ())
     val planned = q.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         b.inputPartitions.size

@@ -37,9 +37,13 @@ object GraftExtensions {
 
   /** A sibling session of `spark` carrying the FULL graft extension set
     * (built via [[Shim.sessionWithExtensions]] — injected rules need a
-    * sessionState built AFTER injection). MEMOIZED per parent: the
-    * extensions object is shared with the parent, so repeated injection
-    * would stack duplicate (idempotent but wasteful) rule entries. */
+    * sessionState built AFTER injection; the sibling gets its OWN
+    * isolated extensions object, the parent's is never touched).
+    * The parent's SET session confs at first-call time are copied into
+    * the sibling; later parent conf changes do not propagate — set
+    * confs on the returned session if needed. MEMOIZED per parent so
+    * repeated calls reuse one sibling (sessionState construction is
+    * expensive) and injected rule state stays singleton. */
   private val extSessions =
     new java.util.WeakHashMap[SparkSession, SparkSession]
   def sessionWith(spark: SparkSession): SparkSession =

@@ -31,14 +31,19 @@ object Shim {
     * extensions object is NEVER touched — injecting into the shared
     * object would nondeterministically change the parent's (and every
     * later sibling's) planning depending on whether their lazy
-    * sessionState had materialized yet. Session confs start fresh
-    * (same as newSession()); callers set what they need. */
+    * sessionState had materialized yet. The parent's SET session confs
+    * (catalog registrations, shuffle partitions, …) are copied in as
+    * the sibling's initialSessionOptions so behavior matches the
+    * caller's session; confs set on the parent AFTER this call do not
+    * propagate. */
   def sessionWithExtensions(spark: org.apache.spark.sql.SparkSession,
       inject: org.apache.spark.sql.SparkSessionExtensions => Unit)
       : org.apache.spark.sql.SparkSession = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     inject(exts)
+    // the parent's explicitly-set SQL confs (not the full default set)
+    val parentConfs = cs.sessionState.conf.getAllConfs
     // the 6-arg constructor is Scala-private (companion-built) but
     // bytecode-public — the one reflective call in the repo, isolated
     // here in the documented Spark-namespace shim
@@ -48,7 +53,7 @@ object Shim {
       .getOrElse(throw new IllegalStateException(
         "SparkSession 6-arg constructor not found — Spark version drift"))
     ctor.newInstance(cs.sparkContext, Some(cs.sharedState), None, exts,
-      Map.empty[String, String], Map.empty[String, String])
+      parentConfs, Map.empty[String, String])
       .asInstanceOf[org.apache.spark.sql.SparkSession]
   }
 

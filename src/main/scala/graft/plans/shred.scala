@@ -47,9 +47,28 @@ object VariantShredPrune extends Rule[LogicalPlan] {
       val s = x.toString
       // codec separators inside the literal would corrupt the record
       if (s.contains(graft.sources.VariantShredding.FieldSep) ||
-          s.contains(graft.sources.VariantShredding.RecordSep)) None
+          s.contains(graft.sources.VariantShredding.RecordSep) ||
+          s.contains(graft.sources.VariantShredding.ValueSep)) None
       else Some(s)
     case _ => None
+  }
+
+  /** Encode an IN-list's members for the value field, or None when the
+    * predicate must not be encoded. A NULL member is dropped (x = NULL
+    * is never TRUE, so it admits no rows — dropping it can only keep
+    * MORE files); any other unencodable member aborts the WHOLE
+    * predicate (omitting a matchable value would over-prune). */
+  private def inValues(vs: Iterable[Any], dt: DataType): Option[String] = {
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    vs.foreach {
+      case null => ()
+      case v => lit(v, dt) match {
+        case Some(s) => kept += s
+        case None    => return None
+      }
+    }
+    if (kept.isEmpty) None
+    else Some(kept.mkString(graft.sources.VariantShredding.ValueSep))
   }
 
   /** `(column, path, type, op, literalText, strict)` when the
@@ -64,9 +83,17 @@ object VariantShredPrune extends Rule[LogicalPlan] {
         case VariantGet(a: AttributeReference,
             Literal(p: UTF8String, StringType), dt, failOnError, _)
           if rel.outputSet.contains(a) &&
-            (dt == LongType || dt == DoubleType || dt == StringType) =>
-          Some((a.name, p.toString, dt,
-            failOnError.asInstanceOf[Boolean]))
+            (dt == LongType || dt == DoubleType || dt == StringType) => {
+          val path = p.toString
+          // Quoted path segments may legally contain the codec
+          // separators; encoding such a path would re-align
+          // decodePredicates into a synthetic predicate on a different
+          // declared path — unsound pruning. Skip them (same check as
+          // the value literal in lit()).
+          if (path.contains(VariantShredding.FieldSep) ||
+              path.contains(VariantShredding.RecordSep)) None
+          else Some((a.name, path, dt, failOnError.asInstanceOf[Boolean]))
+        }
         case _ => None
       }
     def side(l: Expression, r: Expression, op: String, flipped: String)
@@ -86,6 +113,21 @@ object VariantShredPrune extends Rule[LogicalPlan] {
       case LessThan(l, r)           => side(l, r, "lt", "gt")
       case LessThanOrEqual(l, r)    => side(l, r, "le", "ge")
       case EqualTo(l, r)            => side(l, r, "eq", "eq")
+      // IN over a declared extraction — a disjunction of point tests
+      // per file (AvroStats.fileMightMatch already folds sources.In).
+      // Both spellings: pre-OptimizeIn (literal list) and post
+      // (InSet's runtime value set).
+      case In(x, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        extraction(x).flatMap { case (c, p, dt, st) =>
+          val typed = list.forall { case Literal(v, lt) => v == null || lt == dt }
+          if (!typed) None
+          else inValues(list.map { case Literal(v, _) => v }, dt)
+            .map(vs => (c, p, dt, "in", vs, st))
+        }
+      case InSet(x, hset) =>
+        extraction(x).flatMap { case (c, p, dt, st) =>
+          inValues(hset, dt).map(vs => (c, p, dt, "in", vs, st))
+        }
       case _ => None
     }
   }

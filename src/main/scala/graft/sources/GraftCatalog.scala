@@ -948,7 +948,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     def sidecarred(e: AvroSnapshots.FileEntry) =
       e.dv.isDefined || e.eq.nonEmpty
-    val statsless = head.entries.filter(hull(_).isEmpty)
+    // No usable hull splits two ways: stats JSON absent entirely → a
+    // rewrite GAINS stats (dirty, rewrite alone); stats present but
+    // the sort-key hull absent (all-NULL lead column) → no rewrite can
+    // ever produce bounds, so rewriting would repeat forever — skip it
+    // (unless sidecarred: materializing its deletes away still pays).
+    val statsless = head.entries.filter(e =>
+      hull(e).isEmpty && (e.stats.isEmpty || sidecarred(e)))
     val dirtyGroups: Seq[Seq[AvroSnapshots.FileEntry]] =
       components.filter(c => c.size >= 2 || c.exists(sidecarred))
         .map(_.toSeq).toSeq ++
@@ -1005,12 +1011,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       AvroSnapshots.FileEntry(n, None, 0, st, None)
     }.toSeq
     val dropped = dirtyGroups.flatten.map(_.name).toSet
-    AvroSnapshots.withCommitLock(dirPath) {
-      AvroSnapshots.commit(dirPath, schema,
-        (head.entries.filterNot(e => dropped(e.name)) ++ newEntries)
-          .sortBy(_.name),
-        AvroSnapshots.KindRewrite, branch,
-        expectedParent = Some(head.version))
+    // commit failure (e.g. expectedParent mismatch from a concurrent
+    // commit) must not leak the freshly written jobId files as orphans
+    try {
+      AvroSnapshots.withCommitLock(dirPath) {
+        AvroSnapshots.commit(dirPath, schema,
+          (head.entries.filterNot(e => dropped(e.name)) ++ newEntries)
+            .sortBy(_.name),
+          AvroSnapshots.KindRewrite, branch,
+          expectedParent = Some(head.version))
+      }
+    } catch {
+      case e: Throwable =>
+        AvroDirSource.listAllAvro(dirPath)
+          .filter(_.getName.contains(jobId)).foreach(_.delete())
+        throw e
     }
     (dropped.size, head.entries.size - dropped.size + newEntries.length)
   }

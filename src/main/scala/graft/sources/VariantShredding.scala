@@ -83,14 +83,23 @@ object VariantShredding {
       !path.contains("\""),
       s"shred path contains a reserved character: $path")
     val t = parseType(typ) // validate
-    val next = specsFor(tablePath)
-      .filterNot(s => s.column.equalsIgnoreCase(column) && s.path == path) :+
-      Shred(column, path, t)
-    val body = next.map(s =>
-      s"""{"column":"${s.column}","path":"${s.path}","type":"${s.typName}"}""")
-      .mkString("[", ",", "]")
-    Files.write(new File(tablePath, SpecFile).toPath,
-      body.getBytes(StandardCharsets.UTF_8))
+    // serialize concurrent declares (lost-update) under the table's
+    // commit lock, and publish via temp-file + atomic rename so a
+    // concurrent writer's specsFor never reads a torn file
+    AvroSnapshots.withCommitLock(tablePath) {
+      val next = specsFor(tablePath)
+        .filterNot(s => s.column.equalsIgnoreCase(column) && s.path == path) :+
+        Shred(column, path, t)
+      val body = next.map(s =>
+        s"""{"column":"${s.column}","path":"${s.path}","type":"${s.typName}"}""")
+        .mkString("[", ",", "]")
+      val tmp = new File(tablePath, SpecFile + ".tmp." +
+        java.util.UUID.randomUUID.toString.take(8))
+      Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp.toPath, new File(tablePath, SpecFile).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     ()
   }
 
@@ -155,8 +164,13 @@ object VariantShredding {
   val FieldSep = "\u0001"
   val RecordSep = "\u0002"
 
+  /** Joins the members of an IN list inside the value field (op=in);
+    * rejected in literals/paths by the rule like the other two. */
+  val ValueSep = "\u0003"
+
   /** `(column, path, type, op, literalText, strict)` tuples -> option
-    * value. op in {gt, ge, lt, le, eq}. */
+    * value. op in {gt, ge, lt, le, eq, in} -- for `in` the value text
+    * is the ValueSep-joined member list. */
   def encodePredicates(
       ps: Seq[(String, String, DataType, String, String, Boolean)]): String =
     ps.map { case (c, p, t, op, v, strict) =>
@@ -175,7 +189,10 @@ object VariantShredding {
         case Array(c, p, tn, op, vs, st) =>
           val strict = st != "t" // unknown spelling -> conservative
           val t = parseType(tn)
-          val v: Any = t match {
+          // lazy: for op=in the field is a joined LIST — the scalar
+          // parse would throw (and the outer catch would drop EVERY
+          // predicate in the option)
+          lazy val v: Any = t match {
             case LongType   => Long.box(vs.toLong)
             case DoubleType => Double.box(vs.toDouble)
             case StringType => vs
@@ -187,6 +204,17 @@ object VariantShredding {
             case "lt" => Some(LessThan(name, v))
             case "le" => Some(LessThanOrEqual(name, v))
             case "eq" => Some(EqualTo(name, v))
+            case "in" =>
+              // value field is the ValueSep-joined member list; every
+              // member re-typed like the scalar case
+              val vals: Array[Any] = vs.split(ValueSep, -1).map { m =>
+                (t match {
+                  case LongType   => Long.box(m.toLong)
+                  case DoubleType => Double.box(m.toDouble)
+                  case StringType => m
+                }): Any
+              }
+              if (vals.isEmpty) None else Some(In(name, vals))
             case _    => None
           }
           f.map(Pred(name, t, _, strict))

@@ -143,6 +143,56 @@ class VariantShredSuite extends SparkSuiteBase {
     assert(plannedFiles(qb) <= 2, "all-null shadow file should prune for try_")
   }
 
+  test("IN lists over a declared path prune (both In and InSet spellings)") {
+    // reuses the 4-file vcat.db.ev table from the first test (rebuild
+    // if another order ran): 4 disjoint $.k hulls of 1000 each
+    if (!vs.catalog.tableExists("vcat.db.ev")) cancel("ev not built")
+    // 3 members spanning 2 files → Catalyst keeps sources-side In
+    val q = vs.sql("""SELECT id FROM vcat.db.ev
+                     |WHERE variant_get(payload, '$.k', 'bigint')
+                     |  IN (1200, 1300, 3500)""".stripMargin)
+    assert(q.count() == 3)
+    assert(plannedFiles(q) == 2,
+      "IN list spanning 2 hulls must plan exactly 2 of 4 files")
+    // >10 members → OptimizeIn rewrites to InSet before our rule
+    val members = ((1200 to 1210) :+ 3500).mkString(", ")
+    val q2 = vs.sql(s"""SELECT id FROM vcat.db.ev
+                       |WHERE variant_get(payload, '$$.k', 'bigint')
+                       |  IN ($members)""".stripMargin)
+    assert(q2.count() == 12)
+    assert(plannedFiles(q2) == 2,
+      "InSet spelling must prune identically")
+    // a NULL member admits no rows — dropped, rest still prunes
+    val q3 = vs.sql("""SELECT id FROM vcat.db.ev
+                      |WHERE variant_get(payload, '$.k', 'bigint')
+                      |  IN (CAST(NULL AS BIGINT), 2500)""".stripMargin)
+    assert(q3.count() == 1 && plannedFiles(q3) == 1)
+  }
+
+  test("quoted path containing codec separators never encodes (no false prune)") {
+    if (!vs.catalog.tableExists("vcat.db.ev")) cancel("ev not built")
+    // a path whose QUOTED segment embeds the codec field separator; if
+    // encoded, decodePredicates would re-align it into a synthetic
+    // predicate on the genuinely declared '$.k' and wrongly prune to
+    // the file holding 3500 — the fix refuses to encode such paths, so
+    // the scan plans ALL files (the path is undeclared → no stats)
+    val F = graft.sources.VariantShredding.FieldSep
+    val evil = s"$$['k${F}bigint${F}eq${F}3500${F}t']"
+    try {
+      val q = vs.sql(s"""SELECT id FROM vcat.db.ev
+                        |WHERE try_variant_get(payload, '$evil', 'bigint')
+                        |  > 99999""".stripMargin)
+      assert(q.count() == 0)
+      assert(plannedFiles(q) == 4,
+        "separator-bearing path must not produce any pruning predicate")
+    } catch {
+      // the variant path parser may refuse control chars outright —
+      // then the predicate can never reach the rule and the hazard is
+      // moot by construction
+      case e: org.apache.spark.sql.AnalysisException => ()
+    }
+  }
+
   test("string shreds prune; compaction backfills shadow stats") {
     vs.sql("CREATE NAMESPACE IF NOT EXISTS vcat.db")
     vs.sql("DROP TABLE IF EXISTS vcat.db.sv")

@@ -322,6 +322,30 @@ class ZOrderSuite extends SparkSuiteBase {
       .collect().head.getLong(0) == 0)
   }
 
+  test("compact_clustered skips all-null sort-key files (idempotence holds)") {
+    zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
+    zs.sql("DROP TABLE IF EXISTS zcat.db.nul")
+    zs.sql("CREATE TABLE zcat.db.nul (k BIGINT, v STRING)")
+    // one ordinary file plus one whose sort column is ALL NULL — its
+    // stats exist but the k hull is absent; a rewrite can never gain
+    // bounds, so it must NOT be classified statsless-dirty
+    zs.sql("""INSERT INTO zcat.db.nul
+             |SELECT /*+ REPARTITION(1) */ id, CONCAT('r', id)
+             |FROM range(0, 100)""".stripMargin)
+    zs.sql("""INSERT INTO zcat.db.nul
+             |SELECT /*+ REPARTITION(1) */ CAST(NULL AS BIGINT), CONCAT('n', id)
+             |FROM range(0, 50)""".stripMargin)
+    cat.setSortOrder(Identifier.of(Array("db"), "nul"), "k")
+    val (rw, after) = cat.compactClustered(Identifier.of(Array("db"), "nul"), zs)
+    assert(rw == 0 && after == 2,
+      s"all-null-hull file must not rewrite (rewrote $rw)")
+    // second pass no-op too (the old bug rewrote it on EVERY call)
+    assert(cat.compactClustered(Identifier.of(Array("db"), "nul"), zs)
+      == ((0, 2)))
+    assert(zs.sql("SELECT COUNT(*) FROM zcat.db.nul")
+      .collect().head.getLong(0) == 150)
+  }
+
   test("zorder guard rails: strings refused, arity enforced") {
     zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
     zs.sql("DROP TABLE IF EXISTS zcat.db.bad")
