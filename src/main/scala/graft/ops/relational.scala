@@ -1014,6 +1014,85 @@ object Relational {
       .orderBy("id", "k", "p")
   }
 
+  /** PREDICATE-SCOPED INSERT OVERWRITE (round-19 verdict #1 — Delta's
+    * replaceWhere / Iceberg's overwrite-by-filter): `INSERT INTO t
+    * REPLACE WHERE p SELECT ...` drops/COW-rewrites the rows matching
+    * `p` and lands the new files in ONE atomic manifest commit
+    * (kind `replace_where`) — the "recompute this slice" batch-ETL
+    * shape with no delete+insert window a reader could observe.
+    * Scored flow over four quartile-sliced files: (1) a
+    * BOUNDARY-CROSSING replace (half of file 1 + half of file 2 —
+    * both files COW-rewritten, untouched files carried unread);
+    * (2) a SLICE-ALIGNED replace of the last quartile — stats prove
+    * every row matches, so the old file drops UNREAD and ZERO
+    * survivor files are rewritten (pinned via the added-file listing:
+    * no `-rw-` rewrite outputs); the replacement keeps only EVEN keys
+    * (a replace, not an update — the row count changes). Time travel
+    * to the pre-overwrite version and the CDF window are both
+    * hash-pinned. 100-TB note: the old side is O(matching files)
+    * metadata + O(boundary files) rewrite I/O — a day-partition
+    * recompute over a year of data reads two boundary files, not the
+    * year. */
+  private def catalogReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "orders").createOrReplaceTempView("graft_rw_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_rw")
+    s.sql("CREATE TABLE graftcat.lake.orders_rw (k BIGINT, p STRING)")
+    // quartiles of the dense key domain — the slice shape holds at
+    // every SF (keys are dense 0..max)
+    val slice = s.sql(
+      "SELECT (MAX(o_orderkey) DIV 4) + 1 FROM graft_rw_src")
+      .head().getLong(0)
+    for (i <- 0L until 4L)
+      s.sql(s"""INSERT INTO graftcat.lake.orders_rw
+               |SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderpriority
+               |FROM graft_rw_src
+               |WHERE o_orderkey >= ${i * slice}
+               |  AND o_orderkey < ${(i + 1) * slice}""".stripMargin)
+    val v0 = graftcatInstance(s).currentVersion(lakeIdent("orders_rw"))
+    // (1) boundary-crossing replace: [s/2, s + s/2) spans files 1+2
+    val lo1 = slice / 2
+    val hi1 = slice + slice / 2
+    s.sql(s"""INSERT INTO graftcat.lake.orders_rw
+             |REPLACE WHERE k >= $lo1 AND k < $hi1
+             |SELECT o_orderkey, 'RW1' FROM graft_rw_src
+             |WHERE o_orderkey >= $lo1 AND o_orderkey < $hi1""".stripMargin)
+    // (2) slice-aligned replace of the last quartile: full-file drop,
+    // zero survivor rewrites (pinned below); evens only — count changes
+    val filesBefore = s.table("graftcat.lake.orders_rw.files")
+      .select("file").collect().map(_.getString(0)).toSet
+    s.sql(s"""INSERT INTO graftcat.lake.orders_rw
+             |REPLACE WHERE k >= ${3 * slice}
+             |SELECT o_orderkey, 'RW2' FROM graft_rw_src
+             |WHERE o_orderkey >= ${3 * slice} AND o_orderkey % 2 = 0""".stripMargin)
+    val filesAfter = s.table("graftcat.lake.orders_rw.files")
+      .select("file").collect().map(_.getString(0)).toSet
+    val alignedRewrites = (filesAfter -- filesBefore).count(_.contains("-rw-"))
+    // time travel: the pre-overwrite snapshot is intact
+    val tt = s.sql(s"""SELECT COUNT(*),
+                      |  COUNT(IF(p IN ('RW1','RW2'), 1, NULL))
+                      |FROM graftcat.lake.orders_rw VERSION AS OF $v0""".stripMargin)
+      .head()
+    // CDF window (v0, head]: exactly the replaced rows as deletes
+    // (original values) + the new rows as inserts
+    val cdf = s.read.option("startingVersion", v0)
+      .table("graftcat.lake.orders_rw.changes")
+      .select(col("k"),
+        concat_ws(":", col("_change_type"), col("p")).as("p"),
+        lit("cdf").as("tag"))
+    s.table("graftcat.lake.orders_rw")
+      .select(col("k"), col("p"), lit("final").as("tag"))
+      .unionByName(cdf)
+      .unionByName(s.range(1).select(lit(-1L).as("k"),
+        lit(s"${tt.getLong(0)}/${tt.getLong(1)}").as("p"),
+        lit("tt_pre_overwrite").as("tag")))
+      .unionByName(s.range(1).select(lit(-2L).as("k"),
+        lit(alignedRewrites.toLong.toString).as("p"),
+        lit("aligned_survivor_rewrites").as("tag")))
+      .orderBy("k", "tag", "p")
+  }
+
   /** ROW LINEAGE (round-17 verdict #1 — Iceberg v3 row ids / Delta row
     * tracking): every data file's manifest entry carries a monotone
     * `firstRowId` base; a row's stable `_row_id` (hidden metadata
@@ -2286,6 +2365,7 @@ object Relational {
     "catalog_compact_clustered" -> (catalogCompactClustered _),
     "catalog_variant_columns" -> (catalogVariantColumns _),
     "catalog_variant_shredded" -> (catalogVariantShredded _),
+    "catalog_replace_where" -> (catalogReplaceWhere _),
     "catalog_merge_schema_evolution" -> (catalogMergeSchemaEvolution _),
     "catalog_rollback" -> (catalogRollback _),
     "catalog_schema_evolution" -> (catalogSchemaEvolution _),
@@ -2661,6 +2741,28 @@ object Relational {
         |UNION ALL SELECT -1, 1, 'files_planned'
         |UNION ALL SELECT -2, 4, 'files_total'
         |ORDER BY id, k, p""".stripMargin,
+    "catalog_replace_where" ->
+      """WITH m AS (SELECT (MAX(o_orderkey) // 4) + 1 AS s FROM orders),
+        | b AS (SELECT s, s // 2 AS lo1, s + s // 2 AS hi1, 3 * s AS q3
+        |       FROM m)
+        |SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey >= lo1 AND o_orderkey < hi1 THEN 'RW1'
+        |       ELSE o_orderpriority END AS p, 'final' AS tag
+        |FROM orders, b WHERE o_orderkey < q3
+        |UNION ALL SELECT o_orderkey, 'RW2', 'final' FROM orders, b
+        |WHERE o_orderkey >= q3 AND o_orderkey % 2 = 0
+        |UNION ALL SELECT o_orderkey, 'delete:' || o_orderpriority, 'cdf'
+        |FROM orders, b WHERE o_orderkey >= lo1 AND o_orderkey < hi1
+        |UNION ALL SELECT o_orderkey, 'insert:RW1', 'cdf' FROM orders, b
+        |WHERE o_orderkey >= lo1 AND o_orderkey < hi1
+        |UNION ALL SELECT o_orderkey, 'delete:' || o_orderpriority, 'cdf'
+        |FROM orders, b WHERE o_orderkey >= q3
+        |UNION ALL SELECT o_orderkey, 'insert:RW2', 'cdf' FROM orders, b
+        |WHERE o_orderkey >= q3 AND o_orderkey % 2 = 0
+        |UNION ALL SELECT -1, CAST(COUNT(*) AS VARCHAR) || '/0',
+        |  'tt_pre_overwrite' FROM orders
+        |UNION ALL SELECT -2, '0', 'aligned_survivor_rewrites'
+        |ORDER BY k, tag, p""".stripMargin,
     "catalog_compact_clustered" ->
       """WITH m AS (SELECT (MAX(o_orderkey) // 4) + 1 AS s FROM orders)
         |SELECT 'row' AS tag, o_orderkey AS id, o_orderpriority AS p

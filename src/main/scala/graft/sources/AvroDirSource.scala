@@ -430,7 +430,12 @@ class AvroDirTable(path: String, tableSchema: StructType,
       Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
         TableCapability.MICRO_BATCH_READ,
-        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION,
+        // predicate-scoped INSERT OVERWRITE (REPLACE WHERE) + dynamic
+        // partition overwrite — versioned tables only (the atomic
+        // delete+insert needs a manifest commit)
+        TableCapability.OVERWRITE_BY_FILTER,
+        TableCapability.OVERWRITE_DYNAMIC).asJava
     else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
@@ -1013,6 +1018,78 @@ class AvroDirTable(path: String, tableSchema: StructType,
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     pinned.isEmpty && filters.forall(AvroFilterEval.supported)
 
+  /** Manifest-stats triage of `entries` under a delete-shaped
+    * predicate conjunction, shared by COW/MOR DELETE and the
+    * predicate-scoped overwrite (REPLACE WHERE):
+    *   - `skipped`: the predicate provably matches NO row — carried
+    *     into the next manifest unread (at 100 TB this is what makes
+    *     the operation O(matching files), not O(table));
+    *   - `fullDrop`: stats PROVE every row matches (Iceberg's
+    *     metadata delete) — dropped unread, zero tasks; rows already
+    *     dead under a dv/eq sidecar only shrink the live set, so the
+    *     proof covers them too;
+    *   - `candidates`: mixed files that need a row-level pass. */
+  private def partitionByPredicate(entries: Seq[AvroSnapshots.FileEntry],
+      filters: Array[Filter]): (Seq[AvroSnapshots.FileEntry],
+        Seq[AvroSnapshots.FileEntry], Seq[AvroSnapshots.FileEntry]) = {
+    val probeBloom = BloomFilters.anySidecars(path)
+    val (touched, skipped) = entries.partition { e =>
+      val st = e.stats.map(AvroStats.parse)
+        .getOrElse(Map.empty[String, AvroStats.ColStats])
+      AvroStats.fileMightMatch(filters.toSeq, e.name, resolveStats(st)) &&
+      (!probeBloom || BloomFilters.fileMightMatch(
+        path, e.name, filters.toSeq, bloomNames))
+    }
+    val (fullDrop, candidates) = touched.partition { e =>
+      e.stats.exists { sj =>
+        AvroStats.fileMustMatch(filters.toSeq, e.name,
+          resolveStats(AvroStats.parse(sj)))
+      }
+    }
+    (skipped, fullDrop, candidates)
+  }
+
+  /** COPY-ON-WRITE pass over mixed `candidates`: one Spark task per
+    * file rewrites it KEEPING the rows the predicate does not match
+    * (row ids carried physically — lineage survives), reporting the
+    * entry the next manifest should hold; an untouched file keeps its
+    * original entry. Rewrites are named `part-<jobId>-rw-<orig>` so
+    * the change feed pairs them with their original and streams only
+    * the genuinely removed rows. Caller holds the commit lock. */
+  private def cowRewriteSurvivors(spark: org.apache.spark.sql.SparkSession,
+      candidates: Seq[AvroSnapshots.FileEntry], filters: Array[Filter],
+      jobId: String): Seq[AvroSnapshots.FileEntry] = {
+    val schema = tableSchema
+    val dirPath = path
+    val outcome: Array[(String, Option[(String, Option[String])])] =
+      if (candidates.isEmpty) Array.empty
+      else {
+        val cands = candidates.map(e => (e.name, e.dv, e.firstRowId))
+        spark.sparkContext
+          .parallelize(cands, math.min(cands.size, 32))
+          .map { case (n, dv, frid) =>
+            val existing = dv.map(d =>
+              DeletionVectors.read(dirPath, d).toSet)
+              .getOrElse(Set.empty[Long])
+            n -> AvroFilterEval.rewriteVersioned(
+              dirPath, n, schema, filters, jobId, existing, frid)
+          }.collect()
+      }
+    val byName = outcome.toMap
+    candidates.flatMap { e =>
+      byName(e.name).map {
+        case (k, None) if k == e.name => e // untouched
+        case (k, st) =>
+          // a rewrite holds a SUBSET of its original's rows, so
+          // it inherits the original's bucket — grouped scans
+          // stay grouped after DELETE; fresh exact stats ride
+          // along, and any prior DV was materialized away
+          AvroSnapshots.FileEntry(k, e.part, e.specId,
+            st.orElse(e.stats), dv = None)
+      }
+    }
+  }
+
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     val schema = tableSchema
@@ -1092,28 +1169,8 @@ class AvroDirTable(path: String, tableSchema: StructType,
           // carried into the next manifest UNREAD. At 100 TB this is
           // what makes a one-key DELETE cost O(matching files), not a
           // full-table read; files without stats stay candidates.
-          val probeBloom = BloomFilters.anySidecars(path)
-          val (touched, skipped) = entries.partition { e =>
-            val st = e.stats.map(AvroStats.parse)
-              .getOrElse(Map.empty[String, AvroStats.ColStats])
-            AvroStats.fileMightMatch(filters.toSeq, e.name, resolveStats(st)) &&
-            (!probeBloom || BloomFilters.fileMightMatch(
-              path, e.name, filters.toSeq, bloomNames))
-          }
-          // METADATA DELETE (Iceberg's full-file drop): a file whose
-          // stats PROVE every row matches the predicate is dropped
-          // from the next manifest UNREAD — a retention
-          // `DELETE WHERE day < cutoff` over a day-clustered table is
-          // then a pure manifest swap, zero tasks, zero data reads, at
-          // ANY table size. Rows already dead under a dv/eq sidecar
-          // only shrink the live set, so the proof covers them too;
-          // the file itself stays on disk for older snapshots.
-          val (fullDrop, candidates) = touched.partition { e =>
-            e.stats.exists { sj =>
-              AvroStats.fileMustMatch(filters.toSeq, e.name,
-                resolveStats(AvroStats.parse(sj)))
-            }
-          }
+          val (skipped, fullDrop, candidates) =
+            partitionByPredicate(entries, filters)
           val dirPath = path
           val next: Seq[AvroSnapshots.FileEntry] =
             if (mergeOnRead) {
@@ -1147,33 +1204,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
             } else {
               val jobId =
                 java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-              val outcome: Array[(String, Option[(String, Option[String])])] =
-                if (candidates.isEmpty) Array.empty
-                else {
-                  val cands = candidates.map(e => (e.name, e.dv, e.firstRowId))
-                  spark.sparkContext
-                    .parallelize(cands, math.min(cands.size, 32))
-                    .map { case (n, dv, frid) =>
-                      val existing = dv.map(d =>
-                        DeletionVectors.read(dirPath, d).toSet)
-                        .getOrElse(Set.empty[Long])
-                      n -> AvroFilterEval.rewriteVersioned(
-                        dirPath, n, schema, filters, jobId, existing, frid)
-                    }.collect()
-                }
-              val byName = outcome.toMap
-              skipped ++ candidates.flatMap { e =>
-                byName(e.name).map {
-                  case (k, None) if k == e.name => e // untouched
-                  case (k, st) =>
-                    // a rewrite holds a SUBSET of its original's rows, so
-                    // it inherits the original's bucket — grouped scans
-                    // stay grouped after DELETE; fresh exact stats ride
-                    // along, and any prior DV was materialized away
-                    AvroSnapshots.FileEntry(k, e.part, e.specId,
-                      st.orElse(e.stats), dv = None)
-                }
-              }
+              skipped ++ cowRewriteSurvivors(spark, candidates, filters, jobId)
             }
           AvroSnapshots.commit(path, schema,
             next.sortBy(_.name), AvroSnapshots.KindDelete, branch,
@@ -1193,9 +1224,42 @@ class AvroDirTable(path: String, tableSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (pinned.isDefined) throw new UnsupportedOperationException(
       s"${name()} is a time-travel snapshot — snapshots are read-only")
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
       private var doTruncate = false
+      private var overwriteFilters: Option[Array[Filter]] = None
+      private var dynamicOverwrite = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
+      // REPLACE WHERE (predicate-scoped INSERT OVERWRITE — Delta's
+      // replaceWhere / Iceberg's overwrite-by-filter): the most common
+      // batch-ETL write shape after plain append ("recompute this
+      // slice atomically"). The predicate-matched rows are dropped /
+      // COW-rewritten and the new files land in ONE manifest commit —
+      // no delete+insert window a concurrent reader could observe.
+      override def canOverwrite(filters: Array[Filter]): Boolean =
+        versioned && filters.forall(AvroFilterEval.supported)
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          doTruncate = true // degenerate predicate = full overwrite
+        else {
+          if (!versioned) throw new UnsupportedOperationException(
+            s"${name()}: REPLACE WHERE needs a versioned catalog table")
+          require(filters.forall(AvroFilterEval.supported),
+            "REPLACE WHERE predicate contains an unsupported filter shape")
+          overwriteFilters = Some(filters)
+        }
+        this
+      }
+      // Dynamic partition overwrite: replace exactly the partitions
+      // the new data touches (spark.sql.sources.partitionOverwriteMode
+      // =dynamic + INSERT OVERWRITE). Metadata-only on the old side —
+      // entries whose recorded partition value appears among the new
+      // files' values are dropped; nothing is read or rewritten.
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        if (!versioned) throw new UnsupportedOperationException(
+          s"${name()}: dynamic overwrite needs a versioned catalog table")
+        dynamicOverwrite = true
+        this
+      }
       override def build(): Write = new Write with RequiresDistributionAndOrdering {
         // Every batch-write job gets its own id, baked into its file
         // names. That makes commit() able to reconcile the directory:
@@ -1284,7 +1348,61 @@ class AvroDirTable(path: String, tableSchema: StructType,
                 case (f, b, st) => AvroSnapshots.FileEntry(
                   new File(f).getName, b, specId, st, None)
               }.sortBy(_.name)
-              if (doTruncate) {
+              if (overwriteFilters.isDefined) {
+                // REPLACE WHERE, one atomic commit: triage the head's
+                // entries by the predicate (untouched carried unread,
+                // provable full matches dropped unread, mixed files
+                // COW-rewritten keeping non-matching rows with row ids
+                // carried physically) and land the new files alongside.
+                // The lock spans the head read, the rewrite job and the
+                // manifest write — a concurrent append can't be lost.
+                // Kind `replace_where`: the change feed diffs it
+                // generically (whole-file deletes + rw-paired rewrites
+                // + inserts); plain table streams fail loudly on it.
+                // Rewrites reuse THIS job's id, so a failed commit's
+                // abort() cleans them up with the data files.
+                val filters = overwriteFilters.get
+                val sess = org.apache.spark.sql.SparkSession.active
+                AvroSnapshots.withCommitLock(path) {
+                  val prev = headSnapshot()
+                  val old = prev.map(_.entries).getOrElse(Nil)
+                  val (skipped, _, candidates) =
+                    partitionByPredicate(old, filters)
+                  val survivors = skipped ++
+                    cowRewriteSurvivors(sess, candidates, filters, jobId)
+                  AvroSnapshots.commit(path, tableSchema,
+                    (survivors ++ mine).sortBy(_.name),
+                    AvroSnapshots.KindReplaceWhere, branch,
+                    expectedParent = prev.map(_.version))
+                }
+                ()
+              } else if (dynamicOverwrite && partSpec.isDefined) {
+                // dynamic partition overwrite: drop the old entries of
+                // exactly the partition values the new files carry —
+                // metadata-only, zero reads. Every old entry must be
+                // PLACED (carry its partition value): an unplaced file
+                // (e.g. a streaming epoch append) may hold rows of a
+                // replaced partition, so a metadata-only drop would be
+                // unsound — refuse loudly, compact first.
+                AvroSnapshots.withCommitLock(path) {
+                  val prev = headSnapshot()
+                  val old = prev.map(_.entries).getOrElse(Nil)
+                  require(old.forall(_.part.isDefined),
+                    s"${name()}: dynamic overwrite needs every live file " +
+                      "placed in a partition (unplaced appends present — " +
+                      "run compact first)")
+                  val newParts = mine.flatMap(_.part).toSet
+                  val survivors =
+                    old.filterNot(e => e.part.exists(newParts.contains))
+                  AvroSnapshots.commit(path, tableSchema,
+                    (survivors ++ mine).sortBy(_.name),
+                    AvroSnapshots.KindReplaceWhere, branch,
+                    expectedParent = prev.map(_.version))
+                }
+                ()
+              } else if (doTruncate || dynamicOverwrite) {
+                // dynamic overwrite of an UNpartitioned table: the
+                // whole table is one partition — full overwrite
                 val abs = new File(path).getAbsolutePath
                 val basisMap = AvroDirSource.rewriteBasis.get()
                 // a COMPACTION validates its read basis: the rewrite's

@@ -156,6 +156,13 @@ object AvroSnapshots {
     * sound per-row pre/post pairing without key-level diffing, which
     * the consumer can do — it has the key). */
   val KindCdc = "cdc"
+  /** A predicate-scoped INSERT OVERWRITE (`INSERT INTO t REPLACE WHERE
+    * p SELECT ...` / `df.writeTo(t).overwrite(p)` / dynamic partition
+    * overwrite): ONE commit that drops/rewrites the rows matching the
+    * predicate AND lands the new files. The change feed diffs it
+    * generically (full-file deletes + COW-paired rewrites + inserts);
+    * plain table streams fail loudly on it (not an append). */
+  val KindReplaceWhere = "replace_where"
 
   /** Max entries per manifest-group file. */
   val GroupTargetFiles = 512
