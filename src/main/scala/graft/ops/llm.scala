@@ -421,9 +421,12 @@ object Llm {
     * Denser corpora ⇒ raise planes-per-table (finer buckets), more
     * tables (recall back up) — the dials are Params constants.
     */
-  private def dedupEmbedProd(s: SparkSession, dir: String): DataFrame = {
-    import graft.plans.expressions.{dotD, norm2D}
-    val tau = CosineProdTau
+  /** The τ=0.9 embedding family's shared corpus frame: fixture
+    * embeddings (double-cast) UNION the deterministic near-dups
+    * (v′ = 0.9·v + 0.1·v₊₁ for vec_id ≡ 0 mod 5), each with its
+    * squared norm — spelled term-for-term in the oracles. */
+  private def embedProdFrame(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.expressions.norm2D
     val base = T(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val nxt = base.select((col("vec_id") - 1).as("aid"), col("v").as("w"))
@@ -431,9 +434,14 @@ object Llm {
       .join(nxt, col("vec_id") === col("aid"))
       .select((col("vec_id") + lit(EmbedAugOffset)).as("vec_id"),
         zip_with(col("v"), col("w"), (x, y) => lit(0.9) * x + lit(0.1) * y).as("v"))
-    val all = base.unionByName(aug).withColumn("n2", norm2D(col("v")))
-    val nPlanes = EmbedProdTables * EmbedProdPlanes
-    val planes = s.range(nPlanes).select(
+    base.unionByName(aug).withColumn("n2", norm2D(col("v")))
+  }
+
+  /** The md5-derived banded sign-code hyperplanes (EmbedProdTables
+    * tables × EmbedProdPlanes planes — deterministic coordinates, no
+    * driver RNG, cross-engine-spellable). */
+  private def embedProdPlanes(s: SparkSession): DataFrame =
+    s.range(EmbedProdTables * EmbedProdPlanes).select(
       expr(s"CAST(id div $EmbedProdPlanes AS INT)").as("t"),
       expr(s"CAST(id % $EmbedProdPlanes AS INT)").as("k"),
       transform(sequence(lit(0), lit(Dim - 1)),
@@ -441,11 +449,24 @@ object Llm {
           concat_ws("_", lit("dp"), col("id"), d), "UTF-8")), 1, 8), 16, 10).cast("long"),
           lit(1000L)) / 1000.0 - 0.5)
         .as("plane"))
-    val coded = all.crossJoin(broadcast(planes))
+
+  /** Per-(vector, table) 16-bit sign codes of `vecs` (vec_id, v)
+    * against the broadcast planes — one map pass + a partial-agg
+    * groupBy, the O(batch) coding step of the LSH family. */
+  private def embedProdCodes(vecs: DataFrame, planes: DataFrame): DataFrame = {
+    import graft.plans.expressions.dotD
+    vecs.crossJoin(broadcast(planes))
       .withColumn("bit", when(dotD(col("v"), col("plane")) > 0,
         expr("shiftleft(CAST(1 AS BIGINT), k)")).otherwise(lit(0L)))
       .groupBy(col("vec_id"), col("t")).agg(sum(col("bit")).as("code"))
-      .join(all, "vec_id")
+  }
+
+  private def dedupEmbedProd(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.expressions.dotD
+    val tau = CosineProdTau
+    val all = embedProdFrame(s, dir)
+    val coded = embedProdCodes(all.select(col("vec_id"), col("v")),
+      embedProdPlanes(s)).join(all, "vec_id")
     val lhs = coded.select(col("t").as("t1"), col("code").as("code1"),
       col("vec_id").as("id1"), col("v").as("va"), col("n2").as("n2a"))
     val rhs = coded.select(col("t").as("t2"), col("code").as("code2"),
@@ -460,6 +481,80 @@ object Llm {
       .where(col("cos") >= lit(tau))
       .select(col("v1"), col("v2"), dround(col("cos"), 6).as("cos_sim"))
       .orderBy("v1", "v2")
+  }
+
+  /** INCREMENTAL similarity search against a PERSISTED ANN index
+    * (round-19 verdict #2 — the embedding twin of
+    * [[dedupMinhashIncremental]], closing the r18 asymmetry "the
+    * minhash index is persisted+incremental, the embedding index is
+    * not"): the banded sign codes of the existing corpus live in a
+    * VERSIONED CATALOG table (`lake.ann_index` — snapshot isolation,
+    * time travel, compaction all apply to the index itself). A new
+    * vector batch computes O(batch) codes against the SAME broadcast
+    * md5-derived planes, probes batch×index and batch×batch on the
+    * (table, 16-bit code) key, exact-cosine-verifies every candidate
+    * (no false positives, bit-exact scores), and then APPENDS its own
+    * codes as ONE commit — the index version advances exactly once
+    * per batch (required in-flow), so a crashed batch re-probes the
+    * same index state (AnnIndexSuite pins the crash seam). Cost per
+    * batch: O(batch) coding + collision-bounded candidates — never
+    * O(corpus); old×old pairs were settled when those vectors
+    * entered. Corpus = the embed_prod augmented frame (τ = 0.9 pairs
+    * exist by construction); batch = vec_id ≡ 0 (mod 3). Oracle: the
+    * embed_prod band/verify SQL with candidates restricted to pairs
+    * touching the batch — hash-exact because planes, codes and the
+    * verify are the same md5-prefix spelling. */
+  private def simsearchIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.expressions.dotD
+    Graftcat.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.ann_index")
+    s.sql("""CREATE TABLE graftcat.lake.ann_index
+            |(vec_id BIGINT, t INT, code BIGINT)""".stripMargin)
+    val all = embedProdFrame(s, dir).localCheckpoint()
+    val planes = embedProdPlanes(s)
+    // existing corpus: vec_id % 3 != 0 — its codes ARE the index
+    embedProdCodes(all.where(pmod(col("vec_id"), lit(3)) =!= 0)
+      .select(col("vec_id"), col("v")), planes)
+      .createOrReplaceTempView("graft_ann_base")
+    s.sql("""INSERT INTO graftcat.lake.ann_index
+            |SELECT vec_id, t, code FROM graft_ann_base""".stripMargin)
+    val v0 = s.sql("SELECT MAX(version) FROM graftcat.lake.ann_index.snapshots")
+      .collect().head.getLong(0)
+    // the arriving batch: codes computed once, probed twice, appended
+    val bCodes = embedProdCodes(all.where(pmod(col("vec_id"), lit(3)) === 0)
+      .select(col("vec_id"), col("v")), planes).localCheckpoint()
+    val idx = s.table("graftcat.lake.ann_index")
+    val candIdx = bCodes.as("x").join(idx.as("y"),
+        col("x.t") === col("y.t") && col("x.code") === col("y.code"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("v1"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("v2"))
+    val candSelf = bCodes.as("x").join(bCodes.as("y"),
+        col("x.t") === col("y.t") && col("x.code") === col("y.code") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+    val cand = candIdx.unionByName(candSelf).distinct()
+    val va = all.select(col("vec_id").as("v1"), col("v").as("va"),
+      col("n2").as("n2a"))
+    val vb = all.select(col("vec_id").as("v2"), col("v").as("vb"),
+      col("n2").as("n2b"))
+    val pairs = cand.join(va, "v1").join(vb, "v2")
+      .select(col("v1"), col("v2"),
+        (dotD(col("va"), col("vb")) /
+          (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cos"))
+      .where(col("cos") >= lit(CosineProdTau))
+      .select(col("v1"), col("v2"), dround(col("cos"), 6).as("cos_sim"))
+      .orderBy("v1", "v2")
+      .localCheckpoint() // settle the result BEFORE the index mutates
+    // index maintenance: the batch's codes land as ONE commit
+    bCodes.createOrReplaceTempView("graft_ann_batch")
+    s.sql("""INSERT INTO graftcat.lake.ann_index
+            |SELECT vec_id, t, code FROM graft_ann_batch""".stripMargin)
+    val v1 = s.sql("SELECT MAX(version) FROM graftcat.lake.ann_index.snapshots")
+      .collect().head.getLong(0)
+    require(v1 == v0 + 1,
+      s"index append must be exactly one version: v$v0 -> v$v1")
+    pairs
   }
 
   /** SemDeDup (Abbas et al. 2023) — cluster-scoped semantic dedup, the
@@ -1281,6 +1376,7 @@ object Llm {
     "llm_dedup_simhash" -> (dedupSimhash _),
     "llm_dedup_embed" -> (dedupEmbed _),
     "llm_dedup_embed_prod" -> (dedupEmbedProd _),
+    "llm_simsearch_incremental" -> (simsearchIncremental _),
     "llm_dedup_clusters" -> (dedupClusters _),
     "llm_corpus_filter" -> (corpusFilter _),
     "llm_simsearch_topk" -> (simsearchTopk _),
@@ -1512,6 +1608,45 @@ object Llm {
          |cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
          |         FROM codes x JOIN codes y
          |          ON x.t = y.t AND x.code = y.code AND x.vec_id < y.vec_id)
+         |SELECT v1, v2, ${sqlRound("cos", 6)} AS cos_sim FROM (
+         | SELECT c.v1, c.v2,
+         |  (${sqlDot("na.v", "nb.v")}) / (SQRT(na.n2) * SQRT(nb.n2)) AS cos
+         | FROM cand c JOIN n na ON na.vec_id = c.v1 JOIN n nb ON nb.vec_id = c.v2)
+         |WHERE cos >= $CosineProdTau
+         |ORDER BY v1, v2""".stripMargin
+    },
+    // the embed_prod band/verify chain with candidates restricted to
+    // pairs touching the arriving batch (vec_id % 3 = 0) — what the
+    // incremental probe answers (old×old pairs were settled earlier)
+    "llm_simsearch_incremental" -> {
+      val vList = (1 to Dim).map(i => s"CAST(embedding[$i] AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      val augList = (1 to Dim).map(i => s"0.9 * a.v[$i] + 0.1 * b.v[$i]")
+        .mkString("[", ", ", "]")
+      s"""WITH b0 AS (SELECT vec_id, $vList AS v FROM embeddings),
+         |aug AS (SELECT a.vec_id + $EmbedAugOffset AS vec_id, $augList AS v
+         |        FROM b0 a JOIN b0 b ON b.vec_id = a.vec_id + 1
+         |        WHERE a.vec_id % 5 = 0),
+         |allv AS (SELECT vec_id, v FROM b0 UNION ALL SELECT vec_id, v FROM aug),
+         |n AS (SELECT vec_id, v, ${sqlNorm2("v")} AS n2 FROM allv),
+         |pl AS (SELECT p, CAST(p // $EmbedProdPlanes AS INT) AS t,
+         |         CAST(p % $EmbedProdPlanes AS INT) AS k,
+         |         LIST(coord ORDER BY d) AS plane FROM (
+         |    SELECT pp.p, dd.d,
+         |     CAST(('0x' || SUBSTR(MD5('dp_' || CAST(pp.p AS VARCHAR) || '_' ||
+         |       CAST(dd.d AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+         |      / CAST(1000 AS DOUBLE) - 0.5 AS coord
+         |    FROM (SELECT UNNEST(RANGE(0, ${EmbedProdTables * EmbedProdPlanes})) AS p) pp
+         |     CROSS JOIN (SELECT UNNEST(RANGE(0, $Dim)) AS d) dd)
+         |   GROUP BY p),
+         |codes AS (SELECT vec_id, t,
+         |   SUM(CASE WHEN (${sqlDot("n.v", "pl.plane")}) > 0
+         |       THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS code
+         |  FROM n CROSS JOIN pl GROUP BY vec_id, t),
+         |cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+         |         FROM codes x JOIN codes y
+         |          ON x.t = y.t AND x.code = y.code AND x.vec_id < y.vec_id
+         |          AND (x.vec_id % 3 = 0 OR y.vec_id % 3 = 0))
          |SELECT v1, v2, ${sqlRound("cos", 6)} AS cos_sim FROM (
          | SELECT c.v1, c.v2,
          |  (${sqlDot("na.v", "nb.v")}) / (SQRT(na.n2) * SQRT(nb.n2)) AS cos
