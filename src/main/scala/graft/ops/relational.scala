@@ -1093,6 +1093,72 @@ object Relational {
       .orderBy("k", "tag", "p")
   }
 
+  /** TYPE WIDENING (round-19 verdict #3 — Iceberg v3 / Delta type
+    * widening): `ALTER TABLE t ALTER COLUMN c TYPE <wider>` is ONE O(1)
+    * metadata commit (INT→BIGINT, FLOAT→DOUBLE,
+    * DECIMAL(p,s)→DECIMAL(p+k,s); anything else refused loudly). Old
+    * files keep their narrow bytes — readers upcast BY NAME at scan
+    * time, COW rewrites modernize, and stats comparisons already run
+    * in the widened domain (manifest JSON ints parse as longs, floats
+    * as doubles, `dec:` tags at the true scale), so data skipping AND
+    * complete MIN/MAX/COUNT pushdown stay exact across mixed narrow/
+    * wide files — both hash-pinned here (planned-file counts + the
+    * pushed min/max row). 100-TB note: the alternative is a full
+    * rewrite of every historical file; this is a metadata flip. */
+  private def catalogTypeWidening(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "orders").createOrReplaceTempView("graft_tw_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_tw")
+    s.sql("CREATE TABLE graftcat.lake.orders_tw (k INT, f FLOAT, d DECIMAL(12,2))")
+    // narrow file: every value exactly representable in FLOAT (keys
+    // are dense and < 2^24 at every fixture/stress SF), so the
+    // post-widening DOUBLE read is bit-exact and oracle-spellable
+    s.sql("""INSERT INTO graftcat.lake.orders_tw
+            |SELECT /*+ REPARTITION(1) */ CAST(o_orderkey AS INT),
+            |  CAST(o_orderkey AS FLOAT), CAST(o_orderkey AS DECIMAL(12,2))
+            |FROM graft_tw_src""".stripMargin)
+    s.sql("ALTER TABLE graftcat.lake.orders_tw ALTER COLUMN k TYPE BIGINT")
+    s.sql("ALTER TABLE graftcat.lake.orders_tw ALTER COLUMN f TYPE DOUBLE")
+    s.sql("ALTER TABLE graftcat.lake.orders_tw ALTER COLUMN d TYPE DECIMAL(18,2)")
+    // wide file: values only the widened types can hold
+    s.sql("""INSERT INTO graftcat.lake.orders_tw
+            |SELECT /*+ REPARTITION(1) */ o_orderkey + 5000000000,
+            |  CAST(o_orderkey AS DOUBLE) + 0.25,
+            |  CAST(o_orderkey AS DECIMAL(18,2)) + 100000000000.00
+            |FROM graft_tw_src""".stripMargin)
+    def planned(q: DataFrame): Long = {
+      q.queryExecution.toRdd.foreachPartition(_ => ())
+      q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.sum.toLong
+    }
+    // data skipping across the widened stats domain: each slice plans
+    // exactly its one covering file of the two
+    val narrow = planned(s.sql(
+      "SELECT k FROM graftcat.lake.orders_tw WHERE k < 1000"))
+    val wide = planned(s.sql(
+      "SELECT k FROM graftcat.lake.orders_tw WHERE k >= 5000000000"))
+    // complete MIN/MAX pushdown over mixed narrow/wide files
+    val t = s.table("graftcat.lake.orders_tw")
+    t.where(pmod(col("k"), lit(97)) === 0)
+      .select(lit("row").as("tag"), col("k"), col("f"), col("d"))
+      .unionByName(t.groupBy().agg(min("k").as("k"), min("f").as("f"),
+        min("d").as("d")).select(lit("min").as("tag"), col("k"), col("f"),
+        col("d").cast("decimal(18,2)").as("d")))
+      .unionByName(t.groupBy().agg(max("k").as("k"), max("f").as("f"),
+        max("d").as("d")).select(lit("max").as("tag"), col("k"), col("f"),
+        col("d").cast("decimal(18,2)").as("d")))
+      .unionByName(s.range(1).select(lit("narrow_files_planned").as("tag"),
+        lit(narrow).as("k"), lit(null).cast("double").as("f"),
+        lit(null).cast("decimal(18,2)").as("d")))
+      .unionByName(s.range(1).select(lit("wide_files_planned").as("tag"),
+        lit(wide).as("k"), lit(null).cast("double").as("f"),
+        lit(null).cast("decimal(18,2)").as("d")))
+      .orderBy("tag", "k")
+  }
+
   /** ROW LINEAGE (round-17 verdict #1 — Iceberg v3 row ids / Delta row
     * tracking): every data file's manifest entry carries a monotone
     * `firstRowId` base; a row's stable `_row_id` (hidden metadata
@@ -2366,6 +2432,7 @@ object Relational {
     "catalog_variant_columns" -> (catalogVariantColumns _),
     "catalog_variant_shredded" -> (catalogVariantShredded _),
     "catalog_replace_where" -> (catalogReplaceWhere _),
+    "catalog_type_widening" -> (catalogTypeWidening _),
     "catalog_merge_schema_evolution" -> (catalogMergeSchemaEvolution _),
     "catalog_rollback" -> (catalogRollback _),
     "catalog_schema_evolution" -> (catalogSchemaEvolution _),
@@ -2763,6 +2830,22 @@ object Relational {
         |  'tt_pre_overwrite' FROM orders
         |UNION ALL SELECT -2, '0', 'aligned_survivor_rewrites'
         |ORDER BY k, tag, p""".stripMargin,
+    "catalog_type_widening" ->
+      """WITH nar AS (SELECT o_orderkey AS k, CAST(o_orderkey AS DOUBLE) AS f,
+        |             CAST(o_orderkey AS DECIMAL(18,2)) AS d FROM orders),
+        | wid AS (SELECT o_orderkey + 5000000000 AS k,
+        |         CAST(o_orderkey AS DOUBLE) + 0.25 AS f,
+        |         CAST(o_orderkey AS DECIMAL(18,2)) + 100000000000.00 AS d
+        |         FROM orders),
+        | allr AS (SELECT * FROM nar UNION ALL SELECT * FROM wid)
+        |SELECT 'row' AS tag, k, f, d FROM allr WHERE k % 97 = 0
+        |UNION ALL SELECT 'min', MIN(k), MIN(f),
+        |  CAST(MIN(d) AS DECIMAL(18,2)) FROM allr
+        |UNION ALL SELECT 'max', MAX(k), MAX(f),
+        |  CAST(MAX(d) AS DECIMAL(18,2)) FROM allr
+        |UNION ALL SELECT 'narrow_files_planned', 1, NULL, NULL
+        |UNION ALL SELECT 'wide_files_planned', 1, NULL, NULL
+        |ORDER BY tag, k""".stripMargin,
     "catalog_compact_clustered" ->
       """WITH m AS (SELECT (MAX(o_orderkey) // 4) + 1 AS s FROM orders)
         |SELECT 'row' AS tag, o_orderkey AS id, o_orderpriority AS p

@@ -330,6 +330,19 @@ object AvroDirSource {
   def avroToInternal(v: Any, dt: DataType): Any = dt match {
     case _ if v == null => null
     case StringType     => UTF8String.fromString(v.toString)
+    // TYPE WIDENING (round 19): a file written before `ALTER COLUMN c
+    // TYPE BIGINT/DOUBLE` decodes its old int/float values — upcast
+    // by name at read time, no rewrite at any scale (Avro's own
+    // promotion rules, applied here because the reader decodes with
+    // the writer schema)
+    case LongType => v match {
+      case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue)
+      case o => o
+    }
+    case DoubleType => v match {
+      case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue)
+      case o => o
+    }
     case d: DecimalType =>
       val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
       val bytes = new Array[Byte](bb.remaining()); bb.get(bytes)

@@ -301,10 +301,18 @@ object AvroFilterEval extends Serializable {
         var i = 0
         while (i < vals.length) {
           // decimal survivors were decoded to BigDecimal for the
-          // evaluator — re-encode as the Avro unscaled bytes
+          // evaluator — re-encode as the Avro unscaled bytes; int/float
+          // survivors of a type-widened column upcast to the CURRENT
+          // column type (the rewrite modernizes old-schema files)
           val av = vals(i) match {
             case d: java.math.BigDecimal =>
               java.nio.ByteBuffer.wrap(d.unscaledValue.toByteArray)
+            case n: java.lang.Integer
+                if schema.fields(i).dataType == LongType =>
+              java.lang.Long.valueOf(n.longValue)
+            case f: java.lang.Float
+                if schema.fields(i).dataType == DoubleType =>
+              java.lang.Double.valueOf(f.doubleValue)
             case o => o
           }
           rec.put(i, av); stats.update(i, av); i += 1

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, 
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, DataTypes, IntegerType, LongType, Metadata, MetadataBuilder, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DataTypes, DecimalType, IntegerType, LongType, Metadata, MetadataBuilder, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource-V2 CATALOG plugin — the API lakehouse formats
@@ -1404,6 +1404,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (s.length == 1) throw new IllegalArgumentException(
             s"cannot drop the last column of ${ident.name}")
           StructType(s.fields.filterNot(_.name == name))
+        case ut: TableChange.UpdateColumnType =>
+          // TYPE WIDENING (round 19 — Iceberg v3 / Delta type widening):
+          // `ALTER TABLE t ALTER COLUMN c TYPE <wider>` is one O(1)
+          // metadata commit. Old files keep their narrow values; readers
+          // upcast by name at scan time (avroToInternal), COW rewrites
+          // modernize them, stats already parse into the widened compare
+          // domain (JSON ints → Long, floats → Double, dec: tags →
+          // BigDecimal at the value's true scale). Only strictly
+          // value-preserving widenings are legal — anything else would
+          // need a data rewrite and is refused loudly.
+          val name = topLevel(ut.fieldNames, "ALTER COLUMN TYPE")
+          val i = s.fieldIndex(name) // throws on a missing column
+          val f = s.fields(i)
+          val widens = (f.dataType, ut.newDataType) match {
+            case (IntegerType, LongType) => true
+            case (DataTypes.FloatType, DataTypes.DoubleType) => true
+            case (a: DecimalType, b: DecimalType) =>
+              b.scale == a.scale && b.precision >= a.precision
+            case (a, b) if a == b => true // no-op spelling
+            case _ => false
+          }
+          if (!widens) throw new IllegalArgumentException(
+            s"ALTER COLUMN $name TYPE ${ut.newDataType.simpleString}: only " +
+              s"widening conversions are supported (INT->BIGINT, " +
+              s"FLOAT->DOUBLE, DECIMAL(p,s)->DECIMAL(p+k,s)); column is " +
+              s"${f.dataType.simpleString}")
+          // the partition transform binds the catalog's V2 function to
+          // the column's type at write planning — keep that stable
+          if (bucketCol.contains(name)) throw new IllegalArgumentException(
+            s"ALTER COLUMN $name TYPE: the table is partitioned by $name — " +
+              "widening the partition column is not supported")
+          StructType(s.fields.updated(i, f.copy(dataType = ut.newDataType)))
         case other => throw new UnsupportedOperationException(
           s"table change ${other.getClass.getSimpleName} is not supported")
       }

@@ -100,7 +100,7 @@ class InventorySuite extends SparkSuiteBase {
     "catalog_delete_equality_multi", "catalog_row_lineage",
     "catalog_variant_columns", "catalog_variant_shredded",
     "catalog_merge_schema_evolution", "catalog_row_lineage_v2",
-    "catalog_compact_clustered", "catalog_replace_where",
+    "catalog_compact_clustered", "catalog_replace_where", "catalog_type_widening",
     "llm_dedup_minhash_incremental", "llm_simsearch_incremental",
     "sql_execute_immediate", "sql_session_variable",
     // bucketed-by-write joins: the build writes both bucketed tables
