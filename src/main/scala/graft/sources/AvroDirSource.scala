@@ -1547,6 +1547,82 @@ case class SortSpec(columns: Seq[String], zorder: Boolean = false) {
     "z-order clustering takes 2 to 4 columns")
 }
 
+object SortSpec {
+  private val SortJson = """\{"column":"([^"]+)"\}""".r
+  private val SortJsonZ =
+    """\{"columns":\[([^\]]+)\],"zorder":true\}""".r
+  private val SortJsonMulti =
+    """\{"columns":\[([^\]]+)\],"zorder":false\}""".r
+
+  /** Tolerant `_sort.json` read for the WRITER side (the z-shadow
+    * stats below are an optimization, never a write dependency —
+    * unreadable/absent degrades to None; the catalog's own loader
+    * stays strict). */
+  def loadLenient(dir: File): Option[SortSpec] = {
+    val f = new File(dir, "_sort.json")
+    if (!f.isFile) return None
+    try new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim match {
+      case SortJson(col)   => Some(SortSpec(Seq(col)))
+      case SortJsonZ(cols) => Some(SortSpec(
+        cols.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")),
+        zorder = true))
+      case SortJsonMulti(cols) => Some(SortSpec(
+        cols.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))))
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
+  /** Shadow stats name of the Z-ORDER curve position prefix (the
+    * first 64 interleaved bits as a signed-comparable long) — recorded
+    * per file by the writer for z-sorted tables, so incremental
+    * re-clustering can detect overlap on the TRUE z hull (per-column
+    * boxes over-cover the curve and would break idempotence). Not a
+    * legal SQL column-name shape — can never collide. */
+  val ZShadowName = "@zvalue"
+
+  /** `(schema ordinal, type)` per z column, or None when the spec is
+    * not a z-order / a column is missing from this schema / a column's
+    * type has no z key (INT/BIGINT/DOUBLE — the setSortOrder domain). */
+  def zKeyOrdinals(spec: SortSpec,
+      schema: StructType): Option[Array[(Int, DataType)]] = {
+    if (!spec.zorder) return None
+    val out = spec.columns.map { c =>
+      val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(c))
+      if (i < 0) return None
+      schema.fields(i).dataType match {
+        case LongType | IntegerType | DoubleType => ()
+        case _ => return None
+      }
+      (i, schema.fields(i).dataType)
+    }
+    Some(out.toArray)
+  }
+
+  /** Boxed value → z key long, matching
+    * [[GraftZValueScalar.produceResult]]: INT widens, DOUBLE goes
+    * through the order-preserving doubleKey (undoing the sign flip
+    * interleaveN applies). */
+  def zKeyOf(v: Any, dt: DataType): Long = (v, dt) match {
+    case (l: java.lang.Long, _)    => l.longValue
+    case (n: java.lang.Integer, _) => n.longValue
+    case (d: java.lang.Double, _)  =>
+      ZValue.doubleKey(d.doubleValue) ^ Long.MinValue
+    case _ => throw new IllegalArgumentException(
+      s"no z key for $v: ${dt.simpleString}")
+  }
+
+  /** First 8 bytes of the N-ary interleave as a SIGNED-comparable
+    * long (the shadow stats compare domain). */
+  def zPrefixOf(keys: Array[Long]): Long = {
+    val bytes = ZValue.interleaveN(keys)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    v ^ Long.MinValue
+  }
+}
+
 /** @param dvFile absolute path of the file's deletion-vector sidecar:
   *   rows at those positions are deleted (merge-on-read) and the reader
   *   skips them.
@@ -1806,9 +1882,23 @@ class AvroFileWriter(file: File, schema: StructType)
       var slot = -1
       shredBase.map(_.map { ex => slot += 1; (slot, ex) })
     }
-  private val stats = new AvroStats.StatsCollector(schema,
+  // Z-ORDER shadow (round 19 — incremental re-clustering of z tables):
+  // a z-sorted table's files record the TRUE z-curve position hull
+  // (64-bit prefix) under [[SortSpec.ZShadowName]]; per-column boxes
+  // over-cover the curve, so without this compact_clustered on a z
+  // table could never converge. Null when the table isn't z-sorted or
+  // a z column is missing/untypeable — one null check per row.
+  private val zOrds: Array[(Int, DataType)] =
+    Option(file.getParentFile)
+      .flatMap(d => SortSpec.loadLenient(d))
+      .flatMap(sp => SortSpec.zKeyOrdinals(sp, schema))
+      .orNull
+  private val shredNames: Seq[String] =
     if (shredBase == null) Nil
-    else shredBase.toSeq.flatten.map(_.shred.statsName))
+    else shredBase.toSeq.flatten.map(_.shred.statsName)
+  private val zSlot: Int = if (zOrds == null) -1 else shredNames.length
+  private val stats = new AvroStats.StatsCollector(schema,
+    if (zOrds == null) shredNames else shredNames :+ SortSpec.ZShadowName)
   // per-file bloom sidecar for the table's opted-in lookup columns
   // (null when none — the hot path pays one null check per field)
   private val bloom = BloomFilters.builderFor(file, schema)
@@ -1879,6 +1969,27 @@ class AvroFileWriter(file: File, schema: StructType)
         }
       }
       i += 1
+    }
+    if (zOrds != null) {
+      // a row with ANY null z column records a null shadow (it has no
+      // curve position; bounds built from the others stay sound)
+      var nul = false
+      val keys = new Array[Long](zOrds.length)
+      var j = 0
+      while (j < zOrds.length && !nul) {
+        val (ord, dt) = zOrds(j)
+        if (row.isNullAt(ord)) nul = true
+        else {
+          keys(j) = dt match {
+            case LongType    => row.getLong(ord)
+            case IntegerType => row.getInt(ord).toLong
+            case _ => ZValue.doubleKey(row.getDouble(ord)) ^ Long.MinValue
+          }
+          j += 1
+        }
+      }
+      stats.updateShadow(zSlot,
+        if (nul) null else java.lang.Long.valueOf(SortSpec.zPrefixOf(keys)))
     }
     stats.countRow()
     writer.append(rec)

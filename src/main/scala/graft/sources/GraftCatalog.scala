@@ -865,13 +865,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       head.entries.size - candidates.size + newEntries.length)
   }
 
-  /** INCREMENTAL RE-CLUSTERING (round 18, verdict r17 #6 — liquid-style
+  /** INCREMENTAL RE-CLUSTERING (round 18, verdict r17 #6; extended
+    * round 19 to PARTITIONED and Z-ORDERED tables — liquid-style
     * maintenance): rewrite ONLY the files that violate the table's
     * sort-order clustering, leaving conforming files byte-untouched.
     *
     * Violation = hull overlap: per-file [min, max] intervals of the
-    * LEADING sort column (manifest stats — metadata-only detection)
-    * are grouped into overlap-CONNECTED COMPONENTS; a component of one
+    * CLUSTER KEY (manifest stats — metadata-only detection) are
+    * grouped into overlap-CONNECTED COMPONENTS; a component of one
     * clean file is conforming and is not rewritten, a component of ≥2
     * files is dirty and its rows are rewritten together, sorted and
     * range-split WITHIN the component. Interval components have
@@ -879,49 +880,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * so the outputs are disjoint from every retained file — one pass
     * reaches a fully clustered state and a second pass is a provable
     * NO-OP (idempotent, unlike naive "rewrite overlapping pairs").
+    *
+    *   - PLAIN sort: the cluster key is the LEADING sort column.
+    *   - Z-ORDER: the key is the file's TRUE z-curve position hull —
+    *     the `@zvalue` 64-bit-prefix shadow stats the writer records
+    *     for z tables (per-column boxes over-cover the curve and would
+    *     re-dirty freshly split files forever); files predating the
+    *     shadow rewrite alone to GAIN it (2-pass convergence).
+    *   - PARTITIONED/bucketed: components are detected WITHIN each
+    *     (spec, partition value) — a dirty bucket rewrites alone and
+    *     its outputs KEEP the placement, so grouped scans/SPJ survive;
+    *     clean buckets' files stay byte-identical. Unplaced appends
+    *     cluster among themselves (the None partition) and stay
+    *     unplaced.
+    *
     * Sidecarred (dv/eq) files are always dirty (the rewrite
-    * materializes their deletes away); a file with no usable sort-key
-    * stats rewrites alone to GAIN stats and clusters on the next pass.
-    * Cost is O(dirty rows) read+write and O(files) metadata — the
-    * maintenance a 100-TB table can afford between full OPTIMIZEs.
-    * Returns (files rewritten, files after). */
+    * materializes their deletes away); a file whose stats LACK the
+    * cluster key rewrites alone to GAIN it; a file whose key is
+    * all-NULL (entry present, no bounds) is skipped — no rewrite can
+    * improve it. Cost is O(dirty rows) read+write and O(files)
+    * metadata — the maintenance a 100-TB table can afford between
+    * full OPTIMIZEs. Returns (files rewritten, files after). */
   def compactClustered(ident: Identifier,
       session: org.apache.spark.sql.SparkSession =
         org.apache.spark.sql.SparkSession.active): (Int, Int) = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, struct, udf}
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val dirPath = dir.getPath
     val branch = sessionBranch(dirPath)
     val sortSpec = loadSortSpec(dir).getOrElse(throw new IllegalStateException(
       s"${ident.name} has no sort order — CALL set_sort_order first"))
-    require(!sortSpec.zorder,
-      "compact_clustered clusters by the sort order's leading column; " +
-        "z-ordered tables use compact (full z-order rewrite) instead")
-    // a bucketed table's rewrite must keep bucket placement (grouped
-    // scans/SPJ depend on it) — range-splitting by sort key would land
-    // unplaced files; its incremental maintenance is compact_small
-    require(loadPartSpec(dir).isEmpty,
-      "compact_clustered applies to unpartitioned sorted tables; " +
-        "bucketed tables re-cluster via compact (clustered rewrite)")
-    val lead = sortSpec.columns.head
     val head = AvroSnapshots.head(dirPath, branch).getOrElse(return (0, 0))
     val schema = DataType.fromJson(new String(
       Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
       .asInstanceOf[StructType]
-    val leadField = schema.fields.find(_.name.equalsIgnoreCase(lead))
-      .getOrElse(throw new IllegalStateException(
-        s"sort column $lead is not a column of ${ident.name}"))
-    def hull(e: AvroSnapshots.FileEntry): Option[(Any, Any)] =
+    // the cluster-key hull resolver: the z-prefix shadow for z tables,
+    // the leading sort column (rename-alias-chained, type-coerced) for
+    // plain sorts. `keyEntry` distinguishes "entry absent" (a rewrite
+    // GAINS the key — dirty alone) from "entry present, no bounds"
+    // (all-null key — a rewrite can never improve it, skip).
+    val zo = sortSpec.zorder
+    val leadField: StructField =
+      if (zo) null
+      else schema.fields.find(_.name.equalsIgnoreCase(sortSpec.columns.head))
+        .getOrElse(throw new IllegalStateException(
+          s"sort column ${sortSpec.columns.head} is not a column of ${ident.name}"))
+    def keyEntry(e: AvroSnapshots.FileEntry): Option[AvroStats.ColStats] =
       e.stats.map(AvroStats.parse).flatMap { st =>
-        (leadField.name +: AvroDirSource.aliasesOf(leadField)).iterator
+        if (zo) st.get(SortSpec.ZShadowName)
+        else (leadField.name +: AvroDirSource.aliasesOf(leadField)).iterator
           .flatMap(st.get).nextOption()
           .map(AvroStats.coerce(_, leadField.dataType))
-          .flatMap(cs => for (mn <- cs.min; mx <- cs.max) yield (mn, mx))
       }
-    // overlap-connected components over the hulls (sweep on sorted
-    // min). String bounds at/beyond the stats truncation width may be
-    // a prefix (min) or a bumped prefix existing in NO row (max) —
+    def hull(e: AvroSnapshots.FileEntry): Option[(Any, Any)] =
+      keyEntry(e).flatMap(cs => for (mn <- cs.min; mx <- cs.max) yield (mn, mx))
+    // String bounds at/beyond the stats truncation width may be a
+    // prefix (min) or a bumped prefix existing in NO row (max) —
     // "overlap" between such covering bounds is unknowable, and a
     // rewrite could never tighten it below the truncation width, so
     // treating it as overlap would re-rewrite the same component on
@@ -931,34 +946,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case s: String => s.codePointCount(0, s.length) >= AvroStats.MaxStringBound
       case _ => false
     }
-    val hulled = head.entries.flatMap(e => hull(e).map(e -> _))
-      .sortWith((a, b) => AvroStats.cmpBounds(a._2._1, b._2._1) < 0)
-    val components = scala.collection.mutable.ArrayBuffer
-      .empty[scala.collection.mutable.ArrayBuffer[AvroSnapshots.FileEntry]]
-    var curMax: Any = null
-    hulled.foreach { case (e, (mn, mx)) =>
-      if (components.isEmpty || AvroStats.cmpBounds(mn, curMax) > 0 ||
-          truncated(mn) || truncated(curMax)) {
-        components += scala.collection.mutable.ArrayBuffer(e)
-        curMax = mx
-      } else {
-        components.last += e
-        if (AvroStats.cmpBounds(mx, curMax) > 0) curMax = mx
-      }
-    }
     def sidecarred(e: AvroSnapshots.FileEntry) =
       e.dv.isDefined || e.eq.nonEmpty
-    // No usable hull splits two ways: stats JSON absent entirely → a
-    // rewrite GAINS stats (dirty, rewrite alone); stats present but
-    // the sort-key hull absent (all-NULL lead column) → no rewrite can
-    // ever produce bounds, so rewriting would repeat forever — skip it
-    // (unless sidecarred: materializing its deletes away still pays).
-    val statsless = head.entries.filter(e =>
-      hull(e).isEmpty && (e.stats.isEmpty || sidecarred(e)))
-    val dirtyGroups: Seq[Seq[AvroSnapshots.FileEntry]] =
+    // components within each (spec, partition value) — clean buckets
+    // are never touched, dirty buckets rewrite alone and keep placement
+    val dirtyGroups = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[AvroSnapshots.FileEntry], Int, Option[Long])]
+    head.entries.groupBy(e => (e.specId, e.part)).toSeq
+      .sortBy(g => (g._1._1, g._1._2)).foreach { case ((specId, part), pes) =>
+      val hulled = pes.flatMap(e => hull(e).map(e -> _))
+        .sortWith((a, b) => AvroStats.cmpBounds(a._2._1, b._2._1) < 0)
+      val components = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[AvroSnapshots.FileEntry]]
+      var curMax: Any = null
+      hulled.foreach { case (e, (mn, mx)) =>
+        if (components.isEmpty || AvroStats.cmpBounds(mn, curMax) > 0 ||
+            truncated(mn) || truncated(curMax)) {
+          components += scala.collection.mutable.ArrayBuffer(e)
+          curMax = mx
+        } else {
+          components.last += e
+          if (AvroStats.cmpBounds(mx, curMax) > 0) curMax = mx
+        }
+      }
+      // No usable hull splits two ways: stats JSON (or the cluster-key
+      // entry) absent → a rewrite GAINS the key (dirty, rewrite
+      // alone); entry present but no bounds (all-NULL key) → no
+      // rewrite can ever produce bounds, so rewriting would repeat
+      // forever — skip (unless sidecarred: materializing its deletes
+      // away still pays).
+      val keyless = pes.filter(e =>
+        hull(e).isEmpty &&
+          (e.stats.isEmpty || keyEntry(e).isEmpty || sidecarred(e)))
       components.filter(c => c.size >= 2 || c.exists(sidecarred))
-        .map(_.toSeq).toSeq ++
-        statsless.map(Seq(_)) // rewrite alone to gain stats
+        .foreach(c => dirtyGroups += ((c.toSeq, specId, part)))
+      keyless.foreach(e => dirtyGroups += ((Seq(e), specId, part)))
+    }
     if (dirtyGroups.isEmpty) return (0, head.entries.size)
     val q = (catalogName +: ident.namespace.toSeq :+ ident.name)
       .map(p => s"`$p`").mkString(".")
@@ -970,20 +993,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val jobId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val factory: org.apache.spark.sql.connector.write.DataWriterFactory =
       new AvroWriterFactory(dirPath, writeSchema, jobId)
+    // z rewrite ordering: the deterministic z-prefix of the z columns
+    // (maintenance path, not a hot loop — a udf is fine); plain sorts
+    // order by their columns directly
+    val zTypes: Array[(Int, DataType)] =
+      if (!zo) null
+      else SortSpec.zKeyOrdinals(sortSpec, schema)
+        .getOrElse(throw new IllegalStateException(
+          s"z columns ${sortSpec.columns} unresolvable in ${ident.name}"))
+    // a null z column has no curve position — Long.MinValue sorts such
+    // rows first, deterministically (their shadow contribution is null
+    // either way)
+    lazy val zPrefixUdf = udf((r: org.apache.spark.sql.Row) => {
+      if ((0 until r.length).exists(r.isNullAt)) Long.MinValue
+      else {
+        val keys = Array.tabulate(r.length)(i =>
+          SortSpec.zKeyOf(r.get(i), zTypes(i)._2))
+        SortSpec.zPrefixOf(keys)
+      }
+    })
     val written = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Option[String])]
+      .empty[(String, Option[String], Int, Option[Long])]
     try {
-      dirtyGroups.zipWithIndex.foreach { case (group, gi) =>
+      dirtyGroups.zipWithIndex.foreach { case ((group, specId, part), gi) =>
         val names = group.map(_.name)
         // row lineage + row tracking ride the rewrite (physical
         // columns), so re-clustered rows keep ids and stamps
-        val src = session.table(q).where(col(AvroDirSource.FileColumn)
+        val base = session.table(q).where(col(AvroDirSource.FileColumn)
             .isin(names: _*))
           .select(schema.fields.toSeq.map(f => col(f.name)) :+
             col(AvroDirSource.RowIdColumn) :+ col(AvroDirSource.LuvColumn): _*)
-          .repartitionByRange(math.max(group.size, 1),
-            sortSpec.columns.map(col): _*)
-          .sortWithinPartitions(sortSpec.columns.map(col): _*)
+        val src =
+          if (zo) {
+            val zc = zPrefixUdf(struct(
+              sortSpec.columns.map(c => col(c)): _*))
+            base.withColumn("__graft_zk", zc)
+              .repartitionByRange(math.max(group.size, 1), col("__graft_zk"))
+              .sortWithinPartitions(col("__graft_zk"))
+              .drop("__graft_zk")
+          } else
+            base.repartitionByRange(math.max(group.size, 1),
+                sortSpec.columns.map(col): _*)
+              .sortWithinPartitions(sortSpec.columns.map(col): _*)
         written ++= src.queryExecution.toRdd
           .mapPartitionsWithIndex { (pid, it) =>
             if (!it.hasNext) Iterator.empty
@@ -999,7 +1050,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                   throw new IllegalStateException(s"unexpected $other")
               }
             }
-          }.collect()
+          }.collect().map { case (n, st) => (n, st, specId, part) }
       }
     } catch {
       case e: Throwable =>
@@ -1007,10 +1058,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .filter(_.getName.contains(jobId)).foreach(_.delete())
         throw e
     }
-    val newEntries = written.map { case (n, st) =>
-      AvroSnapshots.FileEntry(n, None, 0, st, None)
+    // rewrite outputs inherit their group's placement: every input row
+    // of a (spec, part) group is of that partition value, so the
+    // metadata-level placement is truthful and SPJ keeps working
+    val newEntries = written.map { case (n, st, specId, part) =>
+      AvroSnapshots.FileEntry(n, part, specId, st, None)
     }.toSeq
-    val dropped = dirtyGroups.flatten.map(_.name).toSet
+    val dropped = dirtyGroups.flatMap(_._1).map(_.name).toSet
     // commit failure (e.g. expectedParent mismatch from a concurrent
     // commit) must not leak the freshly written jobId files as orphans
     try {

@@ -346,6 +346,97 @@ class ZOrderSuite extends SparkSuiteBase {
       .collect().head.getLong(0) == 150)
   }
 
+  test("compact_clustered per partition: dirty bucket rewrites alone, clean stay (round 19)") {
+    zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
+    zs.sql("DROP TABLE IF EXISTS zcat.db.pliq")
+    zs.sql("""CREATE TABLE zcat.db.pliq (k BIGINT, v STRING)
+             |PARTITIONED BY (bucket(2, k))""".stripMargin)
+    // seed BEFORE the sort order: two inserts → each lands one file
+    // per bucket; per bucket the two files' k hulls overlap (both
+    // cover the full range) — every bucket starts dirty. Then clean
+    // ONE bucket via a pass and dirty the other again.
+    for (r <- 0 until 2)
+      zs.sql(s"""INSERT INTO zcat.db.pliq
+                |SELECT id, CONCAT('r$r', id) FROM range(0, 1000)""".stripMargin)
+    cat.setSortOrder(Identifier.of(Array("db"), "pliq"), "k")
+    val dirPath = s"$wh/db/pliq"
+    def head() = AvroSnapshots.head(dirPath).get
+    assert(head().entries.size == 4 &&
+      head().entries.forall(_.part.isDefined))
+    // first pass: both buckets dirty (2 components of 2) → 4 rewritten
+    val (rw1, _) = cat.compactClustered(Identifier.of(Array("db"), "pliq"), zs)
+    assert(rw1 == 4, s"both buckets should rewrite: $rw1")
+    // placement KEPT on every output
+    assert(head().entries.forall(_.part.isDefined),
+      "re-clustered outputs lost their bucket placement")
+    val rows1 = zs.sql("SELECT COUNT(*), SUM(k) FROM zcat.db.pliq")
+      .collect().head
+    assert(rows1.getLong(0) == 2000)
+    // idempotent per partition
+    assert(cat.compactClustered(Identifier.of(Array("db"), "pliq"), zs)._1 == 0)
+    // dirty exactly ONE bucket: append an overlapping slice — its rows
+    // hash into both buckets, so instead append rows of a single
+    // bucket value by probing which bucket id 0 landed in
+    val b0 = head().entries.find { e =>
+      val cs = graft.sources.AvroStats.parse(e.stats.get)("k")
+      cs.min.get.asInstanceOf[Long] == 0L
+    }.get.part.get
+    // single-row insert overlapping bucket b0's range
+    zs.sql("INSERT INTO zcat.db.pliq VALUES (0, 'dup')")
+    val cleanFiles = head().entries.filter(_.part.exists(_ != b0))
+      .map(e => e.name ->
+        new java.io.File(dirPath, e.name).lastModified()).toMap
+    val (rw3, _) = cat.compactClustered(Identifier.of(Array("db"), "pliq"), zs)
+    assert(rw3 >= 2 && head().entries.filter(_.part.exists(_ != b0))
+      .forall(e => cleanFiles.get(e.name)
+        .forall(_ == new java.io.File(dirPath, e.name).lastModified())),
+      "a clean bucket's files were touched by another bucket's pass")
+    assert(zs.sql("SELECT COUNT(*) FROM zcat.db.pliq")
+      .collect().head.getLong(0) == 2001)
+  }
+
+  test("compact_clustered on a z table: shadow z-hulls, idempotent (round 19)") {
+    zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
+    zs.sql("DROP TABLE IF EXISTS zcat.db.zliq")
+    zs.sql("CREATE TABLE zcat.db.zliq (a BIGINT, b BIGINT, v STRING)")
+    cat.setSortOrder(Identifier.of(Array("db"), "zliq"), "zorder(a, b)")
+    val dirPath = s"$wh/db/zliq"
+    def head() = AvroSnapshots.head(dirPath).get
+    // two sorted ingest waves: each wave's files are z-disjoint within
+    // the wave but the waves overlap each other → every file dirty
+    for (r <- 0 until 2)
+      zs.sql(s"""INSERT INTO zcat.db.zliq
+                |SELECT id % 64, id DIV 64, CONCAT('w$r', id)
+                |FROM range(0, 4096)""".stripMargin)
+    val files0 = head().entries.size
+    assert(files0 >= 2)
+    // every z file carries the @zvalue shadow hull
+    assert(head().entries.forall(e =>
+      graft.sources.AvroStats.parse(e.stats.get).contains("@zvalue")),
+      "z writes must record the z-prefix shadow")
+    val (rw1, after1) = cat.compactClustered(Identifier.of(Array("db"), "zliq"), zs)
+    assert(rw1 == files0, s"overlapping waves must all rewrite: $rw1/$files0")
+    // rows exact, and the pass is idempotent (the decisive property —
+    // box-hull detection would re-dirty the fresh z-split files)
+    assert(zs.sql("SELECT COUNT(*), SUM(a), SUM(b) FROM zcat.db.zliq")
+      .collect().head ==
+      org.apache.spark.sql.Row(8192L,
+        2L * (0L until 4096L).map(_ % 64).sum,
+        2L * (0L until 4096L).map(_ / 64).sum))
+    assert(cat.compactClustered(Identifier.of(Array("db"), "zliq"), zs)
+      == ((0, after1)), "second pass must be a provable no-op")
+    // outputs carry fresh shadow hulls, pairwise disjoint
+    val hulls = head().entries.map { e =>
+      val cs = graft.sources.AvroStats.parse(e.stats.get)("@zvalue")
+      (cs.min.get.asInstanceOf[Long], cs.max.get.asInstanceOf[Long])
+    }.sortBy(_._1)
+    hulls.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(lo2 > hi, s"z hulls overlap after the pass: $hulls")
+      case _ => ()
+    }
+  }
+
   test("zorder guard rails: strings refused, arity enforced") {
     zs.sql("CREATE NAMESPACE IF NOT EXISTS zcat.db")
     zs.sql("DROP TABLE IF EXISTS zcat.db.bad")
