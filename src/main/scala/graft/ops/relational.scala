@@ -1159,6 +1159,89 @@ object Relational {
       .orderBy("tag", "k")
   }
 
+  /** MV QUERY REWRITE (round-19 verdict #5 — the optimizer-
+    * substitution half of materialized views): `CALL register_mv(mv,
+    * base, group_map, agg_map)` records the MV's aggregate shape on
+    * the base table; the injected [[graft.plans.MvQueryRewrite]] rule
+    * then substitutes the MV for an EXACT-match aggregate subtree —
+    * but ONLY while the MV's stored watermark equals the base's
+    * current head (staleness-safe by construction: a stale MV
+    * silently falls back to the base recompute). Scored flow: q1 reads
+    * through the MV (plan-asserted marker row), a base advance makes
+    * the MV stale and q2 falls back (fresh values, marker 0), a
+    * re-materialization restores freshness and q3 reads the MV again —
+    * all three value sets hash-pinned, so a wrong substitution is a
+    * hash mismatch. 100-TB note: this turns an O(table) aggregate
+    * into an O(groups) MV read whenever the refresh pipeline has
+    * caught up — the other half of why incremental MV maintenance
+    * exists. */
+  private def catalogMvRewrite(s: SparkSession, dir: String): DataFrame = {
+    val vs = graft.plans.GraftExtensions.sessionWith(s)
+    graftcat(vs)
+    T(vs, dir, "orders").createOrReplaceTempView("graft_mvr_src")
+    vs.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    vs.sql("DROP TABLE IF EXISTS graftcat.lake.orders_mvb")
+    vs.sql("DROP TABLE IF EXISTS graftcat.lake.mv_prio_rw")
+    vs.sql("""CREATE TABLE graftcat.lake.orders_mvb
+             |(o_orderpriority STRING, o_totalprice DOUBLE)""".stripMargin)
+    vs.sql("""INSERT INTO graftcat.lake.orders_mvb
+             |SELECT o_orderpriority, o_totalprice FROM graft_mvr_src
+             |WHERE o_orderkey % 3 != 0""".stripMargin)
+    vs.sql("""CREATE TABLE graftcat.lake.mv_prio_rw
+             |(prio STRING, n BIGINT, total DECIMAL(18,2))""".stripMargin)
+    val cat = graftcatInstance(vs)
+    val baseIdent = lakeIdent("orders_mvb")
+    def materialize(): Unit = {
+      val w = cat.currentVersion(baseIdent)
+      graft.sources.AvroSnapshots.withCommitProps(
+        Map(graft.sources.MvRegistry.WatermarkKey -> w.toString)) {
+        vs.sql("""INSERT INTO graftcat.lake.mv_prio_rw
+                 |SELECT o_orderpriority, COUNT(*),
+                 |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 |    AS DECIMAL(18,2))
+                 |FROM graftcat.lake.orders_mvb
+                 |GROUP BY o_orderpriority""".stripMargin)
+        ()
+      }
+    }
+    materialize()
+    vs.sql("""CALL graftcat.system.register_mv('lake.mv_prio_rw',
+             |'lake.orders_mvb', 'prio=o_orderpriority',
+             |'n=count(*), total=sum(o_totalprice::decimal(18,2))')""".stripMargin)
+    def ask(tag: String): (DataFrame, Long) = {
+      val q = vs.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          |    AS DECIMAL(18,2)) AS total
+          |FROM graftcat.lake.orders_mvb
+          |GROUP BY o_orderpriority""".stripMargin)
+      q.queryExecution.toRdd.foreachPartition(_ => ())
+      val used =
+        if (q.queryExecution.executedPlan.toString.contains("mv_prio_rw")) 1L
+        else 0L
+      (q.select(lit(tag).as("tag"), col("o_orderpriority").as("p"),
+        col("n"), col("total")).localCheckpoint(), used)
+    }
+    val (q1, used1) = ask("q1")
+    // advance the base WITHOUT refreshing: the MV is stale → fallback
+    vs.sql("""INSERT INTO graftcat.lake.orders_mvb
+             |SELECT o_orderpriority, o_totalprice FROM graft_mvr_src
+             |WHERE o_orderkey % 3 = 0""".stripMargin)
+    val (q2, used2) = ask("q2")
+    // re-materialize at the new head: fresh again → substituted again
+    vs.sql("DELETE FROM graftcat.lake.mv_prio_rw WHERE n >= 0")
+    materialize()
+    val (q3, used3) = ask("q3")
+    def marker(tag: String, v: Long) = vs.range(1).select(
+      lit(tag).as("tag"), lit("").as("p"), lit(v).as("n"),
+      lit(null).cast("decimal(18,2)").as("total"))
+    q1.unionByName(q2).unionByName(q3)
+      .unionByName(marker("q1_mv_used", used1))
+      .unionByName(marker("q2_mv_used", used2))
+      .unionByName(marker("q3_mv_used", used3))
+      .orderBy("tag", "p")
+  }
+
   /** ROW LINEAGE (round-17 verdict #1 — Iceberg v3 row ids / Delta row
     * tracking): every data file's manifest entry carries a monotone
     * `firstRowId` base; a row's stable `_row_id` (hidden metadata
@@ -2433,6 +2516,7 @@ object Relational {
     "catalog_variant_shredded" -> (catalogVariantShredded _),
     "catalog_replace_where" -> (catalogReplaceWhere _),
     "catalog_type_widening" -> (catalogTypeWidening _),
+    "catalog_mv_rewrite" -> (catalogMvRewrite _),
     "catalog_merge_schema_evolution" -> (catalogMergeSchemaEvolution _),
     "catalog_rollback" -> (catalogRollback _),
     "catalog_schema_evolution" -> (catalogSchemaEvolution _),
@@ -2830,6 +2914,23 @@ object Relational {
         |  'tt_pre_overwrite' FROM orders
         |UNION ALL SELECT -2, '0', 'aligned_survivor_rewrites'
         |ORDER BY k, tag, p""".stripMargin,
+    "catalog_mv_rewrite" ->
+      """WITH seed AS (SELECT o_orderpriority AS p, o_totalprice AS x
+        |              FROM orders WHERE o_orderkey % 3 != 0),
+        | fullt AS (SELECT o_orderpriority AS p, o_totalprice AS x FROM orders),
+        | q1 AS (SELECT p, COUNT(*) AS n,
+        |   CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |   FROM seed GROUP BY p),
+        | q2 AS (SELECT p, COUNT(*) AS n,
+        |   CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |   FROM fullt GROUP BY p)
+        |SELECT 'q1' AS tag, p, n, total FROM q1
+        |UNION ALL SELECT 'q2', p, n, total FROM q2
+        |UNION ALL SELECT 'q3', p, n, total FROM q2
+        |UNION ALL SELECT 'q1_mv_used', '', 1, NULL
+        |UNION ALL SELECT 'q2_mv_used', '', 0, NULL
+        |UNION ALL SELECT 'q3_mv_used', '', 1, NULL
+        |ORDER BY tag, p""".stripMargin,
     "catalog_type_widening" ->
       """WITH nar AS (SELECT o_orderkey AS k, CAST(o_orderkey AS DOUBLE) AS f,
         |             CAST(o_orderkey AS DECIMAL(18,2)) AS d FROM orders),

@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => WindowTopKRewrite)
     ext.injectOptimizerRule(_ => CountInSetRewrite)
     ext.injectOptimizerRule(_ => VariantShredPrune)
+    // MV substitution (round 19) — exact-match aggregate → fresh MV
+    ext.injectOptimizerRule(sess => MvQueryRewrite(sess))
     // V2 view read path (Spark ships the ViewCatalog API unwired —
     // see ResolveGraftViews)
     ext.injectResolutionRule(sess => ResolveGraftViews(sess))

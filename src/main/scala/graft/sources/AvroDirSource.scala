@@ -413,6 +413,12 @@ class AvroDirTable(path: String, tableSchema: StructType,
     case (_, Some(b))  => s"graft_avro($path@$b)"
     case _             => s"graft_avro($path)"
   }
+  /** Accessors for the MV-rewrite rule ([[graft.plans]]): the rule
+    * keys its registry reads off the table directory and must skip
+    * time-travel/branch reads (an MV reflects the MAIN head only). */
+  private[graft] def tableDirPath: String = path
+  private[graft] def plainMainHeadRead: Boolean =
+    versioned && pinned.isEmpty && branch.isEmpty
   /** Whether THIS thread's current operation is a lineage-carrying
     * compaction of this table (see [[AvroDirSource.lineageRewrite]]). */
   private def lineageRewriteActive: Boolean =

@@ -344,6 +344,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     VariantShredding.declare(dir.getPath, fld.name, path, typ)
   }
 
+  /** Register `mvIdent` as a materialized view of `baseIdent` for the
+    * optimizer-substitution rule ([[graft.plans.MvQueryRewrite]]) —
+    * see [[MvRegistry]] for the spec grammar and the staleness guard.
+    * Validates every named column against the two tables' schemas at
+    * registration time (the rule itself only ever declines). */
+  def registerMv(mvIdent: Identifier, baseIdent: Identifier,
+      groupSpec: String, aggSpec: String): Int = {
+    val baseDir = tableDir(baseIdent)
+    val mvDir = tableDir(mvIdent)
+    if (!isTable(baseDir)) throw new NoSuchTableException(baseIdent)
+    if (!isTable(mvDir)) throw new NoSuchTableException(mvIdent)
+    def schemaOf(d: File) = DataType.fromJson(new String(
+      Files.readAllBytes(schemaFile(d).toPath), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+    val baseSchema = schemaOf(baseDir)
+    val mvSchema = schemaOf(mvDir)
+    def requireCol(s: StructType, c: String, who: String): Unit =
+      require(s.fields.exists(_.name.equalsIgnoreCase(c)),
+        s"register_mv: $who has no column '$c'")
+    val group = MvRegistry.parseGroup(groupSpec)
+    val aggs = MvRegistry.parseAggs(aggSpec)
+    require(group.nonEmpty && aggs.nonEmpty,
+      "register_mv: need at least one group column and one aggregate")
+    group.foreach { case (m, b) =>
+      requireCol(mvSchema, m, s"MV ${mvIdent.name}")
+      requireCol(baseSchema, b, s"base ${baseIdent.name}")
+    }
+    aggs.foreach { a =>
+      requireCol(mvSchema, a.col, s"MV ${mvIdent.name}")
+      a.arg.foreach(requireCol(baseSchema, _, s"base ${baseIdent.name}"))
+      a.cast.foreach(t => DataType.fromDDL(t)) // validate the spelling
+    }
+    MvRegistry.register(baseDir.getPath,
+      MvRegistry.MvDef(mvDir.getPath, group, aggs))
+    MvRegistry.defsFor(baseDir.getPath).size
+  }
+
   // ---- tables ----
 
   override def listTables(ns: Array[String]): Array[Identifier] = {

@@ -73,7 +73,7 @@ object GraftProcedures {
       "set_delete_mode", "create_branch", "fast_forward", "evolve_partition",
       "remove_orphan_files", "create_view", "drop_view", "apply_cdc",
       "set_bloom_filter", "compact_small", "compact_clustered",
-      "set_variant_shredding")
+      "set_variant_shredding", "register_mv")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -231,6 +231,13 @@ object GraftProcedures {
             str(in, 2), str(in, 3))
           Seq(UTF8String.fromString(s"${str(in, 1)}@${str(in, 2)}"))
         }))
+      // MV registration for the optimizer-substitution rule (round 19)
+      case "register_mv" => Some(new GraftProcedure(catalog, "register_mv",
+        Seq("mv" -> StringType, "base" -> StringType,
+          "group_map" -> StringType, "agg_map" -> StringType),
+        StructType(Seq(StructField("registered", IntegerType, nullable = false))),
+        (c, in) => Seq(Int.box(c.registerMv(tableIdent(str(in, 0)),
+          tableIdent(str(in, 1)), str(in, 2), str(in, 3))))))
       case "drop_view" => Some(new GraftProcedure(catalog, "drop_view",
         Seq("view" -> StringType),
         StructType(Seq(StructField("dropped", BooleanType, nullable = false))),
