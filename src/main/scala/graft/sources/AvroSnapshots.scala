@@ -694,6 +694,95 @@ object AvroSnapshots {
     bh
   }
 
+  /** CHERRY-PICK publish of a DIVERGED branch (round-19 verdict #6 —
+    * the audit-fix-publish loop when main moved during staging, where
+    * [[fastForward]] rightly refuses): re-apply each branch commit's
+    * ENTRY DELTA onto the current main head, one main commit per
+    * branch commit (original kind + commit properties preserved, so
+    * the change feed streams the published history exactly as the
+    * branch staged it).
+    *
+    * Conflict rule (git's spirit at FILE granularity): a branch commit
+    * that removed or modified a file conflicts unless the current
+    * main view still carries that file UNCHANGED since the divergence
+    * point; a branch-added file name colliding with a main file
+    * conflicts too (job-id uniqueness makes that near-impossible).
+    * ALL deltas are validated against the simulated main state BEFORE
+    * anything publishes — a genuine conflict refuses the whole pick.
+    * Schema drift between the heads refuses loudly (no merge).
+    *
+    * Row lineage: branch-ADDED first-write files re-enter main with
+    * firstRowId/addedVersion unassigned — the publish commit assigns
+    * fresh ids (both lineages allocated from the divergence point's
+    * counter, so branch ids may collide with ids main handed out
+    * meanwhile); COW-rewrite outputs carry their ids physically (those
+    * ids predate the divergence — no collision). The branch ref stays
+    * where it was, exactly like git cherry-pick.
+    *
+    * Returns (new main head, commits applied). */
+  def cherryPick(path: String, branch: String): (Long, Int) =
+    withCommitLock(path) {
+      val bh = getRefEntry(path, branch) match {
+        case Some((v, true)) => rollForward(path, branch, v)
+        case _ => throw new IllegalArgumentException(
+          s"'$branch' is not a branch")
+      }
+      val mh = headVersion(path, None).getOrElse(
+        throw new IllegalStateException(s"$path has no main head"))
+      // branch-only suffix: walk bh's parent chain until a main
+      // ancestor (the divergence base)
+      val chain = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+      var cur = bh
+      while (cur >= 0 && !isAncestor(path, cur, mh)) {
+        val sn = load(path, cur).getOrElse(throw new IllegalStateException(
+          s"cherry_pick: branch version $cur is expired — cannot replay"))
+        chain += sn
+        cur = if (sn.parent < cur) sn.parent else -1L
+      }
+      if (chain.isEmpty) return (mh, 0) // already an ancestor: nothing to pick
+      val mainHead = load(path, mh).getOrElse(
+        throw new IllegalStateException(s"main head v$mh unloadable"))
+      require(mainHead.schema.json == chain.head.schema.json,
+        s"cherry_pick: schema diverged between main and $branch — " +
+          "publish requires identical schemas (no schema merge)")
+      // simulate every application first: a conflict in commit k must
+      // refuse the WHOLE pick, not publish a prefix
+      var entries = mainHead.entries
+      val planned = chain.reverse.toSeq.map { sn =>
+        require(sn.kind != KindAlter && sn.kind != KindRollback,
+          s"cherry_pick: cannot replay a ${sn.kind} commit (v${sn.version})")
+        val pmap = load(path, sn.parent).getOrElse(
+          throw new IllegalStateException(
+            s"cherry_pick: parent v${sn.parent} expired")).byName
+        val cmap = sn.byName
+        val removed = pmap.keySet -- cmap.keySet
+        val added = (cmap.keySet -- pmap.keySet).toSeq.sorted
+        val changed = cmap.keySet.intersect(pmap.keySet)
+          .filter(n => cmap(n) != pmap(n))
+        val curByName = entries.iterator.map(e => e.name -> e).toMap
+        (removed ++ changed).toSeq.sorted.foreach { n =>
+          require(curByName.get(n).contains(pmap(n)),
+            s"cherry_pick conflict: $n was modified on both lineages " +
+              s"(branch commit v${sn.version})")
+        }
+        added.foreach(n => require(!curByName.contains(n),
+          s"cherry_pick conflict: $n already exists on main"))
+        entries = entries.filterNot(e => removed(e.name))
+          .map(e => if (changed(e.name)) cmap(e.name) else e) ++
+          added.map(n =>
+            cmap(n).copy(firstRowId = -1L, addedVersion = -1L))
+        (sn, entries.sortBy(_.name))
+      }
+      var newHead = mh
+      planned.foreach { case (sn, es) =>
+        newHead = withCommitProps(sn.props) {
+          commit(path, mainHead.schema, es, sn.kind, None,
+            expectedParent = Some(newHead))
+        }
+      }
+      (newHead, chain.size)
+    }
+
   /** Per-table-path commit locks: every read-view→write-manifest
     * sequence in this JVM serializes here, so two concurrent writers
     * can never both base their manifest on the same parent and drop

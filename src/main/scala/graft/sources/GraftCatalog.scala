@@ -1186,6 +1186,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     AvroSnapshots.fastForward(dir.getPath, branch)
   }
 
+  /** Cherry-pick publish of a DIVERGED branch — see
+    * [[AvroSnapshots.cherryPick]] for the delta-replay semantics and
+    * the file-granularity conflict rule. Returns (new main head,
+    * commits applied). */
+  def cherryPickBranch(ident: Identifier, branch: String): (Long, Int) = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    AvroSnapshots.cherryPick(dir.getPath, branch)
+  }
+
   /** ROLLBACK (Iceberg's rollback_to_snapshot): publish version `v`'s
     * exact state — files, schema, placement, stats — as the NEXT
     * version. History is preserved (the abandoned head stays readable

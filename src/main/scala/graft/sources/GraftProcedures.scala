@@ -73,7 +73,7 @@ object GraftProcedures {
       "set_delete_mode", "create_branch", "fast_forward", "evolve_partition",
       "remove_orphan_files", "create_view", "drop_view", "apply_cdc",
       "set_bloom_filter", "compact_small", "compact_clustered",
-      "set_variant_shredding", "register_mv")
+      "set_variant_shredding", "register_mv", "cherry_pick")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -161,6 +161,15 @@ object GraftProcedures {
         StructType(Seq(StructField("main_head", LongType, nullable = false))),
         (c, in) => Seq(Long.box(
           c.fastForwardBranch(tableIdent(str(in, 0)), str(in, 1))))))
+      // cherry-pick publish of a diverged branch (round 19)
+      case "cherry_pick" => Some(new GraftProcedure(catalog, "cherry_pick",
+        Seq("table" -> StringType, "branch" -> StringType),
+        StructType(Seq(StructField("main_head", LongType, nullable = false),
+          StructField("commits_applied", IntegerType, nullable = false))),
+        (c, in) => {
+          val (h, n) = c.cherryPickBranch(tableIdent(str(in, 0)), str(in, 1))
+          Seq(Long.box(h), Int.box(n))
+        }))
       // partition evolution: a NEW spec governs only future writes
       case "evolve_partition" => Some(new GraftProcedure(catalog, "evolve_partition",
         Seq("table" -> StringType, "transform" -> StringType,

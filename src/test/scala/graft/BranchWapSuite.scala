@@ -36,6 +36,71 @@ class BranchWapSuite extends SparkSuiteBase {
     try f finally spark.conf.unset("spark.graft.branch")
   }
 
+  test("cherry_pick publishes a diverged branch; both lineages' effects land (round 19)") {
+    mk("cp1", 0)
+    // two seed files the lineages will work on disjointly
+    spark.sql("""INSERT INTO wapcat.db.cp1
+                |SELECT /*+ REPARTITION(1) */ id, CONCAT('a', id)
+                |FROM range(0, 100)""".stripMargin)
+    spark.sql("""INSERT INTO wapcat.db.cp1
+                |SELECT /*+ REPARTITION(1) */ id, CONCAT('b', id)
+                |FROM range(100, 200)""".stripMargin)
+    spark.sql("CALL wapcat.system.create_branch('db.cp1', 'stage')")
+    // stage on the branch: an append AND a DML (delete touching file A)
+    onBranch("stage") {
+      spark.sql("INSERT INTO wapcat.db.cp1 SELECT id, CONCAT('s', id) FROM range(1000, 1050)")
+      spark.sql("DELETE FROM wapcat.db.cp1 WHERE k < 10") // boundary of file A
+    }
+    // main advances DISJOINTLY meanwhile (touches neither seed file)
+    spark.sql("INSERT INTO wapcat.db.cp1 SELECT id, CONCAT('m', id) FROM range(2000, 2030)")
+    // fast-forward rightly refuses the diverged branch
+    intercept[Exception](
+      spark.sql("CALL wapcat.system.fast_forward('db.cp1', 'stage')"))
+    val r = spark.sql("CALL wapcat.system.cherry_pick('db.cp1', 'stage')")
+      .collect().head
+    assert(r.getInt(1) == 2, s"expected 2 replayed commits, got $r")
+    // main now carries BOTH lineages' effects
+    val counts = spark.sql(
+      """SELECT
+        |  COUNT(IF(v LIKE 'a%', 1, NULL)),
+        |  COUNT(IF(v LIKE 'b%', 1, NULL)),
+        |  COUNT(IF(v LIKE 's%', 1, NULL)),
+        |  COUNT(IF(v LIKE 'm%', 1, NULL)),
+        |  COUNT(IF(k < 10, 1, NULL)) FROM wapcat.db.cp1""".stripMargin)
+      .collect().head
+    assert(counts == org.apache.spark.sql.Row(90L, 100L, 50L, 30L, 0L),
+      s"published state wrong: $counts")
+    // replayed commits carry their original kinds — the CDF streams
+    // the published history as staged (append then delete)
+    val dirp = tdir("cp1")
+    val h = AvroSnapshots.headVersion(dirp).get
+    assert(AvroSnapshots.load(dirp, h).get.kind == "delete")
+    assert(AvroSnapshots.load(dirp, h - 1).get.kind == "append")
+    // the branch ref stays where it was (git cherry-pick semantics)
+    assert(AvroSnapshots.isBranch(dirp, "stage"))
+  }
+
+  test("cherry_pick refuses a genuine conflict (same file modified on both lineages)") {
+    mk("cp2", 0)
+    spark.sql("""INSERT INTO wapcat.db.cp2
+                |SELECT /*+ REPARTITION(1) */ id, CONCAT('a', id)
+                |FROM range(0, 100)""".stripMargin)
+    spark.sql("CALL wapcat.system.create_branch('db.cp2', 'stage')")
+    onBranch("stage") {
+      spark.sql("DELETE FROM wapcat.db.cp2 WHERE k = 5")
+    }
+    // main rewrites the SAME file
+    spark.sql("DELETE FROM wapcat.db.cp2 WHERE k = 7")
+    val err = intercept[Exception](
+      spark.sql("CALL wapcat.system.cherry_pick('db.cp2', 'stage')"))
+    assert(err.toString.contains("conflict") ||
+      Option(err.getCause).exists(_.toString.contains("conflict")),
+      s"expected a conflict refusal, got $err")
+    // nothing published: main still has its own state only
+    assert(spark.sql("SELECT COUNT(*) FROM wapcat.db.cp2")
+      .collect().head.getLong(0) == 99)
+  }
+
   test("branch commits are invisible on main until fast-forward publishes") {
     mk("w1", 10)
     cat.createBranch(ident("w1"), "stage")
