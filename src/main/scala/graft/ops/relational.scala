@@ -1111,12 +1111,15 @@ object Relational {
     s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
     s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_tw")
     s.sql("CREATE TABLE graftcat.lake.orders_tw (k INT, f FLOAT, d DECIMAL(12,2))")
-    // narrow file: every value exactly representable in FLOAT (keys
-    // are dense and < 2^24 at every fixture/stress SF), so the
-    // post-widening DOUBLE read is bit-exact and oracle-spellable
+    // narrow file: the float value derives from o_orderkey % 2^20 so
+    // it is EXACTLY representable in FLOAT at every fixture/stress SF
+    // (a raw x100 orderkey ~1e8 exceeds float's 2^24 exact-integer
+    // range and would round) — the post-widening DOUBLE read is then
+    // bit-exact and oracle-spellable
     s.sql("""INSERT INTO graftcat.lake.orders_tw
             |SELECT /*+ REPARTITION(1) */ CAST(o_orderkey AS INT),
-            |  CAST(o_orderkey AS FLOAT), CAST(o_orderkey AS DECIMAL(12,2))
+            |  CAST(o_orderkey % 1048576 AS FLOAT),
+            |  CAST(o_orderkey AS DECIMAL(12,2))
             |FROM graft_tw_src""".stripMargin)
     s.sql("ALTER TABLE graftcat.lake.orders_tw ALTER COLUMN k TYPE BIGINT")
     s.sql("ALTER TABLE graftcat.lake.orders_tw ALTER COLUMN f TYPE DOUBLE")
@@ -2932,7 +2935,8 @@ object Relational {
         |UNION ALL SELECT 'q3_mv_used', '', 1, NULL
         |ORDER BY tag, p""".stripMargin,
     "catalog_type_widening" ->
-      """WITH nar AS (SELECT o_orderkey AS k, CAST(o_orderkey AS DOUBLE) AS f,
+      """WITH nar AS (SELECT o_orderkey AS k,
+        |             CAST(o_orderkey % 1048576 AS DOUBLE) AS f,
         |             CAST(o_orderkey AS DECIMAL(18,2)) AS d FROM orders),
         | wid AS (SELECT o_orderkey + 5000000000 AS k,
         |         CAST(o_orderkey AS DOUBLE) + 0.25 AS f,
