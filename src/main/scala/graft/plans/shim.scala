@@ -57,6 +57,13 @@ object Shim {
       .asInstanceOf[org.apache.spark.sql.SparkSession]
   }
 
+  /** Catalyst predicate → DSv2 [[org.apache.spark.sql.sources.Filter]]
+    * (protected[sql] in DataSourceStrategy) — the translation CHECK
+    * constraints compile through at declaration time. */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
+
   /** Drop the block-manager storage behind a localCheckpoint()ed frame.
     * ONLY for frames whose data is no longer reachable from any plan
     * still to be executed — a truncated-lineage RDD cannot recompute.

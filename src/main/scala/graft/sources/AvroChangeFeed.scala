@@ -350,7 +350,8 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
       private lazy val reader = {
         readerOpened = true
         new DataFileReader[GenericRecord](
-          new File(dirPath, split.file), new GenericDatumReader[GenericRecord]())
+          AvroSnapshots.resolveFile(dirPath, split.file),
+          new GenericDatumReader[GenericRecord]())
       }
       private def dv(name: Option[String]): Set[Long] =
         name.map(DeletionVectors.read(dirPath, _).toSet).getOrElse(Set.empty)
@@ -425,7 +426,8 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
         val m = new java.util.HashMap[java.lang.Long, Vector[Any]]()
         split.others.foreach { ref =>
           val r = new DataFileReader[GenericRecord](
-            new File(dirPath, ref.name), new GenericDatumReader[GenericRecord]())
+            AvroSnapshots.resolveFile(dirPath, ref.name),
+            new GenericDatumReader[GenericRecord]())
           try {
             val dvSet = ref.dv.map(DeletionVectors.read(dirPath, _).toSet)
               .getOrElse(Set.empty[Long])
@@ -468,7 +470,8 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
           case Some(rw) =>
             val m = scala.collection.mutable.Map.empty[Vector[Any], Int]
             val r = new DataFileReader[GenericRecord](
-              new File(dirPath, rw), new GenericDatumReader[GenericRecord]())
+              AvroSnapshots.resolveFile(dirPath, rw),
+              new GenericDatumReader[GenericRecord]())
             try {
               val pos: Array[Int] = baseSchema.fields.map { f =>
                 (f.name +: AvroDirSource.aliasesOf(f)).iterator

@@ -465,7 +465,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
   private def headSnapshot(): Option[AvroSnapshots.Snapshot] =
     pinned.orElse(if (versioned) AvroSnapshots.head(path, branch) else None)
   private def readView(): Seq[File] = headSnapshot() match {
-    case Some(sn) => sn.files.map(n => new File(path, n))
+    case Some(sn) => sn.files.map(n => AvroSnapshots.resolveFile(path, n))
     case None     => AvroDirSource.listFiles(path)
   }
   private def readViewNames(): Seq[String] = readView().map(_.getName)
@@ -647,8 +647,12 @@ class AvroDirTable(path: String, tableSchema: StructType,
             }
             // bloom point-lookup pruning: only stats-admitted files pay
             // the (cached) sidecar probe; tables without sidecars skip
-            // the whole pass on one directory check
-            if (!BloomFilters.anySidecars(path)) statsKept
+            // the whole pass on one directory check — unless the view
+            // holds foreign references (shallow clone), whose sidecars
+            // live in the SOURCE table's directory
+            if (!BloomFilters.anySidecars(path) &&
+                statsKept.forall(e => AvroSnapshots.ownsFile(e.name)))
+              statsKept
             else statsKept.filter(e => BloomFilters.fileMightMatch(
               path, e.name, pushed.toSeq, bloomNames))
           }
@@ -656,11 +660,11 @@ class AvroDirTable(path: String, tableSchema: StructType,
           .map(f => AvroSnapshots.FileEntry(f.getName))
       }
       private lazy val prunedView: Seq[File] =
-        prunedEntries.map(e => new File(path, e.name))
+        prunedEntries.map(e => AvroSnapshots.resolveFile(path, e.name))
       private def dvPathOf(e: AvroSnapshots.FileEntry): Option[String] =
-        e.dv.map(d => new File(path, d).getAbsolutePath)
+        e.dv.map(d => AvroSnapshots.resolveFile(path, d).getAbsolutePath)
       private def eqPathsOf(e: AvroSnapshots.FileEntry): Seq[String] =
-        e.eq.map(n => new File(path, n).getAbsolutePath)
+        e.eq.map(n => AvroSnapshots.resolveFile(path, n).getAbsolutePath)
 
       // ---- aggregate pushdown from MANIFEST STATS ----
       //
@@ -893,21 +897,23 @@ class AvroDirTable(path: String, tableSchema: StructType,
                 spec.n,
                 bucketField.map(AvroDirSource.existsDefaultAvro).orNull)
               val tail = residual.map(e => AvroGroupFile(
-                new File(path, e.name).getAbsolutePath, dvPathOf(e),
-                eqPathsOf(e), e.firstRowId,
+                AvroSnapshots.resolveFile(path, e.name).getAbsolutePath,
+                dvPathOf(e), eqPathsOf(e), e.firstRowId,
                 bucketBy = Some(residualSpec),
-                addedVersion = e.addedVersion))
+                addedVersion = e.addedVersion, entryName = e.name))
               gs.map { case (b, es) =>
                 AvroBucketGroupSplit(es.map(e => AvroGroupFile(
-                  new File(path, e.name).getAbsolutePath, dvPathOf(e),
-                  eqPathsOf(e), e.firstRowId,
-                  addedVersion = e.addedVersion)) ++ tail,
+                  AvroSnapshots.resolveFile(path, e.name).getAbsolutePath,
+                  dvPathOf(e), eqPathsOf(e), e.firstRowId,
+                  addedVersion = e.addedVersion,
+                  entryName = e.name)) ++ tail,
                   b): InputPartition
               }.toArray
             case None => prunedEntries.map(e =>
-              AvroFileSplit(new File(path, e.name).getAbsolutePath,
+              AvroFileSplit(
+                AvroSnapshots.resolveFile(path, e.name).getAbsolutePath,
                 dvPathOf(e), eqPathsOf(e), e.firstRowId,
-                e.addedVersion): InputPartition).toArray
+                e.addedVersion, entryName = e.name): InputPartition).toArray
           }
         }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -1642,7 +1648,7 @@ object SortSpec {
   *   `_last_updated_version` inheritance base; −1 = unknown. */
 case class AvroFileSplit(file: String, dvFile: Option[String] = None,
     eqFiles: Seq[String] = Nil, firstRowId: Long = -1L,
-    addedVersion: Long = -1L)
+    addedVersion: Long = -1L, entryName: String = null)
     extends InputPartition
 /** A completely-pushed-down global aggregation: the answer was folded
   * from manifest stats at plan time; the single split just emits it
@@ -1670,7 +1676,7 @@ class AvroAggReaderFactory extends PartitionReaderFactory {
 case class AvroGroupFile(file: String, dv: Option[String] = None,
     eqs: Seq[String] = Nil, firstRowId: Long = -1L,
     bucketBy: Option[BucketResidual] = None,
-    addedVersion: Long = -1L)
+    addedVersion: Long = -1L, entryName: String = null)
 
 /** The residual bucket filter's full resolution story: `names` is the
   * bucket column's current name plus its rename aliases newest-first
@@ -1708,7 +1714,8 @@ case class AvroBucketedCommit(files: Seq[(String, Long, Option[String])])
 class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case AvroFileSplit(f, dv, eq, frid, av) => fileReader(f, dv, eq, frid, av)
+      case AvroFileSplit(f, dv, eq, frid, av, en) =>
+        fileReader(f, dv, eq, frid, av, entryName = en)
       case AvroBucketGroupSplit(files, b) =>
         // one bucket's files, read in sequence (a group is one task)
         new PartitionReader[InternalRow] {
@@ -1720,7 +1727,8 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
                 if (!remaining.hasNext) return false
                 val gf = remaining.next()
                 cur = fileReader(gf.file, gf.dv, gf.eqs, gf.firstRowId,
-                  gf.addedVersion, gf.bucketBy.map(r => (r, b)))
+                  gf.addedVersion, gf.bucketBy.map(r => (r, b)),
+                  entryName = gf.entryName)
               }
               if (cur.next()) return true
               cur.close(); cur = null
@@ -1739,11 +1747,17 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
       eqFiles: Seq[String] = Nil,
       firstRowId: Long = -1L,
       addedVersion: Long = -1L,
-      bucketKeep: Option[(BucketResidual, Int)] = None): PartitionReader[InternalRow] = {
+      bucketKeep: Option[(BucketResidual, Int)] = None,
+      entryName: String = null): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val reader = new DataFileReader[GenericRecord](
         new File(file), new GenericDatumReader[GenericRecord]())
-      private val fileName = UTF8String.fromString(new File(file).getName)
+      // `_file` serves the MANIFEST ENTRY NAME (absolute for a cloned
+      // table's foreign references) so row-level operations' In(_file)
+      // group filters and maintenance isin(names) filters round-trip
+      // exactly against entry names at all times
+      private val fileName = UTF8String.fromString(
+        if (entryName != null) entryName else new File(file).getName)
       // deletion vector: positions to skip, applied as the rows stream
       // past (the merge-on-read anti-filter)
       private val dv: Set[Long] =
@@ -1908,6 +1922,11 @@ class AvroFileWriter(file: File, schema: StructType)
   // per-file bloom sidecar for the table's opted-in lookup columns
   // (null when none — the hot path pays one null check per field)
   private val bloom = BloomFilters.builderFor(file, schema)
+  // CHECK constraints ([[CheckConstraints]]): every write path funnels
+  // through this writer, so ONE fused per-row validation covers batch,
+  // clustered, streaming, DML-rewrite and CDC writes alike (null when
+  // the table declares none — one null check per row)
+  private val checks = CheckConstraints.validatorFor(file, schema)
   private val writer = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](avroSchema))
@@ -1997,6 +2016,10 @@ class AvroFileWriter(file: File, schema: StructType)
       stats.updateShadow(zSlot,
         if (nul) null else java.lang.Long.valueOf(SortSpec.zPrefixOf(keys)))
     }
+    // reject a definitively-violating row BEFORE it is appended — the
+    // thrown error fails the task, Spark aborts the job, and abort()
+    // deletes this file: no partial state ever commits
+    if (checks != null) checks.validate(rec)
     stats.countRow()
     writer.append(rec)
   }
@@ -2260,7 +2283,8 @@ class AvroVersionStream(path: String, required: StructType,
     // are decided at append time. Its dv AT APPEND TIME is what an
     // append can carry: none.
     added.toSeq.sorted.map(n =>
-      AvroFileSplit(new File(path, n).getAbsolutePath): InputPartition).toArray
+      AvroFileSplit(AvroSnapshots.resolveFile(path, n).getAbsolutePath,
+        entryName = n): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

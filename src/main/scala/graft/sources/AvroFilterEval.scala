@@ -238,7 +238,8 @@ object AvroFilterEval extends Serializable {
     val matched = scala.collection.mutable.ArrayBuffer.empty[Long]
     var live = 0L
     val reader = new DataFileReader[GenericRecord](
-      new File(dirPath, fileName), new GenericDatumReader[GenericRecord]())
+      AvroSnapshots.resolveFile(dirPath, fileName),
+      new GenericDatumReader[GenericRecord]())
     try {
       val pos: Map[String, Int] = schema.fields.map { f =>
         f.name -> (f.name +: AvroDirSource.aliasesOf(f)).iterator
@@ -357,7 +358,7 @@ object AvroFilterEval extends Serializable {
       filters: Array[Filter], jobId: String,
       dv: Set[Long] = Set.empty,
       firstRowId: Long = -1L): Option[(String, Option[String])] = {
-    val file = new File(dirPath, fileName)
+    val file = AvroSnapshots.resolveFile(dirPath, fileName)
     val (keep, deleted) =
       scanFile(file, schema, filters, dv, firstRowId, withLineage = true)
     // an existing deletion vector counts as "something changed": the
@@ -366,7 +367,10 @@ object AvroFilterEval extends Serializable {
     if (!deleted && dv.isEmpty) Some((fileName, None))
     else if (keep.isEmpty) None
     else {
-      val newName = s"part-$jobId-rw-$fileName"
+      // a foreign reference's rewrite lands OWNED in this table's
+      // directory under the foreign file's base name (absolute entry
+      // names must never leak into new file names)
+      val newName = s"part-$jobId-rw-${new File(fileName).getName}"
       // surviving rows keep their stable ids as a physical trailing
       // `_row_id` column (row lineage through COW DELETE — round 17)
       val schemaWithId = StructType(schema.fields :+

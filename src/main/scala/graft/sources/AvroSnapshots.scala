@@ -182,6 +182,30 @@ object AvroSnapshots {
   private def manifestFile(path: String, v: Long) =
     new File(versionsDir(path), f"v$v%08d.manifest")
 
+  // ---- foreign file references (SHALLOW CLONE, round 19) ----
+  //
+  // A manifest entry name is normally a bare file name resolved inside
+  // the table directory. A name starting with "/" is a FOREIGN
+  // reference: an absolute path into ANOTHER table's directory — the
+  // zero-copy mechanism behind `CALL system.clone(src, dst)` (Delta
+  // shallow clone / Iceberg's fully-qualified manifest URIs). The
+  // ownership rule that keeps it sound everywhere: a table OWNS
+  // exactly the files inside its own directory, and every physical
+  // delete path (snapshot expiry, orphan removal, failed-job cleanup)
+  // may only ever delete OWNED files — a foreign reference is dropped
+  // from the manifest like any entry, but its bytes belong to the
+  // source table and only the source's own retention may remove them
+  // (the same contract Delta documents for shallow clones: VACUUM on
+  // the source can invalidate clones; the clone's own VACUUM never
+  // touches the source).
+  def ownsFile(name: String): Boolean = !name.startsWith("/")
+
+  /** Resolve an entry/dv/eq name against its table directory: bare
+    * names live inside the table, absolute names are foreign
+    * references served verbatim. */
+  def resolveFile(path: String, name: String): File =
+    if (ownsFile(name)) new File(path, name) else new File(name)
+
   // ---- durable lineage log (`_versions/lineage.log`) ----
   //
   // One `version \t parent \t timestampMs` line appended per commit,
@@ -841,7 +865,17 @@ object AvroSnapshots {
       }
       if (claimed.isEmpty) 0L else claimed.max
     }
-    var rowIdCounter = bootstrap
+    // Never assign below a range the INCOMING entries already claim: a
+    // CLONE's v1 commits inherited [firstRowId, +rows) ranges into a
+    // fresh table whose counter would otherwise bootstrap at 0 and
+    // reissue those ids to the next append (round 19).
+    val incomingClaim = entries.iterator.collect {
+      case e if e.firstRowId >= 0 =>
+        e.firstRowId + e.stats.flatMap(AvroStats.rowCount).getOrElse(0L)
+    }
+    var rowIdCounter =
+      if (incomingClaim.isEmpty) bootstrap
+      else math.max(bootstrap, incomingClaim.max)
     val lineaged = entries.map { e0 =>
       prevByName.get(e0.name) match {
         case Some(pe) =>
@@ -1148,13 +1182,16 @@ object AvroSnapshots {
       groupCache.remove(f.getAbsolutePath)
       f.delete()
     }
-    deadDvs.foreach(d => new File(path, d).delete())
-    deadEqs.foreach(d => new File(path, d).delete())
-    deadData.foreach { n =>
+    // ownership guard (round 19): expiry deletes only files THIS table
+    // owns — a foreign reference (shallow clone) is dropped from the
+    // manifests but its bytes belong to the source table
+    deadDvs.filter(ownsFile).foreach(d => new File(path, d).delete())
+    deadEqs.filter(ownsFile).foreach(d => new File(path, d).delete())
+    deadData.filter(ownsFile).foreach { n =>
       new File(path, n).delete()
       // the bloom sidecar lives and dies with its data file
       new File(new File(path, "_bloom"), s"$n.bf").delete()
     }
-    deadData
+    deadData.filter(ownsFile)
   }
 }

@@ -58,8 +58,15 @@ object BloomFilters {
   private val MaxBlockBits: Int = 1 << 26
   private val K = 4
 
-  def sidecar(tablePath: String, dataFileName: String): File =
-    new File(new File(tablePath, Dir), s"$dataFileName.bf")
+  /** A sidecar lives in the `_bloom/` directory NEXT TO its data file:
+    * inside the table for owned files, inside the SOURCE table for a
+    * shallow clone's foreign references (the sidecar follows the data
+    * file it indexes, so a clone prunes with the source's blooms at
+    * zero copy cost). */
+  def sidecar(tablePath: String, dataFileName: String): File = {
+    val df = AvroSnapshots.resolveFile(tablePath, dataFileName)
+    new File(new File(df.getParentFile, Dir), s"${df.getName}.bf")
+  }
 
   // ---- enablement sidecar ----
 

@@ -45,7 +45,7 @@ object DeletionVectors {
   /** Positions of one sidecar (empty when absent — a vanished sidecar
     * must fail the read loudly via the caller, not resurrect rows). */
   def read(path: String, name: String): Seq[Long] =
-    readAbs(new File(path, name).getAbsolutePath)
+    readAbs(AvroSnapshots.resolveFile(path, name).getAbsolutePath)
 
   def readAbs(absPath: String): Seq[Long] =
     new String(Files.readAllBytes(new File(absPath).toPath),

@@ -94,11 +94,12 @@ class GraftDeltaOperation(path: String, tableSchema: StructType,
         // the physical index — new deletes land in the same
         // coordinate system
         entries.map(e => AvroFileSplit(
-          new File(path, e.name).getAbsolutePath,
-          e.dv.map(d => new File(path, d).getAbsolutePath),
-          e.eq.map(n => new File(path, n).getAbsolutePath),
+          AvroSnapshots.resolveFile(path, e.name).getAbsolutePath,
+          e.dv.map(d => AvroSnapshots.resolveFile(path, d).getAbsolutePath),
+          e.eq.map(n => AvroSnapshots.resolveFile(path, n).getAbsolutePath),
           e.firstRowId,
-          e.addedVersion): InputPartition) // _luv resolves in MOR DML too
+          e.addedVersion, // _luv resolves in MOR DML too
+          entryName = e.name): InputPartition)
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =

@@ -74,7 +74,7 @@ object EqualityDeletes {
   /** (columns, kinds, key tuples) of one sidecar. */
   def readMulti(path: String,
       name: String): (Seq[String], Seq[String], Set[Seq[String]]) =
-    readMultiAbs(new File(path, name).getAbsolutePath)
+    readMultiAbs(AvroSnapshots.resolveFile(path, name).getAbsolutePath)
 
   def readMultiAbs(absPath: String): (Seq[String], Seq[String], Set[Seq[String]]) = {
     val lines = new String(Files.readAllBytes(new File(absPath).toPath),
@@ -91,7 +91,7 @@ object EqualityDeletes {
   /** Single-column view (legacy callers): (column, kind, keys). Throws
     * on a composite sidecar — those callers must use [[readMultiAbs]]. */
   def read(path: String, name: String): (String, String, Set[String]) =
-    readAbs(new File(path, name).getAbsolutePath)
+    readAbs(AvroSnapshots.resolveFile(path, name).getAbsolutePath)
 
   def readAbs(absPath: String): (String, String, Set[String]) = {
     val (cols, kinds, keys) = readMultiAbs(absPath)

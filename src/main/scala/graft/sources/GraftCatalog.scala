@@ -1168,6 +1168,174 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     AvroSnapshots.head(dir.getPath).map(_.files.size).getOrElse(0)
   }
 
+  /** ADD CHECK CONSTRAINT (round 19 — Delta `ALTER TABLE ... ADD
+    * CONSTRAINT ... CHECK`): compiles `predicateSql` against the
+    * table, refuses undeclarable shapes loudly, validates every
+    * EXISTING row distributedly (a row violates iff the predicate is
+    * definitively FALSE — SQL CHECK's rule), persists the predicate
+    * tree to the `_check.json` sidecar under the commit lock, and
+    * lands an `alter` commit so the declaration is versioned. From
+    * then on every write path enforces it per row inside the write
+    * tasks ([[CheckConstraints]]). Returns the enforcing commit's
+    * version. */
+  def addCheckConstraint(ident: Identifier, name: String,
+      predicateSql: String, session: org.apache.spark.sql.SparkSession): Long = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val schema = DataType.fromJson(new String(
+      Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+    val q = (catalogName +: ident.namespace.toSeq :+ ident.name)
+      .map(p => s"`$p`").mkString(".")
+    // resolve through the REAL analyzer against the real relation, then
+    // translate to the engine-neutral DSv2 filter tree the write-time
+    // evaluator executes
+    val analyzed = session.table(q).where(predicateSql)
+      .queryExecution.analyzed
+    val cond0 = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(throw new IllegalArgumentException(
+      s"constraint $name: could not resolve predicate `$predicateSql`"))
+    // the analyzer wraps literals in casts (k >= CAST(0 AS BIGINT));
+    // fold every foldable subtree to its literal so the translator
+    // sees plain column-vs-literal comparisons
+    val cond = cond0.transformUp {
+      case e if e.foldable &&
+          !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          e.eval(org.apache.spark.sql.catalyst.InternalRow.empty), e.dataType)
+      // wildcard-free simple LIKEs are prefix/suffix/contains tests —
+      // rewrite so `p LIKE 'p%'` declares as StringStartsWith
+      case l: org.apache.spark.sql.catalyst.expressions.Like =>
+        import org.apache.spark.sql.catalyst.expressions._
+        (l.right match {
+          case Literal(p: org.apache.spark.unsafe.types.UTF8String, _) =>
+            val s = p.toString
+            def clean(x: String) = !x.exists(c => c == '%' || c == '_' || c == l.escapeChar)
+            if (s.length > 1 && s.endsWith("%") && clean(s.dropRight(1)))
+              Some(StartsWith(l.left, Literal(s.dropRight(1))))
+            else if (s.length > 1 && s.startsWith("%") && clean(s.drop(1)))
+              Some(EndsWith(l.left, Literal(s.drop(1))))
+            else if (s.length > 2 && s.startsWith("%") && s.endsWith("%") &&
+                clean(s.substring(1, s.length - 1)))
+              Some(Contains(l.left, Literal(s.substring(1, s.length - 1))))
+            else None
+          case _ => None
+        }).getOrElse(l)
+    }
+    val v2 = org.apache.spark.sql.graftshim.Shim.translateFilter(cond)
+      .getOrElse(throw new IllegalArgumentException(
+        s"constraint $name: `$predicateSql` is not expressible in the " +
+          "declarable grammar (literal comparisons, IN, IS [NOT] NULL, " +
+          "prefix/suffix/contains, AND/OR/NOT)"))
+    require(AvroFilterEval.supported(v2),
+      s"constraint $name: `$predicateSql` uses an unsupported literal or shape")
+    val cols = CheckConstraints.referencedColumns(v2)
+    cols.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"constraint $name references $c, which is not a data column"))
+    // history must already satisfy the constraint (Delta's rule):
+    // definitively-FALSE rows refuse the declaration
+    val bad = session.table(q)
+      .where(s"NOT COALESCE(($predicateSql), TRUE)").limit(1).count()
+    require(bad == 0,
+      s"constraint $name: existing rows violate `$predicateSql`")
+    AvroSnapshots.withCommitLock(dir.getPath) {
+      val existing = CheckConstraints.load(dir.getPath)
+      require(!existing.exists(_.name == name),
+        s"constraint $name already exists on ${ident.name}")
+      CheckConstraints.store(dir.getPath,
+        existing :+ CheckConstraints.Check(name, predicateSql, v2, cols))
+      val head = AvroSnapshots.head(dir.getPath, sessionBranch(dir.getPath))
+      AvroSnapshots.commit(dir.getPath, schema,
+        head.map(_.entries).getOrElse(Nil), AvroSnapshots.KindAlter,
+        sessionBranch(dir.getPath), expectedParent = head.map(_.version))
+    }
+  }
+
+  /** Drop a CHECK constraint; enforcement stops at the commit. */
+  def dropCheckConstraint(ident: Identifier, name: String): Long = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    AvroSnapshots.withCommitLock(dir.getPath) {
+      val existing = CheckConstraints.load(dir.getPath)
+      require(existing.exists(_.name == name),
+        s"no CHECK constraint $name on ${ident.name}")
+      CheckConstraints.store(dir.getPath, existing.filterNot(_.name == name))
+      val schema = DataType.fromJson(new String(
+        Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
+        .asInstanceOf[StructType]
+      val head = AvroSnapshots.head(dir.getPath, sessionBranch(dir.getPath))
+      AvroSnapshots.commit(dir.getPath, schema,
+        head.map(_.entries).getOrElse(Nil), AvroSnapshots.KindAlter,
+        sessionBranch(dir.getPath), expectedParent = head.map(_.version))
+    }
+  }
+
+  /** SHALLOW CLONE (round 19 — Delta `CREATE TABLE ... SHALLOW CLONE`
+    * / Iceberg snapshot-ref tables): create `dstIdent` as a ZERO-COPY
+    * table whose v1 manifest references the source head's live data
+    * files (and their dv/eq sidecars) as FOREIGN absolute paths —
+    * O(metadata) regardless of table size; no data byte moves. The
+    * clone then evolves fully independently: DML, compaction, schema
+    * evolution, branching and its own retention all work — a COW
+    * rewrite of a foreign file lands the rewrite OWNED in the clone's
+    * directory and simply drops the foreign reference; the clone's
+    * expiry/orphan removal never deletes a foreign file
+    * ([[AvroSnapshots.ownsFile]] guards every physical delete).
+    * Definition sidecars (schema, partition spec, sort order, delete
+    * mode, bloom columns, shred declarations) are copied so the clone
+    * behaves like the source; `_mv.json` is NOT copied (MV
+    * registrations name OTHER tables — a clone must not receive the
+    * source's maintenance obligations). Row ids are preserved verbatim
+    * (the clone's row-id counter starts above every inherited range);
+    * entry-level `addedVersion` stamps reset to the clone commit (in
+    * the CLONE's timeline every row was added at v1 — physical
+    * `_last_updated_version` columns inside rewritten source files
+    * stay authoritative, documented like Delta's). The caveat is also
+    * Delta's: retention run ON THE SOURCE can delete files a clone
+    * still references — the source does not know its clones.
+    * Returns (source version cloned, file count). */
+  def cloneTable(srcIdent: Identifier, dstIdent: Identifier): (Long, Int) = {
+    val srcDir = tableDir(srcIdent)
+    if (!isTable(srcDir)) throw new NoSuchTableException(srcIdent)
+    val dstDir = tableDir(dstIdent)
+    if (isTable(dstDir)) throw new TableAlreadyExistsException(dstIdent)
+    if (!nsDir(dstIdent.namespace).isDirectory)
+      throw new NoSuchNamespaceException(dstIdent.namespace)
+    val srcPath = srcDir.getPath
+    val head = AvroSnapshots.head(srcPath, sessionBranch(srcPath))
+      .getOrElse(throw new IllegalArgumentException(
+        s"clone source ${srcIdent.name} is not a versioned table"))
+    val srcAbs = new File(srcPath).getAbsolutePath
+    // a source-owned name becomes an absolute foreign reference; a
+    // reference the SOURCE already held foreign (clone of a clone)
+    // keeps pointing at the original bytes — chains never re-resolve
+    def foreign(n: String): String =
+      if (AvroSnapshots.ownsFile(n)) new File(srcAbs, n).getPath else n
+    dstDir.mkdirs()
+    Seq("_schema.json", "_partition.json", "_sort.json", "_delete.json",
+        BloomFilters.ColsFile, VariantShredding.SpecFile).foreach { s =>
+      val f = new File(srcDir, s)
+      if (f.isFile)
+        Files.copy(f.toPath, new File(dstDir, s).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val entries = head.entries.map(e => e.copy(
+      name = foreign(e.name), dv = e.dv.map(foreign),
+      eq = e.eq.map(foreign), addedVersion = -1L))
+    AvroSnapshots.withCommitLock(dstDir.getPath) {
+      AvroSnapshots.commit(dstDir.getPath, head.schema, Nil,
+        AvroSnapshots.KindCreate)
+      AvroSnapshots.withCommitProps(Map(
+        "graft.clone.source" -> srcAbs,
+        "graft.clone.sourceVersion" -> head.version.toString)) {
+        AvroSnapshots.commit(dstDir.getPath, head.schema, entries,
+          AvroSnapshots.KindAppend)
+      }
+    }
+    (head.version, entries.size)
+  }
+
   /** Create a movable branch at the current main head — the staging
     * half of write-audit-publish. Writers target it via the
     * `spark.graft.branch` session conf; [[fastForwardBranch]]
@@ -1418,6 +1586,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val bucketCol = loadPartSpec(dir).map(_.column)
     val sortColumn = loadSortSpec(dir).map(_.columns).getOrElse(Nil)
+    val checkedCols: Map[String, String] =
+      CheckConstraints.load(dir.getPath)
+        .flatMap(c => c.columns.map(_ -> c.name)).toMap
     def guardBucketCol(name: String, what: String): Unit = {
       if (bucketCol.contains(name)) throw new IllegalArgumentException(
         s"$what $name: the table is partitioned by $name — the partition " +
@@ -1425,6 +1596,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (sortColumn.contains(name)) throw new IllegalArgumentException(
         s"$what $name: the table's write sort order is on $name — drop " +
           "the sort order first")
+      // a stored CHECK predicate references columns BY NAME — renaming
+      // or dropping one would silently detach enforcement
+      checkedCols.get(name).foreach(ck => throw new IllegalArgumentException(
+        s"$what $name: referenced by CHECK constraint $ck — drop the " +
+          "constraint first"))
     }
     val evolved = changes.foldLeft(current) { (s, change) =>
       change match {

@@ -73,7 +73,8 @@ object GraftProcedures {
       "set_delete_mode", "create_branch", "fast_forward", "evolve_partition",
       "remove_orphan_files", "create_view", "drop_view", "apply_cdc",
       "set_bloom_filter", "compact_small", "compact_clustered",
-      "set_variant_shredding", "register_mv", "cherry_pick")
+      "set_variant_shredding", "register_mv", "cherry_pick", "clone",
+      "add_check_constraint", "drop_check_constraint")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -169,6 +170,32 @@ object GraftProcedures {
         (c, in) => {
           val (h, n) = c.cherryPickBranch(tableIdent(str(in, 0)), str(in, 1))
           Seq(Long.box(h), Int.box(n))
+        }))
+      // CHECK constraints (round 19): declared here, enforced per-row
+      // inside every write task (CheckConstraints)
+      case "add_check_constraint" => Some(new GraftProcedure(catalog,
+        "add_check_constraint",
+        Seq("table" -> StringType, "name" -> StringType,
+          "predicate" -> StringType),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        (c, in) => Seq(Long.box(c.addCheckConstraint(
+          tableIdent(str(in, 0)), str(in, 1), str(in, 2),
+          org.apache.spark.sql.SparkSession.active)))))
+      case "drop_check_constraint" => Some(new GraftProcedure(catalog,
+        "drop_check_constraint",
+        Seq("table" -> StringType, "name" -> StringType),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        (c, in) => Seq(Long.box(c.dropCheckConstraint(
+          tableIdent(str(in, 0)), str(in, 1))))))
+      // zero-copy shallow clone (round 19): the target's v1 references
+      // the source head's files as foreign absolute paths
+      case "clone" => Some(new GraftProcedure(catalog, "clone",
+        Seq("source" -> StringType, "target" -> StringType),
+        StructType(Seq(StructField("source_version", LongType, nullable = false),
+          StructField("files", IntegerType, nullable = false))),
+        (c, in) => {
+          val (v, n) = c.cloneTable(tableIdent(str(in, 0)), tableIdent(str(in, 1)))
+          Seq(Long.box(v), Int.box(n))
         }))
       // partition evolution: a NEW spec governs only future writes
       case "evolve_partition" => Some(new GraftProcedure(catalog, "evolve_partition",

@@ -79,7 +79,7 @@ class AvroMetaTable(path: String, which: String) extends Table with SupportsRead
           e.part.map(_ => Int.box(e.specId)).orNull,
           e.stats.flatMap(AvroStats.rowCount).map(Long.box).orNull,
           Boolean.box(e.dv.isDefined),
-          Long.box(new File(path, e.name).length()))
+          Long.box(AvroSnapshots.resolveFile(path, e.name).length()))
       }
     case "refs" =>
       AvroSnapshots.listRefs(path).toSeq.sortBy(_._1).map { case (n, v) =>

@@ -99,14 +99,15 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
         // rows a prior merge-on-read DELETE removed (the rewrite
         // materializes both away — the replaced entry leaves with them)
         candidates.map(e =>
-          AvroFileSplit(new File(path, e.name).getAbsolutePath,
-            e.dv.map(d => new File(path, d).getAbsolutePath),
-            e.eq.map(n => new File(path, n).getAbsolutePath),
+          AvroFileSplit(
+            AvroSnapshots.resolveFile(path, e.name).getAbsolutePath,
+            e.dv.map(d => AvroSnapshots.resolveFile(path, d).getAbsolutePath),
+            e.eq.map(n => AvroSnapshots.resolveFile(path, n).getAbsolutePath),
             e.firstRowId,
             // _last_updated_version must resolve inside DML scans too:
             // a DELETE/UPDATE predicated on it would otherwise read
             // null for every inheritance-stamped row and match nothing
-            e.addedVersion): InputPartition)
+            e.addedVersion, entryName = e.name): InputPartition)
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
