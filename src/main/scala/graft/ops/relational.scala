@@ -1217,17 +1217,20 @@ object Relational {
     val slice = s.sql(
       "SELECT (MAX(o_orderkey) DIV 4) + 1 FROM graft_ck_src")
       .head().getLong(0)
-    // declares cleanly: every existing row satisfies it
-    s.sql("""CALL graftcat.system.add_check_constraint('lake.orders_ck',
-            |'ck_dom', 'k >= 0 AND p IS NOT NULL')""".stripMargin)
+    // declares cleanly through Spark 4.1's NATIVE constraint DDL —
+    // every existing row satisfies it; SQL-path writes then ALSO get
+    // Spark's own CheckInvariant enforcement layered over the
+    // writer-level check
+    s.sql("""ALTER TABLE graftcat.lake.orders_ck
+            |ADD CONSTRAINT ck_dom CHECK (k >= 0 AND p IS NOT NULL)""".stripMargin)
     def refused(sql: String): Int =
       try { s.sql(sql); 0 } catch { case _: Throwable => 1 }
     // history violates k < slice → declaration refused
     val refusedHistory = refused(
-      s"CALL graftcat.system.add_check_constraint('lake.orders_ck', 'ck_small', 'k < $slice')")
+      s"ALTER TABLE graftcat.lake.orders_ck ADD CONSTRAINT ck_small CHECK (k < $slice)")
     // arithmetic is outside the declarable grammar → refused loudly
     val refusedGrammar = refused(
-      "CALL graftcat.system.add_check_constraint('lake.orders_ck', 'ck_expr', 'k % 2 = 0')")
+      "ALTER TABLE graftcat.lake.orders_ck ADD CONSTRAINT ck_expr CHECK (k % 2 = 0)")
     // a valid write passes enforcement
     s.sql(s"""INSERT INTO graftcat.lake.orders_ck
              |SELECT o_orderkey + ${4 * slice}, 'OK'
@@ -1243,7 +1246,7 @@ object Relational {
       s"""UPDATE graftcat.lake.orders_ck SET p = NULL
          |WHERE k >= ${slice / 4} AND k < ${slice / 2}""".stripMargin)
     // dropping the constraint lifts enforcement: the same write lands
-    s.sql("CALL graftcat.system.drop_check_constraint('lake.orders_ck', 'ck_dom')")
+    s.sql("ALTER TABLE graftcat.lake.orders_ck DROP CONSTRAINT ck_dom")
     s.sql(s"""INSERT INTO graftcat.lake.orders_ck
              |SELECT -(o_orderkey + 1), NULL
              |FROM graft_ck_src WHERE o_orderkey < ${slice / 8}""".stripMargin)

@@ -413,6 +413,16 @@ class AvroDirTable(path: String, tableSchema: StructType,
     case (_, Some(b))  => s"graft_avro($path@$b)"
     case _             => s"graft_avro($path)"
   }
+  /** Declared table constraints (round 19 — Spark 4.1's constraint
+    * SPIP): CHECKs enforced, PK/UNIQUE/FK informational. Reporting
+    * them makes Spark's own write planning wrap SQL writes in
+    * `CheckInvariant` — engine-level enforcement layered over the
+    * writer-level check every write path already pays. */
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    if (!versioned) Array.empty
+    else CheckConstraints.v2Constraints(path)
+
   /** Accessors for the MV-rewrite rule ([[graft.plans]]): the rule
     * keys its registry reads off the table directory and must skip
     * time-travel/branch reads (an MV reflects the MAIN head only). */

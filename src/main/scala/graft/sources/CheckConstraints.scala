@@ -46,6 +46,15 @@ object CheckConstraints {
   case class Check(name: String, sql: String, filter: Filter,
       columns: Seq[String])
 
+  /** An INFORMATIONAL constraint (round 19 — Spark 4.1's table
+    * constraint SPIP): PRIMARY KEY / UNIQUE / FOREIGN KEY declared NOT
+    * ENFORCED, stored for optimizer hints and catalogs/DESCRIBE — the
+    * Delta/Snowflake stance (only CHECK is enforceable). `refTable` /
+    * `refColumns` are set for FOREIGN KEY only. */
+  case class Informational(name: String, kind: String,
+      columns: Seq[String], refTable: String = "",
+      refColumns: Seq[String] = Nil)
+
   // ---- sidecar codec (json4s, like AvroStats) ----
 
   import org.json4s._
@@ -174,13 +183,46 @@ object CheckConstraints {
     }
   }
 
+  def loadInformational(tablePath: String): Seq[Informational] = {
+    val f = new File(tablePath, SpecFile)
+    if (!f.isFile) return Nil
+    val body = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+    (JsonMethods.parse(body) \ "informational") match {
+      case JArray(cs) => cs.map { c =>
+        val JString(name) = c \ "name"
+        val JString(kind) = c \ "kind"
+        val JArray(cols) = c \ "cols"
+        val refTable = c \ "refTable" match {
+          case JString(t) => t
+          case _ => ""
+        }
+        val refCols = c \ "refCols" match {
+          case JArray(rs) => rs.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        Informational(name, kind,
+          cols.collect { case JString(s) => s }, refTable, refCols)
+      }
+      case _ => Nil
+    }
+  }
+
   /** Atomic write (temp + rename) — the same discipline as the shred
     * declarations; callers serialize under the table's commit lock. */
-  def store(tablePath: String, checks: Seq[Check]): Unit = {
+  def store(tablePath: String, checks: Seq[Check],
+      informational: Seq[Informational] = null): Unit = {
+    val info =
+      if (informational != null) informational
+      else loadInformational(tablePath) // checks-only update keeps them
     val body = JsonMethods.compact(JsonMethods.render(JObject(
       "constraints" -> JArray(checks.toList.map(c => JObject(
         "name" -> JString(c.name), "sql" -> JString(c.sql),
-        "pred" -> encodeFilter(c.filter)))))))
+        "pred" -> encodeFilter(c.filter)))),
+      "informational" -> JArray(info.toList.map(i => JObject(
+        "name" -> JString(i.name), "kind" -> JString(i.kind),
+        "cols" -> JArray(i.columns.toList.map(JString(_))),
+        "refTable" -> JString(i.refTable),
+        "refCols" -> JArray(i.refColumns.toList.map(JString(_)))))))))
     val dir = new File(tablePath)
     val tmp = File.createTempFile("_check", ".tmp", dir)
     Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
@@ -188,6 +230,43 @@ object CheckConstraints {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ()
+  }
+
+  /** The table's declared constraints in Spark's V2 shape — what
+    * [[AvroDirTable.constraints]] serves: CHECKs enforced+VALID (the
+    * declaration validated history and every later write), PK/UNIQUE/
+    * FK informational (not enforced). With these reported, Spark 4.1's
+    * own write planning ALSO wraps SQL writes in `CheckInvariant` —
+    * engine-level enforcement on top of the writer-level check. */
+  def v2Constraints(tablePath: String)
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+    val checks = load(tablePath).map { c =>
+      Constraint.check(c.name).predicateSql(c.sql)
+        .enforced(true)
+        .validationStatus(Constraint.ValidationStatus.VALID)
+        .build(): Constraint
+    }
+    val unvalidated = Constraint.ValidationStatus.UNVALIDATED
+    val infos = loadInformational(tablePath).map { i =>
+      val cols: Array[NamedReference] =
+        i.columns.map(Expressions.column).toArray
+      i.kind match {
+        case "primary_key" => Constraint.primaryKey(i.name, cols)
+          .enforced(false).validationStatus(unvalidated).build(): Constraint
+        case "unique" => Constraint.unique(i.name, cols)
+          .enforced(false).validationStatus(unvalidated).build(): Constraint
+        case "foreign_key" =>
+          val parts = i.refTable.split('.')
+          Constraint.foreignKey(i.name, cols,
+            org.apache.spark.sql.connector.catalog.Identifier.of(
+              parts.dropRight(1), parts.last),
+            i.refColumns.map(Expressions.column).toArray)
+            .enforced(false).validationStatus(unvalidated).build(): Constraint
+      }
+    }
+    (checks ++ infos).toArray
   }
 
   // ---- write-time enforcement ----

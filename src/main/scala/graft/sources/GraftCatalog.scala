@@ -55,7 +55,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * the column, and served by every reader for files that PREDATE
     * the column (ALTER TABLE ... ADD COLUMN ... DEFAULT). */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private def nsDir(ns: Array[String]): File =
     ns.foldLeft(warehouse)((d, n) => new File(d, n))
@@ -1185,6 +1186,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val schema = DataType.fromJson(new String(
       Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
       .asInstanceOf[StructType]
+    declareCheck(dir, ident, schema, name, predicateSql, session)
+    AvroSnapshots.withCommitLock(dir.getPath) {
+      val head = AvroSnapshots.head(dir.getPath, sessionBranch(dir.getPath))
+      AvroSnapshots.commit(dir.getPath, schema,
+        head.map(_.entries).getOrElse(Nil), AvroSnapshots.KindAlter,
+        sessionBranch(dir.getPath), expectedParent = head.map(_.version))
+    }
+  }
+
+  /** Compile + history-validate + persist a CHECK constraint (no
+    * commit — the caller versions the change). Shared by the
+    * procedure path and the native `ALTER TABLE ... ADD CONSTRAINT`
+    * DDL path. */
+  private def declareCheck(dir: File, ident: Identifier, schema: StructType,
+      name: String, predicateSql: String,
+      session: org.apache.spark.sql.SparkSession): Unit = {
     val q = (catalogName +: ident.namespace.toSeq :+ ident.name)
       .map(p => s"`$p`").mkString(".")
     // resolve through the REAL analyzer against the real relation, then
@@ -1241,26 +1258,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"constraint $name: existing rows violate `$predicateSql`")
     AvroSnapshots.withCommitLock(dir.getPath) {
       val existing = CheckConstraints.load(dir.getPath)
-      require(!existing.exists(_.name == name),
+      val info = CheckConstraints.loadInformational(dir.getPath)
+      require(!existing.exists(_.name == name) && !info.exists(_.name == name),
         s"constraint $name already exists on ${ident.name}")
       CheckConstraints.store(dir.getPath,
         existing :+ CheckConstraints.Check(name, predicateSql, v2, cols))
-      val head = AvroSnapshots.head(dir.getPath, sessionBranch(dir.getPath))
-      AvroSnapshots.commit(dir.getPath, schema,
-        head.map(_.entries).getOrElse(Nil), AvroSnapshots.KindAlter,
-        sessionBranch(dir.getPath), expectedParent = head.map(_.version))
     }
   }
 
-  /** Drop a CHECK constraint; enforcement stops at the commit. */
+  /** Drop a CHECK (or informational) constraint; enforcement stops at
+    * the commit. */
   def dropCheckConstraint(ident: Identifier, name: String): Long = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     AvroSnapshots.withCommitLock(dir.getPath) {
       val existing = CheckConstraints.load(dir.getPath)
-      require(existing.exists(_.name == name),
+      val info = CheckConstraints.loadInformational(dir.getPath)
+      require(existing.exists(_.name == name) || info.exists(_.name == name),
         s"no CHECK constraint $name on ${ident.name}")
-      CheckConstraints.store(dir.getPath, existing.filterNot(_.name == name))
+      CheckConstraints.store(dir.getPath,
+        existing.filterNot(_.name == name), info.filterNot(_.name == name))
       val schema = DataType.fromJson(new String(
         Files.readAllBytes(schemaFile(dir).toPath), StandardCharsets.UTF_8))
         .asInstanceOf[StructType]
@@ -1713,6 +1730,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"ALTER COLUMN $name TYPE: the table is partitioned by $name — " +
               "widening the partition column is not supported")
           StructType(s.fields.updated(i, f.copy(dataType = ut.newDataType)))
+        // Spark 4.1's native constraint DDL (`ALTER TABLE ... ADD
+        // CONSTRAINT`): CHECK routes through the same compile +
+        // history-validate + persist pipeline as the procedure;
+        // PRIMARY KEY / UNIQUE / FOREIGN KEY are stored INFORMATIONAL
+        // (must be NOT ENFORCED — the Delta/Snowflake stance). The
+        // sidecar write is versioned by this ALTER's own commit below.
+        case ac: TableChange.AddConstraint =>
+          ac.constraint() match {
+            case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+              val sql = Option(ck.predicateSql()).filter(_.nonEmpty)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"CHECK constraint ${ck.name} has no SQL predicate form"))
+              declareCheck(dir, ident, s, ck.name, sql,
+                org.apache.spark.sql.SparkSession.active)
+            case other =>
+              require(!other.enforced(),
+                s"constraint ${other.name}: ${other.getClass.getSimpleName} " +
+                  "constraints are informational here — declare NOT ENFORCED")
+              val info = CheckConstraints.loadInformational(dir.getPath)
+              val checks = CheckConstraints.load(dir.getPath)
+              require(!info.exists(_.name == other.name()) &&
+                  !checks.exists(_.name == other.name()),
+                s"constraint ${other.name} already exists on ${ident.name}")
+              import org.apache.spark.sql.connector.catalog.constraints._
+              val entry = other match {
+                case pk: PrimaryKey => CheckConstraints.Informational(
+                  pk.name(), "primary_key",
+                  pk.columns().map(_.fieldNames.mkString(".")).toSeq)
+                case uq: Unique => CheckConstraints.Informational(
+                  uq.name(), "unique",
+                  uq.columns().map(_.fieldNames.mkString(".")).toSeq)
+                case fk: ForeignKey => CheckConstraints.Informational(
+                  fk.name(), "foreign_key",
+                  fk.columns().map(_.fieldNames.mkString(".")).toSeq,
+                  (fk.referencedTable().namespace.toSeq :+
+                    fk.referencedTable().name).mkString("."),
+                  fk.referencedColumns().map(_.fieldNames.mkString(".")).toSeq)
+                case u => throw new UnsupportedOperationException(
+                  s"constraint kind ${u.getClass.getSimpleName}")
+              }
+              CheckConstraints.store(dir.getPath, checks, info :+ entry)
+          }
+          s
+        case dc: TableChange.DropConstraint =>
+          val checks = CheckConstraints.load(dir.getPath)
+          val info = CheckConstraints.loadInformational(dir.getPath)
+          val known = checks.exists(_.name == dc.name) ||
+            info.exists(_.name == dc.name)
+          if (!known && !dc.ifExists()) throw new IllegalArgumentException(
+            s"no constraint ${dc.name} on ${ident.name}")
+          if (known) CheckConstraints.store(dir.getPath,
+            checks.filterNot(_.name == dc.name),
+            info.filterNot(_.name == dc.name))
+          s
         case other => throw new UnsupportedOperationException(
           s"table change ${other.getClass.getSimpleName} is not supported")
       }

@@ -104,6 +104,37 @@ class CheckConstraintSuite extends SparkSuiteBase {
     assert(spark.sql("SELECT kk FROM ckcat.db.t4").head().getLong(0) == 7)
   }
 
+  test("native ALTER TABLE constraint DDL: CHECK enforced, PK/FK informational, DESCRIBE serves them") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS ckcat.db.t7")
+    spark.sql("CREATE TABLE ckcat.db.t7 (k BIGINT, p STRING)")
+    spark.sql("ALTER TABLE ckcat.db.t7 ADD CONSTRAINT ck_k CHECK (k >= 0)")
+    // Spark's OWN CheckInvariant fires on the SQL write path with the
+    // standard error class — layered over the writer-level check
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO ckcat.db.t7 VALUES (-1, 'bad')")
+    }
+    assert(e.toString.contains("CHECK_CONSTRAINT_VIOLATION") ||
+      e.getMessage.contains("ck_k"))
+    assert(spark.table("ckcat.db.t7").count() == 0)
+    spark.sql("INSERT INTO ckcat.db.t7 VALUES (3, 'ok')")
+    // informational PK accepted only NOT ENFORCED; served to DESCRIBE
+    spark.sql("ALTER TABLE ckcat.db.t7 ADD CONSTRAINT pk1 PRIMARY KEY (k) NOT ENFORCED")
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED ckcat.db.t7")
+      .collect().map(_.toString).mkString("\n")
+    assert(desc.contains("ck_k") && desc.contains("pk1"))
+    assert(desc.contains("NOT ENFORCED"))
+    // the constraint guard protects the PK column's rename too? No —
+    // informational constraints don't block evolution; only CHECK does
+    spark.sql("ALTER TABLE ckcat.db.t7 DROP CONSTRAINT ck_k")
+    spark.sql("INSERT INTO ckcat.db.t7 VALUES (-2, 'free')")
+    assert(spark.table("ckcat.db.t7").count() == 2)
+    // DROP of an unknown constraint refuses without IF EXISTS
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ckcat.db.t7 DROP CONSTRAINT nope")
+    }
+  }
+
   test("streaming epochs and MERGE enforce the same constraint") {
     wh
     spark.sql("DROP TABLE IF EXISTS ckcat.db.t5")
