@@ -1187,6 +1187,75 @@ object Relational {
       .orderBy("k", "tag", "p")
   }
 
+  /** GENERATED + IDENTITY COLUMNS (round 19 — Spark 4.1's
+    * `SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS` /
+    * `..._IDENTITY_COLUMNS`; Delta generated/identity columns):
+    * `GENERATED ALWAYS AS (expr)` columns are computed per row on
+    * EVERY write path — the write builder compiles the SQL to a bound
+    * serializable Catalyst tree ON THE DRIVER and the shared writer
+    * overlays the value at encode time, so INSERT, streaming epochs,
+    * COW UPDATE/MERGE and CDC all re-derive (ALWAYS semantics; an
+    * UPDATE of a source column re-derives its dependents — pinned
+    * here by the ptag recompute). `GENERATED ALWAYS AS IDENTITY` is
+    * an AFFINE VIEW OF ROW LINEAGE (`start + step * _row_id`): no
+    * bytes stored, no write-path coordination at any executor count
+    * (uniqueness is structural — the row-id ranges are assigned by
+    * O(1) manifest metadata), values stable across COW UPDATE and
+    * compaction, and identity predicates prune files through
+    * SYNTHESIZED per-file bounds (from `firstRowId + rows` or the
+    * rewrite's physical `_row_id` stats) — the planned-file marker
+    * pins a point lookup reading 1 of the final files. 100-TB note:
+    * Delta reserves identity id blocks per transaction through the
+    * commit log; deriving from row lineage gets the same contract
+    * with zero contention and zero storage. */
+  private def catalogGeneratedIdentity(s: SparkSession, dir: String): DataFrame = {
+    graftcat(s)
+    T(s, dir, "orders").createOrReplaceTempView("graft_gi_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.orders_gi")
+    s.sql("""CREATE TABLE graftcat.lake.orders_gi (
+            |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 3),
+            |  k BIGINT, p STRING,
+            |  kmod BIGINT GENERATED ALWAYS AS (k % 97),
+            |  ptag STRING GENERATED ALWAYS AS (CONCAT(p, '#', CAST(k % 7 AS STRING))))""".stripMargin)
+    val cnt = s.sql("SELECT MAX(o_orderkey) + 1 FROM graft_gi_src")
+      .head().getLong(0)
+    val h = cnt / 2 + 1
+    // two ORDERED single-task inserts: identity assignment is then the
+    // key rank — deterministic at every SF (keys are dense 0..max)
+    for ((lo, hi) <- Seq((0L, h), (h, cnt)))
+      s.sql(s"""INSERT INTO graftcat.lake.orders_gi (k, p)
+               |SELECT /*+ COALESCE(1) */ o_orderkey, o_orderpriority
+               |FROM (SELECT o_orderkey, o_orderpriority FROM graft_gi_src
+               |      WHERE o_orderkey >= $lo AND o_orderkey < $hi
+               |      ORDER BY o_orderkey)""".stripMargin)
+    // COW UPDATE of a band: ids stay, ptag re-derives from the new p
+    s.sql(s"""UPDATE graftcat.lake.orders_gi SET p = 'X'
+             |WHERE k >= ${h / 4} AND k < ${h / 2}""".stripMargin)
+    // DELETE by an IDENTITY range — evaluated on derived values
+    val dlo = 1000L + 3 * (cnt / 10)
+    val dhi = 1000L + 3 * (cnt / 5)
+    s.sql(s"""DELETE FROM graftcat.lake.orders_gi
+             |WHERE id >= $dlo AND id < $dhi""".stripMargin)
+    // identity point lookup in the untouched upper file: synthesized
+    // bounds plan exactly 1 file
+    val probe = 1000L + 3 * (3 * cnt / 4)
+    val q = s.sql(s"SELECT id, k FROM graftcat.lake.orders_gi WHERE id = $probe")
+    q.queryExecution.toRdd.foreachPartition(_ => ())
+    val planned = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.sum
+    val total = graftcatInstance(s).currentFileCount(lakeIdent("orders_gi"))
+    s.table("graftcat.lake.orders_gi")
+      .select(col("id"), col("k"), col("p"), col("kmod"), col("ptag"),
+        lit("final").as("tag"))
+      .unionByName(s.range(1).select(lit(-1L).as("id"), lit(planned.toLong).as("k"),
+        lit("").as("p"), lit(null: String).cast("bigint").as("kmod"),
+        lit(s"$total").as("ptag"), lit("point_lookup_planned").as("tag")))
+      .orderBy("id", "tag")
+  }
+
   /** CHECK CONSTRAINTS (round 19 — Delta `ALTER TABLE ... ADD
     * CONSTRAINT ... CHECK`): `CALL system.add_check_constraint(t, n,
     * pred)` validates EVERY existing row distributedly (refusing when
@@ -2688,6 +2757,7 @@ object Relational {
     "catalog_replace_where" -> (catalogReplaceWhere _),
     "catalog_clone" -> (catalogClone _),
     "catalog_check_constraints" -> (catalogCheckConstraints _),
+    "catalog_generated_identity" -> (catalogGeneratedIdentity _),
     "catalog_type_widening" -> (catalogTypeWidening _),
     "catalog_mv_rewrite" -> (catalogMvRewrite _),
     "catalog_merge_schema_evolution" -> (catalogMergeSchemaEvolution _),
@@ -3087,6 +3157,23 @@ object Relational {
         |  'tt_pre_overwrite' FROM orders
         |UNION ALL SELECT -2, '0', 'aligned_survivor_rewrites'
         |ORDER BY k, tag, p""".stripMargin,
+    "catalog_generated_identity" ->
+      """WITH m AS (SELECT MAX(o_orderkey) + 1 AS cnt FROM orders),
+        | b AS (SELECT cnt, cnt // 2 + 1 AS h,
+        |        1000 + 3 * (cnt // 10) AS dlo,
+        |        1000 + 3 * (cnt // 5) AS dhi FROM m),
+        | seq AS (SELECT 1000 + 3 * o_orderkey AS id, o_orderkey AS k,
+        |        o_orderpriority AS p FROM orders),
+        | upd AS (SELECT id, k,
+        |        CASE WHEN k >= h // 4 AND k < h // 2 THEN 'X' ELSE p END AS p
+        |        FROM seq, b),
+        | fin AS (SELECT id, k, p FROM upd, b
+        |        WHERE NOT (id >= dlo AND id < dhi))
+        |SELECT id, k, p, k % 97 AS kmod,
+        |  p || '#' || CAST(k % 7 AS VARCHAR) AS ptag, 'final' AS tag
+        |FROM fin
+        |UNION ALL SELECT -1, 1, '', NULL, '2', 'point_lookup_planned'
+        |ORDER BY id, tag""".stripMargin,
     "catalog_check_constraints" ->
       """WITH m AS (SELECT (MAX(o_orderkey) // 4) + 1 AS s FROM orders)
         |SELECT o_orderkey AS k, o_orderpriority AS p, 'final' AS tag

@@ -283,7 +283,8 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
           else
             out += CdfSplit(r, delTag, skipDv = prev(r).dv,
               skipEq = prev(r).eq,
-              diffAgainst = rewrite, commitVersion = v, commitTsMs = tsMs)
+              diffAgainst = rewrite, commitVersion = v, commitTsMs = tsMs,
+              firstRowId = prev(r).firstRowId)
         }
         // deletion-vector / equality-delete CHANGES — the reader does
         // the liveness math from the sidecar NAMES (the driver never
@@ -301,12 +302,12 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
               dvDeltaOld = prev(n).dv, dvDeltaNew = cur(n).dv,
               eqDeltaOld = prev(n).eq, eqDeltaNew = cur(n).eq,
               deltaKind = Some("deleted"), commitVersion = v,
-              commitTsMs = tsMs)
+              commitTsMs = tsMs, firstRowId = cur(n).firstRowId)
             out += CdfSplit(n, "insert",
               dvDeltaOld = prev(n).dv, dvDeltaNew = cur(n).dv,
               eqDeltaOld = prev(n).eq, eqDeltaNew = cur(n).eq,
               deltaKind = Some("restored"), commitVersion = v,
-              commitTsMs = tsMs)
+              commitTsMs = tsMs, firstRowId = cur(n).firstRowId)
           }
         }
         // inserts: added files that are not a paired COW rewrite (a
@@ -322,7 +323,7 @@ class AvroChangeFeedStream(path: String, baseSchema: StructType,
           else
             out += CdfSplit(a, insTag, skipDv = cur(a).dv,
               skipEq = cur(a).eq, commitVersion = v,
-              commitTsMs = tsMs)
+              commitTsMs = tsMs, firstRowId = cur(a).firstRowId)
         }
       }
     }
@@ -402,12 +403,24 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
         case u: org.apache.avro.util.Utf8 => u.toString
         case o => o
       }
-      private def valsFor(rec: GenericRecord, pos: Array[Int]): Vector[Any] =
+      // IDENTITY columns ([[GeneratedColumns]]): physical bytes are
+      // null — every CDF row derives the value from its stable row id,
+      // exactly like the batch reader
+      private lazy val identityAffine: Array[(Long, Long)] =
+        baseSchema.fields.map(f =>
+          GeneratedColumns.identitySpec(f).orNull)
+      private def valsFor(rec: GenericRecord, pos: Array[Int],
+          rid: java.lang.Long): Vector[Any] =
         pos.iterator.zipWithIndex.map { case (p, i) =>
-          if (p < 0) baseDflt(i) else norm(rec.get(p))
+          identityAffine(i) match {
+            case null => if (p < 0) baseDflt(i) else norm(rec.get(p))
+            case (s0, st0) =>
+              if (rid == null) null
+              else java.lang.Long.valueOf(s0 + st0 * rid.longValue)
+          }
         }.toVector
       private def baseVals(rec: GenericRecord): Vector[Any] =
-        valsFor(rec, basePos)
+        valsFor(rec, basePos, rowIdOf(rec))
 
       // ---- row-id window diff (row lineage — round 17) ----
       // This split's stable ids: physical `_row_id` when the file is a
@@ -452,7 +465,7 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
                 val id = AvroDirSource.rowIdOf(
                   if (physPos >= 0) rec.get(physPos) else null,
                   ref.firstRowId, p)
-                if (id != null) m.put(id, valsFor(rec, bp))
+                if (id != null) m.put(id, valsFor(rec, bp, id))
               }
             }
           } finally r.close()
@@ -478,11 +491,15 @@ class CdfReaderFactory(baseSchema: StructType, required: StructType,
                   .map(n => Option(r.getSchema.getField(n)).map(_.pos).getOrElse(-1))
                   .find(_ >= 0).getOrElse(-1)
               }
+              val rwPhysId = Option(r.getSchema
+                .getField(AvroDirSource.RowIdColumn)).map(_.pos).getOrElse(-1)
+              var rwPos = -1L
               while (r.hasNext) {
                 val rec = r.next()
-                val k = pos.iterator.zipWithIndex.map { case (p, i) =>
-                  if (p < 0) baseDflt(i) else norm(rec.get(p))
-                }.toVector
+                rwPos += 1
+                val rwId = AvroDirSource.rowIdOf(
+                  if (rwPhysId >= 0) rec.get(rwPhysId) else null, -1L, rwPos)
+                val k = valsFor(rec, pos, rwId)
                 m.update(k, m.getOrElse(k, 0) + 1)
               }
             } finally r.close()

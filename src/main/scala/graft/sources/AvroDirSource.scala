@@ -494,6 +494,24 @@ class AvroDirTable(path: String, tableSchema: StructType,
         .map(AvroStats.coerce(_, fld.dataType))
     }
 
+  /** [[resolveStats]] plus SYNTHESIZED bounds for IDENTITY columns:
+    * identity values are `start + step * _row_id`, so a file's exact
+    * identity hull derives from its physical `_row_id` stats (rewrite
+    * outputs) or its assigned `[firstRowId, firstRowId + rows)` range
+    * — identity point lookups and ranges prune files with ZERO stored
+    * stats bytes. */
+  private def resolveStatsWithIdentity(e: AvroSnapshots.FileEntry,
+      st: Map[String, AvroStats.ColStats])(a: String): Option[AvroStats.ColStats] =
+    resolveStats(st)(a).orElse {
+      tableSchema.fields.find(f => f.name.equalsIgnoreCase(a) &&
+          GeneratedColumns.isIdentity(f)).flatMap { f =>
+        val (s0, st0) = GeneratedColumns.identitySpec(f).get
+        GeneratedColumns.identityBounds(s0, st0,
+          st.get(AvroDirSource.RowIdColumn), e.firstRowId,
+          e.stats.flatMap(AvroStats.rowCount))
+      }
+    }
+
   /** Candidate recorded names of a column for bloom-sidecar probes —
     * the same rename-alias chain the stats resolution follows. */
   private def bloomNames(a: String): Seq[String] =
@@ -651,7 +669,8 @@ class AvroDirTable(path: String, tableSchema: StructType,
             val statsKept = admitted.filter { e =>
               val st = e.stats.map(AvroStats.parse)
                 .getOrElse(Map.empty[String, AvroStats.ColStats])
-              AvroStats.fileMightMatch(pushed.toSeq, e.name, resolveStats(st)) &&
+              AvroStats.fileMightMatch(pushed.toSeq, e.name,
+                resolveStatsWithIdentity(e, st)) &&
                 AvroStats.fileMightMatch(shredPushed.map(_.filter), e.name,
                   shredResolve(st))
             }
@@ -1213,15 +1232,15 @@ class AvroDirTable(path: String, tableSchema: StructType,
               val found: Array[(String, (Seq[Long], Long))] =
                 if (candidates.isEmpty) Array.empty
                 else {
-                  val cands = candidates.map(e => (e.name, e.dv))
+                  val cands = candidates.map(e => (e.name, e.dv, e.firstRowId))
                   spark.sparkContext
                     .parallelize(cands, math.min(cands.size, 32))
-                    .map { case (n, dv) =>
+                    .map { case (n, dv, frid) =>
                       val existing = dv.map(d =>
                         DeletionVectors.read(dirPath, d).toSet)
                         .getOrElse(Set.empty[Long])
                       n -> AvroFilterEval.matchedPositions(
-                        dirPath, n, schema, filters, existing)
+                        dirPath, n, schema, filters, existing, frid)
                     }.collect()
                 }
               val byName = found.toMap
@@ -1350,10 +1369,15 @@ class AvroDirTable(path: String, tableSchema: StructType,
           override def createBatchWriterFactory(
               p: PhysicalWriteInfo): DataWriterFactory = {
             new File(path).mkdirs()
+            // GENERATED column expressions compile HERE (driver,
+            // plan time) to bound serializable trees — executors
+            // never parse SQL
+            val gen = GeneratedColumns.boundExprs(info.schema(),
+              org.apache.spark.sql.SparkSession.active)
             partSpec match {
               case Some(spec) =>
-                new AvroClusteredWriterFactory(path, info.schema(), jobId, spec)
-              case None => new AvroWriterFactory(path, info.schema(), jobId)
+                new AvroClusteredWriterFactory(path, info.schema(), jobId, spec, gen)
+              case None => new AvroWriterFactory(path, info.schema(), jobId, gen)
             }
           }
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1496,7 +1520,12 @@ class AvroDirTable(path: String, tableSchema: StructType,
             override def createStreamingWriterFactory(
                 p: PhysicalWriteInfo): wstream.StreamingDataWriterFactory = {
               new File(path).mkdirs()
-              new AvroStreamingWriterFactory(path, info.schema())
+              // the streaming path hands over only the stream's
+              // columns — extend with any missing GENERATED column so
+              // epochs compute them like every other write
+              val (ws, gen) = GeneratedColumns.writeSpec(tableSchema,
+                info.schema(), org.apache.spark.sql.SparkSession.active)
+              new AvroStreamingWriterFactory(path, ws, gen)
             }
             override def commit(epochId: Long,
                 messages: Array[WriterCommitMessage]): Unit = {
@@ -1839,10 +1868,16 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
         else if (f.name == AvroDirSource.PosColumn) -3
         else if (f.name == AvroDirSource.RowIdColumn) -4
         else if (f.name == AvroDirSource.LuvColumn) -5
+        // -6 → IDENTITY column: derived start + step * row_id (the
+        // affine view of row lineage — physical bytes are null)
+        else if (GeneratedColumns.isIdentity(f)) -6
         else (f.name +: AvroDirSource.aliasesOf(f)).iterator
           .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
           .find(_ >= 0).getOrElse(-1)
       }
+      private val identityAffine: Array[(Long, Long)] =
+        required.fields.map(f =>
+          GeneratedColumns.identitySpec(f).getOrElse((0L, 0L)))
       private val dflt: Array[Any] =
         required.fields.map(AvroDirSource.existsDefaultInternal)
       override def next(): Boolean = {
@@ -1883,6 +1918,16 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
               else if (addedVersion >= 0) java.lang.Long.valueOf(addedVersion)
               else null
           }
+          else if (idx(i) == -6) {
+            val rid = AvroDirSource.rowIdOf(
+              if (physRowId >= 0) rec.get(physRowId) else null,
+              firstRowId, rowPos)
+            val (s0, st0) = identityAffine(i)
+            vals(i) =
+              if (rid == null) null
+              else java.lang.Long.valueOf(
+                s0 + st0 * rid.asInstanceOf[java.lang.Long].longValue)
+          }
           else if (idx(i) == -1) vals(i) = dflt(i) // pre-column file
           else vals(i) = AvroDirSource.avroToInternal(
             rec.get(idx(i)), required.fields(i).dataType)
@@ -1899,9 +1944,17 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
   * Collects exact per-column min/max/null-count stats as it encodes
   * ([[AvroStats.StatsCollector]]) and ships them in the commit message —
   * the manifest records them for scan-time data skipping. */
-class AvroFileWriter(file: File, schema: StructType)
+class AvroFileWriter(file: File, schema: StructType,
+    gen: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DataWriter[InternalRow] {
   private val avroSchema = AvroDirSource.toAvroSchema(schema, "graft_row")
+  // IDENTITY ordinals ([[GeneratedColumns]]): physical bytes are
+  // always null (values derive from row lineage at read time), and
+  // the column is excluded from stats (a recorded all-null column
+  // would wrongly prune value predicates)
+  private val identityOrds: Array[Boolean] =
+    schema.fields.map(GeneratedColumns.isIdentity)
+  private val hasIdentity = identityOrds.exists(identity => identity)
   // variant-shred extraction ([[VariantShredding]]): per-ordinal
   // extractors with their shadow-stats slot; null when the table
   // declares none (one null check per row, not per field)
@@ -1942,12 +1995,31 @@ class AvroFileWriter(file: File, schema: StructType)
       new GenericDatumWriter[GenericRecord](avroSchema))
     w.create(avroSchema, file)
   }
-  override def write(row: InternalRow): Unit = {
+  override def write(row0: InternalRow): Unit = {
+    // GENERATED ALWAYS AS columns are recomputed per row from the
+    // driver-bound expressions (ALWAYS semantics — user values can
+    // never drift from the derivation); identity ordinals write null
+    val row: InternalRow =
+      if (gen.isEmpty) row0
+      else {
+        val arr = new Array[Any](schema.length)
+        // the incoming row may be NARROWER than the write schema (a
+        // streaming write extended with missing generated columns)
+        val n = math.min(schema.length, row0.numFields)
+        var j = 0
+        while (j < n) {
+          arr(j) = if (row0.isNullAt(j)) null
+            else row0.get(j, schema.fields(j).dataType)
+          j += 1
+        }
+        gen.foreach { case (ord, ex) => arr(ord) = ex.eval(row0) }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+      }
     val rec = new GenericData.Record(avroSchema)
     var i = 0
     while (i < schema.length) {
       val v =
-        if (row.isNullAt(i)) null
+        if ((hasIdentity && identityOrds(i)) || row.isNullAt(i)) null
         else schema.fields(i).dataType match {
           case LongType      => java.lang.Long.valueOf(row.getLong(i))
           case IntegerType   => java.lang.Integer.valueOf(row.getInt(i))
@@ -2044,11 +2116,12 @@ class AvroFileWriter(file: File, schema: StructType)
   override def close(): Unit = ()
 }
 
-class AvroWriterFactory(path: String, schema: StructType, jobId: String)
+class AvroWriterFactory(path: String, schema: StructType, jobId: String,
+    gen: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new AvroFileWriter(
-      new File(path, f"part-$jobId-$partitionId%05d-$taskId.avro"), schema)
+      new File(path, f"part-$jobId-$partitionId%05d-$taskId.avro"), schema, gen)
 }
 
 /** Clustered write: the incoming rows are already distributed by the
@@ -2060,7 +2133,9 @@ class AvroWriterFactory(path: String, schema: StructType, jobId: String)
   * the catalog's V2 `bucket`/`truncate` functions ([[PartSpec]]) —
   * write placement and SQL can never disagree. */
 class AvroClusteredWriterFactory(path: String, schema: StructType,
-    jobId: String, spec: PartSpec) extends DataWriterFactory {
+    jobId: String, spec: PartSpec,
+    gen: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+    extends DataWriterFactory {
   private val colIdx = schema.fieldIndex(spec.column)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -2073,7 +2148,7 @@ class AvroClusteredWriterFactory(path: String, schema: StructType,
         val b = spec.partValue(x)
         open.getOrElseUpdate(b, new AvroFileWriter(
           new File(path, f"part-$jobId-b$b%05d-$partitionId%05d-$taskId.avro"),
-          schema)).write(row)
+          schema, gen)).write(row)
       }
       override def commit(): WriterCommitMessage =
         AvroBucketedCommit(open.toSeq.sortBy(_._1).map { case (b, w) =>
@@ -2087,12 +2162,13 @@ class AvroClusteredWriterFactory(path: String, schema: StructType,
 
 /** Streaming writers name files by (epoch, partition) ONLY — replayed
   * epochs overwrite their own files, never duplicate them. */
-class AvroStreamingWriterFactory(path: String, schema: StructType)
+class AvroStreamingWriterFactory(path: String, schema: StructType,
+    gen: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends wstream.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new AvroFileWriter(
-      new File(path, f"part-e$epochId%05d-$partitionId%05d.avro"), schema)
+      new File(path, f"part-e$epochId%05d-$partitionId%05d.avro"), schema, gen)
 }
 
 /** Version-offset streaming read of a versioned Avro table — the

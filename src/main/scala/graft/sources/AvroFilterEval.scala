@@ -203,13 +203,28 @@ object AvroFilterEval extends Serializable {
       val physIdPos: Int =
         Option(reader.getSchema.getField(AvroDirSource.RowIdColumn))
           .map(_.pos).getOrElse(-1)
+      // IDENTITY columns have null physical bytes — the evaluator must
+      // see the DERIVED value (start + step * row_id) or a DELETE
+      // predicated on identity would match nothing
+      val identity: Map[String, (Long, Long)] = schema.fields.iterator
+        .flatMap(f => GeneratedColumns.identitySpec(f).map(f.name -> _)).toMap
       var rowPos = 0L
       while (reader.hasNext) {
         val rec = reader.next()
         if (!dv.contains(rowPos)) {
-          val v: String => Any = name => pos.get(name) match {
-            case Some(p) if p >= 0 => decode(name, rec.get(p))
-            case _                 => dflt.getOrElse(name, null)
+          val v: String => Any = name => identity.get(name) match {
+            case Some((s0, st0)) =>
+              AvroDirSource.rowIdOf(
+                if (physIdPos >= 0) rec.get(physIdPos) else null,
+                lineageBase, rowPos) match {
+                case rid: java.lang.Long =>
+                  java.lang.Long.valueOf(s0 + st0 * rid.longValue)
+                case _ => null
+              }
+            case None => pos.get(name) match {
+              case Some(p) if p >= 0 => decode(name, rec.get(p))
+              case _                 => dflt.getOrElse(name, null)
+            }
           }
           if (filters.forall(eval(_, v).contains(true))) deleted = true
           else if (!withLineage) keep += schema.fields.map(f => v(f.name))
@@ -234,7 +249,8 @@ object AvroFilterEval extends Serializable {
     * commits O(matched rows) sidecar bytes instead of rewriting the
     * file. */
   def matchedPositions(dirPath: String, fileName: String, schema: StructType,
-      filters: Array[Filter], existingDv: Set[Long]): (Seq[Long], Long) = {
+      filters: Array[Filter], existingDv: Set[Long],
+      lineageBase: Long = -1L): (Seq[Long], Long) = {
     val matched = scala.collection.mutable.ArrayBuffer.empty[Long]
     var live = 0L
     val reader = new DataFileReader[GenericRecord](
@@ -271,13 +287,29 @@ object AvroFilterEval extends Serializable {
             new java.math.BigInteger(bytes), decScale(name))
         case o => norm(o)
       }
+      val physIdPos: Int =
+        Option(reader.getSchema.getField(AvroDirSource.RowIdColumn))
+          .map(_.pos).getOrElse(-1)
+      // identity columns evaluate by their DERIVED value (see scanFile)
+      val identity: Map[String, (Long, Long)] = schema.fields.iterator
+        .flatMap(f => GeneratedColumns.identitySpec(f).map(f.name -> _)).toMap
       var rowPos = 0L
       while (reader.hasNext) {
         val rec = reader.next()
         if (!existingDv.contains(rowPos)) {
-          val v: String => Any = name => pos.get(name) match {
-            case Some(p) if p >= 0 => decode(name, rec.get(p))
-            case _                 => dflt.getOrElse(name, null)
+          val v: String => Any = name => identity.get(name) match {
+            case Some((s0, st0)) =>
+              AvroDirSource.rowIdOf(
+                if (physIdPos >= 0) rec.get(physIdPos) else null,
+                lineageBase, rowPos) match {
+                case rid: java.lang.Long =>
+                  java.lang.Long.valueOf(s0 + st0 * rid.longValue)
+                case _ => null
+              }
+            case None => pos.get(name) match {
+              case Some(p) if p >= 0 => decode(name, rec.get(p))
+              case _                 => dflt.getOrElse(name, null)
+            }
           }
           if (filters.forall(eval(_, v).contains(true))) matched += rowPos
           else live += 1

@@ -258,8 +258,14 @@ object AvroStats {
       case d: DecimalType => d.scale
       case _              => -1
     })
+    // identity columns are EXCLUDED from stats entirely: their bytes
+    // are null (values derive from row lineage), and a recorded
+    // all-null column would wrongly prune value predicates — scans
+    // synthesize exact identity bounds from the entry's row-id range
+    // instead ([[GeneratedColumns.identityBounds]])
     private val track: Array[Boolean] =
-      schema.fields.map(f => trackable(f.dataType))
+      schema.fields.map(f =>
+        trackable(f.dataType) && !GeneratedColumns.isIdentity(f))
     private val ndv: Array[KmvSketch] =
       schema.fields.map(f =>
         if (trackable(f.dataType)) new KmvSketch else null)

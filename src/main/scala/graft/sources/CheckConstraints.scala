@@ -304,10 +304,12 @@ object CheckConstraints {
     }
   }
 
-  // per-JVM cache keyed by (dir, sidecar mtime) — writers probe once
-  // per file they open, not once per row
+  // per-JVM cache keyed by (dir, sidecar mtime, length) — writers
+  // probe once per file they open, not once per row; length guards
+  // against coarse filesystem mtime granularity (two declarations
+  // inside one mtime tick must not serve stale rules)
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[Check]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Seq[Check]]()
 
   /** The validator for a data file being written into `dataFile`'s
     * directory, or null when the table declares no constraints (the
@@ -319,7 +321,7 @@ object CheckConstraints {
     if (dir == null) return null
     val spec = new File(dir, SpecFile)
     if (!spec.isFile) return null
-    val key = (dir.getAbsolutePath, spec.lastModified())
+    val key = (dir.getAbsolutePath, spec.lastModified(), spec.length())
     val checks = cache.computeIfAbsent(key, _ => load(dir.getPath))
     if (checks.isEmpty) null else new Validator(checks, schema)
   }

@@ -106,7 +106,18 @@ class GraftDeltaOperation(path: String, tableSchema: StructType,
         new AvroReaderFactory(required)
     }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
+    // A merge-on-read UPDATE/MERGE is physically delete + insert: the
+    // inserted row is a NEW row, so a derived IDENTITY value would
+    // silently change. Refuse loudly (DELETE is fine — no new rows);
+    // copy-on-write tables preserve identity through updates (the
+    // rewrite carries `_row_id` physically).
+    if (cmd != RowLevelOperation.Command.DELETE &&
+        tableSchema.fields.exists(GeneratedColumns.isIdentity))
+      throw new UnsupportedOperationException(
+        s"$cmd on a merge-on-read table with an IDENTITY column: the " +
+          "delta path re-inserts rows and cannot preserve derived " +
+          "identity values — use copy-on-write delete mode")
     new DeltaWriteBuilder {
       // insert rows are DATA columns only
       private val writeSchema = StructType(info.schema().fields.filterNot(f =>
@@ -118,7 +129,9 @@ class GraftDeltaOperation(path: String, tableSchema: StructType,
           override def createBatchWriterFactory(
               p: PhysicalWriteInfo): DeltaWriterFactory = {
             new File(path).mkdirs()
-            new GraftDeltaWriterFactory(path, writeSchema, jobId)
+            new GraftDeltaWriterFactory(path, writeSchema, jobId,
+              GeneratedColumns.boundExprs(writeSchema,
+                org.apache.spark.sql.SparkSession.active))
           }
 
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -185,6 +198,7 @@ class GraftDeltaOperation(path: String, tableSchema: StructType,
         }
       }
     }
+  }
 }
 
 /** One task's delta: deleted (file → physical positions) plus at most
@@ -193,7 +207,9 @@ case class GraftDeltaCommit(deletes: Map[String, Seq[Long]],
     insertFile: Option[(String, Option[String])]) extends WriterCommitMessage
 
 class GraftDeltaWriterFactory(path: String, dataSchema: StructType,
-    jobId: String) extends DeltaWriterFactory {
+    jobId: String,
+    gen: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+    extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
@@ -213,7 +229,7 @@ class GraftDeltaWriterFactory(path: String, dataSchema: StructType,
           val f = new File(path,
             f"part-$jobId-d$partitionId%05d-$taskId.avro")
           insertPath = f.getAbsolutePath
-          insertWriter = new AvroFileWriter(f, dataSchema)
+          insertWriter = new AvroFileWriter(f, dataSchema, gen)
         }
         insertWriter.write(row)
       }

@@ -56,7 +56,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * the column (ALTER TABLE ... ADD COLUMN ... DEFAULT). */
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
-      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def nsDir(ns: Array[String]): File =
     ns.foldLeft(warehouse)((d, n) => new File(d, n))
@@ -673,10 +675,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // so a task may cut one file per partition value it holds — batch-
     // sized, and compaction re-clusters
     val spec = loadPartSpec(dir)
+    val cdcGen = GeneratedColumns.boundExprs(schema, session)
     val factory: org.apache.spark.sql.connector.write.DataWriterFactory =
       spec match {
-        case Some(sp) => new AvroClusteredWriterFactory(dirPath, schema, jobId, sp)
-        case None     => new AvroWriterFactory(dirPath, schema, jobId)
+        case Some(sp) => new AvroClusteredWriterFactory(dirPath, schema, jobId, sp, cdcGen)
+        case None     => new AvroWriterFactory(dirPath, schema, jobId, cdcGen)
       }
     val written: Array[(String, Option[Long], Option[String])] =
       try {
@@ -1457,6 +1460,61 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     AvroSnapshots.removeOrphans(dir.getPath, olderThanMs)
   }
 
+  /** The Column[]-based CREATE TABLE entry (Spark 4.1): captures
+    * GENERATED ALWAYS AS expressions and IDENTITY specs from the V2
+    * column metadata into the persisted schema — the StructType
+    * overload below would silently drop them. Generation expressions
+    * are validated (deterministic functions of the data columns) and
+    * their referenced columns recorded for the rename/drop guard;
+    * identity columns must be BIGINT GENERATED ALWAYS (ids derive
+    * from row lineage — [[GeneratedColumns]]). */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val base = StructType(columns.map { c =>
+      var md = Option(c.metadataInJSON()).filter(_.nonEmpty)
+        .map(Metadata.fromJson).getOrElse(Metadata.empty)
+      Option(c.defaultValue()).foreach { d =>
+        val rdc = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        val sql = Option(d.getSql).getOrElse(throw new IllegalArgumentException(
+          s"column ${c.name}: default has no SQL form"))
+        md = new MetadataBuilder().withMetadata(md)
+          .putString(rdc.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+          .putString(rdc.EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql).build()
+      }
+      Option(c.generationExpression()).filter(_.nonEmpty).foreach { sql =>
+        md = GeneratedColumns.withGeneration(md, sql)
+      }
+      Option(c.identityColumnSpec()).foreach { spec =>
+        val f0 = StructField(c.name, c.dataType)
+        GeneratedColumns.requireIdentityShape(f0, spec)
+        md = GeneratedColumns.withIdentity(md, spec.getStart, spec.getStep)
+      }
+      StructField(c.name, c.dataType, c.nullable, md)
+    })
+    // fold CURRENT defaults to EXISTS defaults like the ALTER path
+    val rdc = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    val folded = StructType(base.fields.map { f =>
+      if (f.metadata.contains(rdc.CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+        rdc.constantFoldCurrentDefaultsToExistDefaults(
+          StructType(Seq(f)), "CREATE TABLE").fields.head
+      else f
+    })
+    val session = org.apache.spark.sql.SparkSession.active
+    folded.fields.filter(GeneratedColumns.isGenerated).foreach { f =>
+      GeneratedColumns.validateGeneration(folded, f,
+        f.metadata.getString(GeneratedColumns.ExprKey), session)
+    }
+    // identity columns cannot drive storage partitioning (their
+    // physical bytes are null — placement would lie)
+    val idCols = folded.fields.filter(GeneratedColumns.isIdentity).map(_.name)
+    parsePartTransform(partitions).foreach { sp =>
+      require(!idCols.exists(_.equalsIgnoreCase(sp.column)),
+        s"identity column ${sp.column} cannot be a partition column")
+    }
+    createTable(ident, folded, partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val dir = tableDir(ident)
@@ -1618,7 +1676,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       checkedCols.get(name).foreach(ck => throw new IllegalArgumentException(
         s"$what $name: referenced by CHECK constraint $ck — drop the " +
           "constraint first"))
+      // same for columns a GENERATED ALWAYS AS expression derives from
+      genRefCols.get(name).foreach(g => throw new IllegalArgumentException(
+        s"$what $name: generated column $g derives from it — drop the " +
+          "generated column first"))
     }
+    lazy val genRefCols: Map[String, String] =
+      if (!current.fields.exists(GeneratedColumns.isGenerated)) Map.empty
+      else GeneratedColumns.referencedDataColumns(current,
+        org.apache.spark.sql.SparkSession.active)
     val evolved = changes.foldLeft(current) { (s, change) =>
       change match {
         case add: TableChange.AddColumn =>

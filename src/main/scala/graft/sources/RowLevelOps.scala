@@ -164,7 +164,11 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
           override def createBatchWriterFactory(
               p: PhysicalWriteInfo): DataWriterFactory =
             new LineageMergingWriterFactory(
-              new AvroWriterFactory(path, writeSchema, jobId), path,
+              new AvroWriterFactory(path, writeSchema, jobId,
+                // UPDATE/MERGE recompute GENERATED columns: a SET on a
+                // source column must re-derive its dependents
+                GeneratedColumns.boundExprs(writeSchema,
+                  org.apache.spark.sql.SparkSession.active)), path,
               metaIdOrdinal)
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val commits = messages.map(_.asInstanceOf[AvroCommit])

@@ -74,8 +74,12 @@ private[sources] class GraftStagedTable(path: String, ident: Identifier,
             new File(path).mkdirs()
             spec match {
               case Some(sp) =>
-                new AvroClusteredWriterFactory(path, info.schema(), jobId, sp)
-              case None => new AvroWriterFactory(path, info.schema(), jobId)
+                new AvroClusteredWriterFactory(path, info.schema(), jobId, sp,
+                  GeneratedColumns.boundExprs(info.schema(),
+                    org.apache.spark.sql.SparkSession.active))
+              case None => new AvroWriterFactory(path, info.schema(), jobId,
+                GeneratedColumns.boundExprs(info.schema(),
+                  org.apache.spark.sql.SparkSession.active))
             }
           }
           override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -102,6 +102,7 @@ class InventorySuite extends SparkSuiteBase {
     "catalog_merge_schema_evolution", "catalog_row_lineage_v2",
     "catalog_compact_clustered", "catalog_replace_where", "catalog_type_widening",
     "catalog_mv_rewrite", "catalog_clone", "catalog_check_constraints",
+    "catalog_generated_identity",
     "llm_dedup_minhash_incremental", "llm_simsearch_incremental",
     "sql_execute_immediate", "sql_session_variable",
     // bucketed-by-write joins: the build writes both bucketed tables
