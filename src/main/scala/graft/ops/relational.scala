@@ -1951,9 +1951,21 @@ object Relational {
     s.sql("CALL graftcat.system.rollback('lake.nation_meta', 2)")
     s.sql("CALL graftcat.system.compact('lake.nation_meta')")
     s.sql("CALL graftcat.system.remove_orphan_files('lake.nation_meta', 86400000)")
-    s.sql("""SELECT version, kind, parent
+    // `.partitions` (round 19 — Iceberg's partitions table): per-bucket
+    // layout facts folded from manifest entries only
+    s.sql("DROP TABLE IF EXISTS graftcat.lake.nation_metap")
+    s.sql("""CREATE TABLE graftcat.lake.nation_metap (k BIGINT, v STRING)
+            |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    s.sql("""INSERT INTO graftcat.lake.nation_metap
+            |SELECT n_nationkey, n_name FROM graft_meta2_src""".stripMargin)
+    s.sql("""SELECT CAST(version AS BIGINT) AS a, kind AS b,
+            |  CAST(parent AS BIGINT) AS c, 'snapshots' AS tag
             |FROM graftcat.lake.nation_meta.snapshots
-            |ORDER BY version""".stripMargin)
+            |UNION ALL
+            |SELECT part_value, CAST(file_count AS STRING), row_count,
+            |  'partitions'
+            |FROM graftcat.lake.nation_metap.partitions
+            |ORDER BY tag, a, b, c""".stripMargin)
   }
 
   /** TYPED COLUMNS in the versioned catalog (round-16 verdict #1): the
@@ -3012,14 +3024,18 @@ object Relational {
     // the lineage is fully deterministic: CTAS = create(v0)+append(v1),
     // then append, delete, rollback, and the compaction as `rewrite`
     "catalog_metadata_tables" ->
-      """SELECT * FROM (VALUES
-        | (CAST(0 AS BIGINT), 'create',   CAST(-1 AS BIGINT)),
-        | (1, 'append',   0),
-        | (2, 'append',   1),
-        | (3, 'delete',   2),
-        | (4, 'rollback', 3),
-        | (5, 'rewrite',  4)) AS t(version, kind, parent)
-        |ORDER BY version""".stripMargin,
+      """SELECT * FROM (
+        |SELECT a, b, c, tag FROM (VALUES
+        | (CAST(0 AS BIGINT), 'create',   CAST(-1 AS BIGINT), 'snapshots'),
+        | (1, 'append',   0, 'snapshots'),
+        | (2, 'append',   1, 'snapshots'),
+        | (3, 'delete',   2, 'snapshots'),
+        | (4, 'rollback', 3, 'snapshots'),
+        | (5, 'rewrite',  4, 'snapshots')) AS t(a, b, c, tag)
+        |UNION ALL
+        |SELECT n_nationkey % 4, '1', COUNT(*), 'partitions'
+        |FROM nation GROUP BY n_nationkey % 4)
+        |ORDER BY tag, a, b, c""".stripMargin,
     "catalog_update_mor" ->
       """SELECT c_custkey, c_nationkey,
         | CASE WHEN c_nationkey = 5 THEN c_acctbal + 1000.0

@@ -433,7 +433,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // style inspection metadata tables over the snapshot log
           if (ident.name.equalsIgnoreCase("snapshots") ||
               ident.name.equalsIgnoreCase("files") ||
-              ident.name.equalsIgnoreCase("refs"))
+              ident.name.equalsIgnoreCase("refs") ||
+              ident.name.equalsIgnoreCase("partitions"))
             return new AvroMetaTable(baseDir.getPath,
               ident.name.toLowerCase)
         }

@@ -58,6 +58,13 @@ class AvroMetaTable(path: String, which: String) extends Table with SupportsRead
       StructField("name", StringType, nullable = false),
       StructField("type", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
+    case "partitions" => StructType(Seq(
+      StructField("part_value", LongType, nullable = true),
+      StructField("spec_id", IntegerType, nullable = true),
+      StructField("file_count", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = true),
+      StructField("dv_files", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -88,6 +95,27 @@ class AvroMetaTable(path: String, which: String) extends Table with SupportsRead
             if (AvroSnapshots.isBranch(path, n)) "branch" else "tag"),
           Long.box(v))
       }
+    // `<t>.partitions` (Iceberg's partitions table): the layout's
+    // shape per storage-partition value — the "is my clustering
+    // healthy / which bucket is skewed" surface, folded from manifest
+    // entries only. Rows with UNKNOWN counts (a stats-less file in
+    // the partition) serve null rather than an understated number.
+    case "partitions" =>
+      AvroSnapshots.head(path).map(_.entries).getOrElse(Nil)
+        .groupBy(e => (e.part, e.part.map(_ => e.specId)))
+        .toSeq.sortBy { case ((p, sp), _) => (p.getOrElse(Long.MinValue),
+          sp.getOrElse(-1)) }
+        .map { case ((p, sp), es) =>
+          val counts = es.map(_.stats.flatMap(AvroStats.rowCount))
+          Seq[Any](p.map(Long.box).orNull,
+            sp.map(Int.box).orNull,
+            Long.box(es.size.toLong),
+            if (counts.forall(_.isDefined)) Long.box(counts.flatten.sum)
+            else null,
+            Long.box(es.count(_.dv.isDefined).toLong),
+            Long.box(es.map(e =>
+              AvroSnapshots.resolveFile(path, e.name).length()).sum))
+        }
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
