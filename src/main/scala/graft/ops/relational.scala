@@ -1218,12 +1218,17 @@ object Relational {
             |  k BIGINT, p STRING,
             |  kmod BIGINT GENERATED ALWAYS AS (k % 97),
             |  ptag STRING GENERATED ALWAYS AS (CONCAT(p, '#', CAST(k % 7 AS STRING))))""".stripMargin)
-    val cnt = s.sql("SELECT MAX(o_orderkey) + 1 FROM graft_gi_src")
-      .head().getLong(0)
-    val h = cnt / 2 + 1
+    // cnt = ROW count (identity ranks live in the row domain); h = KEY
+    // midpoint (the file split) — the x10/x100 stress fixtures have
+    // SPARSE keys (max+1 >> rows), so the two must never be conflated
+    val r0 = s.sql(
+      "SELECT COUNT(*), MAX(o_orderkey) + 1 FROM graft_gi_src").head()
+    val cnt = r0.getLong(0)
+    val mx = r0.getLong(1)
+    val h = mx / 2 + 1
     // two ORDERED single-task inserts: identity assignment is then the
-    // key rank — deterministic at every SF (keys are dense 0..max)
-    for ((lo, hi) <- Seq((0L, h), (h, cnt)))
+    // global key RANK — deterministic at every SF
+    for ((lo, hi) <- Seq((0L, h), (h, mx)))
       s.sql(s"""INSERT INTO graftcat.lake.orders_gi (k, p)
                |SELECT /*+ COALESCE(1) */ o_orderkey, o_orderpriority
                |FROM (SELECT o_orderkey, o_orderpriority FROM graft_gi_src
@@ -3174,12 +3179,13 @@ object Relational {
         |UNION ALL SELECT -2, '0', 'aligned_survivor_rewrites'
         |ORDER BY k, tag, p""".stripMargin,
     "catalog_generated_identity" ->
-      """WITH m AS (SELECT MAX(o_orderkey) + 1 AS cnt FROM orders),
-        | b AS (SELECT cnt, cnt // 2 + 1 AS h,
+      """WITH m AS (SELECT COUNT(*) AS cnt, MAX(o_orderkey) + 1 AS mx
+        |        FROM orders),
+        | b AS (SELECT cnt, mx // 2 + 1 AS h,
         |        1000 + 3 * (cnt // 10) AS dlo,
         |        1000 + 3 * (cnt // 5) AS dhi FROM m),
-        | seq AS (SELECT 1000 + 3 * o_orderkey AS id, o_orderkey AS k,
-        |        o_orderpriority AS p FROM orders),
+        | seq AS (SELECT 1000 + 3 * (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) AS id,
+        |        o_orderkey AS k, o_orderpriority AS p FROM orders),
         | upd AS (SELECT id, k,
         |        CASE WHEN k >= h // 4 AND k < h // 2 THEN 'X' ELSE p END AS p
         |        FROM seq, b),
