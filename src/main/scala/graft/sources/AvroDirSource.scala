@@ -772,6 +772,9 @@ class AvroDirTable(path: String, tableSchema: StructType,
           // (AvroStats.trackable) — binary/array bounds are never
           // recorded, so their MIN/MAX must plan a real scan
           if (!AvroStats.trackable(fld.dataType)) return None
+          // IDENTITY columns record no stats (values derive from row
+          // lineage) — absence must not fold to a fabricated NULL
+          if (GeneratedColumns.isIdentity(fld)) return None
           // DECIMAL stats are a round-16 addition: a file written
           // BEFORE it carries no entry for a decimal column that DOES
           // hold values — absence is ambiguous with "predates an ADD
@@ -817,6 +820,7 @@ class AvroDirTable(path: String, tableSchema: StructType,
               // additionally requires presence in EVERY file (absence
               // is ambiguous pre-round-16 — same rule as minMax)
               colRef(c.column).filter(f => AvroStats.trackable(f.dataType))
+                .filterNot(GeneratedColumns.isIdentity) // no stats by design
                 .filterNot(f =>
                   f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
                     perFile.exists { case (_, st) =>

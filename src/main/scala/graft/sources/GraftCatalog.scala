@@ -1335,7 +1335,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (AvroSnapshots.ownsFile(n)) new File(srcAbs, n).getPath else n
     dstDir.mkdirs()
     Seq("_schema.json", "_partition.json", "_sort.json", "_delete.json",
-        BloomFilters.ColsFile, VariantShredding.SpecFile).foreach { s =>
+        BloomFilters.ColsFile, VariantShredding.SpecFile,
+        CheckConstraints.SpecFile).foreach { s =>
       val f = new File(srcDir, s)
       if (f.isFile)
         Files.copy(f.toPath, new File(dstDir, s).toPath,

@@ -154,6 +154,32 @@ class CloneSuite extends SparkSuiteBase {
     assert(spark.table("clcat.db.c5").count() == 300)
   }
 
+  test("a clone inherits CHECK constraints and identity semantics") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS clcat.db.c7")
+    spark.sql("DROP TABLE IF EXISTS clcat.db.c7c")
+    spark.sql("""CREATE TABLE clcat.db.c7 (
+                |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 0 INCREMENT BY 1),
+                |  k BIGINT)""".stripMargin)
+    spark.sql("ALTER TABLE clcat.db.c7 ADD CONSTRAINT kp CHECK (k >= 0)")
+    spark.sql("""INSERT INTO clcat.db.c7 (k)
+                |SELECT /*+ COALESCE(1) */ id
+                |FROM (SELECT id FROM range(0, 20) ORDER BY id)""".stripMargin)
+    spark.sql("CALL clcat.system.clone('db.c7', 'db.c7c')")
+    // identity values survive the clone verbatim (ids ride row lineage)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM clcat.db.c7c WHERE id = k").head().getLong(0) == 20)
+    // the constraint travelled: a violating insert refuses on the clone
+    intercept[Exception] {
+      spark.sql("INSERT INTO clcat.db.c7c (k) VALUES (-1)")
+    }
+    assert(spark.table("clcat.db.c7c").count() == 20)
+    // a fresh clone-side append claims identity values ABOVE the
+    // inherited ranges
+    spark.sql("INSERT INTO clcat.db.c7c (k) VALUES (500)")
+    assert(spark.sql("SELECT MAX(id) FROM clcat.db.c7c").head().getLong(0) == 20)
+  }
+
   test("clone carries MOR deletion vectors by reference; refusals are loud") {
     wh
     spark.sql("DROP TABLE IF EXISTS clcat.db.c6")
