@@ -1094,7 +1094,10 @@ class AvroDirTable(path: String, tableSchema: StructType,
     val (touched, skipped) = entries.partition { e =>
       val st = e.stats.map(AvroStats.parse)
         .getOrElse(Map.empty[String, AvroStats.ColStats])
-      AvroStats.fileMightMatch(filters.toSeq, e.name, resolveStats(st)) &&
+      // identity bounds synthesize here too: a DELETE/UPDATE by an
+      // identity predicate reads O(matching files), not the table
+      AvroStats.fileMightMatch(filters.toSeq, e.name,
+        resolveStatsWithIdentity(e, st)) &&
       (!probeBloom || BloomFilters.fileMightMatch(
         path, e.name, filters.toSeq, bloomNames))
     }

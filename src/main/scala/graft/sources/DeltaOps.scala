@@ -86,7 +86,19 @@ class GraftDeltaOperation(path: String, tableSchema: StructType,
           pushed.isEmpty || {
             val st = e.stats.map(AvroStats.parse)
               .getOrElse(Map.empty[String, AvroStats.ColStats])
-            AvroStats.fileMightMatch(pushed.toSeq, e.name, resolveStats(st))
+            // identity bounds synthesize from the entry's row-id range
+            // (identity columns record no stored stats by design)
+            val resolver: String => Option[AvroStats.ColStats] = a =>
+              resolveStats(st)(a).orElse {
+                tableSchema.fields.find(f => f.name.equalsIgnoreCase(a) &&
+                    GeneratedColumns.isIdentity(f)).flatMap { f =>
+                  val (s0, st0) = GeneratedColumns.identitySpec(f).get
+                  GeneratedColumns.identityBounds(s0, st0,
+                    st.get(AvroDirSource.RowIdColumn), e.firstRowId,
+                    e.stats.flatMap(AvroStats.rowCount))
+                }
+              }
+            AvroStats.fileMightMatch(pushed.toSeq, e.name, resolver)
           }
         }
         // rows are read THROUGH existing vectors and equality deletes
