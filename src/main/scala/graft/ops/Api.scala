@@ -140,7 +140,7 @@ object Api {
     // set as the array_distinct(transform(…slice+concat_ws)) spelling,
     // but one codegen'd loop instead of interpreted HOFs (~6× faster —
     // shingle generation dominated every shingle-dedup query)
-    val sh = docs
+    val sh = T.fan(docs, idCol)
       .select(col(idCol).as("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"),

@@ -105,6 +105,29 @@ object T {
     df.withColumn("us", usCol(df.schema("ts").dataType))
       .withColumn("ts_us", timestamp_micros(col("us")))
   }
+
+  /** Scale-adaptive scan fan-out (optimization guide §2.5 — "input skew:
+    * one huge unsplittable file … repartition immediately after the
+    * read"). A fixture table is one single-row-group parquet file, so its
+    * scan is ONE task regardless of core count, and any expensive per-row
+    * projection downstream (shingling, gram explode, per-token hashing)
+    * runs on one core while the rest idle — measured in the r19 baseline
+    * as task_max ≈ wall on the llm dedup family (llm_dedup_substring:
+    * 4.49 s single task of an 18.97 s task-sum at local[32]). Hash-
+    * redistribute on a deterministic high-cardinality key to the
+    * session's default parallelism BEFORE the expensive projection; the
+    * exchange moves only the raw scan columns once. The gate makes it
+    * scale-adaptive, not local-tuned: a production multi-file table
+    * already scans at >= cores partitions and passes through untouched.
+    * Never keyed on rand() (retry-duplication hazard, SPARK-38388);
+    * results stay exact under any partitioning by the repo's determinism
+    * discipline (order-insensitive aggregates; the driver re-runs Verify
+    * at other core counts to pin exactly that). */
+  def fan(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= n) df
+    else df.repartition(n, col(key))
+  }
 }
 
 /** One per-JVM temp root for every write-demo query (csv/json/orc/avro

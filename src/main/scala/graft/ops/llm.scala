@@ -88,7 +88,9 @@ object Llm {
     * Shingling is the compiled ShinglesK expression — see Api.nearDupPairs. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
-    T(s, dir, "documents")
+    // fan the single-file scan before the shingle projection — the
+    // per-token work below is what dominates, not the scan (guide §2.5)
+    T.fan(T(s, dir, "documents"), "doc_id")
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= ShingleK)
       .select(col("doc_id"),
@@ -277,6 +279,9 @@ object Llm {
     val packed = (0 to 3)
       .map(i => shiftleft(element_at(col("chunks"), i + 1), 16 * i))
       .reduce((a, b) => a.bitwiseOR(b))
+    // deliberately NOT fanned (T.fan): the chunk projection is cheap next
+    // to the candidate join, and the extra raw-text exchange measured a
+    // net +0.44 s at local[32]/sf0.1 (r19 paired runs)
     val chunked = T(s, dir, "documents")
       .select(col("doc_id"),
         graft.plans.expressions.simhashChunks(
@@ -641,9 +646,21 @@ object Llm {
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = Api.nearDupPairs(T(s, dir, "documents"), "doc_id", "text",
       ShingleK, JaccardNum, JaccardDen).select("d1", "d2")
-    val edges = pairs
+    val edgesCk = pairs
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()
+    // Loop-state sizing (guide §2.2 — fewer, larger partitions): every
+    // round scans the edge blocks once per join side, so the fanned
+    // pairs pipeline's ~2×32 near-empty checkpoint blocks turn each of
+    // the ~8 rounds into 64 scheduled no-op tasks (measured +0.9 s wall
+    // at local[32]/sf0.1). Coalesce (narrow, no shuffle) to ~250k
+    // edges/task, capped at the session parallelism — at 100 TB the cap
+    // keeps every core busy, at fixture scale the loop runs 1-block
+    // rounds. The count is a cheap job over already-materialized blocks.
+    val loopParts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      edgesCk.count() / 250000L + 1L)).toInt
+    val edges = edgesCk.coalesce(loopParts)
     def labSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lab").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .first().getDecimal(0)
@@ -1337,8 +1354,15 @@ object Llm {
     val L = SubstrGramLen
     // gram → 128-bit fingerprint (two independent codegen'd xxhash64
     // lanes — ~2⁻¹²⁸ collision odds, far cheaper per gram than md5)
-    // BEFORE distinct/join: the shuffle never carries raw text
-    val grams0 = T(s, dir, "documents")
+    // BEFORE distinct/join: the shuffle never carries raw text.
+    // r19: the scan is fanned before the O(chars) explode (guide §2.5 —
+    // a single-file scan ran the whole gram generation as ONE 4.5 s
+    // task), and the distinct gram table is materialized ONCE
+    // (localCheckpoint) instead of re-deriving the explode+distinct
+    // subtree per self-join side (guide §3.3 — the r19-baseline plan
+    // carried TWO full scan→Generate→HashAggregate arms, 19 s of task
+    // time for 9.5 s of distinct work).
+    val grams0 = T.fan(T(s, dir, "documents"), "doc_id")
       .where(length(col("text")) >= L)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, length(text) - ${L - 1}), i -> substring(text, i, $L))"))
@@ -1346,6 +1370,7 @@ object Llm {
       .select(col("doc_id"), xxhash64(col("raw_g")).as("g1"),
         xxhash64(lit(0x9747b28cL), col("raw_g")).as("g2"))
       .distinct()
+      .localCheckpoint()
     val grams = capPerGram match {
       case None => grams0
       case Some(cap) =>
