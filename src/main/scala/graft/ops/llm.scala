@@ -914,8 +914,11 @@ object Llm {
     val tk = T(s, dir, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("term"))
     val tf = tk.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
-    val df = tk.select("term", "lang").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df derives from tf: tf holds exactly one row per (lang, term), so
+    // counting tf's rows per term IS the distinct-lang count — the
+    // previous tk.distinct() arm re-ran the whole corpus explode a
+    // second time (one full scan + shuffle removed; guide §2.4)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("term"))
     tf.join(df, "term")
       .withColumn("score",
