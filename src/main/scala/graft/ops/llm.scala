@@ -913,11 +913,16 @@ object Llm {
   private def tfidf(s: SparkSession, dir: String): DataFrame = {
     val tk = T(s, dir, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+    // tf settles ONCE (vocab×lang rows — tiny next to the corpus): both
+    // the df derivation and the join consume it, and without the
+    // checkpoint Spark plans the corpus explode+aggregate per consumer
+    // (measured: no runtime exchange reuse fires across the two arms)
     val tf = tk.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // df derives from tf: tf holds exactly one row per (lang, term), so
     // counting tf's rows per term IS the distinct-lang count — the
     // previous tk.distinct() arm re-ran the whole corpus explode a
-    // second time (one full scan + shuffle removed; guide §2.4)
+    // second time (one full corpus pass + shuffle removed; guide §2.4)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("term"))
     tf.join(df, "term")
