@@ -126,7 +126,12 @@ class InventorySuite extends SparkSuiteBase {
     // partitions DPP must prune; llm_dedup_simhash localCheckpoints the
     // fingerprint pass so the self-join computes it once, not per side;
     // stat_crosstab: DataFrameStatFunctions.crosstab is an eager API
-    "join_dpp_partitioned", "llm_dedup_simhash", "stat_crosstab")
+    "join_dpp_partitioned", "llm_dedup_simhash", "stat_crosstab",
+    // r19 optimization round: llm_dedup_substring localCheckpoints the
+    // distinct gram table (computed once, joined twice); llm_tfidf
+    // localCheckpoints the tf aggregate (one corpus pass feeds both the
+    // df derivation and the scoring join)
+    "llm_dedup_substring", "llm_tfidf")
 
   test("building a non-eager query fires zero Spark jobs") {
     val sc = spark.sparkContext
