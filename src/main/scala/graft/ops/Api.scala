@@ -140,17 +140,12 @@ object Api {
     // set as the array_distinct(transform(…slice+concat_ws)) spelling,
     // but one codegen'd loop instead of interpreted HOFs (~6× faster —
     // shingle generation dominated every shingle-dedup query)
-    // r19 (second pass): settle the shingled frame once — e1/e2 below
-    // each re-ran the full split+shingle pipeline, and the inferred
-    // non-empty-generator filter duplicated the shingle expression into
-    // each arm's scan filter (guide §3.3/§5). Rows are unchanged.
     val sh = T.fan(docs, idCol)
       .select(col(idCol).as("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"),
         graft.plans.expressions.shinglesK(col("toks"), k).as("shingles"))
       .withColumn("sz", size(col("shingles")))
-      .localCheckpoint()
     val e1 = sh.select(col("doc_id").as("d1"), col("sz").as("sz1"), explode(col("shingles")).as("sh"))
     val e2 = sh.select(col("doc_id").as("d2"), col("sz").as("sz2"), explode(col("shingles")).as("sh2"))
     e1.join(e2, col("sh") === col("sh2") && col("d1") < col("d2") &&

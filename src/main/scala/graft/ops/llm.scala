@@ -174,17 +174,8 @@ object Llm {
   }
 
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // r19 (second pass): settle the shingled corpus and the banded rows
-    // ONCE. The un-checkpointed plan carried FOUR full corpus arms (two
-    // banded self-join sides + two verify sides), each re-running
-    // split+shingling — and the inferred non-empty-generator filter
-    // duplicated the shingle expression inside each arm's scan filter.
-    // One corpus pass + one banding pass now feed all four consumers
-    // (guide §3.3/§5; the incremental twin already did this for its own
-    // settledness needs). Rows are unchanged, so the oracle contract is
-    // untouched.
-    val sh = shingled(s, dir).localCheckpoint()
-    val banded = bandedOf(sh).localCheckpoint()
+    val sh = shingled(s, dir)
+    val banded = bandedOf(sh)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -622,9 +613,6 @@ object Llm {
             + dotD(sd.getField("sv"), sd.getField("sv"))).as("d2"),
           sd.getField("sid").as("sid")))))
       .select(col("vec_id"), col("v"), col("n2"), col("best.sid").as("cluster"))
-      // r19 (second pass): settle the assignment once — the cluster-scoped
-      // self-join below otherwise re-runs the k-seed scoring pass per side
-      .localCheckpoint()
     val rhs = assigned.select(col("cluster").as("c2"), col("vec_id").as("id2"),
       col("v").as("vb"), col("n2").as("n2b"))
     assigned.select(col("cluster"), col("vec_id").as("id1"),
@@ -656,12 +644,8 @@ object Llm {
     *  - converges or dies: require() fails loudly rather than emitting
     *    wrong clusters if the 16-round cap (diameter 2^16) is ever hit. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    // r19 (second pass): settle the pair join once — the symmetric edge
-    // union's two arms each re-ran the shingle self-join + aggregate
-    // (guide §3.3); the swapped arm now just re-projects settled rows
     val pairs = Api.nearDupPairs(T(s, dir, "documents"), "doc_id", "text",
       ShingleK, JaccardNum, JaccardDen).select("d1", "d2")
-      .localCheckpoint()
     val edgesCk = pairs
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()
@@ -1260,12 +1244,9 @@ object Llm {
     * at 100 TB the eval side is the small one — broadcast it, or band
     * the shingles MinHash-style first. */
   private def contaminationCheck(s: SparkSession, dir: String): DataFrame = {
-    // r19 (second pass): settle the shingled corpus once — the eval and
-    // train sides each re-ran the full split+shingle pipeline (guide §3.3)
     val sh = shingled(s, dir)
       .withColumn("is_eval",
         substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4) < "1000")
-      .localCheckpoint()
     val ev = sh.where(col("is_eval"))
       .select(col("doc_id").as("eval_doc"), explode(col("shingles")).as("sh"))
     val tr = sh.where(!col("is_eval"))
