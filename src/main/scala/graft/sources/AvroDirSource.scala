@@ -329,7 +329,17 @@ object AvroDirSource {
     * timestamp (µs long) and date (epoch-day int). */
   def avroToInternal(v: Any, dt: DataType): Any = dt match {
     case _ if v == null => null
-    case StringType     => UTF8String.fromString(v.toString)
+    // Avro decodes strings as Utf8 (UTF-8 bytes + length) and Spark's
+    // internal string IS UTF-8 bytes — wrap the buffer directly instead
+    // of round-tripping through java.lang.String (decode to UTF-16 +
+    // re-encode), the hottest conversion in every catalog-table scan.
+    // Safe to alias: the reader materializes a fresh record per row
+    // (no datum reuse), so the Utf8's backing array is never recycled.
+    case StringType     => v match {
+      case u: org.apache.avro.util.Utf8 =>
+        UTF8String.fromBytes(u.getBytes, 0, u.getByteLength)
+      case other => UTF8String.fromString(other.toString)
+    }
     // TYPE WIDENING (round 19): a file written before `ALTER COLUMN c
     // TYPE BIGINT/DOUBLE` decodes its old int/float values — upcast
     // by name at read time, no rewrite at any scale (Avro's own
@@ -1796,8 +1806,10 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
       bucketKeep: Option[(BucketResidual, Int)] = None,
       entryName: String = null): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
+      private val datumReader = new GenericDatumReader[GenericRecord]()
       private val reader = new DataFileReader[GenericRecord](
-        new File(file), new GenericDatumReader[GenericRecord]())
+        new File(file), datumReader)
+      private val writerSchema = reader.getSchema
       // `_file` serves the MANIFEST ENTRY NAME (absolute for a cloned
       // table's foreign references) so row-level operations' In(_file)
       // group filters and maintenance isin(names) filters round-trip
@@ -1808,19 +1820,70 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
       // past (the merge-on-read anti-filter)
       private val dv: Set[Long] =
         dvFile.map(DeletionVectors.readAbs(_).toSet).getOrElse(Set.empty)
-      // equality deletes: (key position in THIS file's writer schema,
-      // matcher) per sidecar — a matching row is deleted. A sidecar
-      // keying a column this file lacks fails LOUDLY: silently serving
-      // the row would resurrect a deleted key.
-      private val eqSkips: Seq[(Array[Int], Seq[Any] => Boolean)] =
+      // ---- decode-side column projection (r19 optimization) ----
+      // Every consumer of this file's fields resolves BY NAME first:
+      // the required columns (rename aliases honored, newest-first),
+      // the lineage columns when asked for, the equality-delete keys
+      // and the residual bucket column. The Avro reader then gets an
+      // EXPECTED schema of exactly those fields, so the decoder SKIPS
+      // the bytes of every other column instead of materializing them
+      // — the decode-side half of column pruning (ReadSchema prunes
+      // the plan; this prunes the per-row work; a pruned catalog scan
+      // previously still decoded every field of every row).
+      private def writerField(n: String): Option[Schema.Field] =
+        Option(writerSchema.getField(n))
+      // required field → resolved writer-field name; null for the
+      // metadata/identity columns and genuinely absent columns
+      private val resolvedNames: Array[String] = required.fields.map { f =>
+        if (f.name == AvroDirSource.FileColumn ||
+            f.name == AvroDirSource.PosColumn ||
+            f.name == AvroDirSource.RowIdColumn ||
+            f.name == AvroDirSource.LuvColumn ||
+            GeneratedColumns.isIdentity(f)) null
+        else (f.name +: AvroDirSource.aliasesOf(f)).iterator
+          .find(n => writerField(n).isDefined).orNull
+      }
+      // equality deletes: a sidecar keying a column this file lacks
+      // fails LOUDLY — silently serving the row would resurrect a
+      // deleted key
+      private val eqResolved: Seq[(Array[String], Seq[Any] => Boolean)] =
         eqFiles.map { p =>
           val (cols, kinds, keys) = EqualityDeletes.readMultiAbs(p)
-          val positions = cols.map(c =>
-            Option(reader.getSchema.getField(c)).getOrElse(
-              throw new IllegalStateException(
-                s"equality delete keys on '$c' but $file has no such field"))
-              .pos).toArray
-          (positions, EqualityDeletes.tupleMatcher(kinds, keys))
+          cols.foreach(c => if (writerField(c).isEmpty)
+            throw new IllegalStateException(
+              s"equality delete keys on '$c' but $file has no such field"))
+          (cols.toArray, EqualityDeletes.tupleMatcher(kinds, keys))
+        }
+      private val bucketName: Option[String] =
+        bucketKeep.flatMap { case (r, _) =>
+          r.names.find(n => writerField(n).isDefined) }
+      private val needsRowId = required.fields.exists(f =>
+        f.name == AvroDirSource.RowIdColumn || GeneratedColumns.isIdentity(f))
+      private val needsLuv =
+        required.fields.exists(_.name == AvroDirSource.LuvColumn)
+      private val expectedSchema: Schema = {
+        val needed = (resolvedNames.iterator.filter(_ != null) ++
+          eqResolved.iterator.flatMap(_._1) ++
+          bucketName.iterator ++
+          (if (needsRowId) Iterator(AvroDirSource.RowIdColumn)
+           else Iterator.empty) ++
+          (if (needsLuv) Iterator(AvroDirSource.LuvColumn)
+           else Iterator.empty)).toSet
+        val all = writerSchema.getFields.asScala
+        val keep = all.filter(f => needed.contains(f.name))
+        if (keep.size == all.size) writerSchema
+        else {
+          val s = Schema.createRecord(writerSchema.getName,
+            writerSchema.getDoc, writerSchema.getNamespace, false)
+          s.setFields(keep.map(f => new Schema.Field(f, f.schema)).asJava)
+          datumReader.setExpected(s)
+          s
+        }
+      }
+      // all record positions below are in the EXPECTED (projected) schema
+      private val eqSkips: Seq[(Array[Int], Seq[Any] => Boolean)] =
+        eqResolved.map { case (cols, m) =>
+          (cols.map(expectedSchema.getField(_).pos), m)
         }
       // residual bucket filter (partial SPJ): keep only rows whose
       // floorMod(column, n) equals this split's bucket — the writer's
@@ -1831,9 +1894,7 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
       // null value spells bucket 0, matching a clustered rewrite.
       private val bucketCheck: Option[(Int, Int, Int, Long)] =
         bucketKeep.map { case (r, b) =>
-          val pos = r.names.iterator
-            .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
-            .find(_ >= 0).getOrElse(-1)
+          val pos = bucketName.map(expectedSchema.getField(_).pos).getOrElse(-1)
           val dflt = r.default match {
             case v: java.lang.Number => v.longValue
             case _                   => 0L
@@ -1861,26 +1922,28 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
       // output — else firstRowId + _pos, null without lineage).
       // Resolved once per file.
       private val physRowId: Int =
-        Option(reader.getSchema.getField(AvroDirSource.RowIdColumn))
+        if (!needsRowId) -1
+        else Option(expectedSchema.getField(AvroDirSource.RowIdColumn))
           .map(_.pos).getOrElse(-1)
       // -5 -> the _last_updated_version metadata column: physical
       // field when the file carries one (a maintenance rewrite
       // output), else the file's manifest addedVersion (inheritance),
       // else null (legacy entry)
       private val physLuv: Int =
-        Option(reader.getSchema.getField(AvroDirSource.LuvColumn))
+        if (!needsLuv) -1
+        else Option(expectedSchema.getField(AvroDirSource.LuvColumn))
           .map(_.pos).getOrElse(-1)
-      private val idx: Array[Int] = required.fields.map { f =>
-        if (f.name == AvroDirSource.FileColumn) -2
-        else if (f.name == AvroDirSource.PosColumn) -3
-        else if (f.name == AvroDirSource.RowIdColumn) -4
-        else if (f.name == AvroDirSource.LuvColumn) -5
-        // -6 → IDENTITY column: derived start + step * row_id (the
-        // affine view of row lineage — physical bytes are null)
-        else if (GeneratedColumns.isIdentity(f)) -6
-        else (f.name +: AvroDirSource.aliasesOf(f)).iterator
-          .map(n => Option(reader.getSchema.getField(n)).map(_.pos).getOrElse(-1))
-          .find(_ >= 0).getOrElse(-1)
+      private val idx: Array[Int] = required.fields.zipWithIndex.map {
+        case (f, i) =>
+          if (f.name == AvroDirSource.FileColumn) -2
+          else if (f.name == AvroDirSource.PosColumn) -3
+          else if (f.name == AvroDirSource.RowIdColumn) -4
+          else if (f.name == AvroDirSource.LuvColumn) -5
+          // -6 → IDENTITY column: derived start + step * row_id (the
+          // affine view of row lineage — physical bytes are null)
+          else if (GeneratedColumns.isIdentity(f)) -6
+          else if (resolvedNames(i) == null) -1
+          else expectedSchema.getField(resolvedNames(i)).pos
       }
       private val identityAffine: Array[(Long, Long)] =
         required.fields.map(f =>
@@ -2033,7 +2096,12 @@ class AvroFileWriter(file: File, schema: StructType,
           case DoubleType    => java.lang.Double.valueOf(row.getDouble(i))
           case FloatType     => java.lang.Float.valueOf(row.getFloat(i))
           case BooleanType   => java.lang.Boolean.valueOf(row.getBoolean(i))
-          case StringType    => row.getUTF8String(i).toString
+          // Spark's internal string IS UTF-8 bytes and Avro's Utf8
+          // wraps UTF-8 bytes: hand the encoder the bytes directly
+          // instead of decoding to a java.lang.String it would only
+          // re-encode (the write-side twin of the read-path fix)
+          case StringType    =>
+            new org.apache.avro.util.Utf8(row.getUTF8String(i).getBytes)
           // internal µs / epoch-day ARE the logical-type base values
           case TimestampType => java.lang.Long.valueOf(row.getLong(i))
           case DateType      => java.lang.Integer.valueOf(row.getInt(i))

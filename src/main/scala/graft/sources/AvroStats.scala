@@ -286,6 +286,10 @@ object AvroStats {
           val bytes = new Array[Byte](d.remaining())
           d.get(bytes)
           new java.math.BigDecimal(new java.math.BigInteger(bytes), decScale(i))
+        // the writer hands strings as Avro Utf8 (UTF-8 bytes, no
+        // java.lang.String detour on the encode path) — normalize here
+        // so bounds/NDV keep their String domain exactly as before
+        case u: org.apache.avro.util.Utf8 => u.toString
         case x: java.lang.Integer => Long.box(x.longValue) // normalize int → long
         // -0.0 == 0.0 in Spark's comparison semantics but not in
         // Double.compare: normalize so bounds can never exclude the
