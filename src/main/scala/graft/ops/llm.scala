@@ -1360,24 +1360,28 @@ object Llm {
   private[ops] def dedupSubstringImpl(s: SparkSession, dir: String,
       capPerGram: Option[Int]): DataFrame = {
     val L = SubstrGramLen
-    // gram → 128-bit fingerprint (two independent codegen'd xxhash64
-    // lanes — ~2⁻¹²⁸ collision odds, far cheaper per gram than md5)
-    // BEFORE distinct/join: the shuffle never carries raw text.
+    // gram → 128-bit fingerprint (two seed-separated xxhash64 lanes —
+    // ~2⁻¹²⁸ collision odds, far cheaper per gram than md5) BEFORE the
+    // join: the shuffle never carries raw text.
     // r19: the scan is fanned before the O(chars) explode (guide §2.5 —
     // a single-file scan ran the whole gram generation as ONE 4.5 s
-    // task), and the distinct gram table is materialized ONCE
-    // (localCheckpoint) instead of re-deriving the explode+distinct
-    // subtree per self-join side (guide §3.3 — the r19-baseline plan
-    // carried TWO full scan→Generate→HashAggregate arms, 19 s of task
-    // time for 9.5 s of distinct work).
+    // task), and the gram table is materialized ONCE (localCheckpoint)
+    // instead of re-deriving the explode subtree per self-join side
+    // (guide §3.3). The explode+hash+DISTINCT pipeline itself is the
+    // compiled GramHashPairs expression (guide §1.2 step 2/§4): the old
+    // transform(sequence…substring) spelling materialized an
+    // O(chars × L) array of substring copies per document and the
+    // DISTINCT paid a full exchange + two HashAggregates; the
+    // expression hashes every window in place over the document's
+    // bytes (same two lanes, bit-identical — pinned in PlanSuite) and
+    // dedups per document inside the projection, so no aggregation
+    // exchange remains at all. Per-doc dedup ≡ the removed
+    // DISTINCT(doc_id, g1, g2) because doc_id was part of its key.
     val grams0 = T.fan(T(s, dir, "documents"), "doc_id")
       .where(length(col("text")) >= L)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, length(text) - ${L - 1}), i -> substring(text, i, $L))"))
-        .as("raw_g"))
-      .select(col("doc_id"), xxhash64(col("raw_g")).as("g1"),
-        xxhash64(lit(0x9747b28cL), col("raw_g")).as("g2"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(graft.plans.expressions.gramHashPairs(col("text"), L)).as("p"))
+      .select(col("doc_id"), col("p.g1").as("g1"), col("p.g2").as("g2"))
       .localCheckpoint()
     val grams = capPerGram match {
       case None => grams0

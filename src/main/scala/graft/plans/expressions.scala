@@ -242,6 +242,94 @@ object ShingleUtil {
     java.nio.ByteBuffer.wrap(d, 0, 8).getLong
   }
 
+  /** Lane-2 seed of the two-lane gram fingerprint: the exact chained
+    * seed `xxhash64(lit(0x9747b28cL), g)` evaluates — XxHash64 folds
+    * children left-to-right, so the long literal hashes first with the
+    * default seed 42 and the result seeds the string hash. Pinned by
+    * PlanSuite against the built-in expression. */
+  val GramSeed2: Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(0x9747b28cL, 42L)
+
+  /** Stride-1 k-CHAR gram fingerprints of `s`, deduplicated per call in
+    * first-occurrence order: for every char window [i, i+k) the pair
+    *   g1 = xxhash64(bytes)          (seed 42 — the default)
+    *   g2 = xxhash64(bytes, GramSeed2)
+    * over the window's UTF-8 BYTES — bit-identical to
+    * `xxhash64(substring(s, i+1, k))` / `xxhash64(lit(0x9747b28cL),
+    * substring(s, i+1, k))` because substring slices whole chars and
+    * XxHash64 hashes the slice's bytes. Hashes are computed IN PLACE
+    * over the parent string's memory (no per-gram UTF8String, no
+    * array-of-substrings materialization), and the per-doc dedup set
+    * replaces a whole DISTINCT exchange downstream. Memory is O(chars)
+    * per row — strictly below the transform() spelling's O(chars × k)
+    * substring array. Dedup key is the (g1,g2) pair itself, the same
+    * key the removed DISTINCT used. */
+  def gramHashPairs(s: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    import org.apache.spark.unsafe.Platform
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val nBytes = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val ascii = {
+      // one linear scan; all-ASCII (the common corpus case) skips the
+      // char-offset table entirely
+      var b = 0
+      var a = true
+      while (a && b < nBytes) { if (Platform.getByte(base, off + b) < 0) a = false; b += 1 }
+      a
+    }
+    val offs: Array[Int] = if (ascii) null else {
+      val tmp = new Array[Int](nBytes + 1)
+      var i = 0
+      var b = 0
+      while (b < nBytes) {
+        tmp(i) = b
+        b += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + b))
+        i += 1
+      }
+      tmp(i) = nBytes
+      java.util.Arrays.copyOf(tmp, i + 1)
+    }
+    val numChars = if (ascii) nBytes else offs.length - 1
+    if (numChars < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val n = numChars - k + 1
+    // open-addressing set on the (g1,g2) pair; emission order = first
+    // occurrence (deterministic under task retry)
+    var cap = 8
+    while (cap < n * 2) cap <<= 1
+    val mask = cap - 1
+    val tg1 = new Array[Long](cap)
+    val tg2 = new Array[Long](cap)
+    val usd = new Array[Boolean](cap)
+    val out = new Array[Any](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val b0 = if (ascii) i else offs(i)
+      val b1 = if (ascii) i + k else offs(i + k)
+      val g1 = XXH64.hashUnsafeBytes(base, off + b0, b1 - b0, 42L)
+      val g2 = XXH64.hashUnsafeBytes(base, off + b0, b1 - b0, GramSeed2)
+      var idx = (java.lang.Long.hashCode(g1 * 0x9e3779b97f4a7c15L + g2) & mask)
+      var dup = false
+      while (usd(idx) && !dup) {
+        if (tg1(idx) == g1 && tg2(idx) == g2) dup = true
+        else idx = (idx + 1) & mask
+      }
+      if (!dup) {
+        usd(idx) = true; tg1(idx) = g1; tg2(idx) = g2
+        out(m) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](g1, g2))
+        m += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (m == n) out
+      else { val t = new Array[Any](m); System.arraycopy(out, 0, t, 0, m); t })
+  }
+
   def simhashChunks(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     val counts = new Array[Int](64)
@@ -295,6 +383,41 @@ case class SimHashChunks(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.plans.ShingleUtil.simhashChunks($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashChunks =
+    copy(child = newChild)
+}
+
+/** Compiled stride-1 k-char gram fingerprinting with per-document
+  * dedup ([[ShingleUtil.gramHashPairs]]): replaces the
+  * `explode(transform(sequence(…), i -> substring(text, i, k)))` →
+  * `xxhash64 ×2` → `DISTINCT` pipeline of the substring-dedup operator.
+  * The transform spelling materializes an O(chars × k) array of
+  * substring copies per document and the DISTINCT costs a full
+  * exchange + two HashAggregates; this expression hashes each window
+  * in place over the parent string's bytes and dedups per document in
+  * one compiled pass, so the downstream plan is explode → checkpoint,
+  * no aggregation exchange at all. Output rows are
+  * struct<g1: bigint, g2: bigint>, bit-identical to the two xxhash64
+  * lanes they replace (pinned in PlanSuite).
+  */
+case class GramHashPairs(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  require(k >= 1, "gram size must be positive")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("g1", LongType, nullable = false),
+      StructField("g2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_gram_hash_pairs"
+
+  override protected def nullSafeEval(in: Any): Any =
+    ShingleUtil.gramHashPairs(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleUtil.gramHashPairs($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashPairs =
     copy(child = newChild)
 }
 
@@ -358,6 +481,10 @@ object expressions {
   /** Column-level API for [[ShinglesK]]. */
   def shinglesK(toks: Column, k: Int): Column =
     Shim.column(ShinglesK(Shim.expression(toks), k))
+
+  /** Column-level API for [[GramHashPairs]]. */
+  def gramHashPairs(text: Column, k: Int): Column =
+    Shim.column(GramHashPairs(Shim.expression(text), k))
 
   /** Column-level API for [[SimHashChunks]]. */
   def simhashChunks(toks: Column): Column =

@@ -144,6 +144,40 @@ class LlmOpsSuite extends SparkSuiteBase {
       "ShinglesK fell out of whole-stage codegen")
   }
 
+  test("compiled GramHashPairs equals the transform+xxhash64+distinct spelling") {
+    val L = 7
+    // fixture docs + hand-built edge cases: multibyte chars (2/3/4-byte
+    // UTF-8) straddling window boundaries, repeated substrings (dedup),
+    // length < L, length == L, empty string
+    import spark.implicits._
+    val edge = Seq(
+      "ababababababababab", "abcdefg", "abcdef", "",
+      "café brûlé café brûlé extra",
+      "中文处理测试中文处理测试",
+      "mixéd 😀 ascii and 😀 emoji windows here")
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val docs = T(spark, SF, "documents").select(col("doc_id"), col("text"))
+      .unionByName(edge.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val slow = docs.where(length(col("text")) >= L)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${L - 1}), i -> substring(text, i, $L))"))
+        .as("raw_g"))
+      .select(col("doc_id"), xxhash64(col("raw_g")).as("g1"),
+        xxhash64(lit(0x9747b28cL), col("raw_g")).as("g2"))
+      .distinct()
+    val fast = docs.where(length(col("text")) >= L)
+      .select(col("doc_id"),
+        explode(graft.plans.expressions.gramHashPairs(col("text"), L)).as("p"))
+      .select(col("doc_id"), col("p.g1").as("g1"), col("p.g2").as("g2"))
+    // same SET of (doc, g1, g2) AND same per-doc counts (dedup exactness)
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+      "GramHashPairs diverged from the transform+xxhash64+distinct spelling")
+    // stays inside whole-stage codegen
+    fast.collect()
+    assert(fast.queryExecution.executedPlan.toString.contains("*("),
+      "GramHashPairs fell out of whole-stage codegen")
+  }
+
   test("compiled CountInSet equals the interpreted filter+isin spelling and codegens") {
     val words = Seq("the", "a", "join")
     val toks = split(col("text"), " ")
