@@ -52,6 +52,17 @@ object Bench {
       // oracle gate still passed (ADVICE r8).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Single-tenant application: session-artifact ISOLATION off (static
+      // conf, r19). This engine never calls addArtifact, but with
+      // isolation on (the default) every STREAMING query run clones the
+      // session into a fresh artifact classloader — and the codegen cache
+      // is keyed on (context classloader, source), so each stream start
+      // re-Janino-compiles its entire plan (measured: 17–49 compiles per
+      // run, 0 with isolation off; ~0.2–0.5 s per streaming key per run)
+      // and every class resolution probes the RPC artifact chain. Off is
+      // the right production setting for any single-tenant Spark app; a
+      // multi-tenant Connect server would keep it on and pay the tax.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
