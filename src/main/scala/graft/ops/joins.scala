@@ -95,7 +95,20 @@ object Joins {
     * integer microseconds (cross-engine-safe, SURVEY §7.3.5). */
   private def joinRangeInterval(s: SparkSession, dir: String): DataFrame = {
     val e = T.eventsUs(s, dir)
+    // r19 session 2: this join EXPLODES (each event pairs with every
+    // same-user event inside the interval) and plans as a broadcast
+    // join, so the whole pair generation + range filter ran inside the
+    // PROBE side's single unsplittable scan task. Repartitioning the
+    // probe side on the join key spreads that work across the session
+    // parallelism (AQE-coalesce-exempt, same fix as
+    // astro_crossmatch_zones / llm_dedup_embed, SCALING.md); the
+    // broadcast side is left alone (repartitioning a side that gets
+    // broadcast is a pure extra exchange). Interleaved A/B at
+    // local[32]: 0.79 → 0.47 s (min). P tracks the session conf,
+    // never a local constant.
+    val P = s.sessionState.conf.numShufflePartitions
     val e1 = e.select(col("user_id"), col("event_id").as("eid1"), col("us").as("us1"))
+      .repartition(P, col("user_id"))
     val e2 = e.select(col("user_id").as("u2"), col("event_id").as("eid2"), col("us").as("us2"))
     e1.join(e2, col("user_id") === col("u2") &&
         col("us2") > col("us1") && col("us2") <= col("us1") + IntervalUs)

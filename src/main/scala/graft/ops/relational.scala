@@ -203,7 +203,14 @@ object Relational {
     * partition directory). Output mirrors a plain filter for the oracle. */
   private def sinkPartitionedParquet(s: SparkSession, dir: String): DataFrame = {
     val tmp = GraftTmp.dir("part")
+    // r19 session 2: hash-distribute on the partition column before the
+    // partitioned write (guide §6 — Iceberg's write.distribution-mode =
+    // hash): one writer task per partition value instead of ONE task
+    // writing every directory, and exactly one file per value either
+    // way. At 100 TB this is the spelling that avoids both the
+    // single-writer bottleneck and the many-small-files explosion.
     T(s, dir, "orders")
+      .repartition(col("o_orderpriority"))
       .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
     s.read.parquet(tmp)
       .where(col("o_orderpriority") === "1-URGENT")
